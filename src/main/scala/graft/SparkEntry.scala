@@ -1,13 +1,78 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 appears as a named query over the
+  * parquet test tables plus an equivalent DuckDB SQL oracle. Query names are
+  * prefixed with the §2 operator id they realize.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The drainer apply path in miniature (SURVEY.md §3.2): change envelope →
+    * event filter → k-way merge → per-PK log compaction. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Cdc.compactByPk(Cdc.kwayMerge(Cdc.pumpSources(spark, dir))
+      .drop("source_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- CDC core (SURVEY §2.2, §2.5) --
+    "m1_changes"       -> ((s, d) => Cdc.changes(s, d)),
+    "a1_compact_pk"    -> ((s, d) => Cdc.compactByPk(Cdc.changes(s, d))),
+    "t2_kway_merge"    -> ((s, d) => Cdc.kwayMergeQuery(s, d)),
+    "t3_watermarks"    -> ((s, d) => Cdc.watermarks(s, d)),
+    "t1_pc_match"      -> ((s, d) => Cdc.pcMatch(s, d)),
+    // -- filters / routing (SURVEY §2.3) --
+    "f1_allow_block"   -> ((s, d) => Filters.allowBlock(s, d)),
+    "f2_event_filter"  -> ((s, d) => Filters.eventTypeFilter(s, d)),
+    "f3_ignore_ts"     -> ((s, d) => Filters.ignoreCommitTs(s, d)),
+    "f9_table_router"  -> ((s, d) => Filters.tableRouter(s, d)),
+    "f10_repeated_skip"-> ((s, d) => Filters.repeatedSkip(s, d)),
+    "s6_ts_range_scan" -> ((s, d) => Filters.tsRangeScan(s, d)),
+    // -- transforms / metrics (SURVEY §2.2, §2.4, §2.5, §2.6) --
+    "t7_default_fill"  -> ((s, d) => Transforms.defaultFill(s, d)),
+    "t9_seq_restore"   -> ((s, d) => Transforms.sequenceRestore(s, d)),
+    "m9_value_format"  -> ((s, d) => Transforms.valueFormat(s, d)),
+    "a2_hash_dispatch" -> ((s, d) => Transforms.hashDispatch(s, d)),
+    "a4_event_metrics" -> ((s, d) => Transforms.eventMetrics(s, d)),
+    "a5_ack_window_min"-> ((s, d) => Transforms.ackWindowMin(s, d)),
+    // -- relational surface (SURVEY §2.8) --
+    "q1_pricing_summary"  -> ((s, d) => Relational.pricingSummary(s, d)),
+    "q3_shipping_priority"-> ((s, d) => Relational.shippingPriority(s, d)),
+    "q5_local_supplier"   -> ((s, d) => Relational.localSupplierVolume(s, d)),
+    "topk_per_group"      -> ((s, d) => Relational.topKPerGroup(s, d)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "m1_changes"        -> Cdc.changesCte,
+    "a1_compact_pk"     -> Cdc.compactSql,
+    "t2_kway_merge"     -> Cdc.kwayMergeSql,
+    "t3_watermarks"     -> Cdc.watermarksSql,
+    "t1_pc_match"       -> Cdc.pcMatchSql,
+    "f1_allow_block"    -> Filters.allowBlockSql,
+    "f2_event_filter"   -> Filters.eventTypeFilterSql,
+    "f3_ignore_ts"      -> Filters.ignoreCommitTsSql,
+    "f9_table_router"   -> Filters.tableRouterSql,
+    "f10_repeated_skip" -> Filters.repeatedSkipSql,
+    "s6_ts_range_scan"  -> Filters.tsRangeScanSql,
+    "t7_default_fill"   -> Transforms.defaultFillSql,
+    "t9_seq_restore"    -> Transforms.sequenceRestoreSql,
+    "m9_value_format"   -> Transforms.valueFormatSql,
+    "a2_hash_dispatch"  -> Transforms.hashDispatchSql,
+    "a4_event_metrics"  -> Transforms.eventMetricsSql,
+    "a5_ack_window_min" -> Transforms.ackWindowMinSql,
+    "q1_pricing_summary"   -> Relational.pricingSummarySql,
+    "q3_shipping_priority" -> Relational.shippingPrioritySql,
+    "q5_local_supplier"    -> Relational.localSupplierVolumeSql,
+    "topk_per_group"       -> Relational.topKPerGroupSql,
+  )
 }

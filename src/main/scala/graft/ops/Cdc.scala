@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Core CDC dataflow operators, re-expressed Spark-first.
+  *
+  * The reference (pingcap/tidb-binlog) restores a globally ordered stream of
+  * committed transactions and applies it per-primary-key. Its operators —
+  * k-way ordered merge (`drainer/merge.go:153-335`), merge-by-primary-key log
+  * compaction (`pkg/loader/merge.go:21-141`), watermark generation
+  * (`pkg/util/ts.go:59-66`), prewrite/commit matching
+  * (`pump/storage/sorter.go:100-239`) — become declarative DataFrame plans
+  * here: one hash shuffle on the key, window functions per key, and
+  * map-side-combinable aggregations. At 100 TB the only shuffle is the
+  * partition-by-key exchange, which is unavoidable for per-key semantics and
+  * scales linearly with executors.
+  *
+  * The synthetic change stream is derived from the driver's `events` table:
+  * `event_id` is the commit timestamp (TSO analog), `user_id` the primary
+  * key, and `event_type` maps onto insert/update/delete ops.
+  */
+object Cdc {
+
+  /** Shared op mapping, used verbatim by both the Spark plan and the DuckDB
+    * oracle so the two engines agree by construction. */
+  val opCaseSql: String =
+    "CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END"
+
+  /** DuckDB CTE body for the change envelope (oracle side of [[changes]]). */
+  val changesCte: String =
+    s"""SELECT event_id AS commit_ts, user_id AS pk,
+       |  $opCaseSql AS op,
+       |  event_type, ts, value, props
+       |FROM events""".stripMargin
+
+  /** M1 `TiBinlogToTxn` analog (ref: drainer/translator/mysql.go:108-210):
+    * raw ingest record → change-event envelope. Pure projection, no shuffle;
+    * Catalyst prunes unused envelope columns upstream of any consumer. */
+  def changes(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id").as("commit_ts"),
+      col("user_id").as("pk"),
+      when(col("event_type") === "signup", "I")
+        .when(col("event_type") === "error", "D")
+        .otherwise("U").as("op"),
+      col("event_type"), col("ts"), col("value"), col("props"))
+
+  /** A1: merge-by-primary-key log compaction
+    * (ref: pkg/loader/merge.go:21-141 — fold algebra I+U→I, I+D→D, U+U→U,
+    * D+I→I; ≤1 DML emitted per key).
+    *
+    * Batch form: one shuffle on pk, then two window functions evaluated in a
+    * single pass per partition. The final op is a function of (first op,
+    * last op) because the fold algebra is associative on op types; the final
+    * row image is the last event's. Streaming form: [[graft.ops.MergeAlgebra]]
+    * as a typed Aggregator.
+    */
+  def compactByPk(changes: DataFrame): DataFrame = {
+    val byPk    = Window.partitionBy("pk").orderBy(col("commit_ts"))
+    val byPkAll = byPk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    changes
+      .withColumn("rn", row_number().over(Window.partitionBy("pk").orderBy(col("commit_ts").desc)))
+      .withColumn("first_op", first("op").over(byPkAll))
+      .filter(col("rn") === 1)
+      .select(
+        col("pk"), col("commit_ts"), col("value"),
+        when(col("op") === "D", "D")
+          .when(col("first_op") === "U", "U")
+          .otherwise("I").as("op"))
+  }
+
+  def compactSql: String =
+    s"""WITH c AS ($changesCte), r AS (
+       |  SELECT pk, commit_ts, value, op,
+       |    row_number() OVER (PARTITION BY pk ORDER BY commit_ts DESC) AS rn,
+       |    first_value(op) OVER (PARTITION BY pk ORDER BY commit_ts
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_op
+       |  FROM c)
+       |SELECT pk, commit_ts, value,
+       |  CASE WHEN op = 'D' THEN 'D' WHEN first_op = 'U' THEN 'U' ELSE 'I' END AS op
+       |FROM r WHERE rn = 1""".stripMargin
+
+  /** T2: k-way ordered merge across pump sources
+    * (ref: drainer/merge.go:153-335 min-heap over one head per source).
+    *
+    * Spark-first: each source is a partition of the bus; `unionByName` +
+    * event-time ordering replaces the driver-side heap. The heap is a
+    * single-node bottleneck in the reference; here ordering is restored
+    * per-key by the downstream shuffle, and globally by sort only when a
+    * total order is demanded (range-partitioned sort, parallel at scale).
+    * The `source_id` column stands in for the pump NodeID.
+    */
+  def kwayMerge(sources: Seq[DataFrame]): DataFrame =
+    sources.reduce(_ unionByName _)
+
+  /** The 4-pump synthetic split of the change stream (pump = pk hash). */
+  def pumpSources(spark: SparkSession, dir: String, pumps: Int = 4): Seq[DataFrame] = {
+    val c = changes(spark, dir).withColumn("source_id", pmod(col("pk"), lit(pumps)))
+    (0 until pumps).map(i => c.filter(col("source_id") === i))
+  }
+
+  def kwayMergeQuery(spark: SparkSession, dir: String): DataFrame =
+    kwayMerge(pumpSources(spark, dir))
+      .select("source_id", "commit_ts", "pk", "op")
+
+  def kwayMergeSql: String =
+    s"""WITH c AS ($changesCte),
+       |s AS (SELECT *, pk % 4 AS source_id FROM c)
+       |SELECT source_id, commit_ts, pk, op FROM s WHERE source_id = 0
+       |UNION ALL SELECT source_id, commit_ts, pk, op FROM s WHERE source_id = 1
+       |UNION ALL SELECT source_id, commit_ts, pk, op FROM s WHERE source_id = 2
+       |UNION ALL SELECT source_id, commit_ts, pk, op FROM s WHERE source_id = 3""".stripMargin
+
+  /** T3: watermark generation / tracking
+    * (ref: pump/server.go:467-527 fake binlogs advance downstream TS;
+    * drainer waits for every live source — merge.go:236-335).
+    * Per-source high watermark plus the global low watermark (the min across
+    * sources = safe-to-emit frontier). Map-side combinable max, then a
+    * 4-row window — negligible at any scale.
+    */
+  def watermarks(spark: SparkSession, dir: String): DataFrame = {
+    val perPump = changes(spark, dir)
+      .withColumn("source_id", pmod(col("pk"), lit(4)))
+      .groupBy("source_id")
+      .agg(max("commit_ts").as("source_watermark"))
+    perPump.withColumn("global_watermark",
+      min("source_watermark").over(Window.partitionBy()))
+  }
+
+  def watermarksSql: String =
+    s"""WITH c AS ($changesCte),
+       |p AS (SELECT pk % 4 AS source_id, max(commit_ts) AS source_watermark
+       |      FROM c GROUP BY 1)
+       |SELECT source_id, source_watermark,
+       |       min(source_watermark) OVER () AS global_watermark FROM p""".stripMargin
+
+  /** T1: prewrite/commit matching, batch analog
+    * (ref: pump/storage/sorter.go:100-239 pairs Prewrite with Commit by
+    * startTS; storage.go:1081-1113 joins the payload).
+    * Here: each 'purchase' (commit) is paired with the latest preceding
+    * 'click' (prewrite) of the same key — a per-key ordered scan, i.e. one
+    * shuffle + window with `last(_, ignoreNulls)`. The streaming twin with
+    * timeout lives in [[graft.streaming.PcMatcher]].
+    */
+  def pcMatch(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.events(spark, dir)
+      .withColumn("click_id",
+        when(col("event_type") === "click", col("event_id")))
+      .withColumn("prewrite_id", last("click_id", ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("commit_id"), col("prewrite_id"))
+  }
+
+  def pcMatchSql: String =
+    """SELECT user_id, commit_id, prewrite_id FROM (
+      |  SELECT user_id, event_id AS commit_id, event_type,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY event_id) AS prewrite_id
+      |  FROM events)
+      |WHERE event_type = 'purchase'""".stripMargin
+}

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Predicate / routing operators.
+  *
+  * The reference compiles filter and router rules once and applies them
+  * per-event (`pkg/filter/filter.go:24-124`, `drainer/util.go:277-381`).
+  * Spark-first these become plain `Column` predicates — constants are folded
+  * by Catalyst, pushed into the parquet scan (`PushedFilters`), and run
+  * inside whole-stage codegen, so rule evaluation costs nothing extra at
+  * 100 TB: it *reduces* scan output instead of post-filtering it.
+  */
+object Filters {
+
+  /** F1: schema/table allow-block filter
+    * (ref: pkg/filter/filter.go:24-124 — allowlist regex then blocklist,
+    * case-insensitive). Analog: documents routed by (lang, source); allow
+    * langs matching ^(en|de), then block sources src0/src13.
+    */
+  def allowBlock(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("lang").rlike("^(en|de)$"))
+      .filter(!col("source").isin("src0", "src13"))
+      .select("doc_id", "lang", "source", "n_chars")
+
+  def allowBlockSql: String =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE regexp_matches(lang, '^(en|de)$')
+      |  AND source NOT IN ('src0', 'src13')""".stripMargin
+
+  /** F2: binlog event-type filter
+    * (ref: drainer/syncer.go:594-673 — per (schema,table) rule drops event
+    * kinds and rows matching SQL patterns). Analog rules: ignore all
+    * 'click' events, and ignore 'purchase' events below a value threshold.
+    */
+  def eventTypeFilter(spark: SparkSession, dir: String): DataFrame =
+    Cdc.changes(spark, dir)
+      .filter(!(col("event_type") === "click"))
+      .filter(!(col("event_type") === "purchase" && col("value") < 10.0))
+      .select("commit_ts", "pk", "op", "event_type", "value")
+
+  def eventTypeFilterSql: String =
+    s"""WITH c AS (${Cdc.changesCte})
+       |SELECT commit_ts, pk, op, event_type, value FROM c
+       |WHERE NOT (event_type = 'click')
+       |  AND NOT (event_type = 'purchase' AND value < 10.0)""".stripMargin
+
+  /** F3: ignore-commitTS filter (ref: drainer/syncer.go:366-369, 707-714 —
+    * skip whole transactions whose commitTs is in the configured list). */
+  val ignoredTs: Seq[Long] = Seq(7L, 42L, 99L, 123L, 500L)
+
+  def ignoreCommitTs(spark: SparkSession, dir: String): DataFrame =
+    Cdc.changes(spark, dir)
+      .filter(!col("commit_ts").isin(ignoredTs: _*))
+      .select("commit_ts", "pk", "op")
+
+  def ignoreCommitTsSql: String =
+    s"""WITH c AS (${Cdc.changesCte})
+       |SELECT commit_ts, pk, op FROM c
+       |WHERE commit_ts NOT IN (${ignoredTs.mkString(", ")})""".stripMargin
+
+  /** F9: table router (ref: drainer/util.go:277-346 route rules applied at
+    * pkg/loader/translate.go:36-62 — (schema,table) → (target schema,table)
+    * with exact rules first, then pattern rules, else identity).
+    * Analog: route document sources to shard schemas.
+    */
+  def tableRouter(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      when(col("source") === "src0", "archive.docs")
+        .when(col("source").rlike("^src1[0-9]$"), "shard_hi.docs")
+        .otherwise("shard_lo.docs").as("target_table"))
+
+  def tableRouterSql: String =
+    """SELECT doc_id, source,
+      |  CASE WHEN source = 'src0' THEN 'archive.docs'
+      |       WHEN regexp_matches(source, '^src1[0-9]$') THEN 'shard_hi.docs'
+      |       ELSE 'shard_lo.docs' END AS target_table
+      |FROM documents""".stripMargin
+
+  /** F10: repeated-binlog skip (ref: arbiter/server.go:293-298 drops
+    * messages with commitTs ≤ last seen). Batch analog: replayed stream
+    * (the union simulates an at-least-once source) deduplicated on the
+    * commit timestamp. `dropDuplicates` is a map-side-combinable hash
+    * aggregate — no skew risk since commit_ts is unique and dense. */
+  def repeatedSkip(spark: SparkSession, dir: String): DataFrame = {
+    val c = Cdc.changes(spark, dir).select("commit_ts", "pk", "op")
+    c.unionByName(c.filter(col("commit_ts") % 3 === 0))
+      .dropDuplicates("commit_ts")
+  }
+
+  def repeatedSkipSql: String =
+    s"""WITH c AS (${Cdc.changesCte}),
+       |replayed AS (
+       |  SELECT commit_ts, pk, op FROM c
+       |  UNION ALL
+       |  SELECT commit_ts, pk, op FROM c WHERE commit_ts % 3 = 0)
+       |SELECT commit_ts,
+       |       min(pk) AS pk,
+       |       min(op) AS op
+       |FROM replayed GROUP BY commit_ts""".stripMargin
+
+  /** S6: commit-ts range scan (ref: reparo/file.go:29-109 selects pb files
+    * by first-commitTs then range-filters [start, stop]). With time-bucketed
+    * parquet layout this predicate becomes partition pruning; here it is a
+    * pushed parquet filter (visible as PushedFilters in the scan). */
+  def tsRangeScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("ts") >= lit("2024-01-03 00:00:00").cast("timestamp") &&
+              col("ts") <  lit("2024-01-05 00:00:00").cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type")
+
+  def tsRangeScanSql: String =
+    """SELECT event_id, ts, user_id, event_type FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+      |  AND ts <  TIMESTAMP '2024-01-05 00:00:00'""".stripMargin
+}

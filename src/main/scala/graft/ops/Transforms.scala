@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Row-shaping transforms and aggregation-like operators. */
+object Transforms {
+
+  /** T6/T7: schema-versioned decode + default/zero fill
+    * (ref: drainer/translator/translator.go:125-227 getDefaultOrZeroValue —
+    * columns missing from an old-version row image get the column default or
+    * the type zero value). Analog: the `props` JSON payload is the
+    * loosely-typed row image; absent keys are filled with defaults.
+    * `get_json_object` is codegen'd; no shuffle. */
+  def defaultFill(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(-1L)).as("k"),
+      coalesce(get_json_object(col("props"), "$.missing").cast("long"), lit(0L)).as("missing_col"),
+      coalesce(col("value"), lit(0.0)).as("value_filled"))
+
+  def defaultFillSql: String =
+    """SELECT event_id,
+      |  coalesce(CAST(props->>'$.k' AS BIGINT), -1) AS k,
+      |  coalesce(CAST(props->>'$.missing' AS BIGINT), 0) AS missing_col,
+      |  coalesce(value, 0.0) AS value_filled
+      |FROM events""".stripMargin
+
+  /** T9: intra-transaction sequence restore
+    * (ref: drainer/translator/sequence_iterator.go:32-70 re-interleaves
+    * mutations in original statement order). Per-key ordered sequence
+    * numbers: one shuffle on the key, `row_number` per partition. */
+  def sequenceRestore(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("pk").orderBy("commit_ts")
+    Cdc.changes(spark, dir)
+      .withColumn("seq", row_number().over(w))
+      .select("pk", "seq", "commit_ts", "op", "event_type")
+  }
+
+  def sequenceRestoreSql: String =
+    s"""WITH c AS (${Cdc.changesCte})
+       |SELECT pk,
+       |  row_number() OVER (PARTITION BY pk ORDER BY commit_ts) AS seq,
+       |  commit_ts, op, event_type
+       |FROM c""".stripMargin
+
+  /** M9: value formatting (ref: drainer/translator/mysql.go:252-294 —
+    * decimal/time → string, numeric fidelity for the downstream driver).
+    * Pure projection, codegen'd expressions. */
+  def valueFormat(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+      col("value").cast("decimal(18,2)").cast("string").as("value_str"),
+      get_json_object(col("props"), "$.k").as("k_str"))
+
+  def valueFormatSql: String =
+    """SELECT event_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+      |  CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value_str,
+      |  props->>'$.k' AS k_str
+      |FROM events""".stripMargin
+
+  /** A2 + P2: batch grouping by table and hash dispatch to workers
+    * (ref: pkg/loader/load.go:706-724 groups DMLs per table;
+    * load.go:508-527 dispatches by key hash to 16 workers). In Spark the
+    * dispatch IS the shuffle: `repartition(16, key)` guarantees per-key
+    * ordering into the sink exactly like the causality dispatcher. The
+    * observable analog: per-(worker, table) batch sizes. */
+  def hashDispatch(spark: SparkSession, dir: String): DataFrame =
+    Cdc.changes(spark, dir)
+      .withColumn("worker", pmod(col("pk"), lit(16)))
+      .groupBy("worker", "event_type")
+      .agg(count(lit(1)).as("batch_rows"), max("commit_ts").as("max_ts"))
+
+  def hashDispatchSql: String =
+    s"""WITH c AS (${Cdc.changesCte})
+       |SELECT pk % 16 AS worker, event_type,
+       |  count(*) AS batch_rows, max(commit_ts) AS max_ts
+       |FROM c GROUP BY 1, 2""".stripMargin
+
+  /** A4: event counting / metrics (ref: pkg/loader/load.go:726-738 counters
+    * per DML kind; drainer/metrics.go histograms). Partial (map-side)
+    * aggregation then a 32-group reduce — trivially scalable. */
+  def eventMetrics(spark: SparkSession, dir: String): DataFrame =
+    Cdc.changes(spark, dir)
+      .withColumn("value_bucket", floor(col("value") / 50.0).cast("long"))
+      .groupBy("op", "value_bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"))
+
+  def eventMetricsSql: String =
+    s"""WITH c AS (${Cdc.changesCte})
+       |SELECT op, CAST(floor(value / 50.0) AS BIGINT) AS value_bucket,
+       |  count(*) AS n,
+       |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+       |FROM c GROUP BY 1, 2""".stripMargin
+
+  /** A5: ack-window minimum tracking (ref: drainer/sync/kafka.go:262-330 —
+    * sliding window over un-acked messages, emit success in commitTs order).
+    * Batch analog: running minimum of the last 10 un-acked ids per key. */
+  def ackWindowMin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("pk").orderBy("commit_ts").rowsBetween(-9, 0)
+    Cdc.changes(spark, dir)
+      .withColumn("window_min_ts", min("commit_ts").over(w))
+      .select("pk", "commit_ts", "window_min_ts")
+  }
+
+  def ackWindowMinSql: String =
+    s"""WITH c AS (${Cdc.changesCte})
+       |SELECT pk, commit_ts,
+       |  min(commit_ts) OVER (PARTITION BY pk ORDER BY commit_ts
+       |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS window_min_ts
+       |FROM c""".stripMargin
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+class CdcSpec extends SparkSpec {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query has an oracle and runs non-empty at sf0.001") {
+    val missingOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missingOracle.isEmpty, s"queries without oracle: $missingOracle")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("compaction fold algebra: I+U→I, I+D→D, U+U→U, D+I→I, last image wins") {
+    import spark.implicits._
+    val changes = Seq(
+      // pk 1: I, U, U          -> I with last value
+      (1L, 1L, "I", 10.0), (2L, 1L, "U", 11.0), (3L, 1L, "U", 12.0),
+      // pk 2: I, D             -> D
+      (4L, 2L, "I", 1.0), (5L, 2L, "D", 0.0),
+      // pk 3: U, U             -> U, last value
+      (6L, 3L, "U", 5.0), (7L, 3L, "U", 6.0),
+      // pk 4: D, I             -> I
+      (8L, 4L, "D", 0.0), (9L, 4L, "I", 7.0),
+      // pk 5: single U         -> U
+      (10L, 5L, "U", 3.0)
+    ).toDF("commit_ts", "pk", "op", "value")
+    val out = Cdc.compactByPk(changes)
+      .select("pk", "op", "value").as[(Long, String, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (("I", 12.0)))
+    assert(out(2L) == (("D", 0.0)))
+    assert(out(3L) == (("U", 6.0)))
+    assert(out(4L) == (("I", 7.0)))
+    assert(out(5L) == (("U", 3.0)))
+    assert(out.size == 5, "exactly one row per key")
+  }
+
+  test("k-way merge preserves all events exactly once and watermark is min of source maxes") {
+    val merged = Cdc.kwayMergeQuery(spark, sf)
+    val total = graft.model.Tables.events(spark, sf).count()
+    assert(merged.count() == total)
+    assert(merged.select("commit_ts").distinct().count() == total)
+    val wm = Cdc.watermarks(spark, sf)
+    val rows = wm.collect()
+    val globalWm = rows.head.getAs[Long]("global_watermark")
+    assert(rows.forall(_.getAs[Long]("global_watermark") == globalWm))
+    assert(globalWm == rows.map(_.getAs[Long]("source_watermark")).min)
+  }
+
+  test("pc-match: every prewrite id precedes its commit id") {
+    val bad = Cdc.pcMatch(spark, sf)
+      .filter(col("prewrite_id") >= col("commit_id")).count()
+    assert(bad == 0)
+  }
+
+  test("repeated-skip dedups the replayed stream") {
+    val df = Filters.repeatedSkip(spark, sf)
+    assert(df.count() == df.select("commit_ts").distinct().count())
+  }
+}
