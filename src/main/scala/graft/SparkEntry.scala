@@ -2,7 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.dedup.Dedup
 import graft.ops._
+import graft.sim.Similarity
+import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,6 +51,23 @@ object SparkEntry {
     "q3_shipping_priority"-> ((s, d) => Relational.shippingPriority(s, d)),
     "q5_local_supplier"   -> ((s, d) => Relational.localSupplierVolume(s, d)),
     "topk_per_group"      -> ((s, d) => Relational.topKPerGroup(s, d)),
+    // -- training-data pipeline: dedup (BASELINE.json north star) --
+    "dedup_exact"         -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_minhash_sigs"  -> ((s, d) => Dedup.minhashSignatures(s, d)),
+    "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_simhash"       -> ((s, d) => Dedup.simhash(s, d)),
+    // -- similarity search --
+    "ann_topk_cosine"     -> ((s, d) => Similarity.annTopK(s, d)),
+    "ann_lsh_buckets"     -> ((s, d) => Similarity.lshBuckets(s, d)),
+    "ann_lsh_near_dup"    -> ((s, d) => Similarity.lshNearDup(s, d)),
+    // -- text analysis --
+    "text_token_counts"   -> ((s, d) => TextOps.tokenCounts(s, d)),
+    "text_quality"        -> ((s, d) => TextOps.qualityScore(s, d)),
+    "text_lang_id"        -> ((s, d) => TextOps.langId(s, d)),
+    "text_fingerprints"   -> ((s, d) => TextOps.fingerprints(s, d)),
+    // -- multimodal plumbing --
+    "mm_meta"             -> ((s, d) => TextOps.multimodalMeta(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -74,5 +94,18 @@ object SparkEntry {
     "q3_shipping_priority" -> Relational.shippingPrioritySql,
     "q5_local_supplier"    -> Relational.localSupplierVolumeSql,
     "topk_per_group"       -> Relational.topKPerGroupSql,
+    "dedup_exact"          -> Dedup.exactSql,
+    "dedup_minhash_sigs"   -> Dedup.minhashSignaturesSql,
+    "dedup_minhash_lsh"    -> Dedup.minhashLshSql,
+    "dedup_ngram_jaccard"  -> Dedup.ngramJaccardSql,
+    "dedup_simhash"        -> Dedup.simhashSql,
+    "ann_topk_cosine"      -> Similarity.annTopKSql(),
+    "ann_lsh_buckets"      -> Similarity.lshBucketsSql,
+    "ann_lsh_near_dup"     -> Similarity.lshNearDupSql(),
+    "text_token_counts"    -> TextOps.tokenCountsSql,
+    "text_quality"         -> TextOps.qualityScoreSql,
+    "text_lang_id"         -> TextOps.langIdSql,
+    "text_fingerprints"    -> TextOps.fingerprintsSql,
+    "mm_meta"              -> TextOps.multimodalMetaSql,
   )
 }

@@ -1,0 +1,187 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.text.Lex
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * Four strategies, all shuffle-parallel and driver-state-free:
+  *
+  *  - exact: hash-groupBy on the full text digest — one shuffle keyed by a
+  *    uniformly distributed hash, no skew, scales to any corpus size.
+  *  - MinHash + LSH: shingle → 16-way minhash signature → 8 banded buckets →
+  *    bucket-join for candidates → exact-Jaccard verification. The band join
+  *    only materializes colliding pairs, so cost is output-bound (near-dup
+  *    mass), not O(n²).
+  *  - n-gram Jaccard: inverted-index join on shingles (pairs sharing no
+  *    shingle are never formed), exact similarity, no probabilistic screen.
+  *  - SimHash: 16-bit sign fingerprint per document; near-dup candidates are
+  *    equal-fingerprint groups (or small Hamming balls at query time).
+  *
+  * Oracle parity: every hash/permutation constant comes from [[Lex]] and is
+  * embedded in both the Spark plan and the generated DuckDB SQL.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct text digest with the surviving
+    * (minimum) doc id and the duplicate count. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  def exactSql: String =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** Distinct (doc_id, shingle) pairs — the shared base for MinHash and
+    * Jaccard. Filter-before-explode keeps token positions identical across
+    * engines. */
+  def docShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(Lex.shingles(Lex.toks(col("text"))))).as("sh"))
+
+  val docShinglesCte: String =
+    s"""SELECT doc_id, unnest(list_distinct(${Lex.shinglesSql(Lex.toksSql("text"))})) AS sh
+       |FROM documents""".stripMargin
+
+  /** 16-column minhash signature per document. One shuffle on doc_id with
+    * map-side partial min aggregation. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val h = Lex.hex8(col("sh"))
+    val aggs = (0 until 16).map(j => min(Lex.minhashPerm(j, h)).as(s"mh$j"))
+    docShingles(spark, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  def minhashSignaturesSql: String = {
+    val h = Lex.hex8Sql("sh")
+    val cols = (0 until 16)
+      .map(j => s"min(${Lex.minhashPermSql(j, h)}) AS mh$j").mkString(",\n  ")
+    s"""WITH s AS ($docShinglesCte)
+       |SELECT doc_id,
+       |  $cols
+       |FROM s GROUP BY doc_id""".stripMargin
+  }
+
+  /** MinHash-LSH near-dup pairs: 8 bands × 2 rows; any band collision makes
+    * a candidate; candidates verified with exact Jaccard ≥ 0.5. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(spark, dir)
+    val bands = sigs.select(col("doc_id"),
+      explode(array((0 until 8).map(b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band"), col("bs.sig"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(spark, dir, cand, threshold = 0.5)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the shingle sets:
+    * semi-joined inverted index, counts only. */
+  private def verifyJaccard(spark: SparkSession, dir: String,
+      cand: DataFrame, threshold: Double): DataFrame = {
+    val sh = docShingles(spark, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("sa").join(sh.as("sb"),
+        col("sa.sh") === col("sb.sh") && col("sa.doc_id") < col("sb.doc_id"))
+      .groupBy(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    cand.join(inter, Seq("doc_a", "doc_b"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  private def verifyJaccardSql(candCte: String, threshold: Double): String =
+    s"""WITH s AS ($docShinglesCte),
+       |cand AS ($candCte),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY 1),
+       |inter AS (
+       |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM s sa JOIN s sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 4) AS jaccard
+       |FROM cand JOIN inter USING (doc_a, doc_b)
+       |JOIN sizes na ON na.doc_id = doc_a
+       |JOIN sizes nb ON nb.doc_id = doc_b
+       |WHERE round(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 4) >= $threshold""".stripMargin
+
+  def minhashLshSql: String = {
+    val h = Lex.hex8Sql("sh")
+    val sigCols = (0 until 16)
+      .map(j => s"min(${Lex.minhashPermSql(j, h)}) AS mh$j").mkString(", ")
+    val bandSelects = (0 until 8).map(b =>
+      s"SELECT doc_id, $b AS band, mh${2 * b} || ',' || mh${2 * b + 1} AS sig FROM sigs")
+      .mkString("\n  UNION ALL ")
+    val candCte =
+      s"""WITH s2 AS ($docShinglesCte),
+         |sigs AS (SELECT doc_id, $sigCols FROM s2 GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects)
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id""".stripMargin
+    // candCte itself starts with WITH — inline it as a subquery instead
+    verifyJaccardSql(s"SELECT * FROM ($candCte)", 0.5)
+  }
+
+  /** Inverted-index exact n-gram Jaccard near-dups (no probabilistic
+    * screen): pairs sharing at least one shingle, kept at ≥ 0.5. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir)
+    val cand = sh.as("sa").join(sh.as("sb"),
+        col("sa.sh") === col("sb.sh") && col("sa.doc_id") < col("sb.doc_id"))
+      .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(spark, dir, cand, threshold = 0.5)
+  }
+
+  def ngramJaccardSql: String =
+    verifyJaccardSql(
+      s"""SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+         |FROM ($docShinglesCte) sa JOIN ($docShinglesCte) sb
+         |  ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id""".stripMargin, 0.5)
+
+  /** SimHash: 16-bit sign fingerprint over distinct-token hashes. Documents
+    * with equal fingerprints are near-dup candidates. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(Lex.toks(col("text")))).as("tok"))
+      .withColumn("h", Lex.hex8(col("tok")))
+    val bitSums = (0 until Lex.SimhashBits).map(b =>
+      sum(when((col("h").bitwiseAND(lit(1L << b))) > 0, 1).otherwise(-1)).as(s"s$b"))
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until Lex.SimhashBits)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  def simhashSql: String = {
+    val h = Lex.hex8Sql("tok")
+    val bitSums = (0 until Lex.SimhashBits)
+      .map(b => s"sum(CASE WHEN (h & ${1L << b}) > 0 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(", ")
+    val fp = (0 until Lex.SimhashBits)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, $h AS h FROM (
+       |    SELECT doc_id, unnest(list_distinct(${Lex.toksSql("text")})) AS tok
+       |    FROM documents)),
+       |a AS (SELECT doc_id, $bitSums FROM t GROUP BY doc_id)
+       |SELECT doc_id, $fp AS simhash FROM a""".stripMargin
+  }
+}

