@@ -1,0 +1,103 @@
+package graft.sinks
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Idempotent, checkpointed upsert sink — the `foreachBatch` twin of the
+  * reference loader (ref: pkg/loader/load.go:637-703 batch manager;
+  * executor.go:407-443 safe-mode INSERT→REPLACE/UPDATE→DELETE+REPLACE;
+  * drainer/checkpoint commitTs checkpointing; load.go:845-866 DDL as a
+  * batch barrier).
+  *
+  * Semantics:
+  *  - each micro-batch is compacted per key (merge-by-PK) and merged into
+  *    the materialized state: last image wins, a final D removes the key —
+  *    i.e. REPLACE-semantics apply, idempotent under whole-batch replay;
+  *  - the committed batchId is persisted with the state and replayed
+  *    batches are skipped — exactly-once effect on top of an at-least-once
+  *    stream (the reference gets this from checkpoint commitTs + safe mode);
+  *  - DDL rows act as barriers: the batch is split at each DDL, sub-batches
+  *    apply in order with the DDL recorded between them (mirrors the
+  *    loader's flush-then-execute-alone rule).
+  *
+  * The parquet-directory "table" stands in for the JDBC target; on a real
+  * cluster the same logic runs against MERGE INTO / rewriteBatchedStatements
+  * with the state partitioned by key hash. State merge is one shuffle on pk
+  * plus a window — no driver-side data movement.
+  */
+class UpsertSink(root: String) {
+  private val statePath = s"$root/state"
+  private val metaPath = Paths.get(s"$root/_committed_batch")
+  private val ddlLog = Paths.get(s"$root/_ddl_log")
+
+  def lastCommitted: Long =
+    if (Files.exists(metaPath)) Files.readString(metaPath).trim.toLong else -1L
+
+  def currentState(spark: SparkSession): DataFrame =
+    if (Files.exists(Paths.get(statePath)))
+      spark.read.parquet(statePath)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("pk", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("commit_ts", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))))
+
+  /** Apply one micro-batch of change rows (pk, commit_ts, op, value[, ddl]).
+    * Returns true if applied, false if skipped as a replay. */
+  def applyBatch(batch: DataFrame, batchId: Long): Boolean = {
+    if (batchId <= lastCommitted) return false // idempotent replay skip
+    val spark = batch.sparkSession
+
+    // DDL barrier: order sub-batches around DDL rows by commit_ts.
+    val ddls = batch.filter(col("op") === "DDL")
+      .select("commit_ts", "value").orderBy("commit_ts").collect()
+    val barriers = ddls.map(_.getAs[Long]("commit_ts")).sorted :+ Long.MaxValue
+    var lower = Long.MinValue
+    barriers.foreach { upper =>
+      val slice = batch.filter(col("op") =!= "DDL" &&
+        col("commit_ts") > lower && col("commit_ts") <= upper)
+      mergeSlice(spark, slice)
+      if (upper != Long.MaxValue)
+        Files.writeString(ddlLog, s"$batchId:$upper\n",
+          java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+      lower = upper
+    }
+    Files.writeString(metaPath, batchId.toString)
+    true
+  }
+
+  private def mergeSlice(spark: SparkSession, slice: DataFrame): Unit = {
+    if (slice.isEmpty) return
+    val incoming = slice.select("pk", "commit_ts", "op", "value")
+    val existing = currentState(spark)
+      .withColumn("op", lit("I")) // materialized rows behave as inserts
+    val w = Window.partitionBy("pk").orderBy(col("commit_ts").desc)
+    val next = existing.unionByName(incoming)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D") // delete suppression
+      .select("pk", "commit_ts", "value")
+    val tmp = s"$root/state_tmp"
+    next.write.mode("overwrite").parquet(tmp)
+    // swap: parquet dirs are immutable once written; replace atomically-ish
+    val target = Paths.get(statePath)
+    if (Files.exists(target)) {
+      val old = Paths.get(s"$root/state_old")
+      deleteRec(old)
+      Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+      deleteRec(old)
+    } else {
+      Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+}

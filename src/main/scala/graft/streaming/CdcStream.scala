@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.sinks.UpsertSink
+
+/** Structured-Streaming twins of the batch CDC operators.
+  *
+  * The reference's pipeline (pump pull stream → merge → filter → loader) is
+  * re-expressed as: file/Kafka stream → change envelope → event-time
+  * watermark → `foreachBatch` upsert with checkpointing. The micro-batch
+  * epoch IS the watermark-buffering mechanism of the reference
+  * (drainer/syncer.go:324-346): a batch only commits when every earlier
+  * event is applied, so the checkpoint advances exactly like the drainer's
+  * savepoint.
+  */
+object CdcStream {
+
+  /** Raw schema of the events parquet (ts kept as nanos-long; the file
+    * stream cannot use the nanos-rejecting default reader). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming change envelope from a parquet directory/glob. */
+  def changeStream(spark: SparkSession, pathGlob: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(pathGlob)
+      .select(
+        col("event_id").as("commit_ts"),
+        col("user_id").as("pk"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U").as("op"),
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("value"))
+  }
+
+  /** T3 twin: watermarked per-day/per-op counts (fake-binlog-free — Spark
+    * advances the watermark from event time directly). */
+  def watermarkedCounts(changes: DataFrame): DataFrame =
+    changes
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("op"))
+      .agg(count(lit(1)).as("n"), max(col("commit_ts")).as("max_commit_ts"))
+
+  /** Flagship streaming path: change stream → per-batch merge-by-PK upsert
+    * into the materialized state with exactly-once batch ids. */
+  def applyToState(changes: DataFrame, stateRoot: String, checkpoint: String): StreamingQuery = {
+    val sink = new UpsertSink(stateRoot)
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink.applyBatch(batch, batchId): Unit
+      }
+      .start()
+  }
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming prewrite/commit matcher
+  * (ref: pump/storage/sorter.go:100-239 — pairs a Prewrite with its
+  * Commit/Rollback by startTS; an unmatched Prewrite beyond the timeout is
+  * escalated to the TiKV lock resolver, storage.go:431-559).
+  *
+  * Spark twin: `flatMapGroupsWithState` keyed by the transaction's startTs.
+  * State holds the pending prewrite; a later commit (or rollback) emits the
+  * matched pair and clears state; a processing-time timeout emits an
+  * `unresolved` marker — the hook where a real deployment would consult the
+  * upstream resolver. State is per-key and partitioned by Spark's shuffle,
+  * so matching scales horizontally with no global ordering requirement.
+  */
+object PcMatcher {
+
+  /** kind: P (prewrite), C (commit), R (rollback). */
+  case class PcEvent(startTs: Long, kind: String, payloadTs: Long)
+
+  case class Pending(prewriteTs: Long)
+
+  /** status: matched | rolled_back | orphan_commit | unresolved(timeout). */
+  case class Matched(startTs: Long, prewriteTs: Long, commitTs: Long, status: String)
+
+  def matchFn(timeoutMs: Long)(
+      startTs: Long, events: Iterator[PcEvent],
+      state: GroupState[Pending]): Iterator[Matched] = {
+    if (state.hasTimedOut) {
+      val p = state.get
+      state.remove()
+      Iterator.single(Matched(startTs, p.prewriteTs, -1L, "unresolved"))
+    } else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Matched]
+      events.toSeq.sortBy(_.payloadTs).foreach { e =>
+        e.kind match {
+          case "P" =>
+            state.update(Pending(e.payloadTs))
+            state.setTimeoutDuration(timeoutMs)
+          case "C" =>
+            if (state.exists) {
+              out += Matched(startTs, state.get.prewriteTs, e.payloadTs, "matched")
+              state.remove()
+            } else out += Matched(startTs, -1L, e.payloadTs, "orphan_commit")
+          case "R" =>
+            if (state.exists) {
+              out += Matched(startTs, state.get.prewriteTs, e.payloadTs, "rolled_back")
+              state.remove()
+            }
+          case _ =>
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Wire the matcher over a stream (or batch Dataset in tests via
+    * `groupByKey.flatMapGroupsWithState`). */
+  def matched(events: Dataset[PcEvent], timeoutMs: Long = 600000L): Dataset[Matched] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.startTs)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout)(
+        matchFn(timeoutMs))
+  }
+}

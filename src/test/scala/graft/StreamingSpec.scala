@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.api.java.Optional
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+import graft.sinks.UpsertSink
+import graft.streaming.{CdcStream, PcMatcher, SchemaTracker}
+import graft.streaming.PcMatcher.PcEvent
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pc matcher pairs prewrite with commit, flags orphans, survives rollback") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    def run(startTs: Long, evs: Seq[PcEvent],
+        st: TestGroupState[PcMatcher.Pending]): Seq[PcMatcher.Matched] =
+      PcMatcher.matchFn(1000L)(startTs, evs.iterator, st).toSeq
+
+    // P then C in one group invocation -> matched
+    val s1 = TestGroupState.create[PcMatcher.Pending](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout, 0L, Optional.of(0L), false)
+    val m1 = run(1L, Seq(PcEvent(1L, "P", 10L), PcEvent(1L, "C", 20L)), s1)
+    assert(m1 == Seq(PcMatcher.Matched(1L, 10L, 20L, "matched")))
+    assert(!s1.exists)
+
+    // P alone -> state persists with a timeout armed
+    val s2 = TestGroupState.create[PcMatcher.Pending](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout, 0L, Optional.of(0L), false)
+    assert(run(2L, Seq(PcEvent(2L, "P", 11L)), s2).isEmpty)
+    assert(s2.exists && s2.get.prewriteTs == 11L)
+
+    // rollback clears pending
+    val m3 = run(2L, Seq(PcEvent(2L, "R", 21L)), s2)
+    assert(m3.head.status == "rolled_back" && !s2.exists)
+
+    // commit with no prewrite -> orphan
+    val s4 = TestGroupState.create[PcMatcher.Pending](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout, 0L, Optional.of(0L), false)
+    assert(run(3L, Seq(PcEvent(3L, "C", 12L)), s4).head.status == "orphan_commit")
+
+    // timed-out group -> unresolved marker, state cleared
+    val s5 = TestGroupState.create[PcMatcher.Pending](
+      Optional.of(PcMatcher.Pending(9L)), GroupStateTimeout.ProcessingTimeTimeout,
+      0L, Optional.of(0L), true)
+    val m5 = run(4L, Seq.empty, s5)
+    assert(m5 == Seq(PcMatcher.Matched(4L, 9L, -1L, "unresolved")) && !s5.exists)
+  }
+
+  test("schema tracker: versioned lookups mirror the DDL history") {
+    val t = new SchemaTracker(historyDepth = 10)
+    t.createTable("db", "t1", Seq("a", "b"), version = 1)
+    t.addColumn("db", "t1", "c", version = 3)
+    t.dropColumn("db", "t1", "a", version = 5)
+    assert(t.atVersion("db", "t1", 2).get.columns == Vector("a", "b"))
+    assert(t.atVersion("db", "t1", 4).get.columns == Vector("a", "b", "c"))
+    assert(t.atVersion("db", "t1", 9).get.columns == Vector("b", "c"))
+    t.renameTable("db", "t1", "t2", version = 6)
+    assert(t.current("db", "t1").isEmpty)
+    assert(t.current("db", "t2").get.columns == Vector("b", "c"))
+    t.dropTable("db", "t2", version = 7)
+    assert(t.current("db", "t2").isEmpty)
+    assert(t.version == 7)
+    // reference keeps only the last two versions (drainer/schema.go:211-218)
+    val shallow = new SchemaTracker()
+    shallow.createTable("db", "t", Seq("a"), 1)
+    shallow.addColumn("db", "t", "b", 3)
+    shallow.addColumn("db", "t", "c", 5)
+    assert(shallow.atVersion("db", "t", 2).isEmpty) // evicted
+    assert(shallow.atVersion("db", "t", 4).get.columns == Vector("a", "b"))
+  }
+
+  /** Stage the single events parquet file into a directory for the file
+    * stream source (it requires a directory basePath). */
+  private def stageEventsDir(): String = {
+    val dir = Files.createTempDirectory("graft_stream_in")
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("upsert sink: batch apply, idempotent replay, ddl barrier, delete suppression") {
+    val root = Files.createTempDirectory("graft_sink").toString
+    val sink = new UpsertSink(root)
+    val b0 = Seq(
+      (1L, 1L, "I", 10.0), (2L, 1L, "U", 11.0),
+      (3L, 2L, "I", 20.0),
+      (4L, 3L, "I", 30.0), (5L, 3L, "D", 0.0)
+    ).toDF("commit_ts", "pk", "op", "value")
+    assert(sink.applyBatch(b0, 0L))
+    val s0 = sink.currentState(spark).collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s0 == Map(1L -> 11.0, 2L -> 20.0)) // pk 3 deleted
+    // replay the same batch id -> skipped
+    assert(!sink.applyBatch(b0, 0L))
+    // ddl barrier splits the batch; both sides apply in order
+    val b1 = Seq(
+      (6L, 1L, "U", 12.0),
+      (7L, 0L, "DDL", 0.0),
+      (8L, 2L, "D", 0.0)
+    ).toDF("commit_ts", "pk", "op", "value")
+    assert(sink.applyBatch(b1, 1L))
+    val s1 = sink.currentState(spark).collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s1 == Map(1L -> 12.0))
+    assert(sink.lastCommitted == 1L)
+  }
+
+  test("streaming apply == batch compaction (flagship streaming path)") {
+    val stateRoot = Files.createTempDirectory("graft_state").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val changes = CdcStream.changeStream(spark, stageEventsDir())
+    val q = CdcStream.applyToState(changes, stateRoot, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = new UpsertSink(stateRoot).currentState(spark)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val batch = graft.ops.Cdc.compactByPk(graft.ops.Cdc.changes(spark, sf))
+      .filter(col("op") =!= "D")
+      .select("pk", "value").as[(Long, Double)].collect().toMap
+    assert(streamed == batch)
+  }
+
+  test("watermarked counts run over the stream") {
+    val changes = CdcStream.changeStream(spark, stageEventsDir())
+    val q = CdcStream.watermarkedCounts(changes)
+      .writeStream.format("memory").queryName("wm_out").outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("wm_out").count() > 0)
+  }
+}
