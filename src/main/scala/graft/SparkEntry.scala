@@ -36,20 +36,39 @@ object SparkEntry {
     "f1_allow_block"   -> ((s, d) => Filters.allowBlock(s, d)),
     "f2_event_filter"  -> ((s, d) => Filters.eventTypeFilter(s, d)),
     "f3_ignore_ts"     -> ((s, d) => Filters.ignoreCommitTs(s, d)),
+    "f4_loopback"      -> ((s, d) => Filters.loopbackFilter(s, d)),
+    "f5_ddl_skip"      -> ((s, d) => Filters.ddlSkip(s, d)),
+    "f6_truncate_drop" -> ((s, d) => Filters.truncateDrop(s, d)),
+    "f7_writable_cols" -> ((s, d) => Filters.writableColumns(s, d)),
     "f9_table_router"  -> ((s, d) => Filters.tableRouter(s, d)),
     "f10_repeated_skip"-> ((s, d) => Filters.repeatedSkip(s, d)),
     "s6_ts_range_scan" -> ((s, d) => Filters.tsRangeScan(s, d)),
+    // -- translators (SURVEY §2.4) --
+    "m2_kafka_encode"  -> ((s, d) => Translators.kafkaEncode(s, d)),
+    "m6_typed_decode"  -> ((s, d) => Translators.typedDecode(s, d)),
+    "m7_sql_text"      -> ((s, d) => Translators.sqlTextGen(s, d)),
+    "m8_ddl_rewrite"   -> ((s, d) => Translators.ddlRewrite(s, d)),
     // -- transforms / metrics (SURVEY §2.2, §2.4, §2.5, §2.6) --
+    "t5_schema_version"-> ((s, d) => Transforms.schemaVersion(s, d)),
     "t7_default_fill"  -> ((s, d) => Transforms.defaultFill(s, d)),
+    "t8_update_images" -> ((s, d) => Transforms.updateImages(s, d)),
     "t9_seq_restore"   -> ((s, d) => Transforms.sequenceRestore(s, d)),
     "m9_value_format"  -> ((s, d) => Transforms.valueFormat(s, d)),
     "a2_hash_dispatch" -> ((s, d) => Transforms.hashDispatch(s, d)),
+    "a3_bulk_batches"  -> ((s, d) => Transforms.bulkBatches(s, d)),
     "a4_event_metrics" -> ((s, d) => Transforms.eventMetrics(s, d)),
     "a5_ack_window_min"-> ((s, d) => Transforms.ackWindowMin(s, d)),
+    "a6_applied_ts"    -> ((s, d) => Transforms.appliedTs(s, d)),
+    "asof_feature_join"-> ((s, d) => Asof.featureAsofQuery(s, d)),
     // -- relational surface (SURVEY §2.8) --
     "q1_pricing_summary"  -> ((s, d) => Relational.pricingSummary(s, d)),
     "q3_shipping_priority"-> ((s, d) => Relational.shippingPriority(s, d)),
     "q5_local_supplier"   -> ((s, d) => Relational.localSupplierVolume(s, d)),
+    "q6_revenue_forecast" -> ((s, d) => Relational.revenueForecast(s, d)),
+    "q14_promo_revenue"   -> ((s, d) => Relational.promoRevenue(s, d)),
+    "q18_large_orders"    -> ((s, d) => Relational.largeOrders(s, d)),
+    "semi_big_spenders"   -> ((s, d) => Relational.bigSpenders(s, d)),
+    "anti_dormant"        -> ((s, d) => Relational.dormantCustomers(s, d)),
     "topk_per_group"      -> ((s, d) => Relational.topKPerGroup(s, d)),
     // -- training-data pipeline: dedup (BASELINE.json north star) --
     "dedup_exact"         -> ((s, d) => Dedup.exact(s, d)),
@@ -81,18 +100,36 @@ object SparkEntry {
     "f1_allow_block"    -> Filters.allowBlockSql,
     "f2_event_filter"   -> Filters.eventTypeFilterSql,
     "f3_ignore_ts"      -> Filters.ignoreCommitTsSql,
+    "f4_loopback"       -> Filters.loopbackFilterSql,
+    "f5_ddl_skip"       -> Filters.ddlSkipSql,
+    "f6_truncate_drop"  -> Filters.truncateDropSql,
+    "f7_writable_cols"  -> Filters.writableColumnsSql,
     "f9_table_router"   -> Filters.tableRouterSql,
     "f10_repeated_skip" -> Filters.repeatedSkipSql,
     "s6_ts_range_scan"  -> Filters.tsRangeScanSql,
+    "m2_kafka_encode"   -> Translators.kafkaEncodeSql,
+    "m6_typed_decode"   -> Translators.typedDecodeSql,
+    "m7_sql_text"       -> Translators.sqlTextGenSql,
+    "m8_ddl_rewrite"    -> Translators.ddlRewriteSql,
+    "t5_schema_version" -> Transforms.schemaVersionSql,
     "t7_default_fill"   -> Transforms.defaultFillSql,
+    "t8_update_images"  -> Transforms.updateImagesSql,
     "t9_seq_restore"    -> Transforms.sequenceRestoreSql,
     "m9_value_format"   -> Transforms.valueFormatSql,
     "a2_hash_dispatch"  -> Transforms.hashDispatchSql,
+    "a3_bulk_batches"   -> Transforms.bulkBatchesSql,
     "a4_event_metrics"  -> Transforms.eventMetricsSql,
     "a5_ack_window_min" -> Transforms.ackWindowMinSql,
+    "a6_applied_ts"     -> Transforms.appliedTsSql,
+    "asof_feature_join" -> Asof.featureAsofSql,
     "q1_pricing_summary"   -> Relational.pricingSummarySql,
     "q3_shipping_priority" -> Relational.shippingPrioritySql,
     "q5_local_supplier"    -> Relational.localSupplierVolumeSql,
+    "q6_revenue_forecast"  -> Relational.revenueForecastSql,
+    "q14_promo_revenue"    -> Relational.promoRevenueSql,
+    "q18_large_orders"     -> Relational.largeOrdersSql,
+    "semi_big_spenders"    -> Relational.bigSpendersSql,
+    "anti_dormant"         -> Relational.dormantCustomersSql,
     "topk_per_group"       -> Relational.topKPerGroupSql,
     "dedup_exact"          -> Dedup.exactSql,
     "dedup_minhash_sigs"   -> Dedup.minhashSignaturesSql,

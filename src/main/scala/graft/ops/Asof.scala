@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, the latest right row whose timestamp is
+  * ≤ the left row's timestamp.
+  *
+  * The reference needs exactly this shape to pick the schema version a DML
+  * must be decoded against (drainer/schema.go:221-234 — newest TableInfo
+  * with version ≤ the binlog's SchemaVersion, replayed up to the DML at
+  * drainer/syncer.go:393-397). It is also the general tool for
+  * point-in-time lookups in training-data pipelines (feature values as-of
+  * an example's timestamp).
+  *
+  * Two physical strategies, chosen by the caller to match data shape:
+  *
+  *  - [[broadcastAsof]]: right side tiny (DDL/version streams are — DDL is
+  *    rare and totally ordered). Broadcast non-equi join + re-aggregate.
+  *    No shuffle of the big side at all; survives any left-side scale.
+  *  - [[keyedAsof]]: both sides large but keyed. Union the sides and run
+  *    one `last(_, ignoreNulls)` window per key — a single hash shuffle on
+  *    the key, the same cost as any keyed join, no skew beyond the key
+  *    distribution itself.
+  */
+object Asof {
+
+  /** Right side must be small (broadcast). `leftTs`/`rightTs` name the
+    * ordering columns; every right column except `rightTs` is carried. */
+  def broadcastAsof(left: DataFrame, right: DataFrame,
+                    leftTs: String, rightTs: String): DataFrame = {
+    val leftCols = left.columns
+    val payload = right.columns.filterNot(_ == rightTs)
+    val joined = left.join(broadcast(right), col(leftTs) >= col(rightTs), "left")
+    // keep, per left row, the right row with the greatest rightTs
+    val w = Window.partitionBy(leftCols.map(col): _*).orderBy(col(rightTs).desc_nulls_last)
+    joined
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Both sides keyed by `key`: one shuffle, per-key ordered window. Right
+    * rows become null-padded carriers; `last(ignoreNulls)` pulls the most
+    * recent right payload forward onto each left row. */
+  def keyedAsof(left: DataFrame, right: DataFrame, key: String,
+                leftTs: String, rightTs: String, payload: String): DataFrame = {
+    val l = left.withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(0))
+      .withColumn("__p", lit(null).cast(right.schema(payload).dataType))
+    val r = right.select(
+      col(key), col(rightTs).as("__ts"), lit(1).as("__side"),
+      col(payload).as("__p"))
+    val rPadded = l.columns.foldLeft(r) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(l.schema(c).dataType))
+    }.select(l.columns.map(col): _*)
+    // right rows sort before left rows at equal ts (__side desc) so a
+    // version taking effect AT ts applies to events at the same ts.
+    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rPadded.unionByName(l)
+      .withColumn(payload, last("__p", ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .drop("__ts", "__side", "__p")
+  }
+
+  /** Driver query: point-in-time feature join — each purchase picks up the
+    * value of the same user's most recent preceding click. Oracle: DuckDB's
+    * native ASOF LEFT JOIN (same ≥ semantics as [[keyedAsof]]). */
+  def featureAsofQuery(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val ev = graft.model.Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("commit_id"),
+        col("value").as("purchase_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_ts"),
+        col("value").as("click_value"))
+    keyedAsof(purchases, clicks, "user_id", "commit_id", "click_ts", "click_value")
+  }
+
+  def featureAsofSql: String =
+    """SELECT l.user_id, l.commit_id, l.purchase_value, r.click_value
+      |FROM (SELECT user_id, event_id AS commit_id, value AS purchase_value
+      |      FROM events WHERE event_type = 'purchase') l
+      |ASOF LEFT JOIN
+      |     (SELECT user_id, event_id AS click_ts, value AS click_value
+      |      FROM events WHERE event_type = 'click') r
+      |ON l.user_id = r.user_id AND l.commit_id >= r.click_ts""".stripMargin
+
+  def maxLeq(left: DataFrame, right: DataFrame, leftTs: String,
+             rightTs: String, as: String): DataFrame = {
+    // degenerate broadcast as-of carrying only the matched timestamp:
+    // aggregate form avoids the window over wide rows entirely.
+    val groupCols: Seq[Column] = left.columns.map(col).toSeq
+    left.join(broadcast(right.select(col(rightTs))), col(leftTs) >= col(rightTs), "left")
+      .groupBy(groupCols: _*)
+      .agg(max(col(rightTs)).as(as))
+  }
+}

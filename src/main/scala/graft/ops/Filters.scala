@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -118,4 +119,76 @@ object Filters {
     """SELECT event_id, ts, user_id, event_type FROM events
       |WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
       |  AND ts <  TIMESTAMP '2024-01-05 00:00:00'""".stripMargin
+
+  /** F4: loopback filter (ref: drainer/syncer.go:565-592 — drop transactions
+    * that contain the replicator's own mark-table row, identified by channel
+    * id, to break bidirectional-replication cycles). Mark rows here: signup
+    * events with value > 200. The drop is a broadcast left-anti join against
+    * the distinct marked-key set — at 100 TB the mark set stays tiny (one row
+    * per replication channel), so no shuffle of the big side. */
+  def loopbackFilter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Cdc.changes(spark, dir)
+    val marks = c.filter(col("event_type") === "signup" && col("value") > 200.0)
+      .select("pk").distinct()
+    c.join(broadcast(marks), Seq("pk"), "left_anti")
+      .select("commit_ts", "pk", "op", "event_type")
+  }
+
+  def loopbackFilterSql: String =
+    s"""WITH c AS (${Cdc.changesCte})
+       |SELECT commit_ts, pk, op, event_type FROM c
+       |WHERE pk NOT IN (
+       |  SELECT pk FROM c WHERE event_type = 'signup' AND value > 200.0)""".stripMargin
+
+  /** F5: system / unsupported-DDL skip (ref: drainer/schema.go:333-353,
+    * drainer/syncer.go:436-462 — drop placement/lock/cache jobs, failed or
+    * cancelled jobs, and system-table ids). Analog: system key space is
+    * pk % 97 = 0; 'error' events are the cancelled jobs. Pure pushed-down
+    * predicate. */
+  def ddlSkip(spark: SparkSession, dir: String): DataFrame =
+    Cdc.changes(spark, dir)
+      .filter(!(col("pk") % 97 === 0) && col("event_type") =!= "error")
+      .select("commit_ts", "pk", "op", "event_type")
+
+  def ddlSkipSql: String =
+    s"""WITH c AS (${Cdc.changesCte})
+       |SELECT commit_ts, pk, op, event_type FROM c
+       |WHERE NOT (pk % 97 = 0) AND event_type <> 'error'""".stripMargin
+
+  /** F6: old-version-after-truncate drop (ref: drainer/syncer.go:744-762 —
+    * mutations against a table id that was later truncated are dropped).
+    * Truncate analog: the last 'D' per key; everything strictly before it is
+    * stale. One shuffle on the key, a single unbounded window max per
+    * partition — same exchange the compaction already needs. */
+  def truncateDrop0(changes: DataFrame): DataFrame = {
+    val w = Window.partitionBy("pk")
+    changes
+      .withColumn("trunc_ts",
+        max(when(col("op") === "D", col("commit_ts"))).over(w))
+      .filter(col("trunc_ts").isNull || col("commit_ts") >= col("trunc_ts"))
+      .select("commit_ts", "pk", "op")
+  }
+
+  def truncateDrop(spark: SparkSession, dir: String): DataFrame =
+    truncateDrop0(Cdc.changes(spark, dir))
+
+  def truncateDropSql: String =
+    s"""WITH c AS (${Cdc.changesCte}), t AS (
+       |  SELECT commit_ts, pk, op,
+       |    max(CASE WHEN op = 'D' THEN commit_ts END) OVER (PARTITION BY pk) AS trunc_ts
+       |  FROM c)
+       |SELECT commit_ts, pk, op FROM t
+       |WHERE trunc_ts IS NULL OR commit_ts >= trunc_ts""".stripMargin
+
+  /** F7/F8: writable-column projection (ref: drainer/translator/mysql.go:212-222
+    * excludes generated and non-public columns from the write set;
+    * pkg/loader/load.go:577-604 drops columns absent downstream). Here `op`
+    * and `ts` are the generated/derived columns; the projection is column
+    * pruning that Catalyst pushes into the parquet scan (ReadSchema shrinks). */
+  def writableColumns(spark: SparkSession, dir: String): DataFrame =
+    Cdc.changes(spark, dir).select("commit_ts", "pk", "value", "props")
+
+  def writableColumnsSql: String =
+    s"""WITH c AS (${Cdc.changesCte})
+       |SELECT commit_ts, pk, value, props FROM c""".stripMargin
 }

@@ -143,4 +143,115 @@ object Relational {
       |      ORDER BY p_retailprice DESC, p_partkey) AS rank
       |  FROM part)
       |WHERE rank <= 3""".stripMargin
+
+  /** Revenue forecast (TPC-H Q6 shape): tight range + band predicates all
+    * pushed into the parquet scan, then a single global sum — the cheapest
+    * possible plan at any scale (scan-bound, one-row exchange). */
+  def revenueForecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(round(sum(dec4(col("l_extendedprice") * col("l_discount"))), 2)
+        .cast("double").as("revenue"))
+
+  def revenueForecastSql: String =
+    """SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** Promotion effect (TPC-H Q14 shape): part is a dimension → broadcast to
+    * the filtered lineitem scan; conditional aggregation computes the promo
+    * share in the same pass. Sums are exact decimals; the final ratio is a
+    * double rounded to 4 digits. */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1996-04-01").cast("timestamp"))
+    val p = Tables.part(spark, dir)
+    val disc = dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .agg(round(
+        lit(100.0) *
+          sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast("decimal(18,4)")))
+            .cast("double") /
+          sum(disc).cast("double"), 4).as("promo_revenue"))
+  }
+
+  def promoRevenueSql: String =
+    """SELECT round(
+      |  100.0 *
+      |  CAST(sum(CASE WHEN p_type = 'PROMO'
+      |        THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+      |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+      |  4) AS promo_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'""".stripMargin
+
+  /** Large-volume orders (TPC-H Q18 shape): the HAVING subquery aggregates
+    * lineitem first (map-side partial sums), so the expensive join only sees
+    * qualifying orderkeys; customer broadcasts. Deterministic top-100. */
+  def largeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(round(sum(dec(col("l_quantity"))), 2).cast("double").as("sum_qty"))
+      .filter(col("sum_qty") > 300.0)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(big, o("o_orderkey") === big("l_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  def largeOrdersSql: String =
+    """SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey,
+      |        CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) > 300.0) b
+      |  ON o_orderkey = b.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** Existential semi-join: customers holding at least one high-value order.
+    * `left_semi` keeps the probe side single-pass and never duplicates
+    * customer rows (unlike join+distinct); the filtered orders side is the
+    * build side of a broadcast hash join at this selectivity. */
+  def bigSpenders(spark: SparkSession, dir: String): DataFrame = {
+    val hot = Tables.orders(spark, dir).filter(col("o_totalprice") > 450000.0)
+    Tables.customer(spark, dir)
+      .join(broadcast(hot), col("c_custkey") === hot("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_acctbal")
+  }
+
+  def bigSpendersSql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)""".stripMargin
+
+  /** Anti-join: customers with NO high-value order — the loopback/truncate
+    * drop shape (F4/F6) on relational data. `left_anti` against the same
+    * broadcast build side. */
+  def dormantCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val hot = Tables.orders(spark, dir).filter(col("o_totalprice") > 450000.0)
+    Tables.customer(spark, dir)
+      .join(broadcast(hot), col("c_custkey") === hot("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+  }
+
+  def dormantCustomersSql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)""".stripMargin
 }

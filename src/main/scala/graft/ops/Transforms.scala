@@ -116,4 +116,90 @@ object Transforms {
        |  min(commit_ts) OVER (PARTITION BY pk ORDER BY commit_ts
        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS window_min_ts
        |FROM c""".stripMargin
+
+  /** T5: schema-version pick (ref: drainer/schema.go:221-234 — newest
+    * TableInfo with version ≤ the binlog's SchemaVersion; replay driven from
+    * drainer/syncer.go:393-397). The DDL/version stream is tiny by nature
+    * (DDL is rare), so it is collected into ONE broadcast row holding the
+    * sorted version array; each event then resolves its version with a
+    * codegen'd array scan — no row blowup, no extra shuffle, unlike the
+    * naive `left.ts >= right.ts` non-equi join whose intermediate grows as
+    * events × versions. Survives any left-side scale. */
+  def schemaVersion(spark: SparkSession, dir: String): DataFrame = {
+    val c = Cdc.changes(spark, dir)
+    val versions = c.filter(col("commit_ts") % 10000 === 0)
+      .agg(sort_array(collect_list(col("commit_ts"))).as("__vs"))
+    c.select("commit_ts", "pk", "op")
+      .crossJoin(broadcast(versions))
+      .withColumn("schema_version",
+        array_max(filter(col("__vs"), v => v <= col("commit_ts"))))
+      .drop("__vs")
+  }
+
+  def schemaVersionSql: String =
+    s"""WITH c AS (${Cdc.changesCte})
+       |SELECT c.commit_ts, c.pk, c.op,
+       |  (SELECT max(v.commit_ts) FROM c v
+       |   WHERE v.commit_ts % 10000 = 0 AND v.commit_ts <= c.commit_ts) AS schema_version
+       |FROM c""".stripMargin
+
+  /** T8: update-image split (ref: drainer/translator/translator.go:231-350
+    * DecodeOldAndNewRow — an update row carries (before, after) images).
+    * The before image is reconstructed as the previous value per key: one
+    * shuffle on pk, `lag` inside the per-key ordered window. */
+  def updateImages(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("pk").orderBy("commit_ts")
+    Cdc.changes(spark, dir)
+      .withColumn("before_value", lag("value", 1).over(w))
+      .filter(col("op") === "U")
+      .select(col("pk"), col("commit_ts"), col("before_value"),
+        col("value").as("after_value"))
+  }
+
+  def updateImagesSql: String =
+    s"""WITH c AS (${Cdc.changesCte}), i AS (
+       |  SELECT pk, commit_ts, op,
+       |    lag(value, 1) OVER (PARTITION BY pk ORDER BY commit_ts) AS before_value,
+       |    value AS after_value
+       |  FROM c)
+       |SELECT pk, commit_ts, before_value, after_value FROM i WHERE op = 'U'""".stripMargin
+
+  /** A3: bulk statement batching (ref: pkg/loader/executor.go:179-244 builds
+    * multi-VALUES statements; util.go:290-300 splits at batch size 128).
+    * Observable analog: per-worker ordered rows are chunked into batches of
+    * 128; the query reports each batch's bounds. Same shuffle as the
+    * dispatch itself; the chunking is a pure window + integer division. */
+  def bulkBatches(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("worker").orderBy("commit_ts")
+    Cdc.changes(spark, dir)
+      .withColumn("worker", pmod(col("pk"), lit(16)))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch_id", floor((col("rn") - 1) / 128).cast("long"))
+      .groupBy("worker", "batch_id")
+      .agg(count(lit(1)).as("batch_rows"),
+        min("commit_ts").as("first_ts"), max("commit_ts").as("last_ts"))
+  }
+
+  def bulkBatchesSql: String =
+    s"""WITH c AS (${Cdc.changesCte}), r AS (
+       |  SELECT pk % 16 AS worker, commit_ts,
+       |    row_number() OVER (PARTITION BY pk % 16 ORDER BY commit_ts) AS rn
+       |  FROM c)
+       |SELECT worker, CAST(floor((rn - 1) / 128) AS BIGINT) AS batch_id,
+       |  count(*) AS batch_rows, min(commit_ts) AS first_ts, max(commit_ts) AS last_ts
+       |FROM r GROUP BY 1, 2""".stripMargin
+
+  /** A6: applied-TS sampling (ref: pkg/loader/load.go:313-322, 965-985 —
+    * once a minute the loader records the downstream applied position).
+    * Batch analog: per event-time minute, the highest applied commit id.
+    * Map-side combinable aggregate over a time bucket. */
+  def appliedTs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("minute", col("ts")).as("minute"))
+      .agg(max("event_id").as("applied_ts"), count(lit(1)).as("n"))
+
+  def appliedTsSql: String =
+    """SELECT date_trunc('minute', ts) AS minute,
+      |  max(event_id) AS applied_ts, count(*) AS n
+      |FROM events GROUP BY 1""".stripMargin
 }

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Format translators (SURVEY.md §2.4): the map-only operators that encode
+  * change events for downstream consumers or decode loosely-typed payloads.
+  *
+  * All of these are pure projections — whole-stage codegen'd string/JSON
+  * expressions with no shuffle — so they scale with scan bandwidth alone.
+  * Numeric-to-string formatting goes through DECIMAL so the byte output is
+  * engine-independent (double formatting is not).
+  */
+object Translators {
+
+  private val valueStr = col("value").cast("decimal(18,2)").cast("string")
+
+  /** M2: secondary-binlog / Kafka message encoding
+    * (ref: drainer/translator/kafka.go:38-150 — self-describing message
+    * carrying database, table, type and column values). The message is built
+    * by explicit concatenation, not a JSON library, so key order and number
+    * formatting are deterministic across engines.
+    */
+  def kafkaEncode(spark: SparkSession, dir: String): DataFrame =
+    Cdc.changes(spark, dir).select(
+      col("commit_ts"),
+      concat(
+        lit("{\"database\":\"app\",\"table\":\"events\",\"type\":\""), col("op"),
+        lit("\",\"commit_ts\":"), col("commit_ts"),
+        lit(",\"pk\":"), col("pk"),
+        lit(",\"value\":\""), valueStr,
+        lit("\"}")).as("msg"))
+
+  def kafkaEncodeSql: String =
+    s"""WITH c AS (${Cdc.changesCte})
+       |SELECT commit_ts,
+       |  '{"database":"app","table":"events","type":"' || op ||
+       |  '","commit_ts":' || CAST(commit_ts AS VARCHAR) ||
+       |  ',"pk":' || CAST(pk AS VARCHAR) ||
+       |  ',"value":"' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) ||
+       |  '"}' AS msg
+       |FROM c""".stripMargin
+
+  /** M6: typed decode of a self-describing payload
+    * (ref: pkg/loader/translate.go:30-161 `columnToArg` maps wire values to
+    * typed driver args). `from_json` with an explicit schema is the Spark
+    * analog of the proto column decoder; fully codegen-compatible.
+    */
+  def typedDecode(spark: SparkSession, dir: String): DataFrame = {
+    val decoded = from_json(col("props"),
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      decoded.getField("k").as("k"),
+      (decoded.getField("k") * 2).as("k2"))
+  }
+
+  def typedDecodeSql: String =
+    """SELECT event_id,
+      |  CAST(props->>'$.k' AS BIGINT) AS k,
+      |  CAST(props->>'$.k' AS BIGINT) * 2 AS k2
+      |FROM events""".stripMargin
+
+  /** M7: per-DML SQL text generation
+    * (ref: pkg/loader/model.go:187-445 — INSERT / UPDATE…LIMIT 1 /
+    * DELETE…LIMIT 1 with the unique-key WHERE clause; here pk is the unique
+    * key, the single-PK fast path of `whereSlice` model.go:303-322).
+    */
+  def sqlTextGen(spark: SparkSession, dir: String): DataFrame =
+    Cdc.changes(spark, dir).select(
+      col("commit_ts"),
+      when(col("op") === "I",
+        concat(lit("INSERT INTO app.events(pk,value) VALUES("),
+          col("pk"), lit(","), valueStr, lit(")")))
+      .when(col("op") === "U",
+        concat(lit("UPDATE app.events SET value = "), valueStr,
+          lit(" WHERE pk = "), col("pk"), lit(" LIMIT 1")))
+      .otherwise(
+        concat(lit("DELETE FROM app.events WHERE pk = "), col("pk"),
+          lit(" LIMIT 1"))).as("sql"))
+
+  def sqlTextGenSql: String =
+    s"""WITH c AS (${Cdc.changesCte})
+       |SELECT commit_ts,
+       |  CASE WHEN op = 'I' THEN
+       |    'INSERT INTO app.events(pk,value) VALUES(' || CAST(pk AS VARCHAR) ||
+       |    ',' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) || ')'
+       |  WHEN op = 'U' THEN
+       |    'UPDATE app.events SET value = ' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) ||
+       |    ' WHERE pk = ' || CAST(pk AS VARCHAR) || ' LIMIT 1'
+       |  ELSE
+       |    'DELETE FROM app.events WHERE pk = ' || CAST(pk AS VARCHAR) || ' LIMIT 1'
+       |  END AS sql
+       |FROM c""".stripMargin
+
+  /** M8: DDL rewriting (ref: pkg/loader/load.go:401-506 — `use db;`
+    * prefixing so the DDL runs in the routed schema, and stripping of
+    * placement options the downstream doesn't understand;
+    * drainer/translator/pb.go:43-55). The raw DDL is synthesized from the
+    * documents table; every third statement carries a placement clause.
+    */
+  def ddlRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      lit("CREATE TABLE docs_"), pmod(col("doc_id"), lit(10)), lit(" (id INT)"),
+      when(col("doc_id") % 3 === 0, lit(" PLACEMENT POLICY p1")).otherwise(lit("")))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      raw.as("raw_ddl"),
+      concat(lit("USE "), col("source"), lit("; "),
+        regexp_replace(raw, " PLACEMENT POLICY \\w+", "")).as("ddl"))
+  }
+
+  def ddlRewriteSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    'CREATE TABLE docs_' || CAST(doc_id % 10 AS VARCHAR) || ' (id INT)' ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ' PLACEMENT POLICY p1' ELSE '' END AS raw_ddl
+      |  FROM documents)
+      |SELECT doc_id, raw_ddl,
+      |  'USE ' || source || '; ' ||
+      |  regexp_replace(raw_ddl, ' PLACEMENT POLICY \w+', '') AS ddl
+      |FROM d""".stripMargin
+}

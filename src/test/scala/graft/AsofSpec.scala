@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+class AsofSpec extends SparkSpec {
+
+  test("keyedAsof picks latest right payload with ts <= left ts, per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L), (1L, 25L), (1L, 5L),   // key 1: probes at 10, 25, 5
+      (2L, 50L)                          // key 2: no right rows at all
+    ).toDF("k", "lts")
+    val right = Seq(
+      (1L, 8L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),
+      (3L, 1L, "z")
+    ).toDF("k", "rts", "payload")
+    val out = Asof.keyedAsof(left, right, "k", "lts", "rts", "payload")
+      .as[(Long, Long, Option[String])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 10L)) == Some("a"))   // 8 <= 10 < 20
+    assert(out((1L, 25L)) == Some("b"))   // 20 <= 25 < 30
+    assert(out((1L, 5L)) == None)         // nothing at or before 5
+    assert(out((2L, 50L)) == None)        // key absent on right
+    assert(out.size == 4)
+  }
+
+  test("keyedAsof at equal timestamps: right row applies to same-ts left row") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "lts")
+    val right = Seq((1L, 10L, "x")).toDF("k", "rts", "payload")
+    val out = Asof.keyedAsof(left, right, "k", "lts", "rts", "payload")
+      .as[(Long, Long, Option[String])].collect()
+    assert(out.head._3 == Some("x"))
+  }
+
+  test("broadcastAsof matches the greatest right ts <= left ts") {
+    import spark.implicits._
+    val left = Seq((100L, 15L), (200L, 3L)).toDF("id", "lts")
+    val right = Seq((5L, "v5"), (10L, "v10"), (20L, "v20")).toDF("rts", "ver")
+    val out = Asof.broadcastAsof(left, right, "lts", "rts")
+      .select("id", "ver").as[(Long, Option[String])].collect().toMap
+    assert(out(100L) == Some("v10"))
+    assert(out(200L) == None)
+  }
+
+  test("schemaVersion assigns max version boundary <= commit_ts") {
+    val df = Transforms.schemaVersion(spark, sf)
+    val bad = df.filter(col("schema_version") > col("commit_ts")).count()
+    assert(bad == 0)
+    // every event at/after the first boundary (ts 0 exists in the data) has a version
+    assert(df.filter(col("schema_version").isNull && col("commit_ts") >= 0).count() == 0)
+  }
+
+  test("truncateDrop keeps nothing older than the last delete per key") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, 1L, "I"), (2L, 1L, "U"), (3L, 1L, "D"), (4L, 1L, "I"),
+      (5L, 2L, "I"), (6L, 2L, "U")
+    ).toDF("commit_ts", "pk", "op")
+    val kept = Filters.truncateDrop0(changes).select("commit_ts")
+      .as[Long].collect().sorted
+    assert(kept.toSeq == Seq(3L, 4L, 5L, 6L))
+  }
+}
