@@ -40,21 +40,31 @@ object Dedup {
 
   /** Distinct (doc_id, shingle) pairs — the shared base for MinHash and
     * Jaccard. Filter-before-explode keeps token positions identical across
-    * engines. */
+    * engines.
+    *
+    * The token array is materialized as its own column BEFORE the shingle
+    * lambda runs: higher-order functions are interpreted (not codegen'd), so
+    * an unbound `toks` subtree inside the lambda would re-run the regex
+    * split once per array element — O(tokens²) per document. Binding it to
+    * an attribute makes each element_at an O(1) read. */
   def docShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(Lex.shingles(Lex.toks(col("text"))))).as("sh"))
+      .select(col("doc_id"), Lex.toks(col("text")).as("toks"))
+      .select(col("doc_id"), explode(array_distinct(Lex.shingles(col("toks")))).as("sh"))
 
   val docShinglesCte: String =
     s"""SELECT doc_id, unnest(list_distinct(${Lex.shinglesSql(Lex.toksSql("text"))})) AS sh
        |FROM documents""".stripMargin
 
   /** 16-column minhash signature per document. One shuffle on doc_id with
-    * map-side partial min aggregation. */
+    * map-side partial min aggregation. The md5-derived hash is bound to a
+    * column once so the 16 permutation aggregates read an attribute instead
+    * of re-hashing the shingle 16 times. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val h = Lex.hex8(col("sh"))
-    val aggs = (0 until 16).map(j => min(Lex.minhashPerm(j, h)).as(s"mh$j"))
-    docShingles(spark, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val hashed = docShingles(spark, dir)
+      .select(col("doc_id"), Lex.hex8(col("sh")).as("h"))
+    val aggs = (0 until 16).map(j => min(Lex.minhashPerm(j, col("h"))).as(s"mh$j"))
+    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   def minhashSignaturesSql: String = {
@@ -76,32 +86,52 @@ object Dedup {
         struct(lit(b).as("band"),
           concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig"))): _*)).as("bs"))
       .select(col("doc_id"), col("bs.band"), col("bs.sig"))
+    // Candidate pairs are materialized once (eager local checkpoint): three
+    // downstream branches consume them — the doc-id restriction, both sides
+    // of the intersection — and each would otherwise re-run the signature
+    // pipeline; an exchange reuse cannot cover sub-plans under different
+    // shuffle keys. The candidate set is output-bound (near-dup mass), so
+    // this materialization is small at any corpus size.
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(spark, dir, cand, threshold = 0.5)
+      .localCheckpoint(true)
+    // Verification cost must be candidate-bound, not corpus-bound: the
+    // shingle inverted index is first semi-joined down to documents that
+    // appear in some candidate pair (a tiny, output-proportional set), so
+    // the O(pairs-sharing-a-shingle) intersection join never sees the full
+    // corpus. This is what keeps LSH cheap at 100 TB while ngramJaccard
+    // (exact, no screen) stays quadratic by design.
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = docShingles(spark, dir)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    cand.join(intersectionCounts(sh), Seq("doc_a", "doc_b"))
+      .transform(withJaccard(sizes, threshold = 0.5))
   }
 
-  /** Exact-Jaccard verification of candidate pairs against the shingle sets:
-    * semi-joined inverted index, counts only. */
-  private def verifyJaccard(spark: SparkSession, dir: String,
-      cand: DataFrame, threshold: Double): DataFrame = {
-    val sh = docShingles(spark, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("sa").join(sh.as("sb"),
+  /** Per-pair shared-shingle counts over an inverted index: pairs sharing no
+    * shingle are never materialized. */
+  private def intersectionCounts(sh: DataFrame): DataFrame =
+    sh.as("sa").join(sh.as("sb"),
         col("sa.sh") === col("sb.sh") && col("sa.doc_id") < col("sb.doc_id"))
       .groupBy(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
-    cand.join(inter, Seq("doc_a", "doc_b"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+
+  /** Attach |A∪B| via the per-doc set sizes and keep pairs at ≥ threshold. */
+  private def withJaccard(sizes: DataFrame, threshold: Double)(
+      pairs: DataFrame): DataFrame =
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
       .withColumn("jaccard",
         round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-  }
 
   private def verifyJaccardSql(candCte: String, threshold: Double): String =
     s"""WITH s AS ($docShinglesCte),
@@ -138,14 +168,15 @@ object Dedup {
   }
 
   /** Inverted-index exact n-gram Jaccard near-dups (no probabilistic
-    * screen): pairs sharing at least one shingle, kept at ≥ 0.5. */
+    * screen): pairs sharing at least one shingle, kept at ≥ 0.5. The pair
+    * counts come straight out of the inverted-index join — no separate
+    * candidate pass, no distinct over the (large) pair set. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(spark, dir)
-    val cand = sh.as("sa").join(sh.as("sb"),
-        col("sa.sh") === col("sb.sh") && col("sa.doc_id") < col("sb.doc_id"))
-      .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
-      .distinct()
-    verifyJaccard(spark, dir, cand, threshold = 0.5)
+    // sh feeds three branches (both join sides share one exchange; the size
+    // aggregate does not) — materialize the exploded shingles once.
+    val sh = docShingles(spark, dir).localCheckpoint(true)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    intersectionCounts(sh).transform(withJaccard(sizes, threshold = 0.5))
   }
 
   def ngramJaccardSql: String =

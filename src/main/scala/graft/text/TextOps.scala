@@ -39,20 +39,27 @@ object TextOps {
     * length, plus a combined keep/drop flag — the usual pre-training
     * heuristics, expressed as one projection. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Lex.toks(col("text"))
-    val nTok = size(toks)
-    val stopCnt = size(filter(toks, t => inList(t, stopwords)))
-    val alnumLen = length(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))
-    val punctRatio = round((length(col("text")) - alnumLen).cast("double") / length(col("text")), 4)
-    val meanTokLen = round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok, 4)
-    val stopRatio = round(stopCnt.cast("double") / nTok, 4)
-    Tables.documents(spark, dir).select(
-      col("doc_id"), col("lang"),
-      nTok.cast("long").as("n_tokens"),
-      punctRatio.as("punct_ratio"),
-      stopRatio.as("stopword_ratio"),
-      meanTokLen.as("mean_token_len"),
-      (nTok >= 10 && punctRatio < lit(0.1) && stopCnt > 0).as("quality_ok"))
+    // Staged projections mirror the oracle's CTE structure: every expensive
+    // expression (regex split, regexp_replace, stopword filter) is bound to
+    // an attribute before anything references it twice. Multi-referenced
+    // non-trivial aliases also stop CollapseProject from re-inlining them.
+    val toks = col("toks")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"), Lex.toks(col("text")).as("toks"))
+      .select(
+        col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_tokens"),
+        round((length(col("text")) -
+            length(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))).cast("double") /
+          length(col("text")), 4).as("punct_ratio"),
+        size(filter(toks, t => inList(t, stopwords))).cast("long").as("stop_cnt"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("tok_len_sum"))
+      .select(
+        col("doc_id"), col("lang"), col("n_tokens"), col("punct_ratio"),
+        round(col("stop_cnt").cast("double") / col("n_tokens"), 4).as("stopword_ratio"),
+        round(col("tok_len_sum").cast("double") / col("n_tokens"), 4).as("mean_token_len"),
+        (col("n_tokens") >= 10 && col("punct_ratio") < 0.1 && col("stop_cnt") > 0)
+          .as("quality_ok"))
   }
 
   def qualityScoreSql: String = {
@@ -88,7 +95,7 @@ object TextOps {
   /** Language ID: score = marker-token hits per language, argmax with a
     * fixed precedence tie-break, 'und' when nothing matches. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Lex.toks(col("text"))
+    val toks = col("toks")
     val scores = langMarkers.map { case (l, ws) =>
       l -> size(filter(toks, t => inList(t, ws)))
     }
@@ -98,11 +105,13 @@ object TextOps {
       .when(de >= es && de >= fr, "de")
       .when(es >= fr, "es")
       .otherwise("fr")
-    Tables.documents(spark, dir).select(
-      col("doc_id"), col("lang"),
-      en.cast("long").as("s_en"), de.cast("long").as("s_de"),
-      es.cast("long").as("s_es"), fr.cast("long").as("s_fr"),
-      pred.as("pred_lang"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), Lex.toks(col("text")).as("toks"))
+      .select(
+        col("doc_id"), col("lang"),
+        en.cast("long").as("s_en"), de.cast("long").as("s_de"),
+        es.cast("long").as("s_es"), fr.cast("long").as("s_fr"),
+        pred.as("pred_lang"))
   }
 
   def langIdSql: String = {
@@ -129,13 +138,15 @@ object TextOps {
     * digest (sorted distinct tokens), and the minimum shingle hash (a
     * 1-permutation minhash — cheap similarity prefilter). */
   def fingerprints(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Lex.toks(col("text"))
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      md5(col("text")).as("exact_fp"),
-      md5(array_join(array_sort(array_distinct(toks)), " ")).as("content_fp"),
-      array_min(transform(array_distinct(Lex.shingles(toks)), s => Lex.hex8(s)))
-        .as("min_shingle_hash"))
+    val toks = col("toks")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), Lex.toks(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("exact_fp"),
+        md5(array_join(array_sort(array_distinct(toks)), " ")).as("content_fp"),
+        array_min(transform(array_distinct(Lex.shingles(toks)), s => Lex.hex8(s)))
+          .as("min_shingle_hash"))
   }
 
   def fingerprintsSql: String = {
