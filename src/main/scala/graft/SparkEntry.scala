@@ -45,9 +45,13 @@ object SparkEntry {
     "s6_ts_range_scan" -> ((s, d) => Filters.tsRangeScan(s, d)),
     // -- translators (SURVEY §2.4) --
     "m2_kafka_encode"  -> ((s, d) => Translators.kafkaEncode(s, d)),
+    "m3_pb_encode"     -> ((s, d) => Translators.pbEncode(s, d)),
+    "m4_oracle_dialect"-> ((s, d) => Translators.oracleDialect(s, d)),
     "m6_typed_decode"  -> ((s, d) => Translators.typedDecode(s, d)),
     "m7_sql_text"      -> ((s, d) => Translators.sqlTextGen(s, d)),
     "m8_ddl_rewrite"   -> ((s, d) => Translators.ddlRewrite(s, d)),
+    // -- parallel dispatch (SURVEY §2.6) --
+    "p1_conflict_groups" -> ((s, d) => Causality.conflictGroups(s, d)),
     // -- transforms / metrics (SURVEY §2.2, §2.4, §2.5, §2.6) --
     "t5_schema_version"-> ((s, d) => Transforms.schemaVersion(s, d)),
     "t7_default_fill"  -> ((s, d) => Transforms.defaultFill(s, d)),
@@ -108,9 +112,12 @@ object SparkEntry {
     "f10_repeated_skip" -> Filters.repeatedSkipSql,
     "s6_ts_range_scan"  -> Filters.tsRangeScanSql,
     "m2_kafka_encode"   -> Translators.kafkaEncodeSql,
+    "m3_pb_encode"      -> Translators.pbEncodeSql,
+    "m4_oracle_dialect" -> Translators.oracleDialectSql,
     "m6_typed_decode"   -> Translators.typedDecodeSql,
     "m7_sql_text"       -> Translators.sqlTextGenSql,
     "m8_ddl_rewrite"    -> Translators.ddlRewriteSql,
+    "p1_conflict_groups"-> Causality.conflictGroupsSql,
     "t5_schema_version" -> Transforms.schemaVersionSql,
     "t7_default_fill"   -> Transforms.defaultFillSql,
     "t8_update_images"  -> Transforms.updateImagesSql,

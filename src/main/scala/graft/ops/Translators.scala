@@ -95,6 +95,63 @@ object Translators {
        |  END AS sql
        |FROM c""".stripMargin
 
+  /** M3: pb-file record encoding (ref: drainer/translator/pb.go:242-296 —
+    * each row cell is a marshalled column{name, tp, mysql_type, value};
+    * records are length-prefixed into ts-named files). Analog: the cell list
+    * as a deterministic `name:type:value` text encoding; the file layout
+    * itself is parquet in this engine (SURVEY §2.4 M3). */
+  def pbEncode(spark: SparkSession, dir: String): DataFrame =
+    Cdc.changes(spark, dir).select(
+      col("commit_ts"),
+      concat(
+        lit("pk:bigint:"), col("pk"),
+        lit(";value:decimal:"), valueStr,
+        lit(";event_type:varchar:"), col("event_type")).as("cells"),
+      concat(lit("binlog-"), lpad(col("commit_ts"), 16, "0")).as("file_name"))
+
+  def pbEncodeSql: String =
+    s"""WITH c AS (${Cdc.changesCte})
+       |SELECT commit_ts,
+       |  'pk:bigint:' || CAST(pk AS VARCHAR) ||
+       |  ';value:decimal:' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) ||
+       |  ';event_type:varchar:' || event_type AS cells,
+       |  'binlog-' || lpad(CAST(commit_ts AS VARCHAR), 16, '0') AS file_name
+       |FROM c""".stripMargin
+
+  /** M4: Oracle-dialect SQL generation (ref: drainer/translator/oracle.go:18-136
+    * and pkg/loader/model.go:216-299 — `rownum <= 1` instead of LIMIT,
+    * RTRIM() around CHAR comparisons, schema routing uppercased). */
+  def oracleDialect(spark: SparkSession, dir: String): DataFrame =
+    Cdc.changes(spark, dir).select(
+      col("commit_ts"),
+      when(col("op") === "I",
+        concat(lit("INSERT INTO APP.EVENTS(PK,VALUE) VALUES("),
+          col("pk"), lit(","), valueStr, lit(")")))
+      .when(col("op") === "U",
+        concat(lit("UPDATE APP.EVENTS SET VALUE = "), valueStr,
+          lit(" WHERE PK = "), col("pk"),
+          lit(" AND RTRIM(KIND) = RTRIM('"), col("event_type"),
+          lit("') AND ROWNUM <= 1")))
+      .otherwise(
+        concat(lit("DELETE FROM APP.EVENTS WHERE PK = "), col("pk"),
+          lit(" AND ROWNUM <= 1"))).as("sql"))
+
+  def oracleDialectSql: String =
+    s"""WITH c AS (${Cdc.changesCte})
+       |SELECT commit_ts,
+       |  CASE WHEN op = 'I' THEN
+       |    'INSERT INTO APP.EVENTS(PK,VALUE) VALUES(' || CAST(pk AS VARCHAR) ||
+       |    ',' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) || ')'
+       |  WHEN op = 'U' THEN
+       |    'UPDATE APP.EVENTS SET VALUE = ' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) ||
+       |    ' WHERE PK = ' || CAST(pk AS VARCHAR) ||
+       |    ' AND RTRIM(KIND) = RTRIM(''' || event_type || ''') AND ROWNUM <= 1'
+       |  ELSE
+       |    'DELETE FROM APP.EVENTS WHERE PK = ' || CAST(pk AS VARCHAR) ||
+       |    ' AND ROWNUM <= 1'
+       |  END AS sql
+       |FROM c""".stripMargin
+
   /** M8: DDL rewriting (ref: pkg/loader/load.go:401-506 — `use db;`
     * prefixing so the DDL runs in the routed schema, and stripping of
     * placement options the downstream doesn't understand;
