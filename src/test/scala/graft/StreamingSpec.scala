@@ -121,6 +121,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  /** Write one parquet file (single part) with a deterministic name into a
+    * watched stream-input directory. */
+  private def addFile(df: org.apache.spark.sql.DataFrame, dir: String, name: String): Unit = {
+    val tmp = Files.createTempDirectory("graft_stage").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(part.toPath, java.nio.file.Paths.get(dir, s"$name.parquet"))
+  }
+
+  test("relay restart (S5): resume from checkpoint applies only new files, exactly once") {
+    // ref: drainer/relay/reader.go:50-121 — after a crash the relay log is
+    // re-read from the persisted position, never re-applying old entries.
+    // Spark twin: file stream + checkpointLocation + batch-id-idempotent sink.
+    val in = Files.createTempDirectory("graft_relay_in").toString
+    val stateRoot = Files.createTempDirectory("graft_relay_state").toString
+    val ckpt = Files.createTempDirectory("graft_relay_ckpt").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+
+    addFile(raw.filter(col("event_id") < 500), in, "a")
+    val q1 = CdcStream.applyToState(CdcStream.changeStream(spark, in), stateRoot, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    val sink = new UpsertSink(stateRoot)
+    val afterFirst = sink.lastCommitted
+
+    // "crash", new relay entries arrive, restart from the same checkpoint
+    addFile(raw.filter(col("event_id") >= 500), in, "b")
+    val q2 = CdcStream.applyToState(CdcStream.changeStream(spark, in), stateRoot, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(sink.lastCommitted > afterFirst, "restart must apply the new file")
+
+    val streamed = sink.currentState(spark)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val batch = graft.ops.Cdc.compactByPk(graft.ops.Cdc.changes(spark, sf))
+      .filter(col("op") =!= "D")
+      .select("pk", "value").as[(Long, Double)].collect().toMap
+    assert(streamed == batch, "state after restart == batch compaction of everything")
+
+    // a third restart with nothing new must be a no-op
+    val before = sink.lastCommitted
+    val q3 = CdcStream.applyToState(CdcStream.changeStream(spark, in), stateRoot, ckpt)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(sink.lastCommitted == before)
+  }
+
   test("watermarked counts run over the stream") {
     val changes = CdcStream.changeStream(spark, stageEventsDir())
     val q = CdcStream.watermarkedCounts(changes)
