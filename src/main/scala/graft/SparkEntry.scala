@@ -82,6 +82,7 @@ object SparkEntry {
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(s, d)),
     // -- similarity search --
     "ann_topk_cosine"     -> ((s, d) => Similarity.annTopK(s, d)),
+    "ann_ivf_topk"        -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_lsh_buckets"     -> ((s, d) => Similarity.lshBuckets(s, d)),
     "ann_lsh_near_dup"    -> ((s, d) => Similarity.lshNearDup(s, d)),
     // -- text analysis --
@@ -144,6 +145,7 @@ object SparkEntry {
     "dedup_ngram_jaccard"  -> Dedup.ngramJaccardSql,
     "dedup_simhash"        -> Dedup.simhashSql,
     "ann_topk_cosine"      -> Similarity.annTopKSql(),
+    "ann_ivf_topk"         -> Similarity.ivfTopKSql(),
     "ann_lsh_buckets"      -> Similarity.lshBucketsSql,
     "ann_lsh_near_dup"     -> Similarity.lshNearDupSql(),
     "text_token_counts"    -> TextOps.tokenCountsSql,

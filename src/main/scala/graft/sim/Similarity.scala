@@ -101,6 +101,76 @@ object Similarity {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path: vectors are
+    * partitioned into cells by nearest centroid; a query probes only the
+    * `nProbe` closest cells, so search cost is corpus/cells × nProbe instead
+    * of the full corpus. Centroids here are a fixed deterministic subset
+    * (vec_id < nCells) standing in for trained k-means centers, so both
+    * engines share them; assignment is a broadcast of the tiny centroid set
+    * against one corpus scan (linear, no shuffle on the corpus side beyond
+    * the per-vector argmax window).
+    */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 5,
+      nCells: Int = 8, nProbe: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, dir).withColumn("nrm", norm(col("embedding")))
+    val cents = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = e.join(broadcast(cents))
+      .withColumn("ccos", dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id"), col("embedding"), col("nrm"))
+    val q = e.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("cent_id"))
+    val probes = q.join(broadcast(cents))
+      .withColumn("qcos", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("cent_id"), col("qe"), col("qn"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    probes.join(assigned, "cent_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos")
+  }
+
+  def ivfTopKSql(k: Int = 5, nCells: Int = 8, nProbe: Int = 2): String =
+    s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |c AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM e WHERE vec_id < $nCells),
+       |assigned AS (
+       |  SELECT vec_id, cent_id, embedding, nrm FROM (
+       |    SELECT e.vec_id, c.cent_id, e.embedding, e.nrm,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dotSql("e.embedding", "c.ce")} / (e.nrm * c.cn) DESC, c.cent_id) AS rn
+       |    FROM e CROSS JOIN c)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM e
+       |      WHERE vec_id >= 10 AND vec_id < 15),
+       |probes AS (
+       |  SELECT query_id, cent_id, qe, qn FROM (
+       |    SELECT q.query_id, c.cent_id, q.qe, q.qn,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${dotSql("q.qe", "c.ce")} / (q.qn * c.cn) DESC, c.cent_id) AS rn
+       |    FROM q CROSS JOIN c)
+       |  WHERE rn <= $nProbe),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id,
+       |    round(${dotSql("p.qe", "a.embedding")} / (p.qn * a.nrm), 4) AS cos
+       |  FROM probes p JOIN assigned a USING (cent_id)
+       |  WHERE a.vec_id <> p.query_id)
+       |SELECT query_id, rank, vec_id, cos FROM (
+       |  SELECT query_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM cand)
+       |WHERE rank <= $k""".stripMargin
+
   def lshNearDupSql(threshold: Double = 0.3): String =
     s"""WITH bk AS ($lshBucketsSql),
        |e AS (
