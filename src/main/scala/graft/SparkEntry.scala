@@ -74,6 +74,10 @@ object SparkEntry {
     "semi_big_spenders"   -> ((s, d) => Relational.bigSpenders(s, d)),
     "anti_dormant"        -> ((s, d) => Relational.dormantCustomers(s, d)),
     "topk_per_group"      -> ((s, d) => Relational.topKPerGroup(s, d)),
+    "rollup_metrics"      -> ((s, d) => Relational.rollupMetrics(s, d)),
+    "pivot_daily_ops"     -> ((s, d) => Relational.pivotDailyOps(s, d)),
+    "value_percentiles"   -> ((s, d) => Relational.valuePercentiles(s, d)),
+    "window_funcs"        -> ((s, d) => Relational.windowFuncs(s, d)),
     // -- training-data pipeline: dedup (BASELINE.json north star) --
     "dedup_exact"         -> ((s, d) => Dedup.exact(s, d)),
     "dedup_minhash_sigs"  -> ((s, d) => Dedup.minhashSignatures(s, d)),
@@ -139,6 +143,10 @@ object SparkEntry {
     "semi_big_spenders"    -> Relational.bigSpendersSql,
     "anti_dormant"         -> Relational.dormantCustomersSql,
     "topk_per_group"       -> Relational.topKPerGroupSql,
+    "rollup_metrics"       -> Relational.rollupMetricsSql,
+    "pivot_daily_ops"      -> Relational.pivotDailyOpsSql,
+    "value_percentiles"    -> Relational.valuePercentilesSql,
+    "window_funcs"         -> Relational.windowFuncsSql,
     "dedup_exact"          -> Dedup.exactSql,
     "dedup_minhash_sigs"   -> Dedup.minhashSignaturesSql,
     "dedup_minhash_lsh"    -> Dedup.minhashLshSql,

@@ -254,4 +254,81 @@ object Relational {
     """SELECT c_custkey, c_name, c_acctbal FROM customer
       |WHERE NOT EXISTS (SELECT 1 FROM orders
       |  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)""".stripMargin
+
+  /** ROLLUP: hierarchical totals (per (flag,status), per flag, grand) in one
+    * pass — Spark expands grouping sets map-side, so the cost is one scan +
+    * one exchange regardless of how many levels roll up. */
+  def rollupMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec(col("l_quantity"))), 2).cast("double").as("sum_qty"))
+
+  def rollupMetricsSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  /** PIVOT: per-day op-type counts as columns. With the pivot values fixed
+    * up front this is a single conditional aggregation — no extra pass, no
+    * shuffle beyond the group-by. Empty cells are 0 in both engines. */
+  def pivotDailyOps(spark: SparkSession, dir: String): DataFrame =
+    Cdc.changes(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("day")
+      .pivot("op", Seq("I", "U", "D"))
+      .agg(count(lit(1)))
+      .select(col("day"),
+        coalesce(col("I"), lit(0L)).as("n_insert"),
+        coalesce(col("U"), lit(0L)).as("n_update"),
+        coalesce(col("D"), lit(0L)).as("n_delete"))
+
+  def pivotDailyOpsSql: String =
+    s"""WITH c AS (${Cdc.changesCte})
+       |SELECT CAST(ts AS DATE) AS day,
+       |  count(CASE WHEN op = 'I' THEN 1 END) AS n_insert,
+       |  count(CASE WHEN op = 'U' THEN 1 END) AS n_update,
+       |  count(CASE WHEN op = 'D' THEN 1 END) AS n_delete
+       |FROM c GROUP BY 1""".stripMargin
+
+  /** Exact interpolated percentiles per group (median + p95) — both engines
+    * use the (n-1)·p linear-interpolation definition; rounded to 4 digits so
+    * the interpolation arithmetic hashes identically. */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("n"))
+
+  def valuePercentilesSql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 4) AS p50,
+      |  round(quantile_cont(value, 0.95), 4) AS p95,
+      |  count(*) AS n
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Window-function surface: rank, dense_rank, ntile and lead per key in
+    * one window pass (single shuffle on the key, one sort per partition). */
+  def windowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("pk").orderBy(col("commit_ts"))
+    Cdc.changes(spark, dir)
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("next_value", lead("value", 1).over(w))
+      .select("pk", "commit_ts", "rnk", "drnk", "quartile", "next_value")
+  }
+
+  def windowFuncsSql: String =
+    s"""WITH c AS (${Cdc.changesCte})
+       |SELECT pk, commit_ts,
+       |  rank() OVER w AS rnk,
+       |  dense_rank() OVER w AS drnk,
+       |  ntile(4) OVER w AS quartile,
+       |  lead(value, 1) OVER w AS next_value
+       |FROM c
+       |WINDOW w AS (PARTITION BY pk ORDER BY commit_ts)""".stripMargin
 }
