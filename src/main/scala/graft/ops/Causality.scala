@@ -45,9 +45,12 @@ object Causality {
       half.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
 
-    val nodes = withUk.select(col("pk").as("node"))
-      .unionByName(withUk.filter(col("uk").isNotNull).select(col("uk").as("node")))
-      .distinct()
+    // Only nodes with at least one edge can ever change label; everything
+    // else is its own singleton group. Restricting the propagation loop to
+    // the conflict subgraph keeps per-iteration cost proportional to the
+    // number of *conflicting* keys — independent of corpus size — which is
+    // what makes the fixpoint loop viable at 100 TB.
+    val nodes = edges.select(col("src").as("node")).distinct()
 
     // min-label propagation to fixpoint
     var labels = nodes.select(col("node"), col("node").as("label"))
@@ -66,8 +69,9 @@ object Causality {
     }
 
     ev.select(col("commit_ts"), col("pk"))
-      .join(labels, col("pk") === col("node"))
-      .select(col("commit_ts"), col("pk"), col("label").as("group_id"))
+      .join(labels, col("pk") === col("node"), "left")
+      .select(col("commit_ts"), col("pk"),
+        coalesce(col("label"), col("pk")).as("group_id"))
   }
 
   def conflictGroupsSql: String =
