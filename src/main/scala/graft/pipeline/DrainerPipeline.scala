@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ops.Cdc
+import graft.sinks.UpsertSink
+import graft.streaming.CdcStream
+
+/** End-to-end composition of the drainer path (SURVEY §3.2 in miniature):
+  * pump sources → k-way merge → rule filters → per-PK log compaction →
+  * (optionally) checkpointed idempotent apply.
+  *
+  * This is the library's user-facing entry point: the reference's drainer
+  * configuration (ignore-txn list, event filters, value thresholds) maps
+  * onto [[DrainerConfig]]; everything else — ordering, shuffle layout,
+  * pushdown — is decided by Catalyst from the declarative plan the
+  * composition builds. Batch and streaming share the same filter/compaction
+  * semantics; the streaming form adds watermarked dedup and the exactly-once
+  * sink.
+  */
+case class DrainerConfig(
+    ignoreCommitTs: Seq[Long] = Nil,
+    dropEventTypes: Seq[String] = Nil,
+    minValue: Option[Double] = None,
+    compact: Boolean = true)
+
+object DrainerPipeline {
+
+  private def applyFilters(changes: DataFrame, cfg: DrainerConfig): DataFrame = {
+    var df = changes
+    if (cfg.ignoreCommitTs.nonEmpty)
+      df = df.filter(!col("commit_ts").isin(cfg.ignoreCommitTs: _*))
+    if (cfg.dropEventTypes.nonEmpty)
+      df = df.filter(!col("event_type").isin(cfg.dropEventTypes: _*))
+    cfg.minValue.foreach(v => df = df.filter(col("value") >= v))
+    df
+  }
+
+  /** Batch form: merged change stream → filters → compacted final state. */
+  def batch(spark: SparkSession, dir: String,
+      cfg: DrainerConfig = DrainerConfig()): DataFrame = {
+    val merged = Cdc.kwayMerge(Cdc.pumpSources(spark, dir)).drop("source_id")
+    val filtered = applyFilters(merged, cfg)
+    if (cfg.compact) Cdc.compactByPk(filtered) else filtered
+  }
+
+  /** Streaming form: file/Kafka change stream → watermarked dedup → filters
+    * → checkpointed per-batch merge-upsert into the materialized state. */
+  def streaming(spark: SparkSession, pathGlob: String, stateRoot: String,
+      checkpoint: String, cfg: DrainerConfig = DrainerConfig()): StreamingQuery = {
+    val changes = CdcStream.dedupStream(CdcStream.changeStream(spark, pathGlob))
+    val filtered = {
+      var df = changes
+      if (cfg.ignoreCommitTs.nonEmpty)
+        df = df.filter(!col("commit_ts").isin(cfg.ignoreCommitTs: _*))
+      cfg.minValue.foreach(v => df = df.filter(col("value") >= v))
+      df
+    }
+    val sink = new UpsertSink(stateRoot)
+    filtered.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) => sink.applyBatch(b, id): Unit }
+      .start()
+  }
+}

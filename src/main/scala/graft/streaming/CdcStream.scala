@@ -53,6 +53,16 @@ object CdcStream {
       .groupBy(window(col("ts"), "1 day"), col("op"))
       .agg(count(lit(1)).as("n"), max(col("commit_ts")).as("max_commit_ts"))
 
+  /** F10 twin: streaming repeated-binlog skip — duplicates (at-least-once
+    * redelivery) dropped on the commit id, with the watermark bounding how
+    * long each id is remembered so state cannot grow unboundedly
+    * (ref: arbiter/server.go:293-298 drops commitTs ≤ last seen; the
+    * watermark is the streaming generalization of "last seen"). */
+  def dedupStream(changes: DataFrame): DataFrame =
+    changes
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("commit_ts", "ts")
+
   /** Flagship streaming path: change stream → per-batch merge-by-PK upsert
     * into the materialized state with exactly-once batch ids. */
   def applyToState(changes: DataFrame, stateRoot: String, checkpoint: String): StreamingQuery = {

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Cdc, Skew}
+import graft.pipeline.{DrainerConfig, DrainerPipeline}
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("drainer pipeline composition == hand-chained operators") {
+    val cfg = DrainerConfig(ignoreCommitTs = Seq(7L, 42L),
+      dropEventTypes = Seq("click"), minValue = Some(1.0))
+    val viaPipeline = DrainerPipeline.batch(spark, sf, cfg)
+      .select("pk", "op", "value").as[(Long, String, Double)].collect().toSet
+    val manual = Cdc.compactByPk(
+        Cdc.changes(spark, sf)
+          .filter(!col("commit_ts").isin(7L, 42L))
+          .filter(col("event_type") =!= "click")
+          .filter(col("value") >= 1.0))
+      .select("pk", "op", "value").as[(Long, String, Double)].collect().toSet
+    assert(viaPipeline == manual && viaPipeline.nonEmpty)
+  }
+
+  test("uncompacted pipeline preserves every surviving event") {
+    val cfg = DrainerConfig(compact = false)
+    val n = DrainerPipeline.batch(spark, sf, cfg).count()
+    assert(n == graft.model.Tables.events(spark, sf).count())
+  }
+
+  test("salted join == plain join, spread over salt buckets") {
+    val fact = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i.toLong))
+      .toDF("k", "fact_id") // key 1 holds 90% of rows: the hot key
+    val dim = Seq((1L, "hot"), (950L, "cold")).toDF("k", "name")
+    val plain = fact.join(dim, "k").select("fact_id", "name")
+      .as[(Long, String)].collect().toSet
+    val salted = Skew.saltedJoin(fact, dim, "k", col("fact_id"), factor = 8)
+      .select("fact_id", "name").as[(Long, String)].collect().toSet
+    assert(salted == plain && plain.size == 901)
+    // hot key's rows really spread over multiple salt buckets
+    val buckets = fact.filter(col("k") === 1L)
+      .select(pmod(hash(col("fact_id")), lit(8)).as("s"))
+      .distinct().count()
+    assert(buckets > 4)
+  }
+}
