@@ -127,8 +127,10 @@ object Cdc {
       .withColumn("source_id", pmod(col("pk"), lit(4)))
       .groupBy("source_id")
       .agg(max("commit_ts").as("source_watermark"))
-    perPump.withColumn("global_watermark",
-      min("source_watermark").over(Window.partitionBy()))
+    // global frontier via aggregate + broadcast, not an unpartitioned window
+    // (which would move every row to a single partition at scale)
+    perPump.crossJoin(broadcast(
+      perPump.agg(min("source_watermark").as("global_watermark"))))
   }
 
   def watermarksSql: String =

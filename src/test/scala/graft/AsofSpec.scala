@@ -53,6 +53,18 @@ class AsofSpec extends SparkSpec {
     assert(df.filter(col("schema_version").isNull && col("commit_ts") >= 0).count() == 0)
   }
 
+  test("empty inputs: compaction and as-of joins return empty, not errors") {
+    import spark.implicits._
+    val noChanges = Seq.empty[(Long, Long, String, Double)]
+      .toDF("commit_ts", "pk", "op", "value")
+    assert(graft.ops.Cdc.compactByPk(noChanges).count() == 0)
+    val left = Seq((1L, 10L)).toDF("k", "lts")
+    val noRight = Seq.empty[(Long, Long, String)].toDF("k", "rts", "payload")
+    val out = Asof.keyedAsof(left, noRight, "k", "lts", "rts", "payload")
+      .as[(Long, Long, Option[String])].collect()
+    assert(out.toSeq == Seq((1L, 10L, None)))
+  }
+
   test("truncateDrop keeps nothing older than the last delete per key") {
     import spark.implicits._
     val changes = Seq(
