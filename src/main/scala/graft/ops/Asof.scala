@@ -34,7 +34,8 @@ object Asof {
     val payload = right.columns.filterNot(_ == rightTs)
     val joined = left.join(broadcast(right), col(leftTs) >= col(rightTs), "left")
     // keep, per left row, the right row with the greatest rightTs
-    val w = Window.partitionBy(leftCols.map(col): _*).orderBy(col(rightTs).desc_nulls_last)
+    val w = Window.partitionBy(leftCols.toIndexedSeq.map(col): _*)
+      .orderBy(col(rightTs).desc_nulls_last)
     joined
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -55,7 +56,7 @@ object Asof {
     val rPadded = l.columns.foldLeft(r) { (df, c) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(l.schema(c).dataType))
-    }.select(l.columns.map(col): _*)
+    }.select(l.columns.toIndexedSeq.map(col): _*)
     // right rows sort before left rows at equal ts (__side desc) so a
     // version taking effect AT ts applies to events at the same ts.
     val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side").desc)
