@@ -28,6 +28,23 @@ class PipelineSpec extends SparkSpec {
     assert(n == graft.model.Tables.events(spark, sf).count())
   }
 
+  test("streaming pipeline state == batch pipeline state") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft_pipe_in")
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      in.resolve("events.parquet"))
+    val stateRoot = Files.createTempDirectory("graft_pipe_state").toString
+    val ckpt = Files.createTempDirectory("graft_pipe_ckpt").toString
+    val q = DrainerPipeline.streaming(spark, in.toString, stateRoot, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = new graft.sinks.UpsertSink(stateRoot).currentState(spark)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val batch = DrainerPipeline.batch(spark, sf)
+      .filter(col("op") =!= "D")
+      .select("pk", "value").as[(Long, Double)].collect().toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("salted join == plain join, spread over salt buckets") {
     val fact = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i.toLong))
       .toDF("k", "fact_id") // key 1 holds 90% of rows: the hot key
