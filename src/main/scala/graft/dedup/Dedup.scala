@@ -60,9 +60,11 @@ object Dedup {
     * map-side partial min aggregation. The md5-derived hash is bound to a
     * column once so the 16 permutation aggregates read an attribute instead
     * of re-hashing the shingle 16 times. */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = docShingles(spark, dir)
-      .select(col("doc_id"), Lex.hex8(col("sh")).as("h"))
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    signaturesFrom(docShingles(spark, dir))
+
+  private def signaturesFrom(sh: DataFrame): DataFrame = {
+    val hashed = sh.select(col("doc_id"), Lex.hex8(col("sh")).as("h"))
     val aggs = (0 until 16).map(j => min(Lex.minhashPerm(j, col("h"))).as(s"mh$j"))
     hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
@@ -80,7 +82,12 @@ object Dedup {
   /** MinHash-LSH near-dup pairs: 8 bands × 2 rows; any band collision makes
     * a candidate; candidates verified with exact Jaccard ≥ 0.5. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(spark, dir)
+    // One materialization of the exploded shingles feeds both the signature
+    // pipeline and the verification restriction — the tokenize+md5 scan (the
+    // CPU-dominant stage) runs exactly once, traded for one local-disk write
+    // of the exploded rows (the same volume a shuffle of them would spill).
+    val sh0 = docShingles(spark, dir).localCheckpoint(true)
+    val sigs = signaturesFrom(sh0)
     val bands = sigs.select(col("doc_id"),
       explode(array((0 until 8).map(b =>
         struct(lit(b).as("band"),
@@ -106,9 +113,7 @@ object Dedup {
     // (exact, no screen) stays quadratic by design.
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sh = docShingles(spark, dir)
-      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .localCheckpoint(true)
+    val sh = sh0.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     cand.join(intersectionCounts(sh), Seq("doc_a", "doc_b"))
       .transform(withJaccard(sizes, threshold = 0.5))
