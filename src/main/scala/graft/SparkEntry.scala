@@ -32,6 +32,7 @@ object SparkEntry {
     "t2_kway_merge"    -> ((s, d) => Cdc.kwayMergeQuery(s, d)),
     "t3_watermarks"    -> ((s, d) => Cdc.watermarks(s, d)),
     "t1_pc_match"      -> ((s, d) => Cdc.pcMatch(s, d)),
+    "snapshot_diff"    -> ((s, d) => Cdc.snapshotDiff(s, d)),
     // -- filters / routing (SURVEY §2.3) --
     "f1_allow_block"   -> ((s, d) => Filters.allowBlock(s, d)),
     "f2_event_filter"  -> ((s, d) => Filters.eventTypeFilter(s, d)),
@@ -63,6 +64,8 @@ object SparkEntry {
     "a4_event_metrics" -> ((s, d) => Transforms.eventMetrics(s, d)),
     "a5_ack_window_min"-> ((s, d) => Transforms.ackWindowMin(s, d)),
     "a6_applied_ts"    -> ((s, d) => Transforms.appliedTs(s, d)),
+    "sessionize"       -> ((s, d) => Transforms.sessionize(s, d)),
+    "det_sample"       -> ((s, d) => Filters.detSample(s, d)),
     "asof_feature_join"-> ((s, d) => Asof.featureAsofQuery(s, d)),
     // -- relational surface (SURVEY §2.8) --
     "q1_pricing_summary"  -> ((s, d) => Relational.pricingSummary(s, d)),
@@ -106,6 +109,7 @@ object SparkEntry {
     "t2_kway_merge"     -> Cdc.kwayMergeSql,
     "t3_watermarks"     -> Cdc.watermarksSql,
     "t1_pc_match"       -> Cdc.pcMatchSql,
+    "snapshot_diff"     -> Cdc.snapshotDiffSql,
     "f1_allow_block"    -> Filters.allowBlockSql,
     "f2_event_filter"   -> Filters.eventTypeFilterSql,
     "f3_ignore_ts"      -> Filters.ignoreCommitTsSql,
@@ -133,6 +137,8 @@ object SparkEntry {
     "a4_event_metrics"  -> Transforms.eventMetricsSql,
     "a5_ack_window_min" -> Transforms.ackWindowMinSql,
     "a6_applied_ts"     -> Transforms.appliedTsSql,
+    "sessionize"        -> Transforms.sessionizeSql,
+    "det_sample"        -> Filters.detSampleSql,
     "asof_feature_join" -> Asof.featureAsofSql,
     "q1_pricing_summary"   -> Relational.pricingSummarySql,
     "q3_shipping_priority" -> Relational.shippingPrioritySql,

@@ -165,4 +165,48 @@ object Cdc {
       |      OVER (PARTITION BY user_id ORDER BY event_id) AS prewrite_id
       |  FROM events)
       |WHERE event_type = 'purchase'""".stripMargin
+
+  /** Snapshot diff — the engine's own sync_diff_inspector
+    * (ref: tests/_utils/check_data:9 — upstream vs downstream state diffed
+    * row-by-row is the reference's correctness oracle; SURVEY §5.3). The two
+    * snapshots are the compacted state at mid-stream vs end-of-stream; a
+    * single full-outer join on the key classifies every row as
+    * added/removed/changed/same. One shuffle per compaction plus the join's —
+    * all on the same key, so at scale the exchanges line up. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val c = changes(spark, dir)
+    val cutoff = c.agg(floor(max("commit_ts") / 2).cast("long").as("t1"))
+    val live = (df: DataFrame) => compactByPk(df).filter(col("op") =!= "D")
+    val s1 = live(c.crossJoin(broadcast(cutoff)).filter(col("commit_ts") <= col("t1")).drop("t1"))
+      .select(col("pk"), col("value").as("old_value"))
+    val s2 = live(c).select(col("pk"), col("value").as("new_value"))
+    s1.join(s2, Seq("pk"), "full_outer")
+      .select(col("pk"), col("old_value"), col("new_value"),
+        when(col("old_value").isNull, "added")
+          .when(col("new_value").isNull, "removed")
+          .when(col("old_value") === col("new_value"), "same")
+          .otherwise("changed").as("status"))
+  }
+
+  def snapshotDiffSql: String =
+    s"""WITH c AS ($changesCte),
+       |cut AS (SELECT CAST(floor(max(commit_ts) / 2) AS BIGINT) AS t1 FROM c),
+       |s1 AS (
+       |  SELECT pk, value AS old_value FROM (
+       |    SELECT pk, value, op,
+       |      row_number() OVER (PARTITION BY pk ORDER BY commit_ts DESC) AS rn
+       |    FROM c WHERE commit_ts <= (SELECT t1 FROM cut))
+       |  WHERE rn = 1 AND op <> 'D'),
+       |s2 AS (
+       |  SELECT pk, value AS new_value FROM (
+       |    SELECT pk, value, op,
+       |      row_number() OVER (PARTITION BY pk ORDER BY commit_ts DESC) AS rn
+       |    FROM c)
+       |  WHERE rn = 1 AND op <> 'D')
+       |SELECT coalesce(s1.pk, s2.pk) AS pk, old_value, new_value,
+       |  CASE WHEN old_value IS NULL THEN 'added'
+       |       WHEN new_value IS NULL THEN 'removed'
+       |       WHEN old_value = new_value THEN 'same'
+       |       ELSE 'changed' END AS status
+       |FROM s1 FULL OUTER JOIN s2 ON s1.pk = s2.pk""".stripMargin
 }

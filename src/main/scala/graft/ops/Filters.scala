@@ -201,4 +201,18 @@ object Filters {
   def writableColumnsSql: String =
     s"""WITH c AS (${Cdc.changesCte})
        |SELECT commit_ts, pk, value, props FROM c""".stripMargin
+
+  /** Deterministic sampling: keep rows whose engine-shared md5-derived hash
+    * of the key falls under the rate — reproducible across engines, runs and
+    * cluster sizes (unlike TABLESAMPLE/rand), and pure map-side: the sample
+    * of a 100 TB table costs one scan. 10% by event id. */
+  def detSample(spark: SparkSession, dir: String): DataFrame =
+    Cdc.changes(spark, dir)
+      .filter(graft.text.Lex.hex8(col("commit_ts").cast("string")) % 100 < 10)
+      .select("commit_ts", "pk", "op", "value")
+
+  def detSampleSql: String =
+    s"""WITH c AS (${Cdc.changesCte})
+       |SELECT commit_ts, pk, op, value FROM c
+       |WHERE ${graft.text.Lex.hex8Sql("CAST(commit_ts AS VARCHAR)")} % 100 < 10""".stripMargin
 }

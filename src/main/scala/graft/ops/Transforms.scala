@@ -202,4 +202,39 @@ object Transforms {
     """SELECT date_trunc('minute', ts) AS minute,
       |  max(event_id) AS applied_ts, count(*) AS n
       |FROM events GROUP BY 1""".stripMargin
+
+  /** Sessionization: split each user's event sequence at >30-minute gaps and
+    * aggregate per session — the standard event-pipeline operator (and the
+    * batch twin of Spark's streaming `session_window`). One shuffle on the
+    * user key; the gap detection and running session counter evaluate in a
+    * single window pass. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("gap_s",
+        unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w)))
+      .withColumn("new_session",
+        when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"), max("ts").as("session_end"))
+  }
+
+  def sessionizeSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |    epoch(ts) - epoch(lag(ts, 1) OVER w) AS gap_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, event_id, ts,
+      |    sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end
+      |FROM s GROUP BY 1, 2""".stripMargin
 }
