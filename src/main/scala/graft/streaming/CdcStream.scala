@@ -63,6 +63,15 @@ object CdcStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("commit_ts", "ts")
 
+  /** Streaming twin of batch sessionization (Transforms.sessionize): Spark's
+    * native session_window merges events within a 30-minute gap per key,
+    * watermark-bounded state. */
+  def sessionCounts(changes: DataFrame): DataFrame =
+    changes
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("pk"))
+      .agg(count(lit(1)).as("n_events"))
+
   /** Flagship streaming path: change stream → per-batch merge-by-PK upsert
     * into the materialized state with exactly-once batch ids. */
   def applyToState(changes: DataFrame, stateRoot: String, checkpoint: String): StreamingQuery = {

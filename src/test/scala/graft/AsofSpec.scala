@@ -53,6 +53,27 @@ class AsofSpec extends SparkSpec {
     assert(df.filter(col("schema_version").isNull && col("commit_ts") >= 0).count() == 0)
   }
 
+  test("keyedAsof == brute force on randomized inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (0 until 15).foreach { _ =>
+      val left = Seq.fill(25)((rnd.nextInt(5).toLong, rnd.nextInt(100).toLong))
+        .distinct.toDF("k", "lts")
+      val right = Seq.fill(15)(
+          (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, rnd.nextInt(1000).toString))
+        .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq // unique (k, rts)
+      val rightDf = right.toDF("k", "rts", "payload")
+      val got = Asof.keyedAsof(left.toDF, rightDf, "k", "lts", "rts", "payload")
+        .as[(Long, Long, Option[String])].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val expect = left.as[(Long, Long)].collect().map { case (k, lts) =>
+        val m = right.filter(r => r._1 == k && r._2 <= lts)
+        (k, lts) -> (if (m.isEmpty) None else Some(m.maxBy(_._2)._3))
+      }.toMap
+      assert(got == expect)
+    }
+  }
+
   test("empty inputs: compaction and as-of joins return empty, not errors") {
     import spark.implicits._
     val noChanges = Seq.empty[(Long, Long, String, Double)]

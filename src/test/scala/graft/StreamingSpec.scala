@@ -174,4 +174,19 @@ class StreamingSpec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
     assert(spark.table("wm_out").count() > 0)
   }
+
+  test("streaming session windows match batch sessionization totals") {
+    val changes = CdcStream.changeStream(spark, stageEventsDir())
+    val q = CdcStream.sessionCounts(changes)
+      .writeStream.format("memory").queryName("sess_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sess_out")
+    // same number of events overall, and same number of sessions per the
+    // 30-minute-gap definition (session_window merges exactly at gap<=30m,
+    // batch sessionize splits at gap>30m — identical partitions)
+    val batchSessions = graft.ops.Transforms.sessionize(spark, sf)
+    assert(streamed.agg(sum("n_events")).head.getLong(0) ==
+      graft.model.Tables.events(spark, sf).count())
+    assert(streamed.count() == batchSessions.count())
+  }
 }
