@@ -87,6 +87,8 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(s, d)),
+    "dedup_lsh_clusters"  -> ((s, d) => Dedup.lshClusters(s, d)),
+    "corpus_curate"       -> ((s, d) => TextOps.curateCorpus(s, d)),
     // -- similarity search --
     "ann_topk_cosine"     -> ((s, d) => Similarity.annTopK(s, d)),
     "ann_ivf_topk"        -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -158,6 +160,8 @@ object SparkEntry {
     "dedup_minhash_lsh"    -> Dedup.minhashLshSql,
     "dedup_ngram_jaccard"  -> Dedup.ngramJaccardSql,
     "dedup_simhash"        -> Dedup.simhashSql,
+    "dedup_lsh_clusters"   -> Dedup.lshClustersSql,
+    "corpus_curate"        -> TextOps.curateCorpusSql,
     "ann_topk_cosine"      -> Similarity.annTopKSql(),
     "ann_ivf_topk"         -> Similarity.ivfTopKSql(),
     "ann_lsh_buckets"      -> Similarity.lshBucketsSql,

@@ -190,6 +190,35 @@ object Dedup {
          |FROM ($docShinglesCte) sa JOIN ($docShinglesCte) sb
          |  ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id""".stripMargin, 0.5)
 
+  /** Near-dup clusters: connected components over the verified MinHash-LSH
+    * pair graph; every clustered document maps to its canonical (minimum)
+    * doc id — the "keep one copy per near-dup group" primitive of corpus
+    * dedup. Reuses the shuffle-parallel label-propagation loop; component
+    * size is bounded by near-dup mass, not corpus size. */
+  def lshClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir)
+    val half = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = half.unionByName(
+        half.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    graft.ops.Causality.connectedComponents(edges)
+      .select(col("node").as("doc_id"), col("label").as("canonical_id"))
+  }
+
+  def lshClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT * FROM ($minhashLshSql)),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |reach(node, label) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.node)
+       |SELECT node AS doc_id, min(label) AS canonical_id
+       |FROM reach GROUP BY node""".stripMargin
+
   /** SimHash: 16-bit sign fingerprint over distinct-token hashes. Documents
     * with equal fingerprints are near-dup candidates. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {

@@ -159,6 +159,27 @@ object TextOps {
        |FROM documents""".stripMargin
   }
 
+  /** End-to-end corpus curation — the composition a training-data pipeline
+    * actually runs: quality gate (length/punctuation/stopword heuristics)
+    * AND exact-dedup survivor (minimum doc id per text digest). Both sides
+    * are single-scan aggregations/projections; the final semi-join keys on
+    * doc_id. */
+  def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val quality = qualityScore(spark, dir)
+      .filter(col("quality_ok"))
+      .select("doc_id", "lang", "n_tokens")
+    val canon = Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("keep_id"))
+      .select(col("keep_id").as("doc_id"))
+    quality.join(canon, Seq("doc_id"), "left_semi")
+  }
+
+  def curateCorpusSql: String =
+    s"""WITH q AS (SELECT * FROM ($qualityScoreSql)),
+       |canon AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text))
+       |SELECT doc_id, lang, n_tokens FROM q
+       |WHERE quality_ok AND doc_id IN (SELECT keep_id FROM canon)""".stripMargin
+
   /** Multimodal column plumbing: the text payload stands in for an opaque
     * binary blob (image/audio); metadata extraction and a deterministic
     * fake "decode" run over the bytes. The real decode stub lives in
