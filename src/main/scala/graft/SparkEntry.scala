@@ -88,7 +88,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_lsh_clusters"  -> ((s, d) => Dedup.lshClusters(s, d)),
+    "dedup_simhash_near"  -> ((s, d) => Dedup.simhashNear(s, d)),
     "corpus_curate"       -> ((s, d) => TextOps.curateCorpus(s, d)),
+    "text_ngram_freq"     -> ((s, d) => TextOps.ngramFreq(s, d)),
     // -- similarity search --
     "ann_topk_cosine"     -> ((s, d) => Similarity.annTopK(s, d)),
     "ann_ivf_topk"        -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -161,7 +163,9 @@ object SparkEntry {
     "dedup_ngram_jaccard"  -> Dedup.ngramJaccardSql,
     "dedup_simhash"        -> Dedup.simhashSql,
     "dedup_lsh_clusters"   -> Dedup.lshClustersSql,
+    "dedup_simhash_near"   -> Dedup.simhashNearSql,
     "corpus_curate"        -> TextOps.curateCorpusSql,
+    "text_ngram_freq"      -> TextOps.ngramFreqSql,
     "ann_topk_cosine"      -> Similarity.annTopKSql(),
     "ann_ivf_topk"         -> Similarity.ivfTopKSql(),
     "ann_lsh_buckets"      -> Similarity.lshBucketsSql,

@@ -234,6 +234,43 @@ object Dedup {
     agg.select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** SimHash near-pairs at Hamming distance ≤ 1: by pigeonhole, one of the
+    * two fingerprint halves must match exactly, so candidates come from two
+    * equi-joins (on the high byte and on the low byte) — never a cross
+    * join — then the exact popcount filter keeps real neighbors. The same
+    * banding generalizes to distance ≤ k with k+1 blocks. */
+  private val HalfMod: Long = 1L << (Lex.SimhashBits / 2)
+
+  def simhashNear(spark: SparkSession, dir: String): DataFrame = {
+    val fp = simhash(spark, dir)
+      .withColumn("hi", expr(s"simhash div $HalfMod"))
+      .withColumn("lo", col("simhash") % HalfMod)
+      .localCheckpoint(true)
+    def band(key: String) =
+      fp.as("a").join(fp.as("b"),
+          col(s"a.$key") === col(s"b.$key") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
+    band("hi").unionByName(band("lo")).distinct()
+      .withColumn("hamming", bit_count(expr("fp_a ^ fp_b")).cast("long"))
+      .filter(col("hamming") <= 1)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  def simhashNearSql: String =
+    s"""WITH fps AS (SELECT * FROM ($simhashSql)),
+       |f AS (SELECT doc_id, simhash, simhash // $HalfMod AS hi, simhash % $HalfMod AS lo FROM fps),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.simhash AS fp_a, b.simhash AS fp_b
+       |  FROM f a JOIN f b ON a.hi = b.hi AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+       |  FROM f a JOIN f b ON a.lo = b.lo AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(fp_a, fp_b)) <= 1""".stripMargin
+
   def simhashSql: String = {
     val h = Lex.hex8Sql("tok")
     val bitSums = (0 until Lex.SimhashBits)

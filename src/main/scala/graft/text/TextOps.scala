@@ -159,6 +159,32 @@ object TextOps {
        |FROM documents""".stripMargin
   }
 
+  /** Corpus n-gram statistics: the 5 most frequent word 3-grams per
+    * language — occurrence counts (not distinct-per-doc), one shuffle on
+    * (lang, shingle) with map-side partial counts, then a top-k window per
+    * language. */
+  def ngramFreq(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("lang"), Lex.toks(col("text")).as("toks"))
+      .select(col("lang"), explode(Lex.shingles(col("toks"))).as("sh"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n").desc, col("sh"))
+    sh.groupBy("lang", "sh").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+  }
+
+  def ngramFreqSql: String =
+    s"""WITH s AS (
+       |  SELECT lang, unnest(${Lex.shinglesSql(Lex.toksSql("text"))}) AS sh
+       |  FROM documents),
+       |c AS (SELECT lang, sh, count(*) AS n FROM s GROUP BY 1, 2)
+       |SELECT lang, sh, n, rank FROM (
+       |  SELECT lang, sh, n,
+       |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, sh) AS rank
+       |  FROM c)
+       |WHERE rank <= 5""".stripMargin
+
   /** End-to-end corpus curation — the composition a training-data pipeline
     * actually runs: quality gate (length/punctuation/stopword heuristics)
     * AND exact-dedup survivor (minimum doc id per text digest). Both sides
