@@ -246,14 +246,15 @@ object Dedup {
       .withColumn("hi", expr(s"simhash div $HalfMod"))
       .withColumn("lo", col("simhash") % HalfMod)
       .localCheckpoint(true)
+    // the Hamming filter runs inside each band, before the distinct, so the
+    // pair-dedup shuffle only carries true near-pairs, not every candidate
     def band(key: String) =
       fp.as("a").join(fp.as("b"),
           col(s"a.$key") === col(s"b.$key") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
+          bit_count(expr("a.simhash ^ b.simhash")).cast("long").as("hamming"))
+        .filter(col("hamming") <= 1)
     band("hi").unionByName(band("lo")).distinct()
-      .withColumn("hamming", bit_count(expr("fp_a ^ fp_b")).cast("long"))
-      .filter(col("hamming") <= 1)
       .select("doc_a", "doc_b", "hamming")
   }
 
