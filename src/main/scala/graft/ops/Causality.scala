@@ -45,14 +45,26 @@ object Causality {
       half.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
 
-    // Only nodes with at least one edge can ever change label; everything
-    // else is its own singleton group. Restricting the propagation loop to
-    // the conflict subgraph keeps per-iteration cost proportional to the
-    // number of *conflicting* keys — independent of corpus size — which is
-    // what makes the fixpoint loop viable at 100 TB.
-    val nodes = edges.select(col("src").as("node")).distinct()
+    val labels = connectedComponents(edges)
 
-    // min-label propagation to fixpoint
+    ev.select(col("commit_ts"), col("pk"))
+      .join(labels, col("pk") === col("node"), "left")
+      .select(col("commit_ts"), col("pk"),
+        coalesce(col("label"), col("pk")).as("group_id"))
+  }
+
+  /** Min-label-propagation connected components over an undirected edge list
+    * (`src`/`dst` long columns, both directions present). Returns
+    * (node, label) where label = the component's minimum node id.
+    *
+    * Only nodes with at least one edge participate; everything else is its
+    * own singleton component, so per-iteration cost is proportional to the
+    * conflict/near-dup subgraph, not the corpus — which is what makes the
+    * fixpoint loop viable at 100 TB. Lineage is cut per round with an eager
+    * local checkpoint; rounds are bounded by component diameter.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val nodes = edges.select(col("src").as("node")).distinct()
     var labels = nodes.select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
     var changed = 1L
@@ -67,11 +79,7 @@ object Causality {
         .filter(col("label") =!= col("old")).count()
       labels = next
     }
-
-    ev.select(col("commit_ts"), col("pk"))
-      .join(labels, col("pk") === col("node"), "left")
-      .select(col("commit_ts"), col("pk"),
-        coalesce(col("label"), col("pk")).as("group_id"))
+    labels
   }
 
   def conflictGroupsSql: String =
