@@ -16,15 +16,24 @@ object Bench {
     Seq("lineitem", "documents", "events").foreach { t =>
       graft.model.Tables.table(spark, sfDir, t).count()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // a failed query is recorded as an error, never as a fast time — the
+    // bench must not silently shrink when a query breaks
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errors(name) = e.toString.take(160).replaceAll("[\"\\\\\n\r\t]", " ")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.collect { case (k, v) if !errors.contains(k) =>
+      s"\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
+    val es = errors.map { case (k, m) => s"\"" + k + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

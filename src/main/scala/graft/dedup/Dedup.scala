@@ -138,8 +138,9 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
 
-  private def verifyJaccardSql(candCte: String, threshold: Double): String =
-    s"""WITH s AS ($docShinglesCte),
+  private def verifyJaccardSql(candCte: String, threshold: Double,
+      shingleCte: String = docShinglesCte): String =
+    s"""WITH s AS ($shingleCte),
        |cand AS ($candCte),
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY 1),
        |inter AS (
@@ -172,23 +173,49 @@ object Dedup {
     verifyJaccardSql(s"SELECT * FROM ($candCte)", 0.5)
   }
 
+  /** Document-frequency cap for the exact-Jaccard inverted index: a shingle
+    * appearing in more documents than this is boilerplate — it contributes
+    * a df²/2 posting-list self-join (the one unbounded skew in an inverted
+    * index: one hot navigation-bar shingle at corpus scale is a quadratic
+    * single-key blowup) while carrying almost no Jaccard signal. Capped
+    * shingles are excluded from the shingle universe (intersections AND set
+    * sizes, both engines), so the measure stays a true Jaccard over the
+    * informative-shingle sets. */
+  val MaxShingleDf = 128
+
   /** Inverted-index exact n-gram Jaccard near-dups (no probabilistic
-    * screen): pairs sharing at least one shingle, kept at ≥ 0.5. The pair
-    * counts come straight out of the inverted-index join — no separate
-    * candidate pass, no distinct over the (large) pair set. */
+    * screen): pairs sharing at least one (informative) shingle, kept at
+    * ≥ 0.5. The pair counts come straight out of the inverted-index join —
+    * no separate candidate pass, no distinct over the (large) pair set.
+    * Hot shingles above [[MaxShingleDf]] are removed via a broadcast
+    * anti-join against the (tiny) hot-shingle census, bounding every
+    * posting-list self-join key at df ≤ cap. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // sh feeds three branches (both join sides share one exchange; the size
-    // aggregate does not) — materialize the exploded shingles once.
-    val sh = docShingles(spark, dir).localCheckpoint(true)
+    // sh feeds four branches (hot census, both join sides, the size
+    // aggregate) — materialize the exploded shingles once.
+    val sh0 = docShingles(spark, dir).localCheckpoint(true)
+    val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf)
+    val sh = sh0.join(broadcast(hot.select("sh")), Seq("sh"), "left_anti")
+      .localCheckpoint(true)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     intersectionCounts(sh).transform(withJaccard(sizes, threshold = 0.5))
   }
 
+  /** Shingles restricted to df ≤ [[MaxShingleDf]] — the ngramJaccard
+    * universe, mirrored in SQL. */
+  private val cappedShinglesCte: String =
+    s"""SELECT * FROM ($docShinglesCte) s0
+       |WHERE sh NOT IN (
+       |  SELECT sh FROM ($docShinglesCte) GROUP BY sh
+       |  HAVING count(*) > $MaxShingleDf)""".stripMargin
+
   def ngramJaccardSql: String =
     verifyJaccardSql(
       s"""SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
-         |FROM ($docShinglesCte) sa JOIN ($docShinglesCte) sb
-         |  ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id""".stripMargin, 0.5)
+         |FROM ($cappedShinglesCte) sa JOIN ($cappedShinglesCte) sb
+         |  ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id""".stripMargin, 0.5,
+      shingleCte = cappedShinglesCte)
 
   /** Near-dup clusters: connected components over the verified MinHash-LSH
     * pair graph; every clustered document maps to its canonical (minimum)
@@ -234,43 +261,105 @@ object Dedup {
     agg.select(col("doc_id"), fp.as("simhash"))
   }
 
-  /** SimHash near-pairs at Hamming distance ≤ 1: by pigeonhole, one of the
-    * two fingerprint halves must match exactly, so candidates come from two
-    * equi-joins (on the high byte and on the low byte) — never a cross
-    * join — then the exact popcount filter keeps real neighbors. The same
-    * banding generalizes to distance ≤ k with k+1 blocks. */
-  private val HalfMod: Long = 1L << (Lex.SimhashBits / 2)
+  /** 64-bit SimHash fingerprint as two 32-bit halves (fp_lo from md5 hex
+    * 1-8, fp_hi from hex 9-16) — 64 independent bits per token with every
+    * bit kept out of the BIGINT sign position in both engines. 32 bits is
+    * not enough for Hamming-ball search on template-heavy corpora: at
+    * billions of docs the 32-bit space itself saturates and equal-fp groups
+    * go quadratic. */
+  def simhash64(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(Lex.toks(col("text")))).as("tok"))
+      .select(col("doc_id"), Lex.hex8(col("tok")).as("h1"), Lex.hex8b(col("tok")).as("h2"))
+    val sums =
+      (0 until 32).map(b =>
+        sum(when((col("h1").bitwiseAND(lit(1L << b))) > 0, 1).otherwise(-1)).as(s"a$b")) ++
+      (0 until 32).map(b =>
+        sum(when((col("h2").bitwiseAND(lit(1L << b))) > 0, 1).otherwise(-1)).as(s"b$b"))
+    val agg = tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    def fold(prefix: String) = (0 until 32)
+      .map(b => when(col(s"$prefix$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), fold("a").as("fp_lo"), fold("b").as("fp_hi"))
+  }
 
+  def simhash64Sql: String = {
+    val h1 = Lex.hex8Sql("tok")
+    val h2 = Lex.hex8bSql("tok")
+    val sums = ((0 until 32).map(b => s"sum(CASE WHEN (h1 & ${1L << b}) > 0 THEN 1 ELSE -1 END) AS a$b") ++
+      (0 until 32).map(b => s"sum(CASE WHEN (h2 & ${1L << b}) > 0 THEN 1 ELSE -1 END) AS b$b"))
+      .mkString(", ")
+    def fold(prefix: String) = (0 until 32)
+      .map(b => s"CASE WHEN $prefix$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, $h1 AS h1, $h2 AS h2 FROM (
+       |    SELECT doc_id, unnest(list_distinct(${Lex.toksSql("text")})) AS tok
+       |    FROM documents)),
+       |agg AS (SELECT doc_id, $sums FROM t GROUP BY doc_id)
+       |SELECT doc_id, ${fold("a")} AS fp_lo, ${fold("b")} AS fp_hi FROM agg""".stripMargin
+  }
+
+  /** SimHash near-pairs at Hamming distance ≤ k (= [[Lex.SimhashMaxHamming]],
+    * 3): by pigeonhole a pair within distance k matches exactly in at least
+    * one of k+1 = 4 disjoint 16-bit bands of the 64-bit fingerprint, so
+    * candidates come from 4 equi-joins on (band, key) — never a cross join —
+    * then the exact popcount filter keeps real neighbors.
+    *
+    * Scale bound: buckets holding more than [[Lex.SimhashBandCap]] docs are
+    * dropped before the self-join (they are boilerplate concentrations; a
+    * genuinely near pair in a hot bucket still surfaces through its other
+    * bands). This caps within-bucket join cost at cap²/2 pairs per bucket —
+    * total candidate volume ≤ 4 bands × 2^16 keys × cap²/2 independent of
+    * corpus size — which is what keeps the plan alive at 100 TB where a
+    * single hot template bucket would otherwise go quadratic. */
   def simhashNear(spark: SparkSession, dir: String): DataFrame = {
-    val fp = simhash(spark, dir)
-      .withColumn("hi", expr(s"simhash div $HalfMod"))
-      .withColumn("lo", col("simhash") % HalfMod)
+    val fp = simhash64(spark, dir)
+    val bandKeys = Seq(
+      col("fp_lo") % 65536L, expr("fp_lo div 65536"),
+      col("fp_hi") % 65536L, expr("fp_hi div 65536"))
+    // one materialization feeds the occupancy census and both join sides
+    val bands = fp.select(col("doc_id"), col("fp_lo"), col("fp_hi"),
+        explode(array(bandKeys.zipWithIndex.map { case (k, i) =>
+          struct(lit(i).as("band"), k.as("key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("fp_lo"), col("fp_hi"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
       .localCheckpoint(true)
-    // the Hamming filter runs inside each band, before the distinct, so the
-    // pair-dedup shuffle only carries true near-pairs, not every candidate
-    def band(key: String) =
-      fp.as("a").join(fp.as("b"),
-          col(s"a.$key") === col(s"b.$key") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          bit_count(expr("a.simhash ^ b.simhash")).cast("long").as("hamming"))
-        .filter(col("hamming") <= 1)
-    band("hi").unionByName(band("lo")).distinct()
-      .select("doc_a", "doc_b", "hamming")
+    val hot = bands.groupBy("band", "key").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > Lex.SimhashBandCap)
+    val ok = bands.join(broadcast(hot.select("band", "key")), Seq("band", "key"), "left_anti")
+    ok.as("a").join(ok.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(expr("a.fp_lo ^ b.fp_lo")) +
+          bit_count(expr("a.fp_hi ^ b.fp_hi"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= Lex.SimhashMaxHamming)
+      .distinct()
   }
 
   def simhashNearSql: String =
-    s"""WITH fps AS (SELECT * FROM ($simhashSql)),
-       |f AS (SELECT doc_id, simhash, simhash // $HalfMod AS hi, simhash % $HalfMod AS lo FROM fps),
-       |cand AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |         a.simhash AS fp_a, b.simhash AS fp_b
-       |  FROM f a JOIN f b ON a.hi = b.hi AND a.doc_id < b.doc_id
-       |  UNION
-       |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
-       |  FROM f a JOIN f b ON a.lo = b.lo AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
-       |FROM cand
-       |WHERE bit_count(xor(fp_a, fp_b)) <= 1""".stripMargin
+    s"""WITH fps AS (SELECT * FROM ($simhash64Sql)),
+       |f AS (SELECT doc_id, fp_lo, fp_hi,
+       |        fp_lo % 65536 AS b0, fp_lo // 65536 AS b1,
+       |        fp_hi % 65536 AS b2, fp_hi // 65536 AS b3 FROM fps),
+       |bands AS (
+       |  SELECT doc_id, fp_lo, fp_hi, 0 AS band, b0 AS key FROM f
+       |  UNION ALL SELECT doc_id, fp_lo, fp_hi, 1, b1 FROM f
+       |  UNION ALL SELECT doc_id, fp_lo, fp_hi, 2, b2 FROM f
+       |  UNION ALL SELECT doc_id, fp_lo, fp_hi, 3, b3 FROM f),
+       |hot AS (SELECT band, key FROM bands GROUP BY band, key
+       |        HAVING count(*) > ${Lex.SimhashBandCap}),
+       |ok AS (SELECT * FROM bands b WHERE NOT EXISTS (
+       |        SELECT 1 FROM hot h WHERE h.band = b.band AND h.key = b.key))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.fp_lo, b.fp_lo)) +
+       |       bit_count(xor(a.fp_hi, b.fp_hi)) AS BIGINT) AS hamming
+       |FROM ok a JOIN ok b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp_lo, b.fp_lo)) +
+       |      bit_count(xor(a.fp_hi, b.fp_hi)) <= ${Lex.SimhashMaxHamming}""".stripMargin
 
   def simhashSql: String = {
     val h = Lex.hex8Sql("tok")

@@ -207,34 +207,44 @@ object Transforms {
     * aggregate per session — the standard event-pipeline operator (and the
     * batch twin of Spark's streaming `session_window`). One shuffle on the
     * user key; the gap detection and running session counter evaluate in a
-    * single window pass. */
+    * single window pass.
+    *
+    * All time arithmetic runs on epoch-microsecond BIGINTs in BOTH engines:
+    * Spark truncated the nanos column to micros at load (Tables.table), and
+    * fractional-second `epoch()` arithmetic vs truncated `unix_timestamp`
+    * seconds can flip a session boundary when a gap straddles 1800 s — so the
+    * gap is compared in exact integer microseconds and the session bounds are
+    * emitted as the same integers. */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(spark, dir)
-      .withColumn("gap_s",
-        unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w)))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
       .withColumn("new_session",
-        when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+        when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
       .withColumn("session_id", sum("new_session").over(wRun))
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
-        min("ts").as("session_start"), max("ts").as("session_end"))
+        min("ts_us").as("session_start_us"), max("ts_us").as("session_end_us"))
   }
 
   def sessionizeSql: String =
-    """WITH g AS (
-      |  SELECT user_id, event_id, ts,
-      |    epoch(ts) - epoch(lag(ts, 1) OVER w) AS gap_s
-      |  FROM events
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    ts_us - lag(ts_us, 1) OVER w AS gap_us
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
       |s AS (
-      |  SELECT user_id, event_id, ts,
-      |    sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
-      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  SELECT user_id, event_id, ts_us,
+      |    CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM g)
       |SELECT user_id, session_id, count(*) AS n_events,
-      |  min(ts) AS session_start, max(ts) AS session_end
+      |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
       |FROM s GROUP BY 1, 2""".stripMargin
 }

@@ -86,41 +86,79 @@ object Similarity {
        |FROM embeddings""".stripMargin
   }
 
-  /** LSH-refined near-dup pairs: candidates collide on the bucket id, then
-    * exact cosine keeps pairs ≥ 0.3 — the scale path for embedding near-dup
-    * (join fan-out bounded by bucket occupancy, not n²). */
+  /** LSH-refined near-dup pairs — the scale path for embedding near-dup.
+    *
+    * [[Lex.NearDupTables]] (6) independent hash tables of
+    * [[Lex.NearDupPlanes]] (16) hyperplane signs each: 16-bit bucket keys
+    * keep expected occupancy at corpus/2^16 per table (a single 8-plane
+    * table = 256 buckets makes every bucket ≈ corpus/256 and the
+    * within-bucket self-join quadratic), while the union over 6 tables
+    * preserves recall that one narrow table would lose. Buckets above
+    * [[Lex.AnnBucketCap]] members are dropped before the self-join
+    * (broadcast anti-join against the tiny over-full census), bounding
+    * candidate volume at tables × occupied-buckets × cap²/2 independent of
+    * corpus size. Candidates are verified by exact cosine ≥ threshold;
+    * duplicates across tables collapse in the final distinct, so fan-out
+    * per true pair is at most the table count. */
   def lshNearDup(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
-    val b = lshBuckets(spark, dir)
-    val e = Tables.embeddings(spark, dir).withColumn("nrm", norm(col("embedding")))
-      .join(b.select("vec_id", "bucket"), "vec_id")
-    e.as("a").join(e.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+    val tableKeys = (0 until Lex.NearDupTables).map { t =>
+      val key = (0 until Lex.NearDupPlanes).map { p =>
+        val w = array(Lex.nearDupWeights(t * Lex.NearDupPlanes + p)
+          .map(v => lit(v.toDouble)): _*)
+        when(dot(col("embedding"), w) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), key.as("bkt"))
+    }
+    // the 96 hyperplane dot products are computed exactly once per vector
+    // (one scan), then materialized: the keyed frame feeds the occupancy
+    // census and both self-join sides
+    val keyed = Tables.embeddings(spark, dir)
+      .withColumn("nrm", norm(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(array(tableKeys: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+      .localCheckpoint(true)
+    val hot = keyed.groupBy("tbl", "bkt").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > Lex.AnnBucketCap)
+    val ok = keyed.join(broadcast(hot.select("tbl", "bkt")), Seq("tbl", "bkt"), "left_anti")
+    ok.as("a").join(ok.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+          col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos",
         round(dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")), 4))
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+      .distinct()
   }
 
   /** IVF (inverted-file) ANN — the other classic scale path: vectors are
     * partitioned into cells by nearest centroid; a query probes only the
     * `nProbe` closest cells, so search cost is corpus/cells × nProbe instead
     * of the full corpus. Centroids here are a fixed deterministic subset
-    * (vec_id < nCells) standing in for trained k-means centers, so both
-    * engines share them; assignment is a broadcast of the tiny centroid set
-    * against one corpus scan (linear, no shuffle on the corpus side beyond
-    * the per-vector argmax window).
-    */
+    * (vec_id < nCells) standing in for trained k-means centers (TODO at
+    * production scale: train with a distributed k-means — e.g. a few
+    * Lloyd iterations over a sample — instead of the id-prefix stand-in),
+    * so both engines share them.
+    *
+    * Assignment is a broadcast of the tiny centroid set against one corpus
+    * scan, reduced by a `max_by` hash aggregate — a map-side-combinable
+    * argmax, NOT a row_number window: the window variant shuffles and sorts
+    * corpus × nCells rows, the aggregate partially combines them on the map
+    * side and never sorts. The (ccos, -cent_id) struct ordering reproduces
+    * the oracle's ORDER BY ccos DESC, cent_id ASC tie-break exactly. */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 5,
       nCells: Int = 8, nProbe: Int = 2): DataFrame = {
     val e = Tables.embeddings(spark, dir).withColumn("nrm", norm(col("embedding")))
     val cents = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cent_id"))
     val assigned = e.join(broadcast(cents))
       .withColumn("ccos", dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("cent_id"), struct(col("ccos"), (-col("cent_id")).as("tie"))).as("cent_id"),
+        first("embedding").as("embedding"), // constant within the group
+        first("nrm").as("nrm"))
       .select(col("vec_id"), col("cent_id"), col("embedding"), col("nrm"))
     val q = e.filter(col("vec_id") >= 10 && col("vec_id") < 15)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
@@ -171,13 +209,26 @@ object Similarity {
        |  FROM cand)
        |WHERE rank <= $k""".stripMargin
 
-  def lshNearDupSql(threshold: Double = 0.3): String =
-    s"""WITH bk AS ($lshBucketsSql),
-       |e AS (
-       |  SELECT e0.vec_id, e0.embedding, ${normSql("e0.embedding")} AS nrm, bk.bucket
-       |  FROM embeddings e0 JOIN bk ON e0.vec_id = bk.vec_id)
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |  round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS cos
-       |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |WHERE round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) >= $threshold""".stripMargin
+  def lshNearDupSql(threshold: Double = 0.3): String = {
+    def keySql(t: Int) = (0 until Lex.NearDupPlanes).map { p =>
+      val w = Lex.nearDupWeights(t * Lex.NearDupPlanes + p)
+        .map(v => s"$v.0").mkString("[", ", ", "]")
+      s"CASE WHEN ${dotSql("embedding", w)} > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString("\n    + ")
+    val tableSelects = (0 until Lex.NearDupTables).map(t =>
+      s"SELECT vec_id, embedding, nrm, $t AS tbl,\n    ${keySql(t)} AS bkt FROM e")
+      .mkString("\n  UNION ALL\n  ")
+    val cos = s"round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4)"
+    s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |keyed AS (
+       |  $tableSelects),
+       |hot AS (SELECT tbl, bkt FROM keyed GROUP BY tbl, bkt
+       |        HAVING count(*) > ${Lex.AnnBucketCap}),
+       |ok AS (SELECT * FROM keyed k WHERE NOT EXISTS (
+       |        SELECT 1 FROM hot h WHERE h.tbl = k.tbl AND h.bkt = k.bkt))
+       |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, $cos AS cos
+       |FROM ok a JOIN ok b
+       |  ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+       |WHERE $cos >= $threshold""".stripMargin
+  }
 }
