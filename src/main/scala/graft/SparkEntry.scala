@@ -59,6 +59,13 @@ object SparkEntry {
     "t8_update_images" -> ((s, d) => Transforms.updateImages(s, d)),
     "t9_seq_restore"   -> ((s, d) => Transforms.sequenceRestore(s, d)),
     "m9_value_format"  -> ((s, d) => Transforms.valueFormat(s, d)),
+    // -- MySQL type-domain fidelity (SURVEY §1.3, §2.4) --
+    "m9_decimal38"     -> ((s, d) => TypeDomain.decimal38(s, d)),
+    "m9_unsigned_bit"  -> ((s, d) => TypeDomain.unsignedBit(s, d)),
+    "m9_enum_set"      -> ((s, d) => TypeDomain.enumSet(s, d)),
+    "m9_tz_format"     -> ((s, d) => TypeDomain.tzFormat(s, d)),
+    "m5_ddl_parse"     -> ((s, d) => Ddl.ddlParse(s, d)),
+    "t2_merge_quality" -> ((s, d) => Cdc.mergeQuality(s, d)),
     "a2_hash_dispatch" -> ((s, d) => Transforms.hashDispatch(s, d)),
     "a3_bulk_batches"  -> ((s, d) => Transforms.bulkBatches(s, d)),
     "a4_event_metrics" -> ((s, d) => Transforms.eventMetrics(s, d)),
@@ -136,6 +143,12 @@ object SparkEntry {
     "t8_update_images"  -> Transforms.updateImagesSql,
     "t9_seq_restore"    -> Transforms.sequenceRestoreSql,
     "m9_value_format"   -> Transforms.valueFormatSql,
+    "m9_decimal38"      -> TypeDomain.decimal38Sql,
+    "m9_unsigned_bit"   -> TypeDomain.unsignedBitSql,
+    "m9_enum_set"       -> TypeDomain.enumSetSql,
+    "m9_tz_format"      -> TypeDomain.tzFormatSql,
+    "m5_ddl_parse"      -> Ddl.ddlParseSql,
+    "t2_merge_quality"  -> Cdc.mergeQualitySql,
     "a2_hash_dispatch"  -> Transforms.hashDispatchSql,
     "a3_bulk_batches"   -> Transforms.bulkBatchesSql,
     "a4_event_metrics"  -> Transforms.eventMetricsSql,

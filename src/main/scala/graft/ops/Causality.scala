@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** P1: causality conflict detection
@@ -22,32 +23,65 @@ import org.apache.spark.sql.functions._
   * conflict graphs is small; every round is a plain shuffle join that scales
   * with executors. No driver-side state beyond the loop counter.
   *
-  * Key model on the events table: every event's primary key is `pk`; events
-  * with value > 300 additionally carry their `props.k` as a secondary unique
-  * key (offset into a disjoint node-id space). The oracle computes the same
-  * components with a recursive CTE.
+  * Key model on the events table (mirrors `getKeys` key-set construction,
+  * pkg/loader/model.go:473-512 — ALL unique indexes contribute, and an
+  * update contributes its OLD-image key values as well as the new ones):
+  *
+  *  - primary key: `pk` (always present);
+  *  - UK1, a secondary unique index on `props.k`: present when value > 300;
+  *  - UK2, a second unique index on the value bucket: present for
+  *    'purchase' rows;
+  *  - updates (op = 'U') additionally contribute the OLD image's UK1/UK2 —
+  *    reconstructed as the previous row image per pk (same lag-window
+  *    pattern as the T8 update-image split), so an update whose key column
+  *    changed bridges the group owning the old key value with the group
+  *    owning the new one, exactly like the reference's old+new key union.
+  *
+  * Each UK family is offset into its own disjoint node-id space. The oracle
+  * computes the same components with a recursive CTE.
   */
 object Causality {
 
-  private val UkOffset = 1000000L
+  private val Uk1Offset = 1000000L
+  private val Uk2Offset = 2000000L
+
+  /** The per-event key set: (commit_ts, pk, array of present unique keys).
+    * One shuffle on pk for the old-image lag; everything else is a
+    * projection. */
+  private def eventKeys(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("pk").orderBy("commit_ts")
+    def uk1(value: Column, k: Column): Column =
+      when(value > 300.0, k + Uk1Offset)
+    def uk2(eventType: Column, value: Column): Column =
+      when(eventType === "purchase", floor(value).cast("long") + Uk2Offset)
+    Cdc.changes(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("prev_value", lag("value", 1).over(w))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .withColumn("prev_k", lag("k", 1).over(w))
+      .select(col("commit_ts"), col("pk"),
+        uk1(col("value"), col("k")).as("uk1_new"),
+        uk2(col("event_type"), col("value")).as("uk2_new"),
+        when(col("op") === "U", uk1(col("prev_value"), col("prev_k"))).as("uk1_old"),
+        when(col("op") === "U", uk2(col("prev_type"), col("prev_value"))).as("uk2_old"))
+  }
 
   def conflictGroups(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Cdc.changes(spark, dir)
-    val withUk = ev.select(
-      col("commit_ts"), col("pk"),
-      when(col("value") > 300.0,
-        get_json_object(col("props"), "$.k").cast("long") + UkOffset).as("uk"))
-
-    // undirected edge list between the pk node and the secondary-key node
-    val half = withUk.filter(col("uk").isNotNull)
-      .select(col("pk").as("src"), col("uk").as("dst")).distinct()
+    val keys = eventKeys(spark, dir)
+    // undirected edges between the pk node and every present unique-key
+    // node: the event is the hyperedge, the pk its hub
+    val half = Seq("uk1_new", "uk2_new", "uk1_old", "uk2_old")
+      .map(c => keys.filter(col(c).isNotNull)
+        .select(col("pk").as("src"), col(c).as("dst")))
+      .reduce(_ unionByName _)
+      .distinct()
     val edges = half.unionByName(
       half.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
 
     val labels = connectedComponents(edges)
 
-    ev.select(col("commit_ts"), col("pk"))
+    keys.select(col("commit_ts"), col("pk"))
       .join(labels, col("pk") === col("node"), "left")
       .select(col("commit_ts"), col("pk"),
         coalesce(col("label"), col("pk")).as("group_id"))
@@ -84,23 +118,39 @@ object Causality {
 
   def conflictGroupsSql: String =
     s"""WITH RECURSIVE c AS (${Cdc.changesCte}),
-       |k AS (
+       |lagged AS (
+       |  SELECT commit_ts, pk, op, event_type, value,
+       |    CAST(props->>'$$.k' AS BIGINT) AS k,
+       |    lag(value) OVER w AS prev_value,
+       |    lag(event_type) OVER w AS prev_type,
+       |    lag(CAST(props->>'$$.k' AS BIGINT)) OVER w AS prev_k
+       |  FROM c
+       |  WINDOW w AS (PARTITION BY pk ORDER BY commit_ts)),
+       |keys AS (
        |  SELECT commit_ts, pk,
-       |    CASE WHEN value > 300.0
-       |         THEN CAST(props->>'$$.k' AS BIGINT) + $UkOffset END AS uk
-       |  FROM c),
-       |half AS (SELECT DISTINCT pk AS src, uk AS dst FROM k WHERE uk IS NOT NULL),
+       |    CASE WHEN value > 300.0 THEN k + $Uk1Offset END AS uk1_new,
+       |    CASE WHEN event_type = 'purchase'
+       |         THEN CAST(floor(value) AS BIGINT) + $Uk2Offset END AS uk2_new,
+       |    CASE WHEN op = 'U' AND prev_value > 300.0
+       |         THEN prev_k + $Uk1Offset END AS uk1_old,
+       |    CASE WHEN op = 'U' AND prev_type = 'purchase'
+       |         THEN CAST(floor(prev_value) AS BIGINT) + $Uk2Offset END AS uk2_old
+       |  FROM lagged),
+       |half AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT pk AS src, uk1_new AS dst FROM keys WHERE uk1_new IS NOT NULL
+       |    UNION ALL SELECT pk, uk2_new FROM keys WHERE uk2_new IS NOT NULL
+       |    UNION ALL SELECT pk, uk1_old FROM keys WHERE uk1_old IS NOT NULL
+       |    UNION ALL SELECT pk, uk2_old FROM keys WHERE uk2_old IS NOT NULL)),
        |edges AS (
        |  SELECT src, dst FROM half
        |  UNION ALL SELECT dst, src FROM half),
-       |nodes AS (
-       |  SELECT DISTINCT pk AS node FROM k
-       |  UNION SELECT DISTINCT uk FROM k WHERE uk IS NOT NULL),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
        |reach(node, label) AS (
        |  SELECT node, node FROM nodes
        |  UNION
        |  SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.node),
        |labels AS (SELECT node, min(label) AS label FROM reach GROUP BY node)
-       |SELECT c.commit_ts, c.pk, l.label AS group_id
-       |FROM c JOIN labels l ON c.pk = l.node""".stripMargin
+       |SELECT k.commit_ts, k.pk, coalesce(l.label, k.pk) AS group_id
+       |FROM keys k LEFT JOIN labels l ON k.pk = l.node""".stripMargin
 }

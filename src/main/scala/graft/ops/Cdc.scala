@@ -115,6 +115,60 @@ object Cdc {
        |UNION ALL SELECT source_id, commit_ts, pk, op FROM s WHERE source_id = 2
        |UNION ALL SELECT source_id, commit_ts, pk, op FROM s WHERE source_id = 3""".stripMargin
 
+  /** T2 observability: disorder / duplicate counters on the merged stream
+    * (ref: drainer/merge.go:318-329 — a binlog whose commitTs is below the
+    * last output TS increments `disorderBinlogCount`; an equal commitTs is
+    * logged as a duplicate and dropped).
+    *
+    * Batch analog: arrival order per source is a deterministic jitter of
+    * commit order (late/early arrivals) over an at-least-once stream (every
+    * commit_ts % 5 == 0 row is replayed once). A row arriving below the
+    * running max of previously arrived commit_ts is disordered; equal to it,
+    * a duplicate. One shuffle on source_id + a single window pass, then a
+    * 4-row aggregate — counters cost the same exchange the merge already
+    * needs. */
+  def mergeQuality(spark: SparkSession, dir: String): DataFrame = {
+    val c = changes(spark, dir).select("commit_ts", "pk")
+    val stream = c.withColumn("is_replay", lit(0L))
+      .unionByName(c.filter(col("commit_ts") % 5 === 0).withColumn("is_replay", lit(1L)))
+      .withColumn("source_id", pmod(col("pk"), lit(4)))
+      .withColumn("arrival", col("commit_ts") + pmod(col("pk"), lit(7)) - 3)
+    val w = Window.partitionBy("source_id")
+      .orderBy("arrival", "commit_ts", "is_replay")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    stream.withColumn("max_prev", max("commit_ts").over(w))
+      .select(col("source_id"),
+        when(col("max_prev").isNotNull && col("commit_ts") < col("max_prev"), 1L)
+          .otherwise(0L).as("is_disordered"),
+        when(col("max_prev").isNotNull && col("commit_ts") === col("max_prev"), 1L)
+          .otherwise(0L).as("is_duplicate"))
+      .groupBy("source_id")
+      .agg(count(lit(1)).as("n_arrivals"),
+        sum("is_disordered").as("n_disordered"),
+        sum("is_duplicate").as("n_duplicate"))
+  }
+
+  def mergeQualitySql: String =
+    s"""WITH c AS ($changesCte),
+       |stream AS (
+       |  SELECT commit_ts, pk, 0 AS is_replay FROM c
+       |  UNION ALL
+       |  SELECT commit_ts, pk, 1 FROM c WHERE commit_ts % 5 = 0),
+       |arr AS (
+       |  SELECT pk % 4 AS source_id, commit_ts, is_replay,
+       |    commit_ts + pk % 7 - 3 AS arrival
+       |  FROM stream),
+       |m AS (
+       |  SELECT source_id, commit_ts,
+       |    max(commit_ts) OVER (PARTITION BY source_id
+       |      ORDER BY arrival, commit_ts, is_replay
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev
+       |  FROM arr)
+       |SELECT source_id, count(*) AS n_arrivals,
+       |  CAST(sum(CASE WHEN max_prev IS NOT NULL AND commit_ts < max_prev THEN 1 ELSE 0 END) AS BIGINT) AS n_disordered,
+       |  CAST(sum(CASE WHEN max_prev IS NOT NULL AND commit_ts = max_prev THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicate
+       |FROM m GROUP BY 1""".stripMargin
+
   /** T3: watermark generation / tracking
     * (ref: pump/server.go:467-527 fake binlogs advance downstream TS;
     * drainer waits for every live source — merge.go:236-335).
