@@ -66,8 +66,16 @@ object Causality {
         when(col("op") === "U", uk2(col("prev_type"), col("prev_value"))).as("uk2_old"))
   }
 
-  def conflictGroups(spark: SparkSession, dir: String): DataFrame = {
-    val keys = eventKeys(spark, dir)
+  def conflictGroups(spark: SparkSession, dir: String): DataFrame =
+    conflictGroupsFromKeys(eventKeys(spark, dir))
+
+  /** Conflict groups from an explicit key-set frame — (commit_ts, pk,
+    * uk1_new, uk2_new, uk1_old, uk2_old), nullable uk columns. Exposed
+    * separately so callers holding real before-images (a CDC update row
+    * carries both) can feed them directly, exactly like `getKeys` unions
+    * old+new key values for updates: an update whose unique key moved from
+    * a value owned by group A to one owned by group B merges the two. */
+  def conflictGroupsFromKeys(keys: DataFrame): DataFrame = {
     // undirected edges between the pk node and every present unique-key
     // node: the event is the hyperedge, the pk its hub
     val half = Seq("uk1_new", "uk2_new", "uk1_old", "uk2_old")

@@ -33,8 +33,31 @@ class UpsertSink(root: String) {
   private val metaPath = Paths.get(s"$root/_committed_batch")
   private val ddlLog = Paths.get(s"$root/_ddl_log")
 
-  def lastCommitted: Long =
-    if (Files.exists(metaPath)) Files.readString(metaPath).trim.toLong else -1L
+  /** Checkpoint record (ref: drainer/checkpoint/mysql.go:34-51 — the saved
+    * point carries commitTS + ts-map + schema-version + consistent flag,
+    * not just a batch counter). `batchId` doubles as the downstream half of
+    * the ts-map pair: (commitTs upstream ↔ batchId downstream) is what PITR
+    * needs to align the two histories. */
+  case class Checkpoint(batchId: Long, commitTs: Long, schemaVersion: Long,
+      consistent: Boolean)
+
+  def lastCheckpoint: Checkpoint =
+    if (Files.exists(metaPath)) {
+      Files.readString(metaPath).trim.split(' ') match {
+        case Array(b, ts, v, c) => Checkpoint(b.toLong, ts.toLong, v.toLong, c.toBoolean)
+        case Array(b)           => Checkpoint(b.toLong, -1L, -1L, consistent = true)
+        case _                  => Checkpoint(-1L, -1L, -1L, consistent = true)
+      }
+    } else Checkpoint(-1L, -1L, -1L, consistent = true)
+
+  def lastCommitted: Long = lastCheckpoint.batchId
+
+  /** Highest upstream commit ts durably applied — the resume position for a
+    * ts-addressed source replay (ref: drainer restarts from checkpoint
+    * CommitTS, not from a batch counter). */
+  def lastCommitTs: Long = lastCheckpoint.commitTs
+
+  def lastSchemaVersion: Long = lastCheckpoint.schemaVersion
 
   def currentState(spark: SparkSession): DataFrame =
     if (Files.exists(Paths.get(statePath)))
@@ -47,10 +70,14 @@ class UpsertSink(root: String) {
           org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))))
 
   /** Apply one micro-batch of change rows (pk, commit_ts, op, value[, ddl]).
-    * Returns true if applied, false if skipped as a replay. */
-  def applyBatch(batch: DataFrame, batchId: Long): Boolean = {
+    * Returns true if applied, false if skipped as a replay. On success the
+    * checkpoint advances to (batchId, max applied commit_ts, schemaVersion,
+    * consistent=true) in one atomic write — a crash mid-apply leaves the
+    * previous checkpoint, and whole-batch replay is idempotent. */
+  def applyBatch(batch: DataFrame, batchId: Long, schemaVersion: Long = -1L): Boolean = {
     if (batchId <= lastCommitted) return false // idempotent replay skip
     val spark = batch.sparkSession
+    val prev = lastCheckpoint
 
     // DDL barrier: order sub-batches around DDL rows by commit_ts.
     val ddls = batch.filter(col("op") === "DDL")
@@ -66,7 +93,11 @@ class UpsertSink(root: String) {
           java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
       lower = upper
     }
-    Files.writeString(metaPath, batchId.toString)
+    val maxTsRow = batch.agg(max("commit_ts")).collect()(0)
+    val maxTs = if (maxTsRow.isNullAt(0)) prev.commitTs else maxTsRow.getLong(0)
+    val version = if (schemaVersion >= 0) schemaVersion else prev.schemaVersion
+    Files.writeString(metaPath,
+      s"$batchId ${math.max(maxTs, prev.commitTs)} $version true")
     true
   }
 

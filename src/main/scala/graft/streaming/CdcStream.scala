@@ -72,6 +72,57 @@ object CdcStream {
       .groupBy(session_window(col("ts"), "30 minutes"), col("pk"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** K3/S7 transport wiring: the encoded change stream in the exact
+    * (key, value, topic) contract Spark's Kafka sink requires — key and
+    * value MUST be binary (or string) columns named exactly so
+    * (ref: drainer/sync/kafka.go:200-260 produces one self-describing
+    * message per txn keyed for partition affinity; the open-protocol reader
+    * arbiter/server.go consumes the same shape). Keying by pk preserves
+    * per-key ordering through Kafka's per-partition ordering exactly like
+    * the reference's hash dispatch. */
+  def toKafkaFrame(changes: DataFrame, topic: String): DataFrame =
+    changes.select(
+      col("pk").cast("string").cast("binary").as("key"),
+      to_json(struct(col("commit_ts"), col("pk"), col("op"), col("value")))
+        .cast("binary").as("value"),
+      lit(topic).as("topic"))
+
+  /** S7 twin: decode the transport frame back to the change envelope —
+    * the exact inverse of [[toKafkaFrame]], and the same projection a
+    * `readStream.format("kafka")` source needs (its value column is binary
+    * too). */
+  def fromKafkaFrame(frame: DataFrame): DataFrame =
+    frame.select(from_json(col("value").cast("string"),
+        StructType(Seq(
+          StructField("commit_ts", LongType),
+          StructField("pk", LongType),
+          StructField("op", StringType),
+          StructField("value", DoubleType)))).as("m"))
+      .select(col("m.commit_ts").as("commit_ts"), col("m.pk").as("pk"),
+        col("m.op").as("op"), col("m.value").as("value"))
+
+  /** Start the transport: `format("kafka")` when a broker is configured —
+    * the sandbox has none, so tests pass None and the SAME frame binds to a
+    * memory sink; the plan is identical up to the sink operator. */
+  def kafkaTransport(changes: DataFrame, topic: String, checkpoint: String,
+      brokers: Option[String], queryName: String = "kafka_out"): StreamingQuery = {
+    val frame = toKafkaFrame(changes, topic)
+    brokers match {
+      case Some(b) =>
+        frame.writeStream
+          .format("kafka")
+          .option("kafka.bootstrap.servers", b)
+          .option("topic", topic)
+          .option("checkpointLocation", checkpoint)
+          .start()
+      case None =>
+        frame.writeStream
+          .format("memory").queryName(queryName)
+          .option("checkpointLocation", checkpoint)
+          .start()
+    }
+  }
+
   /** Flagship streaming path: change stream → per-batch merge-by-PK upsert
     * into the materialized state with exactly-once batch ids. */
   def applyToState(changes: DataFrame, stateRoot: String, checkpoint: String): StreamingQuery = {

@@ -18,6 +18,10 @@ class SchemaTracker(historyDepth: Int = 2) {
   case class TableInfo(schema: String, table: String, columns: Vector[String], version: Long)
 
   private var byName = Map.empty[(String, String), Vector[TableInfo]]
+  // dropped tables keep their last shape so RecoverTable can restore it
+  // (the reference gets the shape from the job's TableInfo; a FLASHBACK/
+  // RECOVER job refers to the dropped table still in the GC window)
+  private var graveyard = Map.empty[(String, String), TableInfo]
   private var currentVersion = 0L
 
   def version: Long = currentVersion
@@ -63,7 +67,43 @@ class SchemaTracker(historyDepth: Int = 2) {
 
   def dropTable(schema: String, table: String, version: Long): Unit = {
     currentVersion = version
+    current(schema, table).foreach(i => graveyard += (schema, table) -> i)
     byName -= ((schema, table))
+  }
+
+  /** RecoverTable: re-register a dropped table with its last known shape
+    * (ref: drainer/schema.go:435 — ActionRecoverTable is handled exactly
+    * like ActionCreateTable, the job carries the recovered TableInfo; here
+    * the shape comes from the drop-time graveyard). */
+  def recoverTable(schema: String, table: String, version: Long): Unit = {
+    val info = graveyard.getOrElse((schema, table),
+      throw new NoSuchElementException(s"no dropped table $schema.$table to recover"))
+    graveyard -= ((schema, table))
+    createTable(schema, table, info.columns, version)
+  }
+
+  /** CreateTables: one DDL job creating several tables at a single schema
+    * version (ref: drainer/schema.go:499-520 ActionCreateTables loops the
+    * job's MultipleTableInfos through the same CreateTable path). */
+  def createTables(tables: Seq[(String, String, Seq[String])], version: Long): Unit =
+    tables.foreach { case (schema, table, columns) =>
+      createTable(schema, table, columns, version)
+    }
+
+  /** Exchange-partition analog: the partition and the standalone table swap
+    * identities — in a name→shape catalog both entries take the other's
+    * column shape at the new version (TiDB ActionExchangeTablePartition;
+    * not handled by the reference's drainer, listed here for DDL-breadth
+    * parity with upstream TiDB). */
+  def exchangePartition(ptSchema: String, ptTable: String,
+      ntSchema: String, ntTable: String, version: Long): Unit = {
+    currentVersion = version
+    val pt = current(ptSchema, ptTable).getOrElse(
+      throw new NoSuchElementException(s"$ptSchema.$ptTable"))
+    val nt = current(ntSchema, ntTable).getOrElse(
+      throw new NoSuchElementException(s"$ntSchema.$ntTable"))
+    push((ptSchema, ptTable), pt.copy(columns = nt.columns, version = version))
+    push((ntSchema, ntTable), nt.copy(columns = pt.columns, version = version))
   }
 
   def current(schema: String, table: String): Option[TableInfo] =

@@ -40,4 +40,27 @@ class CausalitySpec extends SparkSpec {
     assert(out(4L) == 4L)
     assert(out(5L) == 5L)
   }
+
+  test("an update's old-image key bridges two otherwise-disjoint groups") {
+    import spark.implicits._
+    // pk 20 owns key 100, pk 30 owns key 200; pk 40's update moved its
+    // unique key from 100 (old image) to 200 (new image) — with old+new
+    // keys contributed (pkg/loader/model.go:473-512 getKeys) all three pks
+    // land in one group; with new-image keys only, pk 20 stays separate.
+    def keys(withOld: Boolean) = Seq(
+      (1L, 20L, Some(100L), None: Option[Long], None: Option[Long], None: Option[Long]),
+      (2L, 30L, Some(200L), None: Option[Long], None: Option[Long], None: Option[Long]),
+      (3L, 40L, Some(200L), None: Option[Long],
+        if (withOld) Some(100L) else None: Option[Long], None: Option[Long])
+    ).toDF("commit_ts", "pk", "uk1_new", "uk2_new", "uk1_old", "uk2_old")
+
+    val bridged = Causality.conflictGroupsFromKeys(keys(withOld = true))
+      .select("pk", "group_id").as[(Long, Long)].collect().toMap
+    assert(bridged(20L) == bridged(30L) && bridged(30L) == bridged(40L))
+
+    val split = Causality.conflictGroupsFromKeys(keys(withOld = false))
+      .select("pk", "group_id").as[(Long, Long)].collect().toMap
+    assert(split(30L) == split(40L))
+    assert(split(20L) != split(30L))
+  }
 }

@@ -73,6 +73,57 @@ class StreamingSpec extends SparkSpec {
     assert(shallow.atVersion("db", "t", 4).get.columns == Vector("a", "b"))
   }
 
+  test("schema tracker: recover table, multi-table create, exchange partition") {
+    val t = new SchemaTracker(historyDepth = 10)
+    // one CreateTables job registers several tables at a single version
+    // (drainer/schema.go:499 ActionCreateTables)
+    t.createTables(Seq(("db", "a", Seq("x")), ("db", "b", Seq("y", "z"))), version = 1)
+    assert(t.current("db", "a").get.columns == Vector("x"))
+    assert(t.current("db", "b").get.columns == Vector("y", "z"))
+    // drop then recover restores the dropped shape at the new version
+    // (drainer/schema.go:435 ActionRecoverTable == CreateTable path)
+    t.dropTable("db", "a", version = 2)
+    assert(t.current("db", "a").isEmpty)
+    t.recoverTable("db", "a", version = 3)
+    assert(t.current("db", "a").get.columns == Vector("x"))
+    assert(t.current("db", "a").get.version == 3)
+    intercept[NoSuchElementException] { t.recoverTable("db", "never_existed", 4) }
+    // exchange partition swaps the two shapes
+    t.exchangePartition("db", "a", "db", "b", version = 5)
+    assert(t.current("db", "a").get.columns == Vector("y", "z"))
+    assert(t.current("db", "b").get.columns == Vector("x"))
+    assert(t.version == 5)
+  }
+
+  test("checkpoint persists commitTs + schemaVersion; restart resumes by ts (K6)") {
+    val root = Files.createTempDirectory("graft_ckpt_sink").toString
+    val sink = new UpsertSink(root)
+    val all = Seq(
+      (10L, 1L, "I", 1.0), (20L, 2L, "I", 2.0), (30L, 1L, "U", 3.0),
+      (40L, 3L, "I", 4.0), (50L, 2L, "U", 5.0)
+    ).toDF("commit_ts", "pk", "op", "value")
+
+    assert(sink.applyBatch(all.filter(col("commit_ts") <= 30), 0L, schemaVersion = 7L))
+    assert(sink.lastCommitTs == 30L && sink.lastSchemaVersion == 7L)
+
+    // a fresh instance on the same root reads the durable checkpoint —
+    // the ts-addressed resume position survives the restart
+    val restarted = new UpsertSink(root)
+    assert(restarted.lastCommitTs == 30L && restarted.lastSchemaVersion == 7L)
+    val todo = all.filter(col("commit_ts") > restarted.lastCommitTs)
+    assert(todo.count() == 2)
+
+    // applying the remainder advances the checkpoint monotonically and
+    // keeps the schema version when the batch carries none
+    assert(restarted.applyBatch(todo, 1L))
+    assert(restarted.lastCommitTs == 50L && restarted.lastSchemaVersion == 7L)
+    assert(restarted.lastCommitted == 1L)
+
+    // an empty batch must not regress the commit ts
+    assert(restarted.applyBatch(all.filter(col("commit_ts") > 99), 2L))
+    assert(restarted.lastCommitTs == 50L)
+  }
+
   /** Stage the single events parquet file into a directory for the file
     * stream source (it requires a directory basePath). */
   private def stageEventsDir(): String = {
