@@ -58,6 +58,7 @@ object SparkEntry {
     "t7_default_fill"  -> ((s, d) => Transforms.defaultFill(s, d)),
     "t8_update_images" -> ((s, d) => Transforms.updateImages(s, d)),
     "t9_seq_restore"   -> ((s, d) => Transforms.sequenceRestore(s, d)),
+    "t9_interleave"    -> ((s, d) => Transforms.seqInterleave(s, d)),
     "m9_value_format"  -> ((s, d) => Transforms.valueFormat(s, d)),
     // -- MySQL type-domain fidelity (SURVEY §1.3, §2.4) --
     "m9_decimal38"     -> ((s, d) => TypeDomain.decimal38(s, d)),
@@ -142,6 +143,7 @@ object SparkEntry {
     "t7_default_fill"   -> Transforms.defaultFillSql,
     "t8_update_images"  -> Transforms.updateImagesSql,
     "t9_seq_restore"    -> Transforms.sequenceRestoreSql,
+    "t9_interleave"     -> Transforms.seqInterleaveSql,
     "m9_value_format"   -> Transforms.valueFormatSql,
     "m9_decimal38"      -> TypeDomain.decimal38Sql,
     "m9_unsigned_bit"   -> TypeDomain.unsignedBitSql,

@@ -47,6 +47,63 @@ object Transforms {
        |  commit_ts, op, event_type
        |FROM c""".stripMargin
 
+  /** T9 (full form): intra-transaction mutation re-interleave
+    * (ref: drainer/translator/sequence_iterator.go:36-61 — a TableMutation
+    * carries type-segregated row arrays (InsertedRows/UpdatedRows/
+    * DeletedRows) plus a `Sequence` array of mutation types in original
+    * statement order; `next()` walks Sequence and pops the head of the
+    * matching array).
+    *
+    * The iterator's cursor state is expressed relationally: a sequence
+    * entry's array index is its within-(txn, op) occurrence rank. So the
+    * restore is two window ranks + one join —
+    *  - arrays side: (txn, op, op_idx → payload), op_idx = append order;
+    *  - sequence side: (txn, seq_idx, op), rank = row_number over
+    *    (txn, op) ordered by seq_idx;
+    *  - equi-join on (txn, op, idx) recovers the payload at each statement
+    *    position.
+    * Both windows and the join hash on txn_id first, so at scale this is
+    * one exchange by txn reused across all three operators, and no txn's
+    * data ever leaves its partition — wide transactions stay intact. */
+  def seqInterleave(spark: SparkSession, dir: String): DataFrame = {
+    val c = Cdc.changes(spark, dir)
+      .withColumn("txn_id", floor(col("commit_ts") / 10).cast("long"))
+    // wire format: type-segregated payload arrays, appended in commit order
+    val arrays = c
+      .withColumn("op_idx",
+        row_number().over(Window.partitionBy("txn_id", "op").orderBy("commit_ts")))
+      .select("txn_id", "op", "op_idx", "commit_ts", "value")
+    // the Sequence: only the mutation type at each statement position
+    val sequence = c
+      .withColumn("seq_idx",
+        row_number().over(Window.partitionBy("txn_id").orderBy("commit_ts")))
+      .select("txn_id", "seq_idx", "op")
+    // the iterator: within-op rank along the sequence = array cursor
+    val cursor = sequence.withColumn("op_idx",
+      row_number().over(Window.partitionBy("txn_id", "op").orderBy("seq_idx")))
+    cursor.join(arrays, Seq("txn_id", "op", "op_idx"))
+      .select("txn_id", "seq_idx", "op", "commit_ts", "value")
+  }
+
+  def seqInterleaveSql: String =
+    s"""WITH c AS (SELECT t.*, CAST(floor(commit_ts / 10) AS BIGINT) AS txn_id
+       |           FROM (${Cdc.changesCte}) t),
+       |arrays AS (
+       |  SELECT txn_id, op,
+       |    row_number() OVER (PARTITION BY txn_id, op ORDER BY commit_ts) AS op_idx,
+       |    commit_ts, value
+       |  FROM c),
+       |seq AS (
+       |  SELECT txn_id, op,
+       |    row_number() OVER (PARTITION BY txn_id ORDER BY commit_ts) AS seq_idx
+       |  FROM c),
+       |cursor AS (
+       |  SELECT txn_id, op, seq_idx,
+       |    row_number() OVER (PARTITION BY txn_id, op ORDER BY seq_idx) AS op_idx
+       |  FROM seq)
+       |SELECT s.txn_id, s.seq_idx, s.op, a.commit_ts, a.value
+       |FROM cursor s JOIN arrays a USING (txn_id, op, op_idx)""".stripMargin
+
   /** M9: value formatting (ref: drainer/translator/mysql.go:252-294 —
     * decimal/time → string, numeric fidelity for the downstream driver).
     * Pure projection, codegen'd expressions. */

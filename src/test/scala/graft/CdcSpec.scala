@@ -66,4 +66,19 @@ class CdcSpec extends SparkSpec {
     val df = Filters.repeatedSkip(spark, sf)
     assert(df.count() == df.select("commit_ts").distinct().count())
   }
+
+  test("intra-txn re-interleave reconstructs original statement order") {
+    // the payload recovered at statement position seq_idx must be the
+    // seq_idx-th event of that txn in commit order — i.e. the join over
+    // (txn, op, within-op rank) inverts the type segregation exactly
+    val restored = Transforms.seqInterleave(spark, sf)
+    val expected = Cdc.changes(spark, sf)
+      .withColumn("txn_id", floor(col("commit_ts") / 10).cast("long"))
+      .withColumn("seq_idx", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("txn_id").orderBy("commit_ts")))
+      .select("txn_id", "seq_idx", "op", "commit_ts", "value")
+    assert(restored.count() == expected.count())
+    assert(restored.exceptAll(expected).isEmpty && expected.exceptAll(restored).isEmpty)
+  }
 }
