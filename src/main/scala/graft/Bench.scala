@@ -16,6 +16,14 @@ object Bench {
     Seq("lineitem", "documents", "events").foreach { t =>
       graft.model.Tables.table(spark, sfDir, t).count()
     }
+    // also compile the shared lexical scan stages (tokenize/md5/explode) once:
+    // they are identical sub-plans across the whole dedup/text family, and
+    // whichever family query happens to run first would otherwise absorb
+    // ~2s of one-time whole-stage-codegen compile that is not that
+    // operator's cost. Steady-state per-query times are what the bench
+    // compares; total wall time is unchanged (the work moves into warmup).
+    graft.dedup.Dedup.docShingles(spark, sfDir).count()
+    graft.dedup.Dedup.simhash64(spark, sfDir).count()
     // a failed query is recorded as an error, never as a fast time — the
     // bench must not silently shrink when a query breaks
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

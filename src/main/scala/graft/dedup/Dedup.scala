@@ -268,18 +268,35 @@ object Dedup {
     * billions of docs the 32-bit space itself saturates and equal-fp groups
     * go quadratic. */
   def simhash64(spark: SparkSession, dir: String): DataFrame = {
+    // Per-bit set-counts packed 4-to-a-long in 16-bit lanes: 16 narrow sum
+    // aggregates instead of 64 CASE sums. The ±1 vote sum s_b = 2·c_b − n,
+    // so "s_b > 0" ⟺ "2·c_b > n" with c_b = count of tokens setting bit b
+    // and n = token count — same fingerprint, but the aggregate buffer is
+    // 16+1 longs (hash-aggregate row of ~136 B instead of ~520 B) and each
+    // update term is a shift-and-mask, not a branch. Packing bound: the top
+    // lane is shifted by 48, so the running sum stays below the long sign
+    // bit for counts < 2^15 = 32768 distinct tokens per document — an order
+    // of magnitude above real web documents (a pipeline ingesting larger
+    // blobs would pre-truncate or fall back to the unpacked 64-sum form).
+    // The DuckDB oracle keeps the direct 64-CASE formulation — only the
+    // output is compared.
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(array_distinct(Lex.toks(col("text")))).as("tok"))
       .select(col("doc_id"), Lex.hex8(col("tok")).as("h1"), Lex.hex8b(col("tok")).as("h2"))
-    val sums =
-      (0 until 32).map(b =>
-        sum(when((col("h1").bitwiseAND(lit(1L << b))) > 0, 1).otherwise(-1)).as(s"a$b")) ++
-      (0 until 32).map(b =>
-        sum(when((col("h2").bitwiseAND(lit(1L << b))) > 0, 1).otherwise(-1)).as(s"b$b"))
-    val agg = tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-    def fold(prefix: String) = (0 until 32)
-      .map(b => when(col(s"$prefix$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
+    def packed(h: Column, prefix: String): Seq[Column] =
+      (0 until 8).map { k =>
+        val term = (0 until 4).map { l =>
+          shiftright(h, 4 * k + l).bitwiseAND(lit(1L)) * lit(1L << (16 * l))
+        }.reduce(_ + _)
+        sum(term).as(s"$prefix$k")
+      }
+    val agg = tok.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        (packed(col("h1"), "a") ++ packed(col("h2"), "b")): _*)
+    def fold(prefix: String) = (0 until 32).map { b =>
+      val cnt = shiftright(col(s"$prefix${b / 4}"), 16 * (b % 4)).bitwiseAND(lit(65535L))
+      when(cnt * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
     agg.select(col("doc_id"), fold("a").as("fp_lo"), fold("b").as("fp_hi"))
   }
 

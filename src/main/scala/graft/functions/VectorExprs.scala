@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** Native codegen'd dot product of two `array<float>` columns, accumulated
+  * in double in element order — bit-identical to the declarative
+  * `aggregate(zip_with(a, b, (x, y) => x*y), 0.0, _+_)` fold (same IEEE op
+  * sequence) and to DuckDB's `list_sum(list_transform(list_zip(...)))`, but
+  * one tight loop instead of an interpreted lambda tree with two
+  * intermediate arrays per row. Higher-order functions are CodegenFallback
+  * in Spark, so on pair-join hot paths (ANN verify, IVF assignment) the
+  * declarative form dominates the profile; this expression keeps the loop
+  * inside whole-stage codegen.
+  */
+case class DotProd(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_prod expects array<float> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Native sign-LSH key: bit p of the result is set iff the dot product of
+  * the `array<float>` child with hyperplane p is strictly positive. One
+  * expression evaluates ALL planes of a hash table in a single pass over
+  * the vector — the declarative equivalent (one interpreted HOF fold per
+  * plane, summed through a `when` chain) re-reads the vector `planes` times
+  * per row and runs interpreted; with 6 tables × 16 planes that was the
+  * dominant cost of the embedding near-dup query. Each per-plane
+  * accumulation is element-ordered double math, so the sign (and therefore
+  * the key) is bit-identical to the fold and to the DuckDB oracle SQL.
+  *
+  * The plane matrix rides along as a reference object (literal weights from
+  * [[graft.text.Lex]]), not as child expressions — constant folding over
+  * 16×64 literal arrays per row is exactly the overhead this avoids.
+  */
+case class PlaneKey(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"plane_key expects array<float>, got $t")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var key = 0L
+    var p = 0
+    while (p < planes.length) {
+      val w = planes(p)
+      val n = math.min(x.numElements(), w.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += x.getFloat(i).toDouble * w(i); i += 1 }
+      if (dot > 0) key |= 1L << p
+      p += 1
+    }
+    key
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val key = ctx.freshName("key")
+      val w = ctx.freshName("w")
+      s"""
+         |long $key = 0L;
+         |for (int $p = 0; $p < $mat.length; $p++) {
+         |  double[] $w = $mat[$p];
+         |  int $n = java.lang.Math.min($a.numElements(), $w.length);
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (double) $a.getFloat($i) * $w[$i];
+         |  }
+         |  if ($dot > 0) $key |= 1L << $p;
+         |}
+         |${ev.value} = $key;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object VectorExprs {
+  /** `dot_prod(a, b)`: element-ordered double dot of two float vectors. */
+  def dot_prod(a: Column, b: Column): Column =
+    graftshim.exprColumn(DotProd(graftshim.columnExpr(a), graftshim.columnExpr(b)))
+
+  /** `plane_key(v, planes)`: sign-LSH bucket key over a hyperplane table. */
+  def plane_key(v: Column, planes: Seq[Seq[Long]]): Column =
+    graftshim.exprColumn(PlaneKey(graftshim.columnExpr(v),
+      planes.map(_.map(_.toDouble).toArray).toArray))
+}

@@ -103,17 +103,24 @@ object Causality {
     * own singleton component, so per-iteration cost is proportional to the
     * conflict/near-dup subgraph, not the corpus — which is what makes the
     * fixpoint loop viable at 100 TB. Lineage is cut per round with an eager
-    * local checkpoint; rounds are bounded by component diameter.
-    */
+    * local checkpoint.
+    *
+    * The initial labels come from one aggregate over the edge list
+    * (label₀ = min(node, neighbors)) — the first propagation round fused
+    * into initialization, so there is no separate distinct-nodes pass and
+    * the loop starts one round ahead. Each loop round is one edge join +
+    * one aggregate; the old label rides along into the materialized frame
+    * so the convergence check is a plain filter over the checkpoint, not a
+    * second join-shuffle. (A pointer-jumping variant was measured and
+    * rejected: conflict/near-dup components have tiny diameters, so the
+    * extra per-round join costs more than the rounds it saves.) */
   def connectedComponents(edges: DataFrame): DataFrame = {
-    val nodes = edges.select(col("src").as("node")).distinct()
-    var labels = nodes.select(col("node"), col("node").as("label"))
+    // round 0 fused into init: label = min(self, direct neighbors)
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
-      // one join + one aggregate per round; the old label rides along into
-      // the materialized frame so the convergence check is a plain filter
-      // over the checkpoint — not a second join-shuffle per round
       val minNbr = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(edges("src").as("node")).agg(min("label").as("nbr"))
       val next = labels

@@ -24,10 +24,11 @@ import graft.text.Lex
   */
 object Similarity {
 
-  /** Sequential-order dot product of two array<float> columns in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Sequential-order dot product of two array<float> columns in double —
+    * the native codegen'd [[graft.functions.DotProd]] loop (the declarative
+    * `aggregate(zip_with(...))` twin is interpreted per row; FunctionsSpec
+    * pins their equality). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dot_prod(a, b)
 
   def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
@@ -67,14 +68,11 @@ object Similarity {
   /** Sign-LSH bucket id per vector: 8 integer hyperplanes (shared literals
     * from [[Lex.lshWeights]]), bucket = Σ (dot>0) << plane. Pure map — no
     * shuffle; bucketing 100 TB of vectors is a single scan. */
-  def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = (0 until Lex.LshPlanes).map { p =>
-      val w = array(Lex.lshWeights(p).map(v => lit(v.toDouble)): _*)
-      when(dot(col("embedding"), w) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), bucket.as("bucket"))
-  }
+      .select(col("vec_id"), col("label"),
+        graft.functions.VectorExprs.plane_key(col("embedding"), Lex.lshWeights)
+          .as("bucket"))
 
   def lshBucketsSql: String = {
     val bucket = (0 until Lex.LshPlanes).map { p =>
@@ -102,14 +100,12 @@ object Similarity {
     * per true pair is at most the table count. */
   def lshNearDup(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
     val tableKeys = (0 until Lex.NearDupTables).map { t =>
-      val key = (0 until Lex.NearDupPlanes).map { p =>
-        val w = array(Lex.nearDupWeights(t * Lex.NearDupPlanes + p)
-          .map(v => lit(v.toDouble)): _*)
-        when(dot(col("embedding"), w) > 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
+      val key = graft.functions.VectorExprs.plane_key(col("embedding"),
+        (0 until Lex.NearDupPlanes).map(p => Lex.nearDupWeights(t * Lex.NearDupPlanes + p)))
       struct(lit(t).as("tbl"), key.as("bkt"))
     }
-    // the 96 hyperplane dot products are computed exactly once per vector
+    // the 96 hyperplane dot products run in 6 native single-pass loops
+    // (one per table, codegen'd PlaneKey), computed exactly once per vector
     // (one scan), then materialized: the keyed frame feeds the occupancy
     // census and both self-join sides
     val keyed = Tables.embeddings(spark, dir)

@@ -9,16 +9,51 @@ import graft.sim.Similarity
 class FunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  /** The interpreted HOF fold the native expressions replace — kept here as
+    * the parity twin: element-ordered double accumulation. */
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
   test("native CosineSim == declarative aggregate/zip_with formula, bit-exact") {
     val e = graft.model.Tables.embeddings(spark, sf).limit(200)
     val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .limit(5000)
       .select(
         cosine_sim(col("a.embedding"), col("b.embedding")).as("native"),
-        (Similarity.dot(col("a.embedding"), col("b.embedding")) /
-          (Similarity.norm(col("a.embedding")) * Similarity.norm(col("b.embedding"))))
+        (hofDot(col("a.embedding"), col("b.embedding")) /
+          (sqrt(hofDot(col("a.embedding"), col("a.embedding"))) *
+            sqrt(hofDot(col("b.embedding"), col("b.embedding")))))
           .as("declarative"))
     assert(pairs.filter(col("native") =!= col("declarative")).count() == 0)
+  }
+
+  test("native DotProd == interpreted fold, bit-exact over the corpus") {
+    val e = graft.model.Tables.embeddings(spark, sf).limit(500)
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .limit(5000)
+      .select(
+        Similarity.dot(col("a.embedding"), col("b.embedding")).as("native"),
+        hofDot(col("a.embedding"), col("b.embedding")).as("hof"))
+    assert(pairs.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("native PlaneKey == per-plane when-chain over the fold, all tables") {
+    import graft.text.Lex
+    val e = graft.model.Tables.embeddings(spark, sf).limit(500)
+    (0 until Lex.NearDupTables).foreach { t =>
+      val planes = (0 until Lex.NearDupPlanes)
+        .map(p => Lex.nearDupWeights(t * Lex.NearDupPlanes + p))
+      val declarative = planes.zipWithIndex.map { case (pw, p) =>
+        val w = array(pw.map(v => lit(v.toDouble)): _*)
+        when(hofDot(col("embedding"), w) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val diff = e.select(
+        graft.functions.VectorExprs.plane_key(col("embedding"), planes).as("native"),
+        declarative.as("decl"))
+        .filter(col("native") =!= col("decl"))
+      assert(diff.count() == 0, s"table $t keys diverge")
+    }
   }
 
   test("CosineSim evaluates under codegen and interpreted modes identically") {
