@@ -225,9 +225,9 @@ object Dedup {
   def lshClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashLsh(spark, dir)
     val half = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // connectedComponents repartitions + materializes the edges itself
     val edges = half.unionByName(
         half.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
     graft.ops.Causality.connectedComponents(edges)
       .select(col("node").as("doc_id"), col("label").as("canonical_id"))
   }

@@ -83,9 +83,10 @@ object Causality {
         .select(col("pk").as("src"), col(c).as("dst")))
       .reduce(_ unionByName _)
       .distinct()
+    // no checkpoint here: connectedComponents repartitions and materializes
+    // the edge list itself (keyed on its per-round join key)
     val edges = half.unionByName(
       half.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
 
     val labels = connectedComponents(edges)
 
@@ -115,20 +116,28 @@ object Causality {
     * rejected: conflict/near-dup components have tiny diameters, so the
     * extra per-round join costs more than the rounds it saves.) */
   def connectedComponents(edges: DataFrame): DataFrame = {
+    // Partition the edge list by the join key ONCE: every round joins on
+    // edges.dst, and a hash-partitioned, materialized edge frame satisfies
+    // that join's distribution requirement, so only the (node-sized) label
+    // frame shuffles per round. At scale the edge list is the big side —
+    // shuffling it once instead of once per round is the difference between
+    // O(E) and O(E · rounds) network traffic.
+    val e = edges.repartition(col("dst")).localCheckpoint(true)
     // round 0 fused into init: label = min(self, direct neighbors)
-    var labels = edges.groupBy(col("src").as("node"))
+    var labels = e.groupBy(col("src").as("node"))
       .agg(least(col("src"), min(col("dst"))).as("label"))
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
-      val minNbr = edges.join(labels, edges("dst") === labels("node"))
-        .groupBy(edges("src").as("node")).agg(min("label").as("nbr"))
+      val minNbr = e.join(labels, e("dst") === labels("node"))
+        .groupBy(e("src").as("node")).agg(min("label").as("nbr"))
       val next = labels
         .join(minNbr, Seq("node"), "left")
         .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
         .localCheckpoint(true)
       changed = next.filter(col("label") =!= col("old")).count()
+      if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"CC round changed=$changed")
       labels = next.select("node", "label")
     }
     labels
