@@ -102,6 +102,9 @@ object SparkEntry {
     // -- similarity search --
     "ann_topk_cosine"     -> ((s, d) => Similarity.annTopK(s, d)),
     "ann_ivf_topk"        -> ((s, d) => Similarity.ivfTopK(s, d)),
+    // rows-only check: Lloyd-trained means are float-sum-order sensitive,
+    // so no cross-engine hash oracle exists; recall is spec-asserted
+    "ann_ivf_trained"     -> ((s, d) => Similarity.ivfTopKTrained(s, d)),
     "ann_lsh_buckets"     -> ((s, d) => Similarity.lshBuckets(s, d)),
     "ann_lsh_near_dup"    -> ((s, d) => Similarity.lshNearDup(s, d)),
     // -- text analysis --

@@ -128,14 +128,65 @@ object Similarity {
       .distinct()
   }
 
+  /** Lloyd k-means training for IVF cells, expressed as DataFrame rounds:
+    * assignment = broadcast-centroid join reduced by a `max_by` hash
+    * aggregate (the same narrow argmax shape as [[ivfTopK]]); update =
+    * per-dimension mean via `posexplode` + one (cent_id, pos) aggregate,
+    * re-assembled into a vector with a sorted collect over ≤ k×dim rows.
+    * Per round that is one broadcast join + two shuffles of narrow rows —
+    * no driver-side data movement beyond the k×dim centroid collect that
+    * the broadcast itself performs, so the same plan trains on 100 TB (at
+    * that scale one would train on a deterministic sample; the round shape
+    * is unchanged). Initialization is the deterministic id-prefix subset,
+    * so training is reproducible run-to-run up to float-sum ordering.
+    * Assignment uses cosine (the serving metric), i.e. spherical k-means:
+    * means are computed on raw vectors and re-normalized by the cosine in
+    * the next assignment round. Empty cells keep their previous centroid. */
+  def trainCentroids(spark: SparkSession, dir: String, nCells: Int = 8,
+      iters: Int = 3): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    var cents = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      .localCheckpoint(true)
+    (0 until iters).foreach { _ =>
+      val cn = cents.withColumn("cn", norm(col("ce")))
+      val assignment = e.join(broadcast(cn))
+        .withColumn("ccos", dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+        .select("vec_id", "cent_id", "ccos")
+        .groupBy("vec_id")
+        .agg(max_by(col("cent_id"), col("ccos")).as("cent_id"))
+      val means = e.join(assignment, "vec_id")
+        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cent_id", "pos").agg(avg("v").as("m"))
+        .groupBy("cent_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m").cast("float")).as("ce"))
+      // a cell that captured no vectors keeps its previous centroid
+      val kept = cents.join(means, Seq("cent_id"), "left_anti")
+      cents = means.unionByName(kept).localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** [[ivfTopK]] with Lloyd-trained cells instead of the id-prefix
+    * stand-in. Not oracle-checked (k-means means are float-sum-order
+    * sensitive, so no cross-engine hash can be pinned); LlmOpsSpec instead
+    * asserts recall against the exact brute-force top-k. */
+  def ivfTopKTrained(spark: SparkSession, dir: String, k: Int = 5,
+      nCells: Int = 8, nProbe: Int = 2, iters: Int = 3): DataFrame = {
+    val cents = trainCentroids(spark, dir, nCells, iters)
+      .select(col("cent_id"), col("ce"), norm(col("ce")).as("cn"))
+    ivfSearch(spark, dir, cents, k, nProbe)
+  }
+
   /** IVF (inverted-file) ANN — the other classic scale path: vectors are
     * partitioned into cells by nearest centroid; a query probes only the
     * `nProbe` closest cells, so search cost is corpus/cells × nProbe instead
     * of the full corpus. Centroids here are a fixed deterministic subset
-    * (vec_id < nCells) standing in for trained k-means centers (TODO at
-    * production scale: train with a distributed k-means — e.g. a few
-    * Lloyd iterations over a sample — instead of the id-prefix stand-in),
-    * so both engines share them.
+    * (vec_id < nCells): the oracle-checked variant must share bit-exact
+    * centroids with DuckDB, which trained means cannot guarantee (see
+    * [[ivfTopKTrained]] for the Lloyd-trained variant).
     *
     * Assignment is a broadcast of the tiny centroid set against one corpus
     * scan, reduced by a `max_by` HASH aggregate over the NARROW
@@ -158,6 +209,15 @@ object Similarity {
     val e = Tables.embeddings(spark, dir).withColumn("nrm", norm(col("embedding")))
     val cents = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    ivfSearch(spark, dir, cents, k, nProbe)
+  }
+
+  /** Shared IVF search against an arbitrary (cent_id, ce, cn) centroid set:
+    * broadcast assignment via narrow max_by argmax, probe the nProbe
+    * closest cells per query, exact cosine rank within the probed cells. */
+  private def ivfSearch(spark: SparkSession, dir: String, cents: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir).withColumn("nrm", norm(col("embedding")))
     val assignment = e.join(broadcast(cents))
       .withColumn("ccos", dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
       .select("vec_id", "cent_id", "ccos")

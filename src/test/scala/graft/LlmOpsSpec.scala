@@ -56,6 +56,28 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("trained IVF: Lloyd rounds produce k cells and beat-or-match id-prefix recall") {
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      // annTopK queries vec_id < 10; IVF queries 10..14 — brute force over 15
+      val brute = Similarity.annTopK(spark, sf, nQueries = 15)
+        .filter(col("query_id") >= 10)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      val got = df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      if (brute.isEmpty) 1.0 else got.intersect(brute).size.toDouble / brute.size
+    }
+    val cents = Similarity.trainCentroids(spark, sf, nCells = 8, iters = 2)
+    assert(cents.count() == 8, "every cell survives training (empty cells keep old centroid)")
+    assert(cents.select("ce").as[Array[Float]].collect().forall(_.length == Lex.EmbeddingDim))
+    val trained = Similarity.ivfTopKTrained(spark, sf, iters = 2)
+    val ranks = trained.groupBy("query_id").count().collect()
+    assert(ranks.nonEmpty && ranks.forall(_.getLong(1) <= 5))
+    val rTrained = recallOf(trained)
+    val rPrefix = recallOf(Similarity.ivfTopK(spark, sf))
+    assert(rTrained >= 0.4, s"trained IVF recall $rTrained collapsed")
+    assert(rTrained >= rPrefix - 0.2,
+      s"trained recall $rTrained far below id-prefix stand-in $rPrefix")
+  }
+
   test("lsh buckets are stable and in range") {
     val b = Similarity.lshBuckets(spark, sf)
     assert(b.filter(col("bucket") < 0 || col("bucket") > 255).count() == 0)
