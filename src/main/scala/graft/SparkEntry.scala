@@ -99,6 +99,8 @@ object SparkEntry {
     "dedup_simhash_near"  -> ((s, d) => Dedup.simhashNear(s, d)),
     "corpus_curate"       -> ((s, d) => TextOps.curateCorpus(s, d)),
     "text_ngram_freq"     -> ((s, d) => TextOps.ngramFreq(s, d)),
+    "text_tfidf"          -> ((s, d) => TextOps.tfidf(s, d)),
+    "text_bm25"           -> ((s, d) => TextOps.bm25(s, d)),
     // -- similarity search --
     "ann_topk_cosine"     -> ((s, d) => Similarity.annTopK(s, d)),
     "ann_ivf_topk"        -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -184,6 +186,8 @@ object SparkEntry {
     "dedup_simhash_near"   -> Dedup.simhashNearSql,
     "corpus_curate"        -> TextOps.curateCorpusSql,
     "text_ngram_freq"      -> TextOps.ngramFreqSql,
+    "text_tfidf"           -> TextOps.tfidfSql,
+    "text_bm25"            -> TextOps.bm25Sql(),
     "ann_topk_cosine"      -> Similarity.annTopKSql(),
     "ann_ivf_topk"         -> Similarity.ivfTopKSql(),
     "ann_lsh_buckets"      -> Similarity.lshBucketsSql,

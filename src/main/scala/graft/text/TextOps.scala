@@ -206,6 +206,128 @@ object TextOps {
        |SELECT doc_id, lang, n_tokens FROM q
        |WHERE quality_ok AND doc_id IN (SELECT keep_id FROM canon)""".stripMargin
 
+  /** TF-IDF: per document, the top-3 terms by tf·ln(N/df) — the classic
+    * relevance weighting, shuffle-shaped like an inverted index: one
+    * (doc, term) aggregate for tf, one term-keyed aggregate for df (the
+    * tf frame is already distinct per (doc, term), so df is a plain
+    * count), one join keyed on term, one per-doc top-k window. All score
+    * inputs are integers (tf, df, N), so both engines feed identical
+    * doubles into ln; the rounded score is what ranks and what ships.
+    * At scale every stage partitions by doc or term — no global state. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Lex.toks(col("text"))).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).select(countDistinct("doc_id").as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
+    tf.join(df, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "tok", "tfidf")
+  }
+
+  def tfidfSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${Lex.toksSql("text")}) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.tok,
+       |    round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 4) AS tfidf
+       |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+       |SELECT doc_id, rank, tok, tfidf FROM (
+       |  SELECT doc_id, tok, tfidf,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rank
+       |  FROM scored)
+       |WHERE rank <= 3""".stripMargin
+
+  /** BM25 query scoring: Okapi BM25 (k1 = 1.2, b = 0.75) of every document
+    * against a fixed conjunctive query, top-20 by score. Per query term the
+    * component is idf·tf·(k1+1)/(tf + k1·(1−b+b·len/avgdl)) with
+    * idf = ln(1 + (N−df+0.5)/(df+0.5)); the per-document total is a
+    * FIXED-ORDER sum of the (≤3) term components — written as conditional
+    * aggregates added left-to-right, never a float `sum()` whose
+    * accumulation order the shuffle would choose — so both engines run the
+    * identical IEEE op sequence. avgdl divides two integer totals, exact in
+    * both. Global top-k is orderBy+limit (TakeOrdered — distributed partial
+    * top-k per partition, no single-partition window), rank attached on the
+    * 20 surviving rows. */
+  /** Default BM25 query — terms present in the synthetic corpus. */
+  val Bm25Query: Seq[String] = Seq("data", "vector", "stream")
+
+  def bm25(spark: SparkSession, dir: String,
+      query: Seq[String] = Bm25Query, topK: Int = 20): DataFrame = {
+    val k1 = 1.2; val b = 0.75
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), Lex.toks(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("len"))
+    val toks = docs.select(col("doc_id"), col("len"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(query: _*))
+    val tf = toks.groupBy("doc_id", "len", "tok").agg(count(lit(1)).as("tf"))
+    val dfN = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum("len").as("sum_len"))
+    val comp = tf.join(broadcast(dfN), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_len").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("comp",
+        // k1+1 is written as the literal 2.2 (not computed): the Scala-time
+        // sum 1.2+1.0 and the SQL parser's literal 2.2 could land on
+        // different last-bit doubles; a shared literal cannot
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / col("avgdl"))))
+    // fixed-order total: one conditional max per query term, added in query
+    // order (each (doc, term) appears at most once, so max = the component)
+    val termCols = query.map(t =>
+      coalesce(max(when(col("tok") === t, col("comp"))), lit(0.0)))
+    val total = comp.groupBy("doc_id")
+      .agg(termCols.reduceLeft(_ + _).as("raw"))
+      .select(col("doc_id"), round(col("raw"), 4).as("bm25"))
+    val top = total.orderBy(col("bm25").desc, col("doc_id")).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select("doc_id", "rank", "bm25")
+  }
+
+  def bm25Sql(query: Seq[String] = Bm25Query, topK: Int = 20): String = {
+    val comps = query.map(t =>
+      s"coalesce(max(CASE WHEN tok = '$t' THEN comp END), 0.0)")
+      .mkString("\n      + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, ${Lex.toksSql("text")} AS toks FROM documents),
+       |docs AS (SELECT doc_id, len(toks) AS len, toks FROM d),
+       |toks AS (
+       |  SELECT doc_id, len, unnest(toks) AS tok FROM docs),
+       |tf AS (
+       |  SELECT doc_id, len, tok, count(*) AS tf FROM toks
+       |  WHERE tok IN (${query.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY 1, 2, 3),
+       |dfn AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs, sum(len) AS sum_len FROM docs),
+       |comp AS (
+       |  SELECT tf.doc_id, tf.tok,
+       |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |      * (tf.tf * 2.2)
+       |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.len / (CAST(sum_len AS DOUBLE) / n_docs)))
+       |      AS comp
+       |  FROM tf JOIN dfn USING (tok) CROSS JOIN stats),
+       |total AS (
+       |  SELECT doc_id, round($comps, 4) AS bm25
+       |  FROM comp GROUP BY doc_id),
+       |top AS (SELECT doc_id, bm25 FROM total ORDER BY bm25 DESC, doc_id LIMIT $topK)
+       |SELECT doc_id,
+       |  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank, bm25
+       |FROM top""".stripMargin
+  }
+
   /** Multimodal column plumbing: the text payload stands in for an opaque
     * binary blob (image/audio); metadata extraction and a deterministic
     * fake "decode" run over the bytes. The real decode stub lives in

@@ -78,6 +78,22 @@ class LlmOpsSpec extends SparkSpec {
       s"trained recall $rTrained far below id-prefix stand-in $rPrefix")
   }
 
+  test("tfidf ranks are dense per doc; bm25 top-k is rank-ordered and query-bounded") {
+    val tf = TextOps.tfidf(spark, sf)
+    val badRanks = tf.groupBy("doc_id")
+      .agg(collect_list("rank").as("rs"))
+      .filter(size(col("rs")) > 3)
+    assert(badRanks.count() == 0)
+    val bm = TextOps.bm25(spark, sf).collect()
+    assert(bm.nonEmpty && bm.length <= 20)
+    val sorted = bm.sortBy(_.getAs[Long]("rank"))
+    val scores = sorted.map(_.getAs[Double]("bm25"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "bm25 must not increase with rank")
+    // a doc containing none of the query terms can only appear with score 0
+    assert(scores.forall(_ >= 0.0))
+  }
+
   test("lsh buckets are stable and in range") {
     val b = Similarity.lshBuckets(spark, sf)
     assert(b.filter(col("bucket") < 0 || col("bucket") > 255).count() == 0)
