@@ -101,6 +101,8 @@ object SparkEntry {
     "text_ngram_freq"     -> ((s, d) => TextOps.ngramFreq(s, d)),
     "text_tfidf"          -> ((s, d) => TextOps.tfidf(s, d)),
     "text_bm25"           -> ((s, d) => TextOps.bm25(s, d)),
+    "text_repetition"     -> ((s, d) => TextOps.repetition(s, d)),
+    "pack_chunks"         -> ((s, d) => TextOps.packChunks(s, d)),
     // -- similarity search --
     "ann_topk_cosine"     -> ((s, d) => Similarity.annTopK(s, d)),
     "ann_ivf_topk"        -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -188,6 +190,8 @@ object SparkEntry {
     "text_ngram_freq"      -> TextOps.ngramFreqSql,
     "text_tfidf"           -> TextOps.tfidfSql,
     "text_bm25"            -> TextOps.bm25Sql(),
+    "text_repetition"      -> TextOps.repetitionSql(),
+    "pack_chunks"          -> TextOps.packChunksSql(),
     "ann_topk_cosine"      -> Similarity.annTopKSql(),
     "ann_ivf_topk"         -> Similarity.ivfTopKSql(),
     "ann_lsh_buckets"      -> Similarity.lshBucketsSql,

@@ -328,6 +328,79 @@ object TextOps {
        |FROM top""".stripMargin
   }
 
+  /** Repetition detection (the Gopher-style quality rule): per document,
+    * the fraction of all 3-gram occurrences taken by the single most
+    * repeated 3-gram. Boilerplate/template text concentrates mass in one
+    * shingle; rep_ratio above ~0.2 is a standard drop signal. Two
+    * aggregates keyed by doc (one through (doc, shingle)) — inverted-index
+    * shuffle shape, no skew (keys are doc-scoped). Documents too short for
+    * any shingle keep ratio 0. */
+  def repetition(spark: SparkSession, dir: String, flagAt: Double = 0.2): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Lex.shingles(Lex.toks(col("text")))).as("sh"))
+    val perSh = sh.groupBy("doc_id", "sh").agg(count(lit(1)).as("n"))
+    val perDoc = perSh.groupBy("doc_id")
+      .agg(sum("n").as("n_sh"), max("n").as("max_sh"))
+      .select(col("doc_id"),
+        round(col("max_sh").cast("double") / col("n_sh"), 4).as("rep_ratio"))
+    Tables.documents(spark, dir).select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep_ratio"), lit(0.0)).as("rep_ratio"))
+      .withColumn("repetitive", col("rep_ratio") > flagAt)
+  }
+
+  def repetitionSql(flagAt: Double = 0.2): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(${Lex.shinglesSql(Lex.toksSql("text"))}) AS sh
+       |  FROM documents),
+       |per_sh AS (SELECT doc_id, sh, count(*) AS n FROM sh GROUP BY 1, 2),
+       |per_doc AS (
+       |  SELECT doc_id, round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS rep_ratio
+       |  FROM per_sh GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(p.rep_ratio, 0.0) AS rep_ratio,
+       |  coalesce(p.rep_ratio, 0.0) > $flagAt AS repetitive
+       |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin
+
+  /** Token-budget sequence packing — the concat-then-chunk step that turns
+    * a curated corpus into fixed-size training sequences: within each
+    * language, documents are laid out in doc_id order and cut into chunks
+    * of `budget` tokens; a document's chunk_id is the chunk its first token
+    * lands in, chunk_offset its position inside that chunk. One window sum
+    * of integers per language partition — exact in both engines. The
+    * partition key bounds window size; at corpus scale the same plan runs
+    * with a finer layout key ((lang, shard) — any deterministic function of
+    * doc_id works) so no single window partition exceeds an executor. */
+  def packChunks(spark: SparkSession, dir: String, budget: Int = 2048): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(Lex.toks(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_tok", coalesce(sum("n_tokens").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        // integer div, not double-divide-then-cast: exact at any magnitude
+        expr(s"start_tok div $budget").as("chunk_id"),
+        (col("start_tok") % budget).as("chunk_offset"))
+  }
+
+  def packChunksSql(budget: Int = 2048): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, len(${Lex.toksSql("text")}) AS n_tokens
+       |  FROM documents),
+       |laid AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+       |  FROM d)
+       |SELECT doc_id, lang, n_tokens,
+       |  start_tok // $budget AS chunk_id,
+       |  start_tok % $budget AS chunk_offset
+       |FROM laid""".stripMargin
+
   /** Multimodal column plumbing: the text payload stands in for an opaque
     * binary blob (image/audio); metadata extraction and a deterministic
     * fake "decode" run over the bytes. The real decode stub lives in

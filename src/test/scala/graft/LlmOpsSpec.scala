@@ -94,6 +94,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(scores.forall(_ >= 0.0))
   }
 
+  test("repetition ratio bounded; packing is gapless within each language") {
+    val rep = TextOps.repetition(spark, sf)
+    assert(rep.filter(col("rep_ratio") < 0 || col("rep_ratio") > 1).count() == 0)
+    val packed = TextOps.packChunks(spark, sf, budget = 128).collect()
+      .groupBy(_.getAs[String]("lang"))
+    packed.values.foreach { rows =>
+      val ordered = rows.sortBy(_.getAs[Long]("doc_id"))
+      var start = 0L
+      ordered.foreach { r =>
+        assert(r.getAs[Long]("chunk_id") == start / 128)
+        assert(r.getAs[Long]("chunk_offset") == start % 128)
+        start += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
   test("lsh buckets are stable and in range") {
     val b = Similarity.lshBuckets(spark, sf)
     assert(b.filter(col("bucket") < 0 || col("bucket") > 255).count() == 0)
