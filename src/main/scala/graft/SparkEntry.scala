@@ -102,6 +102,7 @@ object SparkEntry {
     "text_tfidf"          -> ((s, d) => TextOps.tfidf(s, d)),
     "text_bm25"           -> ((s, d) => TextOps.bm25(s, d)),
     "text_repetition"     -> ((s, d) => TextOps.repetition(s, d)),
+    "text_pii_redact"     -> ((s, d) => TextOps.piiRedact(s, d)),
     "pack_chunks"         -> ((s, d) => TextOps.packChunks(s, d)),
     // -- similarity search --
     "ann_topk_cosine"     -> ((s, d) => Similarity.annTopK(s, d)),
@@ -110,6 +111,7 @@ object SparkEntry {
     // so no cross-engine hash oracle exists; recall is spec-asserted
     "ann_ivf_trained"     -> ((s, d) => Similarity.ivfTopKTrained(s, d)),
     "ann_lsh_buckets"     -> ((s, d) => Similarity.lshBuckets(s, d)),
+    "emb_quantize"        -> ((s, d) => Similarity.quantize(s, d)),
     "ann_lsh_near_dup"    -> ((s, d) => Similarity.lshNearDup(s, d)),
     // -- text analysis --
     "text_token_counts"   -> ((s, d) => TextOps.tokenCounts(s, d)),
@@ -191,10 +193,12 @@ object SparkEntry {
     "text_tfidf"           -> TextOps.tfidfSql,
     "text_bm25"            -> TextOps.bm25Sql(),
     "text_repetition"      -> TextOps.repetitionSql(),
+    "text_pii_redact"      -> TextOps.piiRedactSql,
     "pack_chunks"          -> TextOps.packChunksSql(),
     "ann_topk_cosine"      -> Similarity.annTopKSql(),
     "ann_ivf_topk"         -> Similarity.ivfTopKSql(),
     "ann_lsh_buckets"      -> Similarity.lshBucketsSql,
+    "emb_quantize"         -> Similarity.quantizeSql,
     "ann_lsh_near_dup"     -> Similarity.lshNearDupSql(),
     "text_token_counts"    -> TextOps.tokenCountsSql,
     "text_quality"         -> TextOps.qualityScoreSql,

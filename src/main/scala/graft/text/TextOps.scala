@@ -401,6 +401,49 @@ object TextOps {
        |  start_tok % $budget AS chunk_offset
        |FROM laid""".stripMargin
 
+  /** PII scrubbing: email and phone-number redaction with per-document
+    * redaction counts — pure regexp projections, scan-bound at any scale.
+    * The synthetic corpus carries no PII, so the query plants a
+    * deterministic contact line derived from doc_id into the text in BOTH
+    * engines before scrubbing — the operator (patterns, replacement,
+    * counting) is what the oracle checks. Patterns stay in the common
+    * subset of Java regex and RE2 (character classes, bounded repeats, \\b;
+    * no lookaround), so both engines match identical spans. Output carries
+    * the redacted text's digest, not the text — constant-width rows. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "\\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\\b"
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or 555-"),
+      lpad(col("doc_id") % 1000, 3, "0"), lit("-"),
+      lpad(col("doc_id") % 10000, 4, "0"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), planted.as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(email), lit(0))).cast("long").as("n_email"),
+        size(regexp_extract_all(col("t"), lit(phone), lit(0))).cast("long").as("n_phone"),
+        md5(regexp_replace(regexp_replace(col("t"), email, "<EMAIL>"),
+          phone, "<PHONE>")).as("redacted_fp"))
+  }
+
+  def piiRedactSql: String = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "\\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\\b"
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |    '@example.com or 555-' ||
+       |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(t, '$email')) AS n_email,
+       |  len(regexp_extract_all(t, '$phone')) AS n_phone,
+       |  md5(regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
+       |    '$phone', '<PHONE>', 'g')) AS redacted_fp
+       |FROM p""".stripMargin
+  }
+
   /** Multimodal column plumbing: the text payload stands in for an opaque
     * binary blob (image/audio); metadata extraction and a deterministic
     * fake "decode" run over the bytes. The real decode stub lives in

@@ -110,6 +110,18 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("pii redaction finds every planted contact; quantization stays in int8 range") {
+    val red = TextOps.piiRedact(spark, sf)
+    assert(red.filter(col("n_email") < 1 || col("n_phone") < 1).count() == 0,
+      "every doc has one planted email and phone")
+    val q = Similarity.quantize(spark, sf)
+    assert(q.filter(col("q_min") < -127 || col("q_max") > 127).count() == 0)
+    assert(q.filter(col("mean_abs_err") < 0).count() == 0)
+    // quantization error is bounded by half a quantization step: 0.5/s with
+    // s >= 127/max|v|; embeddings are unit-ish so err stays well under 0.05
+    assert(q.agg(max("mean_abs_err")).head().getDouble(0) < 0.05)
+  }
+
   test("lsh buckets are stable and in range") {
     val b = Similarity.lshBuckets(spark, sf)
     assert(b.filter(col("bucket") < 0 || col("bucket") > 255).count() == 0)
