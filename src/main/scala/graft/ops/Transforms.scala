@@ -104,6 +104,39 @@ object Transforms {
        |SELECT s.txn_id, s.seq_idx, s.op, a.commit_ts, a.value
        |FROM cursor s JOIN arrays a USING (txn_id, op, op_idx)""".stripMargin
 
+  /** SCD2 history: the change stream materialized as a slowly-changing-
+    * dimension type-2 table — one row per (pk, version) with
+    * [valid_from, valid_to) commit-ts bounds and a current-row flag. This
+    * is the time-travel surface a CDC consumer builds downstream of the
+    * reference's replication (ref: the checkpoint ts-map's PITR use,
+    * drainer/checkpoint/mysql.go:34-196, answers "state as of ts" — SCD2 is
+    * that answer precomputed for every ts). One shuffle on pk, one window
+    * pass: valid_to = next change's commit_ts (null while current); delete
+    * events close the interval and emit no open row. Point-in-time lookup
+    * is then a plain `valid_from <= ts < coalesce(valid_to, inf)` filter —
+    * partition-prunable when the table is written partitioned by
+    * bucket(pk). */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("pk").orderBy("commit_ts")
+    Cdc.changes(spark, dir)
+      .withColumn("valid_to", lead("commit_ts", 1).over(w))
+      .filter(col("op") =!= "D") // a delete closes the prior row, opens none
+      .select(col("pk"), col("commit_ts").as("valid_from"), col("valid_to"),
+        col("value"), col("op"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  def scd2Sql: String =
+    s"""WITH c AS (${Cdc.changesCte}),
+       |v AS (
+       |  SELECT pk, commit_ts AS valid_from,
+       |    lead(commit_ts) OVER (PARTITION BY pk ORDER BY commit_ts) AS valid_to,
+       |    value, op
+       |  FROM c)
+       |SELECT pk, valid_from, valid_to, value, op,
+       |  valid_to IS NULL AS is_current
+       |FROM v WHERE op <> 'D'""".stripMargin
+
   /** M9: value formatting (ref: drainer/translator/mysql.go:252-294 —
     * decimal/time → string, numeric fidelity for the downstream driver).
     * Pure projection, codegen'd expressions. */

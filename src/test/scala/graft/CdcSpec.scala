@@ -11,7 +11,12 @@ class CdcSpec extends SparkSpec {
   }
 
   test("every declared query has an oracle and runs non-empty at sf0.001") {
-    val missingOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // rows-only by design: trained k-means centroids are float-sum-order
+    // sensitive, so no cross-engine hash oracle can exist (recall is
+    // spec-asserted in LlmOpsSpec instead)
+    val rowsOnlyByDesign = Set("ann_ivf_trained")
+    val missingOracle =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
     assert(missingOracle.isEmpty, s"queries without oracle: $missingOracle")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
@@ -65,6 +70,19 @@ class CdcSpec extends SparkSpec {
   test("repeated-skip dedups the replayed stream") {
     val df = Filters.repeatedSkip(spark, sf)
     assert(df.count() == df.select("commit_ts").distinct().count())
+  }
+
+  test("scd2 point-in-time slice equals the replayed compacted state") {
+    val t = Cdc.changes(spark, sf)
+      .agg(expr("percentile(commit_ts, 0.5)")).head().getDouble(0).toLong
+    val asOf = Transforms.scd2(spark, sf)
+      .filter(col("valid_from") <= t &&
+        (col("valid_to").isNull || col("valid_to") > t))
+      .select("pk", "value")
+    val replayed = Cdc.compactByPk(Cdc.changes(spark, sf).filter(col("commit_ts") <= t))
+      .filter(col("op") =!= "D")
+      .select("pk", "value")
+    assert(asOf.exceptAll(replayed).isEmpty && replayed.exceptAll(asOf).isEmpty)
   }
 
   test("intra-txn re-interleave reconstructs original statement order") {
