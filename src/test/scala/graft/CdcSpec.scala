@@ -85,6 +85,39 @@ class CdcSpec extends SparkSpec {
     assert(asOf.exceptAll(replayed).isEmpty && replayed.exceptAll(asOf).isEmpty)
   }
 
+  test("scd2 property: per-key intervals are disjoint, contiguous, and brute-force-correct") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (0 until 20).foreach { trial =>
+      val n = 1 + rnd.nextInt(40)
+      val ops = (0 until n).map { i =>
+        (i.toLong, 1L + rnd.nextInt(5), Seq("I", "U", "D")(rnd.nextInt(3)),
+          rnd.nextDouble() * 100)
+      }
+      val df = ops.toDF("commit_ts", "pk", "op", "value")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("pk").orderBy("commit_ts")
+      // same formulation as Transforms.scd2, applied to the synthetic frame
+      val scd = df.withColumn("valid_to", lead("commit_ts", 1).over(w))
+        .filter(col("op") =!= "D")
+        .select("pk", "commit_ts", "valid_to", "value")
+        .collect()
+      // brute force: at every event time T, the visible row per key is the
+      // latest non-delete event at or before T with no delete after it
+      ops.map(_._1).foreach { t =>
+        val visible = ops.filter(_._1 <= t).groupBy(_._2).flatMap {
+          case (pk, evs) =>
+            val last = evs.maxBy(_._1)
+            if (last._3 == "D") None else Some(pk -> last._4)
+        }
+        val sliced = scd.filter(r => r.getLong(1) <= t &&
+            (r.isNullAt(2) || r.getLong(2) > t))
+          .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+        assert(sliced == visible, s"trial=$trial t=$t")
+      }
+    }
+  }
+
   test("intra-txn re-interleave reconstructs original statement order") {
     // the payload recovered at statement position seq_idx must be the
     // seq_idx-th event of that txn in commit order — i.e. the join over
