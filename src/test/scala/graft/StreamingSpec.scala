@@ -124,6 +124,38 @@ class StreamingSpec extends SparkSpec {
     assert(restarted.lastCommitTs == 50L)
   }
 
+  test("bucketed state: a micro-batch rewrites only the buckets it touches") {
+    val root = Files.createTempDirectory("graft_bucket_sink").toString
+    val sink = new UpsertSink(root, nBuckets = 8)
+    // batch 1 spreads keys over many buckets
+    val b1 = (1L to 64L).map(pk => (pk * 10, pk, "I", pk.toDouble))
+      .toDF("commit_ts", "pk", "op", "value")
+    assert(sink.applyBatch(b1, 0L))
+    val stateDir = java.nio.file.Paths.get(s"$root/state")
+    import scala.jdk.CollectionConverters._
+    def bucketFiles(): Map[String, Set[String]] =
+      java.nio.file.Files.list(stateDir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("bucket="))
+        .map { d =>
+          d.getFileName.toString ->
+            java.nio.file.Files.list(d).iterator().asScala
+              .map(_.getFileName.toString).toSet
+        }.toMap
+    val before = bucketFiles()
+    assert(before.size > 1, "keys must spread over multiple buckets")
+    // batch 2 touches exactly one key — only that key's bucket may change
+    val b2 = Seq((9999L, 1L, "U", 42.0)).toDF("commit_ts", "pk", "op", "value")
+    assert(sink.applyBatch(b2, 1L))
+    val after = bucketFiles()
+    val changed = before.keySet.union(after.keySet)
+      .filter(b => before.get(b) != after.get(b))
+    assert(changed.size == 1, s"expected exactly one rewritten bucket, got $changed")
+    // and the merged state is still correct
+    val state = sink.currentState(spark).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(state(1L) == 42.0 && state.size == 64)
+  }
+
   /** Stage the single events parquet file into a directory for the file
     * stream source (it requires a directory basePath). */
   private def stageEventsDir(): String = {
