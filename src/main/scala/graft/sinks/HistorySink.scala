@@ -1,0 +1,112 @@
+package graft.sinks
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Streaming twin of the SCD type-2 materialization
+  * ([[graft.ops.Transforms.scd2]]): maintains the interval history of a
+  * change stream incrementally, one micro-batch at a time.
+  *
+  * State is two tables:
+  *  - `open`: the current row per live key — (pk, valid_from, value);
+  *  - `closed`: append-only closed intervals — (pk, valid_from, valid_to,
+  *    value).
+  *
+  * Per batch (keys ordered by commit_ts within and across batches, the
+  * guarantee the drainer's ordered merge provides):
+  *  - an open row whose key appears in the batch closes at the key's first
+  *    batch event (one equi-join against the batch's per-key min ts);
+  *  - intra-batch history is the batch-local SCD2 window — rows with a
+  *    successor close inside the batch, the last non-delete row per key
+  *    stays open;
+  *  - deletes close their predecessor and open nothing.
+  *
+  * Closed intervals are APPENDED, never rewritten — at scale that is the
+  * audit-log write profile (a lakehouse append partitioned by
+  * bucket(valid_to) time); only the live-key `open` table rewrites, and it
+  * is bounded by live keys, not history length. Idempotent replay uses the
+  * same batchId checkpoint as [[UpsertSink]]; StreamingSpec pins the
+  * incremental history equal to the batch materialization of the whole
+  * stream. */
+class HistorySink(root: String) {
+  private val openPath = s"$root/open"
+  private val closedPath = s"$root/closed"
+  private val metaPath = Paths.get(s"$root/_committed_batch")
+
+  def lastCommitted: Long =
+    if (Files.exists(metaPath)) Files.readString(metaPath).trim.toLong else -1L
+
+  private def emptyFrame(spark: SparkSession, withTo: Boolean): DataFrame = {
+    import org.apache.spark.sql.types._
+    val base = Seq(StructField("pk", LongType), StructField("valid_from", LongType)) ++
+      (if (withTo) Seq(StructField("valid_to", LongType)) else Nil) :+
+      StructField("value", DoubleType)
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(base))
+  }
+
+  private def openRows(spark: SparkSession): DataFrame =
+    if (Files.exists(Paths.get(openPath)))
+      spark.read.parquet(openPath).select("pk", "valid_from", "value")
+    else emptyFrame(spark, withTo = false)
+
+  private def closedRows(spark: SparkSession): DataFrame =
+    if (Files.exists(Paths.get(closedPath)))
+      spark.read.parquet(closedPath).select("pk", "valid_from", "valid_to", "value")
+    else emptyFrame(spark, withTo = true)
+
+  /** The full history so far: closed intervals plus open rows (null
+    * valid_to, flagged current) — the same shape as the batch scd2. */
+  def history(spark: SparkSession): DataFrame =
+    closedRows(spark)
+      .withColumn("is_current", lit(false))
+      .unionByName(openRows(spark)
+        .withColumn("valid_to", lit(null).cast("long"))
+        .withColumn("is_current", lit(true)))
+
+  /** Apply one micro-batch of (pk, commit_ts, op, value) change rows.
+    * Returns false when skipped as an idempotent replay. */
+  def applyBatch(batch: DataFrame, batchId: Long): Boolean = {
+    if (batchId <= lastCommitted) return false
+    val spark = batch.sparkSession
+    val b = batch.select("pk", "commit_ts", "op", "value").localCheckpoint(true)
+    if (!b.isEmpty) {
+      val firstTs = b.groupBy("pk").agg(min("commit_ts").as("first_ts"))
+      val open = openRows(spark)
+      // open rows of touched keys close at the key's first batch event
+      val closedFromOpen = open.join(firstTs, "pk")
+        .select(col("pk"), col("valid_from"), col("first_ts").as("valid_to"), col("value"))
+      val untouched = open.join(firstTs, Seq("pk"), "left_anti")
+      // batch-local SCD2
+      val w = Window.partitionBy("pk").orderBy("commit_ts")
+      val intra = b.withColumn("valid_to", lead("commit_ts", 1).over(w))
+      val closedIntra = intra.filter(col("op") =!= "D" && col("valid_to").isNotNull)
+        .select(col("pk"), col("commit_ts").as("valid_from"), col("valid_to"), col("value"))
+      val newOpen = intra.filter(col("op") =!= "D" && col("valid_to").isNull)
+        .select(col("pk"), col("commit_ts").as("valid_from"), col("value"))
+      // closed history only appends; open is rewritten (live keys only)
+      closedFromOpen.unionByName(closedIntra)
+        .write.mode("append").parquet(closedPath)
+      val tmp = s"$root/open_tmp"
+      untouched.unionByName(newOpen).write.mode("overwrite").parquet(tmp)
+      val target = Paths.get(openPath)
+      val old = Paths.get(s"$root/open_old")
+      deleteRec(old)
+      if (Files.exists(target)) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+      deleteRec(old)
+    }
+    Files.writeString(metaPath, batchId.toString)
+    true
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+}

@@ -124,6 +124,29 @@ class StreamingSpec extends SparkSpec {
     assert(restarted.lastCommitTs == 50L)
   }
 
+  test("incremental SCD2 history equals the batch materialization (streaming twin)") {
+    val root = Files.createTempDirectory("graft_history_sink").toString
+    val sink = new graft.sinks.HistorySink(root)
+    val changes = graft.ops.Cdc.changes(spark, sf)
+      .select("pk", "commit_ts", "op", "value")
+    // three ts-ordered micro-batches (the ordered-merge delivery guarantee)
+    val cuts = changes.stat.approxQuantile("commit_ts", Array(0.33, 0.66), 0.0)
+    val (c1, c2) = (cuts(0).toLong, cuts(1).toLong)
+    assert(sink.applyBatch(changes.filter(col("commit_ts") <= c1), 0L))
+    assert(sink.applyBatch(
+      changes.filter(col("commit_ts") > c1 && col("commit_ts") <= c2), 1L))
+    assert(sink.applyBatch(changes.filter(col("commit_ts") > c2), 2L))
+    // replay is skipped
+    assert(!sink.applyBatch(changes.limit(1), 2L))
+
+    val streamed = sink.history(spark)
+      .select("pk", "valid_from", "valid_to", "value", "is_current")
+    val batch = graft.ops.Transforms.scd2(spark, sf)
+      .select(col("pk"), col("valid_from"), col("valid_to"), col("value"),
+        col("is_current"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("bucketed state: a micro-batch rewrites only the buckets it touches") {
     val root = Files.createTempDirectory("graft_bucket_sink").toString
     val sink = new UpsertSink(root, nBuckets = 8)
