@@ -104,6 +104,7 @@ object SparkEntry {
     "text_bm25"           -> ((s, d) => TextOps.bm25(s, d)),
     "text_repetition"     -> ((s, d) => TextOps.repetition(s, d)),
     "text_pii_redact"     -> ((s, d) => TextOps.piiRedact(s, d)),
+    "strat_sample"        -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "pack_chunks"         -> ((s, d) => TextOps.packChunks(s, d)),
     // -- similarity search --
     "ann_topk_cosine"     -> ((s, d) => Similarity.annTopK(s, d)),
@@ -196,6 +197,7 @@ object SparkEntry {
     "text_bm25"            -> TextOps.bm25Sql(),
     "text_repetition"      -> TextOps.repetitionSql(),
     "text_pii_redact"      -> TextOps.piiRedactSql,
+    "strat_sample"         -> TextOps.stratifiedSampleSql(),
     "pack_chunks"          -> TextOps.packChunksSql(),
     "ann_topk_cosine"      -> Similarity.annTopKSql(),
     "ann_ivf_topk"         -> Similarity.ivfTopKSql(),

@@ -401,6 +401,30 @@ object TextOps {
        |  start_tok % $budget AS chunk_offset
        |FROM laid""".stripMargin
 
+  /** Deterministic stratified sampling: exactly `k` documents per language
+    * (fewer when the stratum is smaller), chosen by ranking on the shared
+    * content hash — a reproducible pseudorandom draw with per-class quotas,
+    * the shape used to balance a training mix. One window per stratum;
+    * strata partition the corpus, so the window never concentrates more
+    * than a class's own rows (sub-shard the key if one class dominates). */
+  def stratifiedSample(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), Lex.hex8(col("text")).as("h"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("lang", "rn", "doc_id")
+  }
+
+  def stratifiedSampleSql(k: Int = 50): String =
+    s"""SELECT lang, rn, doc_id FROM (
+       |  SELECT lang, doc_id,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY ${Lex.hex8Sql("text")}, doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= $k""".stripMargin
+
   /** PII scrubbing: email and phone-number redaction with per-document
     * redaction counts — pure regexp projections, scan-bound at any scale.
     * The synthetic corpus carries no PII, so the query plants a
