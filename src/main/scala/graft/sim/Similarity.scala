@@ -174,7 +174,7 @@ object Similarity {
     * sensitive, so no cross-engine hash can be pinned); LlmOpsSpec instead
     * asserts recall against the exact brute-force top-k. */
   def ivfTopKTrained(spark: SparkSession, dir: String, k: Int = 5,
-      nCells: Int = 8, nProbe: Int = 2, iters: Int = 3): DataFrame = {
+      nCells: Int = 8, nProbe: Int = 2, iters: Int = 2): DataFrame = {
     val cents = trainCentroids(spark, dir, nCells, iters)
       .select(col("cent_id"), col("ce"), norm(col("ce")).as("cn"))
     ivfSearch(spark, dir, cents, k, nProbe)
