@@ -124,6 +124,45 @@ class StreamingSpec extends SparkSpec {
     assert(restarted.lastCommitTs == 50L)
   }
 
+  test("update-while-add/drop-column: each row decodes at its own schema version") {
+    // dailytest analog (ref: tests/dailytest/case.go:386-485 runs DML
+    // concurrently with ADD/DROP COLUMN): rows carry the schema version
+    // they were written under; decode must use atVersion, not the current
+    // catalog, and missing columns default-fill (T5 + T6 + T7 composed).
+    // depth 3 so all versions stay inspectable here — the reference keeps 2
+    // because its syncer barriers DDL until older DMLs drain; widening
+    // retention is the test's window into every version at once.
+    val t = new SchemaTracker(historyDepth = 3)
+    t.createTable("db", "u", Seq("pk", "v"), version = 1)
+    t.addColumn("db", "u", "extra", version = 2)
+    t.dropColumn("db", "u", "v", version = 3)
+    val rows = Seq(
+      (10L, 1L, Map("pk" -> "1", "v" -> "10")),
+      (20L, 2L, Map("pk" -> "2", "v" -> "20", "extra" -> "7")),
+      (30L, 3L, Map("pk" -> "3", "extra" -> "8"))
+    ).toDF("commit_ts", "schema_version", "cells")
+    def decodeAt(v: Long) = {
+      val cols = t.atVersion("db", "u", v).get.columns
+      rows.filter(col("schema_version") === v)
+        .select(col("commit_ts") +: cols.map(c =>
+          coalesce(element_at(col("cells"), lit(c)), lit("0")).as(c)): _*)
+    }
+    // v1 row: no `extra` in its schema even though the catalog has moved on
+    assert(decodeAt(1).columns.toSeq == Seq("commit_ts", "pk", "v"))
+    // v2 row: all three columns, the new one populated
+    val r2 = decodeAt(2).head()
+    assert(decodeAt(2).columns.toSeq == Seq("commit_ts", "pk", "v", "extra"))
+    assert(r2.getAs[String]("extra") == "7")
+    // v3 row: `v` is gone; a v2-written row replayed at v3 would default-fill
+    assert(decodeAt(3).columns.toSeq == Seq("commit_ts", "pk", "extra"))
+    // default fill: a v1 row decoded against v2 (drop-column in flight
+    // upstream writes old-image rows) gets the type zero value
+    val filled = rows.filter(col("schema_version") === 1)
+      .select(t.atVersion("db", "u", 2).get.columns.map(c =>
+        coalesce(element_at(col("cells"), lit(c)), lit("0")).as(c)): _*)
+    assert(filled.head().getAs[String]("extra") == "0")
+  }
+
   test("incremental SCD2 history equals the batch materialization (streaming twin)") {
     val root = Files.createTempDirectory("graft_history_sink").toString
     val sink = new graft.sinks.HistorySink(root)
