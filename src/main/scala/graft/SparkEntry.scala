@@ -60,6 +60,7 @@ object SparkEntry {
     "t9_seq_restore"   -> ((s, d) => Transforms.sequenceRestore(s, d)),
     "t9_interleave"    -> ((s, d) => Transforms.seqInterleave(s, d)),
     "scd2_history"     -> ((s, d) => Transforms.scd2(s, d)),
+    "range_overlap"    -> ((s, d) => graft.ops.RangeJoin.sessionOverlap(s, d)),
     "m9_value_format"  -> ((s, d) => Transforms.valueFormat(s, d)),
     // -- MySQL type-domain fidelity (SURVEY §1.3, §2.4) --
     "m9_decimal38"     -> ((s, d) => TypeDomain.decimal38(s, d)),
@@ -156,6 +157,7 @@ object SparkEntry {
     "t9_seq_restore"    -> Transforms.sequenceRestoreSql,
     "t9_interleave"     -> Transforms.seqInterleaveSql,
     "scd2_history"      -> Transforms.scd2Sql,
+    "range_overlap"     -> graft.ops.RangeJoin.sessionOverlapSql,
     "m9_value_format"   -> Transforms.valueFormatSql,
     "m9_decimal38"      -> TypeDomain.decimal38Sql,
     "m9_unsigned_bit"   -> TypeDomain.unsignedBitSql,

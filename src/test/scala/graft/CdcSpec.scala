@@ -85,6 +85,25 @@ class CdcSpec extends SparkSpec {
     assert(asOf.exceptAll(replayed).isEmpty && replayed.exceptAll(asOf).isEmpty)
   }
 
+  test("bucketized range join equals the naive between-join, any width") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val points = (0 until 200).map(i => (i.toLong, rnd.nextInt(10000).toLong))
+      .toDF("pid", "ts")
+    val intervals = (0 until 80).map { i =>
+      val s = rnd.nextInt(9000).toLong
+      (i.toLong, s, s + rnd.nextInt(2000).toLong)
+    }.toDF("iid", "start", "end")
+    val naive = points.crossJoin(intervals)
+      .filter(col("ts") >= col("start") && col("ts") <= col("end"))
+      .select("pid", "iid")
+    Seq(64L, 1000L, 100000L).foreach { w =>
+      val got = graft.ops.RangeJoin.bucketed(points, "ts", intervals, "start", "end", w)
+        .select("pid", "iid")
+      assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty, s"width=$w")
+    }
+  }
+
   test("scd2 property: per-key intervals are disjoint, contiguous, and brute-force-correct") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
