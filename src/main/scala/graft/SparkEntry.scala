@@ -106,6 +106,7 @@ object SparkEntry {
     "text_repetition"     -> ((s, d) => TextOps.repetition(s, d)),
     "text_pii_redact"     -> ((s, d) => TextOps.piiRedact(s, d)),
     "strat_sample"        -> ((s, d) => TextOps.stratifiedSample(s, d)),
+    "sketch_hll"          -> ((s, d) => graft.sketch.Sketches.hllTokens(s, d)),
     "pack_chunks"         -> ((s, d) => TextOps.packChunks(s, d)),
     // -- similarity search --
     "ann_topk_cosine"     -> ((s, d) => Similarity.annTopK(s, d)),
@@ -200,6 +201,7 @@ object SparkEntry {
     "text_repetition"      -> TextOps.repetitionSql(),
     "text_pii_redact"      -> TextOps.piiRedactSql,
     "strat_sample"         -> TextOps.stratifiedSampleSql(),
+    "sketch_hll"           -> graft.sketch.Sketches.hllTokensSql,
     "pack_chunks"          -> TextOps.packChunksSql(),
     "ann_topk_cosine"      -> Similarity.annTopKSql(),
     "ann_ivf_topk"         -> Similarity.ivfTopKSql(),

@@ -122,6 +122,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(q.agg(max("mean_abs_err")).head().getDouble(0) < 0.05)
   }
 
+  test("hll sketch estimates within the theoretical error band") {
+    val rows = graft.sketch.Sketches.hllTokens(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // 1.04/sqrt(64) ~ 13%; allow 3 sigma for the tiny test strata
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("rel_err")) < 0.4,
+        s"lang=${r.getAs[String]("lang")} err=${r.getAs[Double]("rel_err")}")
+    }
+  }
+
   test("lsh buckets are stable and in range") {
     val b = Similarity.lshBuckets(spark, sf)
     assert(b.filter(col("bucket") < 0 || col("bucket") > 255).count() == 0)
