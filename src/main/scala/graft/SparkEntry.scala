@@ -107,6 +107,7 @@ object SparkEntry {
     "text_pii_redact"     -> ((s, d) => TextOps.piiRedact(s, d)),
     "strat_sample"        -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "sketch_hll"          -> ((s, d) => graft.sketch.Sketches.hllTokens(s, d)),
+    "sketch_cm_topk"      -> ((s, d) => graft.sketch.Sketches.cmTopK(s, d)),
     "pack_chunks"         -> ((s, d) => TextOps.packChunks(s, d)),
     // -- similarity search --
     "ann_topk_cosine"     -> ((s, d) => Similarity.annTopK(s, d)),
@@ -202,6 +203,7 @@ object SparkEntry {
     "text_pii_redact"      -> TextOps.piiRedactSql,
     "strat_sample"         -> TextOps.stratifiedSampleSql(),
     "sketch_hll"           -> graft.sketch.Sketches.hllTokensSql,
+    "sketch_cm_topk"       -> graft.sketch.Sketches.cmTopKSql(),
     "pack_chunks"          -> TextOps.packChunksSql(),
     "ann_topk_cosine"      -> Similarity.annTopKSql(),
     "ann_ivf_topk"         -> Similarity.ivfTopKSql(),

@@ -66,6 +66,73 @@ object Sketches {
         round((col("hll_estimate") - col("n_exact")) / col("n_exact"), 4))
   }
 
+  /** Count-min sketch parameters: d independent hash rows (reusing the
+    * MinHash permutation family) × w buckets. Point estimate = min over
+    * rows of the bucket count — always ≥ the true count, within εN with
+    * ε = e/w at the usual guarantees. */
+  val CmRows = 4
+  val CmWidth = 1024
+
+  /** Heavy hitters via count-min: the exact top-k tokens by occurrence,
+    * each with its sketch estimate. Sketch state is d×w = 4096 counters
+    * TOTAL (one narrow aggregate over (row, bucket)), so the frequency
+    * table of a 100 TB corpus fits in a broadcast; the estimate join
+    * touches only the k candidate tokens. Counters are integers — parity
+    * with the oracle is exact by construction. */
+  def cmTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(explode(Lex.toks(col("text"))).as("tok"))
+      .select(col("tok"), Lex.hex8(col("tok")).as("h"))
+    val bucketed = tok.select(col("tok"),
+      explode(array((0 until CmRows).map(r =>
+        struct(lit(r).as("r"), (Lex.minhashPerm(r, col("h")) % CmWidth).as("bucket"))): _*))
+        .as("rb"))
+      .select(col("tok"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    val counts = bucketed.groupBy("r", "bucket").agg(count(lit(1)).as("n_bucket"))
+    // global top-k = distributed TakeOrdered; the rank window runs on the
+    // k survivors only (same pattern as the BM25 top-k)
+    val wTop = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_exact").desc, col("tok"))
+    val top = tok.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok")).limit(k)
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+    val candBuckets = top.select(col("tok"), col("rank"), col("n_exact"),
+      explode(array((0 until CmRows).map(r =>
+        struct(lit(r).as("r"),
+          (Lex.minhashPerm(r, Lex.hex8(col("tok"))) % CmWidth).as("bucket"))): _*)).as("rb"))
+      .select(col("tok"), col("rank"), col("n_exact"),
+        col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    candBuckets.join(counts, Seq("r", "bucket"))
+      .groupBy("tok", "rank", "n_exact")
+      .agg(min("n_bucket").as("cm_estimate"))
+  }
+
+  def cmTopKSql(k: Int = 10): String = {
+    val h = Lex.hex8Sql("tok")
+    val rowSelects = (0 until CmRows).map(r =>
+      s"SELECT tok, $r AS r, (${Lex.minhashPermSql(r, "h")}) % $CmWidth AS bucket FROM tok")
+      .mkString("\n  UNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT tok, $h AS h FROM (
+       |    SELECT unnest(${Lex.toksSql("text")}) AS tok FROM documents)),
+       |bucketed AS (
+       |  $rowSelects),
+       |counts AS (SELECT r, bucket, count(*) AS n_bucket FROM bucketed GROUP BY 1, 2),
+       |top AS (
+       |  SELECT tok, n_exact, rank FROM (
+       |    SELECT tok, count(*) AS n_exact,
+       |      row_number() OVER (ORDER BY count(*) DESC, tok) AS rank
+       |    FROM tok GROUP BY tok)
+       |  WHERE rank <= $k),
+       |cand AS (
+       |  SELECT t.tok, t.rank, t.n_exact, b.r, b.bucket
+       |  FROM top t JOIN bucketed b USING (tok))
+       |SELECT tok, rank, n_exact, min(n_bucket) AS cm_estimate
+       |FROM (SELECT DISTINCT tok, rank, n_exact, r, bucket FROM cand) c
+       |JOIN counts USING (r, bucket)
+       |GROUP BY 1, 2, 3""".stripMargin
+  }
+
   def hllTokensSql: String =
     s"""WITH tok AS (
        |  SELECT lang, tok, ${Lex.hex8Sql("tok")} AS h FROM (

@@ -132,6 +132,15 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("count-min never underestimates and ranks agree with exact counts") {
+    val rows = graft.sketch.Sketches.cmTopK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cm_estimate") >= r.getAs[Long]("n_exact"),
+        s"CM must overestimate: ${r.getAs[String]("tok")}")
+    }
+  }
+
   test("lsh buckets are stable and in range") {
     val b = Similarity.lshBuckets(spark, sf)
     assert(b.filter(col("bucket") < 0 || col("bucket") > 255).count() == 0)
