@@ -25,7 +25,9 @@ object RangeJoin {
     * `start`, `end`, inclusive) on ts ∈ [start, end]. */
   def bucketed(points: DataFrame, ts: String, intervals: DataFrame,
       start: String, end: String, width: Long): DataFrame = {
-    val iv = intervals.withColumn("bucket",
+    // inverted intervals (end < start) match nothing; dropping them up
+    // front also keeps `sequence` from generating a descending range
+    val iv = intervals.filter(col(start) <= col(end)).withColumn("bucket",
       explode(sequence(expr(s"$start div $width"), expr(s"$end div $width"))))
     val pt = points.withColumn("bucket", expr(s"$ts div $width"))
     // a point has exactly one bucket, so no pair can match twice

@@ -28,9 +28,14 @@ import org.apache.spark.sql.functions._
   * audit-log write profile (a lakehouse append partitioned by
   * bucket(valid_to) time); only the live-key `open` table rewrites, and it
   * is bounded by live keys, not history length. Idempotent replay uses the
-  * same batchId checkpoint as [[UpsertSink]]; StreamingSpec pins the
-  * incremental history equal to the batch materialization of the whole
-  * stream. */
+  * same batchId checkpoint as [[UpsertSink]]: a WHOLE-batch replay is
+  * skipped. A crash strictly between the closed-append and the checkpoint
+  * write can leave that one batch's closed rows duplicated on replay — the
+  * parquet stand-in has no cross-file transaction; the production shape
+  * commits the append and the checkpoint in one lakehouse/JDBC transaction
+  * (exactly the reference's checkpoint-in-same-txn rule,
+  * drainer/checkpoint/mysql.go). StreamingSpec pins the incremental
+  * history equal to the batch materialization of the whole stream. */
 class HistorySink(root: String) {
   private val openPath = s"$root/open"
   private val closedPath = s"$root/closed"
