@@ -89,4 +89,23 @@ object Multimodal {
       }
     }
   }
+
+  /** Resize: deterministic stride-downsample of the payload to at most
+    * `targetBytes` — the image-thumbnail analog of the stubbed codec. The
+    * Spark-side contract (typed rows in, bounded typed rows out, pure
+    * per-partition map, no shuffle) is exactly what a real
+    * libvips/ffmpeg-backed batch resize plugs into. */
+  case class Resized(doc_id: Long, n_in: Int, n_out: Int, payload: Array[Byte])
+
+  def resize(media: Dataset[MediaRow], targetBytes: Int = 256): Dataset[Resized] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val n = m.payload.length
+        val step = math.max(1, math.ceil(n.toDouble / targetBytes).toInt)
+        val out = (0 until n by step).map(m.payload).toArray
+        Resized(m.doc_id, n, out.length, out)
+      }
+    }
+  }
 }

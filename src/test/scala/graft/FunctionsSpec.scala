@@ -84,6 +84,17 @@ class FunctionsSpec extends SparkSpec {
       hist.sum == n && frames >= 1 })
   }
 
+  test("resize bounds output size and stays deterministic") {
+    val media = Multimodal.asMedia(spark, sf)
+    val r1 = Multimodal.resize(media, targetBytes = 64).collect()
+      .map(r => r.doc_id -> r.payload.toSeq).toMap
+    val r2 = Multimodal.resize(media, targetBytes = 64).collect()
+      .map(r => r.doc_id -> r.payload.toSeq).toMap
+    assert(r1 == r2)
+    assert(Multimodal.resize(media, 64).collect()
+      .forall(r => r.n_out <= 64 && (r.n_in < 64 || r.n_out > 32)))
+  }
+
   test("frame sampling bounds fan-out") {
     val frames = Multimodal.sampleFrames(Multimodal.asMedia(spark, sf),
       every = 2, maxFrames = 3)
