@@ -108,6 +108,7 @@ object SparkEntry {
     "strat_sample"        -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "sketch_hll"          -> ((s, d) => graft.sketch.Sketches.hllTokens(s, d)),
     "sketch_cm_topk"      -> ((s, d) => graft.sketch.Sketches.cmTopK(s, d)),
+    "sketch_bloom"        -> ((s, d) => graft.sketch.Sketches.bloomSemiJoin(s, d)),
     "pack_chunks"         -> ((s, d) => TextOps.packChunks(s, d)),
     // -- similarity search --
     "ann_topk_cosine"     -> ((s, d) => Similarity.annTopK(s, d)),
@@ -204,6 +205,7 @@ object SparkEntry {
     "strat_sample"         -> TextOps.stratifiedSampleSql(),
     "sketch_hll"           -> graft.sketch.Sketches.hllTokensSql,
     "sketch_cm_topk"       -> graft.sketch.Sketches.cmTopKSql(),
+    "sketch_bloom"         -> graft.sketch.Sketches.bloomSemiJoinSql,
     "pack_chunks"          -> TextOps.packChunksSql(),
     "ann_topk_cosine"      -> Similarity.annTopKSql(),
     "ann_ivf_topk"         -> Similarity.ivfTopKSql(),

@@ -133,6 +133,93 @@ object Sketches {
        |GROUP BY 1, 2, 3""".stripMargin
   }
 
+  /** Bloom filter parameters: m bits in 32-bit words (bit 63 shifts
+    * overflow DuckDB's checked `<<`, so words stay below the sign bit in
+    * both engines), k hash probes from the MinHash permutation family.
+    * m is sized for ~1% fp at the oracle-scale member count; production
+    * sizes m to the expected cardinality the same way. */
+  val BloomBits = 16384
+  val BloomWords = BloomBits / 32
+  val BloomHashes = 3
+
+  private def bloomPos(j: Int, h: org.apache.spark.sql.Column) =
+    Lex.minhashPerm(j, h) % BloomBits
+
+  /** Bloom-filter semi-join — THE shuffle-elimination primitive for 100 TB
+    * joins: build a ~[[BloomBits]]-bit filter over the small side's keys
+    * (one bit_or aggregate → [[BloomWords]] rows, broadcastable at any key
+    * count with m sized to the expected cardinality), probe the big side
+    * with k bit tests, and only survivors shuffle to the real join. The
+    * query builds the filter over the customer keys that actually placed
+    * orders and probes EVERY customer: true members all pass (no false
+    * negatives — asserted by the oracle's exact n_members), non-members
+    * pass only as false positives. Every quantity is an integer, so the
+    * probabilistic structure hash-matches the SQL oracle exactly. */
+  def bloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+      .select(col("o_custkey").as("key")).distinct()
+    val oh = orders.withColumn("h", Lex.hex8(col("key").cast("string")))
+    val setBits = oh.select(col("key"),
+        explode(array((0 until BloomHashes).map(j =>
+          bloomPos(j, col("h"))): _*)).as("pos"))
+      .select(expr(s"pos div 32").as("word"),
+        expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))").as("mask"))
+    val words = setBits.groupBy("word").agg(bit_or(col("mask")).as("bits"))
+    // probe set = every customer (true members at this SF) plus an offset
+    // copy guaranteed OUTSIDE the member domain — the measurable
+    // false-positive population
+    val custKeys = Tables.table(spark, dir, "customer")
+      .select(col("c_custkey").as("key"))
+    val probes = custKeys
+      .unionByName(custKeys.select((col("key") + 10000000L).as("key")))
+      .withColumn("h", Lex.hex8(col("key").cast("string")))
+      .select(col("key"), explode(array((0 until BloomHashes).map(j =>
+        bloomPos(j, col("h"))): _*)).as("pos"))
+      .select(col("key"), expr(s"pos div 32").as("word"),
+        expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))").as("mask"))
+    val accepted = probes.join(broadcast(words), "word")
+      .groupBy("key")
+      .agg(sum(when(col("bits").bitwiseAND(col("mask")) =!= 0, 1).otherwise(0)).as("hits"))
+      .filter(col("hits") === BloomHashes)
+    val members = orders.select(col("key")).distinct()
+    accepted.select(count(lit(1)).as("n_accepted"))
+      .crossJoin(members.select(count(lit(1)).as("n_members")))
+      .crossJoin(custKeys.select((count(lit(1)) * 2).as("n_probed")))
+      .select(col("n_probed"), col("n_members"), col("n_accepted"),
+        (col("n_accepted") - col("n_members")).as("n_false_positives"))
+  }
+
+  def bloomSemiJoinSql: String = {
+    def posSql(j: Int) = s"(${Lex.minhashPermSql(j, "h")}) % $BloomBits"
+    val buildPos = (0 until BloomHashes).map(j =>
+      s"SELECT ${posSql(j)} AS pos FROM okeys").mkString("\n  UNION ALL ")
+    val probePos = (0 until BloomHashes).map(j =>
+      s"SELECT key, ${posSql(j)} AS pos FROM ckeys").mkString("\n  UNION ALL ")
+    s"""WITH okeys AS (
+       |  SELECT key, ${Lex.hex8Sql("CAST(key AS VARCHAR)")} AS h FROM (
+       |    SELECT DISTINCT o_custkey AS key FROM orders)),
+       |ckeys AS (
+       |  SELECT key, ${Lex.hex8Sql("CAST(key AS VARCHAR)")} AS h FROM (
+       |    SELECT c_custkey AS key FROM customer
+       |    UNION ALL SELECT c_custkey + 10000000 FROM customer)),
+       |words AS (
+       |  SELECT pos // 32 AS word, bit_or(1::BIGINT << (pos % 32)) AS bits
+       |  FROM ($buildPos) GROUP BY 1),
+       |probes AS (
+       |  SELECT key, pos // 32 AS word, 1::BIGINT << (pos % 32) AS mask
+       |  FROM ($probePos)),
+       |accepted AS (
+       |  SELECT key FROM probes p JOIN words w USING (word)
+       |  GROUP BY key
+       |  HAVING sum(CASE WHEN (w.bits & p.mask) <> 0 THEN 1 ELSE 0 END) = $BloomHashes)
+       |SELECT
+       |  (SELECT count(*) * 2 FROM customer) AS n_probed,
+       |  (SELECT count(*) FROM okeys) AS n_members,
+       |  (SELECT count(*) FROM accepted) AS n_accepted,
+       |  (SELECT count(*) FROM accepted) -
+       |    (SELECT count(*) FROM okeys) AS n_false_positives""".stripMargin
+  }
+
   def hllTokensSql: String =
     s"""WITH tok AS (
        |  SELECT lang, tok, ${Lex.hex8Sql("tok")} AS h FROM (

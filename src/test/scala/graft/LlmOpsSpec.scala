@@ -141,6 +141,17 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("bloom semi-join: no false negatives, bounded false-positive rate") {
+    val r = graft.sketch.Sketches.bloomSemiJoin(spark, sf).head()
+    val members = r.getAs[Long]("n_members")
+    val accepted = r.getAs[Long]("n_accepted")
+    val fp = r.getAs[Long]("n_false_positives")
+    val nonMembers = r.getAs[Long]("n_probed") - members
+    assert(accepted >= members, "a Bloom filter never rejects a member")
+    assert(fp >= 0 && (nonMembers == 0 || fp.toDouble / nonMembers < 0.05),
+      s"fp rate ${fp.toDouble / nonMembers} above the m-sizing target")
+  }
+
   test("lsh buckets are stable and in range") {
     val b = Similarity.lshBuckets(spark, sf)
     assert(b.filter(col("bucket") < 0 || col("bucket") > 255).count() == 0)
