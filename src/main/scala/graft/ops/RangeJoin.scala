@@ -25,15 +25,18 @@ object RangeJoin {
     * `start`, `end`, inclusive) on ts ∈ [start, end]. */
   def bucketed(points: DataFrame, ts: String, intervals: DataFrame,
       start: String, end: String, width: Long): DataFrame = {
+    // collision-proof internal key: a caller whose frames already carry a
+    // "bucket" column (e.g. LSH-bucketed inputs) must not get it clobbered
+    val bk = "__rj_bucket"
     // inverted intervals (end < start) match nothing; dropping them up
     // front also keeps `sequence` from generating a descending range
-    val iv = intervals.filter(col(start) <= col(end)).withColumn("bucket",
+    val iv = intervals.filter(col(start) <= col(end)).withColumn(bk,
       explode(sequence(expr(s"$start div $width"), expr(s"$end div $width"))))
-    val pt = points.withColumn("bucket", expr(s"$ts div $width"))
+    val pt = points.withColumn(bk, expr(s"$ts div $width"))
     // a point has exactly one bucket, so no pair can match twice
-    pt.join(iv, "bucket")
+    pt.join(iv, bk)
       .filter(col(ts) >= col(start) && col(ts) <= col(end))
-      .drop("bucket")
+      .drop(bk)
   }
 
   /** Session-concurrency query: for a deterministic 1-in-97 sample of

@@ -29,19 +29,27 @@ object Sketches {
 
   /** Per-language distinct-token cardinality: exact count vs the HLL
     * estimate and its signed relative error. */
-  def hllTokens(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
-      .select(col("lang"), explode(array_distinct(Lex.toks(col("text")))).as("tok"))
+  def hllTokens(spark: SparkSession, dir: String): DataFrame =
+    hllFromTokens(Tables.documents(spark, dir)
+      .select(col("lang"), explode(array_distinct(Lex.toks(col("text")))).as("tok")))
+
+  /** HLL core over any (lang, tok) frame — split out so specs can drive a
+    * high-cardinality stratum through the RAW-estimator branch (the tiny
+    * per-language strata of the test corpus all land in linear counting). */
+  def hllFromTokens(langTok: DataFrame): DataFrame = {
+    val tok = langTok
       .select(col("lang"), col("tok"), Lex.hex8(col("tok")).as("h"))
-    // register = low 6 bits; rank = leading-zeros-within-26-bit-suffix + 1,
-    // computed as 27 − msb(v) with msb = binary digit count (integer-exact
-    // in both engines: Spark conv(v,10,2) / DuckDB bin(v) string length)
+    // register = low 6 bits; rank = leading-zeros-within-26-bit-suffix + 1
+    // = 27 − bitlen(v) for v > 0 (bitlen = binary digit count, integer-exact
+    // in both engines: Spark conv(v,10,2) / DuckDB bin(v) string length);
+    // v = 0 → rank 27 (all 26 suffix bits zero). A stray +1 here inflates
+    // every nonzero rank, halving Σ2^-rank and biasing the raw estimate ~2×.
     val v = expr(s"h div $M")
     val reg = tok
       .withColumn("register", col("h") % M)
       .withColumn("rank",
         when(v === 0, lit(27L))
-          .otherwise(lit(27L) - length(conv(v.cast("string"), 10, 2)) + 1L))
+          .otherwise(lit(27L) - length(conv(v.cast("string"), 10, 2))))
       .groupBy("lang", "register").agg(max("rank").as("r"))
     // Σ 2^-rank over present registers + 1.0 per empty register (rank 0).
     // 2^-r is written 1.0/(1<<r): integer shift + exact division — no libm
@@ -228,7 +236,7 @@ object Sketches {
        |reg AS (
        |  SELECT lang, h % $M AS register,
        |    max(CASE WHEN h // $M = 0 THEN 27
-       |             ELSE 27 - length(bin(h // $M)) + 1 END) AS r
+       |             ELSE 27 - length(bin(h // $M)) END) AS r
        |  FROM tok GROUP BY 1, 2),
        |agg AS (
        |  SELECT lang, sum(1.0 / (1::BIGINT << r)) AS present_sum,

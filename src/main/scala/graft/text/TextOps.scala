@@ -392,9 +392,11 @@ object TextOps {
        |  SELECT doc_id, lang, len(${Lex.toksSql("text")}) AS n_tokens
        |  FROM documents),
        |laid AS (
+       |  -- CAST: DuckDB sum(BIGINT) is HUGEINT; uncast it leaks int128 into
+       |  -- chunk_id/chunk_offset and the driver's hash sees float, not int
        |  SELECT doc_id, lang, n_tokens,
-       |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
        |  FROM d)
        |SELECT doc_id, lang, n_tokens,
        |  start_tok // $budget AS chunk_id,

@@ -38,6 +38,20 @@ class FunctionsSpec extends SparkSpec {
     assert(pairs.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("DotProd returns NULL on length-mismatched vectors, like the fold") {
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)),
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f))
+    ).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("native"),
+        hofDot(col("a"), col("b")).as("hof"))
+    val rows = df.collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+    assert(rows(2).getDouble(0) == rows(2).getDouble(1))
+  }
+
   test("native PlaneKey == per-plane when-chain over the fold, all tables") {
     import graft.text.Lex
     val e = graft.model.Tables.embeddings(spark, sf).limit(500)

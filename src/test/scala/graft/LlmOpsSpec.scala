@@ -132,6 +132,19 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("hll raw-estimator branch (all registers hit) stays within band") {
+    import org.apache.spark.sql.functions._
+    // 20k distinct tokens in one stratum: every one of the 64 registers is
+    // populated, so the estimate comes from α·m²/Σ2^-rank, not linear
+    // counting — this is the branch the rank formula actually feeds.
+    val tok = spark.range(20000).select(
+      lit("xx").as("lang"), concat(lit("tok_"), col("id")).as("tok"))
+    val r = graft.sketch.Sketches.hllFromTokens(tok).head()
+    assert(r.getAs[Long]("n_exact") === 20000L)
+    assert(math.abs(r.getAs[Double]("rel_err")) < 0.4,
+      s"raw-branch err=${r.getAs[Double]("rel_err")}")
+  }
+
   test("count-min never underestimates and ranks agree with exact counts") {
     val rows = graft.sketch.Sketches.cmTopK(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -33,6 +33,12 @@ def compare(name, spark_df, duck_df):
         return f"ROWS mismatch: spark={len(a)} duck={len(b)}"
     for c in a.columns:
         av, bv = a[c], b[c]
+        # driver hashes raw values: an int column on one side rendered as
+        # float on the other (e.g. DuckDB HUGEINT -> float64) hash-mismatches
+        # even when values are numerically equal
+        if pd.api.types.is_float_dtype(av) != pd.api.types.is_float_dtype(bv):
+            return (f"DTYPE mismatch col {c}: spark={av.dtype} duck={bv.dtype}"
+                    f" (hash would FAIL)")
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             aa = av.astype(float).to_numpy()
             bb = bv.astype(float).to_numpy()
