@@ -331,4 +331,339 @@ object Relational {
        |  lead(value, 1) OVER w AS next_value
        |FROM c
        |WINDOW w AS (PARTITION BY pk ORDER BY commit_ts)""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Wider TPC-H-shaped surface, adapted to the columns the synthetic
+  // tables actually carry (no partsupp, no commit/receipt dates, no
+  // shipmode/phone — see TESTDATA.md). Same numeric policy as above.
+  // -------------------------------------------------------------------
+
+  /** Order-priority check (TPC-H Q4 shape, late-shipment variant): orders in
+    * one quarter having at least one line shipped > 60 days after the order
+    * date. The correlated EXISTS is a `left_semi` join — single pass over
+    * the filtered orders, no row duplication, and the lineitem side shuffles
+    * only its join key + shipdate. */
+  def priorityCount(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1996-10-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+    o.join(l, o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAY"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  def priorityCountSql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |        WHERE l_orderkey = o_orderkey
+      |          AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** Volume shipping (TPC-H Q7 shape): bilateral trade volume between two
+    * nations by year. Nation is broadcast twice under different aliases
+    * (supplier side / customer side); the disjunctive nation-pair predicate
+    * runs after both broadcasts, so the only shuffles are the two fact-side
+    * equi-join keys. */
+  def volumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n1), s("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), c("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+              (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))), 2)
+        .cast("double").as("revenue"))
+  }
+
+  def volumeShippingSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  year(l_shipdate) AS l_year,
+      |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** National market share (TPC-H Q8 shape): NATION_3's share of AMERICA's
+    * ECONOMY-part import volume per year. One conditional aggregation
+    * computes numerator and denominator in the same pass; every dimension
+    * broadcasts, the two fact joins are the only shuffles. The share is a
+    * ratio of exact decimal sums, divided and rounded in double. */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_type") === "ECONOMY")
+    val r = Tables.region(spark, dir).filter(col("r_name") === "AMERICA")
+    val nC = Tables.nation(spark, dir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val nS = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+    val vol = dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), o("o_custkey") === col("c_custkey"))
+      .join(broadcast(nC), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nS), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_3", vol)
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+        sum(vol).cast("double"), 4).as("mkt_share"))
+  }
+
+  def marketShareSql: String =
+    """SELECT year(o_orderdate) AS o_year,
+      |  round(
+      |    CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+      |          THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+      |          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+      |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+      |    4) AS mkt_share
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region ON n1.n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1""".stripMargin
+
+  /** Returned-item reporting (TPC-H Q10 shape): top 20 customers by revenue
+    * lost to returns in one quarter. The returnflag + date filters land in
+    * the scans before the orderkey shuffle; customer and nation broadcast to
+    * the aggregated result, not the fact stream. */
+  def returnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1996-04-01").cast("timestamp"))
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(round(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))), 2)
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  def returnedItemsSql: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** Shipping-delay priority mix (TPC-H Q12 shape, delay-bucket variant —
+    * the synthetic lineitem has no shipmode): lines shipped in 1996 bucketed
+    * by order→ship latency; counts of urgent vs other order priorities per
+    * bucket via conditional COUNT (not SUM — DuckDB's integer SUM widens to
+    * HUGEINT and would hash as float). */
+  def shipDelayPriority(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp"))
+    val o = Tables.orders(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .withColumn("delay_bucket",
+        when(datediff(col("l_shipdate"), col("o_orderdate")) > 120, "LATE")
+          .otherwise("ONTIME"))
+      .groupBy("delay_bucket")
+      .agg(
+        count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+          .as("high_line_count"),
+        count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+          .as("low_line_count"))
+  }
+
+  def shipDelayPrioritySql: String =
+    """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 120
+      |        THEN 'LATE' ELSE 'ONTIME' END AS delay_bucket,
+      |  count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+      |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY 1""".stripMargin
+
+  /** Customer order-count distribution (TPC-H Q13 shape): two-level
+    * aggregation over a left outer join — customers with zero orders land in
+    * the c_count = 0 bin instead of disappearing. First aggregate keys on
+    * c_custkey (the join key → no extra shuffle under AQE); the second is a
+    * tiny reduction over distinct counts. */
+  def orderCountDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(c("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  def orderCountDistributionSql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count""".stripMargin
+
+  /** Top supplier (TPC-H Q15 shape): supplier(s) achieving the maximum
+    * quarterly revenue. The per-supplier aggregate reduces the fact table
+    * before anything joins; the global max is a one-row broadcast cross
+    * join (no global sort, no single-partition window), and the equality
+    * compare is on the decimal-rounded double both engines share. */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(round(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))), 2)
+        .cast("double").as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  def topSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin
+
+  /** Small-quantity-order revenue (TPC-H Q17 shape): revenue from lines of
+    * one brand whose quantity is below 20% of that part's average. The
+    * per-part average reduces lineitem BEFORE the brand join probes it
+    * (map-side partial avg), and quantities are integral doubles so the
+    * average — an exact integer sum over a count — is order-independent:
+    * the 0.2·avg threshold compares identically in both engines. */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_brand") === "Brand#3")
+    val l = Tables.lineitem(spark, dir)
+    val partAvg = l.join(broadcast(p.select("p_partkey")),
+        l("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey").as("avg_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    l.join(broadcast(p.select("p_partkey")), l("l_partkey") === col("p_partkey"))
+      .join(partAvg, col("l_partkey") === col("avg_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(sum(dec(col("l_extendedprice"))).cast("double") / 7.0, 2)
+        .as("avg_yearly"))
+  }
+
+  def smallQtyRevenueSql: String =
+    """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN (SELECT l_partkey AS avg_partkey, avg(l_quantity) AS avg_qty
+      |      FROM lineitem
+      |      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#3')
+      |      GROUP BY l_partkey) a ON l_partkey = avg_partkey
+      |WHERE p_brand = 'Brand#3'
+      |  AND l_quantity < 0.2 * avg_qty""".stripMargin
+
+  /** Disjunctive-predicate revenue (TPC-H Q19 shape): three (brand, size,
+    * quantity) conjunction groups OR-ed together. The disjunction lives in
+    * the join predicate where Catalyst extracts the common l_partkey
+    * equi-key; part broadcasts, so the whole query is one fact scan. */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey") && (
+        (p("p_brand") === "Brand#12" && p("p_size").between(1, 5)  && l("l_quantity").between(1, 11)) ||
+        (p("p_brand") === "Brand#23" && p("p_size").between(1, 10) && l("l_quantity").between(10, 20)) ||
+        (p("p_brand") === "Brand#4"  && p("p_size").between(1, 15) && l("l_quantity").between(20, 30))))
+      .agg(round(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))), 2)
+        .cast("double").as("revenue"))
+  }
+
+  def disjunctiveRevenueSql: String =
+    """SELECT CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** Dormant high-balance customers (TPC-H Q22 shape, mktsegment variant —
+    * no phone column): customers with above-average positive balance and no
+    * orders, summarized per market segment. The above-average predicate is
+    * cross-multiplied into exact integer×decimal arithmetic
+    * (bal·n > Σbal) so no engine ever divides — the threshold compare is
+    * bit-exact. The one-row aggregate broadcasts; the no-order probe is a
+    * left_anti on the orders key. */
+  def dormantBalance(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val pos = c.filter(col("c_acctbal") > 0.0)
+      .agg(sum(dec(col("c_acctbal"))).as("tot"), count(lit(1)).as("n"))
+    c.crossJoin(broadcast(pos))
+      .filter(dec(col("c_acctbal")) * col("n") > col("tot"))
+      .join(Tables.orders(spark, dir).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(dec(col("c_acctbal"))), 2).cast("double").as("totacctbal"))
+  }
+
+  def dormantBalanceSql: String =
+    """WITH pos AS (
+      |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS tot, count(*) AS n
+      |  FROM customer WHERE c_acctbal > 0.0)
+      |SELECT c_mktsegment, count(*) AS numcust,
+      |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
+      |FROM customer, pos
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > tot
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment""".stripMargin
 }

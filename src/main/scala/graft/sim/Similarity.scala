@@ -324,6 +324,26 @@ object Similarity {
        |    / len(embedding), 6) AS mean_abs_err
        |FROM q""".stripMargin
 
+  /** Embedding-cosine near-dup DEDUP: the drop-list form of [[lshNearDup]].
+    * Every vector with at least one LSH-candidate neighbor of smaller id at
+    * cosine ≥ threshold is marked removed, keeping the smallest id as its
+    * canonical — the "keep one representative per near-dup neighborhood"
+    * step a curation pipeline applies to embeddings, dual to the
+    * MinHash-based [[graft.dedup.Dedup.lshClusters]] on raw text. Builds on
+    * the capped multi-table LSH candidates (output-bound at corpus scale);
+    * the reduction per removed vector is a narrow (min, count) aggregate. */
+  def embedDedup(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame =
+    lshNearDup(spark, dir, threshold)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("canonical_id"),
+        count(lit(1)).as("n_better_dups"))
+
+  def embedDedupSql(threshold: Double = 0.3): String =
+    s"""WITH pairs AS (${lshNearDupSql(threshold)})
+       |SELECT vec_b AS vec_id, min(vec_a) AS canonical_id,
+       |  count(*) AS n_better_dups
+       |FROM pairs GROUP BY vec_b""".stripMargin
+
   def lshNearDupSql(threshold: Double = 0.3): String = {
     def keySql(t: Int) = (0 until Lex.NearDupPlanes).map { p =>
       val w = Lex.nearDupWeights(t * Lex.NearDupPlanes + p)

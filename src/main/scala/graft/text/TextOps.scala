@@ -492,4 +492,154 @@ object TextOps {
        |  (octet_length(encode(text)) * 7) % 480 AS fake_height,
        |  ${Lex.hex8Sql("text")} % 256 AS fake_brightness
        |FROM documents""".stripMargin
+
+  /** Eval-set contamination detection: what fraction of a training
+    * document's distinct 3-gram shingles also appear anywhere in the
+    * held-out split (doc_id ≡ 0 mod 10 stands in for the benchmark set).
+    * The eval side collapses to its DISTINCT shingle vocabulary — bounded
+    * by the (small) eval corpus, so it broadcasts and the train side is one
+    * scan + one aggregation by doc_id; no shuffle ever carries the corpus ×
+    * eval cross product. Docs with <3 tokens have no shingles and are
+    * excluded (no signal to test). */
+  def contamination(spark: SparkSession, dir: String, flagAt: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Lex.shingles(Lex.toks(col("text")))).as("sh"))
+      .distinct()
+    val evalSh = docs.filter(col("doc_id") % 10 === 0).select("sh").distinct()
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val perDoc = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val overlap = train.join(broadcast(evalSh), "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    perDoc.join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("overlap_ratio",
+        round(col("n_overlap").cast("double") / col("n_shingles"), 4))
+      .withColumn("contaminated", col("overlap_ratio") >= flagAt)
+  }
+
+  def contaminationSql(flagAt: Double = 0.5): String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, unnest(${Lex.shinglesSql(Lex.toksSql("text"))}) AS sh
+       |  FROM documents),
+       |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0),
+       |train AS (SELECT doc_id, sh FROM sh WHERE doc_id % 10 <> 0),
+       |per_doc AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id),
+       |ov AS (
+       |  SELECT t.doc_id, count(*) AS n_overlap
+       |  FROM train t JOIN ev ON t.sh = ev.sh
+       |  GROUP BY t.doc_id)
+       |SELECT p.doc_id, p.n_shingles,
+       |  coalesce(o.n_overlap, 0) AS n_overlap,
+       |  round(CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / p.n_shingles, 4) AS overlap_ratio,
+       |  round(CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / p.n_shingles, 4) >= $flagAt AS contaminated
+       |FROM per_doc p LEFT JOIN ov o ON p.doc_id = o.doc_id""".stripMargin
+
+  /** Sliding-window chunking with overlap — the RAG/pre-training splitter
+    * dual to [[packChunks]] (which concatenates; this one windows each
+    * document independently): windows of `win` tokens advancing by `stride`
+    * (< win ⇒ adjacent chunks share win−stride tokens of context). Chunk
+    * count per doc is exact integer arithmetic (1 + ⌈(n−win)/stride⌉,
+    * clamped at 1); the per-chunk fingerprint digests the joined token
+    * slice so the oracle verifies the actual window contents, not just the
+    * offsets. Pure per-row explode — scan-bound, no shuffle, fan-out
+    * bounded by n/stride per document. */
+  def chunkWindows(spark: SparkSession, dir: String, win: Int = 64,
+      stride: Int = 48): DataFrame = {
+    val toked = Tables.documents(spark, dir)
+      .select(col("doc_id"), Lex.toks(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"))
+      .filter(col("n") > 0)
+      // ceil_div((n - win), stride) in pure integer math, clamped at 0
+      .withColumn("n_chunks",
+        lit(1L) + greatest(lit(0L),
+          expr(s"(n - $win + $stride - 1) div $stride")))
+    toked
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * stride + 1)
+      .withColumn("n_chunk_toks", least(lit(win.toLong), col("n") - col("chunk_idx") * stride))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"), col("n_chunk_toks"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("start_tok").cast("int"), col("n_chunk_toks").cast("int"))))
+          .as("chunk_fp"))
+  }
+
+  def chunkWindowsSql(win: Int = 64, stride: Int = 48): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, ${Lex.toksSql("text")} AS toks FROM documents),
+       |n AS (
+       |  SELECT doc_id, toks, len(toks) AS n,
+       |    1 + greatest(0, (len(toks) - $win + $stride - 1) // $stride) AS n_chunks
+       |  FROM d WHERE len(toks) > 0),
+       |c AS (
+       |  SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS chunk_idx FROM n)
+       |SELECT doc_id, chunk_idx,
+       |  chunk_idx * $stride + 1 AS start_tok,
+       |  least($win, n - chunk_idx * $stride) AS n_chunk_toks,
+       |  md5(array_to_string(list_slice(toks, chunk_idx * $stride + 1,
+       |    chunk_idx * $stride + least($win, n - chunk_idx * $stride)), ' ')) AS chunk_fp
+       |FROM c""".stripMargin
+
+  /** PMI collocations: the top-25 adjacent-token bigrams by frequency with
+    * their pointwise mutual information — the standard phrase-mining /
+    * tokenizer-vocabulary signal. Counts are exact integers; the PMI ratio
+    * is assembled left-associatively in double in BOTH engines (identical
+    * operation order ⇒ identical bits) and rounded to 3 digits to absorb
+    * any last-ulp ln() divergence between libm implementations. Ranking is
+    * by integer count with a lexical tie-break, so row selection never
+    * depends on floating-point order. */
+  def pmiBigrams(spark: SparkSession, dir: String, minCount: Int = 20,
+      topK: Int = 25): DataFrame = {
+    val toked = Tables.documents(spark, dir)
+      .select(col("doc_id"), Lex.toks(col("text")).as("toks"))
+    val uni = toked.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c_tok"))
+    val nUni = uni.agg(sum("c_tok").as("n_uni"))
+    val bi = toked
+      .select(explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1), i =>
+          struct(element_at(col("toks"), i).as("w1"),
+                 element_at(col("toks"), i + 1).as("w2"))))
+        .otherwise(array())).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_big"))
+    val nBi = bi.agg(sum("c_big").as("n_bi"))
+    val u1 = uni.select(col("tok").as("w1"), col("c_tok").as("c_w1"))
+    val u2 = uni.select(col("tok").as("w2"), col("c_tok").as("c_w2"))
+    bi.filter(col("c_big") >= minCount)
+      .join(broadcast(u1), "w1").join(broadcast(u2), "w2")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .withColumn("pmi", round(log(
+        col("c_big").cast("double") * col("n_uni") * col("n_uni") /
+          (col("n_bi").cast("double") * col("c_w1") * col("c_w2"))), 3))
+      .orderBy(col("c_big").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select("w1", "w2", "c_big", "pmi")
+  }
+
+  def pmiBigramsSql(minCount: Int = 20, topK: Int = 25): String =
+    s"""WITH toked AS (
+       |  SELECT doc_id, ${Lex.toksSql("text")} AS toks FROM documents),
+       |uni AS (
+       |  SELECT tok, count(*) AS c_tok FROM (
+       |    SELECT unnest(toks) AS tok FROM toked) GROUP BY tok),
+       |n_uni_t AS (SELECT CAST(sum(c_tok) AS BIGINT) AS n_uni FROM uni),
+       |bi AS (
+       |  SELECT b[1] AS w1, b[2] AS w2, count(*) AS c_big FROM (
+       |    SELECT unnest(list_transform(range(1, len(toks)),
+       |      i -> [toks[i], toks[i+1]])) AS b
+       |    FROM toked WHERE len(toks) >= 2)
+       |  GROUP BY 1, 2),
+       |n_bi_t AS (SELECT CAST(sum(c_big) AS BIGINT) AS n_bi FROM bi)
+       |SELECT w1, w2, c_big,
+       |  round(ln(CAST(c_big AS DOUBLE) * n_uni * n_uni /
+       |    (CAST(n_bi AS DOUBLE) * u1.c_tok * u2.c_tok)), 3) AS pmi
+       |FROM bi
+       |JOIN uni u1 ON w1 = u1.tok
+       |JOIN uni u2 ON w2 = u2.tok
+       |CROSS JOIN n_uni_t CROSS JOIN n_bi_t
+       |WHERE c_big >= $minCount
+       |ORDER BY c_big DESC, w1, w2
+       |LIMIT $topK""".stripMargin
 }

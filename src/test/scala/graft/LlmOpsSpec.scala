@@ -189,4 +189,72 @@ class LlmOpsSpec extends SparkSpec {
       .select(countDistinct("text")).head().getLong(0)
     assert(fp.select(countDistinct("exact_fp")).head().getLong(0) == texts)
   }
+
+  test("chunk windows tile every document: last chunk ends at n, stride overlap") {
+    val win = 64; val stride = 48
+    val chunks = TextOps.chunkWindows(spark, sf, win, stride).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val nToks = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(Lex.toks(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.keySet == nToks.keySet)
+    chunks.foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("chunk_idx"))
+      // dense indices from 0, fixed stride starts
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("chunk_idx") == i)
+        assert(r.getAs[Long]("start_tok") == i.toLong * stride + 1)
+      }
+      // full coverage: the final chunk reaches exactly token n
+      val last = sorted.last
+      assert(last.getAs[Long]("start_tok") + last.getAs[Long]("n_chunk_toks") - 1
+        == nToks(doc))
+      // every interior chunk is full width (only the tail may be short)
+      sorted.init.foreach(r => assert(r.getAs[Long]("n_chunk_toks") == win))
+    }
+  }
+
+  test("contamination: eval split excluded, ratios bounded, self-dup contaminates") {
+    val c = TextOps.contamination(spark, sf).collect()
+    assert(c.forall(_.getAs[Long]("doc_id") % 10 != 0), "eval docs must not be scored")
+    assert(c.forall { r =>
+      val ratio = r.getAs[Double]("overlap_ratio")
+      ratio >= 0.0 && ratio <= 1.0 &&
+        r.getAs[Long]("n_overlap") <= r.getAs[Long]("n_shingles")
+    })
+    // a train doc sharing its exact text with an eval doc must be flagged
+    val d = graft.model.Tables.documents(spark, sf)
+    val evalTexts = d.filter(col("doc_id") % 10 === 0)
+      .filter(size(Lex.toks(col("text"))) >= 3)
+      .select("text").distinct()
+    val clones = d.filter(col("doc_id") % 10 =!= 0)
+      .join(evalTexts, "text").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    if (clones.nonEmpty) {
+      val flagged = c.filter(r => clones(r.getAs[Long]("doc_id")))
+      assert(flagged.forall(_.getAs[Boolean]("contaminated")),
+        "exact eval clones must be contaminated")
+    }
+  }
+
+  test("pmi bigrams: bounded output, counts honored, pmi finite") {
+    val p = TextOps.pmiBigrams(spark, sf, minCount = 5, topK = 25).collect()
+    assert(p.length <= 25 && p.nonEmpty)
+    assert(p.forall(_.getAs[Long]("c_big") >= 5))
+    assert(p.forall(r => !r.getAs[Double]("pmi").isNaN &&
+      !r.getAs[Double]("pmi").isInfinite))
+  }
+
+  test("embedding dedup: canonical strictly smaller, consistent with pair set") {
+    val pairs = Similarity.lshNearDup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val dd = Similarity.embedDedup(spark, sf).collect()
+    dd.foreach { r =>
+      val v = r.getAs[Long]("vec_id"); val canon = r.getAs[Long]("canonical_id")
+      assert(canon < v)
+      assert(pairs.contains((canon, v)), "canonical must be a verified neighbor")
+    }
+    assert(dd.map(_.getAs[Long]("vec_id")).toSet == pairs.map(_._2).toSet)
+  }
 }
