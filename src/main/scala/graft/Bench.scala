@@ -35,13 +35,20 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.collect { case (k, v) if !errors.contains(k) =>
-      s"\"" + k + "\":" + v
-    }.mkString("{", ",", "}")
+    // The driver captures only the LAST 2000 chars of stdout; a map of all
+    // ~90 queries at full double precision overflows it and the JSON line
+    // is truncated mid-entry (BENCH_r01/r02 both parsed as null). Keep the
+    // slowest 40 per-query (the ones worth comparing round-over-round),
+    // fold the rest into one aggregate, and round to ms.
+    def ms(v: Double): String = f"$v%.3f"
+    val ok = results.filterNot { case (k, _) => errors.contains(k) }
+    val (slow, fast) = ok.sortBy(-_._2).splitAt(40)
+    val qs = slow.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
     val es = errors.map { case (k, m) => s"\"" + k + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_errors":${errors.size},"sf":"$sfDir"}""")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"fast_n":${fast.size},"fast_sum":${ms(fast.map(_._2).sum)},"n_queries":${results.size},"errors":$es,"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

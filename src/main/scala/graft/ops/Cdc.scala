@@ -84,6 +84,39 @@ object Cdc {
        |  CASE WHEN op = 'D' THEN 'D' WHEN first_op = 'U' THEN 'U' ELSE 'I' END AS op
        |FROM r WHERE rn = 1""".stripMargin
 
+  /** Reparo-style PITR replay (ref: reparo/read.go:48-110 range-filters the
+    * pb-file stream to [start, stop]; reparo/syncer applies it): the LIVE
+    * table state as of a recovery point — here 60% of the stream's max
+    * commit_ts, so the query exercises the same fraction at every scale
+    * factor. Replay = range filter (pushed into the scan; on a
+    * ts-partitioned lake this is partition pruning) + per-PK log compaction;
+    * rows whose final op is a delete do not exist at the recovery point and
+    * are dropped. The recovery threshold is a one-row aggregate broadcast —
+    * no second pass over the stream. */
+  def pitrReplay(spark: SparkSession, dir: String): DataFrame = {
+    val c = changes(spark, dir)
+    // `div`, not `/`: Column./ on longs is double division
+    val stop = c.agg(expr("max(commit_ts) * 6 div 10").as("stop_ts"))
+    val upTo = c.crossJoin(broadcast(stop))
+      .filter(col("commit_ts") <= col("stop_ts"))
+      .drop("stop_ts")
+    compactByPk(upTo).filter(col("op") =!= "D")
+  }
+
+  def pitrReplaySql: String =
+    s"""WITH c AS ($changesCte),
+       |f AS (SELECT * FROM c
+       |      WHERE commit_ts <= (SELECT max(commit_ts) * 6 // 10 FROM c)),
+       |r AS (
+       |  SELECT pk, commit_ts, value, op,
+       |    row_number() OVER (PARTITION BY pk ORDER BY commit_ts DESC) AS rn,
+       |    first_value(op) OVER (PARTITION BY pk ORDER BY commit_ts
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_op
+       |  FROM f)
+       |SELECT pk, commit_ts, value,
+       |  CASE WHEN first_op = 'U' THEN 'U' ELSE 'I' END AS op
+       |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin
+
   /** T2: k-way ordered merge across pump sources
     * (ref: drainer/merge.go:153-335 min-heap over one head per source).
     *

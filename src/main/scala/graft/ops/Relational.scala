@@ -369,6 +369,13 @@ object Relational {
     * (supplier side / customer side); the disjunctive nation-pair predicate
     * runs after both broadcasts, so the only shuffles are the two fact-side
     * equi-join keys. */
+  // Two trade blocs instead of TPC-H's single nation pair: with 25 synthetic
+  // nations a single ordered pair owns ~1/625 of the fact table and is empty
+  // at sf0.001; the bloc×bloc disjunction keeps Q7's shape (the pair
+  // predicate still runs after both nation broadcasts) at every SF.
+  private val GroupA = Seq("NATION_1", "NATION_2", "NATION_3")
+  private val GroupB = Seq("NATION_4", "NATION_5", "NATION_6")
+
   def volumeShipping(spark: SparkSession, dir: String): DataFrame = {
     val n1 = Tables.nation(spark, dir)
       .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
@@ -385,8 +392,8 @@ object Relational {
       .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
       .join(broadcast(n1), s("s_nationkey") === col("s_nk"))
       .join(broadcast(n2), c("c_nationkey") === col("c_nk"))
-      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-              (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .filter((col("supp_nation").isin(GroupA: _*) && col("cust_nation").isin(GroupB: _*)) ||
+              (col("supp_nation").isin(GroupB: _*) && col("cust_nation").isin(GroupA: _*)))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))
       .agg(round(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))), 2)
@@ -405,8 +412,10 @@ object Relational {
       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-      |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |  AND ((n1.n_name IN ('NATION_1','NATION_2','NATION_3')
+      |          AND n2.n_name IN ('NATION_4','NATION_5','NATION_6'))
+      |    OR (n1.n_name IN ('NATION_4','NATION_5','NATION_6')
+      |          AND n2.n_name IN ('NATION_1','NATION_2','NATION_3')))
       |GROUP BY 1, 2, 3""".stripMargin
 
   /** National market share (TPC-H Q8 shape): NATION_3's share of AMERICA's
@@ -638,18 +647,27 @@ object Relational {
 
   /** Dormant high-balance customers (TPC-H Q22 shape, mktsegment variant —
     * no phone column): customers with above-average positive balance and no
-    * orders, summarized per market segment. The above-average predicate is
+    * RECENT orders (none since [[DormantCutoff]] — the synthetic order
+    * stream gives nearly every customer *some* order even at sf0.001, so
+    * literal Q22 "no orders ever" selects nothing below sf0.1; a dormancy
+    * cutoff keeps the anti-join shape and is non-empty at every SF),
+    * summarized per market segment. The above-average predicate is
     * cross-multiplied into exact integer×decimal arithmetic
     * (bal·n > Σbal) so no engine ever divides — the threshold compare is
-    * bit-exact. The one-row aggregate broadcasts; the no-order probe is a
-    * left_anti on the orders key. */
+    * bit-exact. The one-row aggregate broadcasts; the no-recent-order probe
+    * is a left_anti on the pre-filtered orders key (the date filter is
+    * pushed to the scan, so the anti-join's build side shrinks first). */
+  private val DormantCutoff = "1999-01-01"
+
   def dormantBalance(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val pos = c.filter(col("c_acctbal") > 0.0)
       .agg(sum(dec(col("c_acctbal"))).as("tot"), count(lit(1)).as("n"))
     c.crossJoin(broadcast(pos))
       .filter(dec(col("c_acctbal")) * col("n") > col("tot"))
-      .join(Tables.orders(spark, dir).select("o_custkey"),
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit(DormantCutoff).cast("timestamp"))
+          .select("o_custkey"),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("numcust"),
@@ -664,6 +682,7 @@ object Relational {
       |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
       |FROM customer, pos
       |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > tot
-      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |        AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
       |GROUP BY c_mktsegment""".stripMargin
 }

@@ -1,7 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.model.Tables
 
 /** Skew-mitigation utilities for hot-key joins.
   *
@@ -28,4 +30,31 @@ object Skew {
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Oracle-checked salted-join query: the events fact table joins a 5-row
+    * event-type dimension — a key so hot every value owns ~20% of the fact
+    * stream, the worst case for an unsalted shuffle join (5 keys can land
+    * on at most 5 of 32+ partitions; salting × 8 spreads each over 8). The
+    * oracle runs the PLAIN join — identical results prove salting changes
+    * the physical distribution, never the semantics. Aggregates stay
+    * integer (counts), so parity is exact. */
+  def saltedJoinQuery(spark: SparkSession, dir: String, factor: Int = 8): DataFrame = {
+    import spark.implicits._
+    val dim = Seq("signup", "error", "click", "view", "purchase")
+      .map(t => (t, t.length.toLong)).toDF("event_type", "boost")
+    val fact = Tables.events(spark, dir)
+    saltedJoin(fact, dim, "event_type", col("event_id"), factor)
+      .groupBy("event_type", "boost")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("value") * col("boost") > 600.0, 1)).as("n_hi"))
+  }
+
+  def saltedJoinSql: String =
+    """SELECT event_type, boost, count(*) AS n_rows,
+      |  count(CASE WHEN value * boost > 600.0 THEN 1 END) AS n_hi
+      |FROM events
+      |JOIN (VALUES ('signup', CAST(6 AS BIGINT)), ('error', 5), ('click', 5),
+      |             ('view', 4), ('purchase', 8)) AS dim(event_type, boost)
+      |  USING (event_type)
+      |GROUP BY event_type, boost""".stripMargin
 }

@@ -255,4 +255,73 @@ object Sketches {
        |SELECT lang, n_exact, hll_estimate,
        |  round((hll_estimate - n_exact) / n_exact, 4) AS rel_err
        |FROM exact JOIN est USING (lang)""".stripMargin
+
+  /** HLL MERGE — the property that makes sketches the 100 TB answer to
+    * distinct counting: one sketch per shard (here: per source, the
+    * ingest-partition stand-in), union = register-wise max, estimate from
+    * the merged registers. At scale each shard's 64-register sketch is
+    * computed where its data lives and only 64 (register, rank) integers
+    * per shard ever travel — the union never reshuffles raw values. The
+    * merged estimate is BY CONSTRUCTION bit-identical to a single sketch
+    * built over the whole corpus (max over shard-maxes = global max per
+    * register; SketchesSpec pins it); the oracle recomputes the same merge
+    * in SQL. */
+  def hllMerge(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"), explode(array_distinct(Lex.toks(col("text")))).as("tok"))
+      .select(col("source"), col("tok"), Lex.hex8(col("tok")).as("h"))
+    val v = expr(s"h div $M")
+    val shardRegs = tok
+      .withColumn("register", col("h") % M)
+      .withColumn("rank",
+        when(v === 0, lit(27L))
+          .otherwise(lit(27L) - length(conv(v.cast("string"), 10, 2))))
+      .groupBy("source", "register").agg(max("rank").as("r"))
+    val nShards = shardRegs.select(countDistinct("source").as("n_shards"))
+    val merged = shardRegs.groupBy("register").agg(max("r").as("r"))
+    val est = merged
+      .agg(sum(expr("1.0 / shiftleft(cast(1 as bigint), cast(r as int))"))
+        .as("present_sum"), count(lit(1)).as("n_present"))
+      .withColumn("raw_est", lit(Alpha64) * M * M /
+        (col("present_sum") + (lit(M) - col("n_present"))))
+      .withColumn("hll_merged",
+        when(col("raw_est") <= 2.5 * M && col("n_present") < M,
+          round(lit(M.toDouble) * log(lit(M.toDouble) / (lit(M) - col("n_present"))), 2))
+          .otherwise(round(col("raw_est"), 2)))
+    val exact = tok.agg(countDistinct("tok").as("n_exact"))
+    nShards.crossJoin(exact).crossJoin(est.select("hll_merged"))
+      .withColumn("rel_err",
+        round((col("hll_merged") - col("n_exact")) / col("n_exact"), 4))
+  }
+
+  def hllMergeSql: String =
+    s"""WITH tok AS (
+       |  SELECT source, tok, ${Lex.hex8Sql("tok")} AS h FROM (
+       |    SELECT source, unnest(list_distinct(${Lex.toksSql("text")})) AS tok
+       |    FROM documents)),
+       |shard_regs AS (
+       |  SELECT source, h % $M AS register,
+       |    max(CASE WHEN h // $M = 0 THEN 27
+       |             ELSE 27 - length(bin(h // $M)) END) AS r
+       |  FROM tok GROUP BY 1, 2),
+       |merged AS (
+       |  SELECT register, max(r) AS r FROM shard_regs GROUP BY 1),
+       |agg AS (
+       |  SELECT sum(1.0 / (1::BIGINT << r)) AS present_sum, count(*) AS n_present
+       |  FROM merged),
+       |est AS (
+       |  SELECT CASE WHEN raw_est <= 2.5 * $M AND n_present < $M
+       |         THEN round($M.0 * ln($M.0 / ($M - n_present)), 2)
+       |         ELSE round(raw_est, 2) END AS hll_merged
+       |  FROM (
+       |    SELECT n_present,
+       |      $Alpha64 * $M * $M / (present_sum + ($M - n_present)) AS raw_est
+       |    FROM agg))
+       |SELECT
+       |  (SELECT count(DISTINCT source) FROM tok) AS n_shards,
+       |  (SELECT count(DISTINCT tok) FROM tok) AS n_exact,
+       |  hll_merged,
+       |  round((hll_merged - (SELECT count(DISTINCT tok) FROM tok)) /
+       |    (SELECT count(DISTINCT tok) FROM tok), 4) AS rel_err
+       |FROM est""".stripMargin
 }

@@ -502,11 +502,16 @@ object TextOps {
     * eval cross product. Docs with <3 tokens have no shingles and are
     * excluded (no signal to test). */
   def contamination(spark: SparkSession, dir: String, flagAt: Double = 0.5): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(Lex.shingles(Lex.toks(col("text")))).as("sh"))
-      .distinct()
-    val evalSh = docs.filter(col("doc_id") % 10 === 0).select("sh").distinct()
-    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    // Per-doc shingle dedup happens INSIDE the row (array_distinct before
+    // the explode, via docShingles — which also binds the token array to an
+    // attribute first; an unbound lambda re-runs the regex split per
+    // element, O(tokens²) per doc): zero shuffle, versus a global
+    // (doc_id, sh) DISTINCT that would reshuffle the whole exploded corpus.
+    // The only wide ops left are the small eval-vocabulary distinct (10% of
+    // docs) and the map-side-combinable per-doc counts.
+    val sh = graft.dedup.Dedup.docShingles(spark, dir)
+    val evalSh = sh.filter(col("doc_id") % 10 === 0).select("sh").distinct()
+    val train = sh.filter(col("doc_id") % 10 =!= 0)
     val perDoc = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val overlap = train.join(broadcast(evalSh), "sh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))

@@ -246,6 +246,18 @@ class LlmOpsSpec extends SparkSpec {
       !r.getAs[Double]("pmi").isInfinite))
   }
 
+  test("hll merge: union of per-shard sketches == one global sketch") {
+    val merged = graft.sketch.Sketches.hllMerge(spark, sf).head()
+    val single = graft.sketch.Sketches.hllFromTokens(
+      graft.model.Tables.documents(spark, sf)
+        .select(lit("all").as("lang"),
+          explode(array_distinct(Lex.toks(col("text")))).as("tok"))).head()
+    assert(merged.getAs[Double]("hll_merged") ==
+      single.getAs[Double]("hll_estimate"))
+    assert(merged.getAs[Long]("n_exact") == single.getAs[Long]("n_exact"))
+    assert(merged.getAs[Long]("n_shards") > 1)
+  }
+
   test("embedding dedup: canonical strictly smaller, consistent with pair set") {
     val pairs = Similarity.lshNearDup(spark, sf).collect()
       .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet

@@ -60,4 +60,35 @@ class PipelineSpec extends SparkSpec {
       .distinct().count()
     assert(buckets > 4)
   }
+
+  test("salted-join query equals the unsalted twin on real tables") {
+    val salted = Skew.saltedJoinQuery(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val dim = Seq("signup", "error", "click", "view", "purchase")
+      .map(t => (t, t.length.toLong)).toDF("event_type", "boost")
+    val plain = graft.model.Tables.events(spark, sf).join(dim, "event_type")
+      .groupBy("event_type", "boost")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("value") * col("boost") > 600.0, 1)).as("n_hi"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(salted == plain && salted.nonEmpty)
+  }
+
+  test("pitr replay: no deletes, nothing past the recovery point, state matches rebuild") {
+    val out = graft.ops.Cdc.pitrReplay(spark, sf)
+    val maxTs = graft.ops.Cdc.changes(spark, sf)
+      .agg(max("commit_ts")).head().getLong(0)
+    val stop = maxTs * 6 / 10
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("op") != "D"))
+    assert(rows.forall(_.getAs[Long]("commit_ts") <= stop))
+    // equals compacting the explicitly truncated stream
+    val rebuilt = graft.ops.Cdc.compactByPk(
+        graft.ops.Cdc.changes(spark, sf).filter(col("commit_ts") <= stop))
+      .filter(col("op") =!= "D").collect()
+      .map(r => (r.getAs[Long]("pk"), r.getAs[Long]("commit_ts"))).toSet
+    assert(rows.map(r => (r.getAs[Long]("pk"), r.getAs[Long]("commit_ts"))).toSet == rebuilt)
+  }
 }
