@@ -685,4 +685,120 @@ object Relational {
       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
       |        AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
       |GROUP BY c_mktsegment""".stripMargin
+
+  /** Cheapest supplier per part (TPC-H Q2 shape; no partsupp table, so the
+    * part↔supplier relation is the observed shipping history in lineitem,
+    * and min supply cost becomes min supplier account balance): for every
+    * STANDARD-type part, the supplier with the lowest (s_acctbal, s_suppkey)
+    * among suppliers that ever shipped it from region AMERICA.
+    *
+    * The shape that matters at scale: the argmin is a single `min_by` HASH
+    * aggregate keyed on the packed (acctbal, suppkey) ordering column — one
+    * shuffle on l_partkey, NO row_number window (a window would re-sort the
+    * whole bridge), and the supplier/nation/region side is broadcast (dims),
+    * so lineitem is the only shuffled input. The tie-break is packed into
+    * the ordering value (bal · 10⁶ + suppkey, exact integer arithmetic) so
+    * min_by is deterministic and both engines agree bit-for-bit. */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "AMERICA")
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        // deterministic argmin key: acctbal is 2-decimal, ×100 is integer-
+        // exact; +10^5 keeps the key positive for negative balances (Spark
+        // `div` truncates toward zero, DuckDB `//` floors — they only agree
+        // on non-negatives); ×10^6 headroom then + suppkey breaks ties
+        ((round(col("s_acctbal") * 100).cast("long") + 100000L) * 1000000L +
+          col("s_suppkey")).as("ord"))
+    val p = Tables.part(spark, dir).filter(col("p_type") === "STANDARD")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val bridge = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val best = bridge
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(min_by(struct(col("s_name"), col("n_name")), col("ord")).as("w"),
+        min(col("ord")).as("min_ord"))
+    best.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"),
+        col("w.s_name").as("s_name"), col("w.n_name").as("n_name"),
+        round((expr("min_ord div 1000000") - 100000L).cast("double") / 100.0, 2)
+          .as("s_acctbal"))
+  }
+
+  def minCostSupplierSql: String =
+    """WITH s AS (
+      |  SELECT s_suppkey, s_name, n_name,
+      |    (CAST(round(s_acctbal * 100) AS BIGINT) + 100000) * 1000000
+      |      + s_suppkey AS ord
+      |  FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'AMERICA'),
+      |bridge AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |best AS (
+      |  SELECT l_partkey, arg_min(s_name, ord) AS s_name,
+      |    arg_min(n_name, ord) AS n_name, min(ord) AS min_ord
+      |  FROM bridge JOIN s ON l_suppkey = s_suppkey
+      |  GROUP BY l_partkey)
+      |SELECT p_partkey, p_brand, p_size, s_name, n_name,
+      |  round(CAST(min_ord // 1000000 - 100000 AS DOUBLE) / 100.0, 2) AS s_acctbal
+      |FROM best JOIN part ON l_partkey = p_partkey
+      |WHERE p_type = 'STANDARD'""".stripMargin
+
+  /** Suppliers who kept orders waiting (TPC-H Q21 shape; lineitem has no
+    * receipt/commit dates, so "late" = shipped more than [[LateDays]] days
+    * after the order date): line items whose supplier was the ONLY late
+    * supplier on a multi-supplier order, counted per supplier, top 25.
+    *
+    * The classic formulation is a 3-way self-join (l1 + EXISTS l2 + NOT
+    * EXISTS l3). Rewritten as ONE aggregation per order — count distinct
+    * suppliers and distinct late suppliers per l_orderkey, then keep late
+    * rows where (n_supp > 1 AND n_late_supp = 1) — the self-joins collapse
+    * into a single shuffle on l_orderkey followed by a broadcast-back join.
+    * At 100 TB that is the difference between one pass over lineitem and
+    * three, with no pair blowup on large orders. */
+  val LateDays = 60
+
+  def waitingOrders(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val lo = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("is_late",
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $LateDays DAYS"))
+    val perOrder = lo.groupBy("l_orderkey")
+      .agg(countDistinct("l_suppkey").as("n_supp"),
+        countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late_supp"))
+    lo.filter(col("is_late"))
+      .join(perOrder.filter(col("n_supp") > 1 && col("n_late_supp") === 1),
+        Seq("l_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(25)
+  }
+
+  def waitingOrdersSql: String =
+    s"""WITH lo AS (
+       |  SELECT l_orderkey, l_suppkey,
+       |    l_shipdate > o_orderdate + INTERVAL $LateDays DAY AS is_late
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_orderstatus = 'F'),
+       |per_order AS (
+       |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+       |    count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+       |  FROM lo GROUP BY 1)
+       |SELECT s_name, count(*) AS numwait
+       |FROM lo
+       |JOIN per_order USING (l_orderkey)
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE is_late AND n_supp > 1 AND n_late_supp = 1
+       |GROUP BY s_name
+       |ORDER BY numwait DESC, s_name
+       |LIMIT 25""".stripMargin
 }

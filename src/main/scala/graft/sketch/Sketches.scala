@@ -294,6 +294,69 @@ object Sketches {
         round((col("hll_merged") - col("n_exact")) / col("n_exact"), 4))
   }
 
+  /** Fixed-width-histogram quantile sketch over `events.value`: width
+    * [[HistW]] buckets counted per shard (user_id % 16, the
+    * ingest-partition stand-in), merged by plain SUM — the simplest
+    * mergeable quantile sketch, and the reason it scales: per-shard state
+    * is a few hundred (bucket, count) pairs regardless of row count, the
+    * merge is associative, and the estimate reads the cumulative counts of
+    * the merged histogram (≤ range/width rows — the unpartitioned window
+    * is over that bounded sketch, never the data). The estimate is the
+    * covering bucket's upper edge, so est − exact ∈ (0, width] by
+    * construction.
+    *
+    * The exact side (a global row_number sort of every value) is computed
+    * too — it is the full-sort baseline the sketch exists to replace, kept
+    * here as the per-quantile error witness. */
+  val HistW = 0.5
+  val HistQs: Seq[Double] = Seq(0.5, 0.9, 0.99)
+
+  def histQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("value"), (col("user_id") % 16).as("shard"),
+        floor(col("value") / HistW).cast("long").as("bucket"))
+    val shardHist = ev.groupBy("shard", "bucket").agg(count(lit(1)).as("n"))
+    val merged = shardHist.groupBy("bucket").agg(sum("n").as("n"))
+    val total = merged.agg(sum("n").as("total"))
+    val cum = merged.withColumn("cum", sum("n").over(Window.orderBy("bucket")))
+    val qs = HistQs.map(q => lit(q))
+    val tgt = spark.range(1).select(explode(array(qs: _*)).as("q"))
+      .crossJoin(broadcast(total))
+      .select(col("q"), ceil(col("q") * col("total")).as("k"))
+    val est = tgt.join(broadcast(cum), col("cum") >= col("k"))
+      .groupBy("q", "k").agg(min("bucket").as("bkt"))
+    val ranked = ev.select(col("value"))
+      .withColumn("rn", row_number().over(Window.orderBy("value")).cast("long"))
+    est.join(ranked, col("rn") === col("k"))
+      .select(col("q"),
+        ((col("bkt") + 1) * HistW).as("hist_est"),
+        col("value").as("exact_val"),
+        round((col("bkt") + 1) * HistW - col("value"), 4).as("err"))
+  }
+
+  def histQuantilesSql: String = {
+    val qlist = HistQs.mkString("[", ", ", "]")
+    s"""WITH ev AS (
+       |  SELECT value, CAST(floor(value / $HistW) AS BIGINT) AS bucket,
+       |    user_id % 16 AS shard FROM events),
+       |sh AS (SELECT shard, bucket, count(*) AS n FROM ev GROUP BY 1, 2),
+       |merged AS (SELECT bucket, sum(n) AS n FROM sh GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM merged),
+       |cum AS (SELECT bucket, sum(n) OVER (ORDER BY bucket) AS cum FROM merged),
+       |tgt AS (
+       |  SELECT q, CAST(ceil(q * total) AS BIGINT) AS k
+       |  FROM (SELECT unnest($qlist) AS q) CROSS JOIN tot),
+       |est AS (
+       |  SELECT q, k, min(bucket) AS bkt FROM tgt JOIN cum ON cum >= k
+       |  GROUP BY q, k),
+       |ranked AS (
+       |  SELECT value, row_number() OVER (ORDER BY value) AS rn FROM ev)
+       |SELECT q, (bkt + 1) * $HistW AS hist_est, r.value AS exact_val,
+       |  round((bkt + 1) * $HistW - r.value, 4) AS err
+       |FROM est JOIN ranked r ON r.rn = k""".stripMargin
+  }
+
   def hllMergeSql: String =
     s"""WITH tok AS (
        |  SELECT source, tok, ${Lex.hex8Sql("tok")} AS h FROM (

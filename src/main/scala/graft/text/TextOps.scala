@@ -647,4 +647,124 @@ object TextOps {
        |WHERE c_big >= $minCount
        |ORDER BY c_big DESC, w1, w2
        |LIMIT $topK""".stripMargin
+
+  /** Paragraph "lines" for corpus-level dedup: non-overlapping
+    * [[ParaBlock]]-token blocks with their 0-based position. The synthetic
+    * corpus has no newlines, so fixed-width token blocks stand in for
+    * paragraphs; a real pipeline would split on '\n' and the rest of the
+    * plan is unchanged. The token array is bound to an attribute before the
+    * block lambda runs (same interpreted-lambda trap as Dedup.docShingles). */
+  private val ParaBlock = 4
+
+  /** Corpus-level paragraph dedup (C4/RefinedWeb-style "remove duplicated
+    * lines across documents"): a block occurrence survives iff it is the
+    * globally FIRST occurrence of that block (min (doc_id, pos)); every
+    * later copy anywhere in the corpus is removed. Per-doc summary: blocks,
+    * kept, and the removed ratio.
+    *
+    * Scale shape: one explode + ONE aggregate per stage, never a self-join —
+    * the first-occurrence rule is `min(struct(doc_id, pos))` per block, so a
+    * boilerplate block repeated 10⁹ times is just a large min() group
+    * (map-side partial min; no posting-list blowup, unlike a naive
+    * block↔block join), and the per-doc rollup shuffles on uniform doc_id. */
+  def paraDedup(spark: SparkSession, dir: String): DataFrame = {
+    val b = ParaBlock
+    // `div`, not `/` (Column./ on ints is double division); empty docs are
+    // filtered BEFORE the sequence (Spark's sequence(0, -1) counts DOWN).
+    // First-occurrence key packs (doc_id, pos) into one long — pos < 1000
+    // blocks/doc is guaranteed by the corpus (≤ ~100 tokens/doc); an
+    // integer min is ordering-parity-safe across engines where a struct
+    // min's comparison semantics are not.
+    val blocks = Tables.documents(spark, dir)
+      .select(col("doc_id"), Lex.toks(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(toks) + ${b - 1}) div $b - 1), " +
+          s"i -> concat_ws('_', slice(toks, i * $b + 1, $b)))")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("block"))
+      .withColumn("occ_key", col("doc_id") * 1000L + col("pos"))
+    val firstOcc = blocks.groupBy("block").agg(min("occ_key").as("f"))
+    blocks.join(firstOcc, "block")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("occ_key") === col("f"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("removed_ratio",
+        round((col("n_blocks") - col("n_kept")).cast("double") / col("n_blocks"), 4))
+  }
+
+  def paraDedupSql: String = {
+    val b = ParaBlock
+    s"""WITH t AS (
+       |  SELECT doc_id, ${Lex.toksSql("text")} AS toks FROM documents),
+       |b0 AS (
+       |  SELECT doc_id, list_transform(range(0, (len(toks) + ${b - 1}) // $b),
+       |    i -> array_to_string(list_slice(toks, i*$b+1, i*$b+$b), '_')) AS blocks
+       |  FROM t WHERE len(toks) > 0),
+       |blocks AS (
+       |  SELECT doc_id, unnest(range(0, len(blocks))) AS pos,
+       |    unnest(blocks) AS block FROM b0),
+       |keyed AS (SELECT doc_id, block, doc_id * 1000 + pos AS occ_key FROM blocks),
+       |first_occ AS (SELECT block, min(occ_key) AS f FROM keyed GROUP BY block)
+       |SELECT doc_id, count(*) AS n_blocks,
+       |  sum(CASE WHEN occ_key = f THEN 1 ELSE 0 END) AS n_kept,
+       |  round((count(*) - sum(CASE WHEN occ_key = f THEN 1 ELSE 0 END)) * 1.0
+       |    / count(*), 4) AS removed_ratio
+       |FROM keyed JOIN first_occ USING (block)
+       |GROUP BY doc_id""".stripMargin
+  }
+
+  /** Gopher-style composite quality gate (Rae et al. 2021 §A1.1 document
+    * filters, re-parameterized to the synthetic corpus): each rule is a
+    * named boolean column, the verdict their conjunction — downstream
+    * curation reads WHY a document failed, not just that it did. Pure
+    * per-row projection: no shuffle, scan-bound at any corpus size; every
+    * expensive subexpression (the token split) is bound to an attribute
+    * once. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    val n = col("n_toks")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), Lex.toks(col("text")).as("toks"))
+      .select(col("doc_id"), toks,
+        size(toks).cast("long").as("n_toks"),
+        length(concat_ws("", toks)).cast("long").as("tok_chars"))
+      .select(col("doc_id"), n.as("n_toks"),
+        // word-count window (Gopher: 50..100k words; synthetic docs run 10..99)
+        (n >= 30 && n <= 110).as("r_word_count"),
+        // mean word length in [2, 8] — cross-multiplied, so the compare is
+        // integer-exact in both engines (no division)
+        (col("tok_chars") >= n * 2 && col("tok_chars") <= n * 8).as("r_mean_len"),
+        // ≥ 2 occurrences of closed-class anchor words ("the"/"a" here;
+        // Gopher requires 2 of its stop-set)
+        (size(filter(toks, t => t === "the" || t === "a")) >= 2).as("r_stopwords"),
+        // type/token ratio ≥ 0.45 — below that the doc is dominated by
+        // repeated tokens (Gopher's duplicate-line/ngram family collapsed
+        // to one array-level rule; cross-multiplied ×100 to stay integer)
+        (size(array_distinct(toks)) * 100 >= n * 45).as("r_distinct_ratio"),
+        // no token longer than 20 chars (Gopher: max word length)
+        (size(filter(toks, t => length(t) > 20)) === 0).as("r_max_word_len"))
+      .withColumn("pass",
+        col("r_word_count") && col("r_mean_len") && col("r_stopwords") &&
+          col("r_distinct_ratio") && col("r_max_word_len"))
+  }
+
+  def gopherRulesSql: String = {
+    val toks = Lex.toksSql("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, $toks AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id, toks, len(toks) AS n,
+       |    length(array_to_string(toks, '')) AS tok_chars FROM t)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_toks,
+       |  n >= 30 AND n <= 110 AS r_word_count,
+       |  tok_chars >= n * 2 AND tok_chars <= n * 8 AS r_mean_len,
+       |  len(list_filter(toks, x -> x = 'the' OR x = 'a')) >= 2 AS r_stopwords,
+       |  len(list_distinct(toks)) * 100 >= n * 45 AS r_distinct_ratio,
+       |  len(list_filter(toks, x -> length(x) > 20)) = 0 AS r_max_word_len,
+       |  (n >= 30 AND n <= 110) AND (tok_chars >= n * 2 AND tok_chars <= n * 8)
+       |    AND len(list_filter(toks, x -> x = 'the' OR x = 'a')) >= 2
+       |    AND len(list_distinct(toks)) * 100 >= n * 45
+       |    AND len(list_filter(toks, x -> length(x) > 20)) = 0 AS pass
+       |FROM m""".stripMargin
+  }
 }
