@@ -65,7 +65,7 @@ object Relational {
     val l = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(round(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))), 2)
         .cast("double").as("revenue"))
@@ -100,8 +100,8 @@ object Relational {
               col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
     val l = Tables.lineitem(spark, dir)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(s),
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s,
         l("l_suppkey") === s("s_suppkey") && c("c_nationkey") === s("s_nationkey"))
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .groupBy("n_name")
@@ -174,7 +174,7 @@ object Relational {
               col("l_shipdate") <  lit("1996-04-01").cast("timestamp"))
     val p = Tables.part(spark, dir)
     val disc = dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+    l.join(p, l("l_partkey") === p("p_partkey"))
       .agg(round(
         lit(100.0) *
           sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast("decimal(18,4)")))
@@ -205,7 +205,7 @@ object Relational {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
     o.join(big, o("o_orderkey") === big("l_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_totalprice"), col("sum_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -231,7 +231,7 @@ object Relational {
   def bigSpenders(spark: SparkSession, dir: String): DataFrame = {
     val hot = Tables.orders(spark, dir).filter(col("o_totalprice") > 450000.0)
     Tables.customer(spark, dir)
-      .join(broadcast(hot), col("c_custkey") === hot("o_custkey"), "left_semi")
+      .join(hot, col("c_custkey") === hot("o_custkey"), "left_semi")
       .select("c_custkey", "c_name", "c_acctbal")
   }
 
@@ -246,7 +246,7 @@ object Relational {
   def dormantCustomers(spark: SparkSession, dir: String): DataFrame = {
     val hot = Tables.orders(spark, dir).filter(col("o_totalprice") > 450000.0)
     Tables.customer(spark, dir)
-      .join(broadcast(hot), col("c_custkey") === hot("o_custkey"), "left_anti")
+      .join(hot, col("c_custkey") === hot("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_acctbal")
   }
 
@@ -388,8 +388,8 @@ object Relational {
     val c = Tables.customer(spark, dir)
     val s = Tables.supplier(spark, dir)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
       .join(broadcast(n1), s("s_nationkey") === col("s_nk"))
       .join(broadcast(n2), c("c_nationkey") === col("c_nk"))
       .filter((col("supp_nation").isin(GroupA: _*) && col("cust_nation").isin(GroupB: _*)) ||
@@ -436,11 +436,11 @@ object Relational {
               col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
     val vol = dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
     Tables.lineitem(spark, dir)
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .join(o, col("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)), o("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, dir), o("o_custkey") === col("c_custkey"))
       .join(broadcast(nC), col("c_nationkey") === col("c_nk"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nS), col("s_nationkey") === col("s_nk"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(round(
@@ -482,7 +482,7 @@ object Relational {
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
       .agg(round(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))), 2)
@@ -575,7 +575,7 @@ object Relational {
     val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
     rev.crossJoin(broadcast(top))
       .filter(col("total_revenue") === col("max_revenue"))
-      .join(broadcast(Tables.supplier(spark, dir)),
+      .join(Tables.supplier(spark, dir),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
   }
@@ -601,11 +601,11 @@ object Relational {
   def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir).filter(col("p_brand") === "Brand#3")
     val l = Tables.lineitem(spark, dir)
-    val partAvg = l.join(broadcast(p.select("p_partkey")),
+    val partAvg = l.join(p.select("p_partkey"),
         l("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_partkey").as("avg_partkey"))
       .agg(avg(col("l_quantity")).as("avg_qty"))
-    l.join(broadcast(p.select("p_partkey")), l("l_partkey") === col("p_partkey"))
+    l.join(p.select("p_partkey"), l("l_partkey") === col("p_partkey"))
       .join(partAvg, col("l_partkey") === col("avg_partkey"))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg(round(sum(dec(col("l_extendedprice"))).cast("double") / 7.0, 2)
@@ -630,7 +630,7 @@ object Relational {
   def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
     val l = Tables.lineitem(spark, dir)
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey") && (
+    l.join(p, l("l_partkey") === p("p_partkey") && (
         (p("p_brand") === "Brand#12" && p("p_size").between(1, 5)  && l("l_quantity").between(1, 11)) ||
         (p("p_brand") === "Brand#23" && p("p_size").between(1, 10) && l("l_quantity").between(10, 20)) ||
         (p("p_brand") === "Brand#4"  && p("p_size").between(1, 15) && l("l_quantity").between(20, 30))))
@@ -717,11 +717,11 @@ object Relational {
     val bridge = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey")).distinct()
     val best = bridge
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
       .groupBy("l_partkey")
       .agg(min_by(struct(col("s_name"), col("n_name")), col("ord")).as("w"),
         min(col("ord")).as("min_ord"))
-    best.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    best.join(p, col("l_partkey") === col("p_partkey"))
       .select(col("p_partkey"), col("p_brand"), col("p_size"),
         col("w.s_name").as("s_name"), col("w.n_name").as("n_name"),
         round((expr("min_ord div 1000000") - 100000L).cast("double") / 100.0, 2)
@@ -776,7 +776,7 @@ object Relational {
     lo.filter(col("is_late"))
       .join(perOrder.filter(col("n_supp") > 1 && col("n_late_supp") === 1),
         Seq("l_orderkey"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name")
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))

@@ -305,9 +305,13 @@ object Sketches {
     * covering bucket's upper edge, so est − exact ∈ (0, width] by
     * construction.
     *
-    * The exact side (a global row_number sort of every value) is computed
-    * too — it is the full-sort baseline the sketch exists to replace, kept
-    * here as the per-quantile error witness. */
+    * The exact-rank witness is ALSO sketch-guided, not a global sort: rank
+    * k's covering bucket is read off the merged histogram, and only rows
+    * inside that one bucket are ranked (rank within bucket = k − cumulative
+    * count below the bucket). The window is partitioned per quantile and
+    * scans bucket-occupancy rows, so the witness costs one semi-join plus a
+    * bounded local sort instead of funnelling the whole table through a
+    * single unpartitioned WindowExec task. */
   val HistW = 0.5
   val HistQs: Seq[Double] = Seq(0.5, 0.9, 0.99)
 
@@ -326,13 +330,21 @@ object Sketches {
       .select(col("q"), ceil(col("q") * col("total")).as("k"))
     val est = tgt.join(broadcast(cum), col("cum") >= col("k"))
       .groupBy("q", "k").agg(min("bucket").as("bkt"))
-    val ranked = ev.select(col("value"))
-      .withColumn("rn", row_number().over(Window.orderBy("value")).cast("long"))
-    est.join(ranked, col("rn") === col("k"))
-      .select(col("q"),
-        ((col("bkt") + 1) * HistW).as("hist_est"),
-        col("value").as("exact_val"),
-        round((col("bkt") + 1) * HistW - col("value"), 4).as("err"))
+    // Exact witness, bucket-locally: `below` = rows strictly before rank
+    // k's bucket, so within that bucket the target is local rank k − below.
+    // The join broadcasts 3 target rows; the window partitions by q and
+    // only ever sees one bucket's occupancy per partition.
+    val tgtBelow = est.join(broadcast(cum.select(col("bucket"), col("n"), col("cum"))),
+        col("bkt") === col("bucket"))
+      .select(col("q"), col("k"), col("bkt"), (col("cum") - col("n")).as("below"))
+    val inBucket = ev.join(broadcast(tgtBelow), col("bucket") === col("bkt"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("q").orderBy("value")).cast("long"))
+      .filter(col("rn") === col("k") - col("below"))
+    inBucket.select(col("q"),
+      ((col("bkt") + 1) * HistW).as("hist_est"),
+      col("value").as("exact_val"),
+      round((col("bkt") + 1) * HistW - col("value"), 4).as("err"))
   }
 
   def histQuantilesSql: String = {
@@ -343,18 +355,24 @@ object Sketches {
        |sh AS (SELECT shard, bucket, count(*) AS n FROM ev GROUP BY 1, 2),
        |merged AS (SELECT bucket, sum(n) AS n FROM sh GROUP BY 1),
        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM merged),
-       |cum AS (SELECT bucket, sum(n) OVER (ORDER BY bucket) AS cum FROM merged),
+       |cum AS (
+       |  SELECT bucket, n, sum(n) OVER (ORDER BY bucket) AS cum FROM merged),
        |tgt AS (
        |  SELECT q, CAST(ceil(q * total) AS BIGINT) AS k
        |  FROM (SELECT unnest($qlist) AS q) CROSS JOIN tot),
        |est AS (
        |  SELECT q, k, min(bucket) AS bkt FROM tgt JOIN cum ON cum >= k
        |  GROUP BY q, k),
-       |ranked AS (
-       |  SELECT value, row_number() OVER (ORDER BY value) AS rn FROM ev)
-       |SELECT q, (bkt + 1) * $HistW AS hist_est, r.value AS exact_val,
-       |  round((bkt + 1) * $HistW - r.value, 4) AS err
-       |FROM est JOIN ranked r ON r.rn = k""".stripMargin
+       |tgt_below AS (
+       |  SELECT q, k, bkt, cum - n AS below
+       |  FROM est JOIN cum ON bkt = cum.bucket),
+       |in_bucket AS (
+       |  SELECT q, k, bkt, below, value,
+       |    row_number() OVER (PARTITION BY q ORDER BY value) AS rn
+       |  FROM ev JOIN tgt_below ON ev.bucket = tgt_below.bkt)
+       |SELECT q, (bkt + 1) * $HistW AS hist_est, value AS exact_val,
+       |  round((bkt + 1) * $HistW - value, 4) AS err
+       |FROM in_bucket WHERE rn = k - below""".stripMargin
   }
 
   def hllMergeSql: String =

@@ -706,9 +706,9 @@ object TextOps {
        |keyed AS (SELECT doc_id, block, doc_id * 1000 + pos AS occ_key FROM blocks),
        |first_occ AS (SELECT block, min(occ_key) AS f FROM keyed GROUP BY block)
        |SELECT doc_id, count(*) AS n_blocks,
-       |  sum(CASE WHEN occ_key = f THEN 1 ELSE 0 END) AS n_kept,
-       |  round((count(*) - sum(CASE WHEN occ_key = f THEN 1 ELSE 0 END)) * 1.0
-       |    / count(*), 4) AS removed_ratio
+       |  CAST(sum(CASE WHEN occ_key = f THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  round(CAST(count(*) - sum(CASE WHEN occ_key = f THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / count(*), 4) AS removed_ratio
        |FROM keyed JOIN first_occ USING (block)
        |GROUP BY doc_id""".stripMargin
   }
