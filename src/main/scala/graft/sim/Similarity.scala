@@ -128,40 +128,86 @@ object Similarity {
       .distinct()
   }
 
-  /** Lloyd k-means training for IVF cells, expressed as DataFrame rounds:
-    * assignment = broadcast-centroid join reduced by a `max_by` hash
-    * aggregate (the same narrow argmax shape as [[ivfTopK]]); update =
-    * per-dimension mean via `posexplode` + one (cent_id, pos) aggregate,
-    * re-assembled into a vector with a sorted collect over ≤ k×dim rows.
-    * Per round that is one broadcast join + two shuffles of narrow rows —
-    * no driver-side data movement beyond the k×dim centroid collect that
+  /** Fixed-point quantization scale for trained IVF: embeddings (|v| < 1)
+    * become `round(v · 2¹⁰)` longs, so every Lloyd sum is exact integer
+    * arithmetic and the trained centroids are bit-identical across engines
+    * — which is what lets `ann_ivf_trained` carry a real DuckDB oracle
+    * instead of a rows-only check. 2¹⁰ keeps quantization error (≤ 2⁻¹¹
+    * per element) far below the cosine gaps that decide assignments. */
+  val FxScale = 1024
+  /** Offset making mean numerators non-negative before integer division:
+    * Spark's `div` truncates toward zero while DuckDB's `//` floors, so
+    * they only agree on non-negative operands (same trick as
+    * [[graft.ops.Relational.minCostSupplier]]'s argmin key). */
+  val FxOff = 1048576L
+
+  /** Quantized embedding column: array<long> of `round(v · FxScale)`. */
+  private def fx(c: Column): Column =
+    transform(c, v => round(v.cast("double") * FxScale).cast("long"))
+
+  private def fxSql(c: String): String =
+    s"list_transform($c, v -> CAST(round(CAST(v AS DOUBLE) * $FxScale) AS BIGINT))"
+
+  /** Exact integer dot product of two array<long> columns, folded in array
+    * order (overflow-free: |q| ≤ 2¹⁰ ⇒ |dot| ≤ dim · 2²⁰). */
+  private def ldot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private def ldotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
+
+  private def lnorm(a: Column): Column = sqrt(ldot(a, a).cast("double"))
+  private def lnormSql(a: String): String =
+    s"sqrt(CAST(${ldotSql(a, a)} AS DOUBLE))"
+
+  /** Lloyd k-means training for IVF cells, expressed as DataFrame rounds
+    * over FIXED-POINT vectors: assignment = broadcast-centroid join reduced
+    * by a `max_by` hash aggregate (the same narrow argmax shape as
+    * [[ivfTopK]], tie-broken toward the lowest cent_id); update =
+    * per-dimension integer mean via `posexplode` + one (cent_id, pos)
+    * aggregate — `round(Σq/n)` computed entirely in integer arithmetic
+    * (`(2(Σq + OFF·n) + n) div 2n − OFF`) so the new centroid is again an
+    * exact long vector — re-assembled with a sorted collect over ≤ k×dim
+    * rows. Per round that is one broadcast join + two shuffles of narrow
+    * rows — no driver-side data movement beyond the k×dim centroid collect
     * the broadcast itself performs, so the same plan trains on 100 TB (at
     * that scale one would train on a deterministic sample; the round shape
-    * is unchanged). Initialization is the deterministic id-prefix subset,
-    * so training is reproducible run-to-run up to float-sum ordering.
-    * Assignment uses cosine (the serving metric), i.e. spherical k-means:
-    * means are computed on raw vectors and re-normalized by the cosine in
-    * the next assignment round. Empty cells keep their previous centroid. */
+    * is unchanged). Initialization is the deterministic id-prefix subset;
+    * with integer vectors every round is bit-reproducible, cross-engine
+    * included (cosines divide exact-integer dots by IEEE sqrt/mul/div,
+    * which are correctly rounded in both engines). Assignment uses cosine
+    * (the serving metric), i.e. spherical k-means on the quantized grid.
+    * Empty cells keep their previous centroid.
+    * Returns (cent_id, qce: array<long>). */
   def trainCentroids(spark: SparkSession, dir: String, nCells: Int = 8,
       iters: Int = 3): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .select(col("vec_id"), fx(col("embedding")).as("qe"))
+      .withColumn("qn", lnorm(col("qe")))
     var cents = e.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      .select(col("vec_id").as("cent_id"), col("qe").as("qce"))
       .localCheckpoint(true)
     (0 until iters).foreach { _ =>
-      val cn = cents.withColumn("cn", norm(col("ce")))
+      val cn = cents.withColumn("cn", lnorm(col("qce")))
       val assignment = e.join(broadcast(cn))
-        .withColumn("ccos", dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+        .withColumn("ccos", ldot(col("qe"), col("qce")).cast("double") /
+          (col("qn") * col("cn")))
         .select("vec_id", "cent_id", "ccos")
         .groupBy("vec_id")
-        .agg(max_by(col("cent_id"), col("ccos")).as("cent_id"))
+        // argmax with deterministic tie-break: quantized cosines CAN tie
+        // exactly, so order by (ccos, -cent_id) — highest cosine, then
+        // lowest cell id, matching the oracle's ORDER BY ccos DESC, cent_id
+        .agg(max_by(col("cent_id"),
+          struct(col("ccos").as("c"), (-col("cent_id")).as("t"))).as("cent_id"))
       val means = e.join(assignment, "vec_id")
-        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cent_id", "pos").agg(avg("v").as("m"))
+        .select(col("cent_id"), posexplode(col("qe")).as(Seq("pos", "v")))
+        .groupBy("cent_id", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .withColumn("qm",
+          expr(s"((s + $FxOff * n) * 2 + n) div (2 * n) - $FxOff"))
         .groupBy("cent_id")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m").cast("float")).as("ce"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("qm")))),
+          s => s.getField("qm")).as("qce"))
       // a cell that captured no vectors keeps its previous centroid
       val kept = cents.join(means, Seq("cent_id"), "left_anti")
       cents = means.unionByName(kept).localCheckpoint(true)
@@ -169,15 +215,116 @@ object Similarity {
     cents
   }
 
-  /** [[ivfTopK]] with Lloyd-trained cells instead of the id-prefix
-    * stand-in. Not oracle-checked (k-means means are float-sum-order
-    * sensitive, so no cross-engine hash can be pinned); LlmOpsSpec instead
-    * asserts recall against the exact brute-force top-k. */
+  /** [[ivfTopK]] with fixed-point Lloyd-trained cells instead of the
+    * id-prefix stand-in. Oracle-checked: training and serving both run on
+    * the quantized grid, so DuckDB reproduces the centroids — and therefore
+    * the search result — bit-for-bit (see [[ivfTrainedSql]], which unrolls
+    * the same rounds as CTEs). */
   def ivfTopKTrained(spark: SparkSession, dir: String, k: Int = 5,
       nCells: Int = 8, nProbe: Int = 2, iters: Int = 2): DataFrame = {
     val cents = trainCentroids(spark, dir, nCells, iters)
-      .select(col("cent_id"), col("ce"), norm(col("ce")).as("cn"))
-    ivfSearch(spark, dir, cents, k, nProbe)
+      .withColumn("cn", lnorm(col("qce")))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), fx(col("embedding")).as("qe"))
+      .withColumn("qn", lnorm(col("qe")))
+    val assignment = e.join(broadcast(cents))
+      .withColumn("ccos", ldot(col("qe"), col("qce")).cast("double") /
+        (col("qn") * col("cn")))
+      .select("vec_id", "cent_id", "ccos")
+      .groupBy("vec_id")
+      .agg(max_by(col("cent_id"),
+        struct(col("ccos").as("c"), (-col("cent_id")).as("t"))).as("cent_id"))
+    val assigned = e.join(assignment, "vec_id")
+      .select(col("vec_id"), col("cent_id"), col("qe"), col("qn"))
+    val q = e.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+      .select(col("vec_id").as("query_id"), col("qe").as("qqe"), col("qn").as("qqn"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("cent_id"))
+    val probes = q.join(broadcast(cents))
+      .withColumn("qcos", ldot(col("qqe"), col("qce")).cast("double") /
+        (col("qqn") * col("cn")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("cent_id"), col("qqe"), col("qqn"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    probes.join(assigned, "cent_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        round(ldot(col("qqe"), col("qe")).cast("double") / (col("qqn") * col("qn")), 4))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos")
+  }
+
+  /** DuckDB twin of [[ivfTopKTrained]]: the `iters` Lloyd rounds unroll
+    * into a CTE chain (a_i → m_i → c_i), every sum exact integer, so the
+    * final searched centroids hash-match Spark's. */
+  def ivfTrainedSql(k: Int = 5, nCells: Int = 8, nProbe: Int = 2,
+      iters: Int = 2): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = s"c${i - 1}"
+      s"""a$i AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT e.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        CAST(${ldotSql("e.qe", "c.qce")} AS DOUBLE) /
+         |          (e.qn * ${lnormSql("c.qce")}) DESC, c.cent_id) AS rn
+         |    FROM e CROSS JOIN $prev c)
+         |  WHERE rn = 1),
+         |m$i AS (
+         |  SELECT cent_id, list(qm ORDER BY pos) AS qce FROM (
+         |    SELECT cent_id, pos,
+         |      ((sum(v) + $FxOff * count(*)) * 2 + count(*))
+         |        // (2 * count(*)) - $FxOff AS qm
+         |    FROM (
+         |      SELECT a.cent_id, unnest(range(0, len(e.qe))) AS pos,
+         |        unnest(e.qe) AS v
+         |      FROM e JOIN a$i a USING (vec_id))
+         |    GROUP BY cent_id, pos)
+         |  GROUP BY cent_id),
+         |c$i AS (
+         |  SELECT cent_id, qce FROM m$i
+         |  UNION ALL
+         |  SELECT cent_id, qce FROM $prev
+         |  WHERE cent_id NOT IN (SELECT cent_id FROM m$i)),""".stripMargin
+    }.mkString("\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, ${fxSql("embedding")} AS qe,
+       |    ${lnormSql(fxSql("embedding"))} AS qn
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id, qe AS qce FROM e WHERE vec_id < $nCells),
+       |$rounds
+       |cents AS (
+       |  SELECT cent_id, qce, ${lnormSql("qce")} AS cn FROM c$iters),
+       |assigned AS (
+       |  SELECT vec_id, cent_id, qe, qn FROM (
+       |    SELECT e.vec_id, c.cent_id, e.qe, e.qn,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        CAST(${ldotSql("e.qe", "c.qce")} AS DOUBLE) / (e.qn * c.cn)
+       |          DESC, c.cent_id) AS rn
+       |    FROM e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, qe AS qqe, qn AS qqn FROM e
+       |      WHERE vec_id >= 10 AND vec_id < 15),
+       |probes AS (
+       |  SELECT query_id, cent_id, qqe, qqn FROM (
+       |    SELECT q.query_id, c.cent_id, q.qqe, q.qqn,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        CAST(${ldotSql("q.qqe", "c.qce")} AS DOUBLE) / (q.qqn * c.cn)
+       |          DESC, c.cent_id) AS rn
+       |    FROM q CROSS JOIN cents c)
+       |  WHERE rn <= $nProbe),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id,
+       |    round(CAST(${ldotSql("p.qqe", "a.qe")} AS DOUBLE)
+       |      / (p.qqn * a.qn), 4) AS cos
+       |  FROM probes p JOIN assigned a USING (cent_id)
+       |  WHERE a.vec_id <> p.query_id)
+       |SELECT query_id, rank, vec_id, cos FROM (
+       |  SELECT query_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM cand)
+       |WHERE rank <= $k""".stripMargin
   }
 
   /** IVF (inverted-file) ANN — the other classic scale path: vectors are

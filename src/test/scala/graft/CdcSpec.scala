@@ -11,12 +11,8 @@ class CdcSpec extends SparkSpec {
   }
 
   test("every declared query has an oracle and runs non-empty at sf0.001") {
-    // rows-only by design: trained k-means centroids are float-sum-order
-    // sensitive, so no cross-engine hash oracle can exist (recall is
-    // spec-asserted in LlmOpsSpec instead)
-    val rowsOnlyByDesign = Set("ann_ivf_trained")
     val missingOracle =
-      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missingOracle.isEmpty, s"queries without oracle: $missingOracle")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()

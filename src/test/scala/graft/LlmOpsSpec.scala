@@ -67,7 +67,7 @@ class LlmOpsSpec extends SparkSpec {
     }
     val cents = Similarity.trainCentroids(spark, sf, nCells = 8, iters = 2)
     assert(cents.count() == 8, "every cell survives training (empty cells keep old centroid)")
-    assert(cents.select("ce").as[Array[Float]].collect().forall(_.length == Lex.EmbeddingDim))
+    assert(cents.select("qce").as[Array[Long]].collect().forall(_.length == Lex.EmbeddingDim))
     val trained = Similarity.ivfTopKTrained(spark, sf, iters = 2)
     val ranks = trained.groupBy("query_id").count().collect()
     assert(ranks.nonEmpty && ranks.forall(_.getLong(1) <= 5))
