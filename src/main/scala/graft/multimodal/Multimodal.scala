@@ -2,7 +2,7 @@ package graft.multimodal
 
 import java.nio.charset.StandardCharsets
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -12,11 +12,12 @@ import graft.model.Tables
   * (the JVM shape of a vectorized/Pandas-style UDF: a batch of rows in, a
   * batch of rows out, no per-row interpreter round-trips).
   *
-  * The decode kernel is a STUB — the container ships no image/audio codecs —
-  * but it is a deterministic fake with the real pipeline shape: binary
-  * payload in, fixed-length feature record out, batched `mapPartitions`, no
-  * driver-side state, schema fully typed. Swapping [[FakeCodec]] for a real
-  * JNI/FFmpeg/JPEG codec changes no plumbing.
+  * Container metadata (format, dimensions) is parsed from REAL image
+  * headers by [[HeaderCodec]] — a zero-dependency magic-bytes sniffer for
+  * PNG (IHDR), JPEG (SOF marker scan) and GIF (logical screen descriptor).
+  * Only the pixel-level decode ([[FakeCodec]]) remains a deterministic
+  * stub: the container ships no raster codecs, and swapping it for a real
+  * JNI/FFmpeg/libjpeg kernel changes no plumbing.
   */
 object Multimodal {
 
@@ -24,11 +25,93 @@ object Multimodal {
   case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String,
                       width: Int, height: Int)
 
-  /** Decoded feature record (fixed-shape, columnar-friendly). */
-  case class MediaFeature(doc_id: Long, n_bytes: Int, mean_byte: Double,
+  /** Decoded feature record (fixed-shape, columnar-friendly). `format`,
+    * `width` and `height` are parsed out of the payload's real header;
+    * the byte statistics stand in for pixel statistics. */
+  case class MediaFeature(doc_id: Long, format: String, width: Int,
+                          height: Int, n_bytes: Int, mean_byte: Double,
                           histogram4: Array[Long], n_frames: Int)
 
-  /** STUB decode kernel — deterministic fake standing in for a real codec. */
+  /** Real container-header codec: writes and sniffs PNG / JPEG / GIF
+    * headers from raw bytes. Encoding exists so the synthetic corpus
+    * carries genuine headers for the sniffer to recover — the decode side
+    * is exactly what a 100 TB ingest would run on binary columns of
+    * unknown provenance (magic bytes, not file extensions). */
+  object HeaderCodec {
+    private def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    private def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    private def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def rdBe16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+    private def rdBe32(b: Array[Byte], i: Int): Int =
+      (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private def rdLe16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+
+    val PngSig: Array[Byte] =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    /** Minimal valid-shape header for the given mime: PNG signature+IHDR
+      * (33 B), JPEG SOI+SOF0 (21 B), GIF89a screen descriptor (13 B). */
+    def encode(mime: String, width: Int, height: Int): Array[Byte] = mime match {
+      case "image/png" =>
+        // sig, IHDR length=13, "IHDR", w, h, bit depth 8, truecolor, zeros,
+        // CRC left zero (sniffers don't verify it)
+        PngSig ++ be32(13) ++ "IHDR".getBytes(StandardCharsets.US_ASCII) ++
+          be32(width) ++ be32(height) ++ Array[Byte](8, 2, 0, 0, 0) ++ be32(0)
+      case "image/jpeg" =>
+        // SOI, SOF0 with length 17: precision 8, height, width, 3 components
+        Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xc0.toByte) ++
+          be16(17) ++ Array[Byte](8) ++ be16(height) ++ be16(width) ++
+          Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)
+      case "image/gif" =>
+        "GIF89a".getBytes(StandardCharsets.US_ASCII) ++
+          le16(width) ++ le16(height) ++ Array[Byte](0, 0, 0)
+      case other => throw new IllegalArgumentException(s"unsupported mime: $other")
+    }
+
+    case class Sniffed(format: String, width: Int, height: Int)
+
+    /** Magic-bytes sniff: format + dimensions, or None when no known
+      * signature matches. Pure function of the payload prefix — at scale
+      * this is a scan-bound per-row map over the binary column. */
+    def sniff(b: Array[Byte]): Option[Sniffed] = {
+      if (b.length >= 24 && b.startsWith(PngSig) &&
+          new String(b, 12, 4, StandardCharsets.US_ASCII) == "IHDR")
+        Some(Sniffed("png", rdBe32(b, 16), rdBe32(b, 20)))
+      else if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8)
+        sniffJpeg(b)
+      else if (b.length >= 13 &&
+          (b.startsWith("GIF89a".getBytes(StandardCharsets.US_ASCII)) ||
+           b.startsWith("GIF87a".getBytes(StandardCharsets.US_ASCII))))
+        Some(Sniffed("gif", rdLe16(b, 6), rdLe16(b, 8)))
+      else None
+    }
+
+    /** Walk JPEG marker segments until a start-of-frame (SOF0/1/2/...)
+      * carrying the dimensions; skips APPn/COM/DQT/etc. by their declared
+      * lengths, aborts on malformed framing. */
+    private def sniffJpeg(b: Array[Byte]): Option[Sniffed] = {
+      var i = 2
+      while (i + 3 < b.length && u8(b, i) == 0xff) {
+        val marker = u8(b, i + 1)
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          if (i + 8 >= b.length) return None
+          return Some(Sniffed("jpeg", rdBe16(b, i + 7), rdBe16(b, i + 5)))
+        } else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) {
+          i += 2 // standalone marker, no length field
+        } else {
+          i += 2 + rdBe16(b, i + 2)
+        }
+      }
+      None
+    }
+  }
+
+  /** STUB pixel kernel — deterministic byte statistics standing in for a
+    * real raster decode (no codec libraries in the container). */
   object FakeCodec {
     val FrameBytes = 256
 
@@ -46,33 +129,74 @@ object Multimodal {
     }
   }
 
-  /** Synthesize a media table from the documents payloads (UTF-8 bytes as
-    * the opaque blob, metadata derived deterministically). */
+  /** Synthesize a media table from the documents payloads: each document's
+    * UTF-8 bytes wrapped in a REAL image header (PNG / JPEG / GIF cycling
+    * by doc_id) whose encoded dimensions derive deterministically from the
+    * text length — so the sniffer's output is verifiable row-by-row. */
   def asMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("n_chars"))
       .as[(Long, String, Long)]
       .map { case (id, text, nChars) =>
-        MediaRow(id, text.getBytes(StandardCharsets.UTF_8), "application/octet-stream",
-          (nChars % 640).toInt, ((nChars * 7) % 480).toInt)
+        val w = (nChars % 640 + 1).toInt
+        val h = (nChars * 7 % 480 + 1).toInt
+        val mime = (id % 3).toInt match {
+          case 0 => "image/png"
+          case 1 => "image/jpeg"
+          case _ => "image/gif"
+        }
+        val payload = HeaderCodec.encode(mime, w, h) ++
+          text.getBytes(StandardCharsets.UTF_8)
+        MediaRow(id, payload, mime, w, h)
       }
   }
 
   /** Batched partition-parallel decode: the mapInPandas analog. `batchSize`
-    * bounds peak memory per task regardless of payload sizes. */
+    * bounds peak memory per task regardless of payload sizes. Header
+    * metadata is REAL (sniffed from the bytes); pixel stats are the
+    * documented stub. */
   def decodeFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         // a real codec would process `batch` as one vectorized call
         batch.iterator.map { m =>
+          val meta = HeaderCodec.sniff(m.payload)
+            .getOrElse(HeaderCodec.Sniffed("unknown", -1, -1))
           val (mean, hist, frames) = FakeCodec.decode(m.payload)
-          MediaFeature(m.doc_id, m.payload.length, mean, hist, frames)
+          MediaFeature(m.doc_id, meta.format, meta.width, meta.height,
+            m.payload.length, mean, hist, frames)
         }
       }
     }
   }
+
+  /** Oracle-checked metadata extraction: build the payload, then recover
+    * format and dimensions FROM THE BYTES with [[HeaderCodec.sniff]]. The
+    * DuckDB oracle computes what the header was encoded to carry (format
+    * by doc_id mod 3, dimensions by the text-length formulas, byte count
+    * by header size + UTF-8 length), so the hash match proves the
+    * encode→sniff round trip bit-for-bit on every row. */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asMedia(spark, dir).map { m =>
+      val meta = HeaderCodec.sniff(m.payload)
+        .getOrElse(HeaderCodec.Sniffed("unknown", -1, -1))
+      (m.doc_id, meta.format, m.payload.length.toLong,
+        meta.width.toLong, meta.height.toLong)
+    }.toDF("doc_id", "format", "n_bytes", "width", "height")
+  }
+
+  def mediaMetaSql: String =
+    s"""SELECT doc_id,
+       |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+       |       ELSE 'gif' END AS format,
+       |  octet_length(encode(text)) +
+       |    CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 21 ELSE 13 END AS n_bytes,
+       |  n_chars % 640 + 1 AS width,
+       |  n_chars * 7 % 480 + 1 AS height
+       |FROM documents""".stripMargin
 
   /** Frame sampling: every k-th FrameBytes-sized slice of the payload —
     * the video-keyframe analog, fan-out bounded by `maxFrames`. */

@@ -150,6 +150,67 @@ object Filters {
        |WHERE pk NOT IN (
        |  SELECT pk FROM c WHERE event_type = 'signup' AND value > 200.0)""".stripMargin
 
+  /** F4 write half: loopback mark maintenance (ref: drainer/loopbacksync/
+    * loopbacksync.go:40-76 CreateMarkTable/InitMarkTableData seed one row
+    * per worker with val=1; loopbacksync.go:117-122 UpdateMark runs
+    * `val = val + 1` inside every applied transaction so the txn carries
+    * the channel's mark when it loops back). */
+  val LoopbackWorkers = 16
+  /** Mark rows live in a reserved negative pk keyspace (the analog of the
+    * reference's dedicated `retl._drainer_repl_mark` table). */
+  def markPk(commitTs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    -(commitTs % LoopbackWorkers) - 1
+
+  /** Inject one mark row per transaction into the outgoing change stream —
+    * the batch analog of UpdateMark running inside each applied txn. The
+    * mark is an ordinary change row (worker pk, event_type 'mark', value =
+    * channel id) so it round-trips through any downstream replicator and
+    * [[dropMarkedTxns]] can recognize it coming back. One aggregate per
+    * txn group; mark volume = txn count, never row count. */
+  def injectLoopbackMarks(changes: DataFrame, channelId: Long): DataFrame =
+    changes.unionByName(
+      changes.groupBy("commit_ts")
+        .agg(max("ts").as("ts"))
+        .select(col("commit_ts"), markPk(col("commit_ts")).as("pk"),
+          lit("U").as("op"), lit("mark").as("event_type"), col("ts"),
+          lit(channelId).cast("double").as("value"),
+          lit(null).cast("string").as("props")))
+
+  /** Drop every transaction that carries OUR channel's mark — the loopback
+    * break (ref: drainer/syncer.go:565-592 findLoopBackMark: scan the txn's
+    * DMLs for a mark-table row whose channel_id equals ours; if found, skip
+    * the whole txn). Foreign channels' marks pass through untouched, as in
+    * the reference. The marked-txn set is one key per round-tripped txn:
+    * an equi-anti-join on commit_ts that AQE plans by its measured size. */
+  def dropMarkedTxns(changes: DataFrame, channelId: Long): DataFrame = {
+    val marked = changes
+      .filter(col("event_type") === "mark" && col("value") === channelId.toDouble)
+      .select("commit_ts").distinct()
+    changes.join(marked, Seq("commit_ts"), "left_anti")
+  }
+
+  /** Oracle-checked query for the write half: the mark table's final state
+    * after replaying the change stream — per worker id, val = 1 (seed) +
+    * txns applied by that worker (UpdateMark's net effect). One distinct +
+    * one hash aggregate; the state is workers × channels rows at any
+    * corpus size. */
+  def loopbackMarkState(spark: SparkSession, dir: String,
+      channelId: Long = 42L): DataFrame =
+    Cdc.changes(spark, dir)
+      .select("commit_ts").distinct()
+      .select((col("commit_ts") % LoopbackWorkers).as("id"))
+      .groupBy("id")
+      .agg((count(lit(1)) + 1L).as("val"))
+      .select(col("id"), lit(channelId).as("channel_id"), col("val"))
+
+  def loopbackMarkStateSql(channelId: Long = 42L): String =
+    s"""WITH c AS (${Cdc.changesCte}),
+       |t AS (SELECT DISTINCT commit_ts FROM c)
+       |SELECT commit_ts % $LoopbackWorkers AS id,
+       |  CAST($channelId AS BIGINT) AS channel_id,
+       |  CAST(count(*) + 1 AS BIGINT) AS val
+       |FROM t GROUP BY 1""".stripMargin
+
   /** F5: system / unsupported-DDL skip (ref: drainer/schema.go:333-353,
     * drainer/syncer.go:436-462 — drop placement/lock/cache jobs, failed or
     * cancelled jobs, and system-table ids). Analog: system key space is

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -151,6 +152,75 @@ object Translators {
        |    ' AND ROWNUM <= 1'
        |  END AS sql
        |FROM c""".stripMargin
+
+  /** M4 safe mode: idempotent-replay statement rewriting for the Oracle
+    * path (ref: pkg/loader/executor.go:445-499 singleOracleExec — in safe
+    * mode an UPDATE becomes DELETE-old + DELETE-new + INSERT-new and an
+    * INSERT becomes DELETE + INSERT, so replaying a batch after a partial
+    * failure converges instead of erroring; pkg/loader/model.go:216-299
+    * buildOracleWhere — CHAR comparisons wrapped in RTRIM, NULL/empty
+    * values become IS NULL, every statement bounded by `rownum <= 1`).
+    * The old image for UPDATEs is the per-pk lag of value (same convention
+    * as [[Transforms.updateImages]]). One window + a pure projection; the
+    * explode multiplies rows by ≤ 3. Output: (commit_ts, seq, sql) — the
+    * exact ordered statement sequence the applier would execute. */
+  def oracleSafeMode(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("pk").orderBy("commit_ts")
+    val withOld = Cdc.changes(spark, dir)
+      .withColumn("before_value", lag("value", 1).over(w))
+    val oldStr = col("before_value").cast("decimal(18,2)").cast("string")
+    def whereTail = concat(
+      lit(" AND RTRIM(KIND) = RTRIM('"), col("event_type"),
+      lit("') AND ROWNUM <= 1"))
+    val delNew = concat(
+      lit("DELETE FROM APP.EVENTS WHERE PK = "), col("pk"),
+      lit(" AND VALUE = "), valueStr, whereTail)
+    val delOld = concat(
+      lit("DELETE FROM APP.EVENTS WHERE PK = "), col("pk"),
+      when(col("before_value").isNull, lit(" AND VALUE IS NULL"))
+        .otherwise(concat(lit(" AND VALUE = "), oldStr)), whereTail)
+    val ins = concat(
+      lit("INSERT INTO APP.EVENTS(PK,VALUE,KIND) VALUES("),
+      col("pk"), lit(","), valueStr, lit(",'"), col("event_type"), lit("')"))
+    val stmts = when(col("op") === "I", array(delNew, ins))
+      .when(col("op") === "U", array(delOld, delNew, ins))
+      .otherwise(array(delNew))
+    withOld.select(col("commit_ts"), posexplode(stmts).as(Seq("seq", "sql")))
+      .select(col("commit_ts"), col("seq").cast("long").as("seq"), col("sql"))
+  }
+
+  def oracleSafeModeSql: String = {
+    val vNew = "CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)"
+    val vOld = "CAST(CAST(before_value AS DECIMAL(18,2)) AS VARCHAR)"
+    val tail = "' AND RTRIM(KIND) = RTRIM(''' || event_type || ''') AND ROWNUM <= 1'"
+    s"""WITH c AS (${Cdc.changesCte}), i AS (
+       |  SELECT commit_ts, pk, op, event_type, value,
+       |    lag(value, 1) OVER (PARTITION BY pk ORDER BY commit_ts) AS before_value
+       |  FROM c),
+       |s AS (
+       |  SELECT commit_ts,
+       |    CASE WHEN op = 'I' THEN [
+       |      'DELETE FROM APP.EVENTS WHERE PK = ' || CAST(pk AS VARCHAR) ||
+       |        ' AND VALUE = ' || $vNew || $tail,
+       |      'INSERT INTO APP.EVENTS(PK,VALUE,KIND) VALUES(' || CAST(pk AS VARCHAR) ||
+       |        ',' || $vNew || ',''' || event_type || ''')']
+       |    WHEN op = 'U' THEN [
+       |      'DELETE FROM APP.EVENTS WHERE PK = ' || CAST(pk AS VARCHAR) ||
+       |        CASE WHEN before_value IS NULL THEN ' AND VALUE IS NULL'
+       |             ELSE ' AND VALUE = ' || $vOld END || $tail,
+       |      'DELETE FROM APP.EVENTS WHERE PK = ' || CAST(pk AS VARCHAR) ||
+       |        ' AND VALUE = ' || $vNew || $tail,
+       |      'INSERT INTO APP.EVENTS(PK,VALUE,KIND) VALUES(' || CAST(pk AS VARCHAR) ||
+       |        ',' || $vNew || ',''' || event_type || ''')']
+       |    ELSE [
+       |      'DELETE FROM APP.EVENTS WHERE PK = ' || CAST(pk AS VARCHAR) ||
+       |        ' AND VALUE = ' || $vNew || $tail]
+       |    END AS stmts
+       |  FROM i)
+       |SELECT commit_ts, unnest(range(0, len(stmts))) AS seq,
+       |  unnest(stmts) AS sql
+       |FROM s""".stripMargin
+  }
 
   /** M8: DDL rewriting (ref: pkg/loader/load.go:401-506 — `use db;`
     * prefixing so the DDL runs in the routed schema, and stripping of

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.ops.Cdc
+import graft.ops.{Cdc, Filters}
 import graft.sinks.UpsertSink
 import graft.streaming.CdcStream
 
@@ -24,7 +24,12 @@ case class DrainerConfig(
     ignoreCommitTs: Seq[Long] = Nil,
     dropEventTypes: Seq[String] = Nil,
     minValue: Option[Double] = None,
-    compact: Boolean = true)
+    compact: Boolean = true,
+    /** Bidirectional-replication channel id: when set, transactions carrying
+      * this channel's loopback mark are dropped on ingest (the cycle break)
+      * and every outgoing transaction gets a fresh mark row injected (the
+      * write half — ref: drainer/loopbacksync/loopbacksync.go). */
+    loopbackChannel: Option[Long] = None)
 
 object DrainerPipeline {
 
@@ -38,12 +43,17 @@ object DrainerPipeline {
     df
   }
 
-  /** Batch form: merged change stream → filters → compacted final state. */
+  /** Batch form: merged change stream → loopback break → filters → mark
+    * injection → compacted final state. */
   def batch(spark: SparkSession, dir: String,
       cfg: DrainerConfig = DrainerConfig()): DataFrame = {
     val merged = Cdc.kwayMerge(Cdc.pumpSources(spark, dir)).drop("source_id")
-    val filtered = applyFilters(merged, cfg)
-    if (cfg.compact) Cdc.compactByPk(filtered) else filtered
+    val unlooped = cfg.loopbackChannel
+      .map(ch => Filters.dropMarkedTxns(merged, ch)).getOrElse(merged)
+    val filtered = applyFilters(unlooped, cfg)
+    val marked = cfg.loopbackChannel
+      .map(ch => Filters.injectLoopbackMarks(filtered, ch)).getOrElse(filtered)
+    if (cfg.compact) Cdc.compactByPk(marked) else marked
   }
 
   /** Streaming form: file/Kafka change stream → watermarked dedup → filters

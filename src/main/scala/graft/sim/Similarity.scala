@@ -473,12 +473,15 @@ object Similarity {
 
   /** Embedding-cosine near-dup DEDUP: the drop-list form of [[lshNearDup]].
     * Every vector with at least one LSH-candidate neighbor of smaller id at
-    * cosine ≥ threshold is marked removed, keeping the smallest id as its
-    * canonical — the "keep one representative per near-dup neighborhood"
-    * step a curation pipeline applies to embeddings, dual to the
-    * MinHash-based [[graft.dedup.Dedup.lshClusters]] on raw text. Builds on
-    * the capped multi-table LSH candidates (output-bound at corpus scale);
-    * the reduction per removed vector is a narrow (min, count) aggregate. */
+    * cosine ≥ threshold is marked removed. The SURVIVOR SET is exactly the
+    * curation guarantee (no vector is dropped without a smaller-id near
+    * neighbor); `canonical_id` is that smallest-id neighbor as a WITNESS —
+    * in an A~B, B~C chain without A~C, C's witness B is itself dropped, so
+    * the witness is not necessarily kept. A pipeline needing transitive
+    * kept-canonicals resolves them through connected components as the
+    * MinHash-based [[graft.dedup.Dedup.lshClusters]] does. Builds on the
+    * capped multi-table LSH candidates (output-bound at corpus scale); the
+    * reduction per removed vector is a narrow (min, count) aggregate. */
   def embedDedup(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame =
     lshNearDup(spark, dir, threshold)
       .groupBy(col("vec_b").as("vec_id"))

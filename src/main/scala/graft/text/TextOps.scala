@@ -470,29 +470,6 @@ object TextOps {
        |FROM p""".stripMargin
   }
 
-  /** Multimodal column plumbing: the text payload stands in for an opaque
-    * binary blob (image/audio); metadata extraction and a deterministic
-    * fake "decode" run over the bytes. The real decode stub lives in
-    * [[graft.multimodal.Multimodal]]; this query proves the schema and the
-    * byte-level plumbing against the oracle. */
-  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
-    val bin = encode(col("text"), "UTF-8")
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      octet_length(bin).cast("long").as("n_bytes"),
-      (octet_length(bin).cast("long") % 640).as("fake_width"),
-      ((octet_length(bin).cast("long") * 7) % 480).as("fake_height"),
-      (Lex.hex8(col("text")) % 256).as("fake_brightness"))
-  }
-
-  def multimodalMetaSql: String =
-    s"""SELECT doc_id,
-       |  octet_length(encode(text)) AS n_bytes,
-       |  octet_length(encode(text)) % 640 AS fake_width,
-       |  (octet_length(encode(text)) * 7) % 480 AS fake_height,
-       |  ${Lex.hex8Sql("text")} % 256 AS fake_brightness
-       |FROM documents""".stripMargin
-
   /** Eval-set contamination detection: what fraction of a training
     * document's distinct 3-gram shingles also appear anywhere in the
     * held-out split (doc_id ≡ 0 mod 10 stands in for the benchmark set).

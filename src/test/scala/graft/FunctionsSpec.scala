@@ -87,6 +87,38 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("header codec sniffs pinned PNG/JPEG/GIF fixtures and rejects junk") {
+    import Multimodal.HeaderCodec
+    // pinned PNG fixture: 89 PNG sig + IHDR, 640x480
+    val png = HeaderCodec.encode("image/png", 640, 480)
+    assert(png.length == 33 && (png(0) & 0xff) == 0x89 &&
+      new String(png, 1, 3, java.nio.charset.StandardCharsets.US_ASCII) == "PNG")
+    assert(HeaderCodec.sniff(png).contains(HeaderCodec.Sniffed("png", 640, 480)))
+    // JPEG whose SOF0 sits after an APP0 segment: the marker walk must skip
+    // APP0 by its declared length, as in any camera-produced file
+    val jfif = Array[Byte](0xff.toByte, 0xd8.toByte,       // SOI
+      0xff.toByte, 0xe0.toByte, 0x00, 0x06, 'J', 'F', 'I', 'F') ++ // APP0 len 6
+      HeaderCodec.encode("image/jpeg", 123, 45).drop(2)    // SOF0 after it
+    assert(HeaderCodec.sniff(jfif).contains(HeaderCodec.Sniffed("jpeg", 123, 45)))
+    // GIF87a variant also recognized (little-endian dims)
+    val gif87 = "GIF87a".getBytes ++ Array[Byte](0x0f, 0x01, 0x02, 0x00, 0, 0, 0)
+    assert(HeaderCodec.sniff(gif87).contains(HeaderCodec.Sniffed("gif", 271, 2)))
+    // junk and truncated payloads sniff to None, not garbage
+    assert(HeaderCodec.sniff("not an image".getBytes).isEmpty)
+    assert(HeaderCodec.sniff(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+  }
+
+  test("sniffed metadata round-trips the encoded header on every media row") {
+    val media = Multimodal.asMedia(spark, sf)
+    val mismatched = media.collect().filterNot { m =>
+      Multimodal.HeaderCodec.sniff(m.payload)
+        .exists(s => s.width == m.width && s.height == m.height &&
+          ("image/" + s.format) == m.mime)
+    }
+    assert(mismatched.isEmpty,
+      s"header round-trip failed for docs ${mismatched.take(5).map(_.doc_id).toSeq}")
+  }
+
   test("multimodal decode is deterministic, batched and schema-typed") {
     val media = Multimodal.asMedia(spark, sf)
     val f1 = Multimodal.decodeFeatures(media, batchSize = 7).collect()

@@ -22,6 +22,37 @@ class PipelineSpec extends SparkSpec {
     assert(viaPipeline == manual && viaPipeline.nonEmpty)
   }
 
+  test("loopback marks round-trip: own-channel txns dropped, marks injected, foreign marks pass") {
+    import graft.ops.Filters
+    val ch = 42L
+    val changes = Cdc.changes(spark, sf)
+    // simulate one replication hop: everything this drainer applied carries
+    // its mark; a downstream replica sends the stream back
+    val outgoing = Filters.injectLoopbackMarks(changes, ch)
+    // the returning stream must be dropped ENTIRELY (every txn is marked)
+    assert(Filters.dropMarkedTxns(outgoing, ch).count() == 0)
+    // a foreign channel's marks do not trigger the drop and pass through
+    val foreign = Filters.injectLoopbackMarks(changes, 7L)
+    val kept = Filters.dropMarkedTxns(foreign, ch)
+    assert(kept.count() == foreign.count())
+    assert(kept.filter(col("event_type") === "mark").count() ==
+      changes.select("commit_ts").distinct().count())
+    // mark rows land in the reserved negative keyspace, one per worker max
+    val pks = outgoing.filter(col("event_type") === "mark")
+      .select("pk").distinct().as[Long].collect()
+    assert(pks.forall(p => p < 0 && p >= -Filters.LoopbackWorkers))
+    // pipeline wiring: a marked stream fed back through the pipeline with
+    // the same channel produces only this hop's fresh marks
+    val cfg = DrainerConfig(compact = false, loopbackChannel = Some(ch))
+    val out = DrainerPipeline.batch(spark, sf, cfg)
+    assert(out.filter(col("event_type") === "mark").count() ==
+      changes.select("commit_ts").distinct().count())
+    // and the mark-table state query agrees with the injected mark volume
+    val stateSum = Filters.loopbackMarkState(spark, sf, ch)
+      .agg(sum(col("val") - 1L)).as[Long].head()
+    assert(stateSum == changes.select("commit_ts").distinct().count())
+  }
+
   test("uncompacted pipeline preserves every surviving event") {
     val cfg = DrainerConfig(compact = false)
     val n = DrainerPipeline.batch(spark, sf, cfg).count()
