@@ -393,4 +393,61 @@ object Dedup {
        |a AS (SELECT doc_id, $bitSums FROM t GROUP BY doc_id)
        |SELECT doc_id, $fp AS simhash FROM a""".stripMargin
   }
+
+  /** Exact substring-level duplication (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * criterion): a token position is duplicated if the 8-token gram
+    * starting there occurs in ≥ 2 distinct documents. Reports, per
+    * affected doc, how many of its gram positions are duplicated.
+    *
+    * Unlike the pairwise dedups above this needs NO candidate pairs at
+    * all: positional grams → one keyed aggregate for the ≥2-doc gram set →
+    * one semi-join back. Everything is linear in corpus size with
+    * hash-partitioned shuffles only — the suffix-array machinery of the
+    * paper collapses to an inverted gram index in Spark. Grams travel as
+    * 32-bit hashes, not strings, to keep the two shuffles narrow. */
+  val SubstrGram = 8
+
+  def substringSpans(spark: SparkSession, dir: String): DataFrame = {
+    val n = SubstrGram
+    val pos = Tables.documents(spark, dir)
+      .select(col("doc_id"), Lex.toks(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(when(size(col("toks")) >= n,
+          transform(sequence(lit(1), size(col("toks")) - (n - 1)), i =>
+            Lex.hex8(concat_ws("_", (0 until n).map(j =>
+              element_at(col("toks"), i + j)): _*))))
+          .otherwise(array())))
+      .select(col("doc_id"), col("pos"), col("col").as("g"))
+    val dupGrams = pos.groupBy("g")
+      .agg(countDistinct("doc_id").as("ndocs"))
+      .filter(col("ndocs") >= 2).select("g")
+    val perDoc = pos.groupBy("doc_id").agg(count(lit(1)).as("n_pos"))
+    val dupPerDoc = pos.join(dupGrams, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    perDoc.join(dupPerDoc, "doc_id")
+      .withColumn("dup_ratio", round(col("n_dup") / col("n_pos").cast("double"), 4))
+      .select("doc_id", "n_pos", "n_dup", "dup_ratio")
+  }
+
+  def substringSpansSql: String = {
+    val n = SubstrGram
+    val toks = Lex.toksSql("text")
+    val gram = (0 until n).map(j => s"toks[i+$j]").mkString(" || '_' || ")
+    s"""WITH pos AS (
+       |  SELECT doc_id, i AS pos, ${Lex.hex8Sql("gram")} AS g FROM (
+       |    SELECT doc_id, i, $gram AS gram
+       |    FROM (SELECT doc_id, $toks AS toks FROM documents),
+       |         unnest(range(1, len(toks) - ${n - 2})) AS t(i))),
+       |dup_grams AS (
+       |  SELECT g FROM pos GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+       |per_doc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos FROM pos GROUP BY 1),
+       |dup_per_doc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+       |  FROM pos JOIN dup_grams USING (g) GROUP BY 1)
+       |SELECT doc_id, n_pos, n_dup,
+       |  round(n_dup / CAST(n_pos AS DOUBLE), 4) AS dup_ratio
+       |FROM per_doc JOIN dup_per_doc USING (doc_id)""".stripMargin
+  }
 }

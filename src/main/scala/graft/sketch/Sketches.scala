@@ -99,8 +99,10 @@ object Sketches {
     val counts = bucketed.groupBy("r", "bucket").agg(count(lit(1)).as("n_bucket"))
     // global top-k = distributed TakeOrdered; the rank window runs on the
     // k survivors only (same pattern as the BM25 top-k)
+    // constant partition key: frame is ≤ k rows post-limit — single-task
+    // window is intended, and the constant spec keeps logs warning-free
     val wTop = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n_exact").desc, col("tok"))
+      .partitionBy(lit(0)).orderBy(col("n_exact").desc, col("tok"))
     val top = tok.groupBy("tok").agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("tok")).limit(k)
       .withColumn("rank", row_number().over(wTop).cast("long"))
@@ -323,7 +325,10 @@ object Sketches {
     val shardHist = ev.groupBy("shard", "bucket").agg(count(lit(1)).as("n"))
     val merged = shardHist.groupBy("bucket").agg(sum("n").as("n"))
     val total = merged.agg(sum("n").as("total"))
-    val cum = merged.withColumn("cum", sum("n").over(Window.orderBy("bucket")))
+    // merged histogram is ≤ range/width rows — constant-key single-task
+    // window by design (not the events table; see bucket-local rank below)
+    val cum = merged.withColumn("cum",
+      sum("n").over(Window.partitionBy(lit(0)).orderBy("bucket")))
     val qs = HistQs.map(q => lit(q))
     val tgt = spark.range(1).select(explode(array(qs: _*)).as("q"))
       .crossJoin(broadcast(total))
@@ -405,4 +410,97 @@ object Sketches {
        |  round((hll_merged - (SELECT count(DISTINCT tok) FROM tok)) /
        |    (SELECT count(DISTINCT tok) FROM tok), 4) AS rel_err
        |FROM est""".stripMargin
+
+  /** KMV (k-minimum-values / bottom-k theta) distinct sketch over tokens,
+    * per language plus a merged all-corpus row (Bar-Yossef et al. 2002;
+    * the reference counts distinct keys only exactly — this is the
+    * 100 TB-sized replacement). Estimate = (k−1)·2³²/h_k from the k
+    * smallest distinct 32-bit token hashes; strata with < k distinct
+    * hashes report the exact count (the sketch IS the set there).
+    *
+    * Scale shape: k-mins are computed per (lang, shard) — 32 hash shards,
+    * so no window partition ever exceeds one shard's distinct tokens —
+    * then merged by taking the k smallest of the ≤ 32·k shard survivors;
+    * the '*all*' row merges the per-lang k-sets the same way, which by the
+    * KMV union property equals the sketch computed directly on the union.
+    * Sketch state: k integers per stratum, trivially broadcastable.
+    * Every value is an integer until the single final division — exact
+    * cross-engine parity by construction. */
+  val KmvK = 128
+
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = KmvK
+    // shingles, not tokens: the 3-gram space is the high-cardinality domain
+    // (the token vocabulary of the test corpus is tiny, which would leave
+    // the estimator branch of the sketch untested) — and distinct
+    // n-grams per stratum is also the quantity a curation pipeline actually
+    // tracks (vocabulary growth, contamination overlap denominators)
+    val hs = Tables.documents(spark, dir)
+      .select(col("lang"), Lex.toks(col("text")).as("toks"))
+      .select(col("lang"), explode(array_distinct(Lex.shingles(col("toks")))).as("sh"))
+      .select(col("lang"), Lex.hex8(col("sh")).as("h"))
+      .distinct()
+    // phase 1: k smallest per (lang, hash-shard) — bounded window partitions
+    val wShard = Window.partitionBy("lang", "shard").orderBy("h")
+    val shardMins = hs.withColumn("shard", col("h") % 32)
+      .withColumn("rn", row_number().over(wShard)).filter(col("rn") <= k)
+      .select("lang", "h")
+    // phase 2: merge shards → per-lang k-set (≤ 32k input rows per lang)
+    val wLang = Window.partitionBy("lang").orderBy("h")
+    val kset = shardMins.withColumn("rn", row_number().over(wLang))
+      .filter(col("rn") <= k)
+    // '*all*' = k smallest of the union of per-lang k-sets (KMV union)
+    val wAll = Window.partitionBy(lit(0)).orderBy("h")
+    val allSet = kset.select(col("h")).distinct()
+      .withColumn("rn", row_number().over(wAll)).filter(col("rn") <= k)
+      .withColumn("lang", lit("*all*"))
+    val sets = kset.select("lang", "h", "rn").unionByName(allSet.select("lang", "h", "rn"))
+    val sk = sets.groupBy("lang").agg(
+      max("rn").as("m"),
+      max(when(col("rn") === k, col("h"))).as("hk"))
+    val exact = hs.groupBy("lang").agg(countDistinct("h").as("n_exact"))
+      .unionByName(hs.select("h").distinct()
+        .agg(countDistinct("h").as("n_exact")).withColumn("lang", lit("*all*")))
+    exact.join(sk, "lang")
+      .withColumn("kmv_est",
+        when(col("m") < k, col("m").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * 4294967296.0 / col("hk"), 2)))
+      .withColumn("rel_err",
+        round((col("kmv_est") - col("n_exact")) / col("n_exact"), 4))
+      .select("lang", "n_exact", "kmv_est", "rel_err")
+  }
+
+  def kmvDistinctSql: String = {
+    val k = KmvK
+    s"""WITH hs AS (
+       |  SELECT DISTINCT lang, ${Lex.hex8Sql("sh")} AS h FROM (
+       |    SELECT lang, unnest(list_distinct(${Lex.shinglesSql("toks")})) AS sh
+       |    FROM (SELECT lang, ${Lex.toksSql("text")} AS toks FROM documents))),
+       |kset AS (
+       |  SELECT lang, h, rn FROM (
+       |    SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+       |    FROM hs) WHERE rn <= $k),
+       |allset AS (
+       |  SELECT '*all*' AS lang, h, rn FROM (
+       |    SELECT h, row_number() OVER (ORDER BY h) AS rn
+       |    FROM (SELECT DISTINCT h FROM kset)) WHERE rn <= $k),
+       |sets AS (SELECT * FROM kset UNION ALL SELECT * FROM allset),
+       |sk AS (
+       |  SELECT lang, max(rn) AS m,
+       |         max(CASE WHEN rn = $k THEN h END) AS hk
+       |  FROM sets GROUP BY 1),
+       |exact AS (
+       |  SELECT lang, count(DISTINCT h) AS n_exact FROM hs GROUP BY 1
+       |  UNION ALL
+       |  SELECT '*all*', count(DISTINCT h) FROM hs),
+       |est AS (
+       |  SELECT exact.lang, CAST(n_exact AS BIGINT) AS n_exact,
+       |    CASE WHEN m < $k THEN CAST(m AS DOUBLE)
+       |         ELSE round(${(k - 1).toDouble} * 4294967296.0 / hk, 2) END AS kmv_est
+       |  FROM exact JOIN sk ON exact.lang = sk.lang)
+       |SELECT lang, n_exact, kmv_est,
+       |  round((kmv_est - n_exact) / n_exact, 4) AS rel_err
+       |FROM est""".stripMargin
+  }
 }

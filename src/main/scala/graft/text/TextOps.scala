@@ -291,8 +291,11 @@ object TextOps {
       .agg(termCols.reduceLeft(_ + _).as("raw"))
       .select(col("doc_id"), round(col("raw"), 4).as("bm25"))
     val top = total.orderBy(col("bm25").desc, col("doc_id")).limit(topK)
+    // constant partition key: the frame is ≤ topK rows by construction, so
+    // a single-task window is the intent, not an accident (and no
+    // "No Partition Defined" noise in the logs)
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("bm25").desc, col("doc_id"))
+      .partitionBy(lit(0)).orderBy(col("bm25").desc, col("doc_id"))
     top.withColumn("rank", row_number().over(w).cast("long"))
       .select("doc_id", "rank", "bm25")
   }
