@@ -198,6 +198,105 @@ object Multimodal {
        |  n_chars * 7 % 480 + 1 AS height
        |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- audio
+
+  /** An opaque audio payload; all typed metadata lives in the bytes. */
+  case class AudioRow(doc_id: Long, payload: Array[Byte])
+
+  /** RIFF/WAVE header codec — same zero-dependency philosophy as the image
+    * sniffer: canonical 44-byte PCM header on encode, chunk-walking parse
+    * on decode (fmt and data chunks located by id, unknown chunks skipped
+    * by declared size, word-aligned as RIFF requires). */
+  object WavCodec {
+    private def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    private def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def rdLe16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def rdLe32(b: Array[Byte], i: Int): Int =
+      u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+    private def tag(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, StandardCharsets.US_ASCII)
+
+    def encode(channels: Int, sampleRate: Int, bits: Int,
+               data: Array[Byte]): Array[Byte] = {
+      val blockAlign = channels * bits / 8
+      "RIFF".getBytes(StandardCharsets.US_ASCII) ++ le32(36 + data.length) ++
+        "WAVE".getBytes(StandardCharsets.US_ASCII) ++
+        "fmt ".getBytes(StandardCharsets.US_ASCII) ++ le32(16) ++
+        le16(1) ++ le16(channels) ++ le32(sampleRate) ++
+        le32(sampleRate * blockAlign) ++ le16(blockAlign) ++ le16(bits) ++
+        "data".getBytes(StandardCharsets.US_ASCII) ++ le32(data.length) ++ data
+    }
+
+    case class SniffedWav(channels: Int, sampleRate: Int, bits: Int,
+                          nFrames: Long)
+
+    /** Chunk-walk parse: returns None unless both a PCM fmt chunk and a
+      * data chunk are present with consistent framing. */
+    def sniff(b: Array[Byte]): Option[SniffedWav] = {
+      if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+      var dataLen = -1
+      while (i + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
+        val id = tag(b, i)
+        val sz = rdLe32(b, i + 4)
+        if (sz < 0) return None
+        if (id == "fmt " && sz >= 16 && i + 8 + 16 <= b.length)
+          fmt = Some((rdLe16(b, i + 10), rdLe32(b, i + 12), rdLe16(b, i + 22)))
+        else if (id == "data")
+          dataLen = math.min(sz, b.length - i - 8) // tolerate truncated tails
+        i += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      fmt.collect { case (ch, rate, bits) if dataLen >= 0 && ch > 0 && bits > 0 =>
+        SniffedWav(ch, rate, bits, dataLen.toLong / (ch * bits / 8))
+      }
+    }
+  }
+
+  /** Synthesize an audio table: each document's UTF-8 bytes as PCM samples
+    * behind a REAL RIFF/WAVE header whose rate/channels derive
+    * deterministically from the row — so the sniffer is verifiable. */
+  def asAudio(spark: SparkSession, dir: String): Dataset[AudioRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, nChars) =>
+        val channels = (id % 2 + 1).toInt
+        val rate = (8000 + (nChars % 8) * 1000).toInt
+        AudioRow(id, WavCodec.encode(channels, rate, 16,
+          text.getBytes(StandardCharsets.UTF_8)))
+      }
+  }
+
+  /** Oracle-checked audio metadata: sample rate, channel count, frame
+    * count and duration recovered FROM THE BYTES; the DuckDB oracle
+    * recomputes them from the synthesis formulas, so a hash match proves
+    * the RIFF encode→sniff round trip on every row. Integer-milli
+    * duration keeps the comparison exact. */
+  def audioMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asAudio(spark, dir).map { a =>
+      val w = WavCodec.sniff(a.payload)
+        .getOrElse(WavCodec.SniffedWav(-1, -1, -1, -1L))
+      (a.doc_id, "wav", w.channels.toLong, w.sampleRate.toLong,
+        w.bits.toLong, w.nFrames, w.nFrames * 1000L / w.sampleRate)
+    }.toDF("doc_id", "format", "channels", "sample_rate", "bits",
+      "n_frames", "duration_ms")
+  }
+
+  def audioMetaSql: String =
+    s"""SELECT doc_id, 'wav' AS format,
+       |  doc_id % 2 + 1 AS channels,
+       |  8000 + (n_chars % 8) * 1000 AS sample_rate,
+       |  CAST(16 AS BIGINT) AS bits,
+       |  octet_length(encode(text)) // ((doc_id % 2 + 1) * 2) AS n_frames,
+       |  (octet_length(encode(text)) // ((doc_id % 2 + 1) * 2)) * 1000
+       |    // (8000 + (n_chars % 8) * 1000) AS duration_ms
+       |FROM documents""".stripMargin
+
   /** Frame sampling: every k-th FrameBytes-sized slice of the payload —
     * the video-keyframe analog, fan-out bounded by `maxFrames`. */
   case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])

@@ -108,6 +108,32 @@ class FunctionsSpec extends SparkSpec {
     assert(HeaderCodec.sniff(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
   }
 
+  test("wav codec sniffs pinned RIFF fixtures, skips foreign chunks, rejects junk") {
+    import Multimodal.WavCodec
+    // pinned canonical fixture: stereo 44.1 kHz 16-bit, 8 data bytes
+    val wav = WavCodec.encode(2, 44100, 16, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))
+    assert(wav.length == 52)
+    assert(WavCodec.sniff(wav).contains(WavCodec.SniffedWav(2, 44100, 16, 2L)))
+    // a LIST metadata chunk (odd size → word-aligned skip) before fmt/data,
+    // as ffmpeg and field recorders commonly emit
+    val listChunk = "LIST".getBytes ++ Array[Byte](3, 0, 0, 0, 'x', 'y', 'z', 0)
+    val withMeta = wav.take(12) ++ listChunk ++ wav.drop(12)
+    assert(WavCodec.sniff(withMeta).contains(WavCodec.SniffedWav(2, 44100, 16, 2L)))
+    // truncated data chunk: frame count clamps to the bytes present
+    val truncated = wav.dropRight(4)
+    assert(WavCodec.sniff(truncated).contains(WavCodec.SniffedWav(2, 44100, 16, 1L)))
+    assert(WavCodec.sniff("RIFFnotawave".getBytes).isEmpty)
+    assert(WavCodec.sniff(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("audio metadata round-trips the RIFF header on every row") {
+    val bad = Multimodal.audioMeta(spark, sf)
+      .filter(col("channels") < 1 || col("sample_rate") < 8000 ||
+        col("bits") =!= 16 || col("n_frames") < 0)
+      .count()
+    assert(bad == 0, "every synthesized wav must sniff back cleanly")
+  }
+
   test("sniffed metadata round-trips the encoded header on every media row") {
     val media = Multimodal.asMedia(spark, sf)
     val mismatched = media.collect().filterNot { m =>
