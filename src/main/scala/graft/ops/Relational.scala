@@ -801,4 +801,171 @@ object Relational {
        |GROUP BY s_name
        |ORDER BY numwait DESC, s_name
        |LIMIT 25""".stripMargin
+
+  /** Product-type profit (TPC-H Q9 shape; no partsupp table, so unit supply
+    * cost is modeled as a fixed 80% of `p_retailprice`): profit per supplier
+    * nation per ship year over parts whose name contains "bolt".
+    *
+    * Scale shape: nation is the only forced broadcast (fixed 25 rows);
+    * part and supplier SCALE with SF, so their joins are left to AQE —
+    * at sf0.1 it picks broadcast, at 100 TB it would pick shuffled joins
+    * without replanning by hand. The groupBy is 2 low-cardinality keys →
+    * partial aggregation collapses the fact rows map-side. */
+  def productProfit(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_name").contains("bolt"))
+      .select("p_partkey", "p_retailprice")
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount", "l_quantity")
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("n_name"), year(col("l_shipdate")).cast("long").as("o_year"))
+      .agg(round(sum(
+        dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) -
+          dec4(lit(0.8) * col("p_retailprice") * col("l_quantity"))), 2)
+        .cast("double").as("profit"))
+  }
+
+  def productProfitSql: String =
+    """SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+      |  CAST(round(sum(
+      |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) -
+      |    CAST(0.8 * p_retailprice * l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS profit
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_name LIKE '%bolt%'
+      |GROUP BY n_name, o_year""".stripMargin
+
+  /** Important stock (TPC-H Q11 shape; the part↔supplier relation is the
+    * observed shipping history, stock value = retail price × shipped
+    * quantity): parts holding more than 1/1000 of the NATION_9-supplied
+    * value.
+    *
+    * Scale shape: one shuffle on l_partkey builds per-part values; the
+    * grand total is a one-row aggregate broadcast back (crossJoin of a
+    * single row — constant cost at any SF). The fraction test runs in
+    * exact DECIMAL (value×1000 vs total), so both engines agree on
+    * borderline parts bit-for-bit. */
+  def importantStock(spark: SparkSession, dir: String): DataFrame = {
+    val natSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_name") === "NATION_9")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val perPart = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(natSupp, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.part(spark, dir).select("p_partkey", "p_retailprice"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey")
+      .agg(sum(dec4(col("p_retailprice") * col("l_quantity"))).as("v"))
+    val tot = perPart.agg(sum(col("v")).as("tot"))
+    perPart.crossJoin(broadcast(tot))
+      .filter(col("v") * 1000 > col("tot"))
+      .select(col("l_partkey").as("p_partkey"),
+        round(col("v"), 2).cast("double").as("stock_value"))
+  }
+
+  def importantStockSql: String =
+    """WITH nat_supp AS (
+      |  SELECT s_suppkey FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_9'),
+      |per_part AS (
+      |  SELECT l_partkey,
+      |    sum(CAST(p_retailprice * l_quantity AS DECIMAL(18,4))) AS v
+      |  FROM lineitem
+      |  JOIN nat_supp ON l_suppkey = s_suppkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1),
+      |tot AS (SELECT sum(v) AS tot FROM per_part)
+      |SELECT l_partkey AS p_partkey, CAST(round(v, 2) AS DOUBLE) AS stock_value
+      |FROM per_part, tot WHERE v * 1000 > tot""".stripMargin
+
+  /** Part/supplier relationship count (TPC-H Q16 shape; the relation is the
+    * distinct (part, supplier) shipping history; the "customer complaints"
+    * exclusion becomes suppliers with negative account balance): distinct
+    * supplier count per (brand, type, size) over non-PROMO, non-Brand#5
+    * parts in eight chosen sizes.
+    *
+    * Scale shape: the distinct bridge is one shuffle over the two key
+    * columns only (column-pruned scan); the exclusion list is a LEFT ANTI
+    * broadcast (tiny by construction); countDistinct re-shuffles only the
+    * surviving bridge rows on the 3 group keys. */
+  val Q16Sizes: Seq[Int] = Seq(1, 4, 9, 14, 19, 24, 29, 34)
+
+  def supplierRelation(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(Q16Sizes: _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val excl = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey").distinct()
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  def supplierRelationSql: String =
+    s"""SELECT p_brand, p_type, p_size,
+       |  count(DISTINCT l_suppkey) AS supplier_cnt
+       |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+       |JOIN part ON l_partkey = p_partkey
+       |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+       |  AND p_size IN (${Q16Sizes.mkString(", ")})
+       |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       |GROUP BY p_brand, p_type, p_size""".stripMargin
+
+  /** Potential part promotion (TPC-H Q20 shape; shipped quantity stands in
+    * for partsupp availability): suppliers holding more than a 10% share of
+    * the total shipped quantity of some "small…" part — the candidates who
+    * could absorb a promotion of that part.
+    *
+    * Scale shape: two cascaded aggregations on the SAME key (l_partkey,
+    * then l_partkey alone), so the second groupBy reuses the first
+    * shuffle's partitioning — one wide exchange total. Quantities are
+    * integral doubles, so sums and the ×10 share test are exact in both
+    * engines regardless of accumulation order. */
+  def promoSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith("small")).select("p_partkey")
+    val perPartSupp = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity")).as("qty"))
+    val perPart = perPartSupp.groupBy("l_partkey")
+      .agg(sum(col("qty")).as("total_qty"))
+    perPartSupp.join(perPart, Seq("l_partkey"))
+      .filter(col("qty") * 10 > col("total_qty"))
+      .select("l_suppkey").distinct()
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_name", "n_name")
+  }
+
+  def promoSuppliersSql: String =
+    """WITH pps AS (
+      |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE 'small%'
+      |  GROUP BY 1, 2),
+      |pp AS (SELECT l_partkey, sum(qty) AS total_qty FROM pps GROUP BY 1),
+      |cand AS (
+      |  SELECT DISTINCT l_suppkey FROM pps JOIN pp USING (l_partkey)
+      |  WHERE qty * 10 > total_qty)
+      |SELECT s_name, n_name
+      |FROM cand
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey""".stripMargin
 }
