@@ -232,6 +232,24 @@ object Dedup {
       .select(col("node").as("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** Near-dup clusters via STAR CONTRACTION instead of label propagation:
+    * same verified MinHash-LSH pair graph, same (doc_id, canonical_id)
+    * output, but the fixpoint loop is alternating large-star/small-star
+    * ([[graft.ops.Causality.connectedComponentsStar]]) — O(log² n) rounds
+    * on any component shape vs label propagation's O(diameter). The two
+    * implementations are oracle-checked against the SAME recursive-CTE
+    * components, which pins them equal to each other; the spec additionally
+    * stresses a chain-shaped graph where propagation would need one round
+    * per hop. At 100 TB this is the variant to run when near-dup chains
+    * (templated boilerplate with drifting payload) make component diameter
+    * unbounded. */
+  def ccStarClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir)
+    graft.ops.Causality.connectedComponentsStar(
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .select(col("node").as("doc_id"), col("label").as("canonical_id"))
+  }
+
   def lshClustersSql: String =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT * FROM ($minhashLshSql)),

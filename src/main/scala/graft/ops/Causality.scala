@@ -151,6 +151,72 @@ object Causality {
     labels
   }
 
+  /** Alternating large-star / small-star connected components (the
+    * MapReduce-era star-contraction algorithm; see Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14). Same
+    * contract as [[connectedComponents]]: undirected edge list (both
+    * directions or either — symmetrized here) → (node, label) with label =
+    * component minimum id.
+    *
+    * Why a second fixpoint loop: label propagation converges in
+    * O(diameter) rounds — ideal for the squat conflict/near-dup graphs it
+    * serves, but a chain-shaped component of 100k nodes (a template
+    * corpus where doc i nearly-duplicates doc i+1) needs 100k rounds.
+    * Star contraction halves long paths every large+small round, so it
+    * converges in O(log² n) rounds on ANY component shape; each round is
+    * two grouped aggregates + two joins, all hash-partitioned on node id.
+    * This is the drop-in upgrade the cluster ops switch to when component
+    * diameters are unknown.
+    *
+    * Round mechanics (edge set kept canonical: `hi` > `lo`, distinct):
+    *  - large-star: every neighbor v > u re-attaches to m(u) = min of u's
+    *    closed neighborhood — long tails fold onto local minima;
+    *  - small-star: every smaller neighbor (and u itself) attaches to the
+    *    minimum of u's smaller closed neighborhood — stars flatten.
+    * The edge multiset's total weight strictly decreases until the graph
+    * is a union of stars centered on component minima; convergence is
+    * detected by set equality (count + one-sided except on the
+    * checkpointed frames). */
+  def connectedComponentsStar(edges: DataFrame): DataFrame = {
+    var e = edges.filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+      .distinct().localCheckpoint(true)
+    var eCount = e.count()
+    var changed = eCount > 0
+    while (changed) {
+      // large-star over the symmetrized neighborhood: emit (v, m(u)) for
+      // every neighbor v strictly above u; v > u ≥ m keeps hi/lo canonical
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
+      val minsL = sym.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
+      val large = sym.join(minsL, "u").where(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .where(col("hi") =!= col("lo"))
+        .distinct().localCheckpoint(true)
+      // small-star on the lo-pointing edges: u's smaller neighborhood
+      // (all lo's, plus u itself) re-attaches to its minimum
+      val minsS = large.groupBy("hi").agg(least(col("hi"), min(col("lo"))).as("m"))
+      val small = large.join(minsS, "hi")
+        .select(col("lo").as("n"), col("m"))
+        .unionByName(minsS.select(col("hi").as("n"), col("m")))
+        .where(col("n") =!= col("m"))
+        .select(col("n").as("hi"), col("m").as("lo"))
+        .distinct().localCheckpoint(true)
+      val nextCount = small.count()
+      changed = nextCount != eCount || small.except(e).count() > 0
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"CC-star round edges=$nextCount")
+      e = small
+      eCount = nextCount
+    }
+    // fixpoint = union of stars: hi points at its component min; centers
+    // label themselves
+    e.select(col("hi").as("node"), col("lo").as("label"))
+      .unionByName(e.select(col("lo").as("node"), col("lo").as("label")))
+      .distinct()
+  }
+
   def conflictGroupsSql: String =
     s"""WITH RECURSIVE c AS (${Cdc.changesCte}),
        |lagged AS (

@@ -63,4 +63,32 @@ class CausalitySpec extends SparkSpec {
     assert(split(30L) == split(40L))
     assert(split(20L) != split(30L))
   }
+
+  test("star contraction equals label propagation on an arbitrary graph") {
+    import spark.implicits._
+    // pseudo-random sparse graph: several components of mixed shape
+    val half = (0 until 400).map { i =>
+      val a = (i * 2654435761L) % 97
+      val b = (i * 40503L + 7) % 97
+      (a + 1, b + 1) // node ids 1..97, self-loops possible (both must drop them)
+    }.toDF("src", "dst")
+    val edges = half.unionByName(
+      half.select(col("dst").as("src"), col("src").as("dst")))
+    val prop = Causality.connectedComponents(edges.filter(col("src") =!= col("dst")))
+      .as[(Long, Long)].collect().toMap
+    val star = Causality.connectedComponentsStar(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(star == prop)
+  }
+
+  test("star contraction collapses a long chain in logarithmic rounds") {
+    import spark.implicits._
+    // a 600-node path: label propagation would need ~600 rounds (one per
+    // hop); star contraction folds it in O(log² n)
+    val chain = (0L until 599L).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = Causality.connectedComponentsStar(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 600)
+    assert(labels.values.forall(_ == 0L))
+  }
 }
