@@ -87,12 +87,7 @@ object Dedup {
     // CPU-dominant stage) runs exactly once, traded for one local-disk write
     // of the exploded rows (the same volume a shuffle of them would spill).
     val sh0 = docShingles(spark, dir).localCheckpoint(true)
-    val sigs = signaturesFrom(sh0)
-    val bands = sigs.select(col("doc_id"),
-      explode(array((0 until 8).map(b =>
-        struct(lit(b).as("band"),
-          concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig"))): _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band"), col("bs.sig"))
+    val bands = bandsFrom(signaturesFrom(sh0))
     // Candidate pairs are materialized once (eager local checkpoint): three
     // downstream branches consume them — the doc-id restriction, both sides
     // of the intersection — and each would otherwise re-run the signature
@@ -118,6 +113,15 @@ object Dedup {
     cand.join(intersectionCounts(sh), Seq("doc_a", "doc_b"))
       .transform(withJaccard(sizes, threshold = 0.5))
   }
+
+  /** 8 bands × 2 rows from a 16-column signature frame: one row per
+    * (doc, band) with the band's concatenated signature. */
+  private def bandsFrom(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+      explode(array((0 until 8).map(b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band"), col("bs.sig"))
 
   /** Per-pair shared-shingle counts over an inverted index: pairs sharing no
     * shingle are never materialized. */
@@ -230,6 +234,109 @@ object Dedup {
         half.select(col("dst").as("src"), col("src").as("dst")))
     graft.ops.Causality.connectedComponents(edges)
       .select(col("node").as("doc_id"), col("label").as("canonical_id"))
+  }
+
+  /** Incremental dedup — the every-crawl workload: a NEW batch of documents
+    * checked against the EXISTING corpus without re-pairing the corpus
+    * against itself. The batch split is deterministic (doc_id % 5 == 4 is
+    * the "fresh crawl", the other 80% the standing corpus). Verdict per new
+    * doc: `exact_dup` (text digest already present), else `near_dup` (a
+    * MinHash band collision with a base doc verified at Jaccard ≥ 0.5),
+    * else `novel`; `matched_id` = the minimum matching base doc id (−1 for
+    * novel — a sentinel, not NULL, so the column stays integral in every
+    * engine's dataframe bridge).
+    *
+    * Scale shape: in production the base side's digest table and band
+    * table are PERSISTED byproducts of prior ingests (append-only parquet,
+    * partitioned by band/sig prefix), so an increment costs
+    * O(new·bands + collisions): the band join is new×base only, the
+    * shingle verify is semi-joined down to candidate docs on both sides,
+    * and the standing corpus is never re-shingled or self-joined. Here
+    * both sides derive from one snapshot table because the sandbox has a
+    * single corpus version. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isNew = col("doc_id") % 5 === 4
+    // exact layer: base digest dictionary (stored, in production)
+    val baseDig = docs.filter(!isNew)
+      .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("base_exact"))
+    val exact = docs.filter(isNew)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(baseDig, Seq("h"), "left")
+      .select(col("doc_id"), col("base_exact"))
+    // near layer: band tables per side, candidate join across sides only
+    val sh0 = docShingles(spark, dir).localCheckpoint(true)
+    val bands = bandsFrom(signaturesFrom(sh0))
+    val cand = bands.filter(isNew).as("x")
+      .join(bands.filter(!isNew).as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("base_id"))
+      .distinct()
+      .localCheckpoint(true)
+    val candNew = cand.select(col("new_id").as("doc_id")).distinct()
+    val candBase = cand.select(col("base_id").as("doc_id")).distinct()
+    val shNew = sh0.join(broadcast(candNew), Seq("doc_id"), "left_semi")
+    val shBase = sh0.join(broadcast(candBase), Seq("doc_id"), "left_semi")
+    val inter = shNew.as("sa").join(shBase.as("sb"), col("sa.sh") === col("sb.sh"))
+      .groupBy(col("sa.doc_id").as("new_id"), col("sb.doc_id").as("base_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = sh0.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val near = cand.join(inter, Seq("new_id", "base_id"))
+      .join(sizes.select(col("doc_id").as("new_id"), col("n_sh").as("n_a")), "new_id")
+      .join(sizes.select(col("doc_id").as("base_id"), col("n_sh").as("n_b")), "base_id")
+      .filter(round(col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")), 4) >= 0.5)
+      .groupBy("new_id").agg(min("base_id").as("base_near"))
+    exact.join(near, col("doc_id") === col("new_id"), "left")
+      .select(col("doc_id"),
+        when(col("base_exact").isNotNull, "exact_dup")
+          .when(col("base_near").isNotNull, "near_dup")
+          .otherwise("novel").as("verdict"),
+        coalesce(col("base_exact"), col("base_near"), lit(-1L)).as("matched_id"))
+  }
+
+  def incrementalDedupSql: String = {
+    val h = Lex.hex8Sql("sh")
+    val sigCols = (0 until 16)
+      .map(j => s"min(${Lex.minhashPermSql(j, h)}) AS mh$j").mkString(", ")
+    val bandSelects = (0 until 8).map(b =>
+      s"SELECT doc_id, $b AS band, mh${2 * b} || ',' || mh${2 * b + 1} AS sig FROM sigs")
+      .mkString("\n  UNION ALL ")
+    s"""WITH s AS ($docShinglesCte),
+       |base_dig AS (
+       |  SELECT md5(text) AS h, min(doc_id) AS base_exact
+       |  FROM documents WHERE doc_id % 5 <> 4 GROUP BY 1),
+       |exact AS (
+       |  SELECT d.doc_id, bd.base_exact
+       |  FROM documents d LEFT JOIN base_dig bd ON md5(d.text) = bd.h
+       |  WHERE d.doc_id % 5 = 4),
+       |sigs AS (SELECT doc_id, $sigCols FROM s GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS base_id
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
+       |  WHERE x.doc_id % 5 = 4 AND y.doc_id % 5 <> 4),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY 1),
+       |inter AS (
+       |  SELECT sa.doc_id AS new_id, sb.doc_id AS base_id, count(*) AS n_inter
+       |  FROM s sa JOIN s sb ON sa.sh = sb.sh
+       |  WHERE sa.doc_id % 5 = 4 AND sb.doc_id % 5 <> 4
+       |  GROUP BY 1, 2),
+       |near AS (
+       |  SELECT new_id, min(base_id) AS base_near
+       |  FROM cand
+       |  JOIN inter USING (new_id, base_id)
+       |  JOIN sizes na ON na.doc_id = new_id
+       |  JOIN sizes nb ON nb.doc_id = base_id
+       |  WHERE round(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 4) >= 0.5
+       |  GROUP BY 1)
+       |SELECT e.doc_id,
+       |  CASE WHEN base_exact IS NOT NULL THEN 'exact_dup'
+       |       WHEN base_near IS NOT NULL THEN 'near_dup'
+       |       ELSE 'novel' END AS verdict,
+       |  coalesce(base_exact, base_near, -1) AS matched_id
+       |FROM exact e LEFT JOIN near nr ON e.doc_id = nr.new_id""".stripMargin
   }
 
   /** Near-dup clusters via STAR CONTRACTION instead of label propagation:

@@ -747,4 +747,62 @@ object TextOps {
        |    AND len(list_filter(toks, x -> length(x) > 20)) = 0 AS pass
        |FROM m""".stripMargin
   }
+
+  /** Temperature-flattened source-sampling mix — the multinomial mix step
+    * of a pretraining data pipeline: per-source token mass → share^α with
+    * α = 0.5 → normalized sampling weight. Flattening up-weights small
+    * high-quality sources against the web-scale head; `boost` =
+    * weight/share is the implied duplication factor a sampler applies to
+    * each source at one epoch of the mixture.
+    *
+    * Determinism across engines: per-source token sums are exact longs;
+    * `share` and `sqrt(share)` are single IEEE operations on identical
+    * inputs (sqrt is correctly-rounded, so bit-identical in any engine);
+    * the one order-sensitive step — the normalizing SUM of weights — runs
+    * in DECIMAL(18,9) after rounding each weight to 9 digits, so it is
+    * order-free; the final divisions are again single IEEE ops.
+    *
+    * Scale shape: one scan of documents with map-side partial sums into a
+    * ~sources-sized aggregate; the two normalizing totals are one-row
+    * broadcasts. Cost is the token count itself — everything after the
+    * first groupBy is constant-size. */
+  def sourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val bySrc = Tables.documents(spark, dir)
+      .select(col("source"), size(Lex.toks(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source").agg(sum(col("n_tok")).as("toks"))
+    val tot = bySrc.agg(sum(col("toks")).as("tot_toks"))
+    val w = bySrc.crossJoin(broadcast(tot))
+      .withColumn("share", col("toks").cast("double") / col("tot_toks"))
+      .withColumn("w_raw", round(sqrt(col("share")), 9).cast("decimal(18,9)"))
+    val wsum = w.agg(sum(col("w_raw")).as("wsum"))
+    w.crossJoin(broadcast(wsum))
+      .withColumn("weight",
+        round(col("w_raw").cast("double") / col("wsum").cast("double"), 6))
+      .select(col("source"), col("toks"),
+        round(col("share"), 6).as("share"),
+        col("weight"),
+        round(col("weight") / col("share"), 4).as("boost"))
+  }
+
+  def sourceMixSql: String =
+    s"""WITH by_src AS (
+       |  -- CAST: DuckDB widens sum(BIGINT) to HUGEINT, which pandas
+       |  -- surfaces as float64 and the driver's hash then splits on dtype
+       |  SELECT source, CAST(sum(len(${Lex.toksSql("text")})) AS BIGINT) AS toks
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT sum(toks) AS tot_toks FROM by_src),
+       |w AS (
+       |  SELECT source, toks,
+       |    CAST(toks AS DOUBLE) / tot_toks AS share,
+       |    CAST(round(sqrt(CAST(toks AS DOUBLE) / tot_toks), 9)
+       |      AS DECIMAL(18,9)) AS w_raw
+       |  FROM by_src, tot),
+       |ws AS (SELECT sum(w_raw) AS wsum FROM w),
+       |wt AS (
+       |  SELECT source, toks, share,
+       |    round(CAST(w_raw AS DOUBLE) / CAST(wsum AS DOUBLE), 6) AS weight
+       |  FROM w, ws)
+       |SELECT source, toks, round(share, 6) AS share, weight,
+       |  round(weight / share, 4) AS boost
+       |FROM wt""".stripMargin
 }

@@ -269,4 +269,39 @@ class LlmOpsSpec extends SparkSpec {
     }
     assert(dd.map(_.getAs[Long]("vec_id")).toSet == pairs.map(_._2).toSet)
   }
+
+  test("incremental dedup: exact dup, near dup, and novel all verdict correctly") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    // doc 4 / 9 / 14 are the "new batch" (id % 5 == 4): 4 copies doc 0
+    // exactly, 9 shares most shingles with doc 1, 14 is unrelated
+    val docs = Seq(
+      (0L, base, "en", "src0"),
+      (1L, base + " with a small tail of extra words attached", "en", "src0"),
+      (2L, "completely different text about database storage engines", "en", "src0"),
+      (4L, base, "en", "src1"),
+      (9L, base + " with a small tail of extra words appended", "en", "src1"),
+      (14L, "unrelated musings on compiler construction and type systems", "en", "src1")
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("incdedup").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.incrementalDedup(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(4L) == ("exact_dup", 0L))
+    // doc 9 verifies against both base docs (0 shares the whole base text,
+    // 1 shares base + a similar tail); matched_id is the MINIMUM match
+    assert(out(9L)._1 == "near_dup" && Set(0L, 1L).contains(out(9L)._2))
+    assert(out(14L) == ("novel", -1L))
+    assert(out.size == 3) // only the new batch is judged
+  }
+
+  test("source mix: weights normalize to 1 and flattening boosts small sources") {
+    val rows = graft.text.TextOps.sourceMix(spark, sf).collect()
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-3, s"weights must normalize, got $wsum")
+    val byShare = rows.sortBy(_.getAs[Double]("share"))
+    // α = 0.5 flattening: the smallest source gains, the largest loses
+    assert(byShare.head.getAs[Double]("boost") >= byShare.last.getAs[Double]("boost"))
+  }
 }
