@@ -748,6 +748,67 @@ object TextOps {
        |FROM m""".stripMargin
   }
 
+  /** Unigram-LM rarity score — the CCNet-style perplexity-proxy quality
+    * filter: each token's self-information −ln(df/N) under the corpus
+    * unigram distribution (document frequency over total token
+    * occurrences), averaged per document. Low scores = boilerplate built
+    * from the corpus's most common tokens; high scores = rare-token noise;
+    * the middle band is the keep zone — the verdict column buckets each
+    * document accordingly (cutoffs in nats, tuned to the corpus's observed
+    * information band; a production pipeline would set them from a held-out
+    * quantile sweep).
+    *
+    * Determinism across engines: ln is evaluated once per DISTINCT TOKEN
+    * on identical double inputs and rounded to 6 decimals BEFORE any
+    * summation (libm log implementations agree to ≪1e-6); the per-doc
+    * totals then run in DECIMAL — order-free — and the final mean is a
+    * single IEEE division rounded to 4.
+    *
+    * Scale shape: the token-frequency dictionary is one hash aggregate
+    * over the exploded token stream; scoring is a broadcast-sized (or
+    * shuffle, at vocabulary scale) join of tokens→nats followed by one
+    * per-doc sum. No windows, no self-joins. */
+  def rarityScore(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Lex.toks(col("text"))).as("tok"))
+    val totals = tok.agg(count(lit(1)).as("n_total"))
+    val dict = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(totals))
+      .select(col("tok"),
+        round(-log(col("df").cast("double") / col("n_total")), 6)
+          .cast("decimal(18,6)").as("nats"))
+    tok.join(dict, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum(col("nats")).as("nats_sum"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("nats_sum").cast("double") / col("n_tok"), 4).as("mean_nats"))
+      .withColumn("verdict",
+        when(col("mean_nats") < RarityLow, "boilerplate")
+          .when(col("mean_nats") > RarityHigh, "noise")
+          .otherwise("keep"))
+  }
+
+  val RarityLow = 3.39
+  val RarityHigh = 3.45
+
+  def rarityScoreSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${Lex.toksSql("text")}) AS tok FROM documents),
+       |tot AS (SELECT count(*) AS n_total FROM tok),
+       |dict AS (
+       |  SELECT tok,
+       |    CAST(round(-ln(CAST(df AS DOUBLE) / n_total), 6) AS DECIMAL(18,6)) AS nats
+       |  FROM (SELECT tok, count(*) AS df FROM tok GROUP BY 1), tot),
+       |scored AS (
+       |  SELECT doc_id, count(*) AS n_tok, sum(nats) AS nats_sum
+       |  FROM tok JOIN dict USING (tok) GROUP BY 1)
+       |SELECT doc_id, n_tok,
+       |  round(CAST(nats_sum AS DOUBLE) / n_tok, 4) AS mean_nats,
+       |  CASE WHEN round(CAST(nats_sum AS DOUBLE) / n_tok, 4) < $RarityLow THEN 'boilerplate'
+       |       WHEN round(CAST(nats_sum AS DOUBLE) / n_tok, 4) > $RarityHigh THEN 'noise'
+       |       ELSE 'keep' END AS verdict
+       |FROM scored""".stripMargin
+
   /** Temperature-flattened source-sampling mix — the multinomial mix step
     * of a pretraining data pipeline: per-source token mass → share^α with
     * α = 0.5 → normalized sampling weight. Flattening up-weights small

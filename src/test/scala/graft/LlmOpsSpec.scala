@@ -296,6 +296,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.size == 3) // only the new batch is judged
   }
 
+  test("rarity score: every doc scored, verdict consistent with the cutoffs") {
+    val rows = graft.text.TextOps.rarityScore(spark, sf).collect()
+    assert(rows.length ==
+      graft.model.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val m = r.getAs[Double]("mean_nats"); val v = r.getAs[String]("verdict")
+      assert(m > 0 && m < 20, s"self-information out of range: $m")
+      val expect = if (m < graft.text.TextOps.RarityLow) "boilerplate"
+        else if (m > graft.text.TextOps.RarityHigh) "noise" else "keep"
+      assert(v == expect)
+    }
+  }
+
   test("source mix: weights normalize to 1 and flattening boosts small sources") {
     val rows = graft.text.TextOps.sourceMix(spark, sf).collect()
     val wsum = rows.map(_.getAs[Double]("weight")).sum
