@@ -1,24 +1,27 @@
 package graft
-
 import org.apache.spark.sql.SparkSession
 
-// scratch: dump physical plans for the plan audit (not part of driver contract)
+/** Plan-audit helper: print the formatted physical plan of named queries
+  * (all queries when no names given). Not part of the driver contract —
+  * used to keep every query's plan the one we'd want at 100 TB: filters
+  * pushed into the scan, dims broadcast, no stray global sorts/windows. */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val names = if (args.nonEmpty) args.toSeq else Seq(
-      "q1_pricing_summary", "q3_shipping_priority", "a1_compact_pk",
-      "s6_ts_range_scan", "f1_allow_block", "dedup_exact", "ann_topk_cosine")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    names.foreach { n =>
-      println(s"===== $n =====")
-      SparkEntry.queries(n)(spark, dir).explain("formatted")
-    }
+    spark.sparkContext.setLogLevel("ERROR")
+    val only = args.toSeq
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only.exists(name.contains) }
+      .foreach { case (name, fn) =>
+        println(s"\n===== $name =====")
+        try fn(spark, sfDir).explain("formatted")
+        catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
+      }
     spark.stop()
   }
 }

@@ -865,6 +865,10 @@ object Relational {
         col("l_partkey") === col("p_partkey"))
       .groupBy("l_partkey")
       .agg(sum(dec4(col("p_retailprice") * col("l_quantity"))).as("v"))
+      // two consumers (the output rows and the grand total); materialized
+      // once so the lineitem join+aggregate branch is not computed twice —
+      // the frame is part-cardinality, tiny next to the fact scan it saves
+      .localCheckpoint(true)
     val tot = perPart.agg(sum(col("v")).as("tot"))
     perPart.crossJoin(broadcast(tot))
       .filter(col("v") * 1000 > col("tot"))
@@ -930,11 +934,14 @@ object Relational {
     * the total shipped quantity of some "small…" part — the candidates who
     * could absorb a promotion of that part.
     *
-    * Scale shape: two cascaded aggregations on the SAME key (l_partkey,
-    * then l_partkey alone), so the second groupBy reuses the first
-    * shuffle's partitioning — one wide exchange total. Quantities are
-    * integral doubles, so sums and the ×10 share test are exact in both
-    * engines regardless of accumulation order. */
+    * Scale shape: ONE pass over the filtered fact — the per-(part, supplier)
+    * aggregate feeds a part-partitioned window sum for the per-part total,
+    * so the expensive join+aggregate branch is never re-computed (a naive
+    * two-groupBy + join-back plan scans it twice). The window partitions on
+    * l_partkey — partition size = suppliers-per-part, bounded — never a
+    * global sort. Quantities are integral doubles, so sums and the ×10
+    * share test are exact in both engines regardless of accumulation
+    * order. */
   def promoSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
       .filter(col("p_name").startsWith("small")).select("p_partkey")
@@ -943,9 +950,9 @@ object Relational {
       .join(p, col("l_partkey") === col("p_partkey"))
       .groupBy("l_partkey", "l_suppkey")
       .agg(sum(col("l_quantity")).as("qty"))
-    val perPart = perPartSupp.groupBy("l_partkey")
-      .agg(sum(col("qty")).as("total_qty"))
-    perPartSupp.join(perPart, Seq("l_partkey"))
+    perPartSupp
+      .withColumn("total_qty",
+        sum(col("qty")).over(Window.partitionBy("l_partkey")))
       .filter(col("qty") * 10 > col("total_qty"))
       .select("l_suppkey").distinct()
       .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
