@@ -544,6 +544,11 @@ object Dedup {
               element_at(col("toks"), i + j)): _*))))
           .otherwise(array())))
       .select(col("doc_id"), col("pos"), col("col").as("g"))
+      // three consumers (gram census, per-doc totals, dup counts) — the
+      // tokenize+md5-per-position stage is the CPU-dominant cost, so it is
+      // materialized once instead of computed three times; the write is
+      // the same volume a shuffle of the frame would spill anyway
+      .localCheckpoint(true)
     val dupGrams = pos.groupBy("g")
       .agg(countDistinct("doc_id").as("ndocs"))
       .filter(col("ndocs") >= 2).select("g")

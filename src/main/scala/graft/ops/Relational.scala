@@ -844,8 +844,10 @@ object Relational {
 
   /** Important stock (TPC-H Q11 shape; the part↔supplier relation is the
     * observed shipping history, stock value = retail price × shipped
-    * quantity): parts holding more than 1/1000 of the NATION_9-supplied
-    * value.
+    * quantity): parts holding more than 1/1000 of the EUROPE-supplied
+    * value. (Scoped by region, not nation: every SF of the synthetic data
+    * populates every region, while single nations can be empty at tiny
+    * SFs.)
     *
     * Scale shape: one shuffle on l_partkey builds per-part values; the
     * grand total is a one-row aggregate broadcast back (crossJoin of a
@@ -855,7 +857,9 @@ object Relational {
   def importantStock(spark: SparkSession, dir: String): DataFrame = {
     val natSupp = Tables.supplier(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)
-          .filter(col("n_name") === "NATION_9")),
+          .join(broadcast(Tables.region(spark, dir)
+              .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))),
         col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey")
     val perPart = Tables.lineitem(spark, dir)
@@ -880,7 +884,8 @@ object Relational {
     """WITH nat_supp AS (
       |  SELECT s_suppkey FROM supplier
       |  JOIN nation ON s_nationkey = n_nationkey
-      |  WHERE n_name = 'NATION_9'),
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'),
       |per_part AS (
       |  SELECT l_partkey,
       |    sum(CAST(p_retailprice * l_quantity AS DECIMAL(18,4))) AS v
@@ -914,7 +919,9 @@ object Relational {
     Tables.lineitem(spark, dir)
       .select("l_partkey", "l_suppkey").distinct()
       .join(p, col("l_partkey") === col("p_partkey"))
-      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      // no broadcast hint: the exclusion list scales with SF (it is a
+      // supplier-table slice); AQE picks broadcast while it is small
+      .join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy("p_brand", "p_type", "p_size")
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
