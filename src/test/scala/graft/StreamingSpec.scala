@@ -312,6 +312,24 @@ class StreamingSpec extends SparkSpec {
     assert(sink.lastCommitted == before)
   }
 
+  test("streaming repeated-binlog skip drops at-least-once redelivery (F10 twin)") {
+    // the same batch of events delivered twice (two files, same content) —
+    // the dedup stream must emit each commit id exactly once
+    val in = Files.createTempDirectory("graft_dedup_in").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_id") < 300)
+    addFile(raw, in, "delivery1")
+    addFile(raw, in, "delivery2")
+    val q = CdcStream.dedupStream(CdcStream.changeStream(spark, in))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("dedup_out")
+    assert(out.count() == raw.count(), "each redelivered event emitted once")
+    assert(out.groupBy("commit_ts").count().filter(col("count") > 1).count() == 0)
+  }
+
   test("watermarked counts run over the stream") {
     val changes = CdcStream.changeStream(spark, stageEventsDir())
     val q = CdcStream.watermarkedCounts(changes)
