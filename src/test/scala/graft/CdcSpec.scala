@@ -81,6 +81,33 @@ class CdcSpec extends SparkSpec {
     assert(asOf.exceptAll(replayed).isEmpty && replayed.exceptAll(asOf).isEmpty)
   }
 
+  test("bucketed tables join with zero exchanges (co-located fact join)") {
+    import org.apache.spark.sql.functions._
+    val warehouse = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+    val li = graft.model.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+      .withColumnRenamed("l_orderkey", "orderkey")
+    val ord = graft.model.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "orderkey")
+    graft.ops.Bucketing.writeBucketed(li, "bk_lineitem", "orderkey", 8, s"$warehouse/li")
+    graft.ops.Bucketing.writeBucketed(ord, "bk_orders", "orderkey", 8, s"$warehouse/ord")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = graft.ops.Bucketing.cocolocatedJoin(spark, "bk_lineitem", "bk_orders", "orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      val expected = li.join(ord, "orderkey").count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+      spark.sql("DROP TABLE IF EXISTS bk_orders")
+    }
+  }
+
   test("bucketized range join equals the naive between-join, any width") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
