@@ -516,4 +516,168 @@ object Similarity {
        |  ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
        |WHERE $cos >= $threshold""".stripMargin
   }
+
+  // ---- Product quantization (the third classic ANN scale path) ----------
+
+  /** PQ layout: 64-dim vectors split into [[PqSubs]] subspaces of
+    * [[PqSubDim]] dims; each subspace gets its own [[PqCodes]]-entry
+    * codebook (Lloyd-trained, [[PqIters]] rounds). A vector is stored as
+    * [[PqSubs]] byte-sized codes — 32 bytes instead of 256 for the float
+    * vector — and approximate distances come from per-subspace lookup
+    * tables (ADC), never from the raw vectors. (Config chosen by measured
+    * recall on the synthetic corpus: 32×2-dim subspaces at 32 codes give
+    * recall@5 ≈ 0.7 vs exact grid L2; coarser 4×16 layouts collapse to
+    * noise on these unclustered dimensions.)
+    *
+    * Everything runs on the fixed-point grid with SQUARED L2 in exact
+    * integer arithmetic — training, encoding, and serving have NO float
+    * operation at all, so centroids, codes, and distances are
+    * bit-reproducible in any engine (the oracle unrolls the same rounds).
+    * Bound: |x−y| ≤ 2·FxScale·max|v| < 2²², squared < 2⁴⁴, summed over 64
+    * dims < 2⁵⁰ — inside long range. */
+  val PqSubs = 32
+  val PqSubDim = 2
+  val PqCodes = 32
+  val PqIters = 2
+
+  /** Exact integer squared L2 of two array<long> columns. */
+  private def l2i(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+
+  private def l2iSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+
+  /** (vec_id, sub, sv): the fixed-point subvector rows. */
+  private def pqSubvectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(array((0 until PqSubs).map(s =>
+        slice(col("qe"), s * PqSubDim + 1, PqSubDim)): _*)).as(Seq("sub", "sv")))
+
+  /** Per-subspace Lloyd codebook: (sub, cent_id, qc). Same round shape as
+    * [[trainCentroids]] — broadcast-codebook assignment reduced by a
+    * min_by hash aggregate, integer-mean update — but keyed by (sub,
+    * cent_id), all subspaces training in the same two shuffles. */
+  def trainPqCodebook(sv: DataFrame): DataFrame = {
+    var cents = sv.filter(col("vec_id") < PqCodes)
+      .select(col("sub"), col("vec_id").as("cent_id"), col("sv").as("qc"))
+      .localCheckpoint(true)
+    (0 until PqIters).foreach { _ =>
+      val assignment = sv.join(broadcast(cents), Seq("sub"))
+        .withColumn("d", l2i(col("sv"), col("qc")))
+        .groupBy("vec_id", "sub")
+        // deterministic argmin: (distance, cent_id) lexicographic
+        .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id"))).as("cent_id"))
+      val means = sv.join(assignment, Seq("vec_id", "sub"))
+        .select(col("sub"), col("cent_id"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy("sub", "cent_id", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .withColumn("qm",
+          expr(s"((s + $FxOff * n) * 2 + n) div (2 * n) - $FxOff"))
+        .groupBy("sub", "cent_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("qm")))),
+          x => x.getField("qm")).as("qc"))
+      val kept = cents.join(means, Seq("sub", "cent_id"), "left_anti")
+      cents = means.unionByName(kept).localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** PQ/ADC top-k: every vector encoded as [[PqSubs]] codebook codes; a
+    * query computes one small distance table to every codebook entry
+    * (PqSubs × PqCodes integer L2s), and each candidate's approximate
+    * distance is the SUM OF TABLE LOOKUPS for its codes — the scan never
+    * touches raw vectors. In Spark the lookup is the (sub, code) join
+    * below; at serving scale the codes column is 4 bytes/vector, so the
+    * whole corpus's codes fit a fraction of the raw-vector footprint and
+    * the scan is memory-bandwidth-bound, not compute-bound. */
+  def pqTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), fx(col("embedding")).as("qe"))
+    val sv = pqSubvectors(e).localCheckpoint(true)
+    val cents = trainPqCodebook(sv)
+    val codes = sv.join(broadcast(cents), Seq("sub"))
+      .withColumn("d", l2i(col("sv"), col("qc")))
+      .groupBy("vec_id", "sub")
+      .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id"))).as("code"))
+    val q = sv.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+      .select(col("vec_id").as("query_id"), col("sub"), col("sv").as("qsv"))
+    val dtab = q.join(broadcast(cents), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cent_id"),
+        l2i(col("qsv"), col("qc")).as("dt"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("approx_l2"), col("vec_id"))
+    codes.join(dtab,
+        codes("sub") === dtab("sub") && codes("code") === dtab("cent_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dt")).as("approx_l2"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "approx_l2")
+  }
+
+  /** DuckDB twin of [[pqTopK]]: the Lloyd rounds unroll into CTEs keyed by
+    * (sub, cent_id); every distance, mean, and lookup is exact integer, so
+    * codes and approximate distances hash-match Spark's. */
+  def pqTopKSql(k: Int = 5): String = {
+    val rounds = (1 to PqIters).map { i =>
+      val prev = s"c${i - 1}"
+      s"""a$i AS (
+         |  SELECT vec_id, sub, cent_id FROM (
+         |    SELECT s.vec_id, s.sub, c.cent_id,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+         |        ${l2iSql("s.sv", "c.qc")}, c.cent_id) AS rn
+         |    FROM sv s JOIN $prev c USING (sub))
+         |  WHERE rn = 1),
+         |m$i AS (
+         |  SELECT sub, cent_id, list(qm ORDER BY pos) AS qc FROM (
+         |    SELECT sub, cent_id, pos,
+         |      ((sum(v) + $FxOff * count(*)) * 2 + count(*))
+         |        // (2 * count(*)) - $FxOff AS qm
+         |    FROM (
+         |      SELECT a.sub, a.cent_id, unnest(range(0, len(s.sv))) AS pos,
+         |        unnest(s.sv) AS v
+         |      FROM sv s JOIN a$i a ON s.vec_id = a.vec_id AND s.sub = a.sub)
+         |    GROUP BY sub, cent_id, pos)
+         |  GROUP BY sub, cent_id),
+         |c$i AS (
+         |  SELECT sub, cent_id, qc FROM m$i
+         |  UNION ALL
+         |  SELECT c.sub, c.cent_id, c.qc FROM $prev c
+         |  WHERE NOT EXISTS (SELECT 1 FROM m$i m
+         |                    WHERE m.sub = c.sub AND m.cent_id = c.cent_id)),""".stripMargin
+    }.mkString("\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, ${fxSql("embedding")} AS qe FROM embeddings),
+       |sv AS (
+       |  SELECT vec_id, sub,
+       |    list_slice(qe, sub * $PqSubDim + 1, sub * $PqSubDim + $PqSubDim) AS sv
+       |  FROM e, unnest(range(0, $PqSubs)) AS t(sub)),
+       |c0 AS (SELECT sub, vec_id AS cent_id, sv AS qc FROM sv
+       |       WHERE vec_id < $PqCodes),
+       |$rounds
+       |codes AS (
+       |  SELECT vec_id, sub, cent_id AS code FROM (
+       |    SELECT s.vec_id, s.sub, c.cent_id,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+       |        ${l2iSql("s.sv", "c.qc")}, c.cent_id) AS rn
+       |    FROM sv s JOIN c$PqIters c USING (sub))
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, sub, sv AS qsv FROM sv
+       |      WHERE vec_id >= 10 AND vec_id < 15),
+       |dtab AS (
+       |  SELECT q.query_id, q.sub, c.cent_id,
+       |    ${l2iSql("q.qsv", "c.qc")} AS dt
+       |  FROM q JOIN c$PqIters c USING (sub)),
+       |approx AS (
+       |  SELECT d.query_id, k.vec_id, CAST(sum(d.dt) AS BIGINT) AS approx_l2
+       |  FROM codes k JOIN dtab d ON k.sub = d.sub AND k.code = d.cent_id
+       |  WHERE k.vec_id <> d.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rank, vec_id, approx_l2 FROM (
+       |  SELECT query_id, vec_id, approx_l2,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY approx_l2, vec_id) AS rank
+       |  FROM approx)
+       |WHERE rank <= $k""".stripMargin
+  }
 }

@@ -296,6 +296,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.size == 3) // only the new batch is judged
   }
 
+  test("pq adc: ranks dense, distances monotone, recall beats random") {
+    import graft.sim.Similarity
+    val out = Similarity.pqTopK(spark, sf).collect()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 5)
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to 5L))
+      val dists = sorted.map(_.getAs[Long]("approx_l2"))
+      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
+    }
+    // exact integer-L2 ground truth on the same fixed-point grid
+    val vecs = graft.model.Tables.embeddings(spark, sf)
+      .collect().map { r =>
+        r.getAs[Long]("vec_id") ->
+          r.getSeq[Float](1).map(v => math.round(v.toDouble * Similarity.FxScale)).toArray
+      }.toMap
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val recalls = byQ.map { case (qid, rs) =>
+      val exact = vecs.toSeq.filter(_._1 != qid)
+        .sortBy { case (id, v) => (l2(v, vecs(qid)), id) }
+        .take(5).map(_._1).toSet
+      val approx = rs.map(_.getAs[Long]("vec_id")).toSet
+      (approx & exact).size / 5.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"PQ recall@5 vs exact grid L2 was $mean — " +
+      "codebook no longer informative")
+  }
+
   test("rarity score: every doc scored, verdict consistent with the cutoffs") {
     val rows = graft.text.TextOps.rarityScore(spark, sf).collect()
     assert(rows.length ==
