@@ -59,6 +59,28 @@ def compare(name, spark_df, duck_df):
     return None
 
 
+def lint_output_types(con, oracles):
+    """Flag oracle OUTPUT columns typed HUGEINT (an un-CAST integer sum):
+    pandas surfaces them as float64 while Spark emits int64, and the
+    driver's dtype-sensitive hash then fails — the bug class behind the
+    pack_chunks and para_dedup regressions. DESCRIBE plans the query
+    without running it, so this catches the class even before the Spark
+    dump exists. Intermediate HUGEINTs (inside CTEs, folded into doubles)
+    are fine and not flagged."""
+    warns = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            for col_name, col_type in [
+                    (r[0], r[1]) for r in con.sql(f"DESCRIBE ({sql})").fetchall()]:
+                if "HUGEINT" in col_type.upper():
+                    print(f"[LINT] {name}: output column {col_name} is "
+                          f"{col_type} -> CAST the aggregate to BIGINT")
+                    warns += 1
+        except Exception:
+            pass  # a broken oracle fails loudly in the compare below
+    return warns
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -67,6 +89,7 @@ def main():
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_lint = lint_output_types(con, oracles)
     n_ok = n_fail = 0
     for name, sql in sorted(oracles.items()):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
@@ -93,8 +116,8 @@ def main():
         else:
             print(f"[ ok ] {name}: {len(spark_df)} rows")
             n_ok += 1
-    print(f"== {n_ok} ok, {n_fail} fail ==")
-    sys.exit(1 if n_fail else 0)
+    print(f"== {n_ok} ok, {n_fail} fail, {n_lint} lint warnings ==")
+    sys.exit(1 if (n_fail or n_lint) else 0)
 
 
 if __name__ == "__main__":
