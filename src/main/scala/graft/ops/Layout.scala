@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Physical data-layout operators — the lake-maintenance half of a 100 TB
+  * deployment that the reference delegates to its storage engine (vlog GC,
+  * file rotation: pump/storage/storage.go) and a Spark lake does with
+  * explicit jobs.
+  *
+  *  - Z-order (Morton) clustering keys: interleaving the bits of two
+  *    filter dimensions makes rows that are close in EITHER dimension land
+  *    in the same parquet row groups, so min/max statistics prune scans
+  *    for predicates on x, on y, or on both — the standard multi-dimension
+  *    data-skipping layout.
+  *  - Small-file compaction: streaming sinks and per-batch writers leave
+  *    thousands of KB-sized files; periodic compaction to target-sized
+  *    files keeps scan task counts (and NameNode/listing pressure)
+  *    proportional to data volume, not to write history.
+  */
+object Layout {
+
+  /** Bits per dimension in the Morton key (dimensions are bucketed to
+    * [0, 2^MortonBits)). 8 bits × 2 dims = 16-bit keys: enough spread for
+    * row-group-level skipping; raise for finer clustering. */
+  val MortonBits = 8
+
+  private val Buckets = 1 << MortonBits // 256
+
+  /** Interleave the low [[MortonBits]] bits of two non-negative bucketed
+    * columns: bit i of `x` → bit 2i, bit i of `y` → bit 2i+1. Pure integer
+    * arithmetic (div/mod/×) so both engines agree bit-for-bit; inputs are
+    * bucketed non-negative, where Spark's `div` (truncate) and DuckDB's
+    * `//` (floor) coincide. */
+  def mortonKey(x: Column, y: Column): Column =
+    (0 until MortonBits).map { i =>
+      (x.cast("long") / (1L << i)).cast("long") % 2 * lit(1L << (2 * i)) +
+        (y.cast("long") / (1L << i)).cast("long") % 2 * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  private def mortonKeySql(x: String, y: String): String =
+    (0 until MortonBits).map { i =>
+      s"(($x // ${1L << i}) % 2) * ${1L << (2 * i)} + " +
+        s"(($y // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  /** Z-order clustering key over the events table's two hot filter
+    * dimensions (user bucket × value bucket). Writing the table sorted by
+    * `zkey` gives every parquet row group a small bounding box in (user,
+    * value) space, so a predicate on either dimension prunes most groups;
+    * the LocalitySpec quantifies the effect against a time-sorted layout. */
+  def zorderKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        (col("user_id") % Buckets).as("xb"),
+        (floor(col("value")).cast("long") % Buckets).as("yb"))
+      .select(col("event_id"), col("xb"), col("yb"),
+        mortonKey(col("xb"), col("yb")).as("zkey"))
+
+  def zorderKeySql: String =
+    s"""WITH b AS (
+       |  SELECT event_id, user_id % $Buckets AS xb,
+       |    CAST(floor(value) AS BIGINT) % $Buckets AS yb
+       |  FROM events)
+       |SELECT event_id, xb, yb, ${mortonKeySql("xb", "yb")} AS zkey
+       |FROM b""".stripMargin
+
+  /** Compact a parquet directory to files of roughly `targetBytes`:
+    * list actual on-disk sizes, compute the file count that hits the
+    * target, and rewrite through one round-robin repartition. Run
+    * periodically over streaming-sink output; cost is one read+write of
+    * the data, no shuffle key needed (round-robin keeps partitions
+    * size-balanced regardless of data skew). Returns the file count
+    * written. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+}

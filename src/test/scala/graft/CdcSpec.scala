@@ -81,6 +81,52 @@ class CdcSpec extends SparkSpec {
     assert(asOf.exceptAll(replayed).isEmpty && replayed.exceptAll(asOf).isEmpty)
   }
 
+  test("morton key interleaves losslessly and clusters both dimensions") {
+    import org.apache.spark.sql.functions._
+    val z = graft.ops.Layout.zorderKey(spark, sf).collect()
+    // de-interleave recovers both buckets exactly
+    z.foreach { r =>
+      val (xb, yb, zk) = (r.getAs[Long]("xb"), r.getAs[Long]("yb"), r.getAs[Long]("zkey"))
+      var (x, y) = (0L, 0L)
+      (0 until graft.ops.Layout.MortonBits).foreach { i =>
+        x |= ((zk >> (2 * i)) & 1) << i
+        y |= ((zk >> (2 * i + 1)) & 1) << i
+      }
+      assert(x == xb && y == yb, s"zkey $zk must de-interleave to ($xb,$yb)")
+    }
+    // locality: consecutive zkey-sorted blocks have far smaller (x,y)
+    // bounding boxes than arrival-ordered blocks — the data-skipping win
+    def meanBoxArea(rows: Array[(Long, Long)], blockSize: Int): Double = {
+      val blocks = rows.grouped(blockSize).filter(_.length == blockSize).toSeq
+      blocks.map { b =>
+        val xs = b.map(_._1); val ys = b.map(_._2)
+        (xs.max - xs.min + 1).toDouble * (ys.max - ys.min + 1)
+      }.sum / blocks.size
+    }
+    val byZ = z.sortBy(_.getAs[Long]("zkey")).map(r => (r.getAs[Long]("xb"), r.getAs[Long]("yb")))
+    val byArrival = z.sortBy(_.getAs[Long]("event_id")).map(r => (r.getAs[Long]("xb"), r.getAs[Long]("yb")))
+    val (zArea, tArea) = (meanBoxArea(byZ, 256), meanBoxArea(byArrival, 256))
+    assert(zArea * 4 < tArea,
+      s"z-order blocks must be ≥4× tighter: z=$zArea arrival=$tArea")
+  }
+
+  test("compaction rewrites a fragmented directory into target-size files") {
+    val in = java.nio.file.Files.createTempDirectory("graft_frag").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val df = graft.model.Tables.events(spark, sf)
+    df.repartition(40).write.mode("overwrite").parquet(in)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(in) == 40, "fixture must be fragmented")
+    val inBytes = new java.io.File(in).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val target = inBytes / 4
+    val n = graft.ops.Layout.compact(spark, in, out, target)
+    assert(parquetFiles(out) == n && n <= 6,
+      s"40 fragments must compact to ~4-5 files, got $n")
+    assert(spark.read.parquet(out).count() == df.count())
+  }
+
   test("bucketed tables join with zero exchanges (co-located fact join)") {
     import org.apache.spark.sql.functions._
     val warehouse = java.nio.file.Files.createTempDirectory("graft_buckets").toString
