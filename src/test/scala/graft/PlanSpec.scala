@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+
+/** Plan-shape regression guards: properties the oracle compare cannot see
+  * (it only checks values) but that decide whether a query survives a
+  * 100× scale-up. Each guard encodes a class of regression that actually
+  * happened (or was flagged) in an earlier round. */
+class PlanSpec extends SparkSpec {
+
+  /** Queries allowed an unpartitioned window because the frame under it is
+    * bounded BY CONSTRUCTION (never corpus-sized). These are written as
+    * `partitionBy(lit(0))` in the source — deliberate single-task windows —
+    * and Catalyst folds the constant key away, so they surface here as
+    * unpartitioned. Keep this list justified:
+    *  - hist_quantiles: windows over the MERGED histogram sketch
+    *    (≤ range/width buckets) and over the single located bucket's rows;
+    *  - sketch_cm_topk / text_bm25: rank windows over the ≤ k survivors of
+    *    a distributed TakeOrdered LIMIT;
+    *  - sketch_kmv: the '*all*' union set, ≤ k rows per language k-set. */
+  private val boundedWindowAllowed: Set[String] =
+    Set("hist_quantiles", "sketch_cm_topk", "sketch_kmv", "text_bm25")
+
+  test("no query plans an unpartitioned window over an unbounded frame") {
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.optimizedPlan
+      val bad = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      if (bad.nonEmpty && !boundedWindowAllowed(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned Window (the r3 hist_quantiles scale-killer class) in: " +
+        offenders.mkString(", "))
+  }
+
+  test("tight-predicate scans push their filters into parquet") {
+    val p = SparkEntry.queries("q6_revenue_forecast")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"),
+      "Q6's range predicates must reach the parquet reader")
+  }
+
+  test("global top-k is a distributed take, not a global sort") {
+    val p = SparkEntry.queries("q3_shipping_priority")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      "ORDER BY + LIMIT must plan as TakeOrderedAndProject")
+  }
+}
