@@ -182,4 +182,44 @@ object EventAnalytics {
       |SELECT window_start_us, event_type, CAST(count(*) AS BIGINT) AS n_events,
       |       round(sum(q) / 1e4, 4) AS sum_value
       |FROM hopped GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** User-journey transition matrix: for each consecutive event pair within
+    * a user's stream (ordered by time, event id as the tie-break), the count
+    * and conditional probability P(next | prev). The per-user lag window is
+    * partitioned on user_id — state per partition is one user's history, so
+    * the plan holds at any user count; the matrix itself is
+    * |event types|² rows, constant. The journey's entry point is modeled
+    * with a '∅start' pseudo-state (each user's first event transitions out
+    * of it), mirroring how Markov-chain attribution models seed their
+    * chains. */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_type",
+        coalesce(lag("event_type", 1).over(w), lit("_start")))
+    val counts = pairs.groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("prev_type").agg(sum("n").as("tot"))
+    counts.join(totals, "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n").cast("double") / col("tot"), 4).as("p_next"))
+  }
+
+  def transitionsSql: String =
+    """WITH pairs AS (
+      |  SELECT coalesce(lag(event_type) OVER w, '_start') AS prev_type,
+      |         event_type AS next_type
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |counts AS (
+      |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM pairs GROUP BY 1, 2),
+      |totals AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot
+      |           FROM counts GROUP BY 1)
+      |SELECT prev_type, next_type, n,
+      |  round(CAST(n AS DOUBLE) / tot, 4) AS p_next
+      |FROM counts JOIN totals USING (prev_type)""".stripMargin
 }

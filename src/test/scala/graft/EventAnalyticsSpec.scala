@@ -97,4 +97,22 @@ class EventAnalyticsSpec extends SparkSpec {
     val hasFull = df.exists(_.getDouble(3) == 1.0)
     assert(hasFull, "a fully-duplicated doc must appear with dup_ratio = 1.0")
   }
+
+  test("transition matrix: rows are a distribution, _start mass = user count") {
+    import org.apache.spark.sql.functions._
+    val t = graft.ops.EventAnalytics.transitions(spark, sf).collect()
+    // per prev state the probabilities sum to 1 (within rounding slack)
+    t.groupBy(_.getString(0)).foreach { case (prev, rows) =>
+      val s = rows.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 0.01, s"P(next|$prev) must sum to 1, got $s")
+    }
+    // every user's first event leaves the _start pseudo-state exactly once
+    val startMass = t.filter(_.getString(0) == "_start").map(_.getLong(2)).sum
+    val users = graft.model.Tables.events(spark, sf)
+      .select(countDistinct("user_id")).head.getLong(0)
+    assert(startMass == users)
+    // total transition count equals total events (each event is a 'next' once)
+    assert(t.map(_.getLong(2)).sum ==
+      graft.model.Tables.events(spark, sf).count())
+  }
 }
