@@ -27,23 +27,29 @@ object Bench {
     // a failed query is recorded as an error, never as a fast time — the
     // bench must not silently shrink when a query breaks
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // min-of-k per query: single-shot times at sf0.1 swing ±30% from GC /
-    // JIT / page-cache noise (the r3 dedup_minhash_lsh "regression" was
-    // exactly this); the min over k back-to-back runs is the steady-state
-    // cost of the plan, which is what round-over-round comparison needs.
+    // min-of-k per query, with the k reps run as k INTERLEAVED PASSES over
+    // the whole suite rather than back-to-back: single-shot times at sf0.1
+    // swing ±30% from GC / JIT / page-cache noise, and back-to-back reps
+    // share that noise — a GC spike from a heap-heavy neighbor hits both
+    // reps of the same query and survives the min (the r4 t5/f6 "10×
+    // regressions" were exactly this). With a full suite between a query's
+    // reps, transient interference can't hit both, so the per-query min is
+    // the isolated steady-state cost (within ~2× of a solo TimeQ run).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch {
-          case e: Throwable =>
-            errors(name) = e.toString.take(160).replaceAll("[\"\\\\\n\r\t]", " ")
-            None
-        }
+    val queries = SparkEntry.queries.toSeq
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (_ <- 1 to reps; (name, fn) <- queries) {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        best(name) = best.get(name).fold(sec)(math.min(_, sec))
+      } catch {
+        case e: Throwable =>
+          errors(name) = e.toString.take(160).replaceAll("[\"\\\\\n\r\t]", " ")
       }
-      name -> (if (times.isEmpty) 0.0 else times.min)
     }
+    val results = queries.map { case (name, _) => name -> best.getOrElse(name, 0.0) }
     // The driver captures only the LAST 2000 chars of stdout; a map of all
     // ~90 queries at full double precision overflows it and the JSON line
     // is truncated mid-entry (BENCH_r01/r02 both parsed as null). Keep the

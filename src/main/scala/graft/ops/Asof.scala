@@ -30,16 +30,17 @@ object Asof {
     * ordering columns; every right column except `rightTs` is carried. */
   def broadcastAsof(left: DataFrame, right: DataFrame,
                     leftTs: String, rightTs: String): DataFrame = {
-    val leftCols = left.columns
-    val payload = right.columns.filterNot(_ == rightTs)
-    val joined = left.join(broadcast(right), col(leftTs) >= col(rightTs), "left")
+    // a unique per-row tag, not the left columns themselves, keys the
+    // post-join reduction: two identical left rows must each survive.
+    val tagged = left.withColumn("__rid", monotonically_increasing_id())
+    val joined = tagged.join(broadcast(right), col(leftTs) >= col(rightTs), "left")
     // keep, per left row, the right row with the greatest rightTs
-    val w = Window.partitionBy(leftCols.toIndexedSeq.map(col): _*)
+    val w = Window.partitionBy(col("__rid"))
       .orderBy(col(rightTs).desc_nulls_last)
     joined
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn")
+      .drop("__rn", "__rid")
   }
 
   /** Both sides keyed by `key`: one shuffle, per-key ordered window. Right
@@ -93,10 +94,13 @@ object Asof {
   def maxLeq(left: DataFrame, right: DataFrame, leftTs: String,
              rightTs: String, as: String): DataFrame = {
     // degenerate broadcast as-of carrying only the matched timestamp:
-    // aggregate form avoids the window over wide rows entirely.
-    val groupCols: Seq[Column] = left.columns.map(col).toSeq
-    left.join(broadcast(right.select(col(rightTs))), col(leftTs) >= col(rightTs), "left")
+    // aggregate form avoids the window over wide rows entirely. Grouping
+    // includes a unique row tag so duplicate left rows keep cardinality.
+    val tagged = left.withColumn("__rid", monotonically_increasing_id())
+    val groupCols: Seq[Column] = tagged.columns.map(col).toSeq
+    tagged.join(broadcast(right.select(col(rightTs))), col(leftTs) >= col(rightTs), "left")
       .groupBy(groupCols: _*)
       .agg(max(col(rightTs)).as(as))
+      .drop("__rid")
   }
 }

@@ -175,15 +175,27 @@ object Causality {
     *    minimum of u's smaller closed neighborhood — stars flatten.
     * The edge multiset's total weight strictly decreases until the graph
     * is a union of stars centered on component minima; convergence is
-    * detected by set equality (count + one-sided except on the
-    * checkpointed frames). */
+    * detected by a one-row (count, xor-of-hash) fingerprint on each
+    * checkpointed frame — a full `except` (shuffle+distinct of both
+    * frames) runs only when the fingerprints tie, to rule out the
+    * astronomically-unlikely hash-xor collision. In the converging tail,
+    * where counts are equal round after round, this replaces the except
+    * that used to double per-round cost with a one-row aggregate. */
   def connectedComponentsStar(edges: DataFrame): DataFrame = {
+    // (row count, XOR of 64-bit edge hashes): order-free and overflow-free
+    // under ANSI mode; equal sets always tie, unequal sets of equal size
+    // tie with probability ~2^-64 (edge frames are distinct, so no
+    // duplicate-cancellation concern).
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("hi"), col("lo")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     var e = edges.filter(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("hi"),
         least(col("src"), col("dst")).as("lo"))
       .distinct().localCheckpoint(true)
-    var eCount = e.count()
-    var changed = eCount > 0
+    var eFp = fingerprint(e)
+    var changed = eFp._1 > 0
     while (changed) {
       // large-star over the symmetrized neighborhood: emit (v, m(u)) for
       // every neighbor v strictly above u; v > u ≥ m keeps hi/lo canonical
@@ -203,12 +215,12 @@ object Causality {
         .where(col("n") =!= col("m"))
         .select(col("n").as("hi"), col("m").as("lo"))
         .distinct().localCheckpoint(true)
-      val nextCount = small.count()
-      changed = nextCount != eCount || small.except(e).count() > 0
+      val nextFp = fingerprint(small)
+      changed = nextFp != eFp || small.except(e).count() > 0
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(s"CC-star round edges=$nextCount")
+        println(s"CC-star round edges=${nextFp._1}")
       e = small
-      eCount = nextCount
+      eFp = nextFp
     }
     // fixpoint = union of stars: hi points at its component min; centers
     // label themselves

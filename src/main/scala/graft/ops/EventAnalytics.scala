@@ -189,7 +189,7 @@ object EventAnalytics {
     * partitioned on user_id — state per partition is one user's history, so
     * the plan holds at any user count; the matrix itself is
     * |event types|² rows, constant. The journey's entry point is modeled
-    * with a '∅start' pseudo-state (each user's first event transitions out
+    * with a '_start' pseudo-state (each user's first event transitions out
     * of it), mirroring how Markov-chain attribution models seed their
     * chains. */
   def transitions(spark: SparkSession, dir: String): DataFrame = {

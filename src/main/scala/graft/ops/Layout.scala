@@ -50,19 +50,23 @@ object Layout {
     * dimensions (user bucket × value bucket). Writing the table sorted by
     * `zkey` gives every parquet row group a small bounding box in (user,
     * value) space, so a predicate on either dimension prunes most groups;
-    * the LocalitySpec quantifies the effect against a time-sorted layout. */
+    * the z-order locality test in CdcSpec quantifies the effect against a
+    * time-sorted layout. Buckets go through pmod so a negative input (ids
+    * and values are non-negative in the fixture today, but nothing pins
+    * that) can't produce a negative bucket — where Spark's truncating `%`
+    * and DuckDB's floor `//`/`%` would silently diverge. */
   def zorderKey(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_id"),
-        (col("user_id") % Buckets).as("xb"),
-        (floor(col("value")).cast("long") % Buckets).as("yb"))
+        pmod(col("user_id"), lit(Buckets)).as("xb"),
+        pmod(floor(col("value")).cast("long"), lit(Buckets)).as("yb"))
       .select(col("event_id"), col("xb"), col("yb"),
         mortonKey(col("xb"), col("yb")).as("zkey"))
 
   def zorderKeySql: String =
     s"""WITH b AS (
-       |  SELECT event_id, user_id % $Buckets AS xb,
-       |    CAST(floor(value) AS BIGINT) % $Buckets AS yb
+       |  SELECT event_id, ((user_id % $Buckets) + $Buckets) % $Buckets AS xb,
+       |    ((CAST(floor(value) AS BIGINT) % $Buckets) + $Buckets) % $Buckets AS yb
        |  FROM events)
        |SELECT event_id, xb, yb, ${mortonKeySql("xb", "yb")} AS zkey
        |FROM b""".stripMargin

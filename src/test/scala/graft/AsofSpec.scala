@@ -45,6 +45,22 @@ class AsofSpec extends SparkSpec {
     assert(out(200L) == None)
   }
 
+  test("broadcastAsof and maxLeq preserve duplicate left rows") {
+    import spark.implicits._
+    // two byte-identical left rows must both survive (the r4 verdict's
+    // latent collapse: a window/groupBy keyed on all left columns merged
+    // them); each row independently matches v10.
+    val left = Seq((100L, 15L), (100L, 15L), (200L, 3L)).toDF("id", "lts")
+    val right = Seq((5L, "v5"), (10L, "v10")).toDF("rts", "ver")
+    val b = Asof.broadcastAsof(left, right, "lts", "rts")
+    assert(b.count() == 3)
+    assert(b.filter(col("id") === 100L && col("ver") === "v10").count() == 2)
+    val m = Asof.maxLeq(left, right, "lts", "rts", "matched_rts")
+    assert(m.count() == 3)
+    assert(m.columns.toSeq == Seq("id", "lts", "matched_rts"))
+    assert(m.filter(col("id") === 100L && col("matched_rts") === 10L).count() == 2)
+  }
+
   test("schemaVersion assigns max version boundary <= commit_ts") {
     val df = Transforms.schemaVersion(spark, sf)
     val bad = df.filter(col("schema_version") > col("commit_ts")).count()

@@ -283,7 +283,6 @@ class StreamingSpec extends SparkSpec {
     val in = Files.createTempDirectory("graft_relay_in").toString
     val stateRoot = Files.createTempDirectory("graft_relay_state").toString
     val ckpt = Files.createTempDirectory("graft_relay_ckpt").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sf/events.parquet")
 
     addFile(raw.filter(col("event_id") < 500), in, "a")
@@ -316,7 +315,6 @@ class StreamingSpec extends SparkSpec {
     // the same batch of events delivered twice (two files, same content) —
     // the dedup stream must emit each commit id exactly once
     val in = Files.createTempDirectory("graft_dedup_in").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sf/events.parquet")
       .filter(col("event_id") < 300)
     addFile(raw, in, "delivery1")
