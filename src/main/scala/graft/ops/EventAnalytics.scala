@@ -112,17 +112,39 @@ object EventAnalytics {
     * doubles in any engine, bit for bit. The flag comparison
     * (q−mean)² > 9·var runs rowwise against the 5-row broadcast stats
     * frame. At 100 TB the int64 Σq² would overflow (≈6·10¹⁷ per 10⁵ rows);
-    * the documented scale path is the same sums in DECIMAL(38,0) — still
-    * exact, still order-free — with only this cast changing. */
-  def anomaly(spark: SparkSession, dir: String): DataFrame = {
+    * the scale path is [[anomalyWide]] — the same sums in DECIMAL(38,0),
+    * still exact, still order-free — and EventAnalyticsSpec pins the two
+    * variants to identical output, so the documented scale path is code,
+    * not prose. */
+  def anomaly(spark: SparkSession, dir: String): DataFrame =
+    anomalyImpl(spark, dir, wideSums = false)
+
+  /** The 100 TB form of [[anomaly]]: population sums carried in
+    * DECIMAL(38,0) (exact to 10³⁸ — Σq² headroom of ~10²⁰ rows) instead of
+    * int64. Only the sum representation differs; every derived statistic
+    * goes through the same double expressions, so at any scale where both
+    * are exact the outputs are bit-identical. */
+  def anomalyWide(spark: SparkSession, dir: String): DataFrame =
+    anomalyImpl(spark, dir, wideSums = true)
+
+  private def anomalyImpl(spark: SparkSession, dir: String,
+      wideSums: Boolean): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), floor(col("value") * 10000).cast("long").as("q"))
+    // exact integer sums: int64 (fast, overflows at ~10¹⁸) or DECIMAL(38,0)
+    // (the wide path; per-row q² also multiplies in decimal so no int64
+    // intermediate can overflow)
+    val qs = if (wideSums) col("q").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+             else col("q")
     val stats = ev.groupBy("event_type").agg(
       count(lit(1)).as("n"),
-      sum("q").as("s1"),
-      sum(col("q") * col("q")).as("s2"))
-      .withColumn("mean_q", col("s1") / col("n"))
-      .withColumn("var_q", col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")))
+      sum(qs).as("s1"),
+      sum(qs * qs).as("s2"))
+      // derived statistics evaluate on doubles in BOTH variants (long→double
+      // and decimal→double round identically for equal exact values)
+      .withColumn("mean_q", col("s1").cast("double") / col("n"))
+      .withColumn("var_q", col("s2").cast("double") / col("n") -
+        (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n")))
     ev.join(broadcast(stats), "event_type")
       .withColumn("dev2", (col("q") - col("mean_q")) * (col("q") - col("mean_q")))
       .groupBy("event_type")

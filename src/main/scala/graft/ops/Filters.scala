@@ -167,14 +167,18 @@ object Filters {
     * channel id) so it round-trips through any downstream replicator and
     * [[dropMarkedTxns]] can recognize it coming back. One aggregate per
     * txn group; mark volume = txn count, never row count. */
-  def injectLoopbackMarks(changes: DataFrame, channelId: Long): DataFrame =
-    changes.unionByName(
-      changes.groupBy("commit_ts")
-        .agg(max("ts").as("ts"))
-        .select(col("commit_ts"), markPk(col("commit_ts")).as("pk"),
-          lit("U").as("op"), lit("mark").as("event_type"), col("ts"),
-          lit(channelId).cast("double").as("value"),
-          lit(null).cast("string").as("props")))
+  def injectLoopbackMarks(changes: DataFrame, channelId: Long): DataFrame = {
+    val markRows = changes.groupBy("commit_ts")
+      .agg(max("ts").as("ts"))
+      .select(col("commit_ts"), markPk(col("commit_ts")).as("pk"),
+        lit("U").as("op"), lit("mark").as("event_type"), col("ts"),
+        lit(channelId).cast("double").as("value"),
+        lit(null).cast("string").as("props"))
+    // carry only the columns the input envelope actually has: the batch
+    // envelope includes event_type/props, the streaming envelope does not
+    // (marks there are recognized by the reserved negative pk keyspace)
+    changes.unionByName(markRows.select(changes.columns.toIndexedSeq.map(col): _*))
+  }
 
   /** Drop every transaction that carries OUR channel's mark — the loopback
     * break (ref: drainer/syncer.go:565-592 findLoopBackMark: scan the txn's
@@ -183,9 +187,13 @@ object Filters {
     * the reference. The marked-txn set is one key per round-tripped txn:
     * an equi-anti-join on commit_ts that AQE plans by its measured size. */
   def dropMarkedTxns(changes: DataFrame, channelId: Long): DataFrame = {
-    val marked = changes
-      .filter(col("event_type") === "mark" && col("value") === channelId.toDouble)
-      .select("commit_ts").distinct()
+    // batch envelope: marks are typed rows; streaming envelope (no
+    // event_type column): marks live in the reserved negative pk keyspace
+    val isMark =
+      if (changes.columns.contains("event_type"))
+        col("event_type") === "mark" && col("value") === channelId.toDouble
+      else col("pk") < 0 && col("value") === channelId.toDouble
+    val marked = changes.filter(isMark).select("commit_ts").distinct()
     changes.join(marked, Seq("commit_ts"), "left_anti")
   }
 

@@ -57,7 +57,20 @@ object DrainerPipeline {
   }
 
   /** Streaming form: file/Kafka change stream → watermarked dedup → filters
-    * → checkpointed per-batch merge-upsert into the materialized state. */
+    * → checkpointed per-batch merge-upsert into the materialized state.
+    *
+    * When `cfg.loopbackChannel` is set, the F4 round-trip runs per
+    * micro-batch (txns never span a batch, so the per-txn mark scan is a
+    * batch-local anti-join, never a stream-stream join):
+    *  1. transactions carrying OUR channel's mark are dropped (the cycle
+    *     break — ref: drainer/syncer.go:565-592);
+    *  2. every surviving transaction gets a mark row injected (the write
+    *     half — ref: drainer/loopbacksync/loopbacksync.go:117-122 UpdateMark
+    *     runs inside each applied txn);
+    *  3. the marked batch is appended to `stateRoot`/outbinlog — the
+    *     downstream binlog a counterpart drainer would re-ingest — and
+    *     applied to the state (mark rows land in the reserved negative pk
+    *     keyspace, the analog of the mark table's rows in the target DB). */
   def streaming(spark: SparkSession, pathGlob: String, stateRoot: String,
       checkpoint: String, cfg: DrainerConfig = DrainerConfig()): StreamingQuery = {
     val changes = CdcStream.dedupStream(CdcStream.changeStream(spark, pathGlob))
@@ -71,7 +84,16 @@ object DrainerPipeline {
     val sink = new UpsertSink(stateRoot)
     filtered.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (b: DataFrame, id: Long) => sink.applyBatch(b, id): Unit }
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val routed = cfg.loopbackChannel match {
+          case Some(ch) =>
+            val marked = Filters.injectLoopbackMarks(Filters.dropMarkedTxns(b, ch), ch)
+            marked.write.mode("append").parquet(s"$stateRoot/outbinlog")
+            marked
+          case None => b
+        }
+        sink.applyBatch(routed, id): Unit
+      }
       .start()
   }
 }

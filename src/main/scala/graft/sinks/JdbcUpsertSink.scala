@@ -1,0 +1,242 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager, SQLException}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** K1 made real: the loader's apply path against an actual SQL engine
+  * (embedded Derby, which ships on the Spark classpath), not a parquet
+  * stand-in. [[UpsertSink]] remains the lake variant; this class is the
+  * `foreachBatch` twin of the reference's MySQL loader:
+  *
+  *  - **merge by primary key** before touching the database — one DML per
+  *    key per batch, newest image wins (ref: pkg/loader/executor.go:264-268
+  *    `mergeByPrimaryKey`, merge.go);
+  *  - **delete → insert → update ordering** across the whole batch, so a
+  *    key deleted and re-inserted under a different unique value can never
+  *    collide mid-apply (ref: executor.go:273-316 `execTableBatch` applies
+  *    all deletes, then inserts, then updates);
+  *  - **128-row statement batches** applied in parallel workers over
+  *    disjoint key ranges (ref: executor.go:38 `defaultBatchSize = 128`,
+  *    load.go:529-575 hash dispatch; here: repartition by pk-hash +
+  *    `foreachPartition`, each partition holding its own connection);
+  *  - **REPLACE semantics** for non-delete DMLs (ref: executor.go:206-244
+  *    `bulkReplace`). Derby has no REPLACE INTO; the rewrite is the same
+  *    one the reference itself uses for safe-mode updates — DELETE of the
+  *    key then multi-VALUES INSERT inside one transaction
+  *    (executor.go:407-443 `singleExec` safe mode);
+  *  - **safe mode**: when on, *every* upsert goes through delete+insert and
+  *    whole-batch replay is idempotent; when off, merged inserts use plain
+  *    INSERT — faster, but a replayed batch hits a duplicate-key error,
+  *    exactly the failure the reference's post-restart safe-mode window
+  *    exists to absorb (drainer enables safe mode for the first minutes
+  *    after a restart);
+  *  - **checkpoint table in the target database** with the reference's
+  *    savepoint fields — commitTS, schema version, consistent flag, ts-map
+  *    pair — saved after each batch, loaded on restart, replayed batch ids
+  *    skipped (ref: drainer/checkpoint/mysql.go:34-51,130-163).
+  *
+  * Scale shape: the per-batch work is one shuffle of the micro-batch (the
+  * pk-hash repartition) plus JDBC round-trips proportional to the batch,
+  * never to the table — the same O(batch) profile as the reference loader.
+  * Swapping the URL for a real MySQL/TiDB endpoint changes nothing above
+  * the driver.
+  */
+class JdbcUpsertSink(url: String, stateTable: String = "GRAFT_STATE",
+    batchSize: Int = 128, safeMode: Boolean = false, clusterId: Long = 1L,
+    applyPartitions: Int = 4) extends Serializable {
+
+  private val ckptTable = "GRAFT_CHECKPOINT"
+  private val ddlTable = "GRAFT_DDL_LOG"
+
+  /** Same savepoint shape as the parquet sink (and the reference's JSON
+    * checkpoint row): batchId doubles as the downstream half of the ts-map
+    * pair. */
+  case class Checkpoint(batchId: Long, commitTs: Long, schemaVersion: Long,
+      consistent: Boolean)
+
+  private def withConn[A](f: Connection => A): A = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  /** CREATE TABLE IF NOT EXISTS is not Derby syntax; swallow the
+    * table-exists SQLState (X0Y32) instead, as every Derby bootstrap does. */
+  private def createIfAbsent(c: Connection, ddl: String): Unit = {
+    val st = c.createStatement()
+    try st.execute(ddl)
+    catch { case e: SQLException if e.getSQLState == "X0Y32" => () }
+    finally st.close()
+  }
+
+  /** Bootstrap state + checkpoint + ddl-log tables (ref: the loader creates
+    * nothing, but the checkpoint package creates its own schema/table on
+    * first use — drainer/checkpoint/mysql.go:75-84). */
+  def ensureTables(): Unit = withConn { c =>
+    createIfAbsent(c,
+      s"CREATE TABLE $stateTable (pk BIGINT PRIMARY KEY, commit_ts BIGINT, val DOUBLE)")
+    createIfAbsent(c,
+      s"""CREATE TABLE $ckptTable (cluster_id BIGINT PRIMARY KEY,
+         | batch_id BIGINT, commit_ts BIGINT, schema_version BIGINT,
+         | consistent SMALLINT, primary_ts BIGINT, secondary_ts BIGINT)""".stripMargin)
+    createIfAbsent(c,
+      s"CREATE TABLE $ddlTable (batch_id BIGINT, commit_ts BIGINT, stmt VARCHAR(512))")
+  }
+
+  def lastCheckpoint: Checkpoint = withConn { c =>
+    try {
+      val st = c.prepareStatement(
+        s"SELECT batch_id, commit_ts, schema_version, consistent FROM $ckptTable WHERE cluster_id = ?")
+      st.setLong(1, clusterId)
+      val rs = st.executeQuery()
+      val out = if (rs.next())
+        Checkpoint(rs.getLong(1), rs.getLong(2), rs.getLong(3), rs.getShort(4) != 0)
+      else Checkpoint(-1L, -1L, -1L, consistent = true)
+      rs.close(); st.close(); out
+    } catch {
+      // fresh database, checkpoint table not bootstrapped yet (42X05)
+      case e: SQLException if e.getSQLState == "42X05" =>
+        Checkpoint(-1L, -1L, -1L, consistent = true)
+    }
+  }
+
+  def lastCommitted: Long = lastCheckpoint.batchId
+  def lastCommitTs: Long = lastCheckpoint.commitTs
+  def lastSchemaVersion: Long = lastCheckpoint.schemaVersion
+
+  /** Save = REPLACE of the one checkpoint row (ref: mysql.go:130-163 builds
+    * a replace statement); Derby rewrite: delete+insert in one txn. */
+  private def saveCheckpoint(ck: Checkpoint): Unit = withConn { c =>
+    c.setAutoCommit(false)
+    val del = c.prepareStatement(s"DELETE FROM $ckptTable WHERE cluster_id = ?")
+    del.setLong(1, clusterId); del.executeUpdate(); del.close()
+    val ins = c.prepareStatement(
+      s"INSERT INTO $ckptTable VALUES (?, ?, ?, ?, ?, ?, ?)")
+    ins.setLong(1, clusterId); ins.setLong(2, ck.batchId)
+    ins.setLong(3, ck.commitTs); ins.setLong(4, ck.schemaVersion)
+    ins.setShort(5, if (ck.consistent) 1 else 0)
+    // ts-map parity: (primary commitTs ↔ secondary batch id)
+    ins.setLong(6, ck.commitTs); ins.setLong(7, ck.batchId)
+    ins.executeUpdate(); ins.close()
+    c.commit()
+  }
+
+  /** The materialized state, read back through Spark's JDBC source. */
+  def currentState(spark: SparkSession): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", stateTable)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .load()
+      .select(col("PK").as("pk"), col("COMMIT_TS").as("commit_ts"),
+        col("VAL").as("value"))
+
+  /** Apply one micro-batch of change rows (pk, commit_ts, op, value[, ...]).
+    * Returns true if applied, false if skipped as a replay. DDL rows are
+    * barriers: the batch is split at each DDL commit_ts and sub-batches
+    * apply in order with the DDL logged between them (ref:
+    * pkg/loader/load.go:845-866 — DDL flushes pending DML and executes
+    * alone). */
+  def applyBatch(batch: DataFrame, batchId: Long, schemaVersion: Long = -1L): Boolean = {
+    ensureTables()
+    val prev = lastCheckpoint
+    if (batchId <= prev.batchId) return false // idempotent replay skip
+
+    val ddls = batch.filter(col("op") === "DDL")
+      .select("commit_ts", "value").orderBy("commit_ts").collect()
+    val barriers = ddls.map(_.getAs[Long]("commit_ts")).sorted :+ Long.MaxValue
+    var lower = Long.MinValue
+    barriers.foreach { upper =>
+      val slice = batch.filter(col("op") =!= "DDL" &&
+        col("commit_ts") > lower && col("commit_ts") <= upper)
+      applySlice(slice)
+      if (upper != Long.MaxValue) withConn { c =>
+        val st = c.prepareStatement(s"INSERT INTO $ddlTable VALUES (?, ?, ?)")
+        st.setLong(1, batchId); st.setLong(2, upper); st.setString(3, s"ddl@$upper")
+        st.executeUpdate(); st.close()
+      }
+      lower = upper
+    }
+    val maxTsRow = batch.agg(max("commit_ts")).collect()(0)
+    val maxTs = if (maxTsRow.isNullAt(0)) prev.commitTs else maxTsRow.getLong(0)
+    val version = math.max(schemaVersion, prev.schemaVersion)
+    saveCheckpoint(Checkpoint(batchId, math.max(maxTs, prev.commitTs), version,
+      consistent = true))
+    true
+  }
+
+  private def applySlice(slice: DataFrame): Unit = {
+    if (slice.isEmpty) return
+    // merge by PK: one DML per key, newest image wins; classify the merged
+    // DML by its final op (ref: pkg/loader/merge.go — the merged type is
+    // what execTableBatch groups on)
+    val w = Window.partitionBy("pk").orderBy(col("commit_ts").desc)
+    val merged = slice.select("pk", "commit_ts", "op", "value")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      // disjoint key ranges per worker — the loader's causality-free hash
+      // dispatch (load.go:529-575); partitions never contend on a key
+      .repartition(applyPartitions, col("pk"))
+      .localCheckpoint(true) // applied twice (delete pass, upsert pass)
+
+    // capture locals, not `this`-bound config lookups, inside the closures
+    val (u, tbl, bs, safe) = (url, stateTable, batchSize, safeMode)
+
+    // pass 1: ALL deletes, whole batch, before any insert/update
+    merged.filter(col("op") === "D").foreachPartition {
+      rows: Iterator[org.apache.spark.sql.Row] =>
+        val c = DriverManager.getConnection(u)
+        try {
+          c.setAutoCommit(false)
+          val del = c.prepareStatement(s"DELETE FROM $tbl WHERE pk = ?")
+          rows.grouped(bs).foreach { chunk =>
+            chunk.foreach { r => del.setLong(1, r.getAs[Long]("pk")); del.addBatch() }
+            del.executeBatch()
+            c.commit()
+          }
+          del.close()
+        } finally {
+          // Derby refuses to close with an open (even no-op) transaction
+          try c.rollback() catch { case _: SQLException => () }
+          c.close()
+        }
+    }
+
+    // pass 2: inserts and updates as 128-row multi-VALUES statements.
+    // Updates always REPLACE (delete+insert txn); inserts REPLACE only in
+    // safe mode, else plain INSERT (the reference's non-safe insert).
+    merged.filter(col("op") =!= "D").foreachPartition {
+      rows: Iterator[org.apache.spark.sql.Row] =>
+        val c = DriverManager.getConnection(u)
+        try {
+          c.setAutoCommit(false)
+          rows.grouped(bs).foreach { chunk =>
+            val needsDelete =
+              if (safe) chunk else chunk.filter(_.getAs[String]("op") != "I")
+            if (needsDelete.nonEmpty) {
+              val del = c.prepareStatement(s"DELETE FROM $tbl WHERE pk = ?")
+              needsDelete.foreach { r =>
+                del.setLong(1, r.getAs[Long]("pk")); del.addBatch()
+              }
+              del.executeBatch(); del.close()
+            }
+            val holders = Seq.fill(chunk.size)("(?, ?, ?)").mkString(", ")
+            val ins = c.prepareStatement(s"INSERT INTO $tbl VALUES $holders")
+            chunk.zipWithIndex.foreach { case (r, i) =>
+              ins.setLong(3 * i + 1, r.getAs[Long]("pk"))
+              ins.setLong(3 * i + 2, r.getAs[Long]("commit_ts"))
+              ins.setDouble(3 * i + 3, r.getAs[Double]("value"))
+            }
+            ins.executeUpdate(); ins.close()
+            c.commit() // one txn per 128-row chunk, like one executed batch
+          }
+        } finally {
+          try c.rollback() catch { case _: SQLException => () }
+          c.close()
+        }
+    }
+  }
+}

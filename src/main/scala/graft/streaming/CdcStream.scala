@@ -134,4 +134,19 @@ object CdcStream {
       }
       .start()
   }
+
+  /** K1 streaming path: the same per-batch merge-by-PK apply, but into a
+    * real SQL database through [[graft.sinks.JdbcUpsertSink]] (embedded
+    * Derby locally; any JDBC URL on a cluster). Safe mode covers the
+    * post-restart replay window exactly as the reference drainer does. */
+  def applyToJdbc(changes: DataFrame, url: String, checkpoint: String,
+      safeMode: Boolean = true): StreamingQuery = {
+    val sink = new graft.sinks.JdbcUpsertSink(url, safeMode = safeMode)
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink.applyBatch(batch, batchId): Unit
+      }
+      .start()
+  }
 }

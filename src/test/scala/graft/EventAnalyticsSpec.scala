@@ -115,4 +115,12 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(t.map(_.getLong(2)).sum ==
       graft.model.Tables.events(spark, sf).count())
   }
+
+  test("anomaly DECIMAL(38,0) scale variant is bit-identical to the int64 query") {
+    // the documented 100 TB overflow path, mechanically checked: wide sums
+    // must change nothing at a scale where both representations are exact
+    val narrow = graft.ops.EventAnalytics.anomaly(spark, sf).collect().toSeq
+    val wide = graft.ops.EventAnalytics.anomalyWide(spark, sf).collect().toSeq
+    assert(narrow.nonEmpty && narrow == wide)
+  }
 }

@@ -67,4 +67,41 @@ class SourcesSpec extends SparkSpec {
       .as[(Long, Long, String, Double)].collect().toSet
     assert(decoded == batch)
   }
+
+  test("pb binlog files (S6/K4 real wire shape): write, read back, ts-range prunes files") {
+    import graft.sources.PbBinlogFile
+    val dir = Files.createTempDirectory("graft_pbfile").toString
+    val changes = graft.ops.Cdc.changes(spark, sf)
+    PbBinlogFile.write(changes, dir, nFiles = 4)
+
+    // 4 non-empty range partitions → 4 files, named by first commit ts
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.length == 4 && files.forall(_.startsWith("binlog-")))
+
+    // full round-trip: binary form == parquet-derived envelope, every column
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("commit_ts"), col("pk"), col("op"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"), col("props"))
+      .as[(Long, Long, String, String, Long, Double, String)].collect().toSet
+    assert(key(PbBinlogFile.read(spark, dir)) == key(changes))
+
+    // ts-range scan over the wire form == the same range over parquet,
+    // and the file filter reads only the overlapping files (reference rule:
+    // last file starting ≤ startTs + files starting inside the range)
+    val fileTs = files.map(_.split('-').last.toLong).sorted
+    val (lo, hi) = (fileTs(1), fileTs(2) - 1) // covers file 1 only, by name
+    val expect = key(changes.filter(col("commit_ts") >= lo && col("commit_ts") <= hi))
+    assert(key(PbBinlogFile.read(spark, dir, lo, hi)) == expect)
+    val picked = graft.sources.PbBinlogFile.selectFiles(files.toIndexedSeq, lo, hi)
+    assert(picked.length <= 2 && picked.contains(files(1)),
+      s"range [$lo,$hi] must prune to the overlapping files, got $picked")
+
+    // a flipped payload byte must fail the crc check loudly, like the
+    // reference's ErrCRCMismatch — never silently pass corrupt rows
+    val victim = java.nio.file.Paths.get(dir, files.head)
+    val bytes = Files.readAllBytes(victim)
+    bytes(20) = (bytes(20) ^ 0x01).toByte // inside the first payload
+    Files.write(victim, bytes)
+    intercept[Exception] { PbBinlogFile.read(spark, dir).count() }
+  }
 }

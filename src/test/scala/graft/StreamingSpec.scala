@@ -7,6 +7,7 @@ import org.apache.spark.api.java.Optional
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.GroupStateTimeout
 
+import graft.ops.Filters
 import graft.sinks.UpsertSink
 import graft.streaming.{CdcStream, PcMatcher, SchemaTracker}
 import graft.streaming.PcMatcher.PcEvent
@@ -334,6 +335,112 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("wm_out").outputMode("update").start()
     try q.processAllAvailable() finally q.stop()
     assert(spark.table("wm_out").count() > 0)
+  }
+
+  private def freshDerbyUrl(tag: String): String = {
+    // derby.log + db dirs stay in /tmp; embedded Derby boots on first connect
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home",
+        Files.createTempDirectory("graft_derby_home").toString)
+    val db = Files.createTempDirectory(s"graft_derby_$tag").toString + "/db"
+    s"jdbc:derby:$db;create=true"
+  }
+
+  test("JDBC upsert sink (K1): merge-by-pk, delete-first, batched replace, checkpoint parity") {
+    import graft.sinks.JdbcUpsertSink
+    import spark.implicits._
+    val url = freshDerbyUrl("batch")
+    val sink = new JdbcUpsertSink(url, safeMode = true)
+    sink.ensureTables()
+    val b0 = Seq((1L, 1L, "I", 10.0), (2L, 2L, "I", 20.0), (3L, 3L, "I", 30.0))
+      .toDF("pk", "commit_ts", "op", "value")
+    assert(sink.applyBatch(b0, 0L, schemaVersion = 5L))
+    // batch 1 exercises all three DML classes plus intra-batch merge-by-pk:
+    // pk 4 is inserted then updated — only the final image may reach the DB
+    val b1 = Seq((1L, 4L, "U", 11.0), (2L, 5L, "D", 0.0),
+        (4L, 6L, "I", 40.0), (4L, 7L, "U", 44.0))
+      .toDF("pk", "commit_ts", "op", "value")
+    assert(sink.applyBatch(b1, 1L))
+    def state() = sink.currentState(spark)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(state() == Map(1L -> 11.0, 3L -> 30.0, 4L -> 44.0))
+    // checkpoint row lives IN the target DB with the reference's fields
+    // (ref: drainer/checkpoint/mysql.go:34-51)
+    val ck = sink.lastCheckpoint
+    assert(ck.batchId == 1L && ck.commitTs == 7L &&
+      ck.schemaVersion == 5L && ck.consistent)
+    // batch-id replay is skipped without touching the DB
+    assert(!sink.applyBatch(b1, 1L))
+    assert(state() == Map(1L -> 11.0, 3L -> 30.0, 4L -> 44.0))
+
+    // crash replay: checkpoint lost (fresh cluster id), source replays from
+    // batch 0 — safe-mode re-apply is idempotent end-state
+    // (ref: executor.go:407-443 safe mode INSERT→REPLACE)
+    val recovered = new JdbcUpsertSink(url, safeMode = true, clusterId = 99L)
+    assert(recovered.applyBatch(b0, 0L))
+    assert(recovered.applyBatch(b1, 1L))
+    assert(state() == Map(1L -> 11.0, 3L -> 30.0, 4L -> 44.0))
+
+    // without safe mode, replaying an insert batch hits the real engine's
+    // duplicate-key error — the exact failure the reference's post-restart
+    // safe-mode window exists to absorb
+    val unsafe = new JdbcUpsertSink(url, safeMode = false, clusterId = 100L)
+    intercept[Exception] { unsafe.applyBatch(b0, 0L) }
+  }
+
+  test("JDBC sink streaming (K1): restart from checkpoint applies only new files, exactly once") {
+    import graft.sinks.JdbcUpsertSink
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_jdbc_in").toString
+    val ckpt = Files.createTempDirectory("graft_jdbc_ckpt").toString
+    val url = freshDerbyUrl("stream")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+
+    addFile(raw.filter(col("event_id") < 500), in, "a")
+    val q1 = CdcStream.applyToJdbc(CdcStream.changeStream(spark, in), url, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    val sink = new JdbcUpsertSink(url)
+    val afterFirst = sink.lastCommitted
+
+    addFile(raw.filter(col("event_id") >= 500), in, "b")
+    val q2 = CdcStream.applyToJdbc(CdcStream.changeStream(spark, in), url, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(sink.lastCommitted > afterFirst, "restart must apply the new file")
+
+    val streamed = sink.currentState(spark)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val batch = graft.ops.Cdc.compactByPk(graft.ops.Cdc.changes(spark, sf))
+      .filter(col("op") =!= "D")
+      .select("pk", "value").as[(Long, Double)].collect().toMap
+    assert(streamed == batch, "DB state after restart == batch compaction of everything")
+
+    // a third restart with nothing new must be a no-op
+    val before = sink.lastCommitted
+    val q3 = CdcStream.applyToJdbc(CdcStream.changeStream(spark, in), url, ckpt)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(sink.lastCommitted == before)
+  }
+
+  test("streaming loopback (F4): injected marks break the replication cycle on re-ingest") {
+    import graft.pipeline.{DrainerConfig, DrainerPipeline}
+    val in = Files.createTempDirectory("graft_loop_in").toString
+    val stateRoot = Files.createTempDirectory("graft_loop_state").toString
+    val ckpt = Files.createTempDirectory("graft_loop_ckpt").toString
+    val raw = spark.read.parquet(s"$sf/events.parquet").filter(col("event_id") < 300)
+    addFile(raw, in, "a")
+    val q = DrainerPipeline.streaming(spark, in, stateRoot, ckpt,
+      DrainerConfig(loopbackChannel = Some(42L)))
+    try q.processAllAvailable() finally q.stop()
+
+    // outbinlog is the downstream binlog a counterpart drainer re-ingests
+    val back = spark.read.parquet(s"$stateRoot/outbinlog")
+    val markRows = back.filter(col("pk") < 0 && col("value") === 42.0)
+    assert(markRows.count() == back.select("commit_ts").distinct().count(),
+      "every applied txn carries exactly one of our marks")
+    // our own channel drops every round-tripped txn — the cycle break
+    assert(Filters.dropMarkedTxns(back, 42L).count() == 0)
+    // a foreign channel's drainer passes all of it through untouched
+    assert(Filters.dropMarkedTxns(back, 7L).count() == back.count())
   }
 
   test("streaming session windows match batch sessionization totals") {
