@@ -135,27 +135,42 @@ class JdbcUpsertSink(url: String, stateTable: String = "GRAFT_STATE",
 
   /** Apply one micro-batch of change rows (pk, commit_ts, op, value[, ...]).
     * Returns true if applied, false if skipped as a replay. DDL rows are
-    * barriers: the batch is split at each DDL commit_ts and sub-batches
-    * apply in order with the DDL logged between them (ref:
-    * pkg/loader/load.go:845-866 — DDL flushes pending DML and executes
-    * alone). */
+    * barriers: the batch is split at each DDL commit_ts, sub-batches apply
+    * in order, and the DDL itself EXECUTES alone between them against the
+    * real engine (ref: pkg/loader/load.go:845-866 — DDL flushes pending
+    * DML, then runs by itself; a failed DDL halts the load). The statement
+    * text rides in an optional `ddl_sql` string column on the DDL row
+    * (already rewritten to the target dialect — M8's job); DDL rows
+    * without it are barrier-only, recorded but not executed. */
   def applyBatch(batch: DataFrame, batchId: Long, schemaVersion: Long = -1L): Boolean = {
     ensureTables()
     val prev = lastCheckpoint
     if (batchId <= prev.batchId) return false // idempotent replay skip
 
+    val hasDdlSql = batch.columns.contains("ddl_sql")
     val ddls = batch.filter(col("op") === "DDL")
-      .select("commit_ts", "value").orderBy("commit_ts").collect()
-    val barriers = ddls.map(_.getAs[Long]("commit_ts")).sorted :+ Long.MaxValue
+      .select(col("commit_ts"),
+        (if (hasDdlSql) col("ddl_sql") else lit(null).cast("string")).as("ddl_sql"))
+      .orderBy("commit_ts").collect()
+    val barriers = ddls.map(r =>
+        (r.getAs[Long]("commit_ts"), Option(r.getAs[String]("ddl_sql"))))
+      .sortBy(_._1) :+ ((Long.MaxValue, None: Option[String]))
     var lower = Long.MinValue
-    barriers.foreach { upper =>
+    barriers.foreach { case (upper, stmt) =>
       val slice = batch.filter(col("op") =!= "DDL" &&
         col("commit_ts") > lower && col("commit_ts") <= upper)
       applySlice(slice)
       if (upper != Long.MaxValue) withConn { c =>
-        val st = c.prepareStatement(s"INSERT INTO $ddlTable VALUES (?, ?, ?)")
-        st.setLong(1, batchId); st.setLong(2, upper); st.setString(3, s"ddl@$upper")
-        st.executeUpdate(); st.close()
+        // execute alone, then log; an exception propagates and leaves the
+        // checkpoint at the previous batch — replay re-runs from the barrier
+        stmt.foreach { sql =>
+          val st = c.createStatement()
+          try st.execute(sql) finally st.close()
+        }
+        val log = c.prepareStatement(s"INSERT INTO $ddlTable VALUES (?, ?, ?)")
+        log.setLong(1, batchId); log.setLong(2, upper)
+        log.setString(3, stmt.getOrElse(s"ddl@$upper").take(512))
+        log.executeUpdate(); log.close()
       }
       lower = upper
     }
@@ -224,7 +239,11 @@ class JdbcUpsertSink(url: String, stateTable: String = "GRAFT_STATE",
               del.executeBatch(); del.close()
             }
             val holders = Seq.fill(chunk.size)("(?, ?, ?)").mkString(", ")
-            val ins = c.prepareStatement(s"INSERT INTO $tbl VALUES $holders")
+            // explicit column list (ref: executor.go:210 buildColumnList):
+            // a positional VALUES breaks the moment a DDL barrier widens
+            // the table mid-stream
+            val ins = c.prepareStatement(
+              s"INSERT INTO $tbl (pk, commit_ts, val) VALUES $holders")
             chunk.zipWithIndex.foreach { case (r, i) =>
               ins.setLong(3 * i + 1, r.getAs[Long]("pk"))
               ins.setLong(3 * i + 2, r.getAs[Long]("commit_ts"))

@@ -388,6 +388,39 @@ class StreamingSpec extends SparkSpec {
     intercept[Exception] { unsafe.applyBatch(b0, 0L) }
   }
 
+  test("JDBC sink DDL barrier (P3): schema change executes alone, in order, for real") {
+    import graft.sinks.JdbcUpsertSink
+    import spark.implicits._
+    val url = freshDerbyUrl("ddl")
+    val sink = new JdbcUpsertSink(url, safeMode = true)
+    sink.ensureTables()
+    val b0 = Seq((1L, 1L, "I", 10.0)).toDF("pk", "commit_ts", "op", "value")
+    assert(sink.applyBatch(b0, 0L))
+    // one batch, three phases: DML before the barrier, a widening DDL that
+    // must execute ALONE between the sub-batches, DML after it (ref:
+    // pkg/loader/load.go:845-866)
+    val b1 = Seq(
+      (2L, 2L, "I", 20.0, null.asInstanceOf[String]),
+      (0L, 3L, "DDL", 0.0, "ALTER TABLE GRAFT_STATE ADD COLUMN extra BIGINT DEFAULT 7"),
+      (3L, 4L, "I", 30.0, null.asInstanceOf[String])
+    ).toDF("pk", "commit_ts", "op", "value", "ddl_sql")
+    assert(sink.applyBatch(b1, 1L))
+    val rows = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "GRAFT_STATE")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver").load()
+    // the post-barrier insert landed into the WIDENED table; the new
+    // column exists and carries its default on every row
+    assert(rows.columns.toSeq == Seq("PK", "COMMIT_TS", "VAL", "EXTRA"))
+    assert(rows.count() == 3)
+    assert(rows.filter(col("EXTRA") === 7L).count() == 3)
+    // the ddl log records the executed statement, not a placeholder
+    val logged = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "GRAFT_DDL_LOG")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver").load()
+      .select("STMT").as[String].collect()
+    assert(logged.exists(_.contains("ADD COLUMN extra")))
+  }
+
   test("JDBC sink streaming (K1): restart from checkpoint applies only new files, exactly once") {
     import graft.sinks.JdbcUpsertSink
     import spark.implicits._
