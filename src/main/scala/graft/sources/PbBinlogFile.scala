@@ -219,6 +219,28 @@ object PbBinlogFile {
     out.toSeq
   }
 
+  /** S5/K5 real shape: the relay-log reader as a STREAM over the binlog
+    * directory — new files are picked up as they appear, the streaming
+    * checkpoint remembers which files were consumed, and a restart resumes
+    * without re-reading (ref: drainer/relay/reader.go:50-121 re-opens from
+    * the persisted position and never re-applies old entries; here the
+    * file-source checkpoint is that position). Frames decode exactly as in
+    * [[read]]. */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Files.createDirectories(Paths.get(dir))
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    spark.readStream.format("binaryFile").schema(binarySchema).load(dir)
+      .select("content").as[Array[Byte]]
+      .flatMap(decodeFrames _)
+      .select(col("commit_ts"), col("pk"), col("op"), col("event_type"),
+        timestamp_micros(col("ts_us")).as("ts"), col("value"), col("props"))
+  }
+
   /** Read the change envelope back from a pb binlog directory, range
     * `[startTs, endTs]` (endTs 0 = open). File selection prunes before any
     * byte is read; the residual commit_ts filter restores exactness. */

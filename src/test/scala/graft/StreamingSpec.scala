@@ -454,6 +454,40 @@ class StreamingSpec extends SparkSpec {
     assert(sink.lastCommitted == before)
   }
 
+  test("relay stream over the real wire format (S5): binlog files stream, restart resumes") {
+    import graft.sources.PbBinlogFile
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_relay_pb").toString
+    val ckpt = Files.createTempDirectory("graft_relay_pb_ckpt").toString
+    val stateRoot = Files.createTempDirectory("graft_relay_pb_state").toString
+    val changes = graft.ops.Cdc.changes(spark, sf)
+    val mid = changes.agg(expr("max(commit_ts) div 2")).head.getLong(0)
+
+    // relay file 1 appears; the stream consumes and applies it
+    PbBinlogFile.write(changes.filter(col("commit_ts") <= mid), dir, nFiles = 1)
+    val q1 = CdcStream.applyToState(PbBinlogFile.readStream(spark, dir), stateRoot, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    val sink = new UpsertSink(stateRoot)
+    val afterFirst = sink.lastCommitted
+
+    // "crash"; a second relay file lands; restart from the same checkpoint
+    // must decode only the new file, exactly once
+    val staging = Files.createTempDirectory("graft_relay_pb_stage").toString
+    PbBinlogFile.write(changes.filter(col("commit_ts") > mid), staging, nFiles = 1)
+    Files.move(new java.io.File(staging).listFiles().head.toPath,
+      java.nio.file.Paths.get(dir, "binlog-0000000000000001-late"))
+    val q2 = CdcStream.applyToState(PbBinlogFile.readStream(spark, dir), stateRoot, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(sink.lastCommitted > afterFirst)
+
+    val streamed = sink.currentState(spark)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val batch = graft.ops.Cdc.compactByPk(changes)
+      .filter(col("op") =!= "D")
+      .select("pk", "value").as[(Long, Double)].collect().toMap
+    assert(streamed == batch, "wire-format relay replay == batch compaction")
+  }
+
   test("streaming loopback (F4): injected marks break the replication cycle on re-ingest") {
     import graft.pipeline.{DrainerConfig, DrainerPipeline}
     val in = Files.createTempDirectory("graft_loop_in").toString
