@@ -564,6 +564,34 @@ object Similarity {
     e.select(col("vec_id"), posexplode(array((0 until PqSubs).map(s =>
         slice(col("qe"), s * PqSubDim + 1, PqSubDim)): _*)).as(Seq("sub", "sv")))
 
+  /** One row per sub: the whole codebook flattened into `cb` (cent_id-sorted,
+    * PqCodes × PqSubDim longs) plus the sorted cent_id list `cids`. Joining
+    * THIS (32 rows) instead of the per-centroid frame keeps assignment a
+    * pure projection: the old per-cent broadcast join materialized
+    * rows × PqCodes intermediate rows (5M+ at sf0.1) through a shuffle
+    * aggregate, twice per query — the dominant cost of the whole PQ path. */
+  private def packedCodebook(cents: DataFrame): DataFrame =
+    cents.groupBy("sub").agg(
+      flatten(transform(array_sort(collect_list(struct(col("cent_id"), col("qc")))),
+        x => x.getField("qc"))).as("cb"),
+      array_sort(collect_list(col("cent_id"))).as("cids"))
+
+  /** Statically-unrolled argmin over the packed codebook: PqCodes exact
+    * integer L2 terms, array_min + first-position lookup. First position of
+    * the min over the cent_id-sorted array IS the (distance, cent_id)
+    * lexicographic argmin, so this matches min_by(struct(d, cent_id)) and
+    * the DuckDB oracle's row_number ordering exactly. All codegen'd — no
+    * lambda interpretation, no row blowup. */
+  private def argminCode(sv: Column): Column = {
+    val dists = array((0 until PqCodes).map { c =>
+      (0 until PqSubDim).map { i =>
+        val d = element_at(sv, i + 1) - element_at(col("cb"), c * PqSubDim + i + 1)
+        d * d
+      }.reduce(_ + _)
+    }: _*)
+    element_at(col("cids"), array_position(dists, array_min(dists)).cast("int"))
+  }
+
   /** Per-subspace Lloyd codebook: (sub, cent_id, qc). Same round shape as
     * [[trainCentroids]] — broadcast-codebook assignment reduced by a
     * min_by hash aggregate, integer-mean update — but keyed by (sub,
@@ -571,22 +599,21 @@ object Similarity {
   def trainPqCodebook(sv: DataFrame): DataFrame = {
     var cents = sv.filter(col("vec_id") < PqCodes)
       .select(col("sub"), col("vec_id").as("cent_id"), col("sv").as("qc"))
-      .localCheckpoint(true)
     (0 until PqIters).foreach { _ =>
-      val assignment = sv.join(broadcast(cents), Seq("sub"))
-        .withColumn("d", l2i(col("sv"), col("qc")))
-        .groupBy("vec_id", "sub")
-        // deterministic argmin: (distance, cent_id) lexicographic
-        .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id"))).as("cent_id"))
-      val means = sv.join(assignment, Seq("vec_id", "sub"))
-        .select(col("sub"), col("cent_id"), posexplode(col("sv")).as(Seq("pos", "v")))
-        .groupBy("sub", "cent_id", "pos")
-        .agg(sum("v").as("s"), count(lit(1)).as("n"))
-        .withColumn("qm",
-          expr(s"((s + $FxOff * n) * 2 + n) div (2 * n) - $FxOff"))
-        .groupBy("sub", "cent_id")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("qm")))),
-          x => x.getField("qm")).as("qc"))
+      // deterministic argmin ((distance, cent_id) lexicographic) as a pure
+      // projection against the 32-row packed codebook — no row blowup, and
+      // `sv` rides along so the mean update needs NO join back: the whole
+      // round is one broadcast-join projection + one hash aggregate (the
+      // old shape joined sv⨝assignment and ran an explode + two-shuffle
+      // collect_list — four shuffles per round for the same integers)
+      val assigned = sv.join(broadcast(packedCodebook(cents)), Seq("sub"))
+        .select(col("sub"), col("sv"), argminCode(col("sv")).as("cent_id"))
+      val means = assigned.groupBy("sub", "cent_id")
+        .agg(count(lit(1)).as("n"),
+          (1 to PqSubDim).map(i => sum(element_at(col("sv"), i)).as(s"s$i")): _*)
+        .select(col("sub"), col("cent_id"),
+          array((1 to PqSubDim).map(i =>
+            expr(s"((s$i + $FxOff * n) * 2 + n) div (2 * n) - $FxOff")): _*).as("qc"))
       val kept = cents.join(means, Seq("sub", "cent_id"), "left_anti")
       cents = means.unionByName(kept).localCheckpoint(true)
     }
@@ -606,10 +633,8 @@ object Similarity {
       .select(col("vec_id"), fx(col("embedding")).as("qe"))
     val sv = pqSubvectors(e).localCheckpoint(true)
     val cents = trainPqCodebook(sv)
-    val codes = sv.join(broadcast(cents), Seq("sub"))
-      .withColumn("d", l2i(col("sv"), col("qc")))
-      .groupBy("vec_id", "sub")
-      .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id"))).as("code"))
+    val codes = sv.join(broadcast(packedCodebook(cents)), Seq("sub"))
+      .select(col("vec_id"), col("sub"), argminCode(col("sv")).as("code"))
     val q = sv.filter(col("vec_id") >= 10 && col("vec_id") < 15)
       .select(col("vec_id").as("query_id"), col("sub"), col("sv").as("qsv"))
     val dtab = q.join(broadcast(cents), Seq("sub"))
