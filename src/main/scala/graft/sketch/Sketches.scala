@@ -436,11 +436,17 @@ object Sketches {
     // the estimator branch of the sketch untested) — and distinct
     // n-grams per stratum is also the quantity a curation pipeline actually
     // tracks (vocabulary growth, contamination overlap denominators)
+    // three consumers (shard mins, per-lang exact witness, global exact
+    // witness) — materialize the shingle scan once instead of tokenizing
+    // the corpus three times. At production scale the exact witness branch
+    // disappears (it exists as the oracle diagnostic) and with it this
+    // checkpoint; the sketch path alone reads the scan once.
     val hs = Tables.documents(spark, dir)
       .select(col("lang"), Lex.toks(col("text")).as("toks"))
       .select(col("lang"), explode(array_distinct(Lex.shingles(col("toks")))).as("sh"))
       .select(col("lang"), Lex.hex8(col("sh")).as("h"))
       .distinct()
+      .localCheckpoint(true)
     // phase 1: k smallest per (lang, hash-shard) — bounded window partitions
     val wShard = Window.partitionBy("lang", "shard").orderBy("h")
     val shardMins = hs.withColumn("shard", col("h") % 32)
