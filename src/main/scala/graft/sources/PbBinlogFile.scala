@@ -169,9 +169,17 @@ object PbBinlogFile {
   /** Write a change-envelope DataFrame as a directory of pb binlog files:
     * range-partitioned and sorted by commit_ts so each file covers a
     * contiguous ts interval, named by its first commit ts (the property
-    * reparo's file filter relies on). `dir` must be a shared filesystem
-    * path (local here; HDFS/object-store mount on a cluster). */
-  def write(changes: DataFrame, dir: String, nFiles: Int = 4): Unit = {
+    * reparo's file filter relies on). Within a partition, files ROTATE at
+    * `maxBytesPerFile` (ref: binlogfile/binlogger.go:45-46 SegmentSizeBytes
+    * = 512 MiB, binlogger.go:415-444 rotate-on-size) — an unbounded range
+    * partition therefore never produces a file the read side must hold in
+    * memory whole (binaryFile materializes per-file content). Rotated
+    * segments keep the naming invariant: each carries ITS OWN first commit
+    * ts, so ts-range file pruning sees every segment independently. `dir`
+    * must be a shared filesystem path (local here; HDFS/object-store mount
+    * on a cluster). */
+  def write(changes: DataFrame, dir: String, nFiles: Int = 4,
+      maxBytesPerFile: Long = 512L * 1024 * 1024): Unit = {
     Files.createDirectories(Paths.get(dir))
     import changes.sparkSession.implicits._
     val ds = changes.select(
@@ -181,16 +189,25 @@ object PbBinlogFile {
       .repartitionByRange(nFiles, col("commit_ts"))
       .sortWithinPartitions("commit_ts")
     ds.foreachPartition { rows: Iterator[PbChange] =>
-      if (rows.hasNext) {
-        val first = rows.next()
-        val pid = TaskContext.getPartitionId()
-        val name = f"binlog-$pid%016d-${first.commit_ts}%020d"
-        val out = new BufferedOutputStream(
-          new FileOutputStream(s"$dir/$name"))
-        try (Iterator(first) ++ rows).foreach { c =>
-          out.write(encodeFrame(encodePayload(c)))
-        } finally out.close()
-      }
+      val pid = TaskContext.getPartitionId()
+      var out: BufferedOutputStream = null
+      var written = 0L
+      var seg = 0
+      try {
+        rows.foreach { c =>
+          if (out == null) {
+            // segment index rides inside the ordering-neutral first name
+            // field; the trailing field stays the segment's first commit ts
+            val name = f"binlog-$pid%08d$seg%08d-${c.commit_ts}%020d"
+            out = new BufferedOutputStream(new FileOutputStream(s"$dir/$name"))
+            seg += 1; written = 0L
+          }
+          val frame = encodeFrame(encodePayload(c))
+          out.write(frame)
+          written += frame.length
+          if (written >= maxBytesPerFile) { out.close(); out = null }
+        }
+      } finally if (out != null) out.close()
     }
   }
 

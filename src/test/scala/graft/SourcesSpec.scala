@@ -104,4 +104,26 @@ class SourcesSpec extends SparkSpec {
     Files.write(victim, bytes)
     intercept[Exception] { PbBinlogFile.read(spark, dir).count() }
   }
+
+  test("pb binlog segment rotation: size-capped files keep naming and pruning invariants") {
+    import graft.sources.PbBinlogFile
+    val dir = Files.createTempDirectory("graft_pbrotate").toString
+    val changes = graft.ops.Cdc.changes(spark, sf).filter(col("commit_ts") < 2000)
+    // ~60-byte frames + a 4 KiB cap → many segments per range partition
+    PbBinlogFile.write(changes, dir, nFiles = 2, maxBytesPerFile = 4096)
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.length > 4, s"expected rotation, got ${files.length} files")
+    // segments sort by name into global commit-ts order: each file's first
+    // ts (name suffix) must be non-decreasing across the sorted listing
+    val firstTs = files.map(_.split('-').last.toLong)
+    assert(firstTs.zip(firstTs.tail).forall { case (a, b) => a <= b })
+    // full round-trip survives rotation
+    assert(PbBinlogFile.read(spark, dir).count() == changes.count())
+    // and ts-range pruning still selects a strict subset of segments
+    val (lo, hi) = (firstTs(files.length / 2), firstTs(files.length / 2) + 50)
+    val picked = PbBinlogFile.selectFiles(files.toIndexedSeq, lo, hi)
+    assert(picked.length < files.length)
+    assert(PbBinlogFile.read(spark, dir, lo, hi).count() ==
+      changes.filter(col("commit_ts") >= lo && col("commit_ts") <= hi).count())
+  }
 }
