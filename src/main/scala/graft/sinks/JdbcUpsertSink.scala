@@ -46,7 +46,8 @@ import org.apache.spark.sql.functions._
   */
 class JdbcUpsertSink(url: String, stateTable: String = "GRAFT_STATE",
     batchSize: Int = 128, safeMode: Boolean = false, clusterId: Long = 1L,
-    applyPartitions: Int = 4) extends Serializable {
+    // ref: executor.go:39 defaultWorkerCount = 16 parallel connections
+    applyPartitions: Int = 16) extends Serializable {
 
   private val ckptTable = "GRAFT_CHECKPOINT"
   private val ddlTable = "GRAFT_DDL_LOG"
