@@ -258,6 +258,33 @@ object PbBinlogFile {
         timestamp_micros(col("ts_us")).as("ts"), col("value"), col("props"))
   }
 
+  /** Oracle-checked S6 wire query: encode the change stream into binlog
+    * files, then ts-range scan the BINARY directory form — the result must
+    * hash-match DuckDB reading the original parquet, which pins the whole
+    * codec (varints, strings, doubles, framing, crc, file pruning) under
+    * the driver's correctness gate, not just ScalaTest. The staging write
+    * is rebuilt every run (never read a stale layout); its cost is one
+    * pass over the envelope. */
+  def wireScanQuery(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_wire_scan_${math.abs(dir.hashCode)}"
+    val p = Paths.get(out)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    val changes = graft.ops.Cdc.changes(spark, dir)
+    write(changes, out, nFiles = 4)
+    // sf-relative [20%, 60%] of the ts domain, so the scan prunes files at
+    // every scale factor; the max is a one-row aggregate
+    val maxTs = changes.agg(max("commit_ts")).head.getLong(0)
+    read(spark, out, startTs = maxTs * 2 / 10, endTs = maxTs * 6 / 10)
+  }
+
+  def wireScanSql: String =
+    s"""WITH c AS (${graft.ops.Cdc.changesCte})
+       |SELECT commit_ts, pk, op, event_type, ts, value, props FROM c
+       |WHERE commit_ts BETWEEN (SELECT max(commit_ts) * 2 // 10 FROM c)
+       |                    AND (SELECT max(commit_ts) * 6 // 10 FROM c)""".stripMargin
+
   /** Read the change envelope back from a pb binlog directory, range
     * `[startTs, endTs]` (endTs 0 = open). File selection prunes before any
     * byte is read; the residual commit_ts filter restores exactness. */
