@@ -44,6 +44,45 @@ import org.apache.spark.sql.functions._
   * Swapping the URL for a real MySQL/TiDB endpoint changes nothing above
   * the driver.
   */
+object JdbcUpsertSink {
+
+  /** Oracle-checked K1 query: apply the first 20% (by commit ts) of the
+    * change stream through the REAL loader path — merge-by-pk, delete-first
+    * ordering, 128-row batched statements, safe mode — into a fresh
+    * embedded Derby database, then read the table back over JDBC. The
+    * result must hash-match DuckDB computing the same compacted state from
+    * parquet, which pins the loader's semantics (and the SQL engine round
+    * trip of BIGINT/DOUBLE values) under the driver's correctness gate.
+    * The database is rebuilt every run; the applied slice is ts-bounded so
+    * the query's cost scales with the prefix, not the corpus. */
+  def stateQuery(spark: SparkSession, dir: String): DataFrame = {
+    if (System.getProperty("derby.system.home") == null) {
+      val home = "/tmp/graft_derby_home"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(home))
+      System.setProperty("derby.system.home", home) // keep derby.log out of cwd
+    }
+    // per-invocation scratch dir: concurrent query constructions (parallel
+    // test suites, bench reps) must never contend on one database
+    val root = java.nio.file.Files.createTempDirectory("graft_k1_state").toString
+    val changes = graft.ops.Cdc.changes(spark, dir)
+    val maxTs = changes.agg(max("commit_ts")).head.getLong(0)
+    val slice = changes.filter(col("commit_ts") <= maxTs * 2 / 10)
+      .select("pk", "commit_ts", "op", "value")
+    val sink = new JdbcUpsertSink(s"jdbc:derby:$root/db;create=true", safeMode = true)
+    sink.applyBatch(slice, batchId = 0L)
+    sink.currentState(spark)
+  }
+
+  def stateSql: String =
+    s"""WITH c AS (${graft.ops.Cdc.changesCte}),
+       |f AS (SELECT * FROM c
+       |      WHERE commit_ts <= (SELECT max(commit_ts) * 2 // 10 FROM c)),
+       |r AS (SELECT pk, commit_ts, value, op,
+       |        row_number() OVER (PARTITION BY pk ORDER BY commit_ts DESC) AS rn
+       |      FROM f)
+       |SELECT pk, commit_ts, value FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin
+}
+
 class JdbcUpsertSink(url: String, stateTable: String = "GRAFT_STATE",
     batchSize: Int = 128, safeMode: Boolean = false, clusterId: Long = 1L,
     // ref: executor.go:39 defaultWorkerCount = 16 parallel connections

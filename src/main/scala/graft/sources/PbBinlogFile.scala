@@ -266,11 +266,9 @@ object PbBinlogFile {
     * is rebuilt every run (never read a stale layout); its cost is one
     * pass over the envelope. */
   def wireScanQuery(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"/tmp/graft_wire_scan_${math.abs(dir.hashCode)}"
-    val p = Paths.get(out)
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
+    // per-invocation scratch dir: concurrent query constructions (parallel
+    // test suites, bench reps) must never contend on one directory
+    val out = Files.createTempDirectory("graft_wire_scan").toString
     val changes = graft.ops.Cdc.changes(spark, dir)
     write(changes, out, nFiles = 4)
     // sf-relative [20%, 60%] of the ts domain, so the scan prunes files at
