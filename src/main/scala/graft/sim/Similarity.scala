@@ -564,33 +564,15 @@ object Similarity {
     e.select(col("vec_id"), posexplode(array((0 until PqSubs).map(s =>
         slice(col("qe"), s * PqSubDim + 1, PqSubDim)): _*)).as(Seq("sub", "sv")))
 
-  /** One row per sub: the whole codebook flattened into `cb` (cent_id-sorted,
-    * PqCodes × PqSubDim longs) plus the sorted cent_id list `cids`. Joining
-    * THIS (32 rows) instead of the per-centroid frame keeps assignment a
-    * pure projection: the old per-cent broadcast join materialized
-    * rows × PqCodes intermediate rows (5M+ at sf0.1) through a shuffle
-    * aggregate, twice per query — the dominant cost of the whole PQ path. */
-  private def packedCodebook(cents: DataFrame): DataFrame =
-    cents.groupBy("sub").agg(
-      flatten(transform(array_sort(collect_list(struct(col("cent_id"), col("qc")))),
-        x => x.getField("qc"))).as("cb"),
-      array_sort(collect_list(col("cent_id"))).as("cids"))
-
-  /** Statically-unrolled argmin over the packed codebook: PqCodes exact
-    * integer L2 terms, array_min + first-position lookup. First position of
-    * the min over the cent_id-sorted array IS the (distance, cent_id)
-    * lexicographic argmin, so this matches min_by(struct(d, cent_id)) and
-    * the DuckDB oracle's row_number ordering exactly. All codegen'd — no
-    * lambda interpretation, no row blowup. */
-  private def argminCode(sv: Column): Column = {
-    val dists = array((0 until PqCodes).map { c =>
-      (0 until PqSubDim).map { i =>
-        val d = element_at(sv, i + 1) - element_at(col("cb"), c * PqSubDim + i + 1)
-        d * d
-      }.reduce(_ + _)
-    }: _*)
-    element_at(col("cids"), array_position(dists, array_min(dists)).cast("int"))
-  }
+  /** Assignment shape note: the per-centroid broadcast join + `min_by`
+    * aggregate below materializes rows × PqCodes intermediate rows, but
+    * they never travel — the argmin reduces map-side in the SAME codegen
+    * stage as the join, so one compact l2i per intermediate row is the
+    * whole cost. The tempting alternative (pack the codebook into one
+    * array row and unroll a PqCodes-way argmin expression) generates a
+    * single unsplittable ~14k-line projection that blows janino's 64 KB
+    * method limit and drops the stage out of whole-stage codegen entirely
+    * — measured slower than the row-blowup it avoids. */
 
   /** Per-subspace Lloyd codebook: (sub, cent_id, qc). Same round shape as
     * [[trainCentroids]] — broadcast-codebook assignment reduced by a
@@ -600,14 +582,17 @@ object Similarity {
     var cents = sv.filter(col("vec_id") < PqCodes)
       .select(col("sub"), col("vec_id").as("cent_id"), col("sv").as("qc"))
     (0 until PqIters).foreach { _ =>
-      // deterministic argmin ((distance, cent_id) lexicographic) as a pure
-      // projection against the 32-row packed codebook — no row blowup, and
-      // `sv` rides along so the mean update needs NO join back: the whole
-      // round is one broadcast-join projection + one hash aggregate (the
-      // old shape joined sv⨝assignment and ran an explode + two-shuffle
-      // collect_list — four shuffles per round for the same integers)
-      val assigned = sv.join(broadcast(packedCodebook(cents)), Seq("sub"))
-        .select(col("sub"), col("sv"), argminCode(col("sv")).as("cent_id"))
+      // deterministic argmin ((distance, cent_id) lexicographic) via
+      // min_by, carrying `sv` in the payload so the mean update needs NO
+      // join back: one broadcast join + two hash aggregates per round (the
+      // old shape joined sv⨝assignment again and ran an explode + a
+      // two-shuffle collect_list for the same integers)
+      val assigned = sv.join(broadcast(cents), Seq("sub"))
+        .withColumn("d", l2i(col("sv"), col("qc")))
+        .groupBy("vec_id", "sub")
+        .agg(min_by(struct(col("cent_id"), col("sv")),
+          struct(col("d"), col("cent_id"))).as("a"))
+        .select(col("sub"), col("a.cent_id").as("cent_id"), col("a.sv").as("sv"))
       val means = assigned.groupBy("sub", "cent_id")
         .agg(count(lit(1)).as("n"),
           (1 to PqSubDim).map(i => sum(element_at(col("sv"), i)).as(s"s$i")): _*)
@@ -633,8 +618,10 @@ object Similarity {
       .select(col("vec_id"), fx(col("embedding")).as("qe"))
     val sv = pqSubvectors(e).localCheckpoint(true)
     val cents = trainPqCodebook(sv)
-    val codes = sv.join(broadcast(packedCodebook(cents)), Seq("sub"))
-      .select(col("vec_id"), col("sub"), argminCode(col("sv")).as("code"))
+    val codes = sv.join(broadcast(cents), Seq("sub"))
+      .withColumn("d", l2i(col("sv"), col("qc")))
+      .groupBy("vec_id", "sub")
+      .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id"))).as("code"))
     val q = sv.filter(col("vec_id") >= 10 && col("vec_id") < 15)
       .select(col("vec_id").as("query_id"), col("sub"), col("sv").as("qsv"))
     val dtab = q.join(broadcast(cents), Seq("sub"))
