@@ -287,7 +287,12 @@ class JdbcUpsertSink(url: String, stateTable: String = "GRAFT_STATE",
             chunk.zipWithIndex.foreach { case (r, i) =>
               ins.setLong(3 * i + 1, r.getAs[Long]("pk"))
               ins.setLong(3 * i + 2, r.getAs[Long]("commit_ts"))
-              ins.setDouble(3 * i + 3, r.getAs[Double]("value"))
+              // null-safe bind: a NULL value column must become SQL NULL,
+              // not a primitive-unboxing crash (ref: the loader binds every
+              // datum nullable — model.go:253-257 handles NULL explicitly)
+              val vIdx = r.fieldIndex("value")
+              if (r.isNullAt(vIdx)) ins.setNull(3 * i + 3, java.sql.Types.DOUBLE)
+              else ins.setDouble(3 * i + 3, r.getDouble(vIdx))
             }
             ins.executeUpdate(); ins.close()
             c.commit() // one txn per 128-row chunk, like one executed batch

@@ -388,6 +388,20 @@ class StreamingSpec extends SparkSpec {
     intercept[Exception] { unsafe.applyBatch(b0, 0L) }
   }
 
+  test("JDBC sink binds NULL values as SQL NULL, not a crash") {
+    import graft.sinks.JdbcUpsertSink
+    import spark.implicits._
+    val url = freshDerbyUrl("nulls")
+    val sink = new JdbcUpsertSink(url, safeMode = true)
+    sink.ensureTables()
+    val b = Seq((1L, 1L, "I", Some(10.0)), (2L, 2L, "I", None))
+      .toDF("pk", "commit_ts", "op", "value")
+    assert(sink.applyBatch(b, 0L))
+    val state = sink.currentState(spark)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(state == Map(1L -> Some(10.0), 2L -> None))
+  }
+
   test("JDBC sink DDL barrier (P3): schema change executes alone, in order, for real") {
     import graft.sinks.JdbcUpsertSink
     import spark.implicits._
