@@ -163,15 +163,36 @@ class JdbcUpsertSink(url: String, stateTable: String = "GRAFT_STATE",
     c.commit()
   }
 
-  /** The materialized state, read back through Spark's JDBC source. */
-  def currentState(spark: SparkSession): DataFrame =
-    spark.read.format("jdbc")
+  /** The materialized state, read back through Spark's JDBC source as a
+    * PARTITIONED scan: pk bounds come from one two-value metadata query,
+    * then `readPartitions` connections stride the key range in parallel —
+    * the default unpartitioned JDBC read drags the whole table through a
+    * single connection, which is exactly the bottleneck the loader's
+    * 16-worker write side exists to avoid. Empty table → plain load. */
+  def currentState(spark: SparkSession, readPartitions: Int = 16): DataFrame = {
+    ensureTables()
+    val bounds = withConn { c =>
+      val st = c.createStatement()
+      val rs = st.executeQuery(s"SELECT min(pk), max(pk) FROM $stateTable")
+      rs.next()
+      val lo = rs.getLong(1); val loNull = rs.wasNull()
+      val hi = rs.getLong(2)
+      val out = if (loNull) None else Some((lo, hi))
+      rs.close(); st.close(); out
+    }
+    val base = spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable", stateTable)
       .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-      .load()
+    bounds.fold(base) { case (lo, hi) =>
+      base.option("partitionColumn", "pk")
+        .option("lowerBound", lo)
+        .option("upperBound", math.max(hi, lo + 1)) // bounds shape stride only
+        .option("numPartitions", readPartitions)
+    }.load()
       .select(col("PK").as("pk"), col("COMMIT_TS").as("commit_ts"),
         col("VAL").as("value"))
+  }
 
   /** Apply one micro-batch of change rows (pk, commit_ts, op, value[, ...]).
     * Returns true if applied, false if skipped as a replay. DDL rows are
