@@ -364,6 +364,9 @@ class StreamingSpec extends SparkSpec {
     def state() = sink.currentState(spark)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(state() == Map(1L -> 11.0, 3L -> 30.0, 4L -> 44.0))
+    // the read-back is a pk-strided parallel scan, not one connection
+    // (Spark clamps partition count to the key-range width on tiny tables)
+    assert(sink.currentState(spark).rdd.getNumPartitions > 1)
     // checkpoint row lives IN the target DB with the reference's fields
     // (ref: drainer/checkpoint/mysql.go:34-51)
     val ck = sink.lastCheckpoint
