@@ -583,16 +583,18 @@ object Similarity {
       .select(col("sub"), col("vec_id").as("cent_id"), col("sv").as("qc"))
     (0 until PqIters).foreach { _ =>
       // deterministic argmin ((distance, cent_id) lexicographic) via
-      // min_by, carrying `sv` in the payload so the mean update needs NO
-      // join back: one broadcast join + two hash aggregates per round (the
-      // old shape joined sv⨝assignment again and ran an explode + a
-      // two-shuffle collect_list for the same integers)
+      // min_by, payload-NARROW: only the winning cent_id rides through the
+      // aggregate (carrying the sv array through rows × PqCodes
+      // intermediate rows measured ~1s slower at sf0.1), then ONE join
+      // back to sv on (vec_id, sub) — both sides hash-partition on those
+      // keys, so the argmin's shuffle is reused and only the narrow sv
+      // rows move once
       val assigned = sv.join(broadcast(cents), Seq("sub"))
         .withColumn("d", l2i(col("sv"), col("qc")))
         .groupBy("vec_id", "sub")
-        .agg(min_by(struct(col("cent_id"), col("sv")),
-          struct(col("d"), col("cent_id"))).as("a"))
-        .select(col("sub"), col("a.cent_id").as("cent_id"), col("a.sv").as("sv"))
+        .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id"))).as("cent_id"))
+        .join(sv, Seq("vec_id", "sub"))
+        .select(col("sub"), col("cent_id"), col("sv"))
       val means = assigned.groupBy("sub", "cent_id")
         .agg(count(lit(1)).as("n"),
           (1 to PqSubDim).map(i => sum(element_at(col("sv"), i)).as(s"s$i")): _*)
