@@ -160,6 +160,53 @@ object TypeDomain {
       date_format(col("ts") - expr("INTERVAL 5 HOURS"), "yyyy-MM-dd HH:mm:ss").as("ts_m5_str"),
       (col("ts") + expr("INTERVAL 8 HOURS")).cast("date").cast("string").as("date_p8_str"))
 
+  /** The M9 domains as wire-envelope columns, derived deterministically
+    * from the change stream — shared by the binlog codec round-trip
+    * (`PbBinlogFile.typedRoundtripQuery`) and the multi-table JDBC loader,
+    * so BOTH real substrates carry the full type domain end-to-end, not
+    * just the standalone m9_* projections (ref:
+    * drainer/translator/pb.go:242-296 datum cells;
+    * tests/dailytest/case.go:97-146 round-trips these exact domains). */
+  def typedEnvelope(changes: DataFrame): DataFrame =
+    changes
+      .withColumn("x", bitPattern(col("commit_ts").cast("string")))
+      .withColumn("dec38",
+        expr("""CAST(CAST(pk AS DECIMAL(20,0)) +
+               |     CAST(commit_ts % 1000 AS DECIMAL(10,0)) * CAST(0.001 AS DECIMAL(4,3))
+               |     AS DECIMAL(38,19))""".stripMargin).cast("string"))
+      .withColumn("udec",
+        (col("x").cast("decimal(20,0)") +
+          when(col("x") < 0, expr("CAST('18446744073709551616' AS DECIMAL(20,0))"))
+            .otherwise(expr("CAST('0' AS DECIMAL(20,0))")))
+          .cast("string"))
+      .withColumn("bits", col("x"))
+      .withColumn("enum_ord",
+        when(col("event_type") === "click", 1)
+          .when(col("event_type") === "purchase", 2)
+          .when(col("event_type") === "signup", 3)
+          .when(col("event_type") === "view", 4)
+          .when(col("event_type") === "error", 5)
+          .otherwise(0).cast("int"))
+      .drop("x")
+
+  /** DuckDB form of [[typedEnvelope]] over the change CTE: same column
+    * names, same derivations. */
+  def typedEnvelopeCte: String = {
+    val x = bitPatternSql("CAST(commit_ts AS VARCHAR)")
+    s"""SELECT commit_ts, pk, op, event_type, ts, value, props,
+       |  CAST(CAST(CAST(pk AS DECIMAL(20,0)) +
+       |       CAST(commit_ts % 1000 AS DECIMAL(10,0)) * CAST(0.001 AS DECIMAL(4,3))
+       |       AS DECIMAL(38,19)) AS VARCHAR) AS dec38,
+       |  CAST(CAST(x AS DECIMAL(20,0)) +
+       |       CASE WHEN x < 0 THEN CAST('18446744073709551616' AS DECIMAL(20,0))
+       |            ELSE CAST('0' AS DECIMAL(20,0)) END AS VARCHAR) AS udec,
+       |  x AS bits,
+       |  CASE event_type WHEN 'click' THEN 1 WHEN 'purchase' THEN 2
+       |       WHEN 'signup' THEN 3 WHEN 'view' THEN 4 WHEN 'error' THEN 5
+       |       ELSE 0 END AS enum_ord
+       |FROM (SELECT *, $x AS x FROM (${Cdc.changesCte}) c) b""".stripMargin
+  }
+
   def tzFormatSql: String =
     """SELECT event_id,
       |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_utc_str,

@@ -88,7 +88,12 @@ object DrainerPipeline {
         val routed = cfg.loopbackChannel match {
           case Some(ch) =>
             val marked = Filters.injectLoopbackMarks(Filters.dropMarkedTxns(b, ch), ch)
-            marked.write.mode("append").parquet(s"$stateRoot/outbinlog")
+            // idempotent per batch id: a replayed/retried batch OVERWRITES
+            // its own batch=<id> partition instead of appending a duplicate
+            // set of marked txns for a counterpart drainer to re-apply (the
+            // state apply below is replay-guarded by the sink's batch-id
+            // check; the outbinlog ship must be guarded the same way)
+            marked.write.mode("overwrite").parquet(s"$stateRoot/outbinlog/batch=$id")
             marked
           case None => b
         }

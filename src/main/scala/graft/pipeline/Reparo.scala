@@ -20,16 +20,16 @@ object Reparo {
     * files range-filtered to [startTs, stopTs], apply to a SQL database;
     * read.go:48-110 file selection, syncer/mysql.go apply). File selection
     * prunes to the overlapping files before any byte is read; the apply is
-    * the loader path: merge-by-pk, delete-first, batched statements, safe
-    * mode (reparo always re-applies into a possibly half-recovered target,
-    * so safe mode is the only correct setting). Returns the number of
+    * the loader path: merge-by-pk, delete-first, batched REPLACE statements
+    * — idempotent into a possibly half-recovered target, which is the
+    * property reparo's safe mode exists to guarantee. Returns the number of
     * change rows replayed. */
   def replay(spark: SparkSession, pbDir: String, startTs: Long, stopTs: Long,
       url: String): Long = {
     val changes = PbBinlogFile.read(spark, pbDir, startTs, stopTs)
       .select("pk", "commit_ts", "op", "value")
       .localCheckpoint(true) // counted and applied; decode once
-    val sink = new JdbcUpsertSink(url, safeMode = true)
+    val sink = new JdbcUpsertSink(url)
     sink.applyBatch(changes, batchId = sink.lastCommitted + 1)
     changes.count()
   }

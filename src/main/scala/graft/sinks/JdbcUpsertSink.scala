@@ -22,17 +22,23 @@ import org.apache.spark.sql.functions._
   *    disjoint key ranges (ref: executor.go:38 `defaultBatchSize = 128`,
   *    load.go:529-575 hash dispatch; here: repartition by pk-hash +
   *    `foreachPartition`, each partition holding its own connection);
-  *  - **REPLACE semantics** for non-delete DMLs (ref: executor.go:206-244
-  *    `bulkReplace`). Derby has no REPLACE INTO; the rewrite is the same
-  *    one the reference itself uses for safe-mode updates — DELETE of the
-  *    key then multi-VALUES INSERT inside one transaction
-  *    (executor.go:407-443 `singleExec` safe mode);
-  *  - **safe mode**: when on, *every* upsert goes through delete+insert and
-  *    whole-batch replay is idempotent; when off, merged inserts use plain
-  *    INSERT — faster, but a replayed batch hits a duplicate-key error,
-  *    exactly the failure the reference's post-restart safe-mode window
-  *    exists to absorb (drainer enables safe mode for the first minutes
-  *    after a restart);
+  *  - **REPLACE semantics** for non-delete DMLs, ALWAYS, in the batched
+  *    path (ref: executor.go:206-244 `bulkReplace` — the batched executor
+  *    unconditionally REPLACEs, which is what makes the merge rule
+  *    "delete + insert → insert" safe: merge.go:30 drops the earlier
+  *    delete because REPLACE removes the pre-existing row anyway). Derby
+  *    has no REPLACE INTO; the rewrite is the same one the reference
+  *    itself uses — DELETE of the key then multi-VALUES INSERT inside one
+  *    transaction (executor.go:407-443). Whole-batch replay is therefore
+  *    idempotent by construction;
+  *  - **singleExec mode** (`singleExec = true`): the reference's
+  *    non-batched, non-safe statement path (executor.go:407-443 with safe
+  *    mode off) — merged inserts run as plain INSERT, so a replayed batch,
+  *    or a merged delete+insert on a pre-existing key, hits the engine's
+  *    real duplicate-key error. That is exactly the failure the
+  *    reference's post-restart safe-mode window exists to absorb; the
+  *    mode exists here to prove that behavior against a real engine, not
+  *    as a default anyone should run;
   *  - **checkpoint table in the target database** with the reference's
   *    savepoint fields — commitTS, schema version, consistent flag, ts-map
   *    pair — saved after each batch, loaded on restart, replayed batch ids
@@ -48,7 +54,7 @@ object JdbcUpsertSink {
 
   /** Oracle-checked K1 query: apply the first 20% (by commit ts) of the
     * change stream through the REAL loader path — merge-by-pk, delete-first
-    * ordering, 128-row batched statements, safe mode — into a fresh
+    * ordering, 128-row batched REPLACE statements — into a fresh
     * embedded Derby database, then read the table back over JDBC. The
     * result must hash-match DuckDB computing the same compacted state from
     * parquet, which pins the loader's semantics (and the SQL engine round
@@ -62,13 +68,14 @@ object JdbcUpsertSink {
       System.setProperty("derby.system.home", home) // keep derby.log out of cwd
     }
     // per-invocation scratch dir: concurrent query constructions (parallel
-    // test suites, bench reps) must never contend on one database
-    val root = java.nio.file.Files.createTempDirectory("graft_k1_state").toString
+    // test suites, bench reps) must never contend on one database; the
+    // registry's shutdown hook closes the engine and deletes the trees
+    val root = graft.util.Scratch.dir("graft_k1_state")
     val changes = graft.ops.Cdc.changes(spark, dir)
     val maxTs = changes.agg(max("commit_ts")).head.getLong(0)
     val slice = changes.filter(col("commit_ts") <= maxTs * 2 / 10)
       .select("pk", "commit_ts", "op", "value")
-    val sink = new JdbcUpsertSink(s"jdbc:derby:$root/db;create=true", safeMode = true)
+    val sink = new JdbcUpsertSink(s"jdbc:derby:$root/db;create=true")
     sink.applyBatch(slice, batchId = 0L)
     sink.currentState(spark)
   }
@@ -84,7 +91,7 @@ object JdbcUpsertSink {
 }
 
 class JdbcUpsertSink(url: String, stateTable: String = "GRAFT_STATE",
-    batchSize: Int = 128, safeMode: Boolean = false, clusterId: Long = 1L,
+    batchSize: Int = 128, singleExec: Boolean = false, clusterId: Long = 1L,
     // ref: executor.go:39 defaultWorkerCount = 16 parallel connections
     applyPartitions: Int = 16) extends Serializable {
 
@@ -259,7 +266,7 @@ class JdbcUpsertSink(url: String, stateTable: String = "GRAFT_STATE",
       .localCheckpoint(true) // applied twice (delete pass, upsert pass)
 
     // capture locals, not `this`-bound config lookups, inside the closures
-    val (u, tbl, bs, safe) = (url, stateTable, batchSize, safeMode)
+    val (u, tbl, bs, single) = (url, stateTable, batchSize, singleExec)
 
     // pass 1: ALL deletes, whole batch, before any insert/update
     merged.filter(col("op") === "D").foreachPartition {
@@ -281,9 +288,12 @@ class JdbcUpsertSink(url: String, stateTable: String = "GRAFT_STATE",
         }
     }
 
-    // pass 2: inserts and updates as 128-row multi-VALUES statements.
-    // Updates always REPLACE (delete+insert txn); inserts REPLACE only in
-    // safe mode, else plain INSERT (the reference's non-safe insert).
+    // pass 2: inserts and updates as 128-row multi-VALUES statements, all
+    // with REPLACE semantics (delete+insert txn) — the batched executor
+    // REPLACEs unconditionally (executor.go:206-244 bulkReplace), which is
+    // what makes the merge rule "delete + insert -> insert" safe on a
+    // pre-existing key. singleExec mode applies merged inserts as plain
+    // INSERT instead (the reference's non-batched non-safe statement path).
     merged.filter(col("op") =!= "D").foreachPartition {
       rows: Iterator[org.apache.spark.sql.Row] =>
         val c = DriverManager.getConnection(u)
@@ -291,7 +301,7 @@ class JdbcUpsertSink(url: String, stateTable: String = "GRAFT_STATE",
           c.setAutoCommit(false)
           rows.grouped(bs).foreach { chunk =>
             val needsDelete =
-              if (safe) chunk else chunk.filter(_.getAs[String]("op") != "I")
+              if (single) chunk.filter(_.getAs[String]("op") != "I") else chunk
             if (needsDelete.nonEmpty) {
               val del = c.prepareStatement(s"DELETE FROM $tbl WHERE pk = ?")
               needsDelete.foreach { r =>

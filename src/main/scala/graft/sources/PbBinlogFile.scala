@@ -23,8 +23,16 @@ import org.apache.spark.sql.functions._
   * {{{
   *   1: commit_ts varint   2: pk varint      3: op string
   *   4: event_type string  5: ts_us varint   6: value fixed64(double)
-  *   7: props string (omitted when null, like proto3 absent fields)
+  *   7: props string       8: dec38 string   9: udec varint(uint64)
+  *  10: bits fixed64      11: enum_ord varint
   * }}}
+  * Fields 6-11 are omitted when absent, like proto3 absent fields; fields
+  * 8-11 carry the M9 type domain end-to-end (ref:
+  * drainer/translator/pb.go:242-296 encodes the full datum domain into the
+  * pb cells — decimal as text, unsigned as uint64, bit as a 64-bit image,
+  * enum as its ordinal; tests/dailytest/case.go:97-146 round-trips exactly
+  * these). The uint64 rides as a varint of its RAW BITS and is restored
+  * with unsigned formatting, so values above Long.MaxValue survive.
   * CRC is Castagnoli (ref: binlogger.go:43 `crc32.MakeTable(crc32.Castagnoli)`
   * = `java.util.zip.CRC32C`); a mismatch fails the read like the reference's
   * ErrCRCMismatch rather than silently passing corrupt rows downstream.
@@ -46,8 +54,15 @@ object PbBinlogFile {
 
   val Magic: Int = 471532804 // ref: binlogfile/encoder.go:24
 
+  /** `value` is optional because the envelope admits NULL values (the JDBC
+    * loader binds them null-safely); a primitive field would crash the
+    * encoder on the first NULL row, and field 6 needs an absent encoding
+    * exactly like props. The typed fields default to absent so 7-column
+    * envelopes encode unchanged. */
   case class PbChange(commit_ts: Long, pk: Long, op: String, event_type: String,
-      ts_us: Long, value: Double, props: String)
+      ts_us: Long, value: Option[Double], props: String,
+      dec38: String = null, udec: String = null,
+      bits: Option[Long] = None, enum_ord: Option[Int] = None)
 
   // ---- protobuf wire primitives ----
 
@@ -82,30 +97,49 @@ object PbBinlogFile {
 
   // ---- payload encode/decode ----
 
+  /** uint64 decimal text → raw 64 bits (BigInteger.longValue wraps mod
+    * 2^64, which IS the unsigned reinterpretation). */
+  private def unsignedBits(s: String): Long = new java.math.BigInteger(s).longValue()
+
   private[sources] def encodePayload(c: PbChange): Array[Byte] = {
     val opB = c.op.getBytes("UTF-8"); val etB = c.event_type.getBytes("UTF-8")
     val prB = if (c.props == null) null else c.props.getBytes("UTF-8")
+    val dcB = if (c.dec38 == null) null else c.dec38.getBytes("UTF-8")
+    val udBits = if (c.udec == null) 0L else unsignedBits(c.udec)
     var size = 1 + varintLen(c.commit_ts) + 1 + varintLen(c.pk) +
       1 + varintLen(opB.length.toLong) + opB.length +
       1 + varintLen(etB.length.toLong) + etB.length +
-      1 + varintLen(c.ts_us) + 1 + 8
+      1 + varintLen(c.ts_us)
+    if (c.value.isDefined) size += 1 + 8
     if (prB != null) size += 1 + varintLen(prB.length.toLong) + prB.length
+    if (dcB != null) size += 1 + varintLen(dcB.length.toLong) + dcB.length
+    if (c.udec != null) size += 1 + varintLen(udBits)
+    if (c.bits.isDefined) size += 1 + 8
+    c.enum_ord.foreach(e => size += 1 + varintLen(e.toLong))
     val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
     putVarint(b, (1 << 3) | 0); putVarint(b, c.commit_ts)
     putVarint(b, (2 << 3) | 0); putVarint(b, c.pk)
     putStr(b, 3, c.op); putStr(b, 4, c.event_type)
     putVarint(b, (5 << 3) | 0); putVarint(b, c.ts_us)
-    putVarint(b, (6 << 3) | 1); b.putDouble(c.value)
+    c.value.foreach { v => putVarint(b, (6 << 3) | 1); b.putDouble(v) }
     if (prB != null) {
       putVarint(b, (7 << 3) | 2); putVarint(b, prB.length.toLong); b.put(prB)
     }
+    if (dcB != null) {
+      putVarint(b, (8 << 3) | 2); putVarint(b, dcB.length.toLong); b.put(dcB)
+    }
+    if (c.udec != null) { putVarint(b, (9 << 3) | 0); putVarint(b, udBits) }
+    c.bits.foreach { v => putVarint(b, (10 << 3) | 1); b.putLong(v) }
+    c.enum_ord.foreach { e => putVarint(b, (11 << 3) | 0); putVarint(b, e.toLong) }
     b.array()
   }
 
   private[sources] def decodePayload(payload: Array[Byte]): PbChange = {
     val b = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
     var commitTs = 0L; var pk = 0L; var op = ""; var et = ""
-    var tsUs = 0L; var value = 0.0; var props: String = null
+    var tsUs = 0L; var value: Option[Double] = None; var props: String = null
+    var dec38: String = null; var udec: String = null
+    var bits: Option[Long] = None; var enumOrd: Option[Int] = None
     while (b.hasRemaining) {
       val tag = getVarint(b)
       val field = (tag >> 3).toInt
@@ -114,23 +148,30 @@ object PbBinlogFile {
           val v = getVarint(b)
           field match {
             case 1 => commitTs = v; case 2 => pk = v; case 5 => tsUs = v
+            case 9 => udec = java.lang.Long.toUnsignedString(v)
+            case 11 => enumOrd = Some(v.toInt)
             case _ => () // unknown varint field: skip (proto forward-compat)
           }
         case 1 =>
-          val v = b.getDouble
-          if (field == 6) value = v
+          val v = b.getLong
+          field match {
+            case 6 => value = Some(java.lang.Double.longBitsToDouble(v))
+            case 10 => bits = Some(v)
+            case _ => ()
+          }
         case 2 =>
           val len = getVarint(b).toInt
           val bytes = new Array[Byte](len); b.get(bytes)
           val s = new String(bytes, "UTF-8")
           field match {
             case 3 => op = s; case 4 => et = s; case 7 => props = s
+            case 8 => dec38 = s
             case _ => ()
           }
         case wt => throw new IllegalArgumentException(s"unsupported wire type $wt")
       }
     }
-    PbChange(commitTs, pk, op, et, tsUs, value, props)
+    PbChange(commitTs, pk, op, et, tsUs, value, props, dec38, udec, bits, enumOrd)
   }
 
   // ---- framing ----
@@ -178,36 +219,61 @@ object PbBinlogFile {
     * ts, so ts-range file pruning sees every segment independently. `dir`
     * must be a shared filesystem path (local here; HDFS/object-store mount
     * on a cluster). */
+  /** Optional envelope columns (typed M9 domain + nullable value): absent
+    * columns are added as typed NULLs so a 7-column envelope writes
+    * unchanged while an enriched one carries its extra fields. */
+  private val optionalCols =
+    Seq("dec38" -> "string", "udec" -> "string", "bits" -> "bigint",
+      "enum_ord" -> "int")
+
   def write(changes: DataFrame, dir: String, nFiles: Int = 4,
       maxBytesPerFile: Long = 512L * 1024 * 1024): Unit = {
     Files.createDirectories(Paths.get(dir))
     import changes.sparkSession.implicits._
-    val ds = changes.select(
-        col("commit_ts"), col("pk"), col("op"), col("event_type"),
-        unix_micros(col("ts")).as("ts_us"), col("value"), col("props"))
+    val normalized = optionalCols.foldLeft(changes) { case (df, (n, t)) =>
+      if (df.columns.contains(n)) df else df.withColumn(n, lit(null).cast(t))
+    }
+    val ds = normalized.select(
+        (Seq(col("commit_ts"), col("pk"), col("op"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value"), col("props")) ++
+          optionalCols.map(c => col(c._1))): _*)
       .as[PbChange]
       .repartitionByRange(nFiles, col("commit_ts"))
       .sortWithinPartitions("commit_ts")
     ds.foreachPartition { rows: Iterator[PbChange] =>
       val pid = TaskContext.getPartitionId()
       var out: BufferedOutputStream = null
+      var finalPath: java.nio.file.Path = null
+      var tmpPath: java.nio.file.Path = null
       var written = 0L
       var seg = 0
+      // segments become visible ATOMICALLY on close: a crashed/retried or
+      // speculative task leaves only a dot-prefixed .inprogress temp (which
+      // every reader here and Spark's file sources skip), never a truncated
+      // or mid-write binlog-* file the streaming source could checkpoint as
+      // consumed and silently lose the tail of
+      def closeSegment(): Unit = if (out != null) {
+        out.close(); out = null
+        Files.move(tmpPath, finalPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
       try {
         rows.foreach { c =>
           if (out == null) {
             // segment index rides inside the ordering-neutral first name
             // field; the trailing field stays the segment's first commit ts
             val name = f"binlog-$pid%08d$seg%08d-${c.commit_ts}%020d"
-            out = new BufferedOutputStream(new FileOutputStream(s"$dir/$name"))
+            finalPath = Paths.get(s"$dir/$name")
+            tmpPath = Paths.get(s"$dir/.$name.inprogress")
+            out = new BufferedOutputStream(new FileOutputStream(tmpPath.toFile))
             seg += 1; written = 0L
           }
           val frame = encodeFrame(encodePayload(c))
           out.write(frame)
           written += frame.length
-          if (written >= maxBytesPerFile) { out.close(); out = null }
+          if (written >= maxBytesPerFile) closeSegment()
         }
-      } finally if (out != null) out.close()
+      } finally closeSegment()
     }
   }
 
@@ -254,8 +320,9 @@ object PbBinlogFile {
     spark.readStream.format("binaryFile").schema(binarySchema).load(dir)
       .select("content").as[Array[Byte]]
       .flatMap(decodeFrames _)
-      .select(col("commit_ts"), col("pk"), col("op"), col("event_type"),
-        timestamp_micros(col("ts_us")).as("ts"), col("value"), col("props"))
+      .select((Seq(col("commit_ts"), col("pk"), col("op"), col("event_type"),
+        timestamp_micros(col("ts_us")).as("ts"), col("value"), col("props")) ++
+        optionalCols.map(c => col(c._1))): _*)
   }
 
   /** Oracle-checked S6 wire query: encode the change stream into binlog
@@ -267,14 +334,16 @@ object PbBinlogFile {
     * pass over the envelope. */
   def wireScanQuery(spark: SparkSession, dir: String): DataFrame = {
     // per-invocation scratch dir: concurrent query constructions (parallel
-    // test suites, bench reps) must never contend on one directory
-    val out = Files.createTempDirectory("graft_wire_scan").toString
+    // test suites, bench reps) must never contend on one directory; the
+    // registry's shutdown hook deletes the staged trees on JVM exit
+    val out = graft.util.Scratch.dir("graft_wire_scan")
     val changes = graft.ops.Cdc.changes(spark, dir)
     write(changes, out, nFiles = 4)
     // sf-relative [20%, 60%] of the ts domain, so the scan prunes files at
     // every scale factor; the max is a one-row aggregate
     val maxTs = changes.agg(max("commit_ts")).head.getLong(0)
     read(spark, out, startTs = maxTs * 2 / 10, endTs = maxTs * 6 / 10)
+      .select("commit_ts", "pk", "op", "event_type", "ts", "value", "props")
   }
 
   def wireScanSql: String =
@@ -282,6 +351,33 @@ object PbBinlogFile {
        |SELECT commit_ts, pk, op, event_type, ts, value, props FROM c
        |WHERE commit_ts BETWEEN (SELECT max(commit_ts) * 2 // 10 FROM c)
        |                    AND (SELECT max(commit_ts) * 6 // 10 FROM c)""".stripMargin
+
+  /** Oracle-checked typed wire round-trip: enrich the change stream with
+    * the full M9 type domain — DECIMAL(38,19) text, uint64-as-DECIMAL(20,0),
+    * BIT(64) image, enum ordinal — push it through encode → binlog files →
+    * decode, and emit the typed columns plus a tz-shifted formatting of the
+    * carried timestamp. Hash-matching DuckDB (which computes the same
+    * derivations straight from parquet) proves the codec carries every
+    * domain bit-exactly: the uint64 survives as a raw-bits varint above
+    * Long.MaxValue, the decimal text round-trips unchanged, the instant
+    * survives to tz-sensitive formatting (ref:
+    * drainer/translator/pb.go:242-296; tests/dailytest/case.go:97-146). */
+  def typedRoundtripQuery(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.util.Scratch.dir("graft_wire_typed")
+    val typed = graft.ops.TypeDomain.typedEnvelope(graft.ops.Cdc.changes(spark, dir))
+    write(typed, out, nFiles = 4)
+    read(spark, out)
+      .select(col("commit_ts"), col("pk"), col("value"),
+        col("dec38"), col("udec"), col("bits"),
+        col("enum_ord").cast("long").as("enum_ord"),
+        date_format(col("ts") + expr("INTERVAL 8 HOURS"), "yyyy-MM-dd HH:mm:ss")
+          .as("ts_p8_str"))
+  }
+
+  def typedRoundtripSql: String =
+    s"""SELECT commit_ts, pk, value, dec38, udec, bits, enum_ord,
+       |  strftime(CAST(ts AS TIMESTAMP) + INTERVAL 8 HOUR, '%Y-%m-%d %H:%M:%S') AS ts_p8_str
+       |FROM (${graft.ops.TypeDomain.typedEnvelopeCte}) t""".stripMargin
 
   /** Read the change envelope back from a pb binlog directory, range
     * `[startTs, endTs]` (endTs 0 = open). File selection prunes before any
@@ -304,7 +400,8 @@ object PbBinlogFile {
     val ranged = decoded
       .filter(col("commit_ts") >= startTs &&
         (lit(endTs) === 0L || col("commit_ts") <= endTs))
-    ranged.select(col("commit_ts"), col("pk"), col("op"), col("event_type"),
-      timestamp_micros(col("ts_us")).as("ts"), col("value"), col("props"))
+    ranged.select((Seq(col("commit_ts"), col("pk"), col("op"), col("event_type"),
+      timestamp_micros(col("ts_us")).as("ts"), col("value"), col("props")) ++
+      optionalCols.map(c => col(c._1))): _*)
   }
 }

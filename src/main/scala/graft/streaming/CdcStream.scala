@@ -137,11 +137,11 @@ object CdcStream {
 
   /** K1 streaming path: the same per-batch merge-by-PK apply, but into a
     * real SQL database through [[graft.sinks.JdbcUpsertSink]] (embedded
-    * Derby locally; any JDBC URL on a cluster). Safe mode covers the
-    * post-restart replay window exactly as the reference drainer does. */
-  def applyToJdbc(changes: DataFrame, url: String, checkpoint: String,
-      safeMode: Boolean = true): StreamingQuery = {
-    val sink = new graft.sinks.JdbcUpsertSink(url, safeMode = safeMode)
+    * Derby locally; any JDBC URL on a cluster). The batched apply always
+    * REPLACEs, so the post-restart replay window the reference covers with
+    * safe mode is idempotent by construction here. */
+  def applyToJdbc(changes: DataFrame, url: String, checkpoint: String): StreamingQuery = {
+    val sink = new graft.sinks.JdbcUpsertSink(url)
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -350,7 +350,7 @@ class StreamingSpec extends SparkSpec {
     import graft.sinks.JdbcUpsertSink
     import spark.implicits._
     val url = freshDerbyUrl("batch")
-    val sink = new JdbcUpsertSink(url, safeMode = true)
+    val sink = new JdbcUpsertSink(url)
     sink.ensureTables()
     val b0 = Seq((1L, 1L, "I", 10.0), (2L, 2L, "I", 20.0), (3L, 3L, "I", 30.0))
       .toDF("pk", "commit_ts", "op", "value")
@@ -377,17 +377,18 @@ class StreamingSpec extends SparkSpec {
     assert(state() == Map(1L -> 11.0, 3L -> 30.0, 4L -> 44.0))
 
     // crash replay: checkpoint lost (fresh cluster id), source replays from
-    // batch 0 — safe-mode re-apply is idempotent end-state
-    // (ref: executor.go:407-443 safe mode INSERT→REPLACE)
-    val recovered = new JdbcUpsertSink(url, safeMode = true, clusterId = 99L)
+    // batch 0 — the batched REPLACE apply is idempotent end-state
+    // (ref: executor.go:206-244 bulkReplace)
+    val recovered = new JdbcUpsertSink(url, clusterId = 99L)
     assert(recovered.applyBatch(b0, 0L))
     assert(recovered.applyBatch(b1, 1L))
     assert(state() == Map(1L -> 11.0, 3L -> 30.0, 4L -> 44.0))
 
-    // without safe mode, replaying an insert batch hits the real engine's
-    // duplicate-key error — the exact failure the reference's post-restart
-    // safe-mode window exists to absorb
-    val unsafe = new JdbcUpsertSink(url, safeMode = false, clusterId = 100L)
+    // singleExec mode (the reference's non-batched, non-safe statement
+    // path): replaying an insert batch hits the real engine's duplicate-key
+    // error — the exact failure the reference's post-restart safe-mode
+    // window exists to absorb, and the batched REPLACE path never produces
+    val unsafe = new JdbcUpsertSink(url, singleExec = true, clusterId = 100L)
     intercept[Exception] { unsafe.applyBatch(b0, 0L) }
   }
 
@@ -395,7 +396,7 @@ class StreamingSpec extends SparkSpec {
     import graft.sinks.JdbcUpsertSink
     import spark.implicits._
     val url = freshDerbyUrl("nulls")
-    val sink = new JdbcUpsertSink(url, safeMode = true)
+    val sink = new JdbcUpsertSink(url)
     sink.ensureTables()
     val b = Seq((1L, 1L, "I", Some(10.0)), (2L, 2L, "I", None))
       .toDF("pk", "commit_ts", "op", "value")
@@ -409,7 +410,7 @@ class StreamingSpec extends SparkSpec {
     import graft.sinks.JdbcUpsertSink
     import spark.implicits._
     val url = freshDerbyUrl("ddl")
-    val sink = new JdbcUpsertSink(url, safeMode = true)
+    val sink = new JdbcUpsertSink(url)
     sink.ensureTables()
     val b0 = Seq((1L, 1L, "I", 10.0)).toDF("pk", "commit_ts", "op", "value")
     assert(sink.applyBatch(b0, 0L))
