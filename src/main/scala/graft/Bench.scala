@@ -35,20 +35,22 @@ object Bench {
     // regressions" were exactly this). With a full suite between a query's
     // reps, transient interference can't hit both, so the per-query min is
     // the isolated steady-state cost (within ~2× of a solo TimeQ run).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val queries = SparkEntry.queries.toSeq
-    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val passes = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[Double]]()
     for (_ <- 1 to reps; (name, fn) <- queries) {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9
-        best(name) = best.get(name).fold(sec)(math.min(_, sec))
+        passes.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer()) += sec
       } catch {
         case e: Throwable =>
           errors(name) = e.toString.take(160).replaceAll("[\"\\\\\n\r\t]", " ")
       }
     }
+    val best = passes.map { case (n, ts) => n -> ts.min }
     val results = queries.map { case (name, _) => name -> best.getOrElse(name, 0.0) }
     // The driver captures only the LAST 2000 chars of stdout; a map of all
     // ~90 queries at full double precision overflows it and the JSON line
@@ -64,7 +66,22 @@ object Bench {
     val es = errors.map { case (k, m) => s"\"" + k + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"fast_n":${fast.size},"fast_sum":${ms(fast.map(_._2).sum)},"n_queries":${results.size},"reps":$reps,"agg":"min","errors":$es,"n_errors":${errors.size},"sf":"$sfDir"}""")
+    // per-query max/min spread across the interleaved passes, for the slow
+    // set only and only where it exceeds 1.3x — the round-over-round drive
+    // signal needs to distinguish a real regression (tight spread, higher
+    // min) from suite noise (wide spread); capped at the 15 widest so the
+    // one-line JSON stays inside the driver's 2000-char stdout window
+    val spreads = slow.flatMap { case (k, mn) =>
+      passes.get(k).filter(_.size > 1).map { ts =>
+        k -> (if (mn > 0) ts.max / mn else 1.0)
+      }
+    }.filter(_._2 > 1.3).sortBy(-_._2)
+    val sp = spreads.take(15)
+      .map { case (k, r) =>
+        s"\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", r)
+      }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"fast_n":${fast.size},"fast_sum":${ms(fast.map(_._2).sum)},"n_queries":${results.size},"reps":$reps,"agg":"min","spread_gt13":$sp,"n_spread_gt13":${spreads.size},"errors":$es,"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

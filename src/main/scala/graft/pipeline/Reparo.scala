@@ -33,6 +33,40 @@ object Reparo {
     sink.applyBatch(changes, batchId = sink.lastCommitted + 1)
     changes.count()
   }
+
+  /** Oracle-checked reparo composition, END TO END: encode the change
+    * stream into real wire files, [[replay]] the [40%, 80%] commit-ts
+    * window through file pruning + the JDBC loader into a fresh Derby
+    * database, and read the recovered table back. Hash-matching DuckDB's
+    * compaction over the same window pins the whole binary → prune →
+    * merge → batched-REPLACE → SQL-engine round trip under the driver's
+    * correctness gate, not just ScalaTest (ref: reparo/read.go:48-110 +
+    * reparo/syncer/mysql.go:52-124). */
+  def replayQuery(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (System.getProperty("derby.system.home") == null) {
+      val home = "/tmp/graft_derby_home"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(home))
+      System.setProperty("derby.system.home", home)
+    }
+    val scratch = graft.util.Scratch.dir("graft_reparo_e2e")
+    val changes = graft.ops.Cdc.changes(spark, dir)
+    PbBinlogFile.write(changes, s"$scratch/pb", nFiles = 4)
+    val maxTs = changes.agg(max("commit_ts")).head.getLong(0)
+    val url = s"jdbc:derby:$scratch/db;create=true"
+    replay(spark, s"$scratch/pb", maxTs * 4 / 10, maxTs * 8 / 10, url)
+    new JdbcUpsertSink(url).currentState(spark)
+  }
+
+  def replaySql: String =
+    s"""WITH c AS (${graft.ops.Cdc.changesCte}),
+       |f AS (SELECT * FROM c
+       |      WHERE commit_ts BETWEEN (SELECT max(commit_ts) * 4 // 10 FROM c)
+       |                          AND (SELECT max(commit_ts) * 8 // 10 FROM c)),
+       |r AS (SELECT pk, commit_ts, value, op,
+       |        row_number() OVER (PARTITION BY pk ORDER BY commit_ts DESC) AS rn
+       |      FROM f)
+       |SELECT pk, commit_ts, value FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin
 }
 
 /** Kafka(open-protocol) → SQL applier (ref: arbiter/server.go — consume
@@ -45,6 +79,17 @@ object Reparo {
   * the streaming checkpoint plus the sink's batch-id replay skip. */
 object Arbiter {
 
-  def run(frames: DataFrame, url: String, checkpoint: String): StreamingQuery =
-    CdcStream.applyToJdbc(CdcStream.fromKafkaFrame(frames), url, checkpoint)
+  def run(frames: DataFrame, url: String, checkpoint: String): StreamingQuery = {
+    // restart dedup (ref: arbiter/server.go:293-298): every frame at or
+    // below the checkpointed commit ts was applied before the crash — an
+    // at-least-once transport may re-deliver them in files the streaming
+    // checkpoint has never seen, so the batch-id skip alone cannot catch
+    // them; the ingest filter against the TARGET database's own savepoint
+    // does, exactly like the reference compares against its checkpoint TS
+    val ts0 = new JdbcUpsertSink(url).lastCommitTs
+    CdcStream.applyToJdbc(
+      CdcStream.fromKafkaFrame(frames)
+        .filter(org.apache.spark.sql.functions.col("commit_ts") > ts0),
+      url, checkpoint)
+  }
 }

@@ -1,0 +1,464 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager, SQLException, Types}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Shared JDBC bootstrap + savepoint machinery for the two loader classes
+  * (ref: drainer/checkpoint/mysql.go:34-51,75-84,130-163 — the checkpoint
+  * package owns its own schema and replace-style save; the loaders share
+  * it). */
+private[sinks] object JdbcMeta {
+
+  val CkptTable = "GRAFT_CHECKPOINT"
+  val DdlTable = "GRAFT_DDL_LOG"
+
+  /** Savepoint shape: batchId doubles as the downstream half of the ts-map
+    * pair. */
+  case class Checkpoint(batchId: Long, commitTs: Long, schemaVersion: Long,
+      consistent: Boolean)
+
+  /** CREATE TABLE IF NOT EXISTS is not Derby syntax; swallow the
+    * table-exists SQLState (X0Y32) instead, as every Derby bootstrap does. */
+  def createIfAbsent(c: Connection, ddl: String): Unit = {
+    val st = c.createStatement()
+    try st.execute(ddl)
+    catch { case e: SQLException if e.getSQLState == "X0Y32" => () }
+    finally st.close()
+  }
+
+  def ensureMeta(c: Connection): Unit = {
+    createIfAbsent(c,
+      s"""CREATE TABLE $CkptTable (cluster_id BIGINT PRIMARY KEY,
+         | batch_id BIGINT, commit_ts BIGINT, schema_version BIGINT,
+         | consistent SMALLINT, primary_ts BIGINT, secondary_ts BIGINT)""".stripMargin)
+    createIfAbsent(c,
+      s"CREATE TABLE $DdlTable (batch_id BIGINT, commit_ts BIGINT, stmt VARCHAR(512))")
+  }
+
+  def load(c: Connection, clusterId: Long): Checkpoint =
+    try {
+      val st = c.prepareStatement(
+        s"SELECT batch_id, commit_ts, schema_version, consistent FROM $CkptTable WHERE cluster_id = ?")
+      st.setLong(1, clusterId)
+      val rs = st.executeQuery()
+      val out = if (rs.next())
+        Checkpoint(rs.getLong(1), rs.getLong(2), rs.getLong(3), rs.getShort(4) != 0)
+      else Checkpoint(-1L, -1L, -1L, consistent = true)
+      rs.close(); st.close(); out
+    } catch {
+      // fresh database, checkpoint table not bootstrapped yet (42X05)
+      case e: SQLException if e.getSQLState == "42X05" =>
+        Checkpoint(-1L, -1L, -1L, consistent = true)
+    }
+
+  /** Save = REPLACE of the one checkpoint row (ref: mysql.go:130-163 builds
+    * a replace statement); Derby rewrite: delete+insert in one txn. */
+  def save(c: Connection, clusterId: Long, ck: Checkpoint): Unit = {
+    c.setAutoCommit(false)
+    val del = c.prepareStatement(s"DELETE FROM $CkptTable WHERE cluster_id = ?")
+    del.setLong(1, clusterId); del.executeUpdate(); del.close()
+    val ins = c.prepareStatement(s"INSERT INTO $CkptTable VALUES (?, ?, ?, ?, ?, ?, ?)")
+    ins.setLong(1, clusterId); ins.setLong(2, ck.batchId)
+    ins.setLong(3, ck.commitTs); ins.setLong(4, ck.schemaVersion)
+    ins.setShort(5, if (ck.consistent) 1 else 0)
+    // ts-map parity: (primary commitTs ↔ secondary batch id)
+    ins.setLong(6, ck.commitTs); ins.setLong(7, ck.batchId)
+    ins.executeUpdate(); ins.close()
+    c.commit()
+  }
+
+  def logDdl(c: Connection, batchId: Long, commitTs: Long, stmt: String): Unit = {
+    val log = c.prepareStatement(s"INSERT INTO $DdlTable VALUES (?, ?, ?)")
+    log.setLong(1, batchId); log.setLong(2, commitTs)
+    log.setString(3, stmt.take(512))
+    log.executeUpdate(); log.close()
+  }
+}
+
+/** K1 at the reference loader's REAL shape: schema-driven, multi-table
+  * apply. [[JdbcUpsertSink]] is the fixed-schema single-state-table twin;
+  * this class applies one micro-batch spanning arbitrarily many
+  * differently-shaped tables:
+  *
+  *  - **DMLs group per (schema, table)** before anything touches the
+  *    database (ref: pkg/loader/load.go:706-724 groups the txn stream per
+  *    table) — here each table's slice is a routed filter of the one
+  *    micro-batch DataFrame, pruned by Catalyst, no extra pass;
+  *  - **per-table column lists come from the live catalog**, not from
+  *    hard-coded SQL (ref: pkg/loader/executor.go:210 buildColumnList;
+  *    util.go:68-123 getTableInfo reads information_schema) — the S8
+  *    catalog read, performed against the target engine's own metadata and
+  *    refreshed after every DDL barrier exactly like the reference evicts
+  *    its table-info cache on DDL;
+  *  - **unique-key WHERE is built from the table's real key structure**,
+  *    with NULL-SAFE comparisons — `(c = ? OR (c IS NULL AND CAST(? AS t)
+  *    IS NULL))` per key column — so a NULL in a unique key matches the
+  *    stored NULL row instead of silently deleting nothing (ref:
+  *    pkg/loader/model.go:303-322 whereSlice, 253-257 NULL handling);
+  *    tables with no key at all fall back to all-columns matching, as the
+  *    reference does;
+  *  - merge-by-unique-key, delete-first ordering, multi-VALUES batches and
+  *    REPLACE semantics are the same algebra as [[JdbcUpsertSink]], but
+  *    keyed on the table's (possibly composite) unique key;
+  *  - **type fidelity**: values bind by the column's catalog type —
+  *    BIGINT/DOUBLE/VARCHAR/DECIMAL(p,s)/INT land typed, the M9 wide
+  *    decimal rides as exact text where the target engine caps DECIMAL
+  *    precision below 38 (Derby caps at 31; the read-back restores
+  *    DECIMAL(38,19), value-exact, the same dialect mapping the reference
+  *    applies per downstream driver).
+  *
+  * Scale shape: per table, one shuffle of that table's slice (the key-hash
+  * repartition) + JDBC round-trips proportional to the slice — O(batch),
+  * never O(table). Tables apply independently; on a cluster each table's
+  * 16 writer partitions hold their own connections.
+  */
+object JdbcSchemaLoader {
+
+  /** Oracle-checked multi-table K1 query: route the first 20% (by commit
+    * ts) of the TYPED change stream into TWO differently-shaped Derby
+    * tables — a narrow (pk, commit_ts, val) table keyed by single PK, and a
+    * wide typed table keyed by a COMPOSITE unique key (k1, k2) carrying the
+    * M9 domains (DECIMAL(38,19) as exact text under Derby's 31-digit cap,
+    * uint64 as DECIMAL(20,0), BIT(64) as BIGINT, enum ordinal as INT) —
+    * through the schema-driven loader, then read both back over JDBC and
+    * union them normalized. Hash-matching DuckDB's per-table compaction
+    * pins per-table grouping, catalog-driven column lists, composite-key
+    * merge and the typed round-trip through a real SQL engine
+    * (ref: pkg/loader/load.go:706-724, executor.go:210, model.go:303-322). */
+  def multiTableQuery(spark: SparkSession, dir: String): DataFrame = {
+    if (System.getProperty("derby.system.home") == null) {
+      val home = "/tmp/graft_derby_home"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(home))
+      System.setProperty("derby.system.home", home) // keep derby.log out of cwd
+    }
+    val root = graft.util.Scratch.dir("graft_k1_multi")
+    val loader = new JdbcSchemaLoader(s"jdbc:derby:$root/db;create=true")
+    loader.createTable(
+      "CREATE TABLE ORDERS_STATE (PK BIGINT PRIMARY KEY, COMMIT_TS BIGINT, VAL DOUBLE)")
+    loader.createTable(
+      """CREATE TABLE TYPED_STATE (K1 BIGINT NOT NULL, K2 VARCHAR(8) NOT NULL,
+        | COMMIT_TS BIGINT, VAL DOUBLE, DEC38 VARCHAR(45), UDEC DECIMAL(20,0),
+        | BITS BIGINT, ENUM_ORD INT,
+        | CONSTRAINT TYPED_UK UNIQUE (K1, K2))""".stripMargin)
+    val changes = graft.ops.TypeDomain.typedEnvelope(
+      graft.ops.Cdc.changes(spark, dir))
+    val maxTs = changes.agg(max("commit_ts")).head.getLong(0)
+    val slice = changes.filter(col("commit_ts") <= maxTs * 2 / 10)
+    val orders = slice.filter(col("pk") % 2 === 0)
+      .select(col("pk"), col("commit_ts"), col("op"), col("value").as("val"))
+    val typed = slice.filter(col("pk") % 2 === 1).select(
+      col("pk").as("k1"), (col("commit_ts") % 5).cast("string").as("k2"),
+      col("commit_ts"), col("op"), col("value").as("val"),
+      col("dec38"), col("udec").cast("decimal(20,0)").as("udec"),
+      col("bits"), col("enum_ord"))
+    loader.applyBatch(Map("ORDERS_STATE" -> orders, "TYPED_STATE" -> typed), 0L)
+    val o = loader.readTable(spark, "ORDERS_STATE", Some("PK"))
+      .select(lit("orders").as("tbl"), col("PK").as("k1"),
+        lit(null).cast("string").as("k2"), col("COMMIT_TS").as("commit_ts"),
+        col("VAL").as("val"), lit(null).cast("string").as("dec38"),
+        lit(null).cast("string").as("udec_str"),
+        lit(null).cast("long").as("bits"), lit(null).cast("long").as("enum_ord"))
+    val t = loader.readTable(spark, "TYPED_STATE", Some("K1"))
+      .select(lit("typed").as("tbl"), col("K1").as("k1"), col("K2").as("k2"),
+        col("COMMIT_TS").as("commit_ts"), col("VAL").as("val"),
+        // the dialect stored the wide decimal as exact text; restore the
+        // full DECIMAL(38,19) type on scan, value-exact
+        col("DEC38").cast("decimal(38,19)").cast("string").as("dec38"),
+        col("UDEC").cast("string").as("udec_str"), col("BITS").as("bits"),
+        col("ENUM_ORD").cast("long").as("enum_ord"))
+    o.unionByName(t)
+  }
+
+  def multiTableSql: String =
+    s"""WITH t AS (${graft.ops.TypeDomain.typedEnvelopeCte}),
+       |f AS (SELECT * FROM t
+       |      WHERE commit_ts <= (SELECT max(commit_ts) * 2 // 10 FROM t)),
+       |o AS (SELECT pk, commit_ts, value, op,
+       |        row_number() OVER (PARTITION BY pk ORDER BY commit_ts DESC) AS rn
+       |      FROM f WHERE pk % 2 = 0),
+       |ty AS (SELECT pk AS k1, CAST(commit_ts % 5 AS VARCHAR) AS k2,
+       |         commit_ts, value, op, dec38, udec, bits, enum_ord,
+       |         row_number() OVER (PARTITION BY pk, commit_ts % 5
+       |           ORDER BY commit_ts DESC) AS rn
+       |       FROM f WHERE pk % 2 = 1)
+       |SELECT 'orders' AS tbl, pk AS k1, CAST(NULL AS VARCHAR) AS k2,
+       |  commit_ts, value AS val, CAST(NULL AS VARCHAR) AS dec38,
+       |  CAST(NULL AS VARCHAR) AS udec_str, CAST(NULL AS BIGINT) AS bits,
+       |  CAST(NULL AS BIGINT) AS enum_ord
+       |FROM o WHERE rn = 1 AND op <> 'D'
+       |UNION ALL
+       |SELECT 'typed', k1, k2, commit_ts, value, dec38, udec,
+       |  bits, CAST(enum_ord AS BIGINT)
+       |FROM ty WHERE rn = 1 AND op <> 'D'""".stripMargin
+}
+
+class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
+    applyPartitions: Int = 16) extends Serializable {
+
+  import JdbcMeta.Checkpoint
+
+  private def withConn[A](f: Connection => A): A = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally {
+      try c.rollback() catch { case _: SQLException => () }
+      c.close()
+    }
+  }
+
+  def createTable(ddl: String): Unit =
+    withConn(c => JdbcMeta.createIfAbsent(c, ddl))
+
+  def lastCheckpoint: Checkpoint = withConn(JdbcMeta.load(_, clusterId))
+  def lastCommitted: Long = lastCheckpoint.batchId
+
+  private case class ColMeta(name: String, sqlType: Int, nullable: Boolean)
+
+  /** (columns in ordinal order with their JDBC types + nullability,
+    * unique-key columns): the catalog read (S8) against the live engine.
+    * Key preference: primary key, else the first unique index, else every
+    * column (ref: util.go:96-104 hoists PRIMARY first). */
+  private def tableMeta(table: String): (Seq[ColMeta], Seq[String]) =
+    withConn { c =>
+      val md = c.getMetaData
+      val up = table.toUpperCase
+      val cols = scala.collection.mutable.ArrayBuffer[ColMeta]()
+      val rs = md.getColumns(null, null, up, null)
+      while (rs.next()) cols += ColMeta(rs.getString("COLUMN_NAME"),
+        rs.getInt("DATA_TYPE"),
+        rs.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls)
+      rs.close()
+      require(cols.nonEmpty, s"table $table not found in catalog")
+      val pk = scala.collection.mutable.ArrayBuffer[(Short, String)]()
+      val prs = md.getPrimaryKeys(null, null, up)
+      while (prs.next()) pk += ((prs.getShort("KEY_SEQ"), prs.getString("COLUMN_NAME")))
+      prs.close()
+      val key: Seq[String] =
+        if (pk.nonEmpty) pk.sortBy(_._1).map(_._2).toSeq
+        else {
+          // first unique index, columns in position order
+          val idx = scala.collection.mutable.ArrayBuffer[(String, Short, String)]()
+          val irs = md.getIndexInfo(null, null, up, true, false)
+          while (irs.next()) {
+            val name = irs.getString("INDEX_NAME")
+            if (name != null)
+              idx += ((name, irs.getShort("ORDINAL_POSITION"), irs.getString("COLUMN_NAME")))
+          }
+          irs.close()
+          idx.groupBy(_._1).toSeq.sortBy(_._1).headOption
+            .map(_._2.sortBy(_._2).map(_._3).toSeq)
+            .getOrElse(cols.map(_.name).toSeq)
+        }
+      (cols.toSeq, key)
+    }
+
+  /** Unique-key WHERE: NOT NULL key columns get plain `c = ?` — point
+    * predicates the engine serves by an index probe, locking one row. Only
+    * genuinely NULLABLE key columns get the NULL-safe form `(c = ? OR (c
+    * IS NULL AND CAST(? AS t) IS NULL))` (the CAST types the bare
+    * parameter for engines like Derby that reject untyped `? IS NULL`).
+    * The reference builds exactly this split: whereSlice emits `= ?`
+    * normally and `IS NULL` for nil values (model.go:303-322, 253-257).
+    * An unconditional OR-form would defeat the unique index and turn each
+    * batched delete into a locking table scan — measured as Derby
+    * deadlocks across writer partitions. */
+  private def keyPredicate(keyCols: Seq[String], meta: Map[String, ColMeta]): String =
+    keyCols.map { k =>
+      val m = meta(k)
+      if (!m.nullable) s"$k = ?"
+      else {
+        val t = m.sqlType match {
+          case Types.BIGINT => "BIGINT"
+          case Types.INTEGER => "INT"
+          case Types.DOUBLE | Types.FLOAT => "DOUBLE"
+          case Types.DECIMAL | Types.NUMERIC => "DECIMAL(31,0)"
+          case _ => "VARCHAR(32672)"
+        }
+        s"($k = ? OR ($k IS NULL AND CAST(? AS $t) IS NULL))"
+      }
+    }.mkString(" AND ")
+
+  private def bindKey(ps: java.sql.PreparedStatement, base: Int,
+      r: org.apache.spark.sql.Row, keyCols: Seq[String],
+      meta: Map[String, ColMeta], frameIdx: Map[String, Int]): Int = {
+    var i = base
+    keyCols.foreach { k =>
+      val m = meta(k)
+      val v = r.get(frameIdx(k))
+      val slots = if (m.nullable) 2 else 1
+      (0 until slots).foreach { s =>
+        if (v == null) ps.setNull(i + s, m.sqlType) else ps.setObject(i + s, v)
+      }
+      i += slots
+    }
+    i
+  }
+
+  /** Apply one micro-batch that spans many tables. `slices` maps table name
+    * → that table's change frame: (commit_ts, op, <the table's columns>),
+    * op ∈ I/U/D/DDL, DDL rows carrying the statement in `ddl_sql`. DDL
+    * commit timestamps are GLOBAL barriers: every table's pending DML
+    * before the barrier applies first, the DDL executes alone, and
+    * column lists are re-read from the catalog afterwards (ref:
+    * pkg/loader/load.go:845-866). Returns false on a replayed batch id. */
+  def applyBatch(slices: Map[String, DataFrame], batchId: Long,
+      schemaVersion: Long = -1L): Boolean = {
+    withConn(JdbcMeta.ensureMeta)
+    val prev = lastCheckpoint
+    if (batchId <= prev.batchId) return false
+
+    // global DDL barriers, gathered across every table's slice
+    val ddls = slices.values.toSeq.flatMap { df =>
+      if (!df.columns.contains("op")) Nil
+      else {
+        val hasSql = df.columns.contains("ddl_sql")
+        df.filter(col("op") === "DDL")
+          .select(col("commit_ts"),
+            (if (hasSql) col("ddl_sql") else lit(null).cast("string")).as("ddl_sql"))
+          .collect()
+          .map(r => (r.getAs[Long]("commit_ts"), Option(r.getAs[String]("ddl_sql"))))
+      }
+    }.sortBy(_._1)
+    val barriers = ddls :+ ((Long.MaxValue, None: Option[String]))
+
+    var lower = Long.MinValue
+    var maxTs = prev.commitTs
+    barriers.foreach { case (upper, stmt) =>
+      slices.foreach { case (table, df) =>
+        val slice = df.filter(col("op") =!= "DDL" &&
+          col("commit_ts") > lower && col("commit_ts") <= upper)
+        applyTable(slice, table)
+      }
+      if (upper != Long.MaxValue) withConn { c =>
+        stmt.foreach { sql =>
+          val st = c.createStatement()
+          try st.execute(sql) finally st.close()
+        }
+        JdbcMeta.logDdl(c, batchId, upper, stmt.getOrElse(s"ddl@$upper"))
+      }
+      lower = upper
+    }
+    slices.values.foreach { df =>
+      val m = df.agg(max("commit_ts")).collect()(0)
+      if (!m.isNullAt(0)) maxTs = math.max(maxTs, m.getLong(0))
+    }
+    withConn(JdbcMeta.save(_, clusterId,
+      Checkpoint(batchId, maxTs, math.max(schemaVersion, prev.schemaVersion),
+        consistent = true)))
+    true
+  }
+
+  /** One table's slice through merge → delete pass → REPLACE pass, keyed
+    * on the table's own unique key, binding the table's own column list. */
+  private def applyTable(slice: DataFrame, table: String): Unit = {
+    if (slice.isEmpty) return
+    val (cols, keyCols) = tableMeta(table)
+    val meta = cols.map(m => m.name -> m).toMap
+    val frameCols = slice.columns.map(n => n.toUpperCase -> n).toMap
+    // writable columns = catalog columns present in the frame (a frame may
+    // omit trailing columns a DDL added later; their defaults apply)
+    val insertCols = cols.map(_.name).filter(frameCols.contains)
+    require(keyCols.forall(frameCols.contains),
+      s"frame for $table lacks key columns ${keyCols.mkString(",")}")
+
+    val keyExprs = keyCols.map(k => col(frameCols(k)))
+    val w = Window.partitionBy(keyExprs: _*).orderBy(col("commit_ts").desc)
+    val merged = slice
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .repartition(applyPartitions, keyExprs: _*)
+      .localCheckpoint(true) // applied twice (delete pass, upsert pass)
+
+    val (u, bs, tbl) = (url, batchSize, table)
+    val pred = keyPredicate(keyCols, meta)
+    val frameIdxByUpper = merged.columns.zipWithIndex
+      .map { case (n, i) => n.toUpperCase -> i }.toMap
+
+    // pass 1: ALL deletes, whole slice, before any insert/update
+    merged.filter(col("op") === "D").foreachPartition {
+      rows: Iterator[org.apache.spark.sql.Row] =>
+        val c = DriverManager.getConnection(u)
+        try {
+          c.setAutoCommit(false)
+          val del = c.prepareStatement(s"DELETE FROM $tbl WHERE $pred")
+          rows.grouped(bs).foreach { chunk =>
+            chunk.foreach { r =>
+              bindKey(del, 1, r, keyCols, meta, frameIdxByUpper); del.addBatch()
+            }
+            del.executeBatch()
+            c.commit()
+          }
+          del.close()
+        } finally {
+          // Derby refuses to close with an open (even no-op) transaction
+          try c.rollback() catch { case _: SQLException => () }
+          c.close()
+        }
+    }
+
+    // pass 2: REPLACE for every merged non-delete — batched key-DELETE then
+    // one multi-VALUES INSERT with the explicit catalog column list
+    merged.filter(col("op") =!= "D").foreachPartition {
+      rows: Iterator[org.apache.spark.sql.Row] =>
+        val c = DriverManager.getConnection(u)
+        try {
+          c.setAutoCommit(false)
+          rows.grouped(bs).foreach { chunk =>
+            val del = c.prepareStatement(s"DELETE FROM $tbl WHERE $pred")
+            chunk.foreach { r =>
+              bindKey(del, 1, r, keyCols, meta, frameIdxByUpper); del.addBatch()
+            }
+            del.executeBatch(); del.close()
+            val holders = Seq.fill(chunk.size)(
+              insertCols.map(_ => "?").mkString("(", ", ", ")")).mkString(", ")
+            val ins = c.prepareStatement(
+              s"INSERT INTO $tbl (${insertCols.mkString(", ")}) VALUES $holders")
+            var i = 1
+            chunk.foreach { r =>
+              insertCols.foreach { cn =>
+                val v = r.get(frameIdxByUpper(cn))
+                if (v == null) ins.setNull(i, meta(cn).sqlType) else ins.setObject(i, v)
+                i += 1
+              }
+            }
+            ins.executeUpdate(); ins.close()
+            c.commit() // one txn per chunk, like one executed batch
+          }
+        } finally {
+          try c.rollback() catch { case _: SQLException => () }
+          c.close()
+        }
+    }
+  }
+
+  /** Read a table back through Spark's JDBC source; when `partitionOn`
+    * names a numeric column, the scan strides it across `applyPartitions`
+    * connections like [[JdbcUpsertSink.currentState]]. */
+  def readTable(spark: SparkSession, table: String,
+      partitionOn: Option[String] = None): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    partitionOn.fold(base.load()) { pc =>
+      val bounds = withConn { c =>
+        val st = c.createStatement()
+        val rs = st.executeQuery(s"SELECT min($pc), max($pc) FROM $table")
+        rs.next()
+        val lo = rs.getLong(1); val loNull = rs.wasNull(); val hi = rs.getLong(2)
+        val out = if (loNull) None else Some((lo, hi))
+        rs.close(); st.close(); out
+      }
+      bounds.fold(base.load()) { case (lo, hi) =>
+        base.option("partitionColumn", pc)
+          .option("lowerBound", lo)
+          .option("upperBound", math.max(hi, lo + 1))
+          .option("numPartitions", applyPartitions)
+          .load()
+      }
+    }
+  }
+}

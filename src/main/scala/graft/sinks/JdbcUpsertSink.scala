@@ -95,80 +95,30 @@ class JdbcUpsertSink(url: String, stateTable: String = "GRAFT_STATE",
     // ref: executor.go:39 defaultWorkerCount = 16 parallel connections
     applyPartitions: Int = 16) extends Serializable {
 
-  private val ckptTable = "GRAFT_CHECKPOINT"
-  private val ddlTable = "GRAFT_DDL_LOG"
-
-  /** Same savepoint shape as the parquet sink (and the reference's JSON
-    * checkpoint row): batchId doubles as the downstream half of the ts-map
-    * pair. */
-  case class Checkpoint(batchId: Long, commitTs: Long, schemaVersion: Long,
-      consistent: Boolean)
+  import JdbcMeta.Checkpoint
 
   private def withConn[A](f: Connection => A): A = {
     val c = DriverManager.getConnection(url)
     try f(c) finally c.close()
   }
 
-  /** CREATE TABLE IF NOT EXISTS is not Derby syntax; swallow the
-    * table-exists SQLState (X0Y32) instead, as every Derby bootstrap does. */
-  private def createIfAbsent(c: Connection, ddl: String): Unit = {
-    val st = c.createStatement()
-    try st.execute(ddl)
-    catch { case e: SQLException if e.getSQLState == "X0Y32" => () }
-    finally st.close()
-  }
-
   /** Bootstrap state + checkpoint + ddl-log tables (ref: the loader creates
     * nothing, but the checkpoint package creates its own schema/table on
     * first use — drainer/checkpoint/mysql.go:75-84). */
   def ensureTables(): Unit = withConn { c =>
-    createIfAbsent(c,
+    JdbcMeta.createIfAbsent(c,
       s"CREATE TABLE $stateTable (pk BIGINT PRIMARY KEY, commit_ts BIGINT, val DOUBLE)")
-    createIfAbsent(c,
-      s"""CREATE TABLE $ckptTable (cluster_id BIGINT PRIMARY KEY,
-         | batch_id BIGINT, commit_ts BIGINT, schema_version BIGINT,
-         | consistent SMALLINT, primary_ts BIGINT, secondary_ts BIGINT)""".stripMargin)
-    createIfAbsent(c,
-      s"CREATE TABLE $ddlTable (batch_id BIGINT, commit_ts BIGINT, stmt VARCHAR(512))")
+    JdbcMeta.ensureMeta(c)
   }
 
-  def lastCheckpoint: Checkpoint = withConn { c =>
-    try {
-      val st = c.prepareStatement(
-        s"SELECT batch_id, commit_ts, schema_version, consistent FROM $ckptTable WHERE cluster_id = ?")
-      st.setLong(1, clusterId)
-      val rs = st.executeQuery()
-      val out = if (rs.next())
-        Checkpoint(rs.getLong(1), rs.getLong(2), rs.getLong(3), rs.getShort(4) != 0)
-      else Checkpoint(-1L, -1L, -1L, consistent = true)
-      rs.close(); st.close(); out
-    } catch {
-      // fresh database, checkpoint table not bootstrapped yet (42X05)
-      case e: SQLException if e.getSQLState == "42X05" =>
-        Checkpoint(-1L, -1L, -1L, consistent = true)
-    }
-  }
+  def lastCheckpoint: Checkpoint = withConn(JdbcMeta.load(_, clusterId))
 
   def lastCommitted: Long = lastCheckpoint.batchId
   def lastCommitTs: Long = lastCheckpoint.commitTs
   def lastSchemaVersion: Long = lastCheckpoint.schemaVersion
 
-  /** Save = REPLACE of the one checkpoint row (ref: mysql.go:130-163 builds
-    * a replace statement); Derby rewrite: delete+insert in one txn. */
-  private def saveCheckpoint(ck: Checkpoint): Unit = withConn { c =>
-    c.setAutoCommit(false)
-    val del = c.prepareStatement(s"DELETE FROM $ckptTable WHERE cluster_id = ?")
-    del.setLong(1, clusterId); del.executeUpdate(); del.close()
-    val ins = c.prepareStatement(
-      s"INSERT INTO $ckptTable VALUES (?, ?, ?, ?, ?, ?, ?)")
-    ins.setLong(1, clusterId); ins.setLong(2, ck.batchId)
-    ins.setLong(3, ck.commitTs); ins.setLong(4, ck.schemaVersion)
-    ins.setShort(5, if (ck.consistent) 1 else 0)
-    // ts-map parity: (primary commitTs ↔ secondary batch id)
-    ins.setLong(6, ck.commitTs); ins.setLong(7, ck.batchId)
-    ins.executeUpdate(); ins.close()
-    c.commit()
-  }
+  private def saveCheckpoint(ck: Checkpoint): Unit =
+    withConn(JdbcMeta.save(_, clusterId, ck))
 
   /** The materialized state, read back through Spark's JDBC source as a
     * PARTITIONED scan: pk bounds come from one two-value metadata query,
@@ -235,10 +185,7 @@ class JdbcUpsertSink(url: String, stateTable: String = "GRAFT_STATE",
           val st = c.createStatement()
           try st.execute(sql) finally st.close()
         }
-        val log = c.prepareStatement(s"INSERT INTO $ddlTable VALUES (?, ?, ?)")
-        log.setLong(1, batchId); log.setLong(2, upper)
-        log.setString(3, stmt.getOrElse(s"ddl@$upper").take(512))
-        log.executeUpdate(); log.close()
+        JdbcMeta.logDdl(c, batchId, upper, stmt.getOrElse(s"ddl@$upper"))
       }
       lower = upper
     }

@@ -439,6 +439,74 @@ class StreamingSpec extends SparkSpec {
     assert(logged.exists(_.contains("ADD COLUMN extra")))
   }
 
+  test("JDBC schema loader: two shapes, composite key, mid-batch DDL widening, NULL-safe keyless delete") {
+    import graft.sinks.JdbcSchemaLoader
+    import spark.implicits._
+    val url = freshDerbyUrl("schema")
+    val loader = new JdbcSchemaLoader(url)
+    loader.createTable(
+      "CREATE TABLE T_NARROW (PK BIGINT PRIMARY KEY, COMMIT_TS BIGINT, VAL DOUBLE)")
+    loader.createTable(
+      """CREATE TABLE T_WIDE (K1 BIGINT NOT NULL, K2 VARCHAR(8) NOT NULL,
+        | COMMIT_TS BIGINT, NOTE VARCHAR(32),
+        | CONSTRAINT WIDE_UK UNIQUE (K1, K2))""".stripMargin)
+    // no key at all: the loader falls back to all-columns matching with
+    // NULL-safe comparisons on the nullable ones (ref: model.go:253-257)
+    loader.createTable(
+      "CREATE TABLE T_KEYLESS (A BIGINT, B VARCHAR(8), COMMIT_TS BIGINT)")
+
+    // batch 0 spans all three shapes in one apply
+    val narrow0 = Seq((1L, 1L, "I", 10.0), (2L, 2L, "I", 20.0))
+      .toDF("pk", "commit_ts", "op", "val")
+    val wide0 = Seq((7L, "a", 3L, "U", "first"), (7L, "b", 4L, "I", "second"),
+        (7L, "a", 5L, "U", "newer")) // same composite key twice: newest wins
+      .toDF("k1", "k2", "commit_ts", "op", "note")
+    val keyless0 = Seq((Some(1L), None: Option[String], 6L, "I"),
+        (Some(2L), Some("x"), 7L, "I"))
+      .toDF("a", "b", "commit_ts", "op")
+    assert(loader.applyBatch(Map("T_NARROW" -> narrow0, "T_WIDE" -> wide0,
+      "T_KEYLESS" -> keyless0), 0L))
+
+    def rows(t: String) = loader.readTable(spark, t)
+    assert(rows("T_NARROW").count() == 2)
+    val wide = rows("T_WIDE").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getString(3)).toMap
+    assert(wide == Map((7L, "a") -> "newer", (7L, "b") -> "second"),
+      "composite-key merge keeps the newest image per (k1,k2)")
+
+    // batch 1: DML before a widening DDL barrier, DML after it. The
+    // pre-barrier row must land in the OLD shape (the frame's extra column
+    // is not yet in the catalog and is skipped); the post-barrier row lands
+    // in the widened table because the column list is re-read after the
+    // barrier (ref: pkg/loader/load.go:845-866 + table-info cache eviction)
+    val narrow1 = Seq(
+      (3L, 10L, "I", 30.0, null.asInstanceOf[String], Some(333L)),
+      (0L, 11L, "DDL", 0.0, "ALTER TABLE T_NARROW ADD COLUMN EXTRA BIGINT", None),
+      (4L, 12L, "I", 40.0, null.asInstanceOf[String], Some(444L))
+    ).toDF("pk", "commit_ts", "op", "val", "ddl_sql", "extra")
+    assert(loader.applyBatch(Map("T_NARROW" -> narrow1), 1L))
+    val after = rows("T_NARROW").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(after(4L) == Some(444L), "post-barrier row carries the new column")
+    assert(after(3L) == None, "pre-barrier row applied against the old shape")
+    assert(after.keySet == Set(1L, 2L, 3L, 4L))
+
+    // batch 2: delete the keyless row whose key contains a NULL. With no
+    // unique key the WHERE matches ALL columns of the row's OLD IMAGE
+    // (ref: model.go:303-322 — a keyless delete carries the full old row),
+    // and the NULL-safe comparison must match the stored NULL rather than
+    // silently no-op; the non-null row survives
+    val keyless1 = Seq((Some(1L), None: Option[String], 6L, "D"))
+      .toDF("a", "b", "commit_ts", "op")
+    assert(loader.applyBatch(Map("T_KEYLESS" -> keyless1), 2L))
+    val kl = rows("T_KEYLESS").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kl.toSeq == Seq((2L, "x")), "NULL-keyed row deleted, other row kept")
+
+    // replay of an applied batch id is a no-op (checkpoint skip)
+    assert(!loader.applyBatch(Map("T_KEYLESS" -> keyless0), 2L))
+    assert(rows("T_KEYLESS").count() == 1)
+  }
+
   test("JDBC sink streaming (K1): restart from checkpoint applies only new files, exactly once") {
     import graft.sinks.JdbcUpsertSink
     import spark.implicits._
@@ -470,6 +538,56 @@ class StreamingSpec extends SparkSpec {
     val q3 = CdcStream.applyToJdbc(CdcStream.changeStream(spark, in), url, ckpt)
     try q3.processAllAvailable() finally q3.stop()
     assert(sink.lastCommitted == before)
+  }
+
+  test("arbiter restart (K1/S7): re-delivered frames at or below checkpoint commitTs are dropped") {
+    import graft.pipeline.Arbiter
+    import graft.sinks.JdbcUpsertSink
+    val in = Files.createTempDirectory("graft_arbiter_in").toString
+    val ckpt = Files.createTempDirectory("graft_arbiter_ckpt").toString
+    val url = freshDerbyUrl("arbiter")
+    val frameSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("topic", org.apache.spark.sql.types.StringType)))
+    def frameStream = spark.readStream.schema(frameSchema).parquet(in)
+    val changes = graft.ops.Cdc.changes(spark, sf)
+    val mid = changes.agg(expr("max(commit_ts) div 2")).head.getLong(0)
+    // sentinel key outside the data: applied once pre-crash with value 1.0
+    val sentinel = Seq((1L, 424242L, "I", 1.0))
+      .toDF("commit_ts", "pk", "op", "value")
+
+    // phase 1: first half + sentinel arrive; arbiter applies, then "crashes"
+    addFile(CdcStream.toKafkaFrame(
+      changes.filter(col("commit_ts") <= mid).select("commit_ts", "pk", "op", "value")
+        .unionByName(sentinel), "cdc"), in, "a")
+    val q1 = Arbiter.run(frameStream, url, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    val sink = new JdbcUpsertSink(url)
+    val ts0 = sink.lastCommitTs
+    assert(ts0 >= mid)
+
+    // phase 2: the at-least-once transport re-delivers EVERYTHING in a new
+    // file the streaming checkpoint has never seen — including a POISONED
+    // duplicate of the sentinel (same old commitTs, different value). Only
+    // the commit-ts restart filter (ref: arbiter/server.go:293-298) can
+    // drop these; the batch-id skip sees a brand-new batch.
+    val poisoned = Seq((1L, 424242L, "I", -999.0))
+      .toDF("commit_ts", "pk", "op", "value")
+    addFile(CdcStream.toKafkaFrame(
+      changes.select("commit_ts", "pk", "op", "value").unionByName(poisoned), "cdc"),
+      in, "b")
+    val q2 = Arbiter.run(frameStream, url, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val state = sink.currentState(spark)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(state(424242L) == 1.0,
+      "poisoned re-delivery below checkpoint commitTs must be dropped")
+    val batch = graft.ops.Cdc.compactByPk(changes)
+      .filter(col("op") =!= "D")
+      .select("pk", "value").as[(Long, Double)].collect().toMap
+    assert(state - 424242L == batch, "restart state == exactly-once end state")
   }
 
   test("relay stream over the real wire format (S5): binlog files stream, restart resumes") {
