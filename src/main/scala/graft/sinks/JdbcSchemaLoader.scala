@@ -117,7 +117,7 @@ private[sinks] object JdbcMeta {
   */
 object JdbcSchemaLoader {
 
-  /** Oracle-checked multi-table K1 query: route the first 20% (by commit
+  /** Oracle-checked multi-table K1 query: route the first 10% (by commit
     * ts) of the TYPED change stream into TWO differently-shaped Derby
     * tables — a narrow (pk, commit_ts, val) table keyed by single PK, and a
     * wide typed table keyed by a COMPOSITE unique key (k1, k2) carrying the
@@ -135,7 +135,12 @@ object JdbcSchemaLoader {
       System.setProperty("derby.system.home", home) // keep derby.log out of cwd
     }
     val root = graft.util.Scratch.dir("graft_k1_multi")
-    val loader = new JdbcSchemaLoader(s"jdbc:derby:$root/db;create=true")
+    // 8 writer/reader partitions, not the 16-worker cluster default: the
+    // embedded engine serializes page access, so extra connections only
+    // add contention here (the constructor default stays at reference
+    // parity for real server targets)
+    val loader = new JdbcSchemaLoader(s"jdbc:derby:$root/db;create=true",
+      applyPartitions = 8)
     loader.createTable(
       "CREATE TABLE ORDERS_STATE (PK BIGINT PRIMARY KEY, COMMIT_TS BIGINT, VAL DOUBLE)")
     loader.createTable(
@@ -146,7 +151,7 @@ object JdbcSchemaLoader {
     val changes = graft.ops.TypeDomain.typedEnvelope(
       graft.ops.Cdc.changes(spark, dir))
     val maxTs = changes.agg(max("commit_ts")).head.getLong(0)
-    val slice = changes.filter(col("commit_ts") <= maxTs * 2 / 10)
+    val slice = changes.filter(col("commit_ts") <= maxTs / 10)
     val orders = slice.filter(col("pk") % 2 === 0)
       .select(col("pk"), col("commit_ts"), col("op"), col("value").as("val"))
     val typed = slice.filter(col("pk") % 2 === 1).select(
@@ -175,7 +180,7 @@ object JdbcSchemaLoader {
   def multiTableSql: String =
     s"""WITH t AS (${graft.ops.TypeDomain.typedEnvelopeCte}),
        |f AS (SELECT * FROM t
-       |      WHERE commit_ts <= (SELECT max(commit_ts) * 2 // 10 FROM t)),
+       |      WHERE commit_ts <= (SELECT max(commit_ts) // 10 FROM t)),
        |o AS (SELECT pk, commit_ts, value, op,
        |        row_number() OVER (PARTITION BY pk ORDER BY commit_ts DESC) AS rn
        |      FROM f WHERE pk % 2 = 0),
