@@ -44,11 +44,7 @@ object Reparo {
     * reparo/syncer/mysql.go:52-124). */
   def replayQuery(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    if (System.getProperty("derby.system.home") == null) {
-      val home = "/tmp/graft_derby_home"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(home))
-      System.setProperty("derby.system.home", home)
-    }
+    graft.util.Scratch.ensureDerbyHome()
     val scratch = graft.util.Scratch.dir("graft_reparo_e2e")
     val changes = graft.ops.Cdc.changes(spark, dir)
     PbBinlogFile.write(changes, s"$scratch/pb", nFiles = 4)
@@ -79,6 +75,16 @@ object Reparo {
   * the streaming checkpoint plus the sink's batch-id replay skip. */
 object Arbiter {
 
+  /** PRECONDITION, inherited from the reference: the frame stream must be
+    * commit-ts-ordered across a restart boundary (the reference consumes a
+    * single-partition Kafka topic, which guarantees it — arbiter/server.go
+    * reads one partition in offset order). The checkpointed commit ts is a
+    * WATERMARK: a frame at or below it is treated as already applied and
+    * dropped. A transport that delivers late frames BELOW its own
+    * checkpointed high-water mark (multi-partition topic without per-key
+    * ordering, out-of-order file drops) would lose them — route such
+    * sources through the k-way merge (T2) first, which is what the
+    * reference's pump/drainer layer does upstream of the arbiter. */
   def run(frames: DataFrame, url: String, checkpoint: String): StreamingQuery = {
     // restart dedup (ref: arbiter/server.go:293-298): every frame at or
     // below the checkpointed commit ts was applied before the crash — an

@@ -76,6 +76,40 @@ private[sinks] object JdbcMeta {
     log.setString(3, stmt.take(512))
     log.executeUpdate(); log.close()
   }
+
+  /** Read `table` back through Spark's JDBC source; when `partitionOn`
+    * names a numeric column, one two-value metadata query fetches its
+    * bounds and `numPartitions` connections stride the range in parallel —
+    * the default unpartitioned JDBC read drags the whole table through a
+    * single connection, exactly the bottleneck the parallel write side
+    * exists to avoid. Empty table (NULL bounds) → plain load. */
+  def partitionedRead(spark: SparkSession, url: String, table: String,
+      partitionOn: Option[String], numPartitions: Int): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    partitionOn.fold(base.load()) { pc =>
+      val bounds = {
+        val c = DriverManager.getConnection(url)
+        try {
+          val st = c.createStatement()
+          val rs = st.executeQuery(s"SELECT min($pc), max($pc) FROM $table")
+          rs.next()
+          val lo = rs.getLong(1); val loNull = rs.wasNull(); val hi = rs.getLong(2)
+          val out = if (loNull) None else Some((lo, hi))
+          rs.close(); st.close(); out
+        } finally c.close()
+      }
+      bounds.fold(base.load()) { case (lo, hi) =>
+        base.option("partitionColumn", pc)
+          .option("lowerBound", lo)
+          .option("upperBound", math.max(hi, lo + 1)) // bounds shape stride only
+          .option("numPartitions", numPartitions)
+          .load()
+      }
+    }
+  }
 }
 
 /** K1 at the reference loader's REAL shape: schema-driven, multi-table
@@ -129,11 +163,7 @@ object JdbcSchemaLoader {
     * merge and the typed round-trip through a real SQL engine
     * (ref: pkg/loader/load.go:706-724, executor.go:210, model.go:303-322). */
   def multiTableQuery(spark: SparkSession, dir: String): DataFrame = {
-    if (System.getProperty("derby.system.home") == null) {
-      val home = "/tmp/graft_derby_home"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(home))
-      System.setProperty("derby.system.home", home) // keep derby.log out of cwd
-    }
+    graft.util.Scratch.ensureDerbyHome()
     val root = graft.util.Scratch.dir("graft_k1_multi")
     // 8 writer/reader partitions, not the 16-worker cluster default: the
     // embedded engine serializes page access, so extra connections only
@@ -314,7 +344,10 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
     val prev = lastCheckpoint
     if (batchId <= prev.batchId) return false
 
-    // global DDL barriers, gathered across every table's slice
+    // global DDL barriers, gathered across every table's slice; a DDL row
+    // an ingest router replicated into several tables' frames is ONE
+    // barrier, not several (a second execution of the same ALTER would
+    // throw and wedge every replay of the batch)
     val ddls = slices.values.toSeq.flatMap { df =>
       if (!df.columns.contains("op")) Nil
       else {
@@ -325,7 +358,7 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
           .collect()
           .map(r => (r.getAs[Long]("commit_ts"), Option(r.getAs[String]("ddl_sql"))))
       }
-    }.sortBy(_._1)
+    }.distinct.sortBy(_._1)
     val barriers = ddls :+ ((Long.MaxValue, None: Option[String]))
 
     var lower = Long.MinValue
@@ -334,20 +367,19 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
       slices.foreach { case (table, df) =>
         val slice = df.filter(col("op") =!= "DDL" &&
           col("commit_ts") > lower && col("commit_ts") <= upper)
-        applyTable(slice, table)
+        maxTs = math.max(maxTs, applyTable(slice, table))
       }
-      if (upper != Long.MaxValue) withConn { c =>
-        stmt.foreach { sql =>
-          val st = c.createStatement()
-          try st.execute(sql) finally st.close()
+      if (upper != Long.MaxValue) {
+        withConn { c =>
+          stmt.foreach { sql =>
+            val st = c.createStatement()
+            try st.execute(sql) finally st.close()
+          }
+          JdbcMeta.logDdl(c, batchId, upper, stmt.getOrElse(s"ddl@$upper"))
         }
-        JdbcMeta.logDdl(c, batchId, upper, stmt.getOrElse(s"ddl@$upper"))
+        maxTs = math.max(maxTs, upper)
       }
       lower = upper
-    }
-    slices.values.foreach { df =>
-      val m = df.agg(max("commit_ts")).collect()(0)
-      if (!m.isNullAt(0)) maxTs = math.max(maxTs, m.getLong(0))
     }
     withConn(JdbcMeta.save(_, clusterId,
       Checkpoint(batchId, maxTs, math.max(schemaVersion, prev.schemaVersion),
@@ -356,9 +388,10 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
   }
 
   /** One table's slice through merge → delete pass → REPLACE pass, keyed
-    * on the table's own unique key, binding the table's own column list. */
-  private def applyTable(slice: DataFrame, table: String): Unit = {
-    if (slice.isEmpty) return
+    * on the table's own unique key, binding the table's own column list.
+    * Returns the slice's max applied commit_ts (Long.MinValue when empty)
+    * so the caller checkpoints without re-scanning the slice's lineage. */
+  private def applyTable(slice: DataFrame, table: String): Long = {
     val (cols, keyCols) = tableMeta(table)
     val meta = cols.map(m => m.name -> m).toMap
     val frameCols = slice.columns.map(n => n.toUpperCase -> n).toMap
@@ -376,6 +409,11 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
       .drop("rn")
       .repartition(applyPartitions, keyExprs: _*)
       .localCheckpoint(true) // applied twice (delete pass, upsert pass)
+    // one pass over the checkpointed data gives emptiness + the applied-ts
+    // watermark; the raw lineage (scan + decode + route) is never re-run
+    val stats = merged.agg(count(lit(1)), max("commit_ts")).collect()(0)
+    if (stats.getLong(0) == 0L) return Long.MinValue
+    val sliceMaxTs = stats.getLong(1)
 
     val (u, bs, tbl) = (url, batchSize, table)
     val pred = keyPredicate(keyCols, meta)
@@ -437,33 +475,13 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
           c.close()
         }
     }
+    sliceMaxTs
   }
 
   /** Read a table back through Spark's JDBC source; when `partitionOn`
     * names a numeric column, the scan strides it across `applyPartitions`
     * connections like [[JdbcUpsertSink.currentState]]. */
   def readTable(spark: SparkSession, table: String,
-      partitionOn: Option[String] = None): DataFrame = {
-    val base = spark.read.format("jdbc")
-      .option("url", url)
-      .option("dbtable", table)
-      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-    partitionOn.fold(base.load()) { pc =>
-      val bounds = withConn { c =>
-        val st = c.createStatement()
-        val rs = st.executeQuery(s"SELECT min($pc), max($pc) FROM $table")
-        rs.next()
-        val lo = rs.getLong(1); val loNull = rs.wasNull(); val hi = rs.getLong(2)
-        val out = if (loNull) None else Some((lo, hi))
-        rs.close(); st.close(); out
-      }
-      bounds.fold(base.load()) { case (lo, hi) =>
-        base.option("partitionColumn", pc)
-          .option("lowerBound", lo)
-          .option("upperBound", math.max(hi, lo + 1))
-          .option("numPartitions", applyPartitions)
-          .load()
-      }
-    }
-  }
+      partitionOn: Option[String] = None): DataFrame =
+    JdbcMeta.partitionedRead(spark, url, table, partitionOn, applyPartitions)
 }

@@ -62,11 +62,7 @@ object JdbcUpsertSink {
     * The database is rebuilt every run; the applied slice is ts-bounded so
     * the query's cost scales with the prefix, not the corpus. */
   def stateQuery(spark: SparkSession, dir: String): DataFrame = {
-    if (System.getProperty("derby.system.home") == null) {
-      val home = "/tmp/graft_derby_home"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(home))
-      System.setProperty("derby.system.home", home) // keep derby.log out of cwd
-    }
+    graft.util.Scratch.ensureDerbyHome()
     // per-invocation scratch dir: concurrent query constructions (parallel
     // test suites, bench reps) must never contend on one database; the
     // registry's shutdown hook closes the engine and deletes the trees
@@ -128,25 +124,7 @@ class JdbcUpsertSink(url: String, stateTable: String = "GRAFT_STATE",
     * 16-worker write side exists to avoid. Empty table → plain load. */
   def currentState(spark: SparkSession, readPartitions: Int = 16): DataFrame = {
     ensureTables()
-    val bounds = withConn { c =>
-      val st = c.createStatement()
-      val rs = st.executeQuery(s"SELECT min(pk), max(pk) FROM $stateTable")
-      rs.next()
-      val lo = rs.getLong(1); val loNull = rs.wasNull()
-      val hi = rs.getLong(2)
-      val out = if (loNull) None else Some((lo, hi))
-      rs.close(); st.close(); out
-    }
-    val base = spark.read.format("jdbc")
-      .option("url", url)
-      .option("dbtable", stateTable)
-      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-    bounds.fold(base) { case (lo, hi) =>
-      base.option("partitionColumn", "pk")
-        .option("lowerBound", lo)
-        .option("upperBound", math.max(hi, lo + 1)) // bounds shape stride only
-        .option("numPartitions", readPartitions)
-    }.load()
+    JdbcMeta.partitionedRead(spark, url, stateTable, Some("pk"), readPartitions)
       .select(col("PK").as("pk"), col("COMMIT_TS").as("commit_ts"),
         col("VAL").as("value"))
   }

@@ -247,15 +247,23 @@ object PbBinlogFile {
       var tmpPath: java.nio.file.Path = null
       var written = 0L
       var seg = 0
-      // segments become visible ATOMICALLY on close: a crashed/retried or
-      // speculative task leaves only a dot-prefixed .inprogress temp (which
-      // every reader here and Spark's file sources skip), never a truncated
-      // or mid-write binlog-* file the streaming source could checkpoint as
-      // consumed and silently lose the tail of
+      // segments become visible ATOMICALLY only on a SUCCESSFUL close: a
+      // crashed/retried or speculative task leaves (or deletes) a
+      // dot-prefixed .inprogress temp — which every reader here and Spark's
+      // file sources skip — never a truncated or mid-write binlog-* file the
+      // streaming source could checkpoint as consumed and silently lose the
+      // tail of. The temp name carries the task ATTEMPT id so a speculative
+      // attempt racing the original never interleaves bytes into its file.
+      val attempt = Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
       def closeSegment(): Unit = if (out != null) {
         out.close(); out = null
         Files.move(tmpPath, finalPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      def abortSegment(): Unit = if (out != null) {
+        try out.close() catch { case _: Throwable => () }
+        out = null
+        try { Files.deleteIfExists(tmpPath); () } catch { case _: Throwable => () }
       }
       try {
         rows.foreach { c =>
@@ -264,7 +272,7 @@ object PbBinlogFile {
             // field; the trailing field stays the segment's first commit ts
             val name = f"binlog-$pid%08d$seg%08d-${c.commit_ts}%020d"
             finalPath = Paths.get(s"$dir/$name")
-            tmpPath = Paths.get(s"$dir/.$name.inprogress")
+            tmpPath = Paths.get(s"$dir/.$name.$attempt.inprogress")
             out = new BufferedOutputStream(new FileOutputStream(tmpPath.toFile))
             seg += 1; written = 0L
           }
@@ -273,7 +281,8 @@ object PbBinlogFile {
           written += frame.length
           if (written >= maxBytesPerFile) closeSegment()
         }
-      } finally closeSegment()
+        closeSegment()
+      } catch { case t: Throwable => abortSegment(); throw t }
     }
   }
 

@@ -21,6 +21,15 @@ object Scratch {
   private val dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val hooked = new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  /** Point derby.system.home at a temp dir once per JVM (before the engine
+    * first boots) so derby.log never lands in the working directory. */
+  def ensureDerbyHome(): Unit =
+    if (System.getProperty("derby.system.home") == null) {
+      val home = "/tmp/graft_derby_home"
+      Files.createDirectories(Paths.get(home))
+      System.setProperty("derby.system.home", home)
+    }
+
   /** A fresh temp dir registered for shutdown-time cleanup. */
   def dir(prefix: String): String = {
     val d = Files.createTempDirectory(prefix).toString
