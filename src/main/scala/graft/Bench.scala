@@ -8,6 +8,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the default 100-entry codegen class cache thrashes when 134 queries
+      // interleave: every pass recompiles every generated class (the suite
+      // is planning/codegen-bound at sf0.1, so that's a first-order cost).
+      // A long-lived cluster app accumulates exactly this cache; size it so
+      // one suite's classes fit. Static conf — must be set before the
+      // session starts.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb session warmup (codegen, shuffle init, parquet footers) so the
