@@ -105,6 +105,26 @@ class SourcesSpec extends SparkSpec {
     intercept[Exception] { PbBinlogFile.read(spark, dir).count() }
   }
 
+  test("pb binlog write atomicity: a failed task leaves no visible or stranded segment") {
+    import graft.sources.PbBinlogFile
+    val dir = Files.createTempDirectory("graft_pbabort").toString
+    val changes = graft.ops.Cdc.changes(spark, sf).filter(col("commit_ts") < 2000)
+    // poison the LAST row of the single sorted partition: the task streams
+    // real frames into an open .inprogress temp first, then the encoder
+    // throws on the null op — the abort path must delete the temp, never
+    // promote it to a readable (truncated) binlog-* segment
+    val lastTs = changes.agg(max("commit_ts")).head.getLong(0)
+    val poisoned = changes.withColumn("op",
+      when(col("commit_ts") === lastTs, lit(null).cast("string"))
+        .otherwise(col("op")))
+    intercept[Exception] { PbBinlogFile.write(poisoned, dir, nFiles = 1) }
+    val left = new java.io.File(dir).listFiles().map(_.getName).toSeq
+    assert(left.isEmpty, s"failed write must leave the dir empty, got $left")
+    // the same dir accepts the retry and round-trips completely
+    PbBinlogFile.write(changes, dir, nFiles = 1)
+    assert(PbBinlogFile.read(spark, dir).count() == changes.count())
+  }
+
   test("pb binlog segment rotation: size-capped files keep naming and pruning invariants") {
     import graft.sources.PbBinlogFile
     val dir = Files.createTempDirectory("graft_pbrotate").toString

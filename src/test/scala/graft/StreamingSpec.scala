@@ -502,6 +502,24 @@ class StreamingSpec extends SparkSpec {
     val kl = rows("T_KEYLESS").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(kl.toSeq == Seq((2L, "x")), "NULL-keyed row deleted, other row kept")
 
+    // batch 3: a router that fans the change stream into several table
+    // frames replicates the SAME DDL row into each slice — it must
+    // collapse to ONE barrier: a second execution of the ALTER would
+    // throw (column already exists) and wedge every replay of the batch
+    val ddlSql = "ALTER TABLE T_WIDE ADD COLUMN TAG INT"
+    val narrow3 = Seq((0L, 20L, "DDL", 0.0, ddlSql))
+      .toDF("pk", "commit_ts", "op", "val", "ddl_sql")
+    val wide3 = Seq(
+      (0L, "z", 20L, "DDL", null.asInstanceOf[String], ddlSql,
+        None: Option[Int]),
+      (8L, "c", 21L, "I", "tagged", null.asInstanceOf[String], Some(9))
+    ).toDF("k1", "k2", "commit_ts", "op", "note", "ddl_sql", "tag")
+    assert(loader.applyBatch(Map("T_NARROW" -> narrow3, "T_WIDE" -> wide3), 3L))
+    val tagged = rows("T_WIDE").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (if (r.isNullAt(4)) None else Some(r.getInt(4)))).toMap
+    assert(tagged((8L, "c")) == Some(9), "post-barrier row carries TAG")
+
     // replay of an applied batch id is a no-op (checkpoint skip)
     assert(!loader.applyBatch(Map("T_KEYLESS" -> keyless0), 2L))
     assert(rows("T_KEYLESS").count() == 1)
