@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
@@ -146,6 +146,30 @@ object CdcStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sink.applyBatch(batch, batchId): Unit
+      }
+      .start()
+  }
+
+  /** The reference drainer's MAINLINE topology as a stream: one change
+    * stream fanned by router predicates (F9 shape) into per-table slices,
+    * each micro-batch applied through the schema-driven multi-table loader
+    * — per-table column lists, unique-key merge, DDL barriers — in ONE
+    * loader transaction scope with ONE checkpoint row, so a restart
+    * replays or skips the whole batch atomically across every routed
+    * table (ref: drainer/syncer.go feeding pkg/loader/load.go:706-724).
+    * `routes` maps target table name → predicate over the change envelope;
+    * rows matching no route are dropped (the reference's filter-then-load
+    * contract — F1/F9 decide what reaches the loader). */
+  def applyToJdbcTables(changes: DataFrame, url: String, checkpoint: String,
+      routes: Map[String, Column],
+      applyPartitions: Int = 16): StreamingQuery = {
+    val loader = new graft.sinks.JdbcSchemaLoader(url,
+      applyPartitions = applyPartitions)
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val slices = routes.map { case (t, pred) => t -> batch.filter(pred) }
+        loader.applyBatch(slices, batchId): Unit
       }
       .start()
   }

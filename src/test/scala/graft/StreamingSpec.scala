@@ -558,6 +558,58 @@ class StreamingSpec extends SparkSpec {
     assert(sink.lastCommitted == before)
   }
 
+  test("multi-table JDBC streaming: routed slices apply atomically per batch across restarts") {
+    import graft.sinks.JdbcSchemaLoader
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_mtstream_in").toString
+    val ckpt = Files.createTempDirectory("graft_mtstream_ckpt").toString
+    val url = freshDerbyUrl("mtstream")
+    // two differently-shaped targets: EVEN keeps only the value, ODD also
+    // records the op text — per-table catalog column lists drive each bind
+    val loader = new JdbcSchemaLoader(url, applyPartitions = 4)
+    loader.createTable(
+      "CREATE TABLE T_EVEN (PK BIGINT PRIMARY KEY, COMMIT_TS BIGINT, VALUE DOUBLE)")
+    loader.createTable(
+      """CREATE TABLE T_ODD (PK BIGINT NOT NULL, COMMIT_TS BIGINT,
+        | VALUE DOUBLE, OP VARCHAR(4), CONSTRAINT ODD_UK UNIQUE (PK))""".stripMargin)
+    val routes = Map(
+      "T_EVEN" -> (col("pk") % 2 === 0),
+      "T_ODD"  -> (col("pk") % 2 === 1))
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+
+    addFile(raw.filter(col("event_id") < 500), in, "a")
+    val q1 = CdcStream.applyToJdbcTables(
+      CdcStream.changeStream(spark, in), url, ckpt, routes, applyPartitions = 4)
+    try q1.processAllAvailable() finally q1.stop()
+    val afterFirst = loader.lastCommitted
+
+    // restart: a new file arrives; the checkpoint replays only it, and the
+    // loader's single batch-id row guards BOTH tables at once
+    addFile(raw.filter(col("event_id") >= 500), in, "b")
+    val q2 = CdcStream.applyToJdbcTables(
+      CdcStream.changeStream(spark, in), url, ckpt, routes, applyPartitions = 4)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(loader.lastCommitted > afterFirst, "restart must apply the new file")
+
+    val expect = graft.ops.Cdc.compactByPk(graft.ops.Cdc.changes(spark, sf))
+      .filter(col("op") =!= "D")
+      .select("pk", "value").as[(Long, Double)].collect().toMap
+    val even = loader.readTable(spark, "T_EVEN", Some("PK")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val odd = loader.readTable(spark, "T_ODD", Some("PK")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(even.keySet.forall(_ % 2 == 0) && odd.keySet.forall(_ % 2 == 1))
+    assert(even ++ odd == expect,
+      "union of routed tables == batch compaction of the whole stream")
+
+    // a third restart with nothing new must be a no-op
+    val before = loader.lastCommitted
+    val q3 = CdcStream.applyToJdbcTables(
+      CdcStream.changeStream(spark, in), url, ckpt, routes, applyPartitions = 4)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(loader.lastCommitted == before)
+  }
+
   test("arbiter restart (K1/S7): re-delivered frames at or below checkpoint commitTs are dropped") {
     import graft.pipeline.Arbiter
     import graft.sinks.JdbcUpsertSink
