@@ -168,8 +168,14 @@ object CdcStream {
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val slices = routes.map { case (t, pred) => t -> batch.filter(pred) }
-        loader.applyBatch(slices, batchId): Unit
+        // every route (and the loader's DDL-barrier gather) filters the
+        // same micro-batch: without pinning it, N tables re-run the source
+        // scan up to 2N times
+        val b = batch.persist()
+        try {
+          val slices = routes.map { case (t, pred) => t -> b.filter(pred) }
+          loader.applyBatch(slices, batchId): Unit
+        } finally { b.unpersist(); () }
       }
       .start()
   }
