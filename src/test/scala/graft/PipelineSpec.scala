@@ -156,6 +156,56 @@ class PipelineSpec extends SparkSpec {
     assert(again == expected)
   }
 
+  test("typed chain: envelope → wire files → decode → schema loader → read-back, bit-exact") {
+    import graft.sources.PbBinlogFile
+    // the full fidelity chain in ONE composed path: each stage is
+    // oracle-proven alone (wire_typed_roundtrip, k1_multi_table); this
+    // pins that they COMPOSE — the typed envelope survives wire encode →
+    // file → decode → catalog-driven JDBC apply → partitioned read-back
+    // with every M9 domain bit intact (ref: the reference's dailytest
+    // round-trips exactly this chain end-to-end, tests/dailytest/case.go:97-146)
+    val typed = graft.ops.TypeDomain.typedEnvelope(Cdc.changes(spark, sf))
+    val wireDir = java.nio.file.Files.createTempDirectory("graft_chain_wire").toString
+    PbBinlogFile.write(typed, wireDir, nFiles = 4)
+    val decoded = PbBinlogFile.read(spark, wireDir)
+
+    val loader = new graft.sinks.JdbcSchemaLoader(freshDerbyUrl("chain"),
+      applyPartitions = 4)
+    loader.createTable(
+      """CREATE TABLE TYPED_CHAIN (K1 BIGINT NOT NULL, K2 VARCHAR(8) NOT NULL,
+        | COMMIT_TS BIGINT, VAL DOUBLE, DEC38 VARCHAR(45), UDEC DECIMAL(20,0),
+        | BITS BIGINT, ENUM_ORD INT,
+        | CONSTRAINT CHAIN_UK UNIQUE (K1, K2))""".stripMargin)
+    val frame = decoded.select(
+      col("pk").as("k1"), (col("commit_ts") % 5).cast("string").as("k2"),
+      col("commit_ts"), col("op"), col("value").as("val"),
+      col("dec38"), col("udec").cast("decimal(20,0)").as("udec"),
+      col("bits"), col("enum_ord"))
+    assert(loader.applyBatch(Map("TYPED_CHAIN" -> frame), 0L))
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().toSet
+    val back = canon(loader.readTable(spark, "TYPED_CHAIN", Some("K1"))
+      .select(col("K1").as("k1"), col("K2").as("k2"),
+        col("COMMIT_TS").as("commit_ts"), col("VAL").as("val"),
+        col("DEC38").cast("decimal(38,19)").cast("string").as("dec38"),
+        col("UDEC").cast("string").as("udec"), col("BITS").as("bits"),
+        col("ENUM_ORD").cast("long").as("enum_ord")))
+    // expected: the same compaction computed straight from the in-memory
+    // envelope — no wire, no JDBC. Any bit dropped by any stage diverges.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pk"), col("commit_ts") % 5)
+      .orderBy(col("commit_ts").desc)
+    val expected = canon(typed
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("pk").as("k1"), (col("commit_ts") % 5).cast("string").as("k2"),
+        col("commit_ts"), col("value").as("val"),
+        col("dec38").cast("decimal(38,19)").cast("string").as("dec38"),
+        col("udec").cast("decimal(20,0)").cast("string").as("udec"),
+        col("bits"), col("enum_ord").cast("long").as("enum_ord")))
+    assert(back == expected && back.nonEmpty)
+  }
+
   test("arbiter: kafka-shaped frame stream decoded and applied to a SQL database") {
     import graft.streaming.CdcStream
     val changes = Cdc.changes(spark, sf)
