@@ -602,7 +602,16 @@ object Similarity {
           array((1 to PqSubDim).map(i =>
             expr(s"((s$i + $FxOff * n) * 2 + n) div (2 * n) - $FxOff")): _*).as("qc"))
       val kept = cents.join(means, Seq("sub", "cent_id"), "left_anti")
-      cents = means.unionByName(kept).localCheckpoint(true)
+      // the codebook is CONSTANT-size model state — PqSubs × PqCodes rows
+      // at any corpus scale — so localize it: a LocalRelation truncates the
+      // round's lineage like the checkpoint it replaces but costs one
+      // metadata-sized collect instead of a cluster job, and every
+      // downstream broadcast(cents) builds straight from driver memory
+      // with no extra job
+      val spark = sv.sparkSession
+      val next = means.unionByName(kept)
+      cents = spark.createDataFrame(
+        java.util.Arrays.asList(next.collect(): _*), next.schema)
     }
     cents
   }
@@ -618,7 +627,14 @@ object Similarity {
   def pqTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), fx(col("embedding")).as("qe"))
-    val sv = pqSubvectors(e).localCheckpoint(true)
+    // hash-partition the checkpointed subvectors on the training keys: the
+    // parquet scan's few input splits would otherwise serialize every
+    // downstream map stage, and (vec_id, sub) is exactly the grouping key
+    // of BOTH argmin aggregates and the join-back — Catalyst elides those
+    // three exchanges entirely when the source already carries the
+    // partitioning, so the one shuffle here replaces three later ones
+    val sv = pqSubvectors(e)
+      .repartition(col("vec_id"), col("sub")).localCheckpoint(true)
     val cents = trainPqCodebook(sv)
     val codes = sv.join(broadcast(cents), Seq("sub"))
       .withColumn("d", l2i(col("sv"), col("qc")))
