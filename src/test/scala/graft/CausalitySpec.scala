@@ -31,7 +31,7 @@ class CausalitySpec extends SparkSpec {
       (6L, 5L, "view", 10.0, """{"k": 7}""")   // low value: pk-only node
     ).toDF("event_id", "user_id", "event_type", "value", "props")
       .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
-    val dir = java.nio.file.Files.createTempDirectory("causality").toString
+    val dir = graft.util.Scratch.dir("causality")
     events.write.mode("overwrite").parquet(s"$dir/events.parquet")
     val out = Causality.conflictGroups(spark, dir)
       .select("pk", "group_id").distinct()

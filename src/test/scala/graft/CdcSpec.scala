@@ -111,8 +111,8 @@ class CdcSpec extends SparkSpec {
   }
 
   test("compaction rewrites a fragmented directory into target-size files") {
-    val in = java.nio.file.Files.createTempDirectory("graft_frag").toString
-    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val in = graft.util.Scratch.dir("graft_frag")
+    val out = graft.util.Scratch.dir("graft_compact")
     val df = graft.model.Tables.events(spark, sf)
     df.repartition(40).write.mode("overwrite").parquet(in)
     def parquetFiles(p: String) =
@@ -129,7 +129,7 @@ class CdcSpec extends SparkSpec {
 
   test("bucketed tables join with zero exchanges (co-located fact join)") {
     import org.apache.spark.sql.functions._
-    val warehouse = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+    val warehouse = graft.util.Scratch.dir("graft_buckets")
     val li = graft.model.Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_quantity", "l_extendedprice")
       .withColumnRenamed("l_orderkey", "orderkey")

@@ -284,7 +284,7 @@ class LlmOpsSpec extends SparkSpec {
       (14L, "unrelated musings on compiler construction and type systems", "en", "src1")
     ).toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length(col("text")).cast("long"))
-    val dir = java.nio.file.Files.createTempDirectory("incdedup").toString
+    val dir = graft.util.Scratch.dir("incdedup")
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = Dedup.incrementalDedup(spark, dir)
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap

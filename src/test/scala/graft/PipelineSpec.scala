@@ -61,11 +61,11 @@ class PipelineSpec extends SparkSpec {
 
   test("streaming pipeline state == batch pipeline state") {
     import java.nio.file.Files
-    val in = Files.createTempDirectory("graft_pipe_in")
+    val in = java.nio.file.Paths.get(graft.util.Scratch.dir("graft_pipe_in"))
     Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
       in.resolve("events.parquet"))
-    val stateRoot = Files.createTempDirectory("graft_pipe_state").toString
-    val ckpt = Files.createTempDirectory("graft_pipe_ckpt").toString
+    val stateRoot = graft.util.Scratch.dir("graft_pipe_state")
+    val ckpt = graft.util.Scratch.dir("graft_pipe_ckpt")
     val q = DrainerPipeline.streaming(spark, in.toString, stateRoot, ckpt)
     try q.processAllAvailable() finally q.stop()
     val streamed = new graft.sinks.UpsertSink(stateRoot).currentState(spark)
@@ -126,14 +126,14 @@ class PipelineSpec extends SparkSpec {
   private def freshDerbyUrl(tag: String): String = {
     if (System.getProperty("derby.system.home") == null)
       System.setProperty("derby.system.home",
-        java.nio.file.Files.createTempDirectory("graft_derby_home").toString)
-    val db = java.nio.file.Files.createTempDirectory(s"graft_derby_$tag").toString + "/db"
+        graft.util.Scratch.dir("graft_derby_home"))
+    val db = graft.util.Scratch.dir(s"graft_derby_$tag") + "/db"
     s"jdbc:derby:$db;create=true"
   }
 
   test("reparo: pb binlog files replayed into a SQL database up to a recovery point") {
     val changes = Cdc.changes(spark, sf)
-    val pbDir = java.nio.file.Files.createTempDirectory("graft_reparo_pb").toString
+    val pbDir = graft.util.Scratch.dir("graft_reparo_pb")
     graft.sources.PbBinlogFile.write(changes, pbDir, nFiles = 4)
     val stop = changes.agg(expr("max(commit_ts) * 6 div 10")).head.getLong(0)
     val url = freshDerbyUrl("reparo")
@@ -165,7 +165,7 @@ class PipelineSpec extends SparkSpec {
     // with every M9 domain bit intact (ref: the reference's dailytest
     // round-trips exactly this chain end-to-end, tests/dailytest/case.go:97-146)
     val typed = graft.ops.TypeDomain.typedEnvelope(Cdc.changes(spark, sf))
-    val wireDir = java.nio.file.Files.createTempDirectory("graft_chain_wire").toString
+    val wireDir = graft.util.Scratch.dir("graft_chain_wire")
     PbBinlogFile.write(typed, wireDir, nFiles = 4)
     val decoded = PbBinlogFile.read(spark, wireDir)
 
@@ -211,8 +211,8 @@ class PipelineSpec extends SparkSpec {
     val changes = Cdc.changes(spark, sf)
     // stage the Kafka sink's own frames as a file stream — the broker-free
     // transport twin (same shape a readStream.format(\"kafka\") source yields)
-    val frameDir = java.nio.file.Files.createTempDirectory("graft_arbiter_in").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_arbiter_ckpt").toString
+    val frameDir = graft.util.Scratch.dir("graft_arbiter_in")
+    val ckpt = graft.util.Scratch.dir("graft_arbiter_ckpt")
     CdcStream.toKafkaFrame(changes, "cdc-events")
       .write.mode("overwrite").parquet(frameDir)
     val frames = spark.readStream

@@ -40,10 +40,10 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("kafka transport wiring: stream → (key,value,topic) frame → decode round-trip (S7/K3)") {
-    val in = Files.createTempDirectory("graft_kafka_in")
+    val in = java.nio.file.Paths.get(graft.util.Scratch.dir("graft_kafka_in"))
     Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
       in.resolve("events.parquet"))
-    val ckpt = Files.createTempDirectory("graft_kafka_ckpt").toString
+    val ckpt = graft.util.Scratch.dir("graft_kafka_ckpt")
 
     val changes = CdcStream.changeStream(spark, in.toString)
     val q = CdcStream.kafkaTransport(changes, "cdc-events", ckpt,
@@ -70,7 +70,7 @@ class SourcesSpec extends SparkSpec {
 
   test("pb binlog files (S6/K4 real wire shape): write, read back, ts-range prunes files") {
     import graft.sources.PbBinlogFile
-    val dir = Files.createTempDirectory("graft_pbfile").toString
+    val dir = graft.util.Scratch.dir("graft_pbfile")
     val changes = graft.ops.Cdc.changes(spark, sf)
     PbBinlogFile.write(changes, dir, nFiles = 4)
 
@@ -107,7 +107,7 @@ class SourcesSpec extends SparkSpec {
 
   test("pb binlog write atomicity: a failed task leaves no visible or stranded segment") {
     import graft.sources.PbBinlogFile
-    val dir = Files.createTempDirectory("graft_pbabort").toString
+    val dir = graft.util.Scratch.dir("graft_pbabort")
     val changes = graft.ops.Cdc.changes(spark, sf).filter(col("commit_ts") < 2000)
     // poison the LAST row of the single sorted partition: the task streams
     // real frames into an open .inprogress temp first, then the encoder
@@ -127,7 +127,7 @@ class SourcesSpec extends SparkSpec {
 
   test("pb binlog segment rotation: size-capped files keep naming and pruning invariants") {
     import graft.sources.PbBinlogFile
-    val dir = Files.createTempDirectory("graft_pbrotate").toString
+    val dir = graft.util.Scratch.dir("graft_pbrotate")
     val changes = graft.ops.Cdc.changes(spark, sf).filter(col("commit_ts") < 2000)
     // ~60-byte frames + a 4 KiB cap → many segments per range partition
     PbBinlogFile.write(changes, dir, nFiles = 2, maxBytesPerFile = 4096)

@@ -97,7 +97,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("checkpoint persists commitTs + schemaVersion; restart resumes by ts (K6)") {
-    val root = Files.createTempDirectory("graft_ckpt_sink").toString
+    val root = graft.util.Scratch.dir("graft_ckpt_sink")
     val sink = new UpsertSink(root)
     val all = Seq(
       (10L, 1L, "I", 1.0), (20L, 2L, "I", 2.0), (30L, 1L, "U", 3.0),
@@ -165,7 +165,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("incremental SCD2 history equals the batch materialization (streaming twin)") {
-    val root = Files.createTempDirectory("graft_history_sink").toString
+    val root = graft.util.Scratch.dir("graft_history_sink")
     val sink = new graft.sinks.HistorySink(root)
     val changes = graft.ops.Cdc.changes(spark, sf)
       .select("pk", "commit_ts", "op", "value")
@@ -188,7 +188,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("bucketed state: a micro-batch rewrites only the buckets it touches") {
-    val root = Files.createTempDirectory("graft_bucket_sink").toString
+    val root = graft.util.Scratch.dir("graft_bucket_sink")
     val sink = new UpsertSink(root, nBuckets = 8)
     // batch 1 spreads keys over many buckets
     val b1 = (1L to 64L).map(pk => (pk * 10, pk, "I", pk.toDouble))
@@ -222,14 +222,14 @@ class StreamingSpec extends SparkSpec {
   /** Stage the single events parquet file into a directory for the file
     * stream source (it requires a directory basePath). */
   private def stageEventsDir(): String = {
-    val dir = Files.createTempDirectory("graft_stream_in")
+    val dir = java.nio.file.Paths.get(graft.util.Scratch.dir("graft_stream_in"))
     Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
     dir.toString
   }
 
   test("upsert sink: batch apply, idempotent replay, ddl barrier, delete suppression") {
-    val root = Files.createTempDirectory("graft_sink").toString
+    val root = graft.util.Scratch.dir("graft_sink")
     val sink = new UpsertSink(root)
     val b0 = Seq(
       (1L, 1L, "I", 10.0), (2L, 1L, "U", 11.0),
@@ -254,8 +254,8 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming apply == batch compaction (flagship streaming path)") {
-    val stateRoot = Files.createTempDirectory("graft_state").toString
-    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val stateRoot = graft.util.Scratch.dir("graft_state")
+    val ckpt = graft.util.Scratch.dir("graft_ckpt")
     val changes = CdcStream.changeStream(spark, stageEventsDir())
     val q = CdcStream.applyToState(changes, stateRoot, ckpt)
     try q.processAllAvailable() finally q.stop()
@@ -270,7 +270,7 @@ class StreamingSpec extends SparkSpec {
   /** Write one parquet file (single part) with a deterministic name into a
     * watched stream-input directory. */
   private def addFile(df: org.apache.spark.sql.DataFrame, dir: String, name: String): Unit = {
-    val tmp = Files.createTempDirectory("graft_stage").toString
+    val tmp = graft.util.Scratch.dir("graft_stage")
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = new java.io.File(tmp).listFiles()
       .filter(_.getName.endsWith(".parquet")).head
@@ -281,9 +281,9 @@ class StreamingSpec extends SparkSpec {
     // ref: drainer/relay/reader.go:50-121 — after a crash the relay log is
     // re-read from the persisted position, never re-applying old entries.
     // Spark twin: file stream + checkpointLocation + batch-id-idempotent sink.
-    val in = Files.createTempDirectory("graft_relay_in").toString
-    val stateRoot = Files.createTempDirectory("graft_relay_state").toString
-    val ckpt = Files.createTempDirectory("graft_relay_ckpt").toString
+    val in = graft.util.Scratch.dir("graft_relay_in")
+    val stateRoot = graft.util.Scratch.dir("graft_relay_state")
+    val ckpt = graft.util.Scratch.dir("graft_relay_ckpt")
     val raw = spark.read.parquet(s"$sf/events.parquet")
 
     addFile(raw.filter(col("event_id") < 500), in, "a")
@@ -315,7 +315,7 @@ class StreamingSpec extends SparkSpec {
   test("streaming repeated-binlog skip drops at-least-once redelivery (F10 twin)") {
     // the same batch of events delivered twice (two files, same content) —
     // the dedup stream must emit each commit id exactly once
-    val in = Files.createTempDirectory("graft_dedup_in").toString
+    val in = graft.util.Scratch.dir("graft_dedup_in")
     val raw = spark.read.parquet(s"$sf/events.parquet")
       .filter(col("event_id") < 300)
     addFile(raw, in, "delivery1")
@@ -341,8 +341,8 @@ class StreamingSpec extends SparkSpec {
     // derby.log + db dirs stay in /tmp; embedded Derby boots on first connect
     if (System.getProperty("derby.system.home") == null)
       System.setProperty("derby.system.home",
-        Files.createTempDirectory("graft_derby_home").toString)
-    val db = Files.createTempDirectory(s"graft_derby_$tag").toString + "/db"
+        graft.util.Scratch.dir("graft_derby_home"))
+    val db = graft.util.Scratch.dir(s"graft_derby_$tag") + "/db"
     s"jdbc:derby:$db;create=true"
   }
 
@@ -528,8 +528,8 @@ class StreamingSpec extends SparkSpec {
   test("JDBC sink streaming (K1): restart from checkpoint applies only new files, exactly once") {
     import graft.sinks.JdbcUpsertSink
     import spark.implicits._
-    val in = Files.createTempDirectory("graft_jdbc_in").toString
-    val ckpt = Files.createTempDirectory("graft_jdbc_ckpt").toString
+    val in = graft.util.Scratch.dir("graft_jdbc_in")
+    val ckpt = graft.util.Scratch.dir("graft_jdbc_ckpt")
     val url = freshDerbyUrl("stream")
     val raw = spark.read.parquet(s"$sf/events.parquet")
 
@@ -561,8 +561,8 @@ class StreamingSpec extends SparkSpec {
   test("multi-table JDBC streaming: routed slices apply atomically per batch across restarts") {
     import graft.sinks.JdbcSchemaLoader
     import spark.implicits._
-    val in = Files.createTempDirectory("graft_mtstream_in").toString
-    val ckpt = Files.createTempDirectory("graft_mtstream_ckpt").toString
+    val in = graft.util.Scratch.dir("graft_mtstream_in")
+    val ckpt = graft.util.Scratch.dir("graft_mtstream_ckpt")
     val url = freshDerbyUrl("mtstream")
     // two differently-shaped targets: EVEN keeps only the value, ODD also
     // records the op text — per-table catalog column lists drive each bind
@@ -613,8 +613,8 @@ class StreamingSpec extends SparkSpec {
   test("arbiter restart (K1/S7): re-delivered frames at or below checkpoint commitTs are dropped") {
     import graft.pipeline.Arbiter
     import graft.sinks.JdbcUpsertSink
-    val in = Files.createTempDirectory("graft_arbiter_in").toString
-    val ckpt = Files.createTempDirectory("graft_arbiter_ckpt").toString
+    val in = graft.util.Scratch.dir("graft_arbiter_in")
+    val ckpt = graft.util.Scratch.dir("graft_arbiter_ckpt")
     val url = freshDerbyUrl("arbiter")
     val frameSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.BinaryType),
@@ -663,9 +663,9 @@ class StreamingSpec extends SparkSpec {
   test("relay stream over the real wire format (S5): binlog files stream, restart resumes") {
     import graft.sources.PbBinlogFile
     import spark.implicits._
-    val dir = Files.createTempDirectory("graft_relay_pb").toString
-    val ckpt = Files.createTempDirectory("graft_relay_pb_ckpt").toString
-    val stateRoot = Files.createTempDirectory("graft_relay_pb_state").toString
+    val dir = graft.util.Scratch.dir("graft_relay_pb")
+    val ckpt = graft.util.Scratch.dir("graft_relay_pb_ckpt")
+    val stateRoot = graft.util.Scratch.dir("graft_relay_pb_state")
     val changes = graft.ops.Cdc.changes(spark, sf)
     val mid = changes.agg(expr("max(commit_ts) div 2")).head.getLong(0)
 
@@ -678,7 +678,7 @@ class StreamingSpec extends SparkSpec {
 
     // "crash"; a second relay file lands; restart from the same checkpoint
     // must decode only the new file, exactly once
-    val staging = Files.createTempDirectory("graft_relay_pb_stage").toString
+    val staging = graft.util.Scratch.dir("graft_relay_pb_stage")
     PbBinlogFile.write(changes.filter(col("commit_ts") > mid), staging, nFiles = 1)
     Files.move(new java.io.File(staging).listFiles().head.toPath,
       java.nio.file.Paths.get(dir, "binlog-0000000000000001-late"))
@@ -696,9 +696,9 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming loopback (F4): injected marks break the replication cycle on re-ingest") {
     import graft.pipeline.{DrainerConfig, DrainerPipeline}
-    val in = Files.createTempDirectory("graft_loop_in").toString
-    val stateRoot = Files.createTempDirectory("graft_loop_state").toString
-    val ckpt = Files.createTempDirectory("graft_loop_ckpt").toString
+    val in = graft.util.Scratch.dir("graft_loop_in")
+    val stateRoot = graft.util.Scratch.dir("graft_loop_state")
+    val ckpt = graft.util.Scratch.dir("graft_loop_ckpt")
     val raw = spark.read.parquet(s"$sf/events.parquet").filter(col("event_id") < 300)
     addFile(raw, in, "a")
     val q = DrainerPipeline.streaming(spark, in, stateRoot, ckpt,
