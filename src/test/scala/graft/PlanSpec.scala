@@ -45,4 +45,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       "ORDER BY + LIMIT must plan as TakeOrderedAndProject")
   }
+
+  test("the PQ codebook is driver-local model state, not a cluster lineage") {
+    // trainPqCodebook localizes each round's codebook (PqSubs × PqCodes
+    // rows — constant at any corpus scale) to a LocalRelation, so the
+    // serving plan's broadcasts build from driver memory instead of
+    // launching a checkpoint job per training round. A revert to
+    // localCheckpoint would resurface here as a LogicalRDD leaf.
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val plan = graft.sim.Similarity.pqTopK(spark, sf)
+      .queryExecution.optimizedPlan
+    val locals = plan.collect { case l: LocalRelation => l }
+    assert(locals.nonEmpty,
+      "pq codebook must reach the serving plan as a LocalRelation")
+  }
 }
