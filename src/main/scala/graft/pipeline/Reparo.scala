@@ -22,12 +22,17 @@ object Reparo {
     * prunes to the overlapping files before any byte is read; the apply is
     * the loader path: merge-by-pk, delete-first, batched REPLACE statements
     * — idempotent into a possibly half-recovered target, which is the
-    * property reparo's safe mode exists to guarantee. Returns the number of
-    * change rows replayed. */
+    * property reparo's safe mode exists to guarantee. DDL records carried
+    * on the wire (op="DDL" + ddl_sql) re-execute at their commit-ts
+    * position: the loader splits the batch at each DDL barrier and runs
+    * the statement alone between the DML slices, exactly the reference's
+    * replay ordering (reparo/syncer/mysql.go executes a DDL by itself
+    * after flushing pending DML). Returns the number of records replayed,
+    * DDL included. */
   def replay(spark: SparkSession, pbDir: String, startTs: Long, stopTs: Long,
       url: String): Long = {
     val changes = PbBinlogFile.read(spark, pbDir, startTs, stopTs)
-      .select("pk", "commit_ts", "op", "value")
+      .select("pk", "commit_ts", "op", "value", "ddl_sql")
       .localCheckpoint(true) // counted and applied; decode once
     val sink = new JdbcUpsertSink(url)
     sink.applyBatch(changes, batchId = sink.lastCommitted + 1)

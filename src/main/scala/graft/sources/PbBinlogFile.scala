@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   *   1: commit_ts varint   2: pk varint      3: op string
   *   4: event_type string  5: ts_us varint   6: value fixed64(double)
   *   7: props string       8: dec38 string   9: udec varint(uint64)
-  *  10: bits fixed64      11: enum_ord varint
+  *  10: bits fixed64      11: enum_ord varint 12: ddl_sql string
   * }}}
   * Fields 6-11 are omitted when absent, like proto3 absent fields; fields
   * 8-11 carry the M9 type domain end-to-end (ref:
@@ -58,11 +58,16 @@ object PbBinlogFile {
     * loader binds them null-safely); a primitive field would crash the
     * encoder on the first NULL row, and field 6 needs an absent encoding
     * exactly like props. The typed fields default to absent so 7-column
-    * envelopes encode unchanged. */
+    * envelopes encode unchanged. `ddl_sql` carries the statement text of an
+    * op="DDL" record — the reference's pb binlog interleaves DDL entries
+    * with DML in the same file stream (proto/pb_binlog.proto Binlog
+    * tp=DDL/ddl_query) so a replay can re-execute schema changes at their
+    * commit-ts position; absent on every DML record. */
   case class PbChange(commit_ts: Long, pk: Long, op: String, event_type: String,
       ts_us: Long, value: Option[Double], props: String,
       dec38: String = null, udec: String = null,
-      bits: Option[Long] = None, enum_ord: Option[Int] = None)
+      bits: Option[Long] = None, enum_ord: Option[Int] = None,
+      ddl_sql: String = null)
 
   // ---- protobuf wire primitives ----
 
@@ -105,6 +110,7 @@ object PbBinlogFile {
     val opB = c.op.getBytes("UTF-8"); val etB = c.event_type.getBytes("UTF-8")
     val prB = if (c.props == null) null else c.props.getBytes("UTF-8")
     val dcB = if (c.dec38 == null) null else c.dec38.getBytes("UTF-8")
+    val dlB = if (c.ddl_sql == null) null else c.ddl_sql.getBytes("UTF-8")
     val udBits = if (c.udec == null) 0L else unsignedBits(c.udec)
     var size = 1 + varintLen(c.commit_ts) + 1 + varintLen(c.pk) +
       1 + varintLen(opB.length.toLong) + opB.length +
@@ -116,6 +122,7 @@ object PbBinlogFile {
     if (c.udec != null) size += 1 + varintLen(udBits)
     if (c.bits.isDefined) size += 1 + 8
     c.enum_ord.foreach(e => size += 1 + varintLen(e.toLong))
+    if (dlB != null) size += 1 + varintLen(dlB.length.toLong) + dlB.length
     val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
     putVarint(b, (1 << 3) | 0); putVarint(b, c.commit_ts)
     putVarint(b, (2 << 3) | 0); putVarint(b, c.pk)
@@ -131,6 +138,9 @@ object PbBinlogFile {
     if (c.udec != null) { putVarint(b, (9 << 3) | 0); putVarint(b, udBits) }
     c.bits.foreach { v => putVarint(b, (10 << 3) | 1); b.putLong(v) }
     c.enum_ord.foreach { e => putVarint(b, (11 << 3) | 0); putVarint(b, e.toLong) }
+    if (dlB != null) {
+      putVarint(b, (12 << 3) | 2); putVarint(b, dlB.length.toLong); b.put(dlB)
+    }
     b.array()
   }
 
@@ -140,6 +150,7 @@ object PbBinlogFile {
     var tsUs = 0L; var value: Option[Double] = None; var props: String = null
     var dec38: String = null; var udec: String = null
     var bits: Option[Long] = None; var enumOrd: Option[Int] = None
+    var ddlSql: String = null
     while (b.hasRemaining) {
       val tag = getVarint(b)
       val field = (tag >> 3).toInt
@@ -165,13 +176,14 @@ object PbBinlogFile {
           val s = new String(bytes, "UTF-8")
           field match {
             case 3 => op = s; case 4 => et = s; case 7 => props = s
-            case 8 => dec38 = s
+            case 8 => dec38 = s; case 12 => ddlSql = s
             case _ => ()
           }
         case wt => throw new IllegalArgumentException(s"unsupported wire type $wt")
       }
     }
-    PbChange(commitTs, pk, op, et, tsUs, value, props, dec38, udec, bits, enumOrd)
+    PbChange(commitTs, pk, op, et, tsUs, value, props, dec38, udec, bits,
+      enumOrd, ddlSql)
   }
 
   // ---- framing ----
@@ -224,7 +236,7 @@ object PbBinlogFile {
     * unchanged while an enriched one carries its extra fields. */
   private val optionalCols =
     Seq("dec38" -> "string", "udec" -> "string", "bits" -> "bigint",
-      "enum_ord" -> "int")
+      "enum_ord" -> "int", "ddl_sql" -> "string")
 
   def write(changes: DataFrame, dir: String, nFiles: Int = 4,
       maxBytesPerFile: Long = 512L * 1024 * 1024): Unit = {

@@ -156,6 +156,53 @@ class PipelineSpec extends SparkSpec {
     assert(again == expected)
   }
 
+  test("reparo replays wire-carried DDL at its commit-ts barrier") {
+    import graft.sources.PbBinlogFile
+    // the reference's pb binlog interleaves DDL entries with DML
+    // (proto/pb_binlog.proto Binlog tp=DDL/ddl_query) and reparo executes
+    // them at their commit-ts position; this pins the whole path — a DDL
+    // record rides the wire, splits the replay at its barrier, and its
+    // statement runs FOR REAL against the target engine between the DML
+    // slices (ref: reparo/syncer/mysql.go DDL-alone execution)
+    val changes = Cdc.changes(spark, sf)
+    val maxTs = changes.agg(max("commit_ts")).head.getLong(0)
+    val mid = maxTs / 2
+    val ddlRow = Seq((mid, 0L, "DDL", "ddl",
+        new java.sql.Timestamp(0L), Option.empty[Double], null: String,
+        "ALTER TABLE GRAFT_STATE ADD COLUMN NOTE VARCHAR(8) DEFAULT 'x'"))
+      .toDF("commit_ts", "pk", "op", "event_type", "ts", "value", "props",
+        "ddl_sql")
+    val withDdl = changes.withColumn("ddl_sql", lit(null).cast("string"))
+      .unionByName(ddlRow)
+    val pbDir = graft.util.Scratch.dir("graft_reparo_ddl")
+    PbBinlogFile.write(withDdl, pbDir, nFiles = 4)
+    val url = freshDerbyUrl("reparoddl")
+
+    val n = Reparo.replay(spark, pbDir, 0L, maxTs, url)
+    assert(n == changes.count() + 1, "DML and the DDL record all replay")
+
+    // DML correctness across the barrier: end state == full compaction
+    val expect = Cdc.compactByPk(changes).filter(col("op") =!= "D")
+      .select("pk", "value").as[(Long, Double)].collect().toMap
+    val got = new graft.sinks.JdbcUpsertSink(url).currentState(spark)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == expect)
+
+    // the DDL executed for real — the widened column exists with its
+    // default — and the ddl log pins it at its barrier ts
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery(
+        "SELECT NOTE FROM GRAFT_STATE FETCH FIRST ROW ONLY")
+      assert(rs.next() && rs.getString(1) == "x")
+      val lg = c.createStatement().executeQuery(
+        "SELECT COMMIT_TS, STMT FROM GRAFT_DDL_LOG")
+      assert(lg.next() && lg.getLong(1) == mid &&
+        lg.getString(2).startsWith("ALTER TABLE"))
+      assert(!lg.next(), "exactly one ddl-log row")
+    } finally c.close()
+  }
+
   test("typed chain: envelope → wire files → decode → schema loader → read-back, bit-exact") {
     import graft.sources.PbBinlogFile
     // the full fidelity chain in ONE composed path: each stage is
