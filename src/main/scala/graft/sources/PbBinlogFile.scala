@@ -172,6 +172,8 @@ object PbBinlogFile {
           }
         case 2 =>
           val len = getVarint(b).toInt
+          if (len < 0 || len > b.remaining())
+            throw new IllegalArgumentException(s"field $field length $len exceeds payload")
           val bytes = new Array[Byte](len); b.get(bytes)
           val s = new String(bytes, "UTF-8")
           field match {
@@ -214,6 +216,46 @@ object PbBinlogFile {
           throw new IllegalStateException("binlog crc mismatch")
         decodePayload(payload)
       }
+    }
+  }
+
+  /** Recovering frame parse — the reference's disaster-read mode
+    * (binlogger.go:308-321: on ErrCRCMismatch/ErrMagicMismatch, count the
+    * corruption and seek the next magic; 504-534 `seekBinlog` scans forward
+    * one byte at a time). A corrupt region — a flipped byte, an overwritten
+    * stretch, or a torn trailing frame from a writer that died mid-write —
+    * is skipped up to the next offset where the magic matches AND the
+    * frame's own crc validates; every intact frame after it still decodes.
+    * Validating the whole candidate frame (not just its magic, which can
+    * occur by chance inside payload bytes) makes the resync one-pass and
+    * deterministic where the reference would re-fail and seek again. */
+  private[sources] def decodeFramesRecovering(content: Array[Byte]): Iterator[PbChange] = {
+    def frameAt(p: Int): Option[(PbChange, Int)] = {
+      if (content.length - p < 16) return None
+      val b = ByteBuffer.wrap(content, p, content.length - p).order(ByteOrder.LITTLE_ENDIAN)
+      if (b.getInt != Magic) return None
+      val len = b.getLong
+      if (len < 0 || len > content.length - p - 16) return None
+      val payload = new Array[Byte](len.toInt); b.get(payload)
+      val crc = new CRC32C(); crc.update(payload)
+      if (crc.getValue.toInt != b.getInt) return None
+      try Some((decodePayload(payload), p + 16 + len.toInt))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+    new Iterator[PbChange] {
+      private var pos = 0
+      private var staged: PbChange = _
+      private def advance(): Unit = {
+        staged = null
+        while (staged == null && content.length - pos >= 16)
+          frameAt(pos) match {
+            case Some((c, next)) => staged = c; pos = next
+            case None => pos += 1 // skip one byte, like the reference's seek
+          }
+      }
+      advance()
+      def hasNext: Boolean = staged != null
+      def next(): PbChange = { val c = staged; advance(); c }
     }
   }
 
@@ -402,9 +444,15 @@ object PbBinlogFile {
 
   /** Read the change envelope back from a pb binlog directory, range
     * `[startTs, endTs]` (endTs 0 = open). File selection prunes before any
-    * byte is read; the residual commit_ts filter restores exactness. */
+    * byte is read; the residual commit_ts filter restores exactness.
+    * `recover = true` is the reference's corruption-tolerant read
+    * (binlogger.go:308-321): corrupt regions and torn trailing frames are
+    * skipped via magic resync instead of failing the job — the mode a
+    * point-in-time recovery against partially damaged relay files needs.
+    * The default stays strict: silent row loss is only acceptable when the
+    * caller explicitly opts into salvage semantics. */
   def read(spark: SparkSession, dir: String, startTs: Long = 0L,
-      endTs: Long = 0L): DataFrame = {
+      endTs: Long = 0L, recover: Boolean = false): DataFrame = {
     import spark.implicits._
     val names = {
       val d = new java.io.File(dir)
@@ -412,12 +460,14 @@ object PbBinlogFile {
       else Seq.empty
     }
     val picked = selectFiles(names, startTs, endTs).map(n => s"$dir/$n")
+    val parse: Array[Byte] => Iterator[PbChange] =
+      if (recover) decodeFramesRecovering _ else decodeFrames _
     val decoded =
       if (picked.isEmpty) spark.emptyDataset[PbChange]
       else
         spark.read.format("binaryFile").load(picked: _*)
           .select("content").as[Array[Byte]]
-          .flatMap(decodeFrames _)
+          .flatMap(parse)
     val ranged = decoded
       .filter(col("commit_ts") >= startTs &&
         (lit(endTs) === 0L || col("commit_ts") <= endTs))

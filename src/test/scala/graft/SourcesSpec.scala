@@ -105,6 +105,54 @@ class SourcesSpec extends SparkSpec {
     intercept[Exception] { PbBinlogFile.read(spark, dir).count() }
   }
 
+  test("pb binlog recovering read: corrupt regions and torn tails skip to the next valid frame") {
+    import graft.sources.PbBinlogFile
+    val dir = graft.util.Scratch.dir("graft_pbrecover")
+    val changes = graft.ops.Cdc.changes(spark, sf).filter(col("commit_ts") < 4000)
+    PbBinlogFile.write(changes, dir, nFiles = 2)
+    val total = changes.count()
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+
+    // flip a byte inside the FIRST payload of file 0: strict read fails
+    // (ErrCRCMismatch semantics), recovering read resyncs at the next magic
+    // and loses exactly the one damaged frame (ref: binlogger.go:308-321)
+    val f0 = java.nio.file.Paths.get(dir, files(0))
+    val clean0 = Files.readAllBytes(f0)
+    val flipped = clean0.clone()
+    flipped(20) = (flipped(20) ^ 0x01).toByte
+    Files.write(f0, flipped)
+    intercept[Exception] { PbBinlogFile.read(spark, dir).count() }
+    assert(PbBinlogFile.read(spark, dir, recover = true).count() == total - 1)
+
+    // a torn trailing frame (writer died mid-frame, no atomic rename — the
+    // relay-crash shape) must end the salvage cleanly, keeping every frame
+    // before the tear
+    Files.write(f0, clean0) // heal file 0
+    val f1 = java.nio.file.Paths.get(dir, files(1))
+    val clean1 = Files.readAllBytes(f1)
+    Files.write(f1, java.util.Arrays.copyOf(clean1, clean1.length - 7))
+    intercept[Exception] { PbBinlogFile.read(spark, dir).count() }
+    assert(PbBinlogFile.read(spark, dir, recover = true).count() == total - 1)
+
+    // garbage INSERTED between frames (overwritten stretch): resync must
+    // recover every intact frame, and the recovered rows must be the
+    // originals bit-for-bit, not resynthesized lookalikes
+    Files.write(f1, clean1) // heal file 1
+    val junk = Array.tabulate[Byte](37)(i => (i * 31 + 7).toByte)
+    val spliced = java.nio.ByteBuffer.allocate(clean0.length + junk.length)
+    val firstLen = 16 + java.nio.ByteBuffer.wrap(clean0, 4, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong.toInt
+    spliced.put(clean0, 0, firstLen).put(junk)
+      .put(clean0, firstLen, clean0.length - firstLen)
+    Files.write(f0, spliced.array())
+    val recovered = PbBinlogFile.read(spark, dir, recover = true)
+      .select("commit_ts", "pk", "op", "value")
+      .as[(Long, Long, String, Option[Double])].collect().toSet
+    val expect = changes.select("commit_ts", "pk", "op", "value")
+      .as[(Long, Long, String, Option[Double])].collect().toSet
+    assert(recovered == expect)
+  }
+
   test("pb binlog write atomicity: a failed task leaves no visible or stranded segment") {
     import graft.sources.PbBinlogFile
     val dir = graft.util.Scratch.dir("graft_pbabort")
