@@ -2,7 +2,7 @@ package graft.sinks
 
 import java.sql.{Connection, DriverManager, SQLException, Types}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -207,6 +207,58 @@ object JdbcSchemaLoader {
     o.unionByName(t)
   }
 
+  /** Oracle-checked sequence-preserving K1 query (P1∘K1): replay the first
+    * 10% of the change stream DML-BY-DML — no merge — into a Derby table
+    * carrying a REAL secondary unique constraint, dispatched by causality
+    * conflict groups (a pk's whole history shares its key images, so it
+    * serializes; unrelated histories run on parallel connections). The
+    * derived `uk` walks each pk's private slot range (pk*4 + seq mod 4),
+    * so every intermediate state is legal under the unique index — which
+    * the engine ENFORCES as the replay runs; safe-mode REPLACE absorbs the
+    * envelope's non-well-formed op sequences exactly as reparo's safe mode
+    * does into a half-recovered target. Hash-matching DuckDB's compaction
+    * proves the per-DML path lands on the same final state the merged path
+    * jumps to (ref: load.go:529-575 singleExec + causality,
+    * causality.go:31-53). */
+  def seqApplyQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.util.Scratch.ensureDerbyHome()
+    val root = graft.util.Scratch.dir("graft_k1_seq")
+    val loader = new JdbcSchemaLoader(s"jdbc:derby:$root/db;create=true",
+      applyPartitions = 8)
+    loader.createTable(
+      // UK is NOT NULL so the key predicate compiles to an index probe —
+      // the nullable OR-form scans the table under lock and deadlocks
+      // parallel appliers (the r4 lesson, same cause)
+      """CREATE TABLE SEQ_STATE (PK BIGINT PRIMARY KEY, UK BIGINT NOT NULL,
+        | COMMIT_TS BIGINT, VAL DOUBLE,
+        | CONSTRAINT SEQ_UK UNIQUE (UK))""".stripMargin)
+    val changes = graft.ops.Cdc.changes(spark, dir)
+    val maxTs = changes.agg(max("commit_ts")).head.getLong(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pk")).orderBy(col("commit_ts"))
+    val slice = changes.filter(col("commit_ts") <= maxTs / 20)
+      .withColumn("uk",
+        col("pk") * 4 + (row_number().over(w) - 1) % 4)
+      .select(col("pk"), col("uk"), col("commit_ts"), col("op"),
+        col("value").as("val"))
+    loader.applyBatch(Map("SEQ_STATE" -> slice), 0L,
+      merge = false, safeMode = true)
+    loader.readTable(spark, "SEQ_STATE", Some("PK"))
+      .select(col("PK").as("pk"), col("UK").as("uk"),
+        col("COMMIT_TS").as("commit_ts"), col("VAL").as("val"))
+  }
+
+  def seqApplySql: String =
+    s"""WITH c AS (${graft.ops.Cdc.changesCte}),
+       |f AS (SELECT *,
+       |        pk * 4 + (row_number() OVER (PARTITION BY pk ORDER BY commit_ts) - 1) % 4 AS uk
+       |      FROM c
+       |      WHERE commit_ts <= (SELECT max(commit_ts) // 20 FROM c)),
+       |r AS (SELECT pk, uk, commit_ts, value, op,
+       |        row_number() OVER (PARTITION BY pk ORDER BY commit_ts DESC) AS rn
+       |      FROM f)
+       |SELECT pk, uk, commit_ts, value AS val FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin
+
   def multiTableSql: String =
     s"""WITH t AS (${graft.ops.TypeDomain.typedEnvelopeCte}),
        |f AS (SELECT * FROM t
@@ -251,11 +303,13 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
 
   private case class ColMeta(name: String, sqlType: Int, nullable: Boolean)
 
-  /** (columns in ordinal order with their JDBC types + nullability,
-    * unique-key columns): the catalog read (S8) against the live engine.
-    * Key preference: primary key, else the first unique index, else every
-    * column (ref: util.go:96-104 hoists PRIMARY first). */
-  private def tableMeta(table: String): (Seq[ColMeta], Seq[String]) =
+  /** (columns in ordinal order with their JDBC types + nullability, EVERY
+    * unique key's column list — primary key first, then each unique index
+    * in name order): the catalog read (S8) against the live engine. Tables
+    * with no key at all get one all-columns pseudo-key, as the reference
+    * does (ref: util.go:96-104 hoists PRIMARY first; getKeys walks every
+    * unique index — model.go:216-251). */
+  private def tableMetaAll(table: String): (Seq[ColMeta], Seq[Seq[String]]) =
     withConn { c =>
       val md = c.getMetaData
       val up = table.toUpperCase
@@ -270,24 +324,56 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
       val prs = md.getPrimaryKeys(null, null, up)
       while (prs.next()) pk += ((prs.getShort("KEY_SEQ"), prs.getString("COLUMN_NAME")))
       prs.close()
-      val key: Seq[String] =
-        if (pk.nonEmpty) pk.sortBy(_._1).map(_._2).toSeq
-        else {
-          // first unique index, columns in position order
-          val idx = scala.collection.mutable.ArrayBuffer[(String, Short, String)]()
-          val irs = md.getIndexInfo(null, null, up, true, false)
-          while (irs.next()) {
-            val name = irs.getString("INDEX_NAME")
-            if (name != null)
-              idx += ((name, irs.getShort("ORDINAL_POSITION"), irs.getString("COLUMN_NAME")))
-          }
-          irs.close()
-          idx.groupBy(_._1).toSeq.sortBy(_._1).headOption
-            .map(_._2.sortBy(_._2).map(_._3).toSeq)
-            .getOrElse(cols.map(_.name).toSeq)
+      // every unique index, columns in position order; Derby backs the PK
+      // with a unique index too — drop key lists already seen so the
+      // primary appears once, first
+      val idx = scala.collection.mutable.ArrayBuffer[(String, Short, String)]()
+      val irs = md.getIndexInfo(null, null, up, true, false)
+      while (irs.next()) {
+        val name = irs.getString("INDEX_NAME")
+        if (name != null)
+          idx += ((name, irs.getShort("ORDINAL_POSITION"), irs.getString("COLUMN_NAME")))
+      }
+      irs.close()
+      val primary = if (pk.nonEmpty) Some(pk.sortBy(_._1).map(_._2).toSeq) else None
+      val uniques = idx.groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_._2).map(_._3).toSeq)
+      // Derby quirk: getIndexInfo(unique=true) reports the PK's backing
+      // index but NOT indexes backing UNIQUE CONSTRAINTS; those live in the
+      // system catalog. The descriptor renders as "UNIQUE BTREE (2,5)" —
+      // 1-based table column positions. Engines without SYS.* (any
+      // non-Derby target, where getIndexInfo already told the whole story)
+      // skip via the SQLException arm.
+      val constraintKeys: Seq[Seq[String]] = try {
+        val st = c.prepareStatement(
+          """SELECT cons.CONSTRAINTNAME, cg.DESCRIPTOR
+            |FROM SYS.SYSCONSTRAINTS cons
+            |JOIN SYS.SYSTABLES t ON cons.TABLEID = t.TABLEID
+            |JOIN SYS.SYSKEYS k ON k.CONSTRAINTID = cons.CONSTRAINTID
+            |JOIN SYS.SYSCONGLOMERATES cg ON cg.CONGLOMERATEID = k.CONGLOMERATEID
+            |WHERE t.TABLENAME = ? AND cons.TYPE = 'U'""".stripMargin)
+        st.setString(1, up)
+        val crs = st.executeQuery()
+        val out = scala.collection.mutable.ArrayBuffer[(String, Seq[String])]()
+        while (crs.next()) {
+          val desc = String.valueOf(crs.getObject(2))
+          val inParens = desc.substring(desc.indexOf('(') + 1, desc.indexOf(')'))
+          out += ((crs.getString(1),
+            inParens.split(',').map(p => cols(p.trim.toInt - 1).name).toSeq))
         }
-      (cols.toSeq, key)
+        crs.close(); st.close()
+        out.sortBy(_._1).map(_._2).toSeq
+      } catch { case _: SQLException | _: RuntimeException => Nil }
+      val keys = (primary.toSeq ++ uniques ++ constraintKeys).distinct
+      (cols.toSeq, if (keys.nonEmpty) keys else Seq(cols.map(_.name).toSeq))
     }
+
+  /** Key preference for the merged path: primary key, else the first
+    * unique index, else every column. */
+  private def tableMeta(table: String): (Seq[ColMeta], Seq[String]) = {
+    val (cols, keys) = tableMetaAll(table)
+    (cols, keys.head)
+  }
 
   /** Unique-key WHERE: NOT NULL key columns get plain `c = ?` — point
     * predicates the engine serves by an index probe, locking one row. Only
@@ -337,9 +423,18 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
     * commit timestamps are GLOBAL barriers: every table's pending DML
     * before the barrier applies first, the DDL executes alone, and
     * column lists are re-read from the catalog afterwards (ref:
-    * pkg/loader/load.go:845-866). Returns false on a replayed batch id. */
+    * pkg/loader/load.go:845-866). Returns false on a replayed batch id.
+    *
+    * `merge = true` (default) is the compacting path: ≤ 1 statement pair
+    * per key, the high-throughput mode. `merge = false` is the reference
+    * loader's sequence-preserving default ([[applyTableSequence]]):
+    * every DML replays individually in causality-group order — required
+    * when secondary unique constraints must hold at every intermediate
+    * state, and the mode reparo uses into a half-recovered target.
+    * `safeMode` (sequence path only) rewrites I/U to REPLACE semantics. */
   def applyBatch(slices: Map[String, DataFrame], batchId: Long,
-      schemaVersion: Long = -1L): Boolean = {
+      schemaVersion: Long = -1L, merge: Boolean = true,
+      safeMode: Boolean = false): Boolean = {
     withConn(JdbcMeta.ensureMeta)
     val prev = lastCheckpoint
     if (batchId <= prev.batchId) return false
@@ -367,7 +462,9 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
       slices.foreach { case (table, df) =>
         val slice = df.filter(col("op") =!= "DDL" &&
           col("commit_ts") > lower && col("commit_ts") <= upper)
-        maxTs = math.max(maxTs, applyTable(slice, table))
+        maxTs = math.max(maxTs,
+          if (merge) applyTable(slice, table)
+          else applyTableSequence(slice, table, safeMode))
       }
       if (upper != Long.MaxValue) {
         withConn { c =>
@@ -474,6 +571,209 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
           try c.rollback() catch { case _: SQLException => () }
           c.close()
         }
+    }
+    sliceMaxTs
+  }
+
+  /** Causality-grouped dispatch for the sequence-preserving path — P1
+    * composed into K1, the reference loader's `singleExec` default (ref:
+    * pkg/loader/load.go:529-575: group DMLs whose key images conflict,
+    * execute groups in parallel workers, each group linearly).
+    *
+    * Key images: for every unique key of the table, a string image of the
+    * row's NEW values, plus — when the frame carries `old_<col>` before
+    * images (the T8 update-image split contract) — the OLD values of
+    * changed-key updates (ref: model.go:216-251 getKeys unions old+new).
+    * Rows are vertices, images are vertices; a row touching an image links
+    * to it; connected components over that bipartite graph are exactly the
+    * reference's transitive conflict closure — computed for the WHOLE
+    * batch at once, so the reference's flush-and-reset on cross-group
+    * conflict (which stalls every worker) never happens: CC already merged
+    * those groups.
+    *
+    * Returns the slice plus `_rid` (stable row id) and `_grp` (group
+    * label), MATERIALIZED — `monotonically_increasing_id` is plan-
+    * nondeterministic, so the frame is pinned before anything executes
+    * against the target. NULL key columns image as a sentinel, conflicting
+    * with each other — the NULL-safe analog of the reference's nil key
+    * handling. */
+  private[graft] def conflictGroupsFor(slice: DataFrame, table: String): DataFrame = {
+    val (_, uks) = tableMetaAll(table)
+    val frameCols = slice.columns.map(n => n.toUpperCase -> n).toMap
+    // deterministic row id: a content hash, not monotonically_increasing_id
+    // — the id must survive plan re-execution unchanged (the grouped frame
+    // is consumed lazily by the apply pass), and a content hash needs no
+    // pinning materialization job. A 64-bit collision merely merges two
+    // rows' groups — the SAFE direction (less parallelism, never a missed
+    // conflict); identical DMLs share an id and a group by construction.
+    val withId = slice.withColumn("_rid",
+      xxhash64(slice.columns.map(col): _*))
+    val images: Seq[Column] = uks.zipWithIndex.flatMap { case (cs, i) =>
+      def img(resolve: String => Option[String]): Option[Column] = {
+        val resolved = cs.map(resolve)
+        if (resolved.exists(_.isEmpty)) None
+        else Some(concat_ws("", (lit(i.toString) +: resolved.map(c =>
+          coalesce(col(c.get).cast("string"), lit("\u0000")))): _*))
+      }
+      val newImg = img(k => frameCols.get(k))
+      // old image only for update rows that actually carry before values
+      val oldImg = img(k => frameCols.get(s"OLD_$k"))
+        .map(o => when(col("op") === "U", o))
+      newImg.toSeq ++ oldImg.toSeq
+    }
+    require(images.nonEmpty, s"frame for $table carries no key columns")
+    // Each key image is a star: every row touching it links to the image's
+    // minimum row id. One window pass builds those row↔row edges directly —
+    // the image vertices never materialize, so CC runs on the row graph
+    // (half the vertices, no doubled bipartite edge list). Components are
+    // identical: rows share a component iff a chain of shared images
+    // connects them.
+    // filter the STRING images before hashing: xxhash64(NULL) yields the
+    // seed, not NULL — hashing first would link every null-imaged row
+    // (e.g. inserts with no before image) into one spurious mega-group
+    val touched = withId.select(col("_rid"),
+      explode(array(images: _*)).as("img"))
+      .filter(col("img").isNotNull)
+      .select(col("_rid"), xxhash64(col("img")).as("imgh"))
+    val starred = touched.withColumn("root",
+      min(col("_rid")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("imgh"))))
+    val half = starred.filter(col("_rid") =!= col("root"))
+      .select(col("_rid").as("src"), col("root").as("dst"))
+    val edges = half.unionByName(
+      half.select(col("dst").as("src"), col("src").as("dst")))
+    val groups = graft.ops.Causality.connectedComponents(edges)
+      .select(col("node").as("_rid"), col("label").as("_grp"))
+    // rows with no conflicts at all never appear in an edge; they are their
+    // own singleton groups
+    // no checkpoint on the join: withId is pinned (the id determinism
+    // anchor) and CC's labels are materialized internally, so the single
+    // downstream consumer re-runs only the join itself
+    withId.join(groups, Seq("_rid"), "left")
+      .withColumn("_grp", coalesce(col("_grp"), col("_rid")))
+  }
+
+  /** Sequence-preserving apply — the reference loader with merge OFF, its
+    * default mode (ref: load.go:144 `enableCausality: true`, 529-575
+    * singleExec): every DML executes individually, in commit-ts order
+    * within its causality group, groups in parallel. This is the mode that
+    * keeps INTERMEDIATE states legal under secondary unique constraints:
+    * a unique-key value migrating between rows (the swap the source engine
+    * performed legally step by step) replays step by step here too,
+    * serialized with everything it conflicts with — where the merged path,
+    * which jumps keys straight to their final state in parallel, can
+    * transiently violate the unique index and abort. Translation per op
+    * (ref: model.go sql builders; safe mode = translator's replace/delete
+    * rewrites): I → INSERT, U → UPDATE of the writable columns keyed on
+    * the before image when carried, D → DELETE; safe mode rewrites I and U
+    * to delete-every-key-image + INSERT (MySQL REPLACE semantics against
+    * any engine). Commits every `batchSize` statements, order preserved. */
+  private def applyTableSequence(slice: DataFrame, table: String,
+      safeMode: Boolean): Long = {
+    val (cols, uks) = tableMetaAll(table)
+    val meta = cols.map(m => m.name -> m).toMap
+    val frameCols = slice.columns.map(n => n.toUpperCase -> n).toMap
+    val insertCols = cols.map(_.name).filter(frameCols.contains)
+    val keyCols = uks.head
+    require(keyCols.forall(frameCols.contains),
+      s"frame for $table lacks key columns ${keyCols.mkString(",")}")
+
+    // emptiness + the applied-ts watermark come from the raw slice (a
+    // Catalyst-pruned filter of the batch frame) so the grouped plan below
+    // has exactly one consumer and needs no extra materialization
+    val stats = slice.agg(count(lit(1)), max("commit_ts")).collect()(0)
+    if (stats.getLong(0) == 0L) return Long.MinValue
+    val sliceMaxTs = stats.getLong(1)
+    val grouped = conflictGroupsFor(slice, table)
+
+    val ordered = grouped
+      .repartition(applyPartitions, col("_grp"))
+      .sortWithinPartitions(col("commit_ts"), col("_rid"))
+    val frameIdxByUpper = ordered.columns.zipWithIndex
+      .map { case (n, i) => n.toUpperCase -> i }.toMap
+    val (u, bs, tbl, safe) = (url, batchSize, table, safeMode)
+    val setCols = insertCols.filterNot(keyCols.contains)
+    val presentUks = uks.filter(_.forall(frameCols.contains))
+
+    // the before image addresses the OLD row of a changed-key update, when
+    // the frame carries one (T8 contract)
+    val hasOld = keyCols.forall(k => frameIdxByUpper.contains(s"OLD_$k"))
+    val updIdx = frameIdxByUpper ++ (if (!hasOld) Map.empty else
+      keyCols.map(k => k.toUpperCase -> frameIdxByUpper(s"OLD_$k".toUpperCase)))
+
+    ordered.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      val c = DriverManager.getConnection(u)
+      try {
+        c.setAutoCommit(false)
+        // statements prepared ONCE per partition, rebound per row — a
+        // fresh prepare per DML is a server round-trip + plan compile that
+        // dwarfs the execute itself
+        val dels = presentUks.map(cs => cs -> c.prepareStatement(
+          s"DELETE FROM $tbl WHERE ${keyPredicate(cs, meta)}"))
+        val ins = c.prepareStatement(s"INSERT INTO $tbl " +
+          s"(${insertCols.mkString(", ")}) VALUES " +
+          insertCols.map(_ => "?").mkString("(", ", ", ")"))
+        val upd = c.prepareStatement(s"UPDATE $tbl SET " +
+          setCols.map(cn => s"$cn = ?").mkString(", ") +
+          s" WHERE ${keyPredicate(keyCols, meta)}")
+        def deleteImages(r: org.apache.spark.sql.Row): Unit =
+          dels.foreach { case (cs, del) =>
+            bindKey(del, 1, r, cs, meta, frameIdxByUpper)
+            del.executeUpdate()
+          }
+        def insertRow(r: org.apache.spark.sql.Row): Unit = {
+          insertCols.zipWithIndex.foreach { case (cn, i) =>
+            val v = r.get(frameIdxByUpper(cn))
+            if (v == null) ins.setNull(i + 1, meta(cn).sqlType)
+            else ins.setObject(i + 1, v)
+          }
+          ins.executeUpdate()
+        }
+        def execRow(r: org.apache.spark.sql.Row): Unit =
+          r.getString(frameIdxByUpper("OP")) match {
+            case "D" => deleteImages(r)
+            case "I" if !safe => insertRow(r)
+            case "U" if !safe =>
+              var i = 1
+              setCols.foreach { cn =>
+                val v = r.get(frameIdxByUpper(cn))
+                if (v == null) upd.setNull(i, meta(cn).sqlType)
+                else upd.setObject(i, v)
+                i += 1
+              }
+              bindKey(upd, i, r, keyCols, meta, updIdx)
+              upd.executeUpdate()
+            case _ => // safe mode: REPLACE semantics for both I and U
+              deleteImages(r); insertRow(r)
+          }
+        // chunked commit with deadlock retry (ref: load.go:519
+        // singleExecRetry, maxDMLRetryCount): a deadlock victim's txn is
+        // rolled back to the last commit, which is exactly the pending
+        // chunk — re-execute it in order. Adjacent-key page locks can
+        // still collide across groups on the SAME unique index even
+        // though the groups' key VALUES are disjoint, so retry is part of
+        // the contract, not a workaround.
+        val pending = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+        def flush(): Unit = if (pending.nonEmpty) {
+          var attempt = 0
+          var done = false
+          while (!done) {
+            try { pending.foreach(execRow); c.commit(); done = true }
+            catch {
+              case e: SQLException if e.getSQLState == "40001" && attempt < 5 =>
+                attempt += 1
+                try c.rollback() catch { case _: SQLException => () }
+                Thread.sleep(50L * attempt)
+            }
+          }
+          pending.clear()
+        }
+        rows.foreach { r => pending += r; if (pending.size >= bs) flush() }
+        flush()
+        dels.foreach(_._2.close()); ins.close(); upd.close()
+      } finally {
+        try c.rollback() catch { case _: SQLException => () }
+        c.close()
+      }
     }
     sliceMaxTs
   }

@@ -131,6 +131,57 @@ class PipelineSpec extends SparkSpec {
     s"jdbc:derby:$db;create=true"
   }
 
+  test("causality sequence apply: a unique-key migration replays legally under a live UNIQUE index") {
+    // the reason the reference loader defaults to causality + singleExec
+    // (load.go:144, 529-575): a unique-key value migrating between rows is
+    // only replayable step by step, in source order, serialized with every
+    // DML it conflicts with — the merged path jumps keys to final states in
+    // parallel and can transiently violate the index. This pins the whole
+    // composition P1∘K1: old+new key images (model.go:216-251 getKeys)
+    // merge the migration chain into ONE conflict group, unrelated rows
+    // stay parallel, and Derby's real UNIQUE constraint referees every
+    // intermediate state.
+    val url = freshDerbyUrl("causeq")
+    val loader = new graft.sinks.JdbcSchemaLoader(url, applyPartitions = 4)
+    loader.createTable(
+      """CREATE TABLE SWAP_T (PK BIGINT PRIMARY KEY, UK BIGINT,
+        | COMMIT_TS BIGINT, VAL DOUBLE,
+        | CONSTRAINT SWAP_UK UNIQUE (UK))""".stripMargin)
+    val seed = Seq((1L, 10L, 1L, "I", 1.0), (2L, 20L, 2L, "I", 2.0))
+      .toDF("pk", "uk", "commit_ts", "op", "val")
+    assert(loader.applyBatch(Map("SWAP_T" -> seed), 0L))
+
+    // pk1 and pk2 SWAP uks through a temp slot — legal at every step, and
+    // exactly the history a source engine under unique constraints would
+    // emit; old images carried per the T8 update-image contract. Two
+    // unrelated updates ride along in the same batch.
+    val swap = Seq(
+      (1L, 99L, 10L, "U", 1.1, 1L, 10L),  // pk1: 10 → 99 (frees 10)
+      (2L, 10L, 11L, "U", 2.1, 2L, 20L),  // pk2: 20 → 10 (frees 20)
+      (1L, 20L, 12L, "U", 1.2, 1L, 99L),  // pk1: 99 → 20
+      (5L, 50L, 13L, "I", 5.0, 5L, 50L),
+      (6L, 60L, 14L, "I", 6.0, 6L, 60L))
+      .toDF("pk", "uk", "commit_ts", "op", "val", "old_pk", "old_uk")
+
+    // the conflict closure: the migration trio is ONE group (linked through
+    // the old-image keys: uk10 ties r1↔r2, uk20 ties r2↔r3), the two
+    // unrelated inserts keep their own groups — parallelism survives
+    val grp = loader.conflictGroupsFor(swap, "SWAP_T")
+    assert(grp.filter(col("pk").isin(1L, 2L)).select("_grp").distinct().count() == 1)
+    assert(grp.select("_grp").distinct().count() == 3)
+
+    // the replay executes — UPDATE-by-before-image in commit-ts order under
+    // the live index — and lands on the swapped end state
+    assert(loader.applyBatch(Map("SWAP_T" -> swap), 1L, merge = false))
+    val state = loader.readTable(spark, "SWAP_T")
+      .select("PK", "UK", "VAL").as[(Long, Long, Double)].collect()
+      .map { case (pk, uk, v) => pk -> ((uk, v)) }.toMap
+    assert(state == Map(1L -> ((20L, 1.2)), 2L -> ((10L, 2.1)),
+      5L -> ((50L, 5.0)), 6L -> ((60L, 6.0))))
+    // replayed batch id is refused (exactly-once guard holds in this mode too)
+    assert(!loader.applyBatch(Map("SWAP_T" -> swap), 1L, merge = false))
+  }
+
   test("reparo: pb binlog files replayed into a SQL database up to a recovery point") {
     val changes = Cdc.changes(spark, sf)
     val pbDir = graft.util.Scratch.dir("graft_reparo_pb")
