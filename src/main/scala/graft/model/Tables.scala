@@ -18,6 +18,11 @@ object Tables {
     // refuses by default; read nanos as long and truncate to micros below
     // (same truncation DuckDB applies), keeping every engine's view equal.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Driver-written timestamps carry no UTC flag; Spark 4 would infer
+    // TIMESTAMP_NTZ, a type unix_micros/window reject. Read them as plain
+    // TIMESTAMP — the stored micros pass through unchanged (no tz
+    // conversion happens on read), matching DuckDB's epoch view.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

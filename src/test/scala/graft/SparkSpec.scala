@@ -11,6 +11,7 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       // the driver's events table is TIMESTAMP(NANOS); main-code loaders
       // (model.Tables.table) set this too — pin it here so no individual
