@@ -7,6 +7,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // match Verify/SparkSpec: tz-dependent expressions (date_trunc, hour)
+      // must plan identically under bench and under the correctness gate
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       // the default 100-entry codegen class cache thrashes when 134 queries
