@@ -15,6 +15,13 @@ run / fork := true
 // "[success] Total time" footer would eat into the driver's 2000-char
 // tail capture, so suppress it.
 Global / showSuccess := false
+// Pass the forked run's stdout through VERBATIM: the default logger
+// strategy prefixes every line with "[info] ", which breaks any
+// line-oriented JSON parse of the bench output (BENCH_r01–r07 all
+// recorded parsed:null because of exactly this prefix).
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

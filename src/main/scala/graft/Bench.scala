@@ -50,49 +50,62 @@ object Bench {
     val queries = SparkEntry.queries.toSeq
     val passes = scala.collection.mutable.LinkedHashMap[String,
       scala.collection.mutable.ArrayBuffer[Double]]()
-    for (_ <- 1 to reps; (name, fn) <- queries) {
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        val sec = (System.nanoTime() - t0) / 1e9
-        passes.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer()) += sec
-      } catch {
-        case e: Throwable =>
-          errors(name) = e.toString.take(160).replaceAll("[\"\\\\\n\r\t]", " ")
+    def onePass(qs: Seq[(String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)]): Unit =
+      qs.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          passes.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer()) += sec
+        } catch {
+          case e: Throwable =>
+            errors(name) = e.toString.take(160).replaceAll("[\"\\\\\n\r\t]", " ")
+        }
       }
-    }
+    (1 to reps).foreach(_ => onePass(queries))
     val best = passes.map { case (n, ts) => n -> ts.min }
     val results = queries.map { case (name, _) => name -> best.getOrElse(name, 0.0) }
-    // The driver captures only the LAST 2000 chars of stdout; a map of all
-    // ~90 queries at full double precision overflows it and the JSON line
-    // is truncated mid-entry (BENCH_r01/r02 both parsed as null). Keep the
-    // slowest 40 per-query (the ones worth comparing round-over-round),
-    // fold the rest into one aggregate, and round to ms.
     // explicit locale: a comma-decimal default locale would emit invalid JSON
     def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val ok = results.filterNot { case (k, _) => errors.contains(k) }
+    // The driver captures only the LAST 2000 chars of stdout; a map of all
+    // ~135 queries at full double precision overflows it and the JSON line
+    // is truncated mid-entry (BENCH_r01/r02 both lost this way). Keep the
+    // slowest 40 per-query (the ones worth comparing round-over-round) and
+    // fold the rest into one aggregate.
     val (slow, fast) = ok.sortBy(-_._2).splitAt(40)
-    val qs = slow.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+    // Two-tier reps: min-of-3 does not converge for the slow set in this
+    // sandbox (r7 measured 36/40 queries with >1.3x max/min spread across
+    // interleaved passes), so the comparison-relevant slow-40 get extra
+    // interleaved passes. Round-over-round claims should gate on
+    // MEDIAN-vs-min agreement: a tight med/min says the min is the real
+    // steady state; a wide one says "noise, don't compare".
+    val extraReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_REPS", "2").toInt
+    val slowNames = slow.map(_._1).toSet
+    (1 to extraReps).foreach(_ =>
+      onePass(queries.filter(q => slowNames(q._1))))
+    def medOf(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val mins = passes.map { case (n, ts) => n -> ts.min } // incl. extra passes
+    val meds = passes.map { case (n, ts) => n -> medOf(ts.toSeq) }
+    val qs = slow.map { case (k, _) => s"\"" + k + "\":" + ms(mins(k)) }
+      .mkString("{", ",", "}")
+    // medians for the slowest 20 — the round-over-round mover set (capped
+    // so the one-line JSON keeps ~150 chars of slack inside the driver's
+    // 2000-char stdout tail window)
+    val md = slow.take(20)
+      .map { case (k, _) => s"\"" + k + "\":" + ms(meds(k)) }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, m) => s"\"" + k + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
-    // per-query max/min spread across the interleaved passes, for the slow
-    // set only and only where it exceeds 1.3x — the round-over-round drive
-    // signal needs to distinguish a real regression (tight spread, higher
-    // min) from suite noise (wide spread); capped at the 15 widest so the
-    // one-line JSON stays inside the driver's 2000-char stdout window
-    val spreads = slow.flatMap { case (k, mn) =>
-      passes.get(k).filter(_.size > 1).map { ts =>
-        k -> (if (mn > 0) ts.max / mn else 1.0)
-      }
-    }.filter(_._2 > 1.3).sortBy(-_._2)
-    val sp = spreads.take(15)
-      .map { case (k, r) =>
-        s"\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", r)
-      }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"fast_n":${fast.size},"fast_sum":${ms(fast.map(_._2).sum)},"n_queries":${results.size},"reps":$reps,"agg":"min","spread_gt13":$sp,"n_spread_gt13":${spreads.size},"errors":$es,"n_errors":${errors.size},"sf":"$sfDir"}""")
+    val total = ok.map { case (k, _) => mins(k) }.sum
+    val totalMed = ok.map { case (k, _) => meds(k) }.sum
+    val nSpread = slow.count { case (k, _) =>
+      mins(k) > 0 && meds(k) / mins(k) > 1.3 }
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"med":$md,"total_med":${ms(totalMed)},"fast_n":${fast.size},"fast_sum":${ms(fast.map(p => mins(p._1)).sum)},"n_queries":${results.size},"reps":$reps,"extra_reps_slow40":$extraReps,"agg":"min","spread":"med_over_min","n_spread_gt13":$nSpread,"errors":$es,"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

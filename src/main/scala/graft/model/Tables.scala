@@ -1,8 +1,6 @@
 package graft.model
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -14,20 +12,12 @@ import org.apache.spark.sql.types.LongType
   */
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The driver's `events` table carries TIMESTAMP(NANOS) which Spark 4
-    // refuses by default; read nanos as long and truncate to micros below
-    // (same truncation DuckDB applies), keeping every engine's view equal.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Driver-written timestamps carry no UTC flag; Spark 4 would infer
-    // TIMESTAMP_NTZ, a type unix_micros/window reject. Read them as plain
-    // TIMESTAMP — the stored micros pass through unchanged (no tz
-    // conversion happens on read), matching DuckDB's epoch view.
+    // Driver-written timestamps (`events.ts` is timestamp[us]) carry no UTC
+    // flag; Spark 4 would infer TIMESTAMP_NTZ, a type unix_micros/window
+    // reject. Read them as plain TIMESTAMP — the stored micros pass through
+    // unchanged (no tz conversion happens on read), matching DuckDB's view.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None    => df
-    }
+    spark.read.parquet(s"$dir/$name.parquet")
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

@@ -108,21 +108,15 @@ object Filters {
   /** S6: commit-ts range scan (ref: reparo/file.go:29-109 selects pb files
     * by first-commitTs then range-filters [start, stop]). With time-bucketed
     * parquet layout this predicate becomes partition pruning; here it is a
-    * pushed parquet filter (visible as PushedFilters in the scan).
-    *
-    * The range is applied to the RAW nanosecond column before the
-    * long→timestamp conversion — a filter on the converted column cannot
-    * reach the scan (only IsNotNull pushes), one on the stored long pushes
-    * as a min/max-prunable range predicate. */
+    * pushed parquet filter on the `timestamp[us]` column (visible as
+    * PushedFilters in the scan — timestamp pushdown is on by default, so
+    * row groups outside [lo, hi) are min/max-pruned without decoding). */
   def tsRangeScan(spark: SparkSession, dir: String): DataFrame = {
-    val loNanos = 1704240000000000000L // 2024-01-03T00:00:00Z
-    val hiNanos = 1704412800000000000L // 2024-01-05T00:00:00Z
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val lo = lit("2024-01-03 00:00:00").cast("timestamp")
+    val hi = lit("2024-01-05 00:00:00").cast("timestamp")
     spark.read.parquet(s"$dir/events.parquet")
-      .filter(col("ts") >= loNanos && col("ts") < hiNanos)
-      .select(col("event_id"),
-        timestamp_micros(expr("ts div 1000")).as("ts"),
-        col("user_id"), col("event_type"))
+      .filter(col("ts") >= lo && col("ts") < hi)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
   }
 
   def tsRangeScanSql: String =

@@ -259,6 +259,57 @@ object JdbcSchemaLoader {
        |      FROM f)
        |SELECT pk, uk, commit_ts, value AS val FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin
 
+  /** Oracle-checked MERGED-path key-migration query: every update moves its
+    * row's composite unique key (k1 = pk, k2 = seq mod 3) to the next slot,
+    * carrying the T8 `old_*` before-image — so the merged fold MUST split
+    * each one into DELETE(old image) + INSERT(new image) or the vacated
+    * key's row is stranded in the target (ref: pkg/loader/merge.go:48-77
+    * splits exactly this before folding; model.go:216-251 getKeys unions
+    * old+new images). Hash-matching DuckDB's replay of the same split
+    * algebra pins the synthetic-delete path end-to-end through Derby. */
+  def mergeMigrateQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.util.Scratch.ensureDerbyHome()
+    val root = graft.util.Scratch.dir("graft_k1_mig")
+    val loader = new JdbcSchemaLoader(s"jdbc:derby:$root/db;create=true",
+      applyPartitions = 8)
+    loader.createTable(
+      """CREATE TABLE MIG_STATE (K1 BIGINT NOT NULL, K2 BIGINT NOT NULL,
+        | COMMIT_TS BIGINT, VAL DOUBLE,
+        | CONSTRAINT MIG_UK UNIQUE (K1, K2))""".stripMargin)
+    val changes = graft.ops.Cdc.changes(spark, dir)
+    val maxTs = changes.agg(max("commit_ts")).head.getLong(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pk")).orderBy(col("commit_ts"))
+    val slice = changes.filter(col("commit_ts") <= maxTs / 20)
+      .withColumn("seq", row_number().over(w))
+      .select(col("pk").as("k1"), (col("seq") % 3).cast("long").as("k2"),
+        col("commit_ts"), col("op"), col("value").as("val"),
+        when(col("op") === "U" && col("seq") > 1, col("pk")).as("old_k1"),
+        when(col("op") === "U" && col("seq") > 1,
+          ((col("seq") - 1) % 3).cast("long")).as("old_k2"))
+    loader.applyBatch(Map("MIG_STATE" -> slice), 0L)
+    loader.readTable(spark, "MIG_STATE", Some("K1"))
+      .select(col("K1").as("k1"), col("K2").as("k2"),
+        col("COMMIT_TS").as("commit_ts"), col("VAL").as("val"))
+  }
+
+  def mergeMigrateSql: String =
+    s"""WITH c AS (${graft.ops.Cdc.changesCte}),
+       |f AS (SELECT pk, commit_ts, op, value,
+       |        row_number() OVER (PARTITION BY pk ORDER BY commit_ts) AS seq
+       |      FROM c
+       |      WHERE commit_ts <= (SELECT max(commit_ts) // 20 FROM c)),
+       |rws AS (
+       |  SELECT pk AS k1, seq % 3 AS k2, commit_ts, op, value, 0 AS synth
+       |  FROM f
+       |  UNION ALL
+       |  SELECT pk, (seq - 1) % 3, commit_ts, 'D', value, 1
+       |  FROM f WHERE op = 'U' AND seq > 1),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY k1, k2
+       |        ORDER BY commit_ts DESC, synth ASC) AS rn FROM rws)
+       |SELECT k1, k2, commit_ts, value AS val
+       |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin
+
   def multiTableSql: String =
     s"""WITH t AS (${graft.ops.TypeDomain.typedEnvelopeCte}),
        |f AS (SELECT * FROM t
@@ -498,12 +549,41 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
     require(keyCols.forall(frameCols.contains),
       s"frame for $table lacks key columns ${keyCols.mkString(",")}")
 
+    // An update whose unique key CHANGED must also kill the old-key row:
+    // the reference's merge algebra splits it into DELETE(old image) +
+    // INSERT(new image) before folding (ref: pkg/loader/merge.go:48-77;
+    // model.go:216-251 getKeys unions old+new images). When the frame
+    // carries the T8 `old_<col>` before-image for every key column, emit
+    // that synthetic delete here; a frame without before-images cannot
+    // express a key migration, so the plain fold is already complete.
+    val oldKeyFor = keyCols.flatMap(k => frameCols.get(s"OLD_$k").map(k -> _)).toMap
+    val preSlice = if (oldKeyFor.size == keyCols.size) {
+      val keyChanged = keyCols.map(k =>
+        !(col(frameCols(k)) <=> col(oldKeyFor(k)))).reduce(_ || _)
+      // an all-NULL old image means "no before image" (insert rows, or an
+      // upstream that omitted it) — never a migration from the NULL key
+      val hasOldImage = keyCols.map(k => col(oldKeyFor(k)).isNotNull).reduce(_ || _)
+      val synth = slice.filter(col("op") === "U" && hasOldImage && keyChanged)
+        .withColumn("op", lit("D"))
+        .select(slice.columns.map { cn =>
+          keyCols.find(k => frameCols(k) == cn) match {
+            case Some(k) => col(oldKeyFor(k)).cast(slice.schema(cn).dataType).as(cn)
+            case None    => col(cn)
+          }
+        }: _*)
+      slice.withColumn("_synth", lit(0))
+        .unionByName(synth.withColumn("_synth", lit(1)))
+    } else slice.withColumn("_synth", lit(0))
+
     val keyExprs = keyCols.map(k => col(frameCols(k)))
-    val w = Window.partitionBy(keyExprs: _*).orderBy(col("commit_ts").desc)
-    val merged = slice
+    // tie-break: at equal commit_ts a REAL row outranks the synthetic
+    // old-key delete, so a same-ts re-insert of the vacated key survives
+    val w = Window.partitionBy(keyExprs: _*)
+      .orderBy(col("commit_ts").desc, col("_synth").asc)
+    val merged = preSlice
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .drop("rn")
+      .drop("rn", "_synth")
       .repartition(applyPartitions, keyExprs: _*)
       .localCheckpoint(true) // applied twice (delete pass, upsert pass)
     // one pass over the checkpointed data gives emptiness + the applied-ts

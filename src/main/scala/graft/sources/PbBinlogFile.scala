@@ -415,6 +415,56 @@ object PbBinlogFile {
        |WHERE commit_ts BETWEEN (SELECT max(commit_ts) * 2 // 10 FROM c)
        |                    AND (SELECT max(commit_ts) * 6 // 10 FROM c)""".stripMargin
 
+  /** Deterministic corruption injector for the recover-mode oracle: walk a
+    * file's frames in place and XOR one payload byte of every frame whose
+    * commit_ts satisfies `hit` — the CRC then fails on exactly those frames
+    * and salvage must skip them. Test/staging machinery (it trusts the
+    * layout it just wrote); the parse mirrors [[decodeFrames]]. */
+  private def corruptFile(path: String, hit: Long => Boolean): Unit = {
+    val p = Paths.get(path)
+    val bytes = Files.readAllBytes(p)
+    var pos = 0
+    var changed = false
+    while (bytes.length - pos >= 16) {
+      val b = ByteBuffer.wrap(bytes, pos, bytes.length - pos)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.getInt // magic (ours by construction)
+      val len = b.getLong.toInt
+      val payload = new Array[Byte](len); b.get(payload)
+      if (hit(decodePayload(payload).commit_ts)) {
+        bytes(pos + 12) = (bytes(pos + 12) ^ 0x5a).toByte
+        changed = true
+      }
+      pos += 16 + len
+    }
+    if (changed) Files.write(p, bytes)
+  }
+
+  /** Oracle-checked salvage read (S6 recover mode): stage wire files,
+    * deterministically corrupt every frame whose commit_ts % 7 == 0, then
+    * read with `recover = true` — the result must hash-match DuckDB
+    * computing the surviving set (commit_ts % 7 != 0) straight from
+    * parquet. Pins the magic-resync skip under the driver's gate: exactly
+    * the damaged frames vanish, every byte after them still decodes (ref
+    * salvage semantics: pkg/binlogfile/binlogger.go:308-321, 504-534).
+    * Corruption fans out one task per staged file. */
+  def recoverScanQuery(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.util.Scratch.dir("graft_wire_recover")
+    val changes = graft.ops.Cdc.changes(spark, dir)
+    write(changes, out, nFiles = 4)
+    val files = new java.io.File(out).listFiles()
+      .map(_.getPath).filter(_.contains("binlog-")).toSeq
+    spark.sparkContext.parallelize(files, files.size)
+      .foreach(f => corruptFile(f, ts => ts % 7 == 0))
+    read(spark, out, recover = true)
+      .select("commit_ts", "pk", "op", "event_type", "ts", "value", "props")
+  }
+
+  def recoverScanSql: String =
+    s"""WITH c AS (${graft.ops.Cdc.changesCte})
+       |SELECT commit_ts, pk, op, event_type, ts, value, props FROM c
+       |WHERE commit_ts % 7 <> 0""".stripMargin
+
   /** Oracle-checked typed wire round-trip: enrich the change stream with
     * the full M9 type domain — DECIMAL(38,19) text, uint64-as-DECIMAL(20,0),
     * BIT(64) image, enum ordinal — push it through encode → binlog files →

@@ -19,11 +19,11 @@ import graft.sinks.UpsertSink
   */
 object CdcStream {
 
-  /** Raw schema of the events parquet (ts kept as nanos-long; the file
-    * stream cannot use the nanos-rejecting default reader). */
+  /** Raw schema of the events parquet (`ts` is `timestamp[us]` in the
+    * driver-generated data; file streams require an explicit schema). */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -31,7 +31,6 @@ object CdcStream {
 
   /** Streaming change envelope from a parquet directory/glob. */
   def changeStream(spark: SparkSession, pathGlob: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(eventsRawSchema)
       .parquet(pathGlob)
@@ -41,7 +40,7 @@ object CdcStream {
         when(col("event_type") === "signup", "I")
           .when(col("event_type") === "error", "D")
           .otherwise("U").as("op"),
-        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("ts"),
         col("value"))
   }
 

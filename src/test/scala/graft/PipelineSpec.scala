@@ -182,6 +182,34 @@ class PipelineSpec extends SparkSpec {
     assert(!loader.applyBatch(Map("SWAP_T" -> swap), 1L, merge = false))
   }
 
+  test("MERGED apply splits a key-changing update into DELETE(old)+REPLACE(new)") {
+    // ref: pkg/loader/merge.go:48-77 — the merge fold splits an update
+    // whose unique key changed BEFORE compacting; without it the old-key
+    // row is stranded in the target (the gap the value oracle can't see
+    // unless a query migrates a key — this one does, directly).
+    val url = freshDerbyUrl("migmerge")
+    val loader = new graft.sinks.JdbcSchemaLoader(url, applyPartitions = 4)
+    loader.createTable(
+      """CREATE TABLE MIG_T (K1 BIGINT NOT NULL, K2 BIGINT NOT NULL,
+        | COMMIT_TS BIGINT, VAL DOUBLE,
+        | CONSTRAINT MIG_UK UNIQUE (K1, K2))""".stripMargin)
+    val seed = Seq((1L, 1L, 1L, "I", 1.0), (2L, 1L, 2L, "I", 2.0))
+      .toDF("k1", "k2", "commit_ts", "op", "val")
+    assert(loader.applyBatch(Map("MIG_T" -> seed), 0L))
+    // row (1,1) migrates its composite key to (1,2), then a later insert
+    // REUSES the vacated (1,1); row (2,1) updates in place (old == new).
+    val batch = Seq(
+      (1L, 2L, 10L, "U", 1.1, Some(1L), Some(1L)), // (1,1) → (1,2)
+      (2L, 1L, 11L, "U", 2.1, Some(2L), Some(1L)), // key unchanged
+      (1L, 1L, 12L, "I", 9.0, None, None))         // re-insert vacated key
+      .toDF("k1", "k2", "commit_ts", "op", "val", "old_k1", "old_k2")
+    assert(loader.applyBatch(Map("MIG_T" -> batch), 1L)) // merge = true
+    val state = loader.readTable(spark, "MIG_T")
+      .select("K1", "K2", "VAL").as[(Long, Long, Double)].collect().toSet
+    // the stranded-row failure mode would leave (1,1) at val 1.0
+    assert(state == Set((1L, 2L, 1.1), (2L, 1L, 2.1), (1L, 1L, 9.0)))
+  }
+
   test("reparo: pb binlog files replayed into a SQL database up to a recovery point") {
     val changes = Cdc.changes(spark, sf)
     val pbDir = graft.util.Scratch.dir("graft_reparo_pb")

@@ -39,6 +39,18 @@ class PlanSpec extends SparkSpec {
       "Q6's range predicates must reach the parquet reader")
   }
 
+  test("s6 ts range scan pushes both timestamp bounds into parquet") {
+    // ref pruning rule: reparo/file.go:47-109 — select files by commitTs
+    // range before decoding. Here that is parquet row-group min/max pruning,
+    // which only happens if BOTH bounds reach the scan as PushedFilters
+    // (a timestamp[us] column takes timestamp-literal pushdown by default).
+    val p = SparkEntry.queries("s6_ts_range_scan")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThanOrEqual(ts") && p.contains("LessThan(ts"),
+      "s6 ts bounds must reach the parquet reader as pushed filters")
+  }
+
   test("global top-k is a distributed take, not a global sort") {
     val p = SparkEntry.queries("q3_shipping_priority")(spark, sf)
       .queryExecution.executedPlan.toString

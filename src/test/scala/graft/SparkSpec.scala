@@ -13,10 +13,6 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
-      // the driver's events table is TIMESTAMP(NANOS); main-code loaders
-      // (model.Tables.table) set this too — pin it here so no individual
-      // test needs to mutate (and leak) session config.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
