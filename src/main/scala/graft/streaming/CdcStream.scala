@@ -159,9 +159,15 @@ object CdcStream {
     * `routes` maps target table name → predicate over the change envelope;
     * rows matching no route are dropped (the reference's filter-then-load
     * contract — F1/F9 decide what reaches the loader). */
+  /** `merge = false` selects the loader's sequence-preserving causality
+    * path (the reference default) — required when a micro-batch can carry a
+    * unique-key migration chain whose intermediate states must stay legal
+    * under a live secondary index; `merge = true` is the compacting
+    * high-throughput mode. */
   def applyToJdbcTables(changes: DataFrame, url: String, checkpoint: String,
       routes: Map[String, Column],
-      applyPartitions: Int = 16): StreamingQuery = {
+      applyPartitions: Int = 16, merge: Boolean = true,
+      safeMode: Boolean = false): StreamingQuery = {
     val loader = new graft.sinks.JdbcSchemaLoader(url,
       applyPartitions = applyPartitions)
     changes.writeStream
@@ -173,7 +179,8 @@ object CdcStream {
         val b = batch.persist()
         try {
           val slices = routes.map { case (t, pred) => t -> b.filter(pred) }
-          loader.applyBatch(slices, batchId): Unit
+          loader.applyBatch(slices, batchId, merge = merge,
+            safeMode = safeMode): Unit
         } finally { b.unpersist(); () }
       }
       .start()

@@ -610,6 +610,72 @@ class StreamingSpec extends SparkSpec {
     assert(loader.lastCommitted == before)
   }
 
+  test("streaming sequence apply: UK-swap chain with old images lands exactly across a restart (T8∘P1∘K1)") {
+    // ref: pkg/loader/model.go:216-251 — getKeys unions OLD and NEW key
+    // images, so a migration chain serializes into one causality group.
+    // This routes an update-with-key-change through the STREAMING
+    // multi-table path (CdcStream.applyToJdbcTables, merge = false): two
+    // tables, a swap chain arriving after a restart, a live UNIQUE index
+    // refereeing every intermediate state, and a final no-op restart
+    // proving the batch-id guard.
+    import graft.sinks.JdbcSchemaLoader
+    import spark.implicits._
+    val in = graft.util.Scratch.dir("graft_swapstream_in")
+    val ckpt = graft.util.Scratch.dir("graft_swapstream_ckpt")
+    val url = freshDerbyUrl("swapstream")
+    val loader = new JdbcSchemaLoader(url, applyPartitions = 4)
+    loader.createTable(
+      """CREATE TABLE SW_A (PK BIGINT PRIMARY KEY, UK BIGINT NOT NULL,
+        | COMMIT_TS BIGINT, VAL DOUBLE, CONSTRAINT SWA_UK UNIQUE (UK))""".stripMargin)
+    loader.createTable(
+      "CREATE TABLE SW_B (PK BIGINT PRIMARY KEY, COMMIT_TS BIGINT, VAL DOUBLE)")
+    val routes = Map(
+      "SW_A" -> (col("tbl") === "A"),
+      "SW_B" -> (col("tbl") === "B"))
+    def frame(rows: Seq[(String, Long, Long, Long, String, Double,
+        Option[Long], Option[Long])]) =
+      rows.toDF("tbl", "pk", "uk", "commit_ts", "op", "val", "old_pk", "old_uk")
+    def stream = spark.readStream
+      .schema(frame(Seq(("A", 0L, 0L, 0L, "I", 0.0, None, None))).schema)
+      .parquet(in)
+    def run() = CdcStream.applyToJdbcTables(stream, url, ckpt, routes,
+      applyPartitions = 4, merge = false, safeMode = true)
+
+    addFile(frame(Seq(
+      ("A", 1L, 10L, 1L, "I", 1.0, None, None),
+      ("A", 2L, 20L, 2L, "I", 2.0, None, None),
+      ("B", 7L, 0L, 3L, "I", 7.0, None, None))), in, "a")
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+    val afterFirst = loader.lastCommitted
+
+    // "crash", then the swap chain arrives: pk1 and pk2 exchange uks
+    // through a temp slot — only legal replayed in order with old images
+    addFile(frame(Seq(
+      ("A", 1L, 99L, 10L, "U", 1.1, Some(1L), Some(10L)), // 10 → 99
+      ("A", 2L, 10L, 11L, "U", 2.1, Some(2L), Some(20L)), // 20 → 10
+      ("A", 1L, 20L, 12L, "U", 1.2, Some(1L), Some(99L)), // 99 → 20
+      ("B", 8L, 0L, 13L, "I", 8.0, None, None))), in, "b")
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(loader.lastCommitted > afterFirst, "restart must apply the new file")
+
+    val a = loader.readTable(spark, "SW_A", Some("PK"))
+      .select("PK", "UK", "VAL").as[(Long, Long, Double)].collect()
+      .map { case (pk, uk, v) => pk -> ((uk, v)) }.toMap
+    assert(a == Map(1L -> ((20L, 1.2)), 2L -> ((10L, 2.1))),
+      "swapped end state must be exact under the live unique index")
+    val b = loader.readTable(spark, "SW_B", Some("PK"))
+      .select("PK", "VAL").as[(Long, Double)].collect().toMap
+    assert(b == Map(7L -> 7.0, 8L -> 8.0))
+
+    // a third restart with nothing new must change nothing
+    val before = loader.lastCommitted
+    val q3 = run()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(loader.lastCommitted == before)
+  }
+
   test("arbiter restart (K1/S7): re-delivered frames at or below checkpoint commitTs are dropped") {
     import graft.pipeline.Arbiter
     import graft.sinks.JdbcUpsertSink
