@@ -299,8 +299,8 @@ object Transforms {
     * user key; the gap detection and running session counter evaluate in a
     * single window pass.
     *
-    * All time arithmetic runs on epoch-microsecond BIGINTs in BOTH engines:
-    * Spark truncated the nanos column to micros at load (Tables.table), and
+    * All time arithmetic runs on epoch-microsecond BIGINTs in BOTH engines
+    * (`ts` is stored as timestamp[us], read back via `unix_micros`):
     * fractional-second `epoch()` arithmetic vs truncated `unix_timestamp`
     * seconds can flip a session boundary when a gap straddles 1800 s — so the
     * gap is compared in exact integer microseconds and the session bounds are
