@@ -210,6 +210,45 @@ class PipelineSpec extends SparkSpec {
     assert(state == Set((1L, 2L, 1.1), (2L, 1L, 2.1), (1L, 1L, 9.0)))
   }
 
+  test("crash replay is idempotent: re-applying a committed batch lands on the identical state") {
+    // the reference's recovery guarantee: a loader that crashed AFTER
+    // applying but BEFORE saving its savepoint re-applies the whole batch
+    // on restart, and REPLACE semantics make that replay a no-op
+    // (merge path: delete-by-key + insert; sequence path: safe-mode
+    // REPLACE, reparo's half-recovered-target mode). A second loader with
+    // its own cluster id simulates exactly that un-checkpointed redelivery.
+    val url = freshDerbyUrl("replayid")
+    val mk = (cid: Long) => new graft.sinks.JdbcSchemaLoader(url,
+      clusterId = cid, applyPartitions = 4)
+    val loader = mk(1L)
+    loader.createTable(
+      """CREATE TABLE RP_T (PK BIGINT PRIMARY KEY, UK BIGINT NOT NULL,
+        | COMMIT_TS BIGINT, VAL DOUBLE, CONSTRAINT RP_UK UNIQUE (UK))""".stripMargin)
+    val batch = Seq(
+      (1L, 10L, 1L, "I", 1.0, None, None),
+      (2L, 20L, 2L, "I", 2.0, None, None),
+      (1L, 11L, 3L, "U", 1.1, Some(1L), Some(10L)), // key-migrating update
+      (3L, 30L, 4L, "I", 3.0, None, None),
+      (3L, 30L, 5L, "D", 0.0, Some(3L), Some(30L)))
+      .toDF("pk", "uk", "commit_ts", "op", "val", "old_pk", "old_uk")
+    def state() = loader.readTable(spark, "RP_T")
+      .select("PK", "UK", "VAL").as[(Long, Long, Double)].collect().toSet
+
+    // merged path: apply, then redeliver un-checkpointed
+    assert(mk(1L).applyBatch(Map("RP_T" -> batch), 0L))
+    val afterMerge = state()
+    assert(afterMerge == Set((1L, 11L, 1.1), (2L, 20L, 2.0)))
+    assert(mk(2L).applyBatch(Map("RP_T" -> batch), 0L))
+    assert(state() == afterMerge, "merged replay must be a no-op")
+
+    // sequence path in safe mode over the already-applied state (the mode
+    // reparo uses into a half-recovered target): same end state, no
+    // duplicate-key failure from the plain INSERTs
+    assert(mk(3L).applyBatch(Map("RP_T" -> batch), 0L,
+      merge = false, safeMode = true))
+    assert(state() == afterMerge, "safe-mode sequence replay must converge")
+  }
+
   test("reparo: pb binlog files replayed into a SQL database up to a recovery point") {
     val changes = Cdc.changes(spark, sf)
     val pbDir = graft.util.Scratch.dir("graft_reparo_pb")
