@@ -114,6 +114,10 @@ object Filters {
   def tsRangeScan(spark: SparkSession, dir: String): DataFrame = {
     val lo = lit("2024-01-03 00:00:00").cast("timestamp")
     val hi = lit("2024-01-05 00:00:00").cast("timestamp")
+    // same NTZ pin as Tables.table: this is the one operator reading the
+    // driver's parquet directly (to keep the scan shape visible), and the
+    // untagged file must not infer TIMESTAMP_NTZ under a fresh session
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$dir/events.parquet")
       .filter(col("ts") >= lo && col("ts") < hi)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
