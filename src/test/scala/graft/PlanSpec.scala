@@ -58,6 +58,19 @@ class PlanSpec extends SparkSpec {
       "ORDER BY + LIMIT must plan as TakeOrderedAndProject")
   }
 
+  test("dimension joins build broadcast sides, not shuffles of the fact table") {
+    // q5 joins region→nation→{customer,supplier} onto the lineitem fact;
+    // every dimension side is declared broadcast in the source. A planner
+    // or refactor regression to SortMergeJoin here would shuffle the fact
+    // table once per dimension — the classic 100×-scale-up killer.
+    val p = SparkEntry.queries("q5_local_supplier")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "q5's dimension joins must plan as broadcast hash joins")
+    assert(!p.contains("SortMergeJoin"),
+      "q5 must not sort-merge the fact table against a dimension")
+  }
+
   test("the PQ codebook is driver-local model state, not a cluster lineage") {
     // trainPqCodebook localizes each round's codebook (PqSubs × PqCodes
     // rows — constant at any corpus scale) to a LocalRelation, so the
