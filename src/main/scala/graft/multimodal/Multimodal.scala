@@ -301,13 +301,14 @@ object Multimodal {
     * the video-keyframe analog, fan-out bounded by `maxFrames`. */
   case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  def sampleFrames(media: Dataset[MediaRow], every: Int = 4, maxFrames: Int = 8): Dataset[Frame] = {
+  def sampleFrames(media: Dataset[MediaRow], every: Int = 4, maxFrames: Int = 8,
+      frameBytes: Int = FakeCodec.FrameBytes): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
-      val nFrames = math.max(1, m.payload.length / FakeCodec.FrameBytes)
+      val nFrames = math.max(1, m.payload.length / frameBytes)
       (0 until nFrames by every).take(maxFrames).map { i =>
-        val from = i * FakeCodec.FrameBytes
-        val until = math.min(from + FakeCodec.FrameBytes, m.payload.length)
+        val from = i * frameBytes
+        val until = math.min(from + frameBytes, m.payload.length)
         Frame(m.doc_id, i, java.util.Arrays.copyOfRange(m.payload, from, until))
       }
     }
@@ -331,4 +332,50 @@ object Multimodal {
       }
     }
   }
+
+  /** Oracle-checked frame-sample plumbing: the Spark side slices REAL
+    * bytes (every 2nd 64-byte frame, fan-out capped at 3 — the
+    * video-keyframe shape, sized so the corpus actually exercises stride,
+    * cap AND tail truncation); the DuckDB oracle recomputes the index set
+    * and each slice's length from the payload-size formulas, so the hash
+    * match pins all of them row by row. */
+  def frameSampleQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sampleFrames(asMedia(spark, dir), every = 2, maxFrames = 3, frameBytes = 64)
+      .map(f => (f.doc_id, f.frame_idx.toLong, f.frame.length.toLong))
+      .toDF("doc_id", "frame_idx", "n_frame_bytes")
+  }
+
+  def frameSampleSql: String =
+    s"""WITH m AS (SELECT doc_id,
+       |    octet_length(encode(text)) +
+       |      CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 21 ELSE 13 END AS len
+       |  FROM documents),
+       |f AS (SELECT doc_id, len, GREATEST(1, len // 64) AS n_frames FROM m)
+       |SELECT doc_id, frame_idx,
+       |  LEAST(64, len - frame_idx * 64) AS n_frame_bytes
+       |FROM (SELECT doc_id, len,
+       |        unnest(generate_series(0,
+       |          CAST(LEAST(n_frames - 1, 4) AS BIGINT), 2)) AS frame_idx
+       |      FROM f)""".stripMargin
+
+  /** Oracle-checked resize plumbing: stride-downsample each payload to at
+    * most 256 bytes on the Spark side; the oracle recomputes input length,
+    * stride and output length per row. Swapping the stride kernel for a
+    * real raster resize changes neither the contract nor the plan (pure
+    * per-partition map, no shuffle). */
+  def resizeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    resize(asMedia(spark, dir))
+      .map(r => (r.doc_id, r.n_in.toLong, r.n_out.toLong))
+      .toDF("doc_id", "n_in", "n_out")
+  }
+
+  def resizeSql: String =
+    s"""WITH m AS (SELECT doc_id,
+       |    octet_length(encode(text)) +
+       |      CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 21 ELSE 13 END AS len
+       |  FROM documents),
+       |s AS (SELECT doc_id, len, (len + 255) // 256 AS step FROM m)
+       |SELECT doc_id, len AS n_in, (len - 1) // step + 1 AS n_out FROM s""".stripMargin
 }
