@@ -91,21 +91,31 @@ object Bench {
     }
     val mins = passes.map { case (n, ts) => n -> ts.min } // incl. extra passes
     val meds = passes.map { case (n, ts) => n -> medOf(ts.toSeq) }
-    val qs = slow.map { case (k, _) => s"\"" + k + "\":" + ms(mins(k)) }
+    // re-filter AFTER the extra passes: a query that errored only there
+    // leaves the timed set entirely (errors and totals stay disjoint — the
+    // invariant the driver's round-over-round tooling assumes), and a query
+    // with no successful pass at all (SPARK_GRAFT_BENCH_REPS=0) must not
+    // crash the emit — this JSON line must print even when everything is
+    // empty, or the driver records the round as unparseable
+    val timed = (k: String) => !errors.contains(k) && mins.contains(k)
+    val okF = ok.filter { case (k, _) => timed(k) }
+    val slowF = slow.filter { case (k, _) => timed(k) }
+    val fastF = fast.filter { case (k, _) => timed(k) }
+    val qs = slowF.map { case (k, _) => s"\"" + k + "\":" + ms(mins(k)) }
       .mkString("{", ",", "}")
     // medians for the slowest 20 — the round-over-round mover set (capped
     // so the one-line JSON keeps ~150 chars of slack inside the driver's
     // 2000-char stdout tail window)
-    val md = slow.take(20)
+    val md = slowF.take(20)
       .map { case (k, _) => s"\"" + k + "\":" + ms(meds(k)) }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, m) => s"\"" + k + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
-    val total = ok.map { case (k, _) => mins(k) }.sum
-    val totalMed = ok.map { case (k, _) => meds(k) }.sum
-    val nSpread = slow.count { case (k, _) =>
+    val total = okF.map { case (k, _) => mins(k) }.sum
+    val totalMed = okF.map { case (k, _) => meds(k) }.sum
+    val nSpread = slowF.count { case (k, _) =>
       mins(k) > 0 && meds(k) / mins(k) > 1.3 }
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"med":$md,"total_med":${ms(totalMed)},"fast_n":${fast.size},"fast_sum":${ms(fast.map(p => mins(p._1)).sum)},"n_queries":${results.size},"reps":$reps,"extra_reps_slow40":$extraReps,"agg":"min","spread":"med_over_min","n_spread_gt13":$nSpread,"errors":$es,"n_errors":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"med":$md,"total_med":${ms(totalMed)},"fast_n":${fastF.size},"fast_sum":${ms(fastF.map(p => mins(p._1)).sum)},"n_queries":${results.size},"reps":$reps,"extra_reps_slow40":$extraReps,"agg":"min","spread":"med_over_min","n_spread_gt13":$nSpread,"errors":$es,"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

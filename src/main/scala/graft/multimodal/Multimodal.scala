@@ -188,12 +188,18 @@ object Multimodal {
     }.toDF("doc_id", "format", "n_bytes", "width", "height")
   }
 
+  /** DuckDB formula for a staged payload's byte length — text bytes plus
+    * the per-mime header size the codec writes (33 png / 21 jpeg / 13 gif).
+    * Shared by every image-payload oracle so a `HeaderCodec.encode` change
+    * is mirrored in exactly one place. */
+  private val payloadLenSql: String =
+    "octet_length(encode(text)) + CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 21 ELSE 13 END"
+
   def mediaMetaSql: String =
     s"""SELECT doc_id,
        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
        |       ELSE 'gif' END AS format,
-       |  octet_length(encode(text)) +
-       |    CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 21 ELSE 13 END AS n_bytes,
+       |  $payloadLenSql AS n_bytes,
        |  n_chars % 640 + 1 AS width,
        |  n_chars * 7 % 480 + 1 AS height
        |FROM documents""".stripMargin
@@ -347,9 +353,7 @@ object Multimodal {
   }
 
   def frameSampleSql: String =
-    s"""WITH m AS (SELECT doc_id,
-       |    octet_length(encode(text)) +
-       |      CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 21 ELSE 13 END AS len
+    s"""WITH m AS (SELECT doc_id, $payloadLenSql AS len
        |  FROM documents),
        |f AS (SELECT doc_id, len, GREATEST(1, len // 64) AS n_frames FROM m)
        |SELECT doc_id, frame_idx,
@@ -372,9 +376,7 @@ object Multimodal {
   }
 
   def resizeSql: String =
-    s"""WITH m AS (SELECT doc_id,
-       |    octet_length(encode(text)) +
-       |      CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 21 ELSE 13 END AS len
+    s"""WITH m AS (SELECT doc_id, $payloadLenSql AS len
        |  FROM documents),
        |s AS (SELECT doc_id, len, (len + 255) // 256 AS step FROM m)
        |SELECT doc_id, len AS n_in, (len - 1) // step + 1 AS n_out FROM s""".stripMargin

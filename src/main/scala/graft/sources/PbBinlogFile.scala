@@ -452,8 +452,11 @@ object PbBinlogFile {
     val out = graft.util.Scratch.dir("graft_wire_recover")
     val changes = graft.ops.Cdc.changes(spark, dir)
     write(changes, out, nFiles = 4)
+    // name prefix, not contains: a crashed/speculative writer's
+    // `.binlog-*.inprogress` temp (which read() skips) must not be parsed
+    // as complete frames by the corruption injector
     val files = new java.io.File(out).listFiles()
-      .map(_.getPath).filter(_.contains("binlog-")).toSeq
+      .filter(_.getName.startsWith("binlog-")).map(_.getPath).toSeq
     spark.sparkContext.parallelize(files, files.size)
       .foreach(f => corruptFile(f, ts => ts % 7 == 0))
     read(spark, out, recover = true)

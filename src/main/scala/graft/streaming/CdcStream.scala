@@ -158,11 +158,11 @@ object CdcStream {
     * table (ref: drainer/syncer.go feeding pkg/loader/load.go:706-724).
     * `routes` maps target table name → predicate over the change envelope;
     * rows matching no route are dropped (the reference's filter-then-load
-    * contract — F1/F9 decide what reaches the loader). */
-  /** `merge = false` selects the loader's sequence-preserving causality
-    * path (the reference default) — required when a micro-batch can carry a
-    * unique-key migration chain whose intermediate states must stay legal
-    * under a live secondary index; `merge = true` is the compacting
+    * contract — F1/F9 decide what reaches the loader). `merge = false`
+    * selects the loader's sequence-preserving causality path (the reference
+    * default) — required when a micro-batch can carry a unique-key
+    * migration chain whose intermediate states must stay legal under a
+    * live secondary index; `merge = true` is the compacting
     * high-throughput mode. */
   def applyToJdbcTables(changes: DataFrame, url: String, checkpoint: String,
       routes: Map[String, Column],
