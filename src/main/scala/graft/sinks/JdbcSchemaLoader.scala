@@ -771,12 +771,28 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
     val frameIdxByUpper = ordered.columns.zipWithIndex
       .map { case (n, i) => n.toUpperCase -> i }.toMap
     val (u, bs, tbl, safe) = (url, batchSize, table, safeMode)
-    val setCols = insertCols.filterNot(keyCols.contains)
+    // when the frame carries before images the UPDATE must SET the key
+    // columns too: a migration of the ADDRESSED key (new values in SET,
+    // old image in WHERE) is exactly the reference's genUpdateSQL shape —
+    // setting only non-key columns leaves the old key occupied and a later
+    // re-insert of the vacated slot collides. Without before images a key
+    // migration is inexpressible, so keys stay out of SET (WHERE and SET
+    // would bind the same columns).
+    val hasOld = keyCols.forall(k => frameIdxByUpper.contains(s"OLD_$k"))
+    val setCols = if (hasOld) insertCols
+                  else insertCols.filterNot(keyCols.contains)
     val presentUks = uks.filter(_.forall(frameCols.contains))
+    // per-unique-key old-image binding positions, where the frame carries
+    // them — safe mode must also kill the OLD row of a changed-key update
+    // (ref: model.go:216-251 getKeys unions old+new images)
+    val oldIdxOf: Map[Seq[String], Map[String, Int]] = presentUks.flatMap { cs =>
+      if (cs.forall(k => frameIdxByUpper.contains(s"OLD_$k")))
+        Some(cs -> cs.map(k => k.toUpperCase -> frameIdxByUpper(s"OLD_$k")).toMap)
+      else None
+    }.toMap
 
     // the before image addresses the OLD row of a changed-key update, when
     // the frame carries one (T8 contract)
-    val hasOld = keyCols.forall(k => frameIdxByUpper.contains(s"OLD_$k"))
     val updIdx = frameIdxByUpper ++ (if (!hasOld) Map.empty else
       keyCols.map(k => k.toUpperCase -> frameIdxByUpper(s"OLD_$k".toUpperCase)))
 
@@ -799,6 +815,16 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
           dels.foreach { case (cs, del) =>
             bindKey(del, 1, r, cs, meta, frameIdxByUpper)
             del.executeUpdate()
+            // a changed-key update must also vacate its OLD image, or safe
+            // mode strands the migrated-from row (getKeys unions old+new);
+            // an in-place update's old == new double-delete is a no-op
+            oldIdxOf.get(cs).foreach { oi =>
+              if (r.getString(frameIdxByUpper("OP")) == "U" &&
+                  cs.exists(k => r.get(oi(k.toUpperCase)) != null)) {
+                bindKey(del, 1, r, cs, meta, frameIdxByUpper ++ oi)
+                del.executeUpdate()
+              }
+            }
           }
         def insertRow(r: org.apache.spark.sql.Row): Unit = {
           insertCols.zipWithIndex.foreach { case (cn, i) =>
@@ -820,7 +846,12 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
                 else upd.setObject(i, v)
                 i += 1
               }
-              bindKey(upd, i, r, keyCols, meta, updIdx)
+              // an all-NULL old image means "no before image" (an upstream
+              // that omitted it): address the row by its new key instead
+              val whereIdx = if (hasOld &&
+                  keyCols.exists(k => r.get(updIdx(k.toUpperCase)) != null))
+                updIdx else frameIdxByUpper
+              bindKey(upd, i, r, keyCols, meta, whereIdx)
               upd.executeUpdate()
             case _ => // safe mode: REPLACE semantics for both I and U
               deleteImages(r); insertRow(r)

@@ -210,6 +210,72 @@ class PipelineSpec extends SparkSpec {
     assert(state == Set((1L, 2L, 1.1), (2L, 1L, 2.1), (1L, 1L, 9.0)))
   }
 
+  test("merged fold == sequence replay == model on random legal key-migration histories") {
+    // The reference ships two apply modes — the compacting merge fold
+    // (pkg/loader/merge.go:48-77) and the causality-serialized per-DML
+    // replay (load.go:529-575 singleExec). For any LEGAL history (every op
+    // valid at its commit-ts under the live composite unique key) both must
+    // land on the same final state — which is also the state of the
+    // in-memory model that generated the history. Random key-migrating
+    // histories exercise vacate/reuse chains, cross-batch migrations, and
+    // delete-then-reinsert sequences the hand-written cases can't
+    // enumerate; the hand-written tests above stay as readable anchors.
+    val rnd = new scala.util.Random(2024)
+    (0 until 4).foreach { iter =>
+      val model = scala.collection.mutable.Map[(Long, Long), Double]()
+      val hist = scala.collection.mutable.ArrayBuffer[
+        (Long, Long, Long, String, Double, Option[Long], Option[Long])]()
+      val keys = for (a <- 1L to 4L; b <- 1L to 6L) yield (a, b)
+      (1 to 60).foreach { ts =>
+        val free = keys.filterNot(model.contains)
+        val used = model.keys.toSeq.sorted
+        val v = rnd.nextInt(1000) / 10.0
+        val a = rnd.nextInt(10)
+        if (used.isEmpty || (a < 3 && free.nonEmpty)) {
+          val k = free(rnd.nextInt(free.size))
+          model(k) = v
+          hist += ((k._1, k._2, ts.toLong, "I", v, None, None))
+        } else if (a < 5) {
+          val k = used(rnd.nextInt(used.size))
+          model -= k
+          hist += ((k._1, k._2, ts.toLong, "D", 0.0, Some(k._1), Some(k._2)))
+        } else if (a < 7 && free.nonEmpty) { // key-migrating update
+          val k = used(rnd.nextInt(used.size))
+          val nk = free(rnd.nextInt(free.size))
+          model -= k; model(nk) = v
+          hist += ((nk._1, nk._2, ts.toLong, "U", v, Some(k._1), Some(k._2)))
+        } else { // in-place update
+          val k = used(rnd.nextInt(used.size))
+          model(k) = v
+          hist += ((k._1, k._2, ts.toLong, "U", v, Some(k._1), Some(k._2)))
+        }
+      }
+      val df = hist.toSeq
+        .toDF("k1", "k2", "commit_ts", "op", "val", "old_k1", "old_k2")
+      def applyVia(tag: String, merge: Boolean): Set[(Long, Long, Double)] = {
+        val loader = new graft.sinks.JdbcSchemaLoader(
+          freshDerbyUrl(s"prop$tag$iter"), applyPartitions = 4)
+        loader.createTable(
+          """CREATE TABLE PROP_T (K1 BIGINT NOT NULL, K2 BIGINT NOT NULL,
+            | COMMIT_TS BIGINT, VAL DOUBLE,
+            | CONSTRAINT PROP_UK UNIQUE (K1, K2))""".stripMargin)
+        // three ts-bounded batches: migrations cross batch borders, so the
+        // second and third replays run against state carried in the target
+        Seq((0L, 20L), (20L, 40L), (40L, 60L)).zipWithIndex.foreach {
+          case ((lo, hi), i) =>
+            loader.applyBatch(Map("PROP_T" -> df.filter(
+              col("commit_ts") > lo && col("commit_ts") <= hi)),
+              i.toLong, merge = merge)
+        }
+        loader.readTable(spark, "PROP_T").select("K1", "K2", "VAL")
+          .as[(Long, Long, Double)].collect().toSet
+      }
+      val expected = model.map { case ((a, b), v) => (a, b, v) }.toSet
+      assert(applyVia("m", merge = true) == expected, s"merged vs model, iter=$iter")
+      assert(applyVia("s", merge = false) == expected, s"sequence vs model, iter=$iter")
+    }
+  }
+
   test("crash replay is idempotent: re-applying a committed batch lands on the identical state") {
     // the reference's recovery guarantee: a loader that crashed AFTER
     // applying but BEFORE saving its savepoint re-applies the whole batch
