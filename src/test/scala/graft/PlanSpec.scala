@@ -32,6 +32,58 @@ class PlanSpec extends SparkSpec {
         offenders.mkString(", "))
   }
 
+  test("no query plans a cartesian product or a data-sized nested-loop join") {
+    // the other oracle-invisible scale-killer class: a join that degrades
+    // to CartesianProduct or a data×data BroadcastNestedLoopJoin multiplies
+    // partition counts at 100 TB no matter how green the values are.
+    // BNLJ is legitimate ONLY when its broadcast side is row-bounded by
+    // construction — a grouping-free aggregate (≤1 row, the scalar-subquery
+    // threshold pattern), a LIMIT, or a constant local relation. AQE off so
+    // the physical tree is inspectable (no AdaptiveSparkPlanExec wrapper).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    def bounded(p: SparkPlan): Boolean = p.collectFirst {
+      case a: HashAggregateExec if a.groupingExpressions.isEmpty => true
+      case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => true
+      case a: SortAggregateExec if a.groupingExpressions.isEmpty => true
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+      case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+      // a reused broadcast is bounded iff the exchange it references is
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        bounded(r.child)
+    }.getOrElse(false)
+    // Broadcast sides bounded by CONSTRUCTION, invisible to plan shape —
+    // keep each entry justified:
+    //  - ann_topk_cosine: query side = `vec_id < nQueries` (literal 10);
+    //  - ann_ivf_topk / ann_ivf_trained: centroid set, grouped on a cell id
+    //    whose domain is the constant IvfCells — ≤ k rows at any corpus
+    //    size (Similarity.scala assignment joins);
+    //  - hist_quantiles: merged histogram (≤ range/width buckets) and the
+    //    3-row quantile-target frame (Sketches.histQuantiles).
+    val constructionBounded: Set[String] =
+      Set("ann_topk_cosine", "ann_ivf_topk", "ann_ivf_trained", "hist_quantiles")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val plan = fn(s2, sf).queryExecution.executedPlan
+      val cart = plan.collect { case c: CartesianProductExec => c }
+      val badBnlj = if (constructionBounded(name)) Nil else plan.collect {
+        case j: BroadcastNestedLoopJoinExec => j
+      }.filterNot { j =>
+        val build = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft  => j.left
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        }
+        bounded(build)
+      }
+      if (cart.nonEmpty || badBnlj.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"cartesian/data-sized nested-loop join in: ${offenders.mkString(", ")}")
+  }
+
   test("tight-predicate scans push their filters into parquet") {
     val p = SparkEntry.queries("q6_revenue_forecast")(spark, sf)
       .queryExecution.executedPlan.toString
