@@ -253,22 +253,35 @@ class PipelineSpec extends SparkSpec {
       val df = hist.toSeq
         .toDF("k1", "k2", "commit_ts", "op", "val", "old_k1", "old_k2")
       def applyVia(tag: String, merge: Boolean): Set[(Long, Long, Double)] = {
-        val loader = new graft.sinks.JdbcSchemaLoader(
-          freshDerbyUrl(s"prop$tag$iter"), applyPartitions = 4)
+        val url = freshDerbyUrl(s"prop$tag$iter")
+        val loader = new graft.sinks.JdbcSchemaLoader(url, applyPartitions = 4)
         loader.createTable(
           """CREATE TABLE PROP_T (K1 BIGINT NOT NULL, K2 BIGINT NOT NULL,
             | COMMIT_TS BIGINT, VAL DOUBLE,
             | CONSTRAINT PROP_UK UNIQUE (K1, K2))""".stripMargin)
         // three ts-bounded batches: migrations cross batch borders, so the
         // second and third replays run against state carried in the target
-        Seq((0L, 20L), (20L, 40L), (40L, 60L)).zipWithIndex.foreach {
+        val lastSlice = Seq((0L, 20L), (20L, 40L), (40L, 60L)).zipWithIndex.map {
           case ((lo, hi), i) =>
-            loader.applyBatch(Map("PROP_T" -> df.filter(
-              col("commit_ts") > lo && col("commit_ts") <= hi)),
-              i.toLong, merge = merge)
-        }
-        loader.readTable(spark, "PROP_T").select("K1", "K2", "VAL")
+            val slice = df.filter(
+              col("commit_ts") > lo && col("commit_ts") <= hi)
+            loader.applyBatch(Map("PROP_T" -> slice), i.toLong, merge = merge)
+            slice
+        }.last
+        def state() = loader.readTable(spark, "PROP_T").select("K1", "K2", "VAL")
           .as[(Long, Long, Double)].collect().toSet
+        val applied = state()
+        // un-checkpointed redelivery of the last batch (a fresh cluster id
+        // skips the batch-id guard — the crash-after-apply recovery window)
+        // must converge: merged replay is REPLACE-idempotent including its
+        // synthetic old-key deletes; the sequence replay runs in safe mode,
+        // the reference's half-recovered-target contract
+        new graft.sinks.JdbcSchemaLoader(url, clusterId = 9L,
+            applyPartitions = 4)
+          .applyBatch(Map("PROP_T" -> lastSlice), 2L,
+            merge = merge, safeMode = true)
+        assert(state() == applied, s"redelivery must be a no-op, $tag iter=$iter")
+        applied
       }
       val expected = model.map { case ((a, b), v) => (a, b, v) }.toSet
       assert(applyVia("m", merge = true) == expected, s"merged vs model, iter=$iter")
