@@ -109,7 +109,12 @@ object Bench {
     val md = slowF.take(20)
       .map { case (k, _) => s"\"" + k + "\":" + ms(meds(k)) }
       .mkString("{", ",", "}")
-    val es = errors.map { case (k, m) => s"\"" + k + "\":\"" + m + "\"" }
+    // bounded error detail: the line must stay inside the driver's
+    // 2000-char stdout tail even with many failures (truncation eats the
+    // FRONT of the line — the whole JSON would be lost, the r01/r02
+    // failure mode); n_errors carries the true count, CORRECTNESS the rest
+    val es = errors.take(3)
+      .map { case (k, m) => s"\"" + k + "\":\"" + m.take(90) + "\"" }
       .mkString("{", ",", "}")
     val total = okF.map { case (k, _) => mins(k) }.sum
     val totalMed = okF.map { case (k, _) => meds(k) }.sum
