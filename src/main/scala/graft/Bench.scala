@@ -113,8 +113,8 @@ object Bench {
     // 2000-char stdout tail even with many failures (truncation eats the
     // FRONT of the line — the whole JSON would be lost, the r01/r02
     // failure mode); n_errors carries the true count, CORRECTNESS the rest
-    val es = errors.take(3)
-      .map { case (k, m) => s"\"" + k + "\":\"" + m.take(90) + "\"" }
+    val es = errors.take(2)
+      .map { case (k, m) => s"\"" + k + "\":\"" + m.take(60) + "\"" }
       .mkString("{", ",", "}")
     val total = okF.map { case (k, _) => mins(k) }.sum
     val totalMed = okF.map { case (k, _) => meds(k) }.sum

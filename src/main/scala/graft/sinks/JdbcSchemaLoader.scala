@@ -458,7 +458,9 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
     var i = base
     keyCols.foreach { k =>
       val m = meta(k)
-      val v = r.get(frameIdx(k))
+      // frame index maps are uppercase-keyed; catalog names need not be
+      // uppercase off Derby — normalize at the one lookup they all share
+      val v = r.get(frameIdx(k.toUpperCase))
       val slots = if (m.nullable) 2 else 1
       (0 until slots).foreach { s =>
         if (v == null) ps.setNull(i + s, m.sqlType) else ps.setObject(i + s, v)
@@ -556,7 +558,9 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
     // carries the T8 `old_<col>` before-image for every key column, emit
     // that synthetic delete here; a frame without before-images cannot
     // express a key migration, so the plain fold is already complete.
-    val oldKeyFor = keyCols.flatMap(k => frameCols.get(s"OLD_$k").map(k -> _)).toMap
+    // (uppercase-normalized: catalog names need not be uppercase off Derby)
+    val oldKeyFor = keyCols.flatMap(k =>
+      frameCols.get(s"OLD_$k".toUpperCase).map(k -> _)).toMap
     val preSlice = if (oldKeyFor.size == keyCols.size) {
       val keyChanged = keyCols.map(k =>
         !(col(frameCols(k)) <=> col(oldKeyFor(k)))).reduce(_ || _)
@@ -771,6 +775,17 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
     val frameIdxByUpper = ordered.columns.zipWithIndex
       .map { case (n, i) => n.toUpperCase -> i }.toMap
     val (u, bs, tbl, safe) = (url, batchSize, table, safeMode)
+    val presentUks = uks.filter(_.forall(frameCols.contains))
+    // per-unique-key old-image binding positions, where the frame carries
+    // them — safe mode must also kill the OLD row of a changed-key update
+    // (ref: model.go:216-251 getKeys unions old+new images). Lookups are
+    // uppercase-normalized: catalog names need not be uppercase off Derby.
+    val oldIdxOf: Map[Seq[String], Map[String, Int]] = presentUks.flatMap { cs =>
+      if (cs.forall(k => frameIdxByUpper.contains(s"OLD_$k".toUpperCase)))
+        Some(cs -> cs.map(k =>
+          k.toUpperCase -> frameIdxByUpper(s"OLD_$k".toUpperCase)).toMap)
+      else None
+    }.toMap
     // when the frame carries before images the UPDATE must SET the key
     // columns too: a migration of the ADDRESSED key (new values in SET,
     // old image in WHERE) is exactly the reference's genUpdateSQL shape —
@@ -778,23 +793,14 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
     // re-insert of the vacated slot collides. Without before images a key
     // migration is inexpressible, so keys stay out of SET (WHERE and SET
     // would bind the same columns).
-    val hasOld = keyCols.forall(k => frameIdxByUpper.contains(s"OLD_$k"))
+    val hasOld = oldIdxOf.contains(keyCols)
     val setCols = if (hasOld) insertCols
                   else insertCols.filterNot(keyCols.contains)
-    val presentUks = uks.filter(_.forall(frameCols.contains))
-    // per-unique-key old-image binding positions, where the frame carries
-    // them — safe mode must also kill the OLD row of a changed-key update
-    // (ref: model.go:216-251 getKeys unions old+new images)
-    val oldIdxOf: Map[Seq[String], Map[String, Int]] = presentUks.flatMap { cs =>
-      if (cs.forall(k => frameIdxByUpper.contains(s"OLD_$k")))
-        Some(cs -> cs.map(k => k.toUpperCase -> frameIdxByUpper(s"OLD_$k")).toMap)
-      else None
-    }.toMap
 
     // the before image addresses the OLD row of a changed-key update, when
     // the frame carries one (T8 contract)
-    val updIdx = frameIdxByUpper ++ (if (!hasOld) Map.empty else
-      keyCols.map(k => k.toUpperCase -> frameIdxByUpper(s"OLD_$k".toUpperCase)))
+    val updIdx = frameIdxByUpper ++
+      (if (hasOld) oldIdxOf(keyCols) else Map.empty)
 
     ordered.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       val c = DriverManager.getConnection(u)
@@ -816,11 +822,21 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
             bindKey(del, 1, r, cs, meta, frameIdxByUpper)
             del.executeUpdate()
             // a changed-key update must also vacate its OLD image, or safe
-            // mode strands the migrated-from row (getKeys unions old+new);
-            // an in-place update's old == new double-delete is a no-op
+            // mode strands the migrated-from row (getKeys unions old+new).
+            // Skipped when old == new (the dominant in-place case — the
+            // extra round-trip would be a no-op) and when the old image is
+            // all NULL: that means "no before image" here, the same
+            // tie-break the merged fold documents — a migration OUT OF an
+            // all-NULL nullable unique key is inherently ambiguous to
+            // address (multiple rows may hold the NULL key) and takes the
+            // keyless full-image path instead.
             oldIdxOf.get(cs).foreach { oi =>
+              lazy val oldDiffers = cs.exists { k =>
+                r.get(oi(k.toUpperCase)) != r.get(frameIdxByUpper(k.toUpperCase))
+              }
               if (r.getString(frameIdxByUpper("OP")) == "U" &&
-                  cs.exists(k => r.get(oi(k.toUpperCase)) != null)) {
+                  cs.exists(k => r.get(oi(k.toUpperCase)) != null) &&
+                  oldDiffers) {
                 bindKey(del, 1, r, cs, meta, frameIdxByUpper ++ oi)
                 del.executeUpdate()
               }

@@ -43,17 +43,30 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
-    def bounded(p: SparkPlan): Boolean = p.collectFirst {
-      case a: HashAggregateExec if a.groupingExpressions.isEmpty => true
-      case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => true
-      case a: SortAggregateExec if a.groupingExpressions.isEmpty => true
+    // sound, not any-descendant: walk from the ROOT through nodes that
+    // cannot increase row counts — a bounded node buried under a join
+    // would not make the join's output bounded, so only a bounded root
+    // (through pass-through wrappers) counts
+    def bounded(p: SparkPlan): Boolean = p match {
+      case a: HashAggregateExec       => a.groupingExpressions.isEmpty
+      case a: ObjectHashAggregateExec => a.groupingExpressions.isEmpty
+      case a: SortAggregateExec       => a.groupingExpressions.isEmpty
       case _: org.apache.spark.sql.execution.GlobalLimitExec => true
       case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
       case _: org.apache.spark.sql.execution.LocalTableScanExec => true
       // a reused broadcast is bounded iff the exchange it references is
       case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
         bounded(r.child)
-    }.getOrElse(false)
+      case _: org.apache.spark.sql.execution.ProjectExec
+         | _: org.apache.spark.sql.execution.FilterExec
+         | _: org.apache.spark.sql.execution.SortExec
+         | _: org.apache.spark.sql.execution.CoalesceExec
+         | _: org.apache.spark.sql.execution.WholeStageCodegenExec
+         | _: org.apache.spark.sql.execution.InputAdapter
+         | _: org.apache.spark.sql.execution.exchange.Exchange =>
+        bounded(p.children.head)
+      case _ => false
+    }
     // Broadcast sides bounded by CONSTRUCTION, invisible to plan shape —
     // keep each entry justified:
     //  - ann_topk_cosine: query side = `vec_id < nQueries` (literal 10);
