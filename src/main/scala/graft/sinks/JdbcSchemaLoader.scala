@@ -267,9 +267,24 @@ object JdbcSchemaLoader {
     * splits exactly this before folding; model.go:216-251 getKeys unions
     * old+new images). Hash-matching DuckDB's replay of the same split
     * algebra pins the synthetic-delete path end-to-end through Derby. */
-  def mergeMigrateQuery(spark: SparkSession, dir: String): DataFrame = {
+  def mergeMigrateQuery(spark: SparkSession, dir: String): DataFrame =
+    migrateQuery(spark, dir, "graft_k1_mig", merge = true)
+
+  /** Oracle-checked SEQUENCE-path key-migration: the same migration stream
+    * replayed per-DML in causality order with safe mode on (REPLACE +
+    * old-image vacate — reparo's half-recovered-target contract, ref:
+    * load.go:529-575 singleExec; model.go:216-251 getKeys). Converges to
+    * the same fold the merged oracle computes: every key's last toucher
+    * decides its final state, and all touches of one key share a conflict
+    * group, so per-group commit-ts order serializes them. Pins the
+    * sequence path's old-image vacate under the driver's hash gate. */
+  def seqMigrateQuery(spark: SparkSession, dir: String): DataFrame =
+    migrateQuery(spark, dir, "graft_k1_smig", merge = false)
+
+  private def migrateQuery(spark: SparkSession, dir: String, tag: String,
+      merge: Boolean): DataFrame = {
     graft.util.Scratch.ensureDerbyHome()
-    val root = graft.util.Scratch.dir("graft_k1_mig")
+    val root = graft.util.Scratch.dir(tag)
     val loader = new JdbcSchemaLoader(s"jdbc:derby:$root/db;create=true",
       applyPartitions = 8)
     loader.createTable(
@@ -287,11 +302,19 @@ object JdbcSchemaLoader {
         when(col("op") === "U" && col("seq") > 1, col("pk")).as("old_k1"),
         when(col("op") === "U" && col("seq") > 1,
           ((col("seq") - 1) % 3).cast("long")).as("old_k2"))
-    loader.applyBatch(Map("MIG_STATE" -> slice), 0L)
+    // sequence mode needs safe mode here: the synthetic k2 rotation can
+    // re-insert a still-occupied slot mid-replay (the merged fold never
+    // executes intermediate states, so it does not)
+    loader.applyBatch(Map("MIG_STATE" -> slice), 0L,
+      merge = merge, safeMode = !merge)
     loader.readTable(spark, "MIG_STATE", Some("K1"))
       .select(col("K1").as("k1"), col("K2").as("k2"),
         col("COMMIT_TS").as("commit_ts"), col("VAL").as("val"))
   }
+
+  /** Same fold as the merged oracle — see [[seqMigrateQuery]] for why the
+    * two modes must agree on this stream. */
+  def seqMigrateSql: String = mergeMigrateSql
 
   def mergeMigrateSql: String =
     s"""WITH c AS (${graft.ops.Cdc.changesCte}),
