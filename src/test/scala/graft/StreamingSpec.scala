@@ -96,6 +96,74 @@ class StreamingSpec extends SparkSpec {
     assert(t.version == 5)
   }
 
+  test("schema tracker: random legal DDL sequences agree with a naive model") {
+    // randomized invariants over every DDL action the tracker implements
+    // (drainer/schema.go handleDDL breadth) — the hand-written cases above
+    // stay as readable anchors, this sweeps orderings they can't enumerate.
+    // The model is deliberately naive: a name→columns map plus a drop-time
+    // shape map. Checked after EVERY op: current() matches the model,
+    // atVersion(current) == current, atVersion never resolves to a newer
+    // entry than asked for.
+    val rnd = new scala.util.Random(7)
+    val t = new SchemaTracker(historyDepth = 4)
+    var live = Map.empty[String, Vector[String]]   // table -> columns
+    var dropped = Map.empty[String, Vector[String]] // drop-time shape
+    var v = 0L
+    val names = (1 to 6).map(i => s"t$i")
+    var colSeq = 0
+    (1 to 300).foreach { _ =>
+      v += 1 + rnd.nextInt(3)
+      val existing = live.keys.toSeq.sorted
+      val free = names.filterNot(n => live.contains(n))
+      rnd.nextInt(8) match {
+        case 0 | 1 if free.nonEmpty =>
+          val n = free(rnd.nextInt(free.size)); colSeq += 1
+          val cols = Vector(s"c$colSeq", s"c${colSeq}b")
+          t.createTable("db", n, cols, v); live += n -> cols
+          dropped -= n // re-create supersedes any recoverable shape
+        case 2 if existing.nonEmpty =>
+          val n = existing(rnd.nextInt(existing.size)); colSeq += 1
+          t.addColumn("db", n, s"c$colSeq", v)
+          live += n -> (live(n) :+ s"c$colSeq")
+        case 3 if existing.nonEmpty && live(existing(rnd.nextInt(existing.size))).nonEmpty =>
+          val n = existing(rnd.nextInt(existing.size))
+          if (live(n).nonEmpty) {
+            val c = live(n)(rnd.nextInt(live(n).size))
+            t.dropColumn("db", n, c, v)
+            live += n -> live(n).filterNot(_ == c)
+          }
+        case 4 if existing.nonEmpty && free.nonEmpty =>
+          val from = existing(rnd.nextInt(existing.size))
+          val to = free(rnd.nextInt(free.size))
+          t.renameTable("db", from, to, v)
+          live = live - from + (to -> live(from))
+        case 5 if existing.nonEmpty =>
+          val n = existing(rnd.nextInt(existing.size))
+          t.truncateTable("db", n, v) // identity reset, shape unchanged
+        case 6 if existing.nonEmpty =>
+          val n = existing(rnd.nextInt(existing.size))
+          t.dropTable("db", n, v)
+          dropped += n -> live(n); live -= n
+        case 7 if dropped.keys.exists(n => !live.contains(n)) =>
+          val cand = dropped.keys.filterNot(live.contains).toSeq.sorted
+          val n = cand(rnd.nextInt(cand.size))
+          t.recoverTable("db", n, v)
+          live += n -> dropped(n); dropped -= n
+        case _ => () // no legal target for the drawn action this step
+      }
+      names.foreach { n =>
+        assert(t.current("db", n).map(_.columns) == live.get(n),
+          s"current($n) diverged at v=$v")
+        if (live.contains(n)) {
+          val at = t.atVersion("db", n, v)
+          assert(at.map(_.columns) == live.get(n), s"atVersion($n, now) at v=$v")
+          val past = t.atVersion("db", n, rnd.nextInt(v.toInt).toLong)
+          past.foreach(i => assert(i.version <= v, s"atVersion resolved ahead"))
+        }
+      }
+    }
+  }
+
   test("checkpoint persists commitTs + schemaVersion; restart resumes by ts (K6)") {
     val root = graft.util.Scratch.dir("graft_ckpt_sink")
     val sink = new UpsertSink(root)
