@@ -49,12 +49,13 @@ object Reparo {
     * reparo/syncer/mysql.go:52-124). */
   def replayQuery(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    graft.util.Scratch.ensureDerbyHome()
     val scratch = graft.util.Scratch.dir("graft_reparo_e2e")
     val changes = graft.ops.Cdc.changes(spark, dir)
     PbBinlogFile.write(changes, s"$scratch/pb", nFiles = 4)
     val maxTs = changes.agg(max("commit_ts")).head.getLong(0)
-    val url = s"jdbc:derby:$scratch/db;create=true"
+    // wire files stay on disk (the binary format IS the substrate under
+    // test); the recovery-target database is in-memory staging
+    val url = graft.util.Scratch.derbyMemUrl("graft_reparo_e2e")
     replay(spark, s"$scratch/pb", maxTs * 4 / 10, maxTs * 8 / 10, url)
     new JdbcUpsertSink(url).currentState(spark)
   }

@@ -163,14 +163,12 @@ object JdbcSchemaLoader {
     * merge and the typed round-trip through a real SQL engine
     * (ref: pkg/loader/load.go:706-724, executor.go:210, model.go:303-322). */
   def multiTableQuery(spark: SparkSession, dir: String): DataFrame = {
-    graft.util.Scratch.ensureDerbyHome()
-    val root = graft.util.Scratch.dir("graft_k1_multi")
     // 8 writer/reader partitions, not the 16-worker cluster default: the
     // embedded engine serializes page access, so extra connections only
     // add contention here (the constructor default stays at reference
     // parity for real server targets)
-    val loader = new JdbcSchemaLoader(s"jdbc:derby:$root/db;create=true",
-      applyPartitions = 8)
+    val loader = new JdbcSchemaLoader(
+      graft.util.Scratch.derbyMemUrl("graft_k1_multi"), applyPartitions = 8)
     loader.createTable(
       "CREATE TABLE ORDERS_STATE (PK BIGINT PRIMARY KEY, COMMIT_TS BIGINT, VAL DOUBLE)")
     loader.createTable(
@@ -221,10 +219,8 @@ object JdbcSchemaLoader {
     * jumps to (ref: load.go:529-575 singleExec + causality,
     * causality.go:31-53). */
   def seqApplyQuery(spark: SparkSession, dir: String): DataFrame = {
-    graft.util.Scratch.ensureDerbyHome()
-    val root = graft.util.Scratch.dir("graft_k1_seq")
-    val loader = new JdbcSchemaLoader(s"jdbc:derby:$root/db;create=true",
-      applyPartitions = 8)
+    val loader = new JdbcSchemaLoader(
+      graft.util.Scratch.derbyMemUrl("graft_k1_seq"), applyPartitions = 8)
     loader.createTable(
       // UK is NOT NULL so the key predicate compiles to an index probe —
       // the nullable OR-form scans the table under lock and deadlocks
@@ -283,10 +279,8 @@ object JdbcSchemaLoader {
 
   private def migrateQuery(spark: SparkSession, dir: String, tag: String,
       merge: Boolean): DataFrame = {
-    graft.util.Scratch.ensureDerbyHome()
-    val root = graft.util.Scratch.dir(tag)
-    val loader = new JdbcSchemaLoader(s"jdbc:derby:$root/db;create=true",
-      applyPartitions = 8)
+    val loader = new JdbcSchemaLoader(
+      graft.util.Scratch.derbyMemUrl(tag), applyPartitions = 8)
     loader.createTable(
       """CREATE TABLE MIG_STATE (K1 BIGINT NOT NULL, K2 BIGINT NOT NULL,
         | COMMIT_TS BIGINT, VAL DOUBLE,

@@ -62,16 +62,13 @@ object JdbcUpsertSink {
     * The database is rebuilt every run; the applied slice is ts-bounded so
     * the query's cost scales with the prefix, not the corpus. */
   def stateQuery(spark: SparkSession, dir: String): DataFrame = {
-    graft.util.Scratch.ensureDerbyHome()
-    // per-invocation scratch dir: concurrent query constructions (parallel
-    // test suites, bench reps) must never contend on one database; the
-    // registry's shutdown hook closes the engine and deletes the trees
-    val root = graft.util.Scratch.dir("graft_k1_state")
     val changes = graft.ops.Cdc.changes(spark, dir)
     val maxTs = changes.agg(max("commit_ts")).head.getLong(0)
     val slice = changes.filter(col("commit_ts") <= maxTs * 2 / 10)
       .select("pk", "commit_ts", "op", "value")
-    val sink = new JdbcUpsertSink(s"jdbc:derby:$root/db;create=true")
+    // per-invocation in-memory database: concurrent query constructions
+    // (parallel test suites, bench reps) never contend on one database
+    val sink = new JdbcUpsertSink(graft.util.Scratch.derbyMemUrl("graft_k1_state"))
     sink.applyBatch(slice, batchId = 0L)
     sink.currentState(spark)
   }

@@ -3,8 +3,9 @@ package graft.util
 import java.nio.file.{Files, Path, Paths}
 import java.sql.{DriverManager, SQLException}
 
-/** Scratch-directory lifecycle for queries that stage real substrates
-  * (embedded Derby databases, binlog wire directories) under /tmp.
+/** Scratch lifecycle for queries that stage real substrates: binlog wire
+  * directories under /tmp, and per-invocation embedded-Derby staging
+  * databases (in-memory — see [[derbyMemUrl]]).
   *
   * Each staging query creates a fresh per-invocation directory — concurrent
   * query constructions (parallel test suites, interleaved bench reps) must
@@ -20,6 +21,24 @@ object Scratch {
 
   private val dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val hooked = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val memIds = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** A fresh in-memory embedded-Derby URL for a per-invocation staging
+    * database. The oracle/bench queries stage through a REAL SQL engine to
+    * pin loader semantics (unique constraints, index probes, REPLACE
+    * folds) — but the database itself is throwaway substrate rebuilt on
+    * every invocation, so its WAL fsyncs measure the sandbox disk, not the
+    * operator (the r7 bench carried 4-10x pass spread on exactly the
+    * Derby-staging family). `memory:` keeps the identical engine, planner
+    * and constraint enforcement with zero file I/O; the engine-wide
+    * shutdown in [[cleanup]] releases every memory database. A real
+    * deployment injects a MySQL/TiDB server URL at the same constructor,
+    * unchanged. */
+  def derbyMemUrl(prefix: String): String = {
+    ensureDerbyHome()
+    hookOnce()
+    s"jdbc:derby:memory:${prefix}_${memIds.incrementAndGet()};create=true"
+  }
 
   /** Point derby.system.home at a temp dir once per JVM (before the engine
     * first boots) so derby.log never lands in the working directory. */
@@ -34,10 +53,13 @@ object Scratch {
   def dir(prefix: String): String = {
     val d = Files.createTempDirectory(prefix).toString
     dirs.add(d)
-    if (hooked.compareAndSet(false, true))
-      Runtime.getRuntime.addShutdownHook(new Thread(() => cleanup(), "graft-scratch-cleanup"))
+    hookOnce()
     d
   }
+
+  private def hookOnce(): Unit =
+    if (hooked.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => cleanup(), "graft-scratch-cleanup"))
 
   private[graft] def cleanup(): Unit = {
     // engine-wide shutdown: XJ015 ("Derby system shutdown") IS the success
