@@ -44,6 +44,19 @@ object CdcStream {
         col("value"))
   }
 
+  /** State-store provider conf for cluster-scale stateful streaming. The
+    * default HDFS-backed provider keeps every partition's state map in
+    * executor HEAP — dedup/session state over billions of keys (the 100 TB
+    * shape of [[dedupStream]]/[[sessionCounts]]/the P/C matcher) OOMs long
+    * before disks fill. Spark bundles the RocksDB provider: state lives
+    * off-heap on executor-local disk with changelog checkpointing, so state
+    * size is bounded by local SSD, not heap. Set it on the session (or
+    * spark-submit conf) before starting the query; every graft streaming
+    * operator runs on it unchanged (StreamingSpec pins this). */
+  val RocksDbStateStore: (String, String) =
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** T3 twin: watermarked per-day/per-op counts (fake-binlog-free — Spark
     * advances the watermark from event time directly). */
   def watermarkedCounts(changes: DataFrame): DataFrame =

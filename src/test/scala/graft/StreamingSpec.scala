@@ -864,4 +864,43 @@ class StreamingSpec extends SparkSpec {
       graft.model.Tables.events(spark, sf).count())
     assert(streamed.count() == batchSessions.count())
   }
+
+  test("stateful streaming runs on the RocksDB state store (cluster-scale state path)") {
+    // The heap-backed default state store caps dedup state at executor
+    // memory; CdcStream.RocksDbStateStore is the off-heap/local-disk
+    // configuration a 100 TB deployment needs. Pin that the dedup operator
+    // (F10 twin) produces identical output under it AND that the state
+    // operator really ran on RocksDB (provider-specific metrics present) —
+    // a misspelled provider class silently falls back to nothing; a
+    // mis-serialized state row would break dedup correctness.
+    val in = graft.util.Scratch.dir("graft_rocks_in")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_id") < 300)
+    addFile(raw, in, "delivery1")
+    addFile(raw, in, "delivery2")
+    val (key, provider) = CdcStream.RocksDbStateStore
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, provider)
+    try {
+      val q = CdcStream.dedupStream(CdcStream.changeStream(spark, in))
+        .writeStream.format("memory").queryName("rocks_out")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val withState = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        assert(withState.nonEmpty, "dedup must report a state operator")
+        val metrics = withState.last.stateOperators.head.customMetrics
+        assert(metrics.keySet.toArray.exists(
+          _.toString.toLowerCase.contains("rocksdb")),
+          s"state operator must run on RocksDB, metrics: ${metrics.keySet}")
+      } finally q.stop()
+      val out = spark.table("rocks_out")
+      assert(out.count() == raw.count(), "each redelivered event emitted once")
+      assert(out.groupBy("commit_ts").count()
+        .filter(col("count") > 1).count() == 0)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
