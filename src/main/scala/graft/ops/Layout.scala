@@ -91,4 +91,31 @@ object Layout {
       .write.mode("overwrite").parquet(outPath)
     nFiles
   }
+
+  /** Oracle-checked P7 query: fragment the events projection into 64
+    * small files (a streaming sink's write history), [[compact]] them to
+    * target-sized files, and return the compacted read-back. The driver's
+    * hash oracle pins that the physical rewrite preserves content exactly;
+    * the in-query require pins that it actually collapsed the file count
+    * (the reference's GC/rotation analog: pump/storage/storage.go vlog GC
+    * reclaims dead segments without touching live payload). */
+  def compactRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.util.Scratch.dir("graft_p7_compact")
+    val frag = s"$scratch/frag"
+    val out = s"$scratch/compacted"
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .repartition(64).write.parquet(frag)
+    val written = compact(spark, frag, out, targetBytes = 64L * 1024 * 1024)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(out), spark.sparkContext.hadoopConfiguration)
+    val nOut = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    require(nOut == written && nOut < 64,
+      s"compaction must collapse 64 fragments, wrote $nOut")
+    spark.read.parquet(out)
+  }
+
+  def compactRoundtripSql: String =
+    "SELECT event_id, user_id, event_type, value FROM events"
 }
