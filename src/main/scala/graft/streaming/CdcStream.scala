@@ -29,10 +29,24 @@ object CdcStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming change envelope from a parquet directory/glob. */
-  def changeStream(spark: SparkSession, pathGlob: String): DataFrame = {
-    spark.readStream
+  /** Streaming change envelope from a parquet directory/glob.
+    *
+    * `maxFilesPerTrigger` is the P4 flow-control analog (ref:
+    * pkg/loader/load.go:880-963 bounds the in-flight DML buffer at 100k
+    * with cond-var backpressure): it caps each micro-batch's input so a
+    * backlogged source drains in bounded-memory steps instead of one
+    * giant catch-up batch — the knob that keeps a restart after hours of
+    * downtime from sizing state and shuffle to the whole backlog. 0 = no
+    * cap (drain everything available each trigger). */
+  def changeStream(spark: SparkSession, pathGlob: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val reader = spark.readStream
       .schema(eventsRawSchema)
+    val limited =
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader
+    limited
       .parquet(pathGlob)
       .select(
         col("event_id").as("commit_ts"),

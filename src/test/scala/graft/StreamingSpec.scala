@@ -865,6 +865,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == batchSessions.count())
   }
 
+  test("flow control (P4): maxFilesPerTrigger drains a backlog in bounded batches") {
+    // ref: pkg/loader/load.go:880-963 bounds the in-flight DML buffer —
+    // the Spark analog is source-side trigger caps. Three backlogged files
+    // with a cap of 1 must produce three micro-batches (bounded catch-up),
+    // and the result must equal the uncapped drain exactly.
+    val in = graft.util.Scratch.dir("graft_p4_in")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_id") < 300)
+    addFile(raw.filter(col("event_id") < 100), in, "backlog1")
+    addFile(raw.filter(col("event_id") >= 100 && col("event_id") < 200), in, "backlog2")
+    addFile(raw.filter(col("event_id") >= 200), in, "backlog3")
+    val q = CdcStream.changeStream(spark, in, maxFilesPerTrigger = 1)
+      .writeStream.format("memory").queryName("p4_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 3,
+        s"cap=1 over 3 files must take 3 batches, took ${batches.length}")
+      assert(batches.forall(_.numInputRows < raw.count()),
+        "no batch may swallow the whole backlog")
+    } finally q.stop()
+    assert(spark.table("p4_out").count() == raw.count(),
+      "bounded drain must deliver exactly the uncapped content")
+  }
+
   test("stateful streaming runs on the RocksDB state store (cluster-scale state path)") {
     // The heap-backed default state store caps dedup state at executor
     // memory; CdcStream.RocksDbStateStore is the off-heap/local-disk
