@@ -57,7 +57,9 @@ object Reparo {
     // test); the recovery-target database is in-memory staging
     val url = graft.util.Scratch.derbyMemUrl("graft_reparo_e2e")
     replay(spark, s"$scratch/pb", maxTs * 4 / 10, maxTs * 8 / 10, url)
-    new JdbcUpsertSink(url).currentState(spark)
+    val out = new JdbcUpsertSink(url).currentState(spark).localCheckpoint(true)
+    graft.util.Scratch.dropDerbyMem(url)
+    out
   }
 
   def replaySql: String =

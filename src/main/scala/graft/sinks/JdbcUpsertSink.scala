@@ -68,9 +68,12 @@ object JdbcUpsertSink {
       .select("pk", "commit_ts", "op", "value")
     // per-invocation in-memory database: concurrent query constructions
     // (parallel test suites, bench reps) never contend on one database
-    val sink = new JdbcUpsertSink(graft.util.Scratch.derbyMemUrl("graft_k1_state"))
+    val memUrl = graft.util.Scratch.derbyMemUrl("graft_k1_state")
+    val sink = new JdbcUpsertSink(memUrl)
     sink.applyBatch(slice, batchId = 0L)
-    sink.currentState(spark)
+    val out = sink.currentState(spark).localCheckpoint(true)
+    graft.util.Scratch.dropDerbyMem(memUrl)
+    out
   }
 
   def stateSql: String =

@@ -40,6 +40,22 @@ object Scratch {
     s"jdbc:derby:memory:${prefix}_${memIds.incrementAndGet()};create=true"
   }
 
+  /** Drop a [[derbyMemUrl]] database, releasing its on-heap pages NOW
+    * rather than at engine shutdown — interleaved bench passes rebuild
+    * each staging database repeatedly, and never-dropped memory databases
+    * would accumulate heap monotonically with the rep count. Callers must
+    * materialize (e.g. `localCheckpoint`) any DataFrame still reading the
+    * database first. Derby signals a successful drop with SQLState 08006
+    * ("database ... dropped"). */
+  def dropDerbyMem(url: String): Unit = {
+    val base = url.takeWhile(_ != ';')
+    try { DriverManager.getConnection(s"$base;drop=true"); () }
+    catch {
+      case e: SQLException if e.getSQLState == "08006" => ()
+      case _: SQLException => () // engine already down / never booted
+    }
+  }
+
   /** Point derby.system.home at a temp dir once per JVM (before the engine
     * first boots) so derby.log never lands in the working directory. */
   def ensureDerbyHome(): Unit =
