@@ -57,9 +57,7 @@ object Reparo {
     // test); the recovery-target database is in-memory staging
     val url = graft.util.Scratch.derbyMemUrl("graft_reparo_e2e")
     replay(spark, s"$scratch/pb", maxTs * 4 / 10, maxTs * 8 / 10, url)
-    val out = new JdbcUpsertSink(url).currentState(spark).localCheckpoint(true)
-    graft.util.Scratch.dropDerbyMem(url)
-    out
+    new JdbcUpsertSink(url).currentState(spark)
   }
 
   def replaySql: String =
@@ -106,4 +104,66 @@ object Arbiter {
         .filter(org.apache.spark.sql.functions.col("commit_ts") > ts0),
       url, checkpoint)
   }
+
+  /** Oracle-checked arbiter composition, END TO END: encode a ts-bounded
+    * slice of the change stream into Kafka-shaped binary frames (M2),
+    * stream them through the arbiter's real path — S7 frame decode,
+    * commit-ts restart dedup, JDBC loader — into an in-memory Derby
+    * target ACROSS A CRASH: phase 1 applies half the slice, then the
+    * at-least-once transport re-delivers EVERYTHING to a restarted
+    * arbiter, including a POISONED duplicate (an already-applied row's
+    * commit_ts with a wrong value). The poison is invisible in the final
+    * state if and only if the restart filter drops frames at or below the
+    * checkpointed commit ts — so DuckDB hash-matching the CLEAN slice's
+    * compaction pins transport encode → decode → restart dedup → merge →
+    * SQL round trip in one gate (ref: arbiter/server.go:99-115, 287-317,
+    * restart rule 293-298). */
+  def e2eQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val scratch = graft.util.Scratch.dir("graft_arbiter_e2e")
+    val in = s"$scratch/frames"
+    val changes = graft.ops.Cdc.changes(spark, dir)
+    val maxTs = changes.agg(max("commit_ts")).head.getLong(0)
+    val slice = changes.filter(col("commit_ts") <= maxTs / 20)
+      .select("commit_ts", "pk", "op", "value")
+    val frameSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("topic",
+        org.apache.spark.sql.types.StringType)))
+    def frames = spark.readStream.schema(frameSchema).parquet(in)
+    val url = graft.util.Scratch.derbyMemUrl("graft_arbiter_e2e")
+    // phase 1: the first half arrives and applies, then the arbiter crashes
+    CdcStream.toKafkaFrame(slice.filter(col("commit_ts") <= maxTs / 40), "cdc")
+      .write.mode("append").parquet(in)
+    val ckpt = s"$scratch/ckpt"
+    val q1 = run(frames, url, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    // phase 2: the restarted arbiter resumes from the SAME checkpoint; the
+    // at-least-once transport re-delivers EVERYTHING in a new file the
+    // checkpoint has never seen — including a poisoned duplicate of an
+    // applied row (same commit_ts, wrong value). The batch-id guard sees a
+    // brand-new batch; only the commit-ts restart filter can drop the
+    // re-delivered prefix.
+    val victim = slice.filter(col("commit_ts") <= maxTs / 40)
+      .orderBy(col("commit_ts").desc).limit(1)
+      .select(col("commit_ts"), col("pk"), lit("U").as("op"),
+        lit(-999.0).as("value"))
+    CdcStream.toKafkaFrame(slice.unionByName(victim), "cdc")
+      .write.mode("append").parquet(in)
+    val q2 = run(frames, url, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    new JdbcUpsertSink(url).currentState(spark)
+  }
+
+  def e2eSql: String =
+    s"""WITH c AS (${graft.ops.Cdc.changesCte}),
+       |f AS (SELECT * FROM c
+       |      WHERE commit_ts <= (SELECT max(commit_ts) // 20 FROM c)),
+       |r AS (SELECT pk, commit_ts, value, op,
+       |        row_number() OVER (PARTITION BY pk ORDER BY commit_ts DESC) AS rn
+       |      FROM f)
+       |SELECT pk, commit_ts, value FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin
 }

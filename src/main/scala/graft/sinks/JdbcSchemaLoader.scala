@@ -167,8 +167,8 @@ object JdbcSchemaLoader {
     // embedded engine serializes page access, so extra connections only
     // add contention here (the constructor default stays at reference
     // parity for real server targets)
-    val memUrl = graft.util.Scratch.derbyMemUrl("graft_k1_multi")
-    val loader = new JdbcSchemaLoader(memUrl, applyPartitions = 8)
+    val loader = new JdbcSchemaLoader(
+      graft.util.Scratch.derbyMemUrl("graft_k1_multi"), applyPartitions = 8)
     loader.createTable(
       "CREATE TABLE ORDERS_STATE (PK BIGINT PRIMARY KEY, COMMIT_TS BIGINT, VAL DOUBLE)")
     loader.createTable(
@@ -202,11 +202,7 @@ object JdbcSchemaLoader {
         col("DEC38").cast("decimal(38,19)").cast("string").as("dec38"),
         col("UDEC").cast("string").as("udec_str"), col("BITS").as("bits"),
         col("ENUM_ORD").cast("long").as("enum_ord"))
-    // materialize the read-back, then drop the staging database — its
-    // on-heap pages must not outlive the query construction
-    val out = o.unionByName(t).localCheckpoint(true)
-    graft.util.Scratch.dropDerbyMem(memUrl)
-    out
+    o.unionByName(t)
   }
 
   /** Oracle-checked sequence-preserving K1 query (P1∘K1): replay the first
@@ -223,8 +219,8 @@ object JdbcSchemaLoader {
     * jumps to (ref: load.go:529-575 singleExec + causality,
     * causality.go:31-53). */
   def seqApplyQuery(spark: SparkSession, dir: String): DataFrame = {
-    val memUrl = graft.util.Scratch.derbyMemUrl("graft_k1_seq")
-    val loader = new JdbcSchemaLoader(memUrl, applyPartitions = 8)
+    val loader = new JdbcSchemaLoader(
+      graft.util.Scratch.derbyMemUrl("graft_k1_seq"), applyPartitions = 8)
     loader.createTable(
       // UK is NOT NULL so the key predicate compiles to an index probe —
       // the nullable OR-form scans the table under lock and deadlocks
@@ -243,12 +239,9 @@ object JdbcSchemaLoader {
         col("value").as("val"))
     loader.applyBatch(Map("SEQ_STATE" -> slice), 0L,
       merge = false, safeMode = true)
-    val out = loader.readTable(spark, "SEQ_STATE", Some("PK"))
+    loader.readTable(spark, "SEQ_STATE", Some("PK"))
       .select(col("PK").as("pk"), col("UK").as("uk"),
         col("COMMIT_TS").as("commit_ts"), col("VAL").as("val"))
-      .localCheckpoint(true)
-    graft.util.Scratch.dropDerbyMem(memUrl)
-    out
   }
 
   def seqApplySql: String =
@@ -286,8 +279,8 @@ object JdbcSchemaLoader {
 
   private def migrateQuery(spark: SparkSession, dir: String, tag: String,
       merge: Boolean): DataFrame = {
-    val memUrl = graft.util.Scratch.derbyMemUrl(tag)
-    val loader = new JdbcSchemaLoader(memUrl, applyPartitions = 8)
+    val loader = new JdbcSchemaLoader(
+      graft.util.Scratch.derbyMemUrl(tag), applyPartitions = 8)
     loader.createTable(
       """CREATE TABLE MIG_STATE (K1 BIGINT NOT NULL, K2 BIGINT NOT NULL,
         | COMMIT_TS BIGINT, VAL DOUBLE,
@@ -308,12 +301,9 @@ object JdbcSchemaLoader {
     // executes intermediate states, so it does not)
     loader.applyBatch(Map("MIG_STATE" -> slice), 0L,
       merge = merge, safeMode = !merge)
-    val out = loader.readTable(spark, "MIG_STATE", Some("K1"))
+    loader.readTable(spark, "MIG_STATE", Some("K1"))
       .select(col("K1").as("k1"), col("K2").as("k2"),
         col("COMMIT_TS").as("commit_ts"), col("VAL").as("val"))
-      .localCheckpoint(true)
-    graft.util.Scratch.dropDerbyMem(memUrl)
-    out
   }
 
   /** Same fold as the merged oracle — see [[seqMigrateQuery]] for why the

@@ -68,12 +68,9 @@ object JdbcUpsertSink {
       .select("pk", "commit_ts", "op", "value")
     // per-invocation in-memory database: concurrent query constructions
     // (parallel test suites, bench reps) never contend on one database
-    val memUrl = graft.util.Scratch.derbyMemUrl("graft_k1_state")
-    val sink = new JdbcUpsertSink(memUrl)
+    val sink = new JdbcUpsertSink(graft.util.Scratch.derbyMemUrl("graft_k1_state"))
     sink.applyBatch(slice, batchId = 0L)
-    val out = sink.currentState(spark).localCheckpoint(true)
-    graft.util.Scratch.dropDerbyMem(memUrl)
-    out
+    sink.currentState(spark)
   }
 
   def stateSql: String =

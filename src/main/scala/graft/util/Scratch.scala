@@ -22,6 +22,7 @@ object Scratch {
   private val dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val hooked = new java.util.concurrent.atomic.AtomicBoolean(false)
   private val memIds = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val memLast = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** A fresh in-memory embedded-Derby URL for a per-invocation staging
     * database. The oracle/bench queries stage through a REAL SQL engine to
@@ -37,16 +38,22 @@ object Scratch {
   def derbyMemUrl(prefix: String): String = {
     ensureDerbyHome()
     hookOnce()
-    s"jdbc:derby:memory:${prefix}_${memIds.incrementAndGet()};create=true"
+    val url = s"jdbc:derby:memory:${prefix}_${memIds.incrementAndGet()};create=true"
+    // Bound heap to one live database per prefix: creating invocation N+1
+    // drops invocation N's database, so interleaved bench passes never
+    // accumulate staging state with the rep count (and nothing pays a
+    // per-query materialization to drop eagerly). Contract: a query's
+    // returned frame must be consumed before the SAME query constructs
+    // again — true of every harness path (Verify, Bench, TimeQ, the
+    // specs), which all consume each invocation before the next pass.
+    val prev = memLast.put(prefix, url)
+    if (prev != null) dropDerbyMem(prev)
+    url
   }
 
   /** Drop a [[derbyMemUrl]] database, releasing its on-heap pages NOW
-    * rather than at engine shutdown — interleaved bench passes rebuild
-    * each staging database repeatedly, and never-dropped memory databases
-    * would accumulate heap monotonically with the rep count. Callers must
-    * materialize (e.g. `localCheckpoint`) any DataFrame still reading the
-    * database first. Derby signals a successful drop with SQLState 08006
-    * ("database ... dropped"). */
+    * rather than at engine shutdown. Derby signals a successful drop with
+    * SQLState 08006 ("database ... dropped"). */
   def dropDerbyMem(url: String): Unit = {
     val base = url.takeWhile(_ != ';')
     try { DriverManager.getConnection(s"$base;drop=true"); () }
