@@ -56,6 +56,40 @@ object DrainerPipeline {
     if (cfg.compact) Cdc.compactByPk(marked) else marked
   }
 
+  /** Oracle-checked drainer composition: the user-facing [[batch]] entry
+    * under a non-trivial config — an ignore-commitTs list (F3, here the
+    * stream's first and last txn, computed from a 2-value aggregate so the
+    * query holds at every scale factor), an event-type drop rule (F2), a
+    * value threshold, and per-PK compaction (A1) over the 4-pump k-way
+    * merge (T2). Each piece has its own oracle; this entry hash-pins their
+    * COMPOSITION — filter order and the compaction's first/last-op algebra
+    * over the filtered (not raw) stream (ref: drainer/syncer.go filter
+    * chain feeding the loader). */
+  def batchQuery(spark: SparkSession, dir: String): DataFrame = {
+    val bounds = Cdc.changes(spark, dir)
+      .agg(min("commit_ts"), max("commit_ts")).head
+    batch(spark, dir, DrainerConfig(
+      ignoreCommitTs = Seq(bounds.getLong(0), bounds.getLong(1)),
+      dropEventTypes = Seq("click"),
+      minValue = Some(5.0)))
+  }
+
+  def batchSql: String =
+    s"""WITH c AS (${Cdc.changesCte}),
+       |b AS (SELECT min(commit_ts) AS lo, max(commit_ts) AS hi FROM c),
+       |f AS (SELECT c.* FROM c, b
+       |      WHERE c.commit_ts <> b.lo AND c.commit_ts <> b.hi
+       |        AND c.event_type <> 'click' AND c.value >= 5.0),
+       |r AS (
+       |  SELECT pk, commit_ts, value, op,
+       |    row_number() OVER (PARTITION BY pk ORDER BY commit_ts DESC) AS rn,
+       |    first_value(op) OVER (PARTITION BY pk ORDER BY commit_ts
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_op
+       |  FROM f)
+       |SELECT pk, commit_ts, value,
+       |  CASE WHEN op = 'D' THEN 'D' WHEN first_op = 'U' THEN 'U' ELSE 'I' END AS op
+       |FROM r WHERE rn = 1""".stripMargin
+
   /** Streaming form: file/Kafka change stream → watermarked dedup → filters
     * → checkpointed per-batch merge-upsert into the materialized state.
     *
