@@ -113,16 +113,23 @@ object Layout {
     Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .repartition(64).write.parquet(frag)
-    val nFrag = parquetFiles(spark, frag).length
-    val written = compact(spark, frag, out, targetBytes = 64L * 1024 * 1024)
+    val fragStats = parquetFiles(spark, frag)
+    val target = 64L * 1024 * 1024
+    val written = compact(spark, frag, out, target)
     val nOut = parquetFiles(spark, out).length
-    require(nOut == written,
-      s"compaction planned $written files but wrote $nOut")
-    // the collapse claim only applies while the input is genuinely
-    // fragmented (at a scale factor where the data needs >= nFrag
-    // target-sized files, emitting that many IS correct behavior)
-    require(written >= nFrag || nOut < nFrag,
-      s"compaction must collapse $nFrag fragments, wrote $nOut")
+    // independent recomputation of the sizing rule from the fragment
+    // bytes: catches compact() measuring the wrong file set, not just an
+    // inconsistent return value
+    val expect = math.max(1,
+      math.ceil(fragStats.map(_.getLen).sum.toDouble / target).toInt)
+    require(nOut == written && nOut == expect,
+      s"compaction sized $written/$nOut files, expected $expect")
+    // the collapse claim, pinned whenever the data is small enough that
+    // collapsing is the correct outcome (at a scale factor needing >=
+    // nFrag target-sized files, emitting that many IS correct)
+    if (expect < fragStats.length)
+      require(nOut < fragStats.length,
+        s"compaction must collapse ${fragStats.length} fragments, wrote $nOut")
     spark.read.parquet(out)
   }
 

@@ -126,14 +126,7 @@ object Arbiter {
     val maxTs = changes.agg(max("commit_ts")).head.getLong(0)
     val slice = changes.filter(col("commit_ts") <= maxTs / 20)
       .select("commit_ts", "pk", "op", "value")
-    val frameSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("key",
-        org.apache.spark.sql.types.BinaryType),
-      org.apache.spark.sql.types.StructField("value",
-        org.apache.spark.sql.types.BinaryType),
-      org.apache.spark.sql.types.StructField("topic",
-        org.apache.spark.sql.types.StringType)))
-    def frames = spark.readStream.schema(frameSchema).parquet(in)
+    def frames = spark.readStream.schema(CdcStream.kafkaFrameSchema).parquet(in)
     val url = graft.util.Scratch.derbyMemUrl("graft_arbiter_e2e")
     // phase 1: the first half arrives and applies, then the arbiter crashes
     CdcStream.toKafkaFrame(slice.filter(col("commit_ts") <= maxTs / 40), "cdc")
@@ -143,14 +136,22 @@ object Arbiter {
     try q1.processAllAvailable() finally q1.stop()
     // phase 2: the restarted arbiter resumes from the SAME checkpoint; the
     // at-least-once transport re-delivers EVERYTHING in a new file the
-    // checkpoint has never seen — including a poisoned duplicate of an
-    // applied row (same commit_ts, wrong value). The batch-id guard sees a
-    // brand-new batch; only the commit-ts restart filter can drop the
-    // re-delivered prefix.
-    val victim = slice.filter(col("commit_ts") <= maxTs / 40)
-      .orderBy(col("commit_ts").desc).limit(1)
-      .select(col("commit_ts"), col("pk"), lit("U").as("op"),
-        lit(-999.0).as("value"))
+    // checkpoint has never seen — including a POISONED frame. The batch-id
+    // guard sees a brand-new batch; only the commit-ts restart filter can
+    // drop the re-delivered prefix. The poison must be DETERMINISTICALLY
+    // visible if the filter is broken: target the pk whose last touch in
+    // the WHOLE slice is earliest (so no later real row out-merges it) and
+    // stamp it one tick after that touch — still at or below the phase-1
+    // checkpoint, so a correct filter drops it, while a broken one lets it
+    // win that pk's merge outright and fail the hash.
+    val ts0 = new JdbcUpsertSink(url).lastCommitTs
+    val v = slice.groupBy("pk").agg(max("commit_ts").as("last_ts"))
+      .orderBy(col("last_ts"), col("pk")).limit(1).head
+    require(v.getLong(1) + 1 <= ts0,
+      s"poison ts ${v.getLong(1) + 1} must sit at/below checkpoint $ts0")
+    val victim = spark.range(1).select(
+      lit(v.getLong(1) + 1).as("commit_ts"), lit(v.getLong(0)).as("pk"),
+      lit("U").as("op"), lit(-999.0).as("value"))
     CdcStream.toKafkaFrame(slice.unionByName(victim), "cdc")
       .write.mode("append").parquet(in)
     val q2 = run(frames, url, ckpt)

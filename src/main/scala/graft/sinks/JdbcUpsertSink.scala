@@ -66,8 +66,8 @@ object JdbcUpsertSink {
     val maxTs = changes.agg(max("commit_ts")).head.getLong(0)
     val slice = changes.filter(col("commit_ts") <= maxTs * 2 / 10)
       .select("pk", "commit_ts", "op", "value")
-    // per-invocation in-memory database: concurrent query constructions
-    // (parallel test suites, bench reps) never contend on one database
+    // per-invocation in-memory database, reclaimed prefix-scoped (the
+    // previous invocation's database is dropped here — see Scratch)
     val sink = new JdbcUpsertSink(graft.util.Scratch.derbyMemUrl("graft_k1_state"))
     sink.applyBatch(slice, batchId = 0L)
     sink.currentState(spark)

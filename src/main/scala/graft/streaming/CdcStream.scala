@@ -106,6 +106,16 @@ object CdcStream {
     * arbiter/server.go consumes the same shape). Keying by pk preserves
     * per-key ordering through Kafka's per-partition ordering exactly like
     * the reference's hash dispatch. */
+  /** The transport frame contract — exactly the (key, value, topic)
+    * columns Spark's Kafka sink requires and its source produces; also the
+    * explicit schema a file-staged frame stream must declare. Single-
+    * sourced here so [[toKafkaFrame]], [[fromKafkaFrame]] and every staged
+    * reader agree by construction. */
+  val kafkaFrameSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType)))
+
   def toKafkaFrame(changes: DataFrame, topic: String): DataFrame =
     changes.select(
       col("pk").cast("string").cast("binary").as("key"),

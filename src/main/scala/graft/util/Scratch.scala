@@ -7,15 +7,22 @@ import java.sql.{DriverManager, SQLException}
   * directories under /tmp, and per-invocation embedded-Derby staging
   * databases (in-memory — see [[derbyMemUrl]]).
   *
-  * Each staging query creates a fresh per-invocation directory — concurrent
-  * query constructions (parallel test suites, interleaved bench reps) must
-  * never contend on one database or directory — so nothing here reuses or
-  * reclaims a dir that might still back an unread lazy DataFrame. Instead
-  * every dir registers with one JVM shutdown hook that (a) shuts the whole
-  * embedded Derby engine down, releasing every booted database's page cache
-  * and file handles (Derby otherwise keeps each database open for the JVM
-  * lifetime), and (b) deletes the registered trees, so a full bench+test
-  * session leaves /tmp net-clean.
+  * Each staging query creates a fresh per-invocation directory or database,
+  * so concurrent constructions of DIFFERENT queries never contend. Two
+  * lifecycles apply:
+  *
+  *  - scratch DIRECTORIES are never reused or reclaimed while the JVM
+  *    lives (a dir may back an unread lazy DataFrame); one JVM shutdown
+  *    hook shuts the embedded Derby engine down (releasing every booted
+  *    database's page cache and file handles — Derby otherwise keeps each
+  *    database open for the JVM lifetime) and deletes the registered
+  *    trees, so a full bench+test session leaves /tmp net-clean;
+  *  - in-memory staging DATABASES are reclaimed prefix-scoped: creating
+  *    invocation N+1 of a query drops invocation N's database (see
+  *    [[derbyMemUrl]]), which bounds heap across bench passes but REQUIRES
+  *    each invocation's frame to be consumed before the same query
+  *    constructs again — true of every harness path (Verify, Bench, TimeQ,
+  *    the spec sweeps), which are all sequential per query.
   */
 object Scratch {
 
@@ -58,8 +65,10 @@ object Scratch {
     val base = url.takeWhile(_ != ';')
     try { DriverManager.getConnection(s"$base;drop=true"); () }
     catch {
-      case e: SQLException if e.getSQLState == "08006" => ()
-      case _: SQLException => () // engine already down / never booted
+      case e: SQLException if e.getSQLState == "08006" => () // dropped: success
+      case e: SQLException if e.getSQLState == "XJ004" => () // never booted
+      // anything else means the database is still live — the leak this
+      // method exists to prevent; fail loudly rather than accumulate
     }
   }
 

@@ -189,9 +189,11 @@ class SourcesSpec extends SparkSpec {
     for (seed <- 1 to 6) {
       val rnd = new scala.util.Random(seed)
       val (damaged, touched) = rnd.nextInt(3) match {
-        case 0 => // random bit flips
+        case 0 => // random bit flips at DISTINCT offsets (a repeated
+          // (offset, bit) draw would revert the byte and falsify `touched`)
           val bytes = clean.clone()
-          val hits = Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(clean.length))
+          val hits = LazyList.continually(rnd.nextInt(clean.length))
+            .distinct.take(1 + rnd.nextInt(4)).toList
           hits.foreach(o => bytes(o) = (bytes(o) ^ (1 << rnd.nextInt(8))).toByte)
           (bytes, extents.zipWithIndex.collect {
             case ((s, e), i) if hits.exists(o => o >= s && o < e) => i }.toSet)

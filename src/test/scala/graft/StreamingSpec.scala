@@ -750,11 +750,7 @@ class StreamingSpec extends SparkSpec {
     val in = graft.util.Scratch.dir("graft_arbiter_in")
     val ckpt = graft.util.Scratch.dir("graft_arbiter_ckpt")
     val url = freshDerbyUrl("arbiter")
-    val frameSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.BinaryType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.BinaryType),
-      org.apache.spark.sql.types.StructField("topic", org.apache.spark.sql.types.StringType)))
-    def frameStream = spark.readStream.schema(frameSchema).parquet(in)
+    def frameStream = spark.readStream.schema(CdcStream.kafkaFrameSchema).parquet(in)
     val changes = graft.ops.Cdc.changes(spark, sf)
     val mid = changes.agg(expr("max(commit_ts) div 2")).head.getLong(0)
     // sentinel key outside the data: applied once pre-crash with value 1.0
