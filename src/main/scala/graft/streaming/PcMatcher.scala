@@ -29,9 +29,12 @@ object PcMatcher {
       startTs: Long, events: Iterator[PcEvent],
       state: GroupState[Pending]): Iterator[Matched] = {
     if (state.hasTimedOut) {
-      val p = state.get
+      // getOption, not get: a failed task attempt may have removed the
+      // state before the retry re-processes the timed-out key (observed
+      // under the RocksDB provider) — an already-vacated key is simply done
+      val p = state.getOption
       state.remove()
-      Iterator.single(Matched(startTs, p.prewriteTs, -1L, "unresolved"))
+      p.iterator.map(pp => Matched(startTs, pp.prewriteTs, -1L, "unresolved"))
     } else {
       val out = scala.collection.mutable.ArrayBuffer.empty[Matched]
       events.toSeq.sortBy(_.payloadTs).foreach { e =>

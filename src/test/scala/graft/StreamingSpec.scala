@@ -887,6 +887,70 @@ class StreamingSpec extends SparkSpec {
       "bounded drain must deliver exactly the uncapped content")
   }
 
+  test("pc matcher streams on RocksDB: custom state class survives the store round trip (T1)") {
+    // The dedup case pins the BUILT-IN dedup state on RocksDB; this pins
+    // the CUSTOM flatMapGroupsWithState path — PcMatcher.Pending must
+    // round-trip through RocksDB's serialized store, where the default
+    // provider keeps deserialized objects in heap and would mask an
+    // encoder defect. Events arrive in two files (P's first, then C/R),
+    // so pairing crosses a micro-batch boundary: the state genuinely
+    // persists in the store between batches.
+    val in = graft.util.Scratch.dir("graft_pcrocks_in")
+    val ps = Seq(
+      PcEvent(1L, "P", 10L), PcEvent(2L, "P", 11L), PcEvent(3L, "P", 12L))
+    // every prewrite resolves in phase 2: a still-pending key would hold a
+    // processing-time timeout open and processAllAvailable would block on
+    // it (the timeout path is unit-tested with TestGroupState above)
+    val rest = Seq(
+      PcEvent(1L, "C", 20L),  // matched
+      PcEvent(2L, "R", 21L),  // rolled back
+      PcEvent(3L, "C", 23L),  // matched across the batch boundary
+      PcEvent(9L, "C", 22L))  // orphan commit
+    addFile(ps.toDF(), in, "phase1")
+    addFile(rest.toDF(), in, "phase2")
+    // the file source orders batches by mod time: pin phase1 strictly
+    // earlier so the P's really arrive one batch before their C/R
+    new java.io.File(in, "phase1.parquet")
+      .setLastModified(System.currentTimeMillis() - 60000)
+    val (key, provider) = CdcStream.RocksDbStateStore
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, provider)
+    try {
+      val events = spark.readStream
+        .schema(ps.toDF().schema)
+        .option("maxFilesPerTrigger", 1) // force the cross-batch pairing
+        .parquet(in)
+        .as[PcEvent]
+      // Poll the sink, don't wait for quiescence: a processing-time-timeout
+      // operator keeps the query scheduling batches to re-check timeouts,
+      // so processAllAvailable (and even an available-now drain) never
+      // report "done" while a timeout is registered
+      val q = PcMatcher.matched(events, timeoutMs = 600000L)
+        .toDF().writeStream.format("memory").queryName("pc_rocks")
+        .outputMode("append")
+        .start()
+      try {
+        val deadline = System.currentTimeMillis() + 120000
+        while (spark.table("pc_rocks").count() < 4 &&
+               System.currentTimeMillis() < deadline) Thread.sleep(200)
+        val withState = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        assert(withState.nonEmpty &&
+          withState.last.stateOperators.head.customMetrics.keySet.toArray
+            .exists(_.toString.toLowerCase.contains("rocksdb")),
+          "matcher state must live in RocksDB")
+      } finally q.stop()
+      val out = spark.table("pc_rocks").as[PcMatcher.Matched].collect().toSet
+      assert(out == Set(
+        PcMatcher.Matched(1L, 10L, 20L, "matched"),
+        PcMatcher.Matched(2L, 11L, 21L, "rolled_back"),
+        PcMatcher.Matched(3L, 12L, 23L, "matched"),
+        PcMatcher.Matched(9L, -1L, 22L, "orphan_commit")))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("stateful streaming runs on the RocksDB state store (cluster-scale state path)") {
     // The heap-backed default state store caps dedup state at executor
     // memory; CdcStream.RocksDbStateStore is the off-heap/local-disk
