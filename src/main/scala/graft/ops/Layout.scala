@@ -122,14 +122,12 @@ object Layout {
     // inconsistent return value
     val expect = math.max(1,
       math.ceil(fragStats.map(_.getLen).sum.toDouble / target).toInt)
+    // this single check carries the collapse claim too: whenever the data
+    // is small enough that expect < fragment count (every test scale
+    // factor), nOut == expect IS the collapse; at a scale factor needing
+    // >= nFrag target-sized files, emitting that many is correct behavior
     require(nOut == written && nOut == expect,
       s"compaction sized $written/$nOut files, expected $expect")
-    // the collapse claim, pinned whenever the data is small enough that
-    // collapsing is the correct outcome (at a scale factor needing >=
-    // nFrag target-sized files, emitting that many IS correct)
-    if (expect < fragStats.length)
-      require(nOut < fragStats.length,
-        s"compaction must collapse ${fragStats.length} fragments, wrote $nOut")
     spark.read.parquet(out)
   }
 

@@ -111,12 +111,14 @@ object Arbiter {
     * commit-ts restart dedup, JDBC loader — into an in-memory Derby
     * target ACROSS A CRASH: phase 1 applies half the slice, then the
     * at-least-once transport re-delivers EVERYTHING to a restarted
-    * arbiter, including a POISONED duplicate (an already-applied row's
-    * commit_ts with a wrong value). The poison is invisible in the final
-    * state if and only if the restart filter drops frames at or below the
-    * checkpointed commit ts — so DuckDB hash-matching the CLEAN slice's
-    * compaction pins transport encode → decode → restart dedup → merge →
-    * SQL round trip in one gate (ref: arbiter/server.go:99-115, 287-317,
+    * arbiter, including a POISONED frame — a fabricated wrong-value write
+    * stamped one tick after its pk's last real touch, still at/below the
+    * phase-1 checkpoint. A correct restart filter drops it with the rest
+    * of the re-delivered prefix; a broken one lets it win that pk's merge
+    * outright — so DuckDB hash-matching the CLEAN slice's compaction pins
+    * transport encode → decode → restart dedup → merge → SQL round trip
+    * in one gate, deterministically (verified by mutation: removing the
+    * filter fails the oracle; ref: arbiter/server.go:99-115, 287-317,
     * restart rule 293-298). */
   def e2eQuery(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -145,14 +147,17 @@ object Arbiter {
     // checkpoint, so a correct filter drops it, while a broken one lets it
     // win that pk's merge outright and fail the hash.
     val ts0 = new JdbcUpsertSink(url).lastCommitTs
-    val v = slice.groupBy("pk").agg(max("commit_ts").as("last_ts"))
-      .orderBy(col("last_ts"), col("pk")).limit(1).head
-    require(v.getLong(1) + 1 <= ts0,
-      s"poison ts ${v.getLong(1) + 1} must sit at/below checkpoint $ts0")
-    val victim = spark.range(1).select(
-      lit(v.getLong(1) + 1).as("commit_ts"), lit(v.getLong(0)).as("pk"),
-      lit("U").as("op"), lit(-999.0).as("value"))
-    CdcStream.toKafkaFrame(slice.unionByName(victim), "cdc")
+    // degenerate slices (empty, or every pk last-touched at the checkpoint
+    // itself) get no poison rather than a crash — the redelivery dedup is
+    // still under the gate, just without the adversarial probe
+    val victim = slice.groupBy("pk").agg(max("commit_ts").as("last_ts"))
+      .orderBy(col("last_ts"), col("pk")).limit(1).collect().headOption
+      .filter(_.getLong(1) + 1 <= ts0)
+      .map(v => spark.range(1).select(
+        lit(v.getLong(1) + 1).as("commit_ts"), lit(v.getLong(0)).as("pk"),
+        lit("U").as("op"), lit(-999.0).as("value")))
+    CdcStream.toKafkaFrame(
+        victim.fold(slice)(p => slice.unionByName(p)), "cdc")
       .write.mode("append").parquet(in)
     val q2 = run(frames, url, ckpt)
     try q2.processAllAvailable() finally q2.stop()

@@ -98,14 +98,6 @@ object CdcStream {
       .groupBy(session_window(col("ts"), "30 minutes"), col("pk"))
       .agg(count(lit(1)).as("n_events"))
 
-  /** K3/S7 transport wiring: the encoded change stream in the exact
-    * (key, value, topic) contract Spark's Kafka sink requires — key and
-    * value MUST be binary (or string) columns named exactly so
-    * (ref: drainer/sync/kafka.go:200-260 produces one self-describing
-    * message per txn keyed for partition affinity; the open-protocol reader
-    * arbiter/server.go consumes the same shape). Keying by pk preserves
-    * per-key ordering through Kafka's per-partition ordering exactly like
-    * the reference's hash dispatch. */
   /** The transport frame contract — exactly the (key, value, topic)
     * columns Spark's Kafka sink requires and its source produces; also the
     * explicit schema a file-staged frame stream must declare. Single-
@@ -116,6 +108,14 @@ object CdcStream {
     StructField("value", BinaryType),
     StructField("topic", StringType)))
 
+  /** K3/S7 transport wiring: the encoded change stream in the exact
+    * [[kafkaFrameSchema]] contract — key and value MUST be binary (or
+    * string) columns named exactly so
+    * (ref: drainer/sync/kafka.go:200-260 produces one self-describing
+    * message per txn keyed for partition affinity; the open-protocol reader
+    * arbiter/server.go consumes the same shape). Keying by pk preserves
+    * per-key ordering through Kafka's per-partition ordering exactly like
+    * the reference's hash dispatch. */
   def toKafkaFrame(changes: DataFrame, topic: String): DataFrame =
     changes.select(
       col("pk").cast("string").cast("binary").as("key"),

@@ -910,8 +910,9 @@ class StreamingSpec extends SparkSpec {
     addFile(rest.toDF(), in, "phase2")
     // the file source orders batches by mod time: pin phase1 strictly
     // earlier so the P's really arrive one batch before their C/R
-    new java.io.File(in, "phase1.parquet")
-      .setLastModified(System.currentTimeMillis() - 60000)
+    assert(new java.io.File(in, "phase1.parquet")
+      .setLastModified(System.currentTimeMillis() - 60000),
+      "mtime pin must stick or batch ordering is undefined")
     val (key, provider) = CdcStream.RocksDbStateStore
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, provider)
@@ -931,8 +932,10 @@ class StreamingSpec extends SparkSpec {
         .start()
       try {
         val deadline = System.currentTimeMillis() + 120000
-        while (spark.table("pc_rocks").count() < 4 &&
+        while (spark.table("pc_rocks").count() < 4 && q.exception.isEmpty &&
                System.currentTimeMillis() < deadline) Thread.sleep(200)
+        // surface the real failure, not a downstream assert, if the query died
+        q.exception.foreach(throw _)
         val withState = q.recentProgress.filter(_.stateOperators.nonEmpty)
         assert(withState.nonEmpty &&
           withState.last.stateOperators.head.customMetrics.keySet.toArray
