@@ -68,8 +68,12 @@ object DrainerPipeline {
   def batchQuery(spark: SparkSession, dir: String): DataFrame = {
     val bounds = Cdc.changes(spark, dir)
       .agg(min("commit_ts"), max("commit_ts")).head
+    // empty change set → NULL min/max; an empty ignore list degrades
+    // consistently with the oracle SQL (every filter of nothing is nothing)
+    val ignore =
+      if (bounds.isNullAt(0)) Nil else Seq(bounds.getLong(0), bounds.getLong(1))
     batch(spark, dir, DrainerConfig(
-      ignoreCommitTs = Seq(bounds.getLong(0), bounds.getLong(1)),
+      ignoreCommitTs = ignore,
       dropEventTypes = Seq("click"),
       minValue = Some(5.0)))
   }

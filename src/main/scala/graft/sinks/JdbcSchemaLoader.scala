@@ -83,15 +83,21 @@ private[sinks] object JdbcMeta {
     * the default unpartitioned JDBC read drags the whole table through a
     * single connection, exactly the bottleneck the parallel write side
     * exists to avoid. Empty table (NULL bounds) → plain load. */
+  /** Read-path URL: strip `;create=true` so a read of a dropped or
+    * never-booted database fails loudly (XJ004) instead of silently
+    * recreating an empty one and hashing to a wrong-but-plausible result —
+    * only the write path may boot a database. */
+  def readUrl(url: String): String = url.replace(";create=true", "")
+
   def partitionedRead(spark: SparkSession, url: String, table: String,
       partitionOn: Option[String], numPartitions: Int): DataFrame = {
     val base = spark.read.format("jdbc")
-      .option("url", url)
+      .option("url", readUrl(url))
       .option("dbtable", table)
       .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
     partitionOn.fold(base.load()) { pc =>
       val bounds = {
-        val c = DriverManager.getConnection(url)
+        val c = DriverManager.getConnection(readUrl(url))
         try {
           val st = c.createStatement()
           val rs = st.executeQuery(s"SELECT min($pc), max($pc) FROM $table")

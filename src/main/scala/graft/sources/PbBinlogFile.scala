@@ -1,13 +1,16 @@
 package graft.sources
 
-import java.io.{BufferedOutputStream, FileOutputStream}
+import java.io.BufferedOutputStream
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.file.{Files, Paths}
 import java.util.zip.CRC32C
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.util.SerializableHadoopConf
 
 /** S6/K4 against the real wire shape: the reference's length-prefixed
   * binlog-file format, read and written as binary, not a parquet analog.
@@ -53,6 +56,32 @@ import org.apache.spark.sql.functions._
 object PbBinlogFile {
 
   val Magic: Int = 471532804 // ref: binlogfile/encoder.go:24
+
+  /** Every file operation here goes through the Hadoop `FileSystem` resolved
+    * from the directory's URI — local disk in the sandbox, HDFS or an object
+    * store on a cluster — never `java.io`/`java.nio` local-FS calls, which
+    * simply don't resolve when binlog segments live on shared storage
+    * (ref: reparo/file.go:29-46 reads via its storage abstraction too). */
+  private[sources] def fsFor(dir: String, conf: Configuration): FileSystem = {
+    val fs = FileSystem.get(new java.net.URI(dir), conf)
+    // every frame already carries its own CRC32C — Hadoop's client-side
+    // .crc sidecars (local/checksum filesystems only; HDFS checksums live
+    // in the datanode protocol) would shadow the format's own integrity
+    // story and pollute segment listings
+    fs.setWriteChecksum(false)
+    fs
+  }
+
+  /** Visible binlog segment names under `dir` (dot-prefixed `.inprogress`
+    * temps excluded by the name filter). Listing is driver metadata work,
+    * exactly as reparo's. */
+  private[sources] def listSegments(dir: String, conf: Configuration): Seq[String] = {
+    val fs = fsFor(dir, conf)
+    val p = new HPath(dir)
+    if (fs.exists(p))
+      fs.listStatus(p).map(_.getPath.getName).filter(_.startsWith("binlog-")).toSeq
+    else Seq.empty
+  }
 
   /** `value` is optional because the envelope admits NULL values (the JDBC
     * loader binds them null-safely); a primitive field would crash the
@@ -282,7 +311,12 @@ object PbBinlogFile {
 
   def write(changes: DataFrame, dir: String, nFiles: Int = 4,
       maxBytesPerFile: Long = 512L * 1024 * 1024): Unit = {
-    Files.createDirectories(Paths.get(dir))
+    // ship the DRIVER's Hadoop conf to the writing tasks: executors must
+    // resolve the same filesystem (fs.defaultFS, store credentials) the
+    // driver planned the layout for
+    val hconf = new SerializableHadoopConf(
+      changes.sparkSession.sparkContext.hadoopConfiguration)
+    fsFor(dir, hconf.value).mkdirs(new HPath(dir))
     import changes.sparkSession.implicits._
     val normalized = optionalCols.foldLeft(changes) { case (df, (n, t)) =>
       if (df.columns.contains(n)) df else df.withColumn(n, lit(null).cast(t))
@@ -295,10 +329,11 @@ object PbBinlogFile {
       .repartitionByRange(nFiles, col("commit_ts"))
       .sortWithinPartitions("commit_ts")
     ds.foreachPartition { rows: Iterator[PbChange] =>
+      val fs = fsFor(dir, hconf.value)
       val pid = TaskContext.getPartitionId()
       var out: BufferedOutputStream = null
-      var finalPath: java.nio.file.Path = null
-      var tmpPath: java.nio.file.Path = null
+      var finalPath: HPath = null
+      var tmpPath: HPath = null
       var written = 0L
       var seg = 0
       // segments become visible ATOMICALLY only on a SUCCESSFUL close: a
@@ -308,16 +343,19 @@ object PbBinlogFile {
       // streaming source could checkpoint as consumed and silently lose the
       // tail of. The temp name carries the task ATTEMPT id so a speculative
       // attempt racing the original never interleaves bytes into its file.
+      // Rename is atomic on HDFS and local disk; on an object store whose
+      // rename is copy+delete, the dot-prefix contract still keeps a torn
+      // copy invisible (no reader ever matches a .inprogress name).
       val attempt = Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
       def closeSegment(): Unit = if (out != null) {
         out.close(); out = null
-        Files.move(tmpPath, finalPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        if (!fs.rename(tmpPath, finalPath))
+          throw new java.io.IOException(s"promote $tmpPath -> $finalPath failed")
       }
       def abortSegment(): Unit = if (out != null) {
         try out.close() catch { case _: Throwable => () }
         out = null
-        try { Files.deleteIfExists(tmpPath); () } catch { case _: Throwable => () }
+        try { fs.delete(tmpPath, false); () } catch { case _: Throwable => () }
       }
       try {
         rows.foreach { c =>
@@ -325,9 +363,9 @@ object PbBinlogFile {
             // segment index rides inside the ordering-neutral first name
             // field; the trailing field stays the segment's first commit ts
             val name = f"binlog-$pid%08d$seg%08d-${c.commit_ts}%020d"
-            finalPath = Paths.get(s"$dir/$name")
-            tmpPath = Paths.get(s"$dir/.$name.$attempt.inprogress")
-            out = new BufferedOutputStream(new FileOutputStream(tmpPath.toFile))
+            finalPath = new HPath(dir, name)
+            tmpPath = new HPath(dir, s".$name.$attempt.inprogress")
+            out = new BufferedOutputStream(fs.create(tmpPath, true))
             seg += 1; written = 0L
           }
           val frame = encodeFrame(encodePayload(c))
@@ -374,7 +412,7 @@ object PbBinlogFile {
     * [[read]]. */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Files.createDirectories(Paths.get(dir))
+    fsFor(dir, spark.sparkContext.hadoopConfiguration).mkdirs(new HPath(dir))
     val binarySchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
@@ -420,9 +458,11 @@ object PbBinlogFile {
     * commit_ts satisfies `hit` — the CRC then fails on exactly those frames
     * and salvage must skip them. Test/staging machinery (it trusts the
     * layout it just wrote); the parse mirrors [[decodeFrames]]. */
-  private def corruptFile(path: String, hit: Long => Boolean): Unit = {
-    val p = Paths.get(path)
-    val bytes = Files.readAllBytes(p)
+  private def corruptFile(fs: FileSystem, path: HPath, hit: Long => Boolean): Unit = {
+    val len0 = fs.getFileStatus(path).getLen.toInt
+    val bytes = new Array[Byte](len0)
+    val in = fs.open(path)
+    try in.readFully(0L, bytes) finally in.close()
     var pos = 0
     var changed = false
     while (bytes.length - pos >= 16) {
@@ -437,7 +477,10 @@ object PbBinlogFile {
       }
       pos += 16 + len
     }
-    if (changed) Files.write(p, bytes)
+    if (changed) {
+      val out = fs.create(path, true)
+      try out.write(bytes) finally out.close()
+    }
   }
 
   /** Oracle-checked salvage read (S6 recover mode): stage wire files,
@@ -455,10 +498,11 @@ object PbBinlogFile {
     // name prefix, not contains: a crashed/speculative writer's
     // `.binlog-*.inprogress` temp (which read() skips) must not be parsed
     // as complete frames by the corruption injector
-    val files = new java.io.File(out).listFiles()
-      .filter(_.getName.startsWith("binlog-")).map(_.getPath).toSeq
+    val hconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val files = listSegments(out, hconf.value)
     spark.sparkContext.parallelize(files, files.size)
-      .foreach(f => corruptFile(f, ts => ts % 7 == 0))
+      .foreach(n => corruptFile(fsFor(out, hconf.value), new HPath(out, n),
+        ts => ts % 7 == 0))
     read(spark, out, recover = true)
       .select("commit_ts", "pk", "op", "event_type", "ts", "value", "props")
   }
@@ -506,26 +550,17 @@ object PbBinlogFile {
     * caller explicitly opts into salvage semantics. */
   def read(spark: SparkSession, dir: String, startTs: Long = 0L,
       endTs: Long = 0L, recover: Boolean = false): DataFrame = {
-    import spark.implicits._
-    val names = {
-      val d = new java.io.File(dir)
-      if (d.exists()) d.listFiles().map(_.getName).filter(_.startsWith("binlog-")).toSeq
-      else Seq.empty
-    }
-    val picked = selectFiles(names, startTs, endTs).map(n => s"$dir/$n")
-    val parse: Array[Byte] => Iterator[PbChange] =
-      if (recover) decodeFramesRecovering _ else decodeFrames _
-    val decoded =
-      if (picked.isEmpty) spark.emptyDataset[PbChange]
-      else
-        spark.read.format("binaryFile").load(picked: _*)
-          .select("content").as[Array[Byte]]
-          .flatMap(parse)
-    val ranged = decoded
-      .filter(col("commit_ts") >= startTs &&
-        (lit(endTs) === 0L || col("commit_ts") <= endTs))
-    ranged.select((Seq(col("commit_ts"), col("pk"), col("op"), col("event_type"),
-      timestamp_micros(col("ts_us")).as("ts"), col("value"), col("props")) ++
-      optionalCols.map(c => col(c._1))): _*)
+    // DSv2 route (SURVEY §4): segment-file pruning happens INSIDE the scan,
+    // driven by the pushed commit_ts bounds — visible in the plan
+    // (`PushedTsRange`/`SelectedFiles` in the BatchScan description,
+    // PlanSpec-pinned) and composable with any later predicate, instead of
+    // a driver-side file list Catalyst never sees. The range filters below
+    // stay in the plan as residuals (the kept boundary segment may hold
+    // rows before startTs), the same inexact-pushdown contract parquet
+    // row-group statistics use.
+    val base = spark.read.format("pbbinlog")
+      .option("recover", recover.toString).load(dir)
+    val lower = base.filter(col("commit_ts") >= startTs)
+    if (endTs != 0L) lower.filter(col("commit_ts") <= endTs) else lower
   }
 }

@@ -1,0 +1,273 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, DataInputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.CRC32C
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.util.SerializableHadoopConf
+
+/** DataSource V2 `Table` over a pb binlog directory — the Catalyst-visible
+  * form of [[PbBinlogFile.read]] (SURVEY §4 "optionally a v2 Table source").
+  *
+  * What the driver-side file list could never give Catalyst, this scan
+  * does:
+  *  - **commit-ts pushdown**: range predicates on `commit_ts` reach
+  *    [[PbBinlogScanBuilder.pushFilters]] and become SEGMENT-FILE pruning
+  *    via the reference's file-selection rule
+  *    ([[PbBinlogFile.selectFiles]]; ref: reparo/file.go:47-109) — pruning
+  *    composes with predicates written ANYWHERE above the scan, not only
+  *    with `read()`'s own arguments;
+  *  - **column pruning**: the reader materializes only the requested
+  *    envelope fields (`ReadSchema` in the plan);
+  *  - **exactness by residual**: pushed filters stay in the plan as
+  *    post-scan residuals (the boundary segment kept by the selection rule
+  *    may hold rows below the bound) — the same inexact-pushdown contract
+  *    parquet row-group statistics use.
+  *
+  * Scale shape: one input partition per segment file; the strict reader
+  * streams frame-by-frame in constant memory, so a 512 MiB rotation
+  * segment never materializes whole (recover mode reads the segment whole
+  * for byte-level magic resync — bounded by the rotation cap). All file IO
+  * goes through the Hadoop `FileSystem` of the directory's URI.
+  */
+object PbBinlogSource {
+  /** The change-envelope schema, in [[PbBinlogFile.read]]'s column order. */
+  val schema: StructType = StructType(Seq(
+    StructField("commit_ts", LongType, nullable = false),
+    StructField("pk", LongType, nullable = false),
+    StructField("op", StringType),
+    StructField("event_type", StringType),
+    StructField("ts", TimestampType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+    StructField("dec38", StringType),
+    StructField("udec", StringType),
+    StructField("bits", LongType),
+    StructField("enum_ord", IntegerType),
+    StructField("ddl_sql", StringType)))
+}
+
+class PbBinlogSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "pbbinlog"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PbBinlogSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val dir = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("pbbinlog source requires .load(dir)"))
+    val recover = Option(properties.get("recover")).exists(_.toBoolean)
+    new PbBinlogTable(dir, recover)
+  }
+}
+
+class PbBinlogTable(dir: String, recover: Boolean) extends Table with SupportsRead {
+  override def name(): String = s"pbbinlog $dir"
+  override def schema(): StructType = PbBinlogSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PbBinlogScanBuilder(dir, recover)
+}
+
+class PbBinlogScanBuilder(dir: String, recover: Boolean) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var tsLo = Long.MinValue
+  private var tsHi = Long.MaxValue
+  private var pushed = Array.empty[Filter]
+  private var required = PbBinlogSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val accepted = mutable.ArrayBuffer[Filter]()
+    filters.foreach {
+      case f @ GreaterThanOrEqual("commit_ts", v: Number) =>
+        tsLo = math.max(tsLo, v.longValue); accepted += f
+      case f @ GreaterThan("commit_ts", v: Number) =>
+        tsLo = math.max(tsLo, v.longValue + 1); accepted += f
+      case f @ LessThanOrEqual("commit_ts", v: Number) =>
+        tsHi = math.min(tsHi, v.longValue); accepted += f
+      case f @ LessThan("commit_ts", v: Number) =>
+        tsHi = math.min(tsHi, v.longValue - 1); accepted += f
+      case f @ EqualTo("commit_ts", v: Number) =>
+        tsLo = math.max(tsLo, v.longValue)
+        tsHi = math.min(tsHi, v.longValue); accepted += f
+      case _ => ()
+    }
+    pushed = accepted.toArray
+    // everything stays residual: segment selection keeps the boundary file,
+    // which may still hold rows outside the bound — Spark must re-apply
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new PbBinlogScan(dir, recover, tsLo, tsHi, required)
+}
+
+class PbBinlogScan(val dir: String, val recover: Boolean, val tsLo: Long,
+    val tsHi: Long, required: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  /** (selected segment names, total segment count) — the pruning decision,
+    * computed from the pushed bounds at plan time; PlanSpec asserts on it
+    * and `description()` surfaces it in `explain`. */
+  lazy val fileSelection: (Seq[String], Int) = {
+    val names = PbBinlogFile.listSegments(dir,
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    val selected = PbBinlogFile.selectFiles(names,
+      math.max(tsLo, 0L), if (tsHi == Long.MaxValue) 0L else tsHi)
+    (selected, names.length)
+  }
+
+  override def description(): String = {
+    val (sel, total) = fileSelection
+    val lo = if (tsLo == Long.MinValue) "-inf" else tsLo.toString
+    val hi = if (tsHi == Long.MaxValue) "+inf" else tsHi.toString
+    s"PbBinlogScan dir=$dir recover=$recover PushedTsRange=[$lo,$hi] " +
+      s"SelectedFiles=${sel.length}/$total"
+  }
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (sel, _) = fileSelection
+    sel.map(n => PbBinlogInputPartition(s"$dir/$n"): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    PbBinlogReaderFactory(
+      new SerializableHadoopConf(
+        SparkSession.active.sparkContext.hadoopConfiguration),
+      recover, tsLo, tsHi, required.fieldNames)
+}
+
+case class PbBinlogInputPartition(path: String) extends InputPartition
+
+case class PbBinlogReaderFactory(conf: SerializableHadoopConf,
+    recover: Boolean, tsLo: Long, tsHi: Long,
+    columns: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PbBinlogPartitionReader(
+      partition.asInstanceOf[PbBinlogInputPartition].path,
+      conf.value, recover, tsLo, tsHi, columns)
+}
+
+/** Decodes one segment file. Strict mode streams the frames off the open
+  * `FSDataInputStream` in constant memory, failing loudly on a magic or
+  * CRC mismatch (ref: ErrMagicMismatch/ErrCRCMismatch, binlogger.go:37-41);
+  * recover mode loads the segment (bounded by the rotation cap) and
+  * salvages via [[PbBinlogFile.decodeFramesRecovering]]'s magic resync. */
+class PbBinlogPartitionReader(path: String, conf: Configuration,
+    recover: Boolean, tsLo: Long, tsHi: Long, columns: Array[String])
+    extends PartitionReader[InternalRow] {
+
+  private val hPath = new HPath(path)
+  private val fs = hPath.getFileSystem(conf)
+  private val fileLen = fs.getFileStatus(hPath).getLen
+  private var strictIn: DataInputStream = _
+
+  private val frames: Iterator[PbBinlogFile.PbChange] =
+    if (recover) {
+      val bytes = new Array[Byte](fileLen.toInt)
+      val in = fs.open(hPath)
+      try in.readFully(0L, bytes) finally in.close()
+      PbBinlogFile.decodeFramesRecovering(bytes)
+    } else {
+      strictIn = new DataInputStream(new BufferedInputStream(fs.open(hPath)))
+      new Iterator[PbBinlogFile.PbChange] {
+        private var consumed = 0L
+        def hasNext: Boolean = fileLen - consumed >= 16
+        def next(): PbBinlogFile.PbChange = {
+          val header = new Array[Byte](12)
+          strictIn.readFully(header)
+          val hb = ByteBuffer.wrap(header).order(ByteOrder.LITTLE_ENDIAN)
+          val magic = hb.getInt
+          if (magic != PbBinlogFile.Magic)
+            throw new IllegalStateException(f"binlog magic mismatch: 0x$magic%08x")
+          val len = hb.getLong.toInt
+          if (len < 0 || len > fileLen - consumed - 16)
+            throw new IllegalStateException(s"binlog frame length $len exceeds file")
+          val payload = new Array[Byte](len)
+          strictIn.readFully(payload)
+          val tail = new Array[Byte](4)
+          strictIn.readFully(tail)
+          val stored = ByteBuffer.wrap(tail).order(ByteOrder.LITTLE_ENDIAN).getInt
+          val crc = new CRC32C(); crc.update(payload)
+          if (crc.getValue.toInt != stored)
+            throw new IllegalStateException("binlog crc mismatch")
+          consumed += 16L + len
+          PbBinlogFile.decodePayload(payload)
+        }
+      }
+    }
+
+  // positions of the requested columns in the full envelope
+  private val fieldIdx: Array[Int] =
+    columns.map(PbBinlogSource.schema.fieldIndex)
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (frames.hasNext) {
+      val c = frames.next()
+      // pushed range applied pre-projection: frames outside the bounds are
+      // dropped before any row materializes (the residual filter above the
+      // scan then passes everything through untouched)
+      if (c.commit_ts >= tsLo && c.commit_ts <= tsHi) {
+        current = toRow(c)
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = if (strictIn != null) strictIn.close()
+
+  private def str(s: String): UTF8String =
+    if (s == null) null else UTF8String.fromString(s)
+
+  private def toRow(c: PbBinlogFile.PbChange): InternalRow = {
+    val vals = new Array[Any](fieldIdx.length)
+    var i = 0
+    while (i < fieldIdx.length) {
+      vals(i) = fieldIdx(i) match {
+        case 0 => c.commit_ts
+        case 1 => c.pk
+        case 2 => str(c.op)
+        case 3 => str(c.event_type)
+        case 4 => c.ts_us // TimestampType carries micros since epoch
+        case 5 => c.value.map(java.lang.Double.valueOf).orNull
+        case 6 => str(c.props)
+        case 7 => str(c.dec38)
+        case 8 => str(c.udec)
+        case 9 => c.bits.map(java.lang.Long.valueOf).orNull
+        case 10 => c.enum_ord.map(java.lang.Integer.valueOf).orNull
+        case 11 => str(c.ddl_sql)
+      }
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+}

@@ -71,6 +71,35 @@ object CdcStream {
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** T2 streaming twin: the k-way merge as a union of PER-PUMP watermarked
+    * streams. The reference's merger blocks emission until every live
+    * source has an item past the frontier (ref: drainer/merge.go:236-335 —
+    * the min-heap pops only when each source contributed; a lagging pump
+    * pauses the merge). Spark's exact analog: one `withWatermark` operator
+    * PER source before the union, so the query watermark is the MIN across
+    * sources (`spark.sql.streaming.multipleWatermarkPolicy=min`, the
+    * default). Consequences, both pinned in StreamingSpec:
+    *  - a STALLED pump holds the frontier at its last delivery — windowed
+    *    aggregates past that point stay open until it resumes;
+    *  - a pump REGISTERED but not yet delivering holds the frontier at
+    *    epoch — nothing emits until every live source has spoken (the
+    *    reference's exact blocking rule).
+    * Dynamic membership (ref: merge.go:153-170 AddSource/RemoveSource):
+    * pass a GLOB entry (a trailing wildcard under `root/dyn/`) — a pump
+    * joining mid-stream is a new directory matching it; its files enter
+    * that source's listing at the next trigger, no restart. All glob-matched
+    * dirs share one
+    * watermark operator, which UNDER-approximates the frontier (safe:
+    * emission is only ever delayed, never early).
+    *
+    * A single union'd watermark (one operator after the union) would
+    * instead take the MAX event time over all pumps — a stalled source
+    * could never hold the merge, losing the reference's safety property. */
+  def mergedPumpStream(spark: SparkSession, pumpDirs: Seq[String],
+      delay: String = "0 seconds"): DataFrame =
+    pumpDirs.map(d => changeStream(spark, d).withWatermark("ts", delay))
+      .reduce(_ unionByName _)
+
   /** T3 twin: watermarked per-day/per-op counts (fake-binlog-free — Spark
     * advances the watermark from event time directly). */
   def watermarkedCounts(changes: DataFrame): DataFrame =
@@ -158,6 +187,71 @@ object CdcStream {
           .start()
     }
   }
+
+  private val ModifyColumnRe =
+    "^ALTER TABLE `?([a-z0-9_]+)`?\\.`?([a-z0-9_]+)`? MODIFY COLUMN ([a-z0-9_]+) (.+)$".r
+
+  /** T5∘T6 composed IN the stream: DDL frames carried on the wire re-type
+    * the decode of every SUBSEQUENT frame — in the same micro-batch or any
+    * later one (ref: drainer/syncer.go:393-397 — each DML decodes at the
+    * schema in force at its commit ts; drainer/schema.go:293-331 replays
+    * DDL jobs up to that version).
+    *
+    * `wire` is a pb-binlog wire stream
+    * ([[graft.sources.PbBinlogFile.readStream]]): DML frames carry a JSON
+    * `props` payload; a DDL frame (`op = "DDL"`,
+    * `ddl_sql = "ALTER TABLE s.t MODIFY COLUMN c TYPE"`) changes how later
+    * frames' `props` decode. Inside `foreachBatch` the batch is split at
+    * its DDL barriers IN COMMIT-TS ORDER (DDL is rare and totally ordered
+    * — driver-side tracker state, metadata-sized collect); each slice
+    * between barriers decodes DISTRIBUTED with the `from_json` schema the
+    * tracker holds at that version, built from the tracked column defs
+    * (`StructType.fromDDL`). A frame AT the DDL's commit ts still decodes
+    * with the old schema — the DDL takes effect after its own commit,
+    * matching the loader's barrier convention. Output appends to
+    * `outDir/batch=<id>` (overwrite per batch id = idempotent replay, the
+    * DrainerPipeline outbinlog pattern), each row stamped with the schema
+    * version that decoded it. */
+  def ddlDrivenDecode(wire: DataFrame, tracker: SchemaTracker, outDir: String,
+      checkpoint: String, schemaName: String = "app",
+      table: String = "events"): StreamingQuery =
+    wire.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val ddls = batch.filter(col("op") === "DDL")
+          .select("commit_ts", "ddl_sql").orderBy("commit_ts").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        val barriers = ddls :+ ((Long.MaxValue, null: String))
+        var lower = Long.MinValue
+        val slices = barriers.map { case (upper, stmt) =>
+          // build this slice's plan BEFORE the tracker advances: the
+          // from_json schema is captured at plan-construction time
+          val info = tracker.current(schemaName, table).getOrElse(
+            throw new NoSuchElementException(s"$schemaName.$table not registered"))
+          val wireSchema = StructType.fromDDL(info.columns.mkString(", "))
+          val payload = from_json(col("props"), wireSchema)
+          val decoded = batch
+            .filter(col("op") =!= "DDL" &&
+              col("commit_ts") > lower && col("commit_ts") <= upper)
+            .select(Seq(col("commit_ts"), col("pk")) ++
+              wireSchema.fieldNames.toSeq.map(f =>
+                payload.getField(f).cast("string").as(s"${f}_str")) :+
+              lit(info.version).as("schema_version"): _*)
+          stmt match {
+            case null => ()
+            case ModifyColumnRe(s, t, c, newType) =>
+              tracker.modifyColumn(s, t, c, s"$c $newType", upper)
+            case other =>
+              throw new IllegalArgumentException(s"unsupported wire DDL: $other")
+          }
+          lower = upper
+          decoded
+        }
+        slices.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        ()
+      }
+      .start()
 
   /** Flagship streaming path: change stream → per-batch merge-by-PK upsert
     * into the materialized state with exactly-once batch ids. */

@@ -25,14 +25,21 @@ object PcMatcher {
   /** status: matched | rolled_back | orphan_commit | unresolved(timeout). */
   case class Matched(startTs: Long, prewriteTs: Long, commitTs: Long, status: String)
 
-  def matchFn(timeoutMs: Long)(
+  def matchFn(timeoutMs: Long,
+      vacatedTimeouts: Option[org.apache.spark.util.LongAccumulator] = None)(
       startTs: Long, events: Iterator[PcEvent],
       state: GroupState[Pending]): Iterator[Matched] = {
     if (state.hasTimedOut) {
       // getOption, not get: a failed task attempt may have removed the
       // state before the retry re-processes the timed-out key (observed
-      // under the RocksDB provider) — an already-vacated key is simply done
+      // under the RocksDB provider) — an already-vacated key is simply done.
+      // The accumulator makes that path OBSERVABLE: a retry-vacated key is
+      // benign, but a key vacated because a removal committed while its
+      // `unresolved` output was discarded is an at-most-once drop; a
+      // nonzero count tells the operator to audit, instead of losing the
+      // record silently.
       val p = state.getOption
+      if (p.isEmpty) vacatedTimeouts.foreach(_.add(1L))
       state.remove()
       p.iterator.map(pp => Matched(startTs, pp.prewriteTs, -1L, "unresolved"))
     } else {
@@ -63,8 +70,10 @@ object PcMatcher {
     * `groupByKey.flatMapGroupsWithState`). */
   def matched(events: Dataset[PcEvent], timeoutMs: Long = 600000L): Dataset[Matched] = {
     import events.sparkSession.implicits._
+    val vacated = events.sparkSession.sparkContext
+      .longAccumulator("pc_matcher_vacated_timeouts")
     events.groupByKey(_.startTs)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout)(
-        matchFn(timeoutMs))
+        matchFn(timeoutMs, Some(vacated)))
   }
 }

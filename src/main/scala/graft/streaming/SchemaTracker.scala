@@ -44,6 +44,25 @@ class SchemaTracker(historyDepth: Int = 2) {
     push(key, cur.copy(columns = cur.columns :+ column, version = version))
   }
 
+  /** ModifyColumn: re-type a column in place (TiDB ActionModifyColumn —
+    * the drainer replays it like any schema-changing job, drainer/
+    * schema.go:293-331; the column keeps its position, its definition
+    * changes at `version`). Column entries may be `"name TYPE"` DDL text,
+    * so a versioned decode can build its wire schema straight from the
+    * tracked shape (`StructType.fromDDL(columns.mkString(", "))`) — the
+    * composition [[graft.streaming.CdcStream.ddlDrivenDecode]] relies on
+    * exactly that. */
+  def modifyColumn(schema: String, table: String, column: String,
+      newDef: String, version: Long): Unit = {
+    currentVersion = version
+    val cur = current(schema, table).getOrElse(
+      throw new NoSuchElementException(s"$schema.$table"))
+    val idx = cur.columns.indexWhere(c => c == column || c.startsWith(column + " "))
+    require(idx >= 0, s"no column $column in $schema.$table")
+    push((schema, table),
+      cur.copy(columns = cur.columns.updated(idx, newDef), version = version))
+  }
+
   def dropColumn(schema: String, table: String, column: String, version: Long): Unit = {
     currentVersion = version
     val cur = current(schema, table).getOrElse(

@@ -43,6 +43,15 @@ object Scratch {
     * deployment injects a MySQL/TiDB server URL at the same constructor,
     * unchanged. */
   def derbyMemUrl(prefix: String): String = {
+    // jdbc:derby:memory: databases are JVM-local: on a multi-JVM cluster
+    // every executor connecting with create=true would boot its own empty
+    // database and staging reads/writes would silently diverge. Staging
+    // through memory: is therefore a local-mode-only device; a cluster run
+    // must inject a networked JDBC URL at the same constructor instead.
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+      require(s.sparkContext.isLocal,
+        "derbyMemUrl is JVM-local staging — inject a networked JDBC URL on a cluster")
+    }
     ensureDerbyHome()
     hookOnce()
     val url = s"jdbc:derby:memory:${prefix}_${memIds.incrementAndGet()};create=true"

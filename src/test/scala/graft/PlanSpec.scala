@@ -116,6 +116,45 @@ class PlanSpec extends SparkSpec {
       "s6 ts bounds must reach the parquet reader as pushed filters")
   }
 
+  test("pb binlog v2 scan: pushed commit-ts bounds prune segment files (S6 DSv2)") {
+    // ref pruning rule: reparo/file.go:47-109 — the commit-ts range selects
+    // FILES before a byte is read. Through the DSv2 source that decision is
+    // part of the PLAN: the oracle queries' range predicates must reach the
+    // scan as pushed bounds, and the scan must select a strict subset of
+    // the staged segments (s6_wire_scan stages 4 and scans [20%, 60%]).
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.PbBinlogScan
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+
+    val wire = SparkEntry.queries("s6_wire_scan")(s2, sf)
+    val wirePlan = wire.queryExecution.executedPlan
+    val wireScans = wirePlan.collect { case b: BatchScanExec => b.scan }
+      .collect { case s: PbBinlogScan => s }
+    assert(wireScans.nonEmpty, "s6_wire_scan must read through the pbbinlog v2 source")
+    val ws = wireScans.head
+    assert(ws.tsLo > 0L && ws.tsHi < Long.MaxValue,
+      s"both range bounds must push into the scan, got [${ws.tsLo}, ${ws.tsHi}]")
+    val (sel, total) = ws.fileSelection
+    assert(total == 4 && sel.length >= 1 && sel.length < total,
+      s"ts range must prune to a strict segment subset, selected ${sel.length}/$total")
+    // the pruning decision is visible in explain, and the residual range
+    // filter stays in the plan for exactness over the boundary segment
+    val txt = wirePlan.toString
+    assert(txt.contains("PushedTsRange=[") && txt.contains("SelectedFiles="))
+    assert(wirePlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f }.nonEmpty)
+    // column pruning reaches the reader: the query projects 7 of 12 fields
+    assert(ws.readSchema().fieldNames.length == 7,
+      s"scan must prune to the projected envelope, got ${ws.readSchema().fieldNames.mkString(",")}")
+
+    val rec = SparkEntry.queries("s6_recover_scan")(s2, sf)
+    val recScans = rec.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan }.collect { case s: PbBinlogScan => s }
+    assert(recScans.nonEmpty && recScans.head.recover,
+      "s6_recover_scan must run the v2 source in salvage mode")
+  }
+
   test("global top-k is a distributed take, not a global sort") {
     val p = SparkEntry.queries("q3_shipping_priority")(spark, sf)
       .queryExecution.executedPlan.toString

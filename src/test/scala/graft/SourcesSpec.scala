@@ -186,7 +186,7 @@ class SourcesSpec extends SparkSpec {
     val cleanRows = rows()
     assert(cleanRows.length == extents.length)
     assert(cleanRows.distinct.length == cleanRows.length)
-    for (seed <- 1 to 6) {
+    try for (seed <- 1 to 6) {
       val rnd = new scala.util.Random(seed)
       val (damaged, touched) = rnd.nextInt(3) match {
         case 0 => // random bit flips at DISTINCT offsets (a repeated
@@ -216,8 +216,9 @@ class SourcesSpec extends SparkSpec {
         case (r, i) if !touched(i) => r }.toSet
       assert(rows().toSet == expected,
         s"seed=$seed: salvage must lose exactly frames $touched")
-    }
-    Files.write(file, clean) // heal for any later reader of the scratch dir
+    } finally Files.write(file, clean) // heal even on a mid-loop failure, so
+    // a later reader of the scratch dir never compounds the first assertion
+    // failure with confusing corrupt-bytes errors of its own
   }
 
   test("pb binlog write atomicity: a failed task leaves no visible or stranded segment") {

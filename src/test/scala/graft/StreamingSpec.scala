@@ -887,6 +887,205 @@ class StreamingSpec extends SparkSpec {
       "bounded drain must deliver exactly the uncapped content")
   }
 
+  test("streaming k-way merge (T2): a stalled pump holds the min-watermark frontier until it resumes") {
+    // ref: drainer/merge.go:236-335 — the merger emits only when EVERY live
+    // source has contributed past the frontier; a lagging pump pauses the
+    // merge. Spark twin: per-source watermarks + union, query watermark =
+    // min across sources (multipleWatermarkPolicy=min, the default).
+    val root = graft.util.Scratch.dir("graft_kway_stall")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val pumps = (0 until 4).map { i =>
+      val d = s"$root/pump$i"
+      Files.createDirectories(java.nio.file.Paths.get(d)); d
+    }
+    def slice(i: Int) = raw.filter(pmod(col("user_id"), lit(4)) === i)
+    val stallTs = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    // phase 1: pumps 0-2 deliver fully; pump 3 stalls at Jan 15
+    (0 until 3).foreach(i => addFile(slice(i), pumps(i), "full"))
+    addFile(slice(3).filter(col("ts") < lit(stallTs)), pumps(3), "head")
+    // the scenario only tests anything if the healthy pumps carry data past
+    // the stall point and the stalled pump has data on both sides of it
+    assert((0 until 3).forall(i =>
+      slice(i).filter(col("ts") >= lit(stallTs)).count() > 0))
+    assert(slice(3).filter(col("ts") < lit(stallTs)).count() > 0 &&
+      slice(3).filter(col("ts") >= lit(stallTs)).count() > 0)
+
+    val ckpt = graft.util.Scratch.dir("graft_kway_stall_ckpt")
+    val sinkDir = graft.util.Scratch.dir("graft_kway_stall_sink")
+    // append-mode aggregate through foreachBatch (the memory sink cannot
+    // recover from a checkpoint): each batch carries only newly-FINALIZED
+    // windows; overwrite per batch id keeps a replayed batch idempotent
+    def run(): Unit = {
+      val agg = CdcStream.mergedPumpStream(spark, pumps)
+        .groupBy(window(col("ts"), "1 day")).agg(count(lit(1)).as("n"))
+      val q = agg.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val flat = b.select(col("window.start").as("ws"),
+            col("window.end").as("we"), col("n"))
+          if (!flat.isEmpty) flat.write.mode("overwrite").parquet(s"$sinkDir/batch=$id")
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def emitted(): Set[(java.sql.Timestamp, java.sql.Timestamp, Long)] = {
+      val dirs = new java.io.File(sinkDir).listFiles()
+      if (dirs == null || dirs.isEmpty) Set.empty
+      else spark.read.parquet(sinkDir).select("ws", "we", "n").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2))).toSet
+    }
+    run()
+    val phase1 = emitted()
+    assert(phase1.nonEmpty, "windows below the stalled pump's frontier must emit")
+    // pumps 0-2 are done through Jan 30, yet NO window past pump 3's last
+    // delivery may emit: the min across sources holds the merge
+    val maxEmittedEnd = phase1.map(_._2.getTime).max
+    assert(maxEmittedEnd <= stallTs.getTime,
+      s"stalled pump must hold the frontier, emitted through ${new java.sql.Timestamp(maxEmittedEnd)}")
+
+    // phase 2: pump 3 resumes; every pump then ships a far-future flush row
+    // (the pump fake-binlog, ref: pump/server.go:467-527 — traffic-free
+    // pumps still advance the downstream frontier) so every real window
+    // finalizes
+    addFile(slice(3).filter(col("ts") >= lit(stallTs)), pumps(3), "tail")
+    val flushTs = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    pumps.foreach(d => addFile(raw.limit(1).withColumn("ts", lit(flushTs)), d, "flush"))
+    run() // same checkpoint: the restart resumes, already-emitted windows stay emitted
+    val all = emitted()
+    // the union across phases equals the BATCH merge of the union of all
+    // four pumps (the flush rows' own window stays open), every window once
+    val expected = raw.groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(phase1.subsetOf(all))
+    assert(all.groupBy(_._1).forall(_._2.size == 1), "no window may emit twice")
+    assert(all == expected,
+      "streaming merge must equal the batch merge of the union")
+  }
+
+  test("streaming k-way merge (T2): a pump joins mid-stream via a new directory") {
+    // ref: drainer/merge.go:153-170 AddSource — membership changes at
+    // runtime. Spark twin: a glob source is the membership slot; a pump
+    // joining is a new directory matching the glob. A REGISTERED but
+    // silent source holds the frontier at epoch (the reference blocks
+    // until every live source has an item), so phase 1 emits NOTHING even
+    // though the fixed pumps are done.
+    val root = graft.util.Scratch.dir("graft_kway_join")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    def slice(i: Int) = raw.filter(pmod(col("user_id"), lit(4)) === i)
+    val fixed = (0 until 3).map { i =>
+      val d = s"$root/pump$i"
+      Files.createDirectories(java.nio.file.Paths.get(d)); d
+    }
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/dyn/seed"))
+    val dirs = fixed :+ s"$root/dyn/*"
+    (0 until 3).foreach(i => addFile(slice(i), fixed(i), "full"))
+
+    val ckpt = graft.util.Scratch.dir("graft_kway_join_ckpt")
+    val sinkDir = graft.util.Scratch.dir("graft_kway_join_sink")
+    def run(): Unit = {
+      val agg = CdcStream.mergedPumpStream(spark, dirs)
+        .groupBy(window(col("ts"), "1 day")).agg(count(lit(1)).as("n"))
+      val q = agg.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val flat = b.select(col("window.start").as("ws"), col("n"))
+          if (!flat.isEmpty) flat.write.mode("overwrite").parquet(s"$sinkDir/batch=$id")
+          ()
+        }.start()
+      try { q.processAllAvailable(); Thread.sleep(500); q.processAllAvailable() }
+      finally q.stop()
+    }
+    def emitted(): Set[(java.sql.Timestamp, Long)] = {
+      val dirs0 = new java.io.File(sinkDir).listFiles()
+      if (dirs0 == null || dirs0.isEmpty) Set.empty
+      else spark.read.parquet(sinkDir).select("ws", "n").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    }
+    run()
+    assert(emitted().isEmpty,
+      "a registered-but-silent source must hold the merge at epoch")
+
+    // the 4th pump joins: a NEW directory under the glob, no restart of
+    // anything but the harness's stop/start around the same checkpoint
+    val joined = s"$root/dyn/pump3"
+    Files.createDirectories(java.nio.file.Paths.get(joined))
+    addFile(slice(3), joined, "full")
+    val flushTs = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    (fixed :+ joined).foreach(d =>
+      addFile(raw.limit(1).withColumn("ts", lit(flushTs)), d, "flush"))
+    run()
+    val expected = raw.groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    assert(emitted() == expected,
+      "after the join, output must equal the batch merge of the union")
+  }
+
+  test("streaming T5∘T6: a wire DDL re-types the decode of later frames, mid-batch and cross-batch") {
+    // ref: drainer/syncer.go:393-397 (each DML decodes at the schema in
+    // force at its commit ts), drainer/schema.go:293-331 (DDL replay up to
+    // that version). The SAME wire bytes must decode differently based
+    // purely on the DDL's position in the stream.
+    import graft.sources.PbBinlogFile
+    val wireDir = graft.util.Scratch.dir("graft_t5t6_wire")
+    val outDir = graft.util.Scratch.dir("graft_t5t6_out")
+    val ckpt = graft.util.Scratch.dir("graft_t5t6_ckpt")
+
+    def dml(ids: Seq[Long]) = ids.toDF("commit_ts").select(
+      col("commit_ts"), col("commit_ts").as("pk"), lit("U").as("op"),
+      lit("row").as("event_type"),
+      timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+      col("commit_ts").cast("double").as("value"),
+      concat(lit("{\"k\": "),
+        (col("commit_ts").cast("double") + 0.25).cast("string"),
+        lit("}")).as("props"),
+      lit(null).cast("string").as("ddl_sql"))
+    val ddlAt50 = Seq(50L).toDF("commit_ts").select(
+      col("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
+      lit("ddl").as("event_type"),
+      timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+      lit(null).cast("double").as("value"),
+      lit(null).cast("string").as("props"),
+      lit("ALTER TABLE app.events MODIFY COLUMN k DECIMAL(10,1)").as("ddl_sql"))
+
+    // phase 1 on the wire: frames 1..70 with the DDL at 50 — rows 51..70
+    // land in the SAME micro-batch as the DDL and must already decode v2
+    PbBinlogFile.write(dml(1L to 70L).unionByName(ddlAt50), wireDir, nFiles = 1)
+    val tracker = new SchemaTracker()
+    tracker.createTable("app", "events", Seq("k DOUBLE"), version = 0)
+    val q = CdcStream.ddlDrivenDecode(
+      PbBinlogFile.readStream(spark, wireDir), tracker, outDir, ckpt)
+    try {
+      q.processAllAvailable()
+      // phase 2: a LATER micro-batch — the DDL's effect persists in the
+      // tracker across batch boundaries
+      PbBinlogFile.write(dml(71L to 100L), wireDir, nFiles = 1)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.read.parquet(outDir)
+      .select(col("commit_ts"), col("k_str"), col("schema_version"), col("batch"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out.size == 100)
+    (1L to 100L).foreach { n =>
+      val (kStr, version, batch) = out(n)
+      if (n <= 50L) {
+        // v1 DOUBLE decode; the frame AT the DDL's commit ts still decodes
+        // old-schema (the DDL takes effect after its own commit)
+        assert(version == 0L && kStr == s"$n.25", s"row $n: ($kStr, v$version)")
+      } else {
+        // v2 DECIMAL(10,1): the same 0.25 payload now rounds to one place
+        assert(version == 50L && kStr == s"$n.3", s"row $n: ($kStr, v$version)")
+      }
+      assert(if (n <= 70L) batch == 0 else batch == 1,
+        s"row $n landed in batch $batch")
+    }
+  }
+
   test("pc matcher streams on RocksDB: custom state class survives the store round trip (T1)") {
     // The dedup case pins the BUILT-IN dedup state on RocksDB; this pins
     // the CUSTOM flatMapGroupsWithState path — PcMatcher.Pending must
