@@ -378,6 +378,32 @@ object PbBinlogFile {
     }
   }
 
+  /** K4 retention: reclaim every segment whose ENTIRE commit-ts range lies
+    * at or below `safeTs` (ref: pkg/binlogfile/binlogger.go:354-380 GCByPos
+    * removes all files before the position and ALWAYS keeps the latest;
+    * pump/storage/storage.go:664 GC-by-ts is the same contract on the
+    * vlog). A segment is reclaimable exactly when its SUCCESSOR (in name
+    * order — global commit-ts order by the naming invariant) starts at or
+    * below `safeTs`: every frame it holds is then ≤ safeTs. The last
+    * segment has no successor and is always kept, like the reference.
+    * Contract: a read of `(safeTs, ∞)` is unchanged by the reclaim; frames
+    * ≤ safeTs inside kept boundary segments may survive (conservative,
+    * like the reference's whole-file granularity). Driver metadata work
+    * through the Hadoop FileSystem. Returns the reclaimed segment names. */
+  def gc(spark: SparkSession, dir: String, safeTs: Long): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = fsFor(dir, conf)
+    val names = listSegments(dir, conf).sorted
+    def firstTs(n: String): Long = n.split('-').last.toLong
+    val victims =
+      if (names.isEmpty) Seq.empty
+      else names.zip(names.tail).collect {
+        case (n, next) if firstTs(next) <= safeTs => n
+      }
+    victims.foreach(n => fs.delete(new HPath(dir, n), false))
+    victims
+  }
+
   // ---- the source (S6 real shape) ----
 
   /** The reference's file filter (reparo/file.go:47-109): files sorted by

@@ -241,6 +241,33 @@ class SourcesSpec extends SparkSpec {
     assert(PbBinlogFile.read(spark, dir).count() == changes.count())
   }
 
+  test("pb binlog retention gc: segments wholly below the safe ts reclaim, later reads unchanged") {
+    // ref: binlogger.go:354-380 GCByPos — delete everything before the
+    // position, always keep the latest file; here the position is a commit
+    // ts and the contract is that reads ABOVE it never change
+    import graft.sources.PbBinlogFile
+    val dir = graft.util.Scratch.dir("graft_pbgc")
+    val changes = graft.ops.Cdc.changes(spark, sf).filter(col("commit_ts") < 2000)
+    PbBinlogFile.write(changes, dir, nFiles = 2, maxBytesPerFile = 4096)
+    def segments() = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("binlog-")).sorted
+    val files = segments()
+    assert(files.length > 4)
+    val safeTs = files(files.length / 2).split('-').last.toLong
+    def above() = PbBinlogFile.read(spark, dir, startTs = safeTs + 1)
+      .select("commit_ts", "pk", "op")
+      .as[(Long, Long, String)].collect().toSet
+    val before = above()
+    val reclaimed = PbBinlogFile.gc(spark, dir, safeTs)
+    assert(reclaimed.nonEmpty && segments().length == files.length - reclaimed.size)
+    // only segments whose whole range sits at or below safeTs were removed
+    assert(reclaimed.forall(n => files.dropRight(1).contains(n)))
+    assert(above() == before, "the live range must survive the reclaim intact")
+    // even a far-future safe ts keeps the newest segment (the open one)
+    PbBinlogFile.gc(spark, dir, Long.MaxValue / 2)
+    assert(segments().length == 1 && segments().head == files.last)
+  }
+
   test("pb binlog segment rotation: size-capped files keep naming and pruning invariants") {
     import graft.sources.PbBinlogFile
     val dir = graft.util.Scratch.dir("graft_pbrotate")
