@@ -110,8 +110,31 @@ object DrainerPipeline {
     *     applied to the state (mark rows land in the reserved negative pk
     *     keyspace, the analog of the mark table's rows in the target DB). */
   def streaming(spark: SparkSession, pathGlob: String, stateRoot: String,
-      checkpoint: String, cfg: DrainerConfig = DrainerConfig()): StreamingQuery = {
-    val changes = CdcStream.dedupStream(CdcStream.changeStream(spark, pathGlob))
+      checkpoint: String, cfg: DrainerConfig = DrainerConfig()): StreamingQuery =
+    startApply(CdcStream.dedupStream(CdcStream.changeStream(spark, pathGlob)),
+      stateRoot, checkpoint, cfg)
+
+  /** The reference drainer's FULL streaming topology: multiple pump
+    * directories → T2 streaming merge (per-pump watermarks, min frontier,
+    * glob-slot dynamic membership — [[CdcStream.mergedPumpStream]]) →
+    * watermarked dedup → filters → checkpointed apply. A lagging pump
+    * therefore holds the downstream frontier through the whole composition,
+    * exactly as the reference merger pauses the sync (drainer/merge.go:
+    * 236-335 feeding drainer/syncer.go). */
+  def streamingMerged(spark: SparkSession, pumpDirs: Seq[String],
+      stateRoot: String, checkpoint: String,
+      cfg: DrainerConfig = DrainerConfig()): StreamingQuery =
+    // the merge already carries one watermark PER SOURCE (the min-frontier
+    // mechanism); re-wrapping in dedupStream would stack a second watermark
+    // on the same branch, which Spark rejects — the F10 dedup rides the
+    // per-source watermarks directly, with the same 1-hour state bound
+    startApply(
+      CdcStream.mergedPumpStream(spark, pumpDirs, delay = "1 hour")
+        .dropDuplicates("commit_ts", "ts"),
+      stateRoot, checkpoint, cfg)
+
+  private def startApply(changes: DataFrame, stateRoot: String,
+      checkpoint: String, cfg: DrainerConfig): StreamingQuery = {
     val filtered = {
       var df = changes
       if (cfg.ignoreCommitTs.nonEmpty)

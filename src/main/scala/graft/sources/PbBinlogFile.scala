@@ -72,16 +72,22 @@ object PbBinlogFile {
     fs
   }
 
-  /** Visible binlog segment names under `dir` (dot-prefixed `.inprogress`
-    * temps excluded by the name filter). Listing is driver metadata work,
-    * exactly as reparo's. */
-  private[sources] def listSegments(dir: String, conf: Configuration): Seq[String] = {
+  /** Visible binlog segments under `dir` as (name, length) — dot-prefixed
+    * `.inprogress` temps excluded by the name filter. Listing is driver
+    * metadata work, exactly as reparo's; lengths feed the v2 scan's size
+    * statistics. */
+  private[sources] def listSegmentStatus(dir: String,
+      conf: Configuration): Seq[(String, Long)] = {
     val fs = fsFor(dir, conf)
     val p = new HPath(dir)
     if (fs.exists(p))
-      fs.listStatus(p).map(_.getPath.getName).filter(_.startsWith("binlog-")).toSeq
+      fs.listStatus(p).map(s => (s.getPath.getName, s.getLen))
+        .filter(_._1.startsWith("binlog-")).toSeq
     else Seq.empty
   }
+
+  private[sources] def listSegments(dir: String, conf: Configuration): Seq[String] =
+    listSegmentStatus(dir, conf).map(_._1)
 
   /** `value` is optional because the envelope admits NULL values (the JDBC
     * loader binds them null-safely); a primitive field would crash the

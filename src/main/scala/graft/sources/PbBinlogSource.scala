@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -125,19 +125,39 @@ class PbBinlogScanBuilder(dir: String, recover: Boolean) extends ScanBuilder
 }
 
 class PbBinlogScan(val dir: String, val recover: Boolean, val tsLo: Long,
-    val tsHi: Long, required: StructType) extends Scan with Batch {
+    val tsHi: Long, required: StructType) extends Scan with Batch
+    with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  private lazy val segments: Seq[(String, Long)] =
+    PbBinlogFile.listSegmentStatus(dir,
+      SparkSession.active.sparkContext.hadoopConfiguration)
 
   /** (selected segment names, total segment count) — the pruning decision,
     * computed from the pushed bounds at plan time; PlanSpec asserts on it
     * and `description()` surfaces it in `explain`. */
   lazy val fileSelection: (Seq[String], Int) = {
-    val names = PbBinlogFile.listSegments(dir,
-      SparkSession.active.sparkContext.hadoopConfiguration)
-    val selected = PbBinlogFile.selectFiles(names,
+    val selected = PbBinlogFile.selectFiles(segments.map(_._1),
       math.max(tsLo, 0L), if (tsHi == Long.MaxValue) 0L else tsHi)
-    (selected, names.length)
+    (selected, segments.length)
+  }
+
+  /** Size statistics AFTER pruning — the on-disk bytes of the selected
+    * segments only (the wire form is row-data-sized, a fair in-memory
+    * proxy). This is what lets Catalyst auto-broadcast a ts-bounded binlog
+    * read joined against a fact table: without reported statistics a DSv2
+    * relation defaults to "huge" and a perfectly broadcastable pruned scan
+    * would shuffle both sides (PlanSpec pins the broadcast). */
+  override def estimateStatistics(): Statistics = {
+    val byName = segments.toMap
+    val bytes = fileSelection._1.map(n => byName.getOrElse(n, 0L)).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, bytes))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
   }
 
   override def description(): String = {

@@ -155,6 +155,58 @@ class PlanSpec extends SparkSpec {
       "s6_recover_scan must run the v2 source in salvage mode")
   }
 
+  test("pb binlog v2 scan reports pruned-size statistics: a ts-bounded read auto-broadcasts") {
+    // without SupportsReportStatistics a DSv2 relation defaults to "huge"
+    // and a perfectly broadcastable pruned scan would shuffle both join
+    // sides; with the selected segments' byte size reported, Catalyst
+    // auto-broadcasts the bounded slice against the fact table — the
+    // decision that matters when a 100 TB fact side meets a pruned window
+    // of the change log.
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import graft.sources.{PbBinlogFile, PbBinlogScan}
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val dir = graft.util.Scratch.dir("graft_pbstats")
+    val changes = graft.ops.Cdc.changes(s2, sf)
+    PbBinlogFile.write(changes, dir, nFiles = 4)
+    val maxTs = changes.agg(org.apache.spark.sql.functions.max("commit_ts"))
+      .head.getLong(0)
+    val slice = PbBinlogFile.read(s2, dir, maxTs / 2, maxTs * 6 / 10)
+      .select("pk", "commit_ts")
+    // the scan relation's stats are the PRUNED segments' bytes: nonzero,
+    // and strictly below the whole directory (the pruning is in the stats)
+    val dirBytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("binlog-")).map(_.length()).sum
+    val leafBytes = slice.queryExecution.optimizedPlan.collectLeaves()
+      .head.stats.sizeInBytes.toLong
+    assert(leafBytes > 0 && leafBytes < dirBytes,
+      s"pruned stats must shrink below the directory, got $leafBytes/$dirBytes")
+    // test-scale data is uniformly tiny, so build the 100-TB asymmetry
+    // explicitly: threshold above the pruned slice, fact side above the
+    // threshold — then ONLY the reported statistics can make the slice the
+    // broadcast build side
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", (leafBytes * 2).toString)
+    val one = graft.model.Tables.events(s2, sf)
+    val fact = Seq.fill(100)(one).reduce(_ unionByName _)
+    val factBytes = fact.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(factBytes > leafBytes * 2,
+      s"precondition: fact side ($factBytes) must exceed the threshold (${leafBytes * 2})")
+    val joined = fact.join(slice, fact("user_id") === slice("pk"))
+    val bhj = joined.queryExecution.executedPlan.collect {
+      case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, "pruned binlog scan must broadcast against the fact side")
+    val build = bhj.head.buildSide match {
+      case BuildLeft  => bhj.head.left
+      case BuildRight => bhj.head.right
+    }
+    assert(build.collect { case b: BatchScanExec => b.scan }
+      .collect { case s: PbBinlogScan => s }.nonEmpty,
+      "the BROADCAST side must be the binlog scan, not the fact table")
+  }
+
   test("global top-k is a distributed take, not a global sort") {
     val p = SparkEntry.queries("q3_shipping_priority")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -1024,6 +1024,32 @@ class StreamingSpec extends SparkSpec {
       "after the join, output must equal the batch merge of the union")
   }
 
+  test("drainer streaming over multiple pumps: merged apply equals batch compaction") {
+    // the reference drainer's full topology in one composition: pumps →
+    // T2 streaming merge → dedup → apply (drainer/merge.go feeding
+    // drainer/syncer.go); the final materialized state must equal the
+    // batch compaction of the union of the pump slices
+    val root = graft.util.Scratch.dir("graft_drain_merge")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val pumps = (0 until 2).map { i =>
+      val d = s"$root/pump$i"
+      Files.createDirectories(java.nio.file.Paths.get(d))
+      addFile(raw.filter(pmod(col("user_id"), lit(2)) === i), d, "full")
+      d
+    }
+    val stateRoot = graft.util.Scratch.dir("graft_drain_merge_state")
+    val ckpt = graft.util.Scratch.dir("graft_drain_merge_ckpt")
+    val q = graft.pipeline.DrainerPipeline.streamingMerged(
+      spark, pumps, stateRoot, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = new UpsertSink(stateRoot).currentState(spark)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val batch = graft.ops.Cdc.compactByPk(graft.ops.Cdc.changes(spark, sf))
+      .filter(col("op") =!= "D")
+      .select("pk", "value").as[(Long, Double)].collect().toMap
+    assert(streamed == batch)
+  }
+
   test("streaming T5∘T6: a wire DDL re-types the decode of later frames, mid-batch and cross-batch") {
     // ref: drainer/syncer.go:393-397 (each DML decodes at the schema in
     // force at its commit ts), drainer/schema.go:293-331 (DDL replay up to
