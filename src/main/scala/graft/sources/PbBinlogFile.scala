@@ -62,12 +62,19 @@ object PbBinlogFile {
     * store on a cluster — never `java.io`/`java.nio` local-FS calls, which
     * simply don't resolve when binlog segments live on shared storage
     * (ref: reparo/file.go:29-46 reads via its storage abstraction too). */
-  private[sources] def fsFor(dir: String, conf: Configuration): FileSystem = {
-    val fs = FileSystem.get(new java.net.URI(dir), conf)
-    // every frame already carries its own CRC32C — Hadoop's client-side
-    // .crc sidecars (local/checksum filesystems only; HDFS checksums live
-    // in the datanode protocol) would shadow the format's own integrity
-    // story and pollute segment listings
+  /** Read/metadata filesystem: the process-wide cached instance, untouched
+    * (mutating the shared instance would change behavior for every other
+    * user of the same filesystem in the JVM). */
+  private[sources] def fsFor(dir: String, conf: Configuration): FileSystem =
+    FileSystem.get(new java.net.URI(dir), conf)
+
+  /** Writer filesystem: a PRIVATE instance (caller closes) with client-side
+    * .crc sidecars off — every frame already carries its own CRC32C
+    * (sidecars exist on local/checksum filesystems only; HDFS checksums
+    * live in the datanode protocol), and the flag must not leak onto the
+    * shared cached instance Spark's own committers use. */
+  private def writerFsFor(dir: String, conf: Configuration): FileSystem = {
+    val fs = FileSystem.newInstance(new java.net.URI(dir), conf)
     fs.setWriteChecksum(false)
     fs
   }
@@ -335,7 +342,7 @@ object PbBinlogFile {
       .repartitionByRange(nFiles, col("commit_ts"))
       .sortWithinPartitions("commit_ts")
     ds.foreachPartition { rows: Iterator[PbChange] =>
-      val fs = fsFor(dir, hconf.value)
+      val fs = writerFsFor(dir, hconf.value)
       val pid = TaskContext.getPartitionId()
       var out: BufferedOutputStream = null
       var finalPath: HPath = null
@@ -355,8 +362,14 @@ object PbBinlogFile {
       val attempt = Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
       def closeSegment(): Unit = if (out != null) {
         out.close(); out = null
-        if (!fs.rename(tmpPath, finalPath))
-          throw new java.io.IOException(s"promote $tmpPath -> $finalPath failed")
+        if (!fs.rename(tmpPath, finalPath)) {
+          // Hadoop rename does not overwrite: a rename refused because the
+          // segment already exists means a prior (or speculative) attempt
+          // of this DETERMINISTIC task promoted identical bytes — drop our
+          // temp and keep the winner, so retries stay idempotent
+          if (fs.exists(finalPath)) { fs.delete(tmpPath, false); () }
+          else throw new java.io.IOException(s"promote $tmpPath -> $finalPath failed")
+        }
       }
       def abortSegment(): Unit = if (out != null) {
         try out.close() catch { case _: Throwable => () }
@@ -381,6 +394,7 @@ object PbBinlogFile {
         }
         closeSegment()
       } catch { case t: Throwable => abortSegment(); throw t }
+      finally fs.close() // private newInstance, never the shared cache
     }
   }
 
@@ -388,24 +402,42 @@ object PbBinlogFile {
     * at or below `safeTs` (ref: pkg/binlogfile/binlogger.go:354-380 GCByPos
     * removes all files before the position and ALWAYS keeps the latest;
     * pump/storage/storage.go:664 GC-by-ts is the same contract on the
-    * vlog). A segment is reclaimable exactly when its SUCCESSOR (in name
-    * order — global commit-ts order by the naming invariant) starts at or
-    * below `safeTs`: every frame it holds is then ≤ safeTs. The last
-    * segment has no successor and is always kept, like the reference.
-    * Contract: a read of `(safeTs, ∞)` is unchanged by the reclaim; frames
-    * ≤ safeTs inside kept boundary segments may survive (conservative,
-    * like the reference's whole-file granularity). Driver metadata work
-    * through the Hadoop FileSystem. Returns the reclaimed segment names. */
+    * vlog). The newest segment (by first commit ts) is always kept, like
+    * the reference's open file.
+    *
+    * The reference can reclaim on name order alone because its binlogger is
+    * a SINGLE sequential writer (suffix order IS commit order). This
+    * writer is parallel, and successive `write` invocations interleave pid
+    * prefixes, so name order is NOT commit-ts order across a directory's
+    * history — a successor-by-name rule could reclaim live data. Metadata
+    * (the first-ts name field) therefore only PREFILTERS candidates; each
+    * candidate's actual max frame ts is verified by a distributed read
+    * before deletion. That read touches (mostly) the bytes about to be
+    * reclaimed — the price of whole-file granularity under a parallel
+    * writer. Contract: a read of `(safeTs, ∞)` is unchanged by the
+    * reclaim, for ANY segment layout; frames ≤ safeTs inside kept boundary
+    * segments may survive (conservative, like the reference). Returns the
+    * reclaimed segment names. */
   def gc(spark: SparkSession, dir: String, safeTs: Long): Seq[String] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = fsFor(dir, conf)
-    val names = listSegments(dir, conf).sorted
+    val hconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val names = listSegments(dir, hconf.value)
+    if (names.isEmpty) return Seq.empty
     def firstTs(n: String): Long = n.split('-').last.toLong
-    val victims =
-      if (names.isEmpty) Seq.empty
-      else names.zip(names.tail).collect {
-        case (n, next) if firstTs(next) <= safeTs => n
-      }
+    val newest = names.maxBy(firstTs)
+    val candidates = names.filter(n => n != newest && firstTs(n) <= safeTs)
+    if (candidates.isEmpty) return Seq.empty
+    val victims = spark.sparkContext.parallelize(candidates, candidates.size)
+      .filter { n =>
+        val fs = fsFor(dir, hconf.value)
+        val p = new HPath(dir, n)
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        val in = fs.open(p)
+        try in.readFully(0L, bytes) finally in.close()
+        var maxTs = Long.MinValue
+        decodeFrames(bytes).foreach(c => maxTs = math.max(maxTs, c.commit_ts))
+        maxTs <= safeTs
+      }.collect().toSeq
+    val fs = fsFor(dir, hconf.value)
     victims.foreach(n => fs.delete(new HPath(dir, n), false))
     victims
   }

@@ -46,20 +46,21 @@ import graft.util.SerializableHadoopConf
   * goes through the Hadoop `FileSystem` of the directory's URI.
   */
 object PbBinlogSource {
-  /** The change-envelope schema, in [[PbBinlogFile.read]]'s column order. */
-  val schema: StructType = StructType(Seq(
-    StructField("commit_ts", LongType, nullable = false),
-    StructField("pk", LongType, nullable = false),
-    StructField("op", StringType),
-    StructField("event_type", StringType),
-    StructField("ts", TimestampType),
-    StructField("value", DoubleType),
-    StructField("props", StringType),
-    StructField("dec38", StringType),
-    StructField("udec", StringType),
-    StructField("bits", LongType),
-    StructField("enum_ord", IntegerType),
-    StructField("ddl_sql", StringType)))
+  /** The change-envelope schema, in [[PbBinlogFile.read]]'s column order —
+    * DERIVED from the wire case class so a new envelope field cannot
+    * silently diverge between the writer and this reader (the reader's
+    * per-field converter would then fail loudly on the unmapped index
+    * instead of dropping data). The one projection: `ts_us` (micros on the
+    * wire) surfaces as a TIMESTAMP column — the `InternalRow`
+    * representation (a micros long) is identical, so the converter passes
+    * the value through untouched. */
+  val schema: StructType = {
+    val wire = org.apache.spark.sql.Encoders.product[PbBinlogFile.PbChange].schema
+    StructType(wire.fields.map {
+      case f if f.name == "ts_us" => StructField("ts", TimestampType)
+      case f => f
+    })
+  }
 }
 
 class PbBinlogSource extends TableProvider with DataSourceRegister {

@@ -87,18 +87,25 @@ object CdcStream {
     * Dynamic membership (ref: merge.go:153-170 AddSource/RemoveSource):
     * pass a GLOB entry (a trailing wildcard under `root/dyn/`) — a pump
     * joining mid-stream is a new directory matching it; its files enter
-    * that source's listing at the next trigger, no restart. All glob-matched
-    * dirs share one
-    * watermark operator, which UNDER-approximates the frontier (safe:
-    * emission is only ever delayed, never early).
+    * that source's listing at the next trigger, no restart. CONTRACT: all
+    * glob-matched dirs share ONE watermark operator, driven by the max
+    * event time across them — so a pump joining through the glob must
+    * deliver from the current frontier FORWARD (which is how a newly
+    * registered pump behaves in the reference too: it streams new commits,
+    * it does not backfill history below the cluster's commit frontier).
+    * A backfill below the glob slot's frontier would be dropped as late
+    * data; historical re-ingestion needs its own fixed source entry (a
+    * restart — Spark fixes the source set at query start).
     *
     * A single union'd watermark (one operator after the union) would
     * instead take the MAX event time over all pumps — a stalled source
     * could never hold the merge, losing the reference's safety property. */
   def mergedPumpStream(spark: SparkSession, pumpDirs: Seq[String],
-      delay: String = "0 seconds"): DataFrame =
+      delay: String = "0 seconds"): DataFrame = {
+    require(pumpDirs.nonEmpty, "mergedPumpStream needs at least one pump directory")
     pumpDirs.map(d => changeStream(spark, d).withWatermark("ts", delay))
       .reduce(_ unionByName _)
+  }
 
   /** T3 twin: watermarked per-day/per-op counts (fake-binlog-free — Spark
     * advances the watermark from event time directly). */
@@ -208,26 +215,37 @@ object CdcStream {
     * tracker holds at that version, built from the tracked column defs
     * (`StructType.fromDDL`). A frame AT the DDL's commit ts still decodes
     * with the old schema — the DDL takes effect after its own commit,
-    * matching the loader's barrier convention. Output appends to
-    * `outDir/batch=<id>` (overwrite per batch id = idempotent replay, the
+    * matching the loader's barrier convention.
+    *
+    * Replay safety: the batch decodes against a LOCAL view of the catalog;
+    * the live tracker advances only AFTER the batch's output and its DDL
+    * log have been written, so a batch that fails mid-write replays from
+    * an unchanged tracker and reproduces the same bytes. Output overwrites
+    * `outDir/data/batch=<id>` (idempotent per batch id, the
     * DrainerPipeline outbinlog pattern), each row stamped with the schema
-    * version that decoded it. */
+    * version that decoded it; the applied DDLs overwrite
+    * `outDir/ddl/batch=<id>` — the durable source of truth a RESTARTED
+    * process replays into a fresh tracker via [[recoverDecodeTracker]]
+    * (the tracker itself is driver memory and dies with the process). */
   def ddlDrivenDecode(wire: DataFrame, tracker: SchemaTracker, outDir: String,
       checkpoint: String, schemaName: String = "app",
       table: String = "events"): StreamingQuery =
     wire.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
         val ddls = batch.filter(col("op") === "DDL")
           .select("commit_ts", "ddl_sql").orderBy("commit_ts").collect()
           .map(r => (r.getLong(0), r.getString(1)))
         val barriers = ddls :+ ((Long.MaxValue, null: String))
         var lower = Long.MinValue
+        var info = tracker.current(schemaName, table).getOrElse(
+          throw new NoSuchElementException(s"$schemaName.$table not registered"))
+        val applied = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, String, String, String, String)]
         val slices = barriers.map { case (upper, stmt) =>
-          // build this slice's plan BEFORE the tracker advances: the
-          // from_json schema is captured at plan-construction time
-          val info = tracker.current(schemaName, table).getOrElse(
-            throw new NoSuchElementException(s"$schemaName.$table not registered"))
+          // the from_json schema is captured at plan-construction time,
+          // from the LOCAL catalog view — the live tracker is untouched
           val wireSchema = StructType.fromDDL(info.columns.mkString(", "))
           val payload = from_json(col("props"), wireSchema)
           val decoded = batch
@@ -240,7 +258,11 @@ object CdcStream {
           stmt match {
             case null => ()
             case ModifyColumnRe(s, t, c, newType) =>
-              tracker.modifyColumn(s, t, c, s"$c $newType", upper)
+              val idx = info.columns.indexWhere(x => x == c || x.startsWith(c + " "))
+              require(idx >= 0, s"no column $c in $s.$t")
+              info = info.copy(columns = info.columns.updated(idx, s"$c $newType"),
+                version = upper)
+              applied += ((upper, s, t, c, newType))
             case other =>
               throw new IllegalArgumentException(s"unsupported wire DDL: $other")
           }
@@ -248,10 +270,42 @@ object CdcStream {
           decoded
         }
         slices.reduce(_ unionByName _)
-          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          .write.mode("overwrite").parquet(s"$outDir/data/batch=$id")
+        import spark.implicits._
+        // written only when non-empty (an empty parquet dir is schema-less
+        // and would break the recovery read); a replayed batch regenerates
+        // the same DDL set, so the skip is deterministic
+        if (applied.nonEmpty)
+          applied.toSeq.toDF("version", "schema_name", "table_name", "column_name", "new_type")
+            .write.mode("overwrite").parquet(s"$outDir/ddl/batch=$id")
+        // only now does the live catalog advance — a crash anywhere above
+        // replays this batch against the unchanged tracker
+        applied.foreach { case (v, s, t, c, newType) =>
+          tracker.modifyColumn(s, t, c, s"$c $newType", v)
+        }
         ()
       }
       .start()
+
+  /** Restart path for [[ddlDrivenDecode]]: replay the durable DDL log into
+    * a fresh tracker (in version order, skipping anything the tracker
+    * already has) before starting the query — the streaming checkpoint
+    * restores the SOURCE position, this restores the CATALOG position
+    * (ref: the drainer reloads its schema history from storage on restart,
+    * drainer/schema.go:43-62). */
+  def recoverDecodeTracker(spark: SparkSession, outDir: String,
+      tracker: SchemaTracker): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/ddl"))) return
+    spark.read.parquet(s"$outDir/ddl").orderBy("version").collect().foreach { r =>
+      val v = r.getAs[Long]("version")
+      if (v > tracker.version)
+        tracker.modifyColumn(r.getAs[String]("schema_name"),
+          r.getAs[String]("table_name"), r.getAs[String]("column_name"),
+          s"${r.getAs[String]("column_name")} ${r.getAs[String]("new_type")}", v)
+    }
+  }
 
   /** Flagship streaming path: change stream → per-batch merge-by-PK upsert
     * into the materialized state with exactly-once batch ids. */

@@ -265,7 +265,25 @@ class SourcesSpec extends SparkSpec {
     assert(above() == before, "the live range must survive the reclaim intact")
     // even a far-future safe ts keeps the newest segment (the open one)
     PbBinlogFile.gc(spark, dir, Long.MaxValue / 2)
-    assert(segments().length == 1 && segments().head == files.last)
+    assert(segments().length == 1)
+
+    // parallel-writer layout hazard: a SECOND write invocation interleaves
+    // pid prefixes, so segment-NAME order is not commit-ts order — a
+    // successor-by-name reclaim rule would here delete the second write's
+    // pid-0 segment (all of it above safeTs). The content-verified gc must
+    // not lose a single live row on any layout.
+    val dir2 = graft.util.Scratch.dir("graft_pbgc_append")
+    val all = graft.ops.Cdc.changes(spark, sf)
+    PbBinlogFile.write(all.filter(col("commit_ts") < 1000), dir2, nFiles = 2)
+    PbBinlogFile.write(all.filter(col("commit_ts") >= 1000 && col("commit_ts") < 2000),
+      dir2, nFiles = 2)
+    def live() = PbBinlogFile.read(spark, dir2, startTs = 501)
+      .select("commit_ts", "pk", "op")
+      .as[(Long, Long, String)].collect().toSet
+    val liveBefore = live()
+    val reclaimed2 = PbBinlogFile.gc(spark, dir2, 500L)
+    assert(reclaimed2.nonEmpty, "the first write's wholly-old segment must reclaim")
+    assert(live() == liveBefore, "no live row may vanish under the interleaved layout")
   }
 
   test("pb binlog segment rotation: size-capped files keep naming and pruning invariants") {

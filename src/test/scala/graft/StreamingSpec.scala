@@ -970,7 +970,10 @@ class StreamingSpec extends SparkSpec {
     // joining is a new directory matching the glob. A REGISTERED but
     // silent source holds the frontier at epoch (the reference blocks
     // until every live source has an item), so phase 1 emits NOTHING even
-    // though the fixed pumps are done.
+    // though the fixed pumps are done. The joining pump delivers at/above
+    // the glob slot's current frontier (epoch here — the slot was silent),
+    // per mergedPumpStream's membership contract: a joiner streams from
+    // the frontier forward, like a newly registered pump in the reference.
     val root = graft.util.Scratch.dir("graft_kway_join")
     val raw = spark.read.parquet(s"$sf/events.parquet")
     def slice(i: Int) = raw.filter(pmod(col("user_id"), lit(4)) === i)
@@ -1082,17 +1085,24 @@ class StreamingSpec extends SparkSpec {
     PbBinlogFile.write(dml(1L to 70L).unionByName(ddlAt50), wireDir, nFiles = 1)
     val tracker = new SchemaTracker()
     tracker.createTable("app", "events", Seq("k DOUBLE"), version = 0)
-    val q = CdcStream.ddlDrivenDecode(
+    val q1 = CdcStream.ddlDrivenDecode(
       PbBinlogFile.readStream(spark, wireDir), tracker, outDir, ckpt)
-    try {
-      q.processAllAvailable()
-      // phase 2: a LATER micro-batch — the DDL's effect persists in the
-      // tracker across batch boundaries
-      PbBinlogFile.write(dml(71L to 100L), wireDir, nFiles = 1)
-      q.processAllAvailable()
-    } finally q.stop()
+    try q1.processAllAvailable() finally q1.stop()
 
-    val out = spark.read.parquet(outDir)
+    // phase 2 is a REAL restart: a fresh process loses the driver-memory
+    // tracker, so a FRESH tracker is rebuilt from the durable DDL log
+    // (recoverDecodeTracker) before the query resumes from the same
+    // checkpoint — the DDL's effect must survive into the later batch
+    val tracker2 = new SchemaTracker()
+    tracker2.createTable("app", "events", Seq("k DOUBLE"), version = 0)
+    CdcStream.recoverDecodeTracker(spark, outDir, tracker2)
+    assert(tracker2.version == 50L, "the logged DDL must replay into the fresh tracker")
+    PbBinlogFile.write(dml(71L to 100L), wireDir, nFiles = 1)
+    val q2 = CdcStream.ddlDrivenDecode(
+      PbBinlogFile.readStream(spark, wireDir), tracker2, outDir, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val out = spark.read.parquet(s"$outDir/data")
       .select(col("commit_ts"), col("k_str"), col("schema_version"), col("batch"))
       .collect().map(r => r.getLong(0) ->
         ((r.getString(1), r.getLong(2), r.getInt(3)))).toMap
