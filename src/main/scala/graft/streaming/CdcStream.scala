@@ -101,9 +101,12 @@ object CdcStream {
     * instead take the MAX event time over all pumps — a stalled source
     * could never hold the merge, losing the reference's safety property. */
   def mergedPumpStream(spark: SparkSession, pumpDirs: Seq[String],
-      delay: String = "0 seconds"): DataFrame = {
+      delay: String = "0 seconds", maxFilesPerTrigger: Int = 0): DataFrame = {
     require(pumpDirs.nonEmpty, "mergedPumpStream needs at least one pump directory")
-    pumpDirs.map(d => changeStream(spark, d).withWatermark("ts", delay))
+    // per-pump flow control (P4∘T2): the cap applies to EACH source, so a
+    // backlogged pump drains in bounded steps without starving the others
+    pumpDirs.map(d => changeStream(spark, d, maxFilesPerTrigger)
+        .withWatermark("ts", delay))
       .reduce(_ unionByName _)
   }
 
@@ -292,19 +295,38 @@ object CdcStream {
     * already has) before starting the query — the streaming checkpoint
     * restores the SOURCE position, this restores the CATALOG position
     * (ref: the drainer reloads its schema history from storage on restart,
-    * drainer/schema.go:43-62). */
+    * drainer/schema.go:43-62).
+    *
+    * Only DDLs of COMMITTED batches apply: a crash can land between the
+    * DDL-log write and the streaming commit, and the engine then REPLAYS
+    * that batch — recovering its DDL here would put the tracker ahead of
+    * the replay and decode the batch's pre-DDL slices with the post-DDL
+    * schema (the exact hazard the deferred-tracker-advance exists to
+    * prevent). The commit frontier is read from the checkpoint's own
+    * `commits/` log; the replayed batch re-derives and rewrites its DDL
+    * log identically. */
   def recoverDecodeTracker(spark: SparkSession, outDir: String,
-      tracker: SchemaTracker): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+      checkpoint: String, tracker: SchemaTracker): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(outDir), conf)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/ddl"))) return
-    spark.read.parquet(s"$outDir/ddl").orderBy("version").collect().foreach { r =>
-      val v = r.getAs[Long]("version")
-      if (v > tracker.version)
-        tracker.modifyColumn(r.getAs[String]("schema_name"),
-          r.getAs[String]("table_name"), r.getAs[String]("column_name"),
-          s"${r.getAs[String]("column_name")} ${r.getAs[String]("new_type")}", v)
-    }
+    val commitsDir = new org.apache.hadoop.fs.Path(s"$checkpoint/commits")
+    val cfs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(checkpoint), conf)
+    val committed =
+      if (!cfs.exists(commitsDir)) -1L
+      else cfs.listStatus(commitsDir).map(_.getPath.getName)
+        .flatMap(n => scala.util.Try(n.toLong).toOption)
+        .foldLeft(-1L)(math.max)
+    if (committed < 0) return
+    spark.read.parquet(s"$outDir/ddl")
+      .filter(col("batch") <= committed)
+      .orderBy("version").collect().foreach { r =>
+        val v = r.getAs[Long]("version")
+        if (v > tracker.version)
+          tracker.modifyColumn(r.getAs[String]("schema_name"),
+            r.getAs[String]("table_name"), r.getAs[String]("column_name"),
+            s"${r.getAs[String]("column_name")} ${r.getAs[String]("new_type")}", v)
+      }
   }
 
   /** Flagship streaming path: change stream → per-batch merge-by-PK upsert

@@ -241,6 +241,22 @@ class SourcesSpec extends SparkSpec {
     assert(PbBinlogFile.read(spark, dir).count() == changes.count())
   }
 
+  test("pb binlog IO resolves scheme-qualified URIs through the Hadoop FileSystem") {
+    // the portability contract behind the Hadoop-FS port: the same write /
+    // list / scan path must accept a scheme-qualified directory (file: here;
+    // hdfs:/s3a: on a cluster) — java.io-era code would have treated the
+    // scheme as part of a local path and failed
+    import graft.sources.PbBinlogFile
+    val dir = graft.util.Scratch.dir("graft_pburi")
+    val changes = graft.ops.Cdc.changes(spark, sf).filter(col("commit_ts") < 1500)
+    PbBinlogFile.write(changes, s"file:$dir", nFiles = 2)
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("binlog-"))
+    assert(names.length == 2, s"segments must land under the URI's path, got ${names.toSeq}")
+    assert(PbBinlogFile.read(spark, s"file:$dir").count() == changes.count())
+    assert(PbBinlogFile.gc(spark, s"file:$dir", Long.MaxValue / 2).nonEmpty)
+  }
+
   test("pb binlog retention gc: segments wholly below the safe ts reclaim, later reads unchanged") {
     // ref: binlogger.go:354-380 GCByPos — delete everything before the
     // position, always keep the latest file; here the position is a commit
@@ -274,14 +290,21 @@ class SourcesSpec extends SparkSpec {
     // not lose a single live row on any layout.
     val dir2 = graft.util.Scratch.dir("graft_pbgc_append")
     val all = graft.ops.Cdc.changes(spark, sf)
+    def segFirstTs() = new java.io.File(dir2).listFiles().map(_.getName)
+      .filter(_.startsWith("binlog-")).map(_.split('-').last.toLong)
     PbBinlogFile.write(all.filter(col("commit_ts") < 1000), dir2, nFiles = 2)
+    // safeTs = the first write's SECOND segment boundary: its first segment
+    // is then wholly ≤ safeTs (range partitions are key-disjoint), while a
+    // successor-by-name rule at this ts would have deleted the second
+    // write's pid-0 segment (whose name sorts before it, all rows live)
+    val safe2 = segFirstTs().max
     PbBinlogFile.write(all.filter(col("commit_ts") >= 1000 && col("commit_ts") < 2000),
       dir2, nFiles = 2)
-    def live() = PbBinlogFile.read(spark, dir2, startTs = 501)
+    def live() = PbBinlogFile.read(spark, dir2, startTs = safe2 + 1)
       .select("commit_ts", "pk", "op")
       .as[(Long, Long, String)].collect().toSet
     val liveBefore = live()
-    val reclaimed2 = PbBinlogFile.gc(spark, dir2, 500L)
+    val reclaimed2 = PbBinlogFile.gc(spark, dir2, safe2)
     assert(reclaimed2.nonEmpty, "the first write's wholly-old segment must reclaim")
     assert(live() == liveBefore, "no live row may vanish under the interleaved layout")
   }

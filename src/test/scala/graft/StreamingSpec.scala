@@ -1095,7 +1095,7 @@ class StreamingSpec extends SparkSpec {
     // checkpoint — the DDL's effect must survive into the later batch
     val tracker2 = new SchemaTracker()
     tracker2.createTable("app", "events", Seq("k DOUBLE"), version = 0)
-    CdcStream.recoverDecodeTracker(spark, outDir, tracker2)
+    CdcStream.recoverDecodeTracker(spark, outDir, ckpt, tracker2)
     assert(tracker2.version == 50L, "the logged DDL must replay into the fresh tracker")
     PbBinlogFile.write(dml(71L to 100L), wireDir, nFiles = 1)
     val q2 = CdcStream.ddlDrivenDecode(
