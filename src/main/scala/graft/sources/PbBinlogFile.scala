@@ -40,14 +40,16 @@ import graft.util.SerializableHadoopConf
   * = `java.util.zip.CRC32C`); a mismatch fails the read like the reference's
   * ErrCRCMismatch rather than silently passing corrupt rows downstream.
   *
-  * Files are named `binlog-<%016d index>-<%020d firstCommitTs>` so a
+  * Files are named `binlog-<pid><seg>-<firstCommitTs>-<lastCommitTs>` so a
   * commit-ts range scan selects FILES before reading a byte — the
-  * reference's pushdown (reparo/file.go:47-109 `filterFiles` keeps the last
-  * file whose first ts ≤ startTs plus every overlapping file). File listing
-  * is driver metadata work, exactly as reparo's; the decode itself is
-  * distributed (`binaryFile` source + per-partition frame parsing — genuine
-  * imperative byte work, the one place `mapPartitions`-style logic is the
-  * right tool).
+  * reference's pushdown purpose (reparo/file.go:47-109 `filterFiles`),
+  * made exact: both interval endpoints ride in the name, so selection is
+  * plain interval overlap on any segment layout (the reference's
+  * first-ts-only heuristic assumes its single sequential writer). File
+  * listing is driver metadata work, exactly as reparo's; the decode itself
+  * is distributed (one scan partition per segment + per-partition frame
+  * parsing — genuine imperative byte work, the one place
+  * `mapPartitions`-style logic is the right tool).
   *
   * Scale shape: one file per range-partition on write (sorted by commit_ts,
   * so file boundaries ARE ts boundaries); on read, file selection prunes
@@ -95,6 +97,17 @@ object PbBinlogFile {
 
   private[sources] def listSegments(dir: String, conf: Configuration): Seq[String] =
     listSegmentStatus(dir, conf).map(_._1)
+
+  /** Segment names are `binlog-<pid><seg>-<firstTs>-<lastTs>`: carrying
+    * BOTH interval endpoints makes file pruning and retention exact
+    * metadata-only interval logic for ANY segment layout. The reference
+    * carries only the first ts because its binlogger is a single
+    * sequential writer (name order IS commit order, reparo/file.go:47-109);
+    * this writer is parallel and a directory may accumulate several write
+    * invocations, where a name-order heuristic provably drops or reclaims
+    * live files (SourcesSpec pins both hazards). */
+  private[sources] def segFirstTs(name: String): Long = name.split('-')(2).toLong
+  private[sources] def segLastTs(name: String): Long = name.split('-')(3).toLong
 
   /** `value` is optional because the envelope admits NULL values (the JDBC
     * loader binds them null-safely); a primitive field would crash the
@@ -305,16 +318,15 @@ object PbBinlogFile {
 
   /** Write a change-envelope DataFrame as a directory of pb binlog files:
     * range-partitioned and sorted by commit_ts so each file covers a
-    * contiguous ts interval, named by its first commit ts (the property
-    * reparo's file filter relies on). Within a partition, files ROTATE at
-    * `maxBytesPerFile` (ref: binlogfile/binlogger.go:45-46 SegmentSizeBytes
-    * = 512 MiB, binlogger.go:415-444 rotate-on-size) — an unbounded range
-    * partition therefore never produces a file the read side must hold in
-    * memory whole (binaryFile materializes per-file content). Rotated
-    * segments keep the naming invariant: each carries ITS OWN first commit
-    * ts, so ts-range file pruning sees every segment independently. `dir`
-    * must be a shared filesystem path (local here; HDFS/object-store mount
-    * on a cluster). */
+    * contiguous ts interval, named by its first AND last commit ts (the
+    * metadata file pruning and retention operate on). Within a partition,
+    * files ROTATE at `maxBytesPerFile` (ref: binlogfile/binlogger.go:45-46
+    * SegmentSizeBytes = 512 MiB, binlogger.go:415-444 rotate-on-size) — an
+    * unbounded range partition therefore never produces a file the read
+    * side must hold in memory whole. Rotated segments keep the naming
+    * invariant: each carries ITS OWN ts interval, so ts-range file pruning
+    * sees every segment independently. `dir` must be a shared filesystem
+    * path (local here; HDFS/object-store URI on a cluster). */
   /** Optional envelope columns (typed M9 domain + nullable value): absent
     * columns are added as typed NULLs so a 7-column envelope writes
     * unchanged while an enriched one carries its extra fields. */
@@ -360,8 +372,14 @@ object PbBinlogFile {
       // rename is copy+delete, the dot-prefix contract still keeps a torn
       // copy invisible (no reader ever matches a .inprogress name).
       val attempt = Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
+      var firstTs = 0L
+      var lastTs = 0L
       def closeSegment(): Unit = if (out != null) {
         out.close(); out = null
+        // the FINAL name is chosen at close, when both interval endpoints
+        // are known: exact pruning and retention need the last ts too
+        finalPath = new HPath(dir,
+          f"binlog-$pid%08d${seg - 1}%08d-$firstTs%020d-$lastTs%020d")
         if (!fs.rename(tmpPath, finalPath)) {
           // Hadoop rename does not overwrite: a rename refused because the
           // segment already exists means a prior (or speculative) attempt
@@ -379,14 +397,11 @@ object PbBinlogFile {
       try {
         rows.foreach { c =>
           if (out == null) {
-            // segment index rides inside the ordering-neutral first name
-            // field; the trailing field stays the segment's first commit ts
-            val name = f"binlog-$pid%08d$seg%08d-${c.commit_ts}%020d"
-            finalPath = new HPath(dir, name)
-            tmpPath = new HPath(dir, s".$name.$attempt.inprogress")
+            tmpPath = new HPath(dir, f".binlog-$pid%08d$seg%08d.$attempt.inprogress")
             out = new BufferedOutputStream(fs.create(tmpPath, true))
-            seg += 1; written = 0L
+            seg += 1; written = 0L; firstTs = c.commit_ts
           }
+          lastTs = c.commit_ts
           val frame = encodeFrame(encodePayload(c))
           out.write(frame)
           written += frame.length
@@ -407,65 +422,68 @@ object PbBinlogFile {
     *
     * The reference can reclaim on name order alone because its binlogger is
     * a SINGLE sequential writer (suffix order IS commit order). This
-    * writer is parallel, and successive `write` invocations interleave pid
-    * prefixes, so name order is NOT commit-ts order across a directory's
-    * history — a successor-by-name rule could reclaim live data. Metadata
-    * (the first-ts name field) therefore only PREFILTERS candidates; each
-    * candidate's actual max frame ts is verified by a distributed read
-    * before deletion. That read touches (mostly) the bytes about to be
-    * reclaimed — the price of whole-file granularity under a parallel
-    * writer. Contract: a read of `(safeTs, ∞)` is unchanged by the
-    * reclaim, for ANY segment layout; frames ≤ safeTs inside kept boundary
-    * segments may survive (conservative, like the reference). Returns the
-    * reclaimed segment names. */
+    * writer is parallel and a directory may accumulate several write
+    * invocations, so names carry BOTH interval endpoints instead —
+    * reclaim is then exact metadata-only interval logic on any layout: a
+    * segment goes exactly when its last commit ts is ≤ safeTs. Contract: a
+    * read of `(safeTs, ∞)` is unchanged by the reclaim. Driver metadata
+    * work through the Hadoop FileSystem; returns the reclaimed names. */
   def gc(spark: SparkSession, dir: String, safeTs: Long): Seq[String] = {
-    val hconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
-    val names = listSegments(dir, hconf.value)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = fsFor(dir, conf)
+    val names = listSegments(dir, conf)
     if (names.isEmpty) return Seq.empty
-    def firstTs(n: String): Long = n.split('-').last.toLong
-    val newest = names.maxBy(firstTs)
-    val candidates = names.filter(n => n != newest && firstTs(n) <= safeTs)
-    if (candidates.isEmpty) return Seq.empty
-    val victims = spark.sparkContext.parallelize(candidates, candidates.size)
-      .filter { n =>
-        val fs = fsFor(dir, hconf.value)
-        val p = new HPath(dir, n)
-        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-        val in = fs.open(p)
-        try in.readFully(0L, bytes) finally in.close()
-        var maxTs = Long.MinValue
-        decodeFrames(bytes).foreach(c => maxTs = math.max(maxTs, c.commit_ts))
-        maxTs <= safeTs
-      }.collect().toSeq
-    val fs = fsFor(dir, hconf.value)
+    val newest = names.maxBy(n => (segLastTs(n), n))
+    val victims = names.filter(n => n != newest && segLastTs(n) <= safeTs)
     victims.foreach(n => fs.delete(new HPath(dir, n), false))
     victims
   }
 
+  /** Oracle-checked retention roundtrip (K4 gc): stage the change stream
+    * as TWO write invocations (the parallel-writer layout whose segment
+    * NAME order is not commit-ts order — the hazard class the
+    * content-verified reclaim exists for), gc at 40% of the ts domain,
+    * then scan the surviving range through the v2 source. Hash-matching
+    * DuckDB's filter over the same range pins the reclaim contract —
+    * nothing above safeTs is lost, whatever the layout — under the
+    * driver's gate, not just ScalaTest (ref: binlogger.go:354-380 GCByPos;
+    * pump/storage/storage.go:664 GC-by-ts). */
+  def gcScanQuery(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.util.Scratch.dir("graft_wire_gc")
+    val changes = graft.ops.Cdc.changes(spark, dir)
+    val maxTs = changes.agg(max("commit_ts")).head.getLong(0)
+    val mid = maxTs / 2
+    write(changes.filter(col("commit_ts") <= mid), out, nFiles = 2)
+    write(changes.filter(col("commit_ts") > mid), out, nFiles = 2)
+    val safeTs = maxTs * 4 / 10
+    gc(spark, out, safeTs)
+    read(spark, out, startTs = safeTs + 1)
+      .select("commit_ts", "pk", "op", "event_type", "ts", "value", "props")
+  }
+
+  def gcScanSql: String =
+    s"""WITH c AS (${graft.ops.Cdc.changesCte})
+       |SELECT commit_ts, pk, op, event_type, ts, value, props FROM c
+       |WHERE commit_ts > (SELECT max(commit_ts) * 4 // 10 FROM c)""".stripMargin
+
   // ---- the source (S6 real shape) ----
 
-  /** The reference's file filter (reparo/file.go:47-109): files sorted by
-    * name carry their first commit ts; keep the LAST file starting at or
-    * before `startTs` (it may still contain rows ≥ startTs) and every file
-    * starting inside (startTs, endTs]; stop at the first file past endTs. */
+  /** File selection for a commit-ts range scan — the reference's purpose
+    * (reparo/file.go:47-109: select files before decoding a byte), made
+    * EXACT: a segment name carries both its first and last commit ts, so a
+    * segment is selected iff its interval overlaps `[startTs, endTs]`
+    * (endTs 0 = open). The reference's keep-the-last-file-before-start
+    * heuristic exists because its names carry only the first ts of a
+    * single sequential writer; under this parallel writer that heuristic
+    * provably DROPS files once a directory holds more than one write
+    * invocation (name order is pid-major, not ts-major) — interval
+    * overlap is layout-independent. Output ordered by (firstTs, name) for
+    * a deterministic scan order. */
   private[graft] def selectFiles(names: Seq[String], startTs: Long,
-      endTs: Long): Seq[String] = {
-    def firstTs(n: String): Long = n.split('-').last.toLong
-    val sorted = names.sorted
-    val out = scala.collection.mutable.ArrayBuffer[String]()
-    var candidate: Option[String] = None
-    var done = false
-    sorted.foreach { f =>
-      if (!done) {
-        val ts = firstTs(f)
-        if (ts <= startTs) candidate = Some(f)
-        else if (endTs != 0 && ts > endTs) done = true
-        else { candidate.foreach(out += _); candidate = Some(f) }
-      }
-    }
-    candidate.foreach(out += _)
-    out.toSeq
-  }
+      endTs: Long): Seq[String] =
+    names.filter(n => segLastTs(n) >= startTs &&
+        (endTs == 0L || segFirstTs(n) <= endTs))
+      .sortBy(n => (segFirstTs(n), n))
 
   /** S5/K5 real shape: the relay-log reader as a STREAM over the binlog
     * directory — new files are picked up as they appear, the streaming

@@ -88,7 +88,7 @@ class SourcesSpec extends SparkSpec {
     // ts-range scan over the wire form == the same range over parquet,
     // and the file filter reads only the overlapping files (reference rule:
     // last file starting ≤ startTs + files starting inside the range)
-    val fileTs = files.map(_.split('-').last.toLong).sorted
+    val fileTs = files.map(_.split('-')(2).toLong).sorted
     val (lo, hi) = (fileTs(1), fileTs(2) - 1) // covers file 1 only, by name
     val expect = key(changes.filter(col("commit_ts") >= lo && col("commit_ts") <= hi))
     assert(key(PbBinlogFile.read(spark, dir, lo, hi)) == expect)
@@ -269,7 +269,7 @@ class SourcesSpec extends SparkSpec {
       .filter(_.startsWith("binlog-")).sorted
     val files = segments()
     assert(files.length > 4)
-    val safeTs = files(files.length / 2).split('-').last.toLong
+    val safeTs = files(files.length / 2).split('-')(2).toLong
     def above() = PbBinlogFile.read(spark, dir, startTs = safeTs + 1)
       .select("commit_ts", "pk", "op")
       .as[(Long, Long, String)].collect().toSet
@@ -291,7 +291,7 @@ class SourcesSpec extends SparkSpec {
     val dir2 = graft.util.Scratch.dir("graft_pbgc_append")
     val all = graft.ops.Cdc.changes(spark, sf)
     def segFirstTs() = new java.io.File(dir2).listFiles().map(_.getName)
-      .filter(_.startsWith("binlog-")).map(_.split('-').last.toLong)
+      .filter(_.startsWith("binlog-")).map(_.split('-')(2).toLong)
     PbBinlogFile.write(all.filter(col("commit_ts") < 1000), dir2, nFiles = 2)
     // safeTs = the first write's SECOND segment boundary: its first segment
     // is then wholly ≤ safeTs (range partitions are key-disjoint), while a
@@ -319,7 +319,7 @@ class SourcesSpec extends SparkSpec {
     assert(files.length > 4, s"expected rotation, got ${files.length} files")
     // segments sort by name into global commit-ts order: each file's first
     // ts (name suffix) must be non-decreasing across the sorted listing
-    val firstTs = files.map(_.split('-').last.toLong)
+    val firstTs = files.map(_.split('-')(2).toLong)
     assert(firstTs.zip(firstTs.tail).forall { case (a, b) => a <= b })
     // full round-trip survives rotation
     assert(PbBinlogFile.read(spark, dir).count() == changes.count())
