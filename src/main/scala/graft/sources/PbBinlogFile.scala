@@ -106,8 +106,17 @@ object PbBinlogFile {
     * this writer is parallel and a directory may accumulate several write
     * invocations, where a name-order heuristic provably drops or reclaims
     * live files (SourcesSpec pins both hazards). */
-  private[sources] def segFirstTs(name: String): Long = name.split('-')(2).toLong
-  private[sources] def segLastTs(name: String): Long = name.split('-')(3).toLong
+  private def tsField(name: String, idx: Int): Long = {
+    val parts = name.split('-')
+    // fail with the segment's NAME, not an index error deep inside plan
+    // construction, when a directory holds foreign or pre-format files
+    require(parts.length == 4,
+      s"unrecognized binlog segment name '$name' " +
+        "(expected binlog-<pidseg>-<firstTs>-<lastTs>)")
+    parts(idx).toLong
+  }
+  private[sources] def segFirstTs(name: String): Long = tsField(name, 2)
+  private[sources] def segLastTs(name: String): Long = tsField(name, 3)
 
   /** `value` is optional because the envelope admits NULL values (the JDBC
     * loader binds them null-safely); a primitive field would crash the
@@ -384,9 +393,18 @@ object PbBinlogFile {
           // Hadoop rename does not overwrite: a rename refused because the
           // segment already exists means a prior (or speculative) attempt
           // of this DETERMINISTIC task promoted identical bytes — drop our
-          // temp and keep the winner, so retries stay idempotent
-          if (fs.exists(finalPath)) { fs.delete(tmpPath, false); () }
-          else throw new java.io.IOException(s"promote $tmpPath -> $finalPath failed")
+          // temp and keep the winner, so retries stay idempotent. The
+          // length check separates that case from a genuinely DIFFERENT
+          // file colliding on the name (e.g. a re-run writing corrected
+          // content over the same ts endpoints): silent loss is never the
+          // answer there — the caller must clear or version the directory.
+          val existing = if (fs.exists(finalPath))
+            Some(fs.getFileStatus(finalPath).getLen) else None
+          if (existing.contains(fs.getFileStatus(tmpPath).getLen)) {
+            fs.delete(tmpPath, false); ()
+          } else throw new java.io.IOException(
+            s"promote $tmpPath -> $finalPath failed" + existing.fold("")(len =>
+              s": a different segment (len $len) already owns the name"))
         }
       }
       def abortSegment(): Unit = if (out != null) {
@@ -397,7 +415,13 @@ object PbBinlogFile {
       try {
         rows.foreach { c =>
           if (out == null) {
-            tmpPath = new HPath(dir, f".binlog-$pid%08d$seg%08d.$attempt.inprogress")
+            // attempt id disambiguates retries WITHIN one application; the
+            // random token disambiguates ACROSS applications sharing the
+            // directory (two relay writers' attempt ids both start at 0 —
+            // without it they would interleave bytes into one temp)
+            val nonce = java.util.UUID.randomUUID().toString.take(8)
+            tmpPath = new HPath(dir,
+              f".binlog-$pid%08d$seg%08d.$attempt.$nonce.inprogress")
             out = new BufferedOutputStream(fs.create(tmpPath, true))
             seg += 1; written = 0L; firstTs = c.commit_ts
           }
@@ -450,15 +474,20 @@ object PbBinlogFile {
     * pump/storage/storage.go:664 GC-by-ts). */
   def gcScanQuery(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.util.Scratch.dir("graft_wire_gc")
-    val changes = graft.ops.Cdc.changes(spark, dir)
-    val maxTs = changes.agg(max("commit_ts")).head.getLong(0)
-    val mid = maxTs / 2
-    write(changes.filter(col("commit_ts") <= mid), out, nFiles = 2)
-    write(changes.filter(col("commit_ts") > mid), out, nFiles = 2)
-    val safeTs = maxTs * 4 / 10
-    gc(spark, out, safeTs)
-    read(spark, out, startTs = safeTs + 1)
-      .select("commit_ts", "pk", "op", "event_type", "ts", "value", "props")
+    // cache the envelope across the staging passes: the max aggregate and
+    // the two invocation writes (each with a range-partition sampling
+    // pass) would otherwise rescan the source ~5 times
+    val changes = graft.ops.Cdc.changes(spark, dir).persist()
+    try {
+      val maxTs = changes.agg(max("commit_ts")).head.getLong(0)
+      val mid = maxTs / 2
+      write(changes.filter(col("commit_ts") <= mid), out, nFiles = 2)
+      write(changes.filter(col("commit_ts") > mid), out, nFiles = 2)
+      val safeTs = maxTs * 4 / 10
+      gc(spark, out, safeTs)
+      read(spark, out, startTs = safeTs + 1)
+        .select("commit_ts", "pk", "op", "event_type", "ts", "value", "props")
+    } finally { changes.unpersist(); () }
   }
 
   def gcScanSql: String =

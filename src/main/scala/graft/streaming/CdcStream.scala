@@ -260,12 +260,17 @@ object CdcStream {
               lit(info.version).as("schema_version"): _*)
           stmt match {
             case null => ()
-            case ModifyColumnRe(s, t, c, newType) =>
-              val idx = info.columns.indexWhere(x => x == c || x.startsWith(c + " "))
-              require(idx >= 0, s"no column $c in $s.$t")
-              info = info.copy(columns = info.columns.updated(idx, s"$c $newType"),
-                version = upper)
+            // only a DDL addressing THE decoded table re-types this
+            // stream's view (and enters the log); a foreign table's DDL on
+            // the shared wire passes through untouched — it must neither
+            // crash the query nor (if column names collide) silently
+            // re-type this table's decode (ref: drainer/schema.go applies
+            // each job to ITS table's history only)
+            case ModifyColumnRe(s, t, c, newType)
+                if s == schemaName && t == table =>
+              info = tracker.retyped(info, c, s"$c $newType", upper)
               applied += ((upper, s, t, c, newType))
+            case ModifyColumnRe(_, _, _, _) => ()
             case other =>
               throw new IllegalArgumentException(s"unsupported wire DDL: $other")
           }

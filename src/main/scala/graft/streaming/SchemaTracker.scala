@@ -52,15 +52,23 @@ class SchemaTracker(historyDepth: Int = 2) {
     * tracked shape (`StructType.fromDDL(columns.mkString(", "))`) — the
     * composition [[graft.streaming.CdcStream.ddlDrivenDecode]] relies on
     * exactly that. */
+  /** Pure single-column re-type of a shape — the ONE column matcher both
+    * [[modifyColumn]] and any local (not-yet-committed) catalog view use,
+    * so the in-batch decode schema and the tracker's post-commit state can
+    * never match columns differently. */
+  def retyped(info: TableInfo, column: String, newDef: String,
+      version: Long): TableInfo = {
+    val idx = info.columns.indexWhere(c => c == column || c.startsWith(column + " "))
+    require(idx >= 0, s"no column $column in ${info.schema}.${info.table}")
+    info.copy(columns = info.columns.updated(idx, newDef), version = version)
+  }
+
   def modifyColumn(schema: String, table: String, column: String,
       newDef: String, version: Long): Unit = {
     currentVersion = version
     val cur = current(schema, table).getOrElse(
       throw new NoSuchElementException(s"$schema.$table"))
-    val idx = cur.columns.indexWhere(c => c == column || c.startsWith(column + " "))
-    require(idx >= 0, s"no column $column in $schema.$table")
-    push((schema, table),
-      cur.copy(columns = cur.columns.updated(idx, newDef), version = version))
+    push((schema, table), retyped(cur, column, newDef, version))
   }
 
   def dropColumn(schema: String, table: String, column: String, version: Long): Unit = {

@@ -85,9 +85,9 @@ class SourcesSpec extends SparkSpec {
       .as[(Long, Long, String, String, Long, Double, String)].collect().toSet
     assert(key(PbBinlogFile.read(spark, dir)) == key(changes))
 
-    // ts-range scan over the wire form == the same range over parquet,
-    // and the file filter reads only the overlapping files (reference rule:
-    // last file starting ≤ startTs + files starting inside the range)
+    // ts-range scan over the wire form == the same range over parquet, and
+    // the file filter reads only the overlapping files (exact interval
+    // overlap on the [firstTs, lastTs] endpoints carried in each name)
     val fileTs = files.map(_.split('-')(2).toLong).sorted
     val (lo, hi) = (fileTs(1), fileTs(2) - 1) // covers file 1 only, by name
     val expect = key(changes.filter(col("commit_ts") >= lo && col("commit_ts") <= hi))

@@ -1072,17 +1072,22 @@ class StreamingSpec extends SparkSpec {
         (col("commit_ts").cast("double") + 0.25).cast("string"),
         lit("}")).as("props"),
       lit(null).cast("string").as("ddl_sql"))
-    val ddlAt50 = Seq(50L).toDF("commit_ts").select(
+    def ddl(ts: Long, sql: String) = Seq(ts).toDF("commit_ts").select(
       col("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
       lit("ddl").as("event_type"),
       timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
       lit(null).cast("double").as("value"),
       lit(null).cast("string").as("props"),
-      lit("ALTER TABLE app.events MODIFY COLUMN k DECIMAL(10,1)").as("ddl_sql"))
+      lit(sql).as("ddl_sql"))
+    val ddlAt50 = ddl(50L, "ALTER TABLE app.events MODIFY COLUMN k DECIMAL(10,1)")
+    // a FOREIGN table's DDL on the shared wire — same column name, different
+    // table: it must neither crash the decode nor re-type app.events' view
+    val foreignAt60 = ddl(60L, "ALTER TABLE app.users MODIFY COLUMN k VARCHAR(10)")
 
     // phase 1 on the wire: frames 1..70 with the DDL at 50 — rows 51..70
     // land in the SAME micro-batch as the DDL and must already decode v2
-    PbBinlogFile.write(dml(1L to 70L).unionByName(ddlAt50), wireDir, nFiles = 1)
+    PbBinlogFile.write(dml(1L to 70L).unionByName(ddlAt50).unionByName(foreignAt60),
+      wireDir, nFiles = 1)
     val tracker = new SchemaTracker()
     tracker.createTable("app", "events", Seq("k DOUBLE"), version = 0)
     val q1 = CdcStream.ddlDrivenDecode(
