@@ -221,6 +221,50 @@ object Dedup {
          |  ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id""".stripMargin, 0.5,
       shingleCte = cappedShinglesCte)
 
+  /** Asymmetric CONTAINMENT near-dup — |A∩B| / |A| over the informative
+    * shingle sets (Broder's containment measure, the standard companion to
+    * Jaccard in corpus dedup): detects a document that is a near-SUBSET of
+    * another — an excerpt, a quote page, a boilerplate-wrapped copy.
+    * Symmetric Jaccard misses exactly this case: as the containing
+    * document grows, |A∩B|/|A∪B| shrinks while |A∩B|/|A| stays ≈ 1.
+    * Same scale shape as [[ngramJaccard]]: the hot-shingle-capped inverted
+    * index bounds every posting-list self-join key at df ≤
+    * [[MaxShingleDf]]; both directions of each sharing pair are scored
+    * (containment is asymmetric). Emits (contained, container) at ≥ 0.8 —
+    * the "drop the excerpt, keep the superset" list. */
+  def containmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sh0 = docShingles(spark, dir).localCheckpoint(true)
+    val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf)
+    val sh = sh0.join(broadcast(hot.select("sh")), Seq("sh"), "left_anti")
+      .localCheckpoint(true)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("sa").join(sh.as("sb"),
+        col("sa.sh") === col("sb.sh") && col("sa.doc_id") =!= col("sb.doc_id"))
+      .groupBy(col("sa.doc_id").as("contained"), col("sb.doc_id").as("container"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("contained"), col("n_sh").as("n_c")),
+        "contained")
+      .withColumn("containment",
+        round(col("n_inter").cast("double") / col("n_c"), 4))
+      .filter(col("containment") >= 0.8)
+      .select("contained", "container", "containment")
+  }
+
+  def containmentDedupSql: String =
+    s"""WITH s AS ($cappedShinglesCte),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY 1),
+       |inter AS (
+       |  SELECT sa.doc_id AS contained, sb.doc_id AS container,
+       |    count(*) AS n_inter
+       |  FROM s sa JOIN s sb ON sa.sh = sb.sh AND sa.doc_id <> sb.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT contained, container,
+       |  round(CAST(n_inter AS DOUBLE) / n_sh, 4) AS containment
+       |FROM inter JOIN sizes ON sizes.doc_id = contained
+       |WHERE round(CAST(n_inter AS DOUBLE) / n_sh, 4) >= 0.8""".stripMargin
+
   /** Near-dup clusters: connected components over the verified MinHash-LSH
     * pair graph; every clustered document maps to its canonical (minimum)
     * doc id — the "keep one copy per near-dup group" primitive of corpus
