@@ -17,7 +17,7 @@ import graft.util.SerializableHadoopConf
   *
   * Frame layout (ref: pkg/binlogfile/encoder.go:24-77):
   * {{{
-  *   | magic 0x1C1B2C04 (4B LE) | len(payload) (8B LE) | payload | crc32c(payload) (4B LE) |
+  *   | magic 0x1C1B0504 (4B LE) | len(payload) (8B LE) | payload | crc32c(payload) (4B LE) |
   * }}}
   * The payload is a protobuf message (ref: proto/pb_binlog.proto — reparo's
   * pb.Binlog); here it encodes the change-event envelope with standard
@@ -263,11 +263,21 @@ object PbBinlogFile {
   }
 
   /** Parse every frame in one file's bytes; magic and crc mismatches fail
-    * loudly (ref: ErrMagicMismatch / ErrCRCMismatch, binlogger.go:37-41). */
+    * loudly (ref: ErrMagicMismatch / ErrCRCMismatch, binlogger.go:37-41),
+    * and so does a torn tail — a trailing fragment shorter than one frame
+    * header means a writer died mid-write, and strict mode must surface
+    * that rather than silently ending the scan early (ref:
+    * binlogger.go:308-321 returns the decode error to the caller;
+    * `decodeFramesRecovering` is the opt-in salvage path). */
   private[sources] def decodeFrames(content: Array[Byte]): Iterator[PbChange] = {
     val b = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
     new Iterator[PbChange] {
-      def hasNext: Boolean = b.remaining() >= 16
+      def hasNext: Boolean = {
+        val rem = b.remaining()
+        if (rem > 0 && rem < 16) throw new IllegalStateException(
+          s"torn binlog tail: $rem trailing bytes (recover mode salvages)")
+        rem >= 16
+      }
       def next(): PbChange = {
         val magic = b.getInt
         if (magic != Magic)
@@ -389,22 +399,29 @@ object PbBinlogFile {
         // are known: exact pruning and retention need the last ts too
         finalPath = new HPath(dir,
           f"binlog-$pid%08d${seg - 1}%08d-$firstTs%020d-$lastTs%020d")
-        if (!fs.rename(tmpPath, finalPath)) {
-          // Hadoop rename does not overwrite: a rename refused because the
-          // segment already exists means a prior (or speculative) attempt
-          // of this DETERMINISTIC task promoted identical bytes — drop our
-          // temp and keep the winner, so retries stay idempotent. The
-          // length check separates that case from a genuinely DIFFERENT
-          // file colliding on the name (e.g. a re-run writing corrected
-          // content over the same ts endpoints): silent loss is never the
-          // answer there — the caller must clear or version the directory.
-          val existing = if (fs.exists(finalPath))
-            Some(fs.getFileStatus(finalPath).getLen) else None
-          if (existing.contains(fs.getFileStatus(tmpPath).getLen)) {
+        // A name collision means a prior (or speculative) attempt of this
+        // DETERMINISTIC task promoted identical bytes — drop our temp and
+        // keep the winner, so retries stay idempotent. The length check
+        // separates that case from a genuinely DIFFERENT file colliding on
+        // the name (e.g. a re-run writing corrected content over the same
+        // ts endpoints): silent loss is never the answer there — the caller
+        // must clear or version the directory. The decision CANNOT ride on
+        // rename's return value alone: HDFS refuses an existing
+        // destination, but LocalFileSystem maps rename to rename(2), which
+        // silently REPLACES a destination file — hence the explicit
+        // exists() probe first, re-checked after a refused rename for the
+        // HDFS race where a concurrent attempt promotes in between.
+        def collide(len: Long): Unit =
+          if (len == fs.getFileStatus(tmpPath).getLen) {
             fs.delete(tmpPath, false); ()
           } else throw new java.io.IOException(
-            s"promote $tmpPath -> $finalPath failed" + existing.fold("")(len =>
-              s": a different segment (len $len) already owns the name"))
+            s"promote $tmpPath -> $finalPath failed: " +
+              s"a different segment (len $len) already owns the name")
+        if (fs.exists(finalPath)) collide(fs.getFileStatus(finalPath).getLen)
+        else if (!fs.rename(tmpPath, finalPath)) {
+          if (fs.exists(finalPath)) collide(fs.getFileStatus(finalPath).getLen)
+          else throw new java.io.IOException(
+            s"promote $tmpPath -> $finalPath failed")
         }
       }
       def abortSegment(): Unit = if (out != null) {
@@ -441,8 +458,8 @@ object PbBinlogFile {
     * at or below `safeTs` (ref: pkg/binlogfile/binlogger.go:354-380 GCByPos
     * removes all files before the position and ALWAYS keeps the latest;
     * pump/storage/storage.go:664 GC-by-ts is the same contract on the
-    * vlog). The newest segment (by first commit ts) is always kept, like
-    * the reference's open file.
+    * vlog). The newest segment (by LAST commit ts, name as tie-break) is
+    * always kept, like the reference's open file.
     *
     * The reference can reclaim on name order alone because its binlogger is
     * a SINGLE sequential writer (suffix order IS commit order). This
@@ -451,11 +468,27 @@ object PbBinlogFile {
     * reclaim is then exact metadata-only interval logic on any layout: a
     * segment goes exactly when its last commit ts is ≤ safeTs. Contract: a
     * read of `(safeTs, ∞)` is unchanged by the reclaim. Driver metadata
-    * work through the Hadoop FileSystem; returns the reclaimed names. */
-  def gc(spark: SparkSession, dir: String, safeTs: Long): Seq[String] = {
+    * work through the Hadoop FileSystem; returns the reclaimed segment
+    * names (orphaned temps are reclaimed silently, see below).
+    *
+    * gc is also the reaper for `.inprogress` temps a crashed or abandoned
+    * speculative writer left behind: they are invisible to every reader (so
+    * age-based cleanup is safe) but would otherwise accumulate in the
+    * directory forever. A temp older than `inprogressTtlMs` (default 24 h —
+    * far beyond any live task's write) is deleted; a younger one may still
+    * have a live writer behind it and is left alone. */
+  def gc(spark: SparkSession, dir: String, safeTs: Long,
+      inprogressTtlMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = fsFor(dir, conf)
-    val names = listSegments(dir, conf)
+    val p = new HPath(dir)
+    if (!fs.exists(p)) return Seq.empty
+    val all = fs.listStatus(p)
+    val cutoff = System.currentTimeMillis() - inprogressTtlMs
+    all.filter(s => s.getPath.getName.endsWith(".inprogress") &&
+        s.getModificationTime < cutoff)
+      .foreach(s => fs.delete(s.getPath, false))
+    val names = all.map(_.getPath.getName).filter(_.startsWith("binlog-")).toSeq
     if (names.isEmpty) return Seq.empty
     val newest = names.maxBy(n => (segLastTs(n), n))
     val victims = names.filter(n => n != newest && segLastTs(n) <= safeTs)
@@ -510,8 +543,15 @@ object PbBinlogFile {
     * a deterministic scan order. */
   private[graft] def selectFiles(names: Seq[String], startTs: Long,
       endTs: Long): Seq[String] =
-    names.filter(n => segLastTs(n) >= startTs &&
-        (endTs == 0L || segFirstTs(n) <= endTs))
+    selectFilesBounded(names, startTs, if (endTs == 0L) Long.MaxValue else endTs)
+
+  /** Inclusive-bounds variant with NO sentinel: `Long.MinValue`/`MaxValue`
+    * are "unbounded" by arithmetic alone, so degenerate pushed bounds
+    * (`commit_ts <= 0`, bounds at the Long extremes) still prune instead of
+    * silently falling back to a full-directory scan. */
+  private[graft] def selectFilesBounded(names: Seq[String], lo: Long,
+      hi: Long): Seq[String] =
+    names.filter(n => segLastTs(n) >= lo && segFirstTs(n) <= hi)
       .sortBy(n => (segFirstTs(n), n))
 
   /** S5/K5 real shape: the relay-log reader as a STREAM over the binlog

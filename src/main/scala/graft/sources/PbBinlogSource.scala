@@ -101,11 +101,18 @@ class PbBinlogScanBuilder(dir: String, recover: Boolean) extends ScanBuilder
       case f @ GreaterThanOrEqual("commit_ts", v: Number) =>
         tsLo = math.max(tsLo, v.longValue); accepted += f
       case f @ GreaterThan("commit_ts", v: Number) =>
-        tsLo = math.max(tsLo, v.longValue + 1); accepted += f
+        // saturating strict-bound adjustment: ±1 at the Long extremes would
+        // WRAP and silently disable pruning (the residual keeps exactness,
+        // but the scan would read the whole directory)
+        val lo = v.longValue
+        tsLo = math.max(tsLo, if (lo == Long.MaxValue) lo else lo + 1)
+        accepted += f
       case f @ LessThanOrEqual("commit_ts", v: Number) =>
         tsHi = math.min(tsHi, v.longValue); accepted += f
       case f @ LessThan("commit_ts", v: Number) =>
-        tsHi = math.min(tsHi, v.longValue - 1); accepted += f
+        val hi = v.longValue
+        tsHi = math.min(tsHi, if (hi == Long.MinValue) hi else hi - 1)
+        accepted += f
       case f @ EqualTo("commit_ts", v: Number) =>
         tsLo = math.max(tsLo, v.longValue)
         tsHi = math.min(tsHi, v.longValue); accepted += f
@@ -139,8 +146,10 @@ class PbBinlogScan(val dir: String, val recover: Boolean, val tsLo: Long,
     * computed from the pushed bounds at plan time; PlanSpec asserts on it
     * and `description()` surfaces it in `explain`. */
   lazy val fileSelection: (Seq[String], Int) = {
-    val selected = PbBinlogFile.selectFiles(segments.map(_._1),
-      math.max(tsLo, 0L), if (tsHi == Long.MaxValue) 0L else tsHi)
+    // inclusive bounds straight through — no 0-as-open-range sentinel, so a
+    // pushed `commit_ts <= 0` (or a bound at either Long extreme) keeps
+    // pruning instead of degrading to a full-directory scan
+    val selected = PbBinlogFile.selectFilesBounded(segments.map(_._1), tsLo, tsHi)
     (selected, segments.length)
   }
 
@@ -218,7 +227,18 @@ class PbBinlogPartitionReader(path: String, conf: Configuration,
       strictIn = new DataInputStream(new BufferedInputStream(fs.open(hPath)))
       new Iterator[PbBinlogFile.PbChange] {
         private var consumed = 0L
-        def hasNext: Boolean = fileLen - consumed >= 16
+        def hasNext: Boolean = {
+          val rem = fileLen - consumed
+          // a trailing fragment shorter than one frame header is a torn
+          // tail (foreign or truncated file — our own writer never
+          // promotes one): strict mode fails loudly like the reference's
+          // decode-error surfacing (binlogger.go:308-321) instead of
+          // silently ending the scan; recover mode salvages
+          if (rem > 0 && rem < 16) throw new IllegalStateException(
+            s"torn binlog tail: $rem trailing bytes in $path " +
+              "(recover mode salvages)")
+          rem >= 16
+        }
         def next(): PbBinlogFile.PbChange = {
           val header = new Array[Byte](12)
           strictIn.readFully(header)

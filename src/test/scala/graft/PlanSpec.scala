@@ -155,6 +155,38 @@ class PlanSpec extends SparkSpec {
       "s6_recover_scan must run the v2 source in salvage mode")
   }
 
+  test("pb binlog v2 scan: degenerate pushed bounds keep pruning (no open-range sentinel)") {
+    // `commit_ts <= 0` used to collapse onto the 0-as-open-range sentinel
+    // and a strict bound at a Long extreme used to wrap — both silently
+    // degraded to a full-directory scan (correct via residuals, but reading
+    // everything); bounds now thread through inclusively with saturation
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.{PbBinlogFile, PbBinlogScan}
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val dir = graft.util.Scratch.dir("graft_pbdegen")
+    val changes = graft.ops.Cdc.changes(s2, sf)
+      .filter(org.apache.spark.sql.functions.col("commit_ts") < 1000)
+    PbBinlogFile.write(changes, dir, nFiles = 2)
+    def scanOf(df: org.apache.spark.sql.DataFrame): Option[PbBinlogScan] =
+      df.queryExecution.executedPlan.collect { case b: BatchScanExec => b.scan }
+        .collectFirst { case s: PbBinlogScan => s }
+    val le0 = s2.read.format("pbbinlog").load(dir)
+      .filter(org.apache.spark.sql.functions.col("commit_ts") <= 0)
+    assert(le0.count() ==
+      changes.filter(org.apache.spark.sql.functions.col("commit_ts") <= 0).count())
+    val (sel0, total0) = scanOf(le0).get.fileSelection
+    assert(sel0.length < total0,
+      s"commit_ts <= 0 must prune (got ${sel0.length}/$total0), not disable pruning")
+    val gtMax = s2.read.format("pbbinlog").load(dir)
+      .filter(org.apache.spark.sql.functions.col("commit_ts") > Long.MaxValue)
+    assert(gtMax.count() == 0)
+    // the optimizer may fold the impossible predicate away entirely; when
+    // the scan survives, the saturated bound must prune every segment
+    scanOf(gtMax).foreach(s => assert(s.fileSelection._1.isEmpty,
+      "a strict bound at Long.MaxValue must saturate, not wrap"))
+  }
+
   test("pb binlog v2 scan reports pruned-size statistics: a ts-bounded read auto-broadcasts") {
     // without SupportsReportStatistics a DSv2 relation defaults to "huge"
     // and a perfectly broadcastable pruned scan would shuffle both join
