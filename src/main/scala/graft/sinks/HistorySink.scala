@@ -1,10 +1,10 @@
 package graft.sinks
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.util.MetaFs
 
 /** Streaming twin of the SCD type-2 materialization
   * ([[graft.ops.Transforms.scd2]]): maintains the interval history of a
@@ -27,22 +27,25 @@ import org.apache.spark.sql.functions._
   * Closed intervals are APPENDED, never rewritten — at scale that is the
   * audit-log write profile (a lakehouse append partitioned by
   * bucket(valid_to) time); only the live-key `open` table rewrites, and it
-  * is bounded by live keys, not history length. Idempotent replay uses the
-  * same batchId checkpoint as [[UpsertSink]]: a WHOLE-batch replay is
-  * skipped. A crash strictly between the closed-append and the checkpoint
-  * write can leave that one batch's closed rows duplicated on replay — the
-  * parquet stand-in has no cross-file transaction; the production shape
-  * commits the append and the checkpoint in one lakehouse/JDBC transaction
-  * (exactly the reference's checkpoint-in-same-txn rule,
-  * drainer/checkpoint/mysql.go). StreamingSpec pins the incremental
-  * history equal to the batch materialization of the whole stream. */
+  * is bounded by live keys, not history length. All metadata and the
+  * open-table swap go through the Hadoop `FileSystem` of the root's URI
+  * ([[graft.util.MetaFs]]) — `file:`/`hdfs:`/object-store roots all work.
+  * Idempotent replay uses the same batchId checkpoint as [[UpsertSink]]: a
+  * WHOLE-batch replay is skipped. A crash strictly between the
+  * closed-append and the checkpoint write can leave that one batch's closed
+  * rows duplicated on replay — the parquet stand-in has no cross-file
+  * transaction; the production shape commits the append and the checkpoint
+  * in one lakehouse/JDBC transaction (exactly the reference's
+  * checkpoint-in-same-txn rule, drainer/checkpoint/mysql.go). StreamingSpec
+  * pins the incremental history equal to the batch materialization of the
+  * whole stream. */
 class HistorySink(root: String) {
   private val openPath = s"$root/open"
   private val closedPath = s"$root/closed"
-  private val metaPath = Paths.get(s"$root/_committed_batch")
+  private val metaPath = s"$root/_committed_batch"
 
   def lastCommitted: Long =
-    if (Files.exists(metaPath)) Files.readString(metaPath).trim.toLong else -1L
+    if (MetaFs.exists(metaPath)) MetaFs.readString(metaPath).trim.toLong else -1L
 
   private def emptyFrame(spark: SparkSession, withTo: Boolean): DataFrame = {
     import org.apache.spark.sql.types._
@@ -54,12 +57,12 @@ class HistorySink(root: String) {
   }
 
   private def openRows(spark: SparkSession): DataFrame =
-    if (Files.exists(Paths.get(openPath)))
+    if (MetaFs.exists(openPath))
       spark.read.parquet(openPath).select("pk", "valid_from", "value")
     else emptyFrame(spark, withTo = false)
 
   private def closedRows(spark: SparkSession): DataFrame =
-    if (Files.exists(Paths.get(closedPath)))
+    if (MetaFs.exists(closedPath))
       spark.read.parquet(closedPath).select("pk", "valid_from", "valid_to", "value")
     else emptyFrame(spark, withTo = true)
 
@@ -97,21 +100,14 @@ class HistorySink(root: String) {
         .write.mode("append").parquet(closedPath)
       val tmp = s"$root/open_tmp"
       untouched.unionByName(newOpen).write.mode("overwrite").parquet(tmp)
-      val target = Paths.get(openPath)
-      val old = Paths.get(s"$root/open_old")
-      deleteRec(old)
-      if (Files.exists(target)) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
-      deleteRec(old)
+      val old = s"$root/open_old"
+      MetaFs.delete(old)
+      // vacate-then-promote (Hadoop rename moves INTO an existing dir)
+      if (MetaFs.exists(openPath)) MetaFs.rename(openPath, old)
+      MetaFs.rename(tmp, openPath)
+      MetaFs.delete(old)
     }
-    Files.writeString(metaPath, batchId.toString)
+    MetaFs.writeString(metaPath, batchId.toString)
     true
   }
-
-  private def deleteRec(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-    }
 }

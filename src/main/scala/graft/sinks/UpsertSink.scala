@@ -1,10 +1,10 @@
 package graft.sinks
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.util.MetaFs
 
 /** Idempotent, checkpointed upsert sink — the `foreachBatch` twin of the
   * reference loader (ref: pkg/loader/load.go:637-703 batch manager;
@@ -25,6 +25,10 @@ import org.apache.spark.sql.functions._
   *
   * The parquet-directory "table" stands in for the JDBC target; on a real
   * cluster the same logic runs against MERGE INTO / rewriteBatchedStatements.
+  * Every metadata and state-swap operation goes through the Hadoop
+  * `FileSystem` of the root's URI ([[graft.util.MetaFs]]), so the root may
+  * be a `file:`-, `hdfs:`- or object-store path — the checkpoint marker and
+  * the bucket swap work wherever the state lives.
   *
   * State layout is the production shape, not a flat file: the materialized
   * table is hash-partitioned into `nBuckets` directories by
@@ -41,8 +45,11 @@ import org.apache.spark.sql.functions._
   */
 class UpsertSink(root: String, nBuckets: Int = 16) {
   private val statePath = s"$root/state"
-  private val metaPath = Paths.get(s"$root/_committed_batch")
-  private val ddlLog = Paths.get(s"$root/_ddl_log")
+  private val metaPath = s"$root/_committed_batch"
+  // one marker file per DDL barrier (append-free: object stores and
+  // ChecksumFileSystem have no usable append) — the name orders by
+  // (batchId, ddl commit ts), the content repeats it for auditability
+  private val ddlLogDir = s"$root/_ddl_log"
 
   /** Checkpoint record (ref: drainer/checkpoint/mysql.go:34-51 — the saved
     * point carries commitTS + ts-map + schema-version + consistent flag,
@@ -53,8 +60,8 @@ class UpsertSink(root: String, nBuckets: Int = 16) {
       consistent: Boolean)
 
   def lastCheckpoint: Checkpoint =
-    if (Files.exists(metaPath)) {
-      Files.readString(metaPath).trim.split(' ') match {
+    if (MetaFs.exists(metaPath)) {
+      MetaFs.readString(metaPath).trim.split(' ') match {
         case Array(b, ts, v, c) => Checkpoint(b.toLong, ts.toLong, v.toLong, c.toBoolean)
         case Array(b)           => Checkpoint(b.toLong, -1L, -1L, consistent = true)
         case _                  => Checkpoint(-1L, -1L, -1L, consistent = true)
@@ -81,7 +88,7 @@ class UpsertSink(root: String, nBuckets: Int = 16) {
         org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))))
 
   def currentState(spark: SparkSession): DataFrame =
-    if (Files.exists(Paths.get(statePath)))
+    if (MetaFs.exists(statePath))
       spark.read.option("basePath", statePath).parquet(statePath)
         .select("pk", "commit_ts", "value")
     else emptyState(spark)
@@ -90,7 +97,7 @@ class UpsertSink(root: String, nBuckets: Int = 16) {
     * named bucket directories are listed and scanned. */
   private def stateForBuckets(spark: SparkSession, buckets: Seq[Int]): DataFrame = {
     val existing = buckets.map(b => s"$statePath/bucket=$b")
-      .filter(p => Files.exists(Paths.get(p)))
+      .filter(MetaFs.exists)
     if (existing.isEmpty) emptyState(spark)
     else spark.read.option("basePath", statePath).parquet(existing: _*)
       .select("pk", "commit_ts", "value")
@@ -99,7 +106,7 @@ class UpsertSink(root: String, nBuckets: Int = 16) {
   /** Apply one micro-batch of change rows (pk, commit_ts, op, value[, ddl]).
     * Returns true if applied, false if skipped as a replay. On success the
     * checkpoint advances to (batchId, max applied commit_ts, schemaVersion,
-    * consistent=true) in one atomic write — a crash mid-apply leaves the
+    * consistent=true) in one marker write — a crash mid-apply leaves the
     * previous checkpoint, and whole-batch replay is idempotent. */
   def applyBatch(batch: DataFrame, batchId: Long, schemaVersion: Long = -1L): Boolean = {
     if (batchId <= lastCommitted) return false // idempotent replay skip
@@ -115,15 +122,16 @@ class UpsertSink(root: String, nBuckets: Int = 16) {
       val slice = batch.filter(col("op") =!= "DDL" &&
         col("commit_ts") > lower && col("commit_ts") <= upper)
       mergeSlice(spark, slice)
-      if (upper != Long.MaxValue)
-        Files.writeString(ddlLog, s"$batchId:$upper\n",
-          java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+      if (upper != Long.MaxValue) {
+        MetaFs.mkdirs(ddlLogDir)
+        MetaFs.writeString(f"$ddlLogDir/$batchId%020d-$upper%020d", s"$batchId:$upper\n")
+      }
       lower = upper
     }
     val maxTsRow = batch.agg(max("commit_ts")).collect()(0)
     val maxTs = if (maxTsRow.isNullAt(0)) prev.commitTs else maxTsRow.getLong(0)
     val version = if (schemaVersion >= 0) schemaVersion else prev.schemaVersion
-    Files.writeString(metaPath,
+    MetaFs.writeString(metaPath,
       s"$batchId ${math.max(maxTs, prev.commitTs)} $version true")
     true
   }
@@ -148,24 +156,22 @@ class UpsertSink(root: String, nBuckets: Int = 16) {
     // via a staging write + per-bucket directory swap (the parquet analog of
     // MERGE INTO; untouched buckets are never read, listed, or moved)
     val tmp = s"$root/state_tmp"
-    deleteRec(Paths.get(tmp))
+    MetaFs.delete(tmp)
     next.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
-    Files.createDirectories(Paths.get(statePath))
+    MetaFs.mkdirs(statePath)
     touched.foreach { b =>
-      val src = Paths.get(s"$tmp/bucket=$b")
-      val dst = Paths.get(s"$statePath/bucket=$b")
-      val old = Paths.get(s"$root/bucket_old")
-      deleteRec(old)
-      if (Files.exists(dst)) Files.move(dst, old, StandardCopyOption.ATOMIC_MOVE)
-      if (Files.exists(src)) Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-      deleteRec(old)
+      val src = s"$tmp/bucket=$b"
+      val dst = s"$statePath/bucket=$b"
+      val old = s"$root/bucket_old"
+      MetaFs.delete(old)
+      // vacate-then-promote: Hadoop rename moves a source INTO an existing
+      // destination directory instead of replacing it, so the old bucket
+      // must step aside first; a bucket whose keys all deleted writes no
+      // staging dir and simply ends vacated
+      if (MetaFs.exists(dst)) MetaFs.rename(dst, old)
+      if (MetaFs.exists(src)) MetaFs.rename(src, dst)
+      MetaFs.delete(old)
     }
-    deleteRec(Paths.get(tmp))
+    MetaFs.delete(tmp)
   }
-
-  private def deleteRec(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-    }
 }
