@@ -200,6 +200,30 @@ object CdcStream {
 
   private val ModifyColumnRe =
     "^ALTER TABLE `?([a-z0-9_]+)`?\\.`?([a-z0-9_]+)`? MODIFY COLUMN ([a-z0-9_]+) (.+)$".r
+  private val AddColumnRe =
+    "^ALTER TABLE `?([a-z0-9_]+)`?\\.`?([a-z0-9_]+)`? ADD COLUMN ([a-z0-9_]+) (.+)$".r
+  private val DropColumnRe =
+    "^ALTER TABLE `?([a-z0-9_]+)`?\\.`?([a-z0-9_]+)`? DROP COLUMN ([a-z0-9_]+)$".r
+  private val RenameColumnRe =
+    "^ALTER TABLE `?([a-z0-9_]+)`?\\.`?([a-z0-9_]+)`? RENAME COLUMN ([a-z0-9_]+) TO ([a-z0-9_]+)$".r
+
+  /** One applied wire-DDL log record: (version, schema, table, action,
+    * column, arg) — `arg` is the new type for modify/add, the new name for
+    * rename, empty for drop. */
+  private type AppliedDdl = (Long, String, String, String, String, String)
+
+  /** Replay one logged DDL into the tracker — the single dispatch both the
+    * live commit path and [[recoverDecodeTracker]] use, so a restart can
+    * never interpret a log record differently than the run that wrote it. */
+  private def applyLogged(tracker: SchemaTracker, schema: String, table: String,
+      action: String, column: String, arg: String, version: Long): Unit =
+    action match {
+      case "modify" => tracker.modifyColumn(schema, table, column, s"$column $arg", version)
+      case "add"    => tracker.addColumn(schema, table, s"$column $arg", version)
+      case "drop"   => tracker.dropColumn(schema, table, column, version)
+      case "rename" => tracker.renameColumn(schema, table, column, arg, version)
+      case other => throw new IllegalArgumentException(s"unknown logged DDL action: $other")
+    }
 
   /** T5∘T6 composed IN the stream: DDL frames carried on the wire re-type
     * the decode of every SUBSEQUENT frame — in the same micro-batch or any
@@ -232,7 +256,17 @@ object CdcStream {
     * (the tracker itself is driver memory and dies with the process). */
   def ddlDrivenDecode(wire: DataFrame, tracker: SchemaTracker, outDir: String,
       checkpoint: String, schemaName: String = "app",
-      table: String = "events"): StreamingQuery =
+      table: String = "events",
+      belowFrontier: Option[org.apache.spark.util.LongAccumulator] = None): StreamingQuery = {
+    // forward-only-delivery violations surface here instead of silently
+    // mis-typing rows (see the check inside the batch); callers that want
+    // to assert/alert pass their own accumulator, otherwise a named one
+    // still shows in the Spark UI metrics
+    val frontierViolations = belowFrontier.getOrElse {
+      val acc = wire.sparkSession.sparkContext.longAccumulator(
+        s"graft.ddl_decode.below_frontier_frames.$schemaName.$table")
+      acc
+    }
     wire.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -244,8 +278,20 @@ object CdcStream {
         var lower = Long.MinValue
         var info = tracker.current(schemaName, table).getOrElse(
           throw new NoSuchElementException(s"$schemaName.$table not registered"))
-        val applied = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, String, String, String, String)]
+        // contract check (ref: drainer/syncer.go decodes each DML at the
+        // schema in force at its commit ts): slicing happens WITHIN the
+        // batch, so a frame delivered below the tracker's already-applied
+        // DDL frontier would decode with the NEW schema. The upstream
+        // ordered merge makes that impossible; if a pump ever violates it,
+        // the violation must be countable, not silent. Registration
+        // versions are 0/negative, so the scan only runs once a wire DDL
+        // has actually advanced the frontier.
+        if (info.version > 0) {
+          val n = batch.filter(col("op") =!= "DDL" &&
+            col("commit_ts") <= info.version).count()
+          if (n > 0) frontierViolations.add(n)
+        }
+        val applied = scala.collection.mutable.ArrayBuffer.empty[AppliedDdl]
         val slices = barriers.map { case (upper, stmt) =>
           // the from_json schema is captured at plan-construction time,
           // from the LOCAL catalog view — the live tracker is untouched
@@ -260,40 +306,58 @@ object CdcStream {
               lit(info.version).as("schema_version"): _*)
           stmt match {
             case null => ()
-            // only a DDL addressing THE decoded table re-types this
+            // only a DDL addressing THE decoded table changes this
             // stream's view (and enters the log); a foreign table's DDL on
             // the shared wire passes through untouched — it must neither
             // crash the query nor (if column names collide) silently
-            // re-type this table's decode (ref: drainer/schema.go applies
-            // each job to ITS table's history only)
+            // reshape this table's decode (ref: drainer/schema.go applies
+            // each job to ITS table's history only). ADD/DROP change the
+            // decode SHAPE: later slices carry more/fewer columns, and the
+            // per-batch union aligns them by name with nulls where a
+            // column did not exist yet (added: NULL before, value after)
+            // or no longer exists (dropped: value before, NULL after).
             case ModifyColumnRe(s, t, c, newType)
                 if s == schemaName && t == table =>
               info = tracker.retyped(info, c, s"$c $newType", upper)
-              applied += ((upper, s, t, c, newType))
-            case ModifyColumnRe(_, _, _, _) => ()
+              applied += ((upper, s, t, "modify", c, newType))
+            case AddColumnRe(s, t, c, newType)
+                if s == schemaName && t == table =>
+              info = tracker.added(info, s"$c $newType", upper)
+              applied += ((upper, s, t, "add", c, newType))
+            case DropColumnRe(s, t, c) if s == schemaName && t == table =>
+              info = tracker.dropped(info, c, upper)
+              applied += ((upper, s, t, "drop", c, ""))
+            case RenameColumnRe(s, t, from, to)
+                if s == schemaName && t == table =>
+              info = tracker.renamed(info, from, to, upper)
+              applied += ((upper, s, t, "rename", from, to))
+            case ModifyColumnRe(_, _, _, _) | AddColumnRe(_, _, _, _) |
+                 DropColumnRe(_, _, _) | RenameColumnRe(_, _, _, _) => ()
             case other =>
               throw new IllegalArgumentException(s"unsupported wire DDL: $other")
           }
           lower = upper
           decoded
         }
-        slices.reduce(_ unionByName _)
+        slices.reduce(_.unionByName(_, allowMissingColumns = true))
           .write.mode("overwrite").parquet(s"$outDir/data/batch=$id")
         import spark.implicits._
         // written only when non-empty (an empty parquet dir is schema-less
         // and would break the recovery read); a replayed batch regenerates
         // the same DDL set, so the skip is deterministic
         if (applied.nonEmpty)
-          applied.toSeq.toDF("version", "schema_name", "table_name", "column_name", "new_type")
+          applied.toSeq
+            .toDF("version", "schema_name", "table_name", "action", "column_name", "arg")
             .write.mode("overwrite").parquet(s"$outDir/ddl/batch=$id")
         // only now does the live catalog advance — a crash anywhere above
         // replays this batch against the unchanged tracker
-        applied.foreach { case (v, s, t, c, newType) =>
-          tracker.modifyColumn(s, t, c, s"$c $newType", v)
+        applied.foreach { case (v, s, t, action, c, arg) =>
+          applyLogged(tracker, s, t, action, c, arg, v)
         }
         ()
       }
       .start()
+  }
 
   /** Restart path for [[ddlDrivenDecode]]: replay the durable DDL log into
     * a fresh tracker (in version order, skipping anything the tracker
@@ -328,9 +392,9 @@ object CdcStream {
       .orderBy("version").collect().foreach { r =>
         val v = r.getAs[Long]("version")
         if (v > tracker.version)
-          tracker.modifyColumn(r.getAs[String]("schema_name"),
-            r.getAs[String]("table_name"), r.getAs[String]("column_name"),
-            s"${r.getAs[String]("column_name")} ${r.getAs[String]("new_type")}", v)
+          applyLogged(tracker, r.getAs[String]("schema_name"),
+            r.getAs[String]("table_name"), r.getAs[String]("action"),
+            r.getAs[String]("column_name"), r.getAs[String]("arg"), v)
       }
   }
 

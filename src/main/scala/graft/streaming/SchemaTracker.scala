@@ -36,30 +36,52 @@ class SchemaTracker(historyDepth: Int = 2) {
     push((schema, table), TableInfo(schema, table, columns.toVector, version))
   }
 
+  /** Column entries may be bare names or `"name TYPE"` DDL text; every
+    * matcher below accepts both, so a versioned decode can build its wire
+    * schema straight from the tracked shape. */
+  private def colIdx(info: TableInfo, column: String): Int =
+    info.columns.indexWhere(c => c == column || c.startsWith(column + " "))
+
   def addColumn(schema: String, table: String, column: String, version: Long): Unit = {
     currentVersion = version
-    val key = (schema, table)
     val cur = current(schema, table).getOrElse(
       throw new NoSuchElementException(s"$schema.$table"))
-    push(key, cur.copy(columns = cur.columns :+ column, version = version))
+    push((schema, table), added(cur, column, version))
   }
 
-  /** ModifyColumn: re-type a column in place (TiDB ActionModifyColumn —
-    * the drainer replays it like any schema-changing job, drainer/
-    * schema.go:293-331; the column keeps its position, its definition
-    * changes at `version`). Column entries may be `"name TYPE"` DDL text,
-    * so a versioned decode can build its wire schema straight from the
-    * tracked shape (`StructType.fromDDL(columns.mkString(", "))`) — the
-    * composition [[graft.streaming.CdcStream.ddlDrivenDecode]] relies on
-    * exactly that. */
-  /** Pure single-column re-type of a shape — the ONE column matcher both
-    * [[modifyColumn]] and any local (not-yet-committed) catalog view use,
+  /** Pure single-column shape transforms (TiDB ActionModifyColumn /
+    * AddColumn / DropColumn / RenameColumn — the drainer replays each like
+    * any schema-changing job, drainer/schema.go:293-331) — the ONE column
+    * matcher both the
+    * tracker's mutators and any local (not-yet-committed) catalog view use,
     * so the in-batch decode schema and the tracker's post-commit state can
-    * never match columns differently. */
+    * never match columns differently
+    * ([[graft.streaming.CdcStream.ddlDrivenDecode]] relies on exactly
+    * that: it transforms its local view with these, writes the batch, and
+    * only then commits the same transform to the tracker). */
   def retyped(info: TableInfo, column: String, newDef: String,
       version: Long): TableInfo = {
-    val idx = info.columns.indexWhere(c => c == column || c.startsWith(column + " "))
+    val idx = colIdx(info, column)
     require(idx >= 0, s"no column $column in ${info.schema}.${info.table}")
+    info.copy(columns = info.columns.updated(idx, newDef), version = version)
+  }
+
+  def added(info: TableInfo, columnDef: String, version: Long): TableInfo =
+    info.copy(columns = info.columns :+ columnDef, version = version)
+
+  def dropped(info: TableInfo, column: String, version: Long): TableInfo = {
+    val idx = colIdx(info, column)
+    require(idx >= 0, s"no column $column in ${info.schema}.${info.table}")
+    info.copy(columns = info.columns.patch(idx, Nil, 1), version = version)
+  }
+
+  /** Rename keeps the column's position and type text (the `" TYPE"` tail
+    * of a def entry survives under the new name). */
+  def renamed(info: TableInfo, from: String, to: String, version: Long): TableInfo = {
+    val idx = colIdx(info, from)
+    require(idx >= 0, s"no column $from in ${info.schema}.${info.table}")
+    val def0 = info.columns(idx)
+    val newDef = if (def0 == from) to else to + def0.substring(from.length)
     info.copy(columns = info.columns.updated(idx, newDef), version = version)
   }
 
@@ -75,7 +97,19 @@ class SchemaTracker(historyDepth: Int = 2) {
     currentVersion = version
     val cur = current(schema, table).getOrElse(
       throw new NoSuchElementException(s"$schema.$table"))
-    push((schema, table), cur.copy(columns = cur.columns.filterNot(_ == column), version = version))
+    // lenient like the pre-def-text behavior: dropping an absent column
+    // still bumps the version without changing the shape
+    push((schema, table),
+      if (colIdx(cur, column) >= 0) dropped(cur, column, version)
+      else cur.copy(version = version))
+  }
+
+  def renameColumn(schema: String, table: String, from: String, to: String,
+      version: Long): Unit = {
+    currentVersion = version
+    val cur = current(schema, table).getOrElse(
+      throw new NoSuchElementException(s"$schema.$table"))
+    push((schema, table), renamed(cur, from, to, version))
   }
 
   /** rename keeps history under the new name (ref: schema.go renameTable). */
