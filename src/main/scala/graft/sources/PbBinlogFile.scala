@@ -555,26 +555,24 @@ object PbBinlogFile {
       .sortBy(n => (segFirstTs(n), n))
 
   /** S5/K5 real shape: the relay-log reader as a STREAM over the binlog
-    * directory — new files are picked up as they appear, the streaming
-    * checkpoint remembers which files were consumed, and a restart resumes
-    * without re-reading (ref: drainer/relay/reader.go:50-121 re-opens from
-    * the persisted position and never re-applies old entries; here the
-    * file-source checkpoint is that position). Frames decode exactly as in
-    * [[read]]. */
-  def readStream(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+    * directory — new segments are picked up as they are promoted, the
+    * streaming checkpoint remembers which were consumed (the offset is the
+    * consumed segment-name set), and a restart resumes without re-reading
+    * (ref: drainer/relay/reader.go:50-121 re-opens from the persisted
+    * position and never re-applies old entries). Rides the SAME DSv2
+    * `pbbinlog` table as [[read]] in MICRO_BATCH_READ mode — one source of
+    * truth for the wire decode, schema, and segment naming in batch and
+    * streaming (the previous implementation duplicated the schema over a
+    * `binaryFile` stream). `maxFilesPerTrigger > 0` is the P4 flow-control
+    * knob: each trigger admits at most that many new segments (in ts
+    * order), so a backlog drains in bounded steps. */
+  def readStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
     fsFor(dir, spark.sparkContext.hadoopConfiguration).mkdirs(new HPath(dir))
-    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
-      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
-    spark.readStream.format("binaryFile").schema(binarySchema).load(dir)
-      .select("content").as[Array[Byte]]
-      .flatMap(decodeFrames _)
-      .select((Seq(col("commit_ts"), col("pk"), col("op"), col("event_type"),
-        timestamp_micros(col("ts_us")).as("ts"), col("value"), col("props")) ++
-        optionalCols.map(c => col(c._1))): _*)
+    val reader = spark.readStream.format("pbbinlog")
+    (if (maxFilesPerTrigger > 0)
+       reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+     else reader).load(dir)
   }
 
   /** Oracle-checked S6 wire query: encode the change stream into binlog

@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -82,12 +83,15 @@ class PbBinlogTable(dir: String, recover: Boolean) extends Table with SupportsRe
   override def name(): String = s"pbbinlog $dir"
   override def schema(): StructType = PbBinlogSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PbBinlogScanBuilder(dir, recover)
+    new PbBinlogScanBuilder(dir, recover,
+      options.getInt("maxFilesPerTrigger", 0))
 }
 
-class PbBinlogScanBuilder(dir: String, recover: Boolean) extends ScanBuilder
+class PbBinlogScanBuilder(dir: String, recover: Boolean,
+    maxFilesPerTrigger: Int = 0) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var tsLo = Long.MinValue
@@ -129,11 +133,13 @@ class PbBinlogScanBuilder(dir: String, recover: Boolean) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new PbBinlogScan(dir, recover, tsLo, tsHi, required)
+  override def build(): Scan =
+    new PbBinlogScan(dir, recover, tsLo, tsHi, required, maxFilesPerTrigger)
 }
 
 class PbBinlogScan(val dir: String, val recover: Boolean, val tsLo: Long,
-    val tsHi: Long, required: StructType) extends Scan with Batch
+    val tsHi: Long, required: StructType,
+    maxFilesPerTrigger: Int = 0) extends Scan with Batch
     with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -180,6 +186,13 @@ class PbBinlogScan(val dir: String, val recover: Boolean, val tsLo: Long,
 
   override def toBatch: Batch = this
 
+  /** S5 streaming rides the SAME table as the batch scan — one source of
+    * truth for the wire decode, pushdown, and segment naming (the relay
+    * reader used to duplicate the schema over a `binaryFile` stream). */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new PbBinlogMicroBatchStream(dir, recover, tsLo, tsHi, required,
+      maxFilesPerTrigger)
+
   override def planInputPartitions(): Array[InputPartition] = {
     val (sel, _) = fileSelection
     sel.map(n => PbBinlogInputPartition(s"$dir/$n"): InputPartition).toArray
@@ -193,6 +206,84 @@ class PbBinlogScan(val dir: String, val recover: Boolean, val tsLo: Long,
 }
 
 case class PbBinlogInputPartition(path: String) extends InputPartition
+
+/** Streaming offset = the set of segment names already delivered (ref:
+  * drainer/relay/reader.go:50-121 persists the consumed position and never
+  * re-applies old entries; a file-granular set is that position for an
+  * atomically-promoted segment store). Serialized as a JSON array; its size
+  * is bounded by the directory's retention — [[PbBinlogFile.gc]] reclaims
+  * applied segments, and a reclaimed name simply stays in the offset as
+  * consumed history. Segment names are content-stable (the writer's
+  * collision guard never lets different bytes reuse a name), so
+  * name-set membership is a correct consumed-marker. */
+case class PbBinlogOffset(files: Seq[String]) extends Offset {
+  override def json(): String =
+    PbBinlogOffset.mapper.writeValueAsString(files.toArray)
+}
+
+object PbBinlogOffset {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  def fromJson(s: String): PbBinlogOffset =
+    PbBinlogOffset(mapper.readValue(s, classOf[Array[String]]).toSeq)
+}
+
+/** MICRO_BATCH_READ form of the scan: each trigger's batch is the set of
+  * newly promoted segments, pruned by any pushed commit-ts bounds exactly
+  * like the batch scan, decoded by the SAME reader factory. Listing is
+  * driver metadata work per trigger; decode fans out one partition per new
+  * segment. */
+class PbBinlogMicroBatchStream(dir: String, recover: Boolean, tsLo: Long,
+    tsHi: Long, required: StructType,
+    maxFilesPerTrigger: Int = 0) extends MicroBatchStream
+    with SupportsAdmissionControl {
+
+  private val conf = new SerializableHadoopConf(
+    SparkSession.active.sparkContext.hadoopConfiguration)
+
+  override def initialOffset(): Offset = PbBinlogOffset(Seq.empty)
+
+  /** P4 flow control on the wire source (ref: pkg/loader/load.go:880-963
+    * bounds the in-flight buffer with backpressure): a `maxFilesPerTrigger`
+    * read option caps how many NEW segments each trigger admits, in
+    * (firstTs, name) order — a backlogged relay directory drains in
+    * bounded-memory steps instead of one giant catch-up batch. */
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFilesPerTrigger > 0) ReadLimit.maxFiles(maxFilesPerTrigger)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seen = start.asInstanceOf[PbBinlogOffset].files
+    val seenSet = seen.toSet
+    val fresh = PbBinlogFile.listSegments(dir, conf.value)
+      .filterNot(seenSet)
+      .sortBy(n => (PbBinlogFile.segFirstTs(n), n))
+    val admitted = limit match {
+      case m: ReadMaxFiles => fresh.take(m.maxFiles())
+      case _ => fresh
+    }
+    // consumed names stay in the offset even after retention gc reclaims
+    // the files — the offset is consumption HISTORY, not a directory view
+    PbBinlogOffset((seen ++ admitted).sorted)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[PbBinlogOffset].files.toSet
+    val fresh = end.asInstanceOf[PbBinlogOffset].files.filterNot(seen)
+    PbBinlogFile.selectFilesBounded(fresh, tsLo, tsHi)
+      .map(n => PbBinlogInputPartition(s"$dir/$n"): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    PbBinlogReaderFactory(conf, recover, tsLo, tsHi, required.fieldNames)
+
+  override def deserializeOffset(json: String): Offset = PbBinlogOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 case class PbBinlogReaderFactory(conf: SerializableHadoopConf,
     recover: Boolean, tsLo: Long, tsHi: Long,

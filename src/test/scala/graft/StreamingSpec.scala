@@ -287,6 +287,43 @@ class StreamingSpec extends SparkSpec {
     assert(state(1L) == 42.0 && state.size == 64)
   }
 
+  test("lake sinks resolve scheme-qualified URIs through the Hadoop FileSystem") {
+    // the portability contract behind the MetaFs port: checkpoint marker,
+    // DDL log, bucket swap and open-table swap must all work through a
+    // scheme-qualified root (file: here; hdfs:/s3a: on a cluster) —
+    // java.nio-era code treated the scheme as local path characters
+    val root = graft.util.Scratch.dir("graft_uri_sink")
+    val sink = new UpsertSink(s"file:$root", nBuckets = 4)
+    val b0 = Seq((1L, 1L, "I", 10.0), (2L, 2L, "I", 20.0))
+      .toDF("commit_ts", "pk", "op", "value")
+    val b1 = Seq((3L, 1L, "U", 11.0), (4L, 0L, "DDL", 0.0), (5L, 2L, "D", 0.0))
+      .toDF("commit_ts", "pk", "op", "value")
+    assert(sink.applyBatch(b0, 0L))
+    assert(sink.applyBatch(b1, 1L)) // DDL barrier + delete: swap under URI
+    assert(!sink.applyBatch(b1, 1L), "replay skip must read the URI marker")
+    val st = new UpsertSink(s"file:$root").currentState(spark)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(st == Map(1L -> 11.0))
+    // state and marker physically landed under the URI's local path
+    assert(new java.io.File(s"$root/state").exists())
+    assert(new java.io.File(s"$root/_committed_batch").exists())
+    assert(new java.io.File(s"$root/_ddl_log").listFiles().nonEmpty,
+      "the DDL barrier must leave a durable log entry under the URI root")
+
+    val hroot = graft.util.Scratch.dir("graft_uri_hist")
+    val hist = new graft.sinks.HistorySink(s"file:$hroot")
+    assert(hist.applyBatch(b0, 0L))
+    assert(hist.applyBatch(b1.filter(col("op") =!= "DDL"), 1L))
+    val h = hist.history(spark)
+      .select("pk", "valid_from", "valid_to", "is_current")
+      .as[(Long, Long, Option[Long], Boolean)].collect().toSet
+    // pk 1: closed [1,3) then open at 3; pk 2: closed [2,5) by the delete
+    assert(h == Set((1L, 1L, Some(3L), false), (1L, 3L, None, true),
+      (2L, 2L, Some(5L), false)))
+    assert(new java.io.File(s"$hroot/open").exists(),
+      "the open-table swap must land under the URI's local path")
+  }
+
   /** Stage the single events parquet file into a directory for the file
     * stream source (it requires a directory basePath). */
   private def stageEventsDir(): String = {
@@ -802,16 +839,23 @@ class StreamingSpec extends SparkSpec {
     // relay file 1 appears; the stream consumes and applies it
     PbBinlogFile.write(changes.filter(col("commit_ts") <= mid), dir, nFiles = 1)
     val q1 = CdcStream.applyToState(PbBinlogFile.readStream(spark, dir), stateRoot, ckpt)
-    try q1.processAllAvailable() finally q1.stop()
+    try {
+      q1.processAllAvailable()
+      // the relay stream rides the DSv2 pbbinlog table (MICRO_BATCH_READ),
+      // not a schema-duplicating binaryFile stream
+      assert(q1.lastProgress.sources.head.description.contains("PbBinlog"),
+        s"relay stream must ride the v2 source, got ${q1.lastProgress.sources.head.description}")
+    } finally q1.stop()
     val sink = new UpsertSink(stateRoot)
     val afterFirst = sink.lastCommitted
 
-    // "crash"; a second relay file lands; restart from the same checkpoint
-    // must decode only the new file, exactly once
+    // "crash"; a second relay file lands (promoted under its own
+    // interval-carrying name); restart from the same checkpoint must
+    // decode only the new file, exactly once
     val staging = graft.util.Scratch.dir("graft_relay_pb_stage")
     PbBinlogFile.write(changes.filter(col("commit_ts") > mid), staging, nFiles = 1)
-    Files.move(new java.io.File(staging).listFiles().head.toPath,
-      java.nio.file.Paths.get(dir, "binlog-0000000000000001-late"))
+    val late = new java.io.File(staging).listFiles().head
+    Files.move(late.toPath, java.nio.file.Paths.get(dir, late.getName))
     val q2 = CdcStream.applyToState(PbBinlogFile.readStream(spark, dir), stateRoot, ckpt)
     try q2.processAllAvailable() finally q2.stop()
     assert(sink.lastCommitted > afterFirst)
@@ -885,6 +929,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     assert(spark.table("p4_out").count() == raw.count(),
       "bounded drain must deliver exactly the uncapped content")
+  }
+
+  test("flow control on the wire source (P4∘S5): maxFilesPerTrigger caps segment admission") {
+    // the same bounded-catch-up contract as the parquet case above, but on
+    // the v2 pbbinlog source's admission control: a backlogged relay
+    // directory of 3 segments with a cap of 1 must drain in 3 micro-batches
+    // of one segment each, in commit-ts order, equal to the uncapped drain
+    import graft.sources.PbBinlogFile
+    val dir = graft.util.Scratch.dir("graft_p4_wire")
+    val ckpt = graft.util.Scratch.dir("graft_p4_wire_ckpt")
+    val changes = graft.ops.Cdc.changes(spark, sf).filter(col("commit_ts") < 900)
+    // three write invocations → three independently named segments
+    Seq((0L, 300L), (300L, 600L), (600L, 900L)).foreach { case (lo, hi) =>
+      PbBinlogFile.write(
+        changes.filter(col("commit_ts") >= lo && col("commit_ts") < hi),
+        dir, nFiles = 1)
+    }
+    val q = PbBinlogFile.readStream(spark, dir, maxFilesPerTrigger = 1)
+      .writeStream.format("memory").queryName("p4_wire_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 3,
+        s"cap=1 over 3 segments must take 3 batches, took ${batches.length}")
+    } finally q.stop()
+    val got = spark.table("p4_wire_out")
+    assert(got.count() == changes.count(),
+      "bounded drain must deliver exactly the uncapped content")
+    // ts-ordered admission: batch boundaries follow segment intervals
+    assert(got.select(max("commit_ts")).head.getLong(0) ==
+      changes.agg(max("commit_ts")).head.getLong(0))
   }
 
   test("streaming k-way merge (T2): a stalled pump holds the min-watermark frontier until it resumes") {
@@ -1125,6 +1202,105 @@ class StreamingSpec extends SparkSpec {
       assert(if (n <= 70L) batch == 0 else batch == 1,
         s"row $n landed in batch $batch")
     }
+  }
+
+  test("streaming T5∘T6 shape DDL: ADD/DROP/RENAME COLUMN re-shape the decode, restart-safe") {
+    // the harder half of the wire-DDL grammar: MODIFY re-types values, but
+    // ADD/DROP/RENAME change the decode SHAPE — later frames carry
+    // more/fewer/renamed columns, earlier frames must show NULL where a
+    // column did not exist yet, later frames NULL where it was dropped
+    // (ref: drainer/schema.go:360-561 handles exactly these job types;
+    // tests/dailytest/case.go:386-485 runs DML concurrently with
+    // add/drop-column)
+    import graft.sources.PbBinlogFile
+    val wireDir = graft.util.Scratch.dir("graft_shape_wire")
+    val outDir = graft.util.Scratch.dir("graft_shape_out")
+    val ckpt = graft.util.Scratch.dir("graft_shape_ckpt")
+
+    def dml(ids: Seq[Long], props: Long => String) = ids.toDF("commit_ts").select(
+      col("commit_ts"), col("commit_ts").as("pk"), lit("U").as("op"),
+      lit("row").as("event_type"),
+      timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+      col("commit_ts").cast("double").as("value"),
+      udf(props).apply(col("commit_ts")).as("props"),
+      lit(null).cast("string").as("ddl_sql"))
+    def ddl(ts: Long, sql: String) = Seq(ts).toDF("commit_ts").select(
+      col("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
+      lit("ddl").as("event_type"),
+      timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+      lit(null).cast("double").as("value"),
+      lit(null).cast("string").as("props"),
+      lit(sql).as("ddl_sql"))
+
+    // batch 0: frames 1..40, ADD COLUMN at 20 — frames 21..40 carry `extra`
+    PbBinlogFile.write(
+      dml(1L to 20L, n => s"""{"k": ${n}.25}""")
+        .unionByName(dml(21L to 40L, n => s"""{"k": ${n}.25, "extra": ${n * 10}}"""))
+        .unionByName(ddl(20L, "ALTER TABLE app.events ADD COLUMN extra BIGINT")),
+      wireDir, nFiles = 1)
+    val tracker = new SchemaTracker()
+    tracker.createTable("app", "events", Seq("k DOUBLE"), version = 0)
+    val q1 = CdcStream.ddlDrivenDecode(
+      PbBinlogFile.readStream(spark, wireDir), tracker, outDir, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(tracker.current("app", "events").get.columns ==
+      Vector("k DOUBLE", "extra BIGINT"))
+
+    // restart: a fresh tracker replays the action-tagged DDL log, then
+    // batch 1 DROPs k at 60 and RENAMEs extra→extra2 at 70
+    val tracker2 = new SchemaTracker()
+    tracker2.createTable("app", "events", Seq("k DOUBLE"), version = 0)
+    CdcStream.recoverDecodeTracker(spark, outDir, ckpt, tracker2)
+    assert(tracker2.version == 20L &&
+      tracker2.current("app", "events").get.columns ==
+        Vector("k DOUBLE", "extra BIGINT"),
+      "the logged ADD must replay into the fresh tracker")
+    PbBinlogFile.write(
+      dml(41L to 60L, n => s"""{"k": ${n}.25, "extra": ${n * 10}}""")
+        .unionByName(dml(61L to 70L, n => s"""{"extra": ${n * 10}}"""))
+        .unionByName(dml(71L to 80L, n => s"""{"extra2": ${n * 10}}"""))
+        .unionByName(ddl(60L, "ALTER TABLE app.events DROP COLUMN k"))
+        .unionByName(ddl(70L, "ALTER TABLE app.events RENAME COLUMN extra TO extra2")),
+      wireDir, nFiles = 1)
+    val q2 = CdcStream.ddlDrivenDecode(
+      PbBinlogFile.readStream(spark, wireDir), tracker2, outDir, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(tracker2.current("app", "events").get.columns == Vector("extra2 BIGINT"))
+
+    val out = spark.read.option("mergeSchema", "true").parquet(s"$outDir/data")
+    val byTs = out.collect().map(r => r.getAs[Long]("commit_ts") -> r).toMap
+    assert(byTs.size == 80)
+    def s(r: org.apache.spark.sql.Row, c: String): Option[String] =
+      Option(r.getAs[String](c))
+    (1L to 80L).foreach { n =>
+      val r = byTs(n)
+      // k: present until the DROP at 60 (the frame AT the barrier ts still
+      // decodes with the old shape), NULL after
+      assert(s(r, "k_str") == (if (n <= 60L) Some(s"$n.25") else None),
+        s"row $n k_str=${s(r, "k_str")}")
+      // extra: NULL before the ADD at 20, value until the RENAME at 70
+      assert(s(r, "extra_str") ==
+        (if (n > 20L && n <= 70L) Some((n * 10).toString) else None),
+        s"row $n extra_str=${s(r, "extra_str")}")
+      // extra2: value only after the RENAME
+      assert(s(r, "extra2_str") ==
+        (if (n > 70L) Some((n * 10).toString) else None),
+        s"row $n extra2_str=${s(r, "extra2_str")}")
+      val v = r.getAs[Long]("schema_version")
+      assert(v == (if (n <= 20L) 0L else if (n <= 60L) 20L
+        else if (n <= 70L) 60L else 70L), s"row $n version=$v")
+    }
+
+    // forward-only contract: a frame redelivered BELOW the applied DDL
+    // frontier (commit_ts 55 < version 70) must be counted as a violation,
+    // not silently decoded with the new schema and trusted
+    val acc = spark.sparkContext.longAccumulator("test.below_frontier")
+    PbBinlogFile.write(dml(Seq(55L), n => s"""{"extra2": 1}"""), wireDir, nFiles = 1)
+    val q3 = CdcStream.ddlDrivenDecode(
+      PbBinlogFile.readStream(spark, wireDir), tracker2, outDir, ckpt,
+      belowFrontier = Some(acc))
+    try q3.processAllAvailable() finally q3.stop()
+    assert(acc.value == 1L, s"below-frontier frame must be counted, got ${acc.value}")
   }
 
   test("pc matcher streams on RocksDB: custom state class survives the store round trip (T1)") {
