@@ -80,8 +80,12 @@ object Bench {
     // interleaved passes), so the comparison-relevant slow-40 get extra
     // interleaved passes. Round-over-round claims should gate on
     // MEDIAN-vs-min agreement: a tight med/min says the min is the real
-    // steady state; a wide one says "noise, don't compare".
-    val extraReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_REPS", "2").toInt
+    // steady state; a wide one says "noise, don't compare". Calibration:
+    // the same scheme that reported n_spread_gt13=13 in the r9 driver run
+    // measured 4 on an idle machine in r10 — the spread tracks MACHINE
+    // LOAD, not the rep count; the default gained one insurance pass so a
+    // loaded driver run still converges for most of the slow set.
+    val extraReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_REPS", "3").toInt
     val slowNames = slow.map(_._1).toSet
     (1 to extraReps).foreach(_ =>
       onePass(queries.filter(q => slowNames(q._1))))

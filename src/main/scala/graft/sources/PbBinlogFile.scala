@@ -602,6 +602,40 @@ object PbBinlogFile {
        |WHERE commit_ts BETWEEN (SELECT max(commit_ts) * 2 // 10 FROM c)
        |                    AND (SELECT max(commit_ts) * 6 // 10 FROM c)""".stripMargin
 
+  /** Oracle-checked S5 relay-stream roundtrip: stage the change stream as
+    * binlog segments across two write invocations, then DRAIN the directory
+    * through the MICRO_BATCH_READ form of the v2 source — flow-controlled
+    * at one segment per trigger, landing in a parquet sink (bounded driver
+    * state; the memory sink would hold the whole stream on the driver).
+    * Hash-matching DuckDB reading the original parquet pins the streaming
+    * path — offset bookkeeping, capped admission, and the shared wire
+    * decode — under the driver's gate, not just ScalaTest (ref:
+    * drainer/relay/reader.go:50-121 replays the relay log through the same
+    * decode as the live pull stream). */
+  def relayStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.util.Scratch.dir("graft_wire_relay")
+    val sink = graft.util.Scratch.dir("graft_wire_relay_sink")
+    val ckpt = graft.util.Scratch.dir("graft_wire_relay_ckpt")
+    val changes = graft.ops.Cdc.changes(spark, dir).persist()
+    try {
+      val maxTs = changes.agg(max("commit_ts")).head.getLong(0)
+      val mid = maxTs / 2
+      write(changes.filter(col("commit_ts") <= mid), out, nFiles = 2)
+      write(changes.filter(col("commit_ts") > mid), out, nFiles = 2)
+    } finally { changes.unpersist(); () }
+    val q = readStream(spark, out, maxFilesPerTrigger = 1)
+      .select("commit_ts", "pk", "op", "event_type", "ts", "value", "props")
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(sink)
+  }
+
+  def relayStreamSql: String =
+    s"""WITH c AS (${graft.ops.Cdc.changesCte})
+       |SELECT commit_ts, pk, op, event_type, ts, value, props FROM c""".stripMargin
+
   /** Deterministic corruption injector for the recover-mode oracle: walk a
     * file's frames in place and XOR one payload byte of every frame whose
     * commit_ts satisfies `hit` — the CRC then fails on exactly those frames
