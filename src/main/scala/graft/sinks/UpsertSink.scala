@@ -123,6 +123,11 @@ class UpsertSink(root: String, nBuckets: Int = 16) {
         col("commit_ts") > lower && col("commit_ts") <= upper)
       mergeSlice(spark, slice)
       if (upper != Long.MaxValue) {
+        // the log was a single append-file before it became a marker
+        // directory: a pre-existing file under the name must step aside,
+        // not wedge mkdirs on its first post-upgrade DDL batch
+        if (MetaFs.exists(ddlLogDir) && !MetaFs.isDirectory(ddlLogDir))
+          MetaFs.rename(ddlLogDir, s"$ddlLogDir.v1")
         MetaFs.mkdirs(ddlLogDir)
         MetaFs.writeString(f"$ddlLogDir/$batchId%020d-$upper%020d", s"$batchId:$upper\n")
       }

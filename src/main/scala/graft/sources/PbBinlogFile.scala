@@ -262,13 +262,16 @@ object PbBinlogFile {
     b.array()
   }
 
-  /** Parse every frame in one file's bytes; magic and crc mismatches fail
-    * loudly (ref: ErrMagicMismatch / ErrCRCMismatch, binlogger.go:37-41),
-    * and so does a torn tail — a trailing fragment shorter than one frame
-    * header means a writer died mid-write, and strict mode must surface
-    * that rather than silently ending the scan early (ref:
-    * binlogger.go:308-321 returns the decode error to the caller;
-    * `decodeFramesRecovering` is the opt-in salvage path). */
+  /** Strict whole-buffer frame parse; magic and crc mismatches fail loudly
+    * (ref: ErrMagicMismatch / ErrCRCMismatch, binlogger.go:37-41), and so
+    * does a torn tail — a trailing fragment shorter than one frame header
+    * means a writer died mid-write (ref: binlogger.go:308-321 returns the
+    * decode error; `decodeFramesRecovering` is the opt-in salvage).
+    * The LIVE read path streams frames through
+    * [[PbBinlogPartitionReader]] instead (constant memory per segment);
+    * this in-memory twin is the codec's executable spec — PbCodecSpec
+    * property-tests encode→decode through it, and the two walks must stay
+    * byte-for-byte aligned. */
   private[sources] def decodeFrames(content: Array[Byte]): Iterator[PbChange] = {
     val b = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
     new Iterator[PbChange] {
@@ -410,7 +413,12 @@ object PbBinlogFile {
         // destination, but LocalFileSystem maps rename to rename(2), which
         // silently REPLACES a destination file — hence the explicit
         // exists() probe first, re-checked after a refused rename for the
-        // HDFS race where a concurrent attempt promotes in between.
+        // HDFS race where a concurrent attempt promotes in between. On a
+        // POSIX local filesystem a sub-millisecond probe-to-rename window
+        // remains in which a concurrent DIFFERENT-content promote could
+        // still be replaced — local disk is the single-writer sandbox
+        // case; the shared-storage deployments (HDFS, object stores)
+        // refuse or version the destination and are fully closed.
         def collide(len: Long): Unit =
           if (len == fs.getFileStatus(tmpPath).getLen) {
             fs.delete(tmpPath, false); ()
@@ -640,7 +648,8 @@ object PbBinlogFile {
     * file's frames in place and XOR one payload byte of every frame whose
     * commit_ts satisfies `hit` — the CRC then fails on exactly those frames
     * and salvage must skip them. Test/staging machinery (it trusts the
-    * layout it just wrote); the parse mirrors [[decodeFrames]]. */
+    * layout it just wrote); the parse mirrors the strict reader's frame
+    * walk ([[PbBinlogPartitionReader]]). */
   private def corruptFile(fs: FileSystem, path: HPath, hit: Long => Boolean): Unit = {
     val len0 = fs.getFileStatus(path).getLen.toInt
     val bytes = new Array[Byte](len0)

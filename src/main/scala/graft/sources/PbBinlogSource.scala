@@ -207,15 +207,21 @@ class PbBinlogScan(val dir: String, val recover: Boolean, val tsLo: Long,
 
 case class PbBinlogInputPartition(path: String) extends InputPartition
 
-/** Streaming offset = the set of segment names already delivered (ref:
-  * drainer/relay/reader.go:50-121 persists the consumed position and never
-  * re-applies old entries; a file-granular set is that position for an
-  * atomically-promoted segment store). Serialized as a JSON array; its size
-  * is bounded by the directory's retention — [[PbBinlogFile.gc]] reclaims
-  * applied segments, and a reclaimed name simply stays in the offset as
-  * consumed history. Segment names are content-stable (the writer's
-  * collision guard never lets different bytes reuse a name), so
-  * name-set membership is a correct consumed-marker. */
+/** Streaming offset = the set of segment names already delivered AND still
+  * visible in the directory (ref: drainer/relay/reader.go:50-121 persists
+  * the consumed position and never re-applies old entries; a file-granular
+  * set is that position for an atomically-promoted segment store).
+  * Serialized as a JSON array; its size is genuinely bounded by the
+  * directory's retention because [[PbBinlogMicroBatchStream.latestOffset]]
+  * COMPACTS it — a consumed name drops out of the offset once
+  * [[PbBinlogFile.gc]] has reclaimed the file (keeping it forever would
+  * make the per-trigger offset-log write grow with total history, an
+  * unbounded cost on a months-long relay stream). Names are content-stable
+  * (the writer's collision guard never lets different bytes reuse a name),
+  * so membership is a correct consumed-marker; the one redelivery window —
+  * a bit-identical segment RE-promoted under a reclaimed name — is the
+  * same at-least-once contract the reference's relay GC has, and the
+  * batch-id-idempotent sinks absorb it. */
 case class PbBinlogOffset(files: Seq[String]) extends Offset {
   override def json(): String =
     PbBinlogOffset.mapper.writeValueAsString(files.toArray)
@@ -256,18 +262,25 @@ class PbBinlogMicroBatchStream(dir: String, recover: Boolean, tsLo: Long,
       "latestOffset(Offset, ReadLimit) should be called instead")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val seen = start.asInstanceOf[PbBinlogOffset].files
-    val seenSet = seen.toSet
-    val fresh = PbBinlogFile.listSegments(dir, conf.value)
-      .filterNot(seenSet)
+    val seen = start.asInstanceOf[PbBinlogOffset].files.toSet
+    val listed = PbBinlogFile.listSegments(dir, conf.value)
+    val fresh = listed.filterNot(seen)
       .sortBy(n => (PbBinlogFile.segFirstTs(n), n))
+    // admission slots go to READABLE segments only: a segment wholly
+    // outside the pushed ts bounds is marked consumed immediately (the
+    // bounds are fixed for the query's lifetime) instead of burning a
+    // maxFilesPerTrigger slot on a micro-batch that would decode nothing
+    val (inRange, outOfRange) = fresh.partition(n =>
+      PbBinlogFile.segLastTs(n) >= tsLo && PbBinlogFile.segFirstTs(n) <= tsHi)
     val admitted = limit match {
-      case m: ReadMaxFiles => fresh.take(m.maxFiles())
-      case _ => fresh
+      case m: ReadMaxFiles => inRange.take(m.maxFiles())
+      case _ => inRange
     }
-    // consumed names stay in the offset even after retention gc reclaims
-    // the files — the offset is consumption HISTORY, not a directory view
-    PbBinlogOffset((seen ++ admitted).sorted)
+    // compaction: consumed names leave the offset once gc reclaims the
+    // file — the offset stays a directory-retention-bounded set, not
+    // unbounded consumption history
+    PbBinlogOffset(
+      (listed.filter(seen) ++ outOfRange ++ admitted).sorted)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

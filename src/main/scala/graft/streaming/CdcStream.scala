@@ -271,26 +271,30 @@ object CdcStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
-        val ddls = batch.filter(col("op") === "DDL")
-          .select("commit_ts", "ddl_sql").orderBy("commit_ts").collect()
-          .map(r => (r.getLong(0), r.getString(1)))
-        val barriers = ddls :+ ((Long.MaxValue, null: String))
-        var lower = Long.MinValue
         var info = tracker.current(schemaName, table).getOrElse(
           throw new NoSuchElementException(s"$schemaName.$table not registered"))
-        // contract check (ref: drainer/syncer.go decodes each DML at the
-        // schema in force at its commit ts): slicing happens WITHIN the
-        // batch, so a frame delivered below the tracker's already-applied
-        // DDL frontier would decode with the NEW schema. The upstream
-        // ordered merge makes that impossible; if a pump ever violates it,
-        // the violation must be countable, not silent. Registration
-        // versions are 0/negative, so the scan only runs once a wire DDL
-        // has actually advanced the frontier.
-        if (info.version > 0) {
-          val n = batch.filter(col("op") =!= "DDL" &&
-            col("commit_ts") <= info.version).count()
-          if (n > 0) frontierViolations.add(n)
-        }
+        // ONE gather job per batch: the (rare, bounded) DDL rows AND the
+        // forward-only contract check — a frame delivered below the
+        // tracker's already-applied DDL frontier would decode with the NEW
+        // schema (slicing happens within the batch; ref: drainer/syncer.go
+        // decodes each DML at the schema in force at its commit ts). The
+        // upstream ordered merge makes violations impossible; if a pump
+        // ever breaks the contract, the count surfaces instead of rows
+        // silently mis-typing. Folding the count into the DDL gather keeps
+        // this at zero extra passes over the batch.
+        val gathered = batch.agg(
+          sort_array(collect_list(when(col("op") === "DDL",
+            struct(col("commit_ts"), col("ddl_sql"))))).as("ddls"),
+          sum(when(col("op") =!= "DDL" &&
+            col("commit_ts") <= lit(info.version), 1L)).as("below")).head()
+        val ddls = gathered.getSeq[org.apache.spark.sql.Row](0)
+          .map(r => (r.getLong(0), r.getString(1)))
+        // registration versions are 0/negative — only an applied wire DDL
+        // puts real commit ts below the frontier check
+        if (info.version > 0 && !gathered.isNullAt(1) && gathered.getLong(1) > 0)
+          frontierViolations.add(gathered.getLong(1))
+        val barriers = ddls :+ ((Long.MaxValue, null: String))
+        var lower = Long.MinValue
         val applied = scala.collection.mutable.ArrayBuffer.empty[AppliedDdl]
         val slices = barriers.map { case (upper, stmt) =>
           // the from_json schema is captured at plan-construction time,
@@ -387,14 +391,29 @@ object CdcStream {
         .flatMap(n => scala.util.Try(n.toLong).toOption)
         .foldLeft(-1L)(math.max)
     if (committed < 0) return
-    spark.read.parquet(s"$outDir/ddl")
-      .filter(col("batch") <= committed)
+    // mergeSchema: batch dirs written before the action-tagged log (or a
+    // mixed directory across an upgrade) carry (column_name, new_type)
+    // without an action column — read tolerant and default to the only
+    // action that log shape could mean (modify)
+    val log = spark.read.option("mergeSchema", "true").parquet(s"$outDir/ddl")
+    val hasAction = log.columns.contains("action")
+    val hasArg = log.columns.contains("arg")
+    val hasLegacyType = log.columns.contains("new_type")
+    log.filter(col("batch") <= committed)
       .orderBy("version").collect().foreach { r =>
         val v = r.getAs[Long]("version")
+        val action = if (hasAction) Option(r.getAs[String]("action"))
+          .getOrElse("modify") else "modify"
+        val arg = {
+          val a = if (hasArg) r.getAs[String]("arg") else null
+          if (a != null) a
+          else if (hasLegacyType) r.getAs[String]("new_type")
+          else ""
+        }
         if (v > tracker.version)
           applyLogged(tracker, r.getAs[String]("schema_name"),
-            r.getAs[String]("table_name"), r.getAs[String]("action"),
-            r.getAs[String]("column_name"), r.getAs[String]("arg"), v)
+            r.getAs[String]("table_name"), action,
+            r.getAs[String]("column_name"), arg, v)
       }
   }
 

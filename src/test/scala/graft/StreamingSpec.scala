@@ -964,6 +964,46 @@ class StreamingSpec extends SparkSpec {
       changes.agg(max("commit_ts")).head.getLong(0))
   }
 
+  test("wire stream offset compacts after retention gc (S5∘P7)") {
+    // the offset is a retention-bounded set, not unbounded consumption
+    // history: once gc reclaims a consumed segment its name leaves the
+    // checkpointed offset, and new segments still deliver exactly once
+    import graft.sources.PbBinlogFile
+    val dir = graft.util.Scratch.dir("graft_s5_compact")
+    val ckpt = graft.util.Scratch.dir("graft_s5_compact_ckpt")
+    val changes = graft.ops.Cdc.changes(spark, sf).filter(col("commit_ts") < 900)
+    PbBinlogFile.write(changes.filter(col("commit_ts") < 300), dir, nFiles = 1)
+    PbBinlogFile.write(
+      changes.filter(col("commit_ts") >= 300 && col("commit_ts") < 600), dir, nFiles = 1)
+    val batchCounts = scala.collection.mutable.ArrayBuffer[Long]()
+    def drain(): Unit = {
+      val q = PbBinlogFile.readStream(spark, dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          batchCounts += b.count(); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    val afterFirst = batchCounts.sum
+    assert(afterFirst == changes.filter(col("commit_ts") < 600).count())
+    // reclaim the wholly-consumed first segment (the newest is always kept)
+    val victims = PbBinlogFile.gc(spark, dir, safeTs = 599L)
+    assert(victims.nonEmpty)
+    PbBinlogFile.write(changes.filter(col("commit_ts") >= 600), dir, nFiles = 1)
+    drain()
+    // the restart neither re-reads live segments nor loses the new one
+    assert(batchCounts.sum - afterFirst ==
+      changes.filter(col("commit_ts") >= 600).count())
+    // and the newest checkpointed offset no longer carries the reclaimed name
+    val offFiles = new java.io.File(s"$ckpt/offsets").listFiles()
+      .filter(_.getName.forall(_.isDigit))
+    val latest = offFiles.maxBy(_.getName.toLong)
+    val text = new String(java.nio.file.Files.readAllBytes(latest.toPath))
+    victims.foreach(v =>
+      assert(!text.contains(v), s"reclaimed $v must leave the offset"))
+  }
+
   test("streaming k-way merge (T2): a stalled pump holds the min-watermark frontier until it resumes") {
     // ref: drainer/merge.go:236-335 — the merger emits only when EVERY live
     // source has contributed past the frontier; a lagging pump pauses the
