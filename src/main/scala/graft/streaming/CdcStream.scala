@@ -298,8 +298,12 @@ object CdcStream {
         val applied = scala.collection.mutable.ArrayBuffer.empty[AppliedDdl]
         val slices = barriers.map { case (upper, stmt) =>
           // the from_json schema is captured at plan-construction time,
-          // from the LOCAL catalog view — the live tracker is untouched
-          val wireSchema = StructType.fromDDL(info.columns.mkString(", "))
+          // from the LOCAL catalog view — the live tracker is untouched.
+          // A table whose LAST column was dropped decodes to the bare
+          // (commit_ts, pk, schema_version) envelope — fromDDL("") would
+          // throw on the empty definition
+          val wireSchema = if (info.columns.isEmpty) new StructType()
+            else StructType.fromDDL(info.columns.mkString(", "))
           val payload = from_json(col("props"), wireSchema)
           val decoded = batch
             .filter(col("op") =!= "DDL" &&
