@@ -42,8 +42,15 @@ import org.apache.spark.sql.functions._
   */
 object Causality {
 
-  private val Uk1Offset = 1000000L
-  private val Uk2Offset = 2000000L
+  // Disjoint node-id namespaces via high-range offsets: the pk space owns
+  // [0, 2^61), UK1 sits at +2^61, UK2 at +2^62. The earlier +1e6/+2e6
+  // offsets collided at production id ranges (a pk ≥ 1e6 aliased a UK1
+  // node, silently fusing unrelated histories into one group — too-coarse
+  // is safe but serializes the apply and corrupts group identity). Ids are
+  // assumed < 2^61; the oracle SQL interpolates the SAME constants, so
+  // both engines shift identically and the hash gate stays aligned.
+  private[graft] val Uk1Offset = 1L << 61
+  private[graft] val Uk2Offset = 1L << 62
 
   /** The per-event key set: (commit_ts, pk, array of present unique keys).
     * One shuffle on pk for the old-image lag; everything else is a

@@ -42,10 +42,24 @@ object MergeAlgebra {
     new Aggregator[Change, State, Compacted] {
       def zero: State = State(Long.MaxValue, "", 0.0, Long.MinValue, "", 0.0, 0L)
 
+      /** Strict total order on (commitTs, op, value). Ties at one commitTs
+        * — an at-least-once redelivery of the same event, or an upstream
+        * emitting two ops at one ts — previously folded to a
+        * PARTITIONING-DEPENDENT result: `reduce` kept the incumbent on a
+        * tie (strict <,>) while `merge` preferred side a (<=, >=), so the
+        * winner depended on shuffle order. The lexicographic tie-break is
+        * arbitrary but STABLE: identical inputs fold identically on any
+        * partitioning, which is the Aggregator's whole contract. */
+      private def lt(ts1: Long, op1: String, v1: Double,
+          ts2: Long, op2: String, v2: Double): Boolean =
+        ts1 < ts2 || (ts1 == ts2 && (op1 < op2 || (op1 == op2 && v1 < v2)))
+
       def reduce(s: State, c: Change): State = {
         var r = s
-        if (c.commitTs < r.firstTs) r = r.copy(firstTs = c.commitTs, firstOp = c.op, firstValue = c.value)
-        if (c.commitTs > r.lastTs)  r = r.copy(lastTs = c.commitTs, lastOp = c.op, lastValue = c.value)
+        if (r.n == 0 || lt(c.commitTs, c.op, c.value, r.firstTs, r.firstOp, r.firstValue))
+          r = r.copy(firstTs = c.commitTs, firstOp = c.op, firstValue = c.value)
+        if (r.n == 0 || lt(r.lastTs, r.lastOp, r.lastValue, c.commitTs, c.op, c.value))
+          r = r.copy(lastTs = c.commitTs, lastOp = c.op, lastValue = c.value)
         r.copy(n = r.n + 1)
       }
 
@@ -54,12 +68,14 @@ object MergeAlgebra {
         else if (b.n == 0) a
         else {
           val (ft, fo, fv) =
-            if (a.firstTs <= b.firstTs) (a.firstTs, a.firstOp, a.firstValue)
-            else (b.firstTs, b.firstOp, b.firstValue)
-          val (lt, lo, lv) =
-            if (a.lastTs >= b.lastTs) (a.lastTs, a.lastOp, a.lastValue)
-            else (b.lastTs, b.lastOp, b.lastValue)
-          State(ft, fo, fv, lt, lo, lv, a.n + b.n)
+            if (lt(b.firstTs, b.firstOp, b.firstValue, a.firstTs, a.firstOp, a.firstValue))
+              (b.firstTs, b.firstOp, b.firstValue)
+            else (a.firstTs, a.firstOp, a.firstValue)
+          val (zt, zo, zv) =
+            if (lt(a.lastTs, a.lastOp, a.lastValue, b.lastTs, b.lastOp, b.lastValue))
+              (b.lastTs, b.lastOp, b.lastValue)
+            else (a.lastTs, a.lastOp, a.lastValue)
+          State(ft, fo, fv, zt, zo, zv, a.n + b.n)
         }
       }
 
@@ -78,9 +94,12 @@ object MergeAlgebra {
     }
 
   /** Reference-semantics brute force for tests: replay the full sequence in
-    * commitTs order against a key→value map and report the net op. */
+    * commitTs order against a key→value map and report the net op. Sorted
+    * by the same (commitTs, op, value) total order the Aggregator's
+    * tie-break uses, so the two agree under duplicate timestamps too. */
   def bruteForce(changes: Seq[Change]): Map[Long, (String, Double)] = {
-    val sorted = changes.flatMap(splitPkChange).sortBy(_.commitTs)
+    val sorted = changes.flatMap(splitPkChange)
+      .sortBy(c => (c.commitTs, c.op, c.value))
     sorted.groupBy(_.pk).map { case (pk, cs) =>
       val first = cs.head
       val last = cs.last

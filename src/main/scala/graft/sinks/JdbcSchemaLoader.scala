@@ -77,6 +77,22 @@ private[sinks] object JdbcMeta {
     log.executeUpdate(); log.close()
   }
 
+  /** Replay guard: was this batch's DDL barrier already executed AND
+    * logged? A crash between a barrier's execute and the batch checkpoint
+    * replays the whole batch; re-running the ALTER would throw (column
+    * already exists) and wedge every retry. The residual exec→log window
+    * remains — DDL is not transactional on most engines — exactly the
+    * window the reference's save-checkpoint-on-DDL rule has
+    * (drainer/syncer.go:253-259). */
+  def ddlLogged(c: Connection, batchId: Long, commitTs: Long): Boolean = {
+    val st = c.prepareStatement(
+      s"SELECT 1 FROM $DdlTable WHERE batch_id = ? AND commit_ts = ?")
+    st.setLong(1, batchId); st.setLong(2, commitTs)
+    val rs = st.executeQuery()
+    val out = rs.next()
+    rs.close(); st.close(); out
+  }
+
   /** Read `table` back through Spark's JDBC source; when `partitionOn`
     * names a numeric column, one two-value metadata query fetches its
     * bounds and `numPartitions` connections stride the range in parallel —
@@ -91,10 +107,15 @@ private[sinks] object JdbcMeta {
 
   def partitionedRead(spark: SparkSession, url: String, table: String,
       partitionOn: Option[String], numPartitions: Int): DataFrame = {
-    val base = spark.read.format("jdbc")
+    // driver pinned only for Derby (whose embedded driver Spark cannot
+    // always infer from the URL); any other JDBC target resolves through
+    // DriverManager like the write path does
+    val base0 = spark.read.format("jdbc")
       .option("url", readUrl(url))
       .option("dbtable", table)
-      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val base = if (url.startsWith("jdbc:derby:"))
+      base0.option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    else base0
     partitionOn.fold(base.load()) { pc =>
       val bounds = {
         val c = DriverManager.getConnection(readUrl(url))
@@ -515,20 +536,24 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
     val prev = lastCheckpoint
     if (batchId <= prev.batchId) return false
 
+    // explicit input contract: every slice frame carries op (I/U/D/DDL) —
+    // a silently-tolerated op-less frame would pass this gather only to
+    // crash on the unresolvable op column in the barrier loop below
+    slices.foreach { case (t, df) =>
+      require(df.columns.contains("op"),
+        s"frame for $t lacks the op column (I/U/D/DDL)")
+    }
     // global DDL barriers, gathered across every table's slice; a DDL row
     // an ingest router replicated into several tables' frames is ONE
     // barrier, not several (a second execution of the same ALTER would
     // throw and wedge every replay of the batch)
     val ddls = slices.values.toSeq.flatMap { df =>
-      if (!df.columns.contains("op")) Nil
-      else {
-        val hasSql = df.columns.contains("ddl_sql")
-        df.filter(col("op") === "DDL")
-          .select(col("commit_ts"),
-            (if (hasSql) col("ddl_sql") else lit(null).cast("string")).as("ddl_sql"))
-          .collect()
-          .map(r => (r.getAs[Long]("commit_ts"), Option(r.getAs[String]("ddl_sql"))))
-      }
+      val hasSql = df.columns.contains("ddl_sql")
+      df.filter(col("op") === "DDL")
+        .select(col("commit_ts"),
+          (if (hasSql) col("ddl_sql") else lit(null).cast("string")).as("ddl_sql"))
+        .collect()
+        .map(r => (r.getAs[Long]("commit_ts"), Option(r.getAs[String]("ddl_sql"))))
     }.distinct.sortBy(_._1)
     val barriers = ddls :+ ((Long.MaxValue, None: Option[String]))
 
@@ -544,11 +569,18 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
       }
       if (upper != Long.MaxValue) {
         withConn { c =>
-          stmt.foreach { sql =>
-            val st = c.createStatement()
-            try st.execute(sql) finally st.close()
+          // skip a barrier this batch already executed: a crash between a
+          // DDL and the batch checkpoint replays the batch, and re-running
+          // the ALTER would throw and wedge every retry (the log row is
+          // written right after the execute; the tiny exec→log window is
+          // the same one the reference's checkpoint-on-DDL rule has)
+          if (!JdbcMeta.ddlLogged(c, batchId, upper)) {
+            stmt.foreach { sql =>
+              val st = c.createStatement()
+              try st.execute(sql) finally st.close()
+            }
+            JdbcMeta.logDdl(c, batchId, upper, stmt.getOrElse(s"ddl@$upper"))
           }
-          JdbcMeta.logDdl(c, batchId, upper, stmt.getOrElse(s"ddl@$upper"))
         }
         maxTs = math.max(maxTs, upper)
       }
@@ -570,8 +602,8 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
     val frameCols = slice.columns.map(n => n.toUpperCase -> n).toMap
     // writable columns = catalog columns present in the frame (a frame may
     // omit trailing columns a DDL added later; their defaults apply)
-    val insertCols = cols.map(_.name).filter(frameCols.contains)
-    require(keyCols.forall(frameCols.contains),
+    val insertCols = cols.map(_.name).filter(n => frameCols.contains(n.toUpperCase))
+    require(keyCols.forall(k => frameCols.contains(k.toUpperCase)),
       s"frame for $table lacks key columns ${keyCols.mkString(",")}")
 
     // An update whose unique key CHANGED must also kill the old-key row:
@@ -586,14 +618,14 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
       frameCols.get(s"OLD_$k".toUpperCase).map(k -> _)).toMap
     val preSlice = if (oldKeyFor.size == keyCols.size) {
       val keyChanged = keyCols.map(k =>
-        !(col(frameCols(k)) <=> col(oldKeyFor(k)))).reduce(_ || _)
+        !(col(frameCols(k.toUpperCase)) <=> col(oldKeyFor(k)))).reduce(_ || _)
       // an all-NULL old image means "no before image" (insert rows, or an
       // upstream that omitted it) — never a migration from the NULL key
       val hasOldImage = keyCols.map(k => col(oldKeyFor(k)).isNotNull).reduce(_ || _)
       val synth = slice.filter(col("op") === "U" && hasOldImage && keyChanged)
         .withColumn("op", lit("D"))
         .select(slice.columns.map { cn =>
-          keyCols.find(k => frameCols(k) == cn) match {
+          keyCols.find(k => frameCols(k.toUpperCase) == cn) match {
             case Some(k) => col(oldKeyFor(k)).cast(slice.schema(cn).dataType).as(cn)
             case None    => col(cn)
           }
@@ -602,7 +634,7 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
         .unionByName(synth.withColumn("_synth", lit(1)))
     } else slice.withColumn("_synth", lit(0))
 
-    val keyExprs = keyCols.map(k => col(frameCols(k)))
+    val keyExprs = keyCols.map(k => col(frameCols(k.toUpperCase)))
     // tie-break: at equal commit_ts a REAL row outranks the synthetic
     // old-key delete, so a same-ts re-insert of the vacated key survives
     val w = Window.partitionBy(keyExprs: _*)
@@ -653,12 +685,14 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
         val c = DriverManager.getConnection(u)
         try {
           c.setAutoCommit(false)
+          // chunk-invariant statement prepared ONCE per partition (only
+          // the multi-VALUES INSERT text varies with the chunk size)
+          val del = c.prepareStatement(s"DELETE FROM $tbl WHERE $pred")
           rows.grouped(bs).foreach { chunk =>
-            val del = c.prepareStatement(s"DELETE FROM $tbl WHERE $pred")
             chunk.foreach { r =>
               bindKey(del, 1, r, keyCols, meta, frameIdxByUpper); del.addBatch()
             }
-            del.executeBatch(); del.close()
+            del.executeBatch()
             val holders = Seq.fill(chunk.size)(
               insertCols.map(_ => "?").mkString("(", ", ", ")")).mkString(", ")
             val ins = c.prepareStatement(
@@ -666,7 +700,7 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
             var i = 1
             chunk.foreach { r =>
               insertCols.foreach { cn =>
-                val v = r.get(frameIdxByUpper(cn))
+                val v = r.get(frameIdxByUpper(cn.toUpperCase))
                 if (v == null) ins.setNull(i, meta(cn).sqlType) else ins.setObject(i, v)
                 i += 1
               }
@@ -674,6 +708,7 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
             ins.executeUpdate(); ins.close()
             c.commit() // one txn per chunk, like one executed batch
           }
+          del.close()
         } finally {
           try c.rollback() catch { case _: SQLException => () }
           c.close()
@@ -722,10 +757,22 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
         else Some(concat_ws("", (lit(i.toString) +: resolved.map(c =>
           coalesce(col(c.get).cast("string"), lit("\u0000")))): _*))
       }
-      val newImg = img(k => frameCols.get(k))
-      // old image only for update rows that actually carry before values
-      val oldImg = img(k => frameCols.get(s"OLD_$k"))
-        .map(o => when(col("op") === "U", o))
+      // uppercase-normalized lookups, like every other frame↔catalog
+      // bridge in this file — catalog names need not be uppercase off Derby
+      val newImg = img(k => frameCols.get(k.toUpperCase))
+      // old image only for update rows that actually CARRY before values:
+      // an all-NULL old image means "no before image" (the same gate the
+      // merged fold and deleteImages apply) — imaging it as the NULL
+      // sentinel would stamp every such row with one identical string,
+      // linking all of them into a single mega-group and serializing the
+      // whole apply onto one connection. A PARTIALLY-null old image keeps
+      // the sentinel: a genuinely NULL-valued key column is ambiguous and
+      // must conflict (the reference's nil-key handling).
+      val oldImg = img(k => frameCols.get(s"OLD_$k".toUpperCase)).map { o =>
+        val oldCols = cs.flatMap(k => frameCols.get(s"OLD_$k".toUpperCase))
+        val hasOld = oldCols.map(c => col(c).isNotNull).reduce(_ || _)
+        when(col("op") === "U" && hasOld, o)
+      }
       newImg.toSeq ++ oldImg.toSeq
     }
     require(images.nonEmpty, s"frame for $table carries no key columns")
@@ -779,9 +826,9 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
     val (cols, uks) = tableMetaAll(table)
     val meta = cols.map(m => m.name -> m).toMap
     val frameCols = slice.columns.map(n => n.toUpperCase -> n).toMap
-    val insertCols = cols.map(_.name).filter(frameCols.contains)
+    val insertCols = cols.map(_.name).filter(n => frameCols.contains(n.toUpperCase))
     val keyCols = uks.head
-    require(keyCols.forall(frameCols.contains),
+    require(keyCols.forall(k => frameCols.contains(k.toUpperCase)),
       s"frame for $table lacks key columns ${keyCols.mkString(",")}")
 
     // emptiness + the applied-ts watermark come from the raw slice (a
@@ -798,7 +845,14 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
     val frameIdxByUpper = ordered.columns.zipWithIndex
       .map { case (n, i) => n.toUpperCase -> i }.toMap
     val (u, bs, tbl, safe) = (url, batchSize, table, safeMode)
-    val presentUks = uks.filter(_.forall(frameCols.contains))
+    // a non-safe UPDATE matching zero rows is EXPECTED on a post-crash
+    // replay (the migrated-from key is already vacated — the reference
+    // absorbs the same window with its restart safe mode) but also what a
+    // malformed partial-NULL before-image degrades to; either way it must
+    // be countable, not silent (visible in the Spark UI accumulators)
+    val zeroRowUpdates = slice.sparkSession.sparkContext.longAccumulator(
+      s"graft.loader.$table.zero_row_updates")
+    val presentUks = uks.filter(_.forall(k => frameCols.contains(k.toUpperCase)))
     // per-unique-key old-image binding positions, where the frame carries
     // them — safe mode must also kill the OLD row of a changed-key update
     // (ref: model.go:216-251 getKeys unions old+new images). Lookups are
@@ -867,7 +921,7 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
           }
         def insertRow(r: org.apache.spark.sql.Row): Unit = {
           insertCols.zipWithIndex.foreach { case (cn, i) =>
-            val v = r.get(frameIdxByUpper(cn))
+            val v = r.get(frameIdxByUpper(cn.toUpperCase))
             if (v == null) ins.setNull(i + 1, meta(cn).sqlType)
             else ins.setObject(i + 1, v)
           }
@@ -880,7 +934,7 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
             case "U" if !safe =>
               var i = 1
               setCols.foreach { cn =>
-                val v = r.get(frameIdxByUpper(cn))
+                val v = r.get(frameIdxByUpper(cn.toUpperCase))
                 if (v == null) upd.setNull(i, meta(cn).sqlType)
                 else upd.setObject(i, v)
                 i += 1
@@ -891,7 +945,7 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
                   keyCols.exists(k => r.get(updIdx(k.toUpperCase)) != null))
                 updIdx else frameIdxByUpper
               bindKey(upd, i, r, keyCols, meta, whereIdx)
-              upd.executeUpdate()
+              if (upd.executeUpdate() == 0) zeroRowUpdates.add(1)
             case _ => // safe mode: REPLACE semantics for both I and U
               deleteImages(r); insertRow(r)
           }

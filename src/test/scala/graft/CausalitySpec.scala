@@ -18,6 +18,17 @@ class CausalitySpec extends SparkSpec {
     assert(df.count() == graft.model.Tables.events(spark, sf).count())
   }
 
+  test("unique-key node namespaces cannot alias production-sized ids") {
+    // the old +1e6/+2e6 offsets aliased a pk >= 1e6 with a UK1 node,
+    // silently fusing unrelated histories into one conflict group; the
+    // namespaces now sit at 2^61/2^62 — any id below 2^61 (far beyond any
+    // real rowid allocator) cannot cross families
+    assert(graft.ops.Causality.Uk1Offset == (1L << 61))
+    assert(graft.ops.Causality.Uk2Offset == (1L << 62))
+    assert(graft.ops.Causality.Uk2Offset - graft.ops.Causality.Uk1Offset ==
+      (1L << 61), "UK families own disjoint 2^61-wide ranges")
+  }
+
   test("conflict groups fixpoint on a hand-built chain") {
     import spark.implicits._
     // users 1-2 share key A, users 2-3 share key B -> {1,2,3}; user 4 alone

@@ -22,6 +22,28 @@ class MergeAlgebraSpec extends SparkSpec {
     Change(commitTs = i.toLong, pk = pk, newPk = newPk, op = op, value = v)
   }
 
+  test("duplicate-ts events fold identically under every permutation and merge split") {
+    // reduce and merge used to disagree on ties (strict vs inclusive
+    // comparison), so at-least-once redeliveries at one commitTs folded to
+    // a partitioning-dependent result; the (ts, op, value) tie-break makes
+    // every fold order produce the same Compacted row
+    val agg = MergeAlgebra.compact
+    val cs = Seq(
+      Change(3L, 1L, 1L, "I", 9.0),
+      Change(5L, 1L, 1L, "I", 1.0), // tie at ts=5 with the U below
+      Change(5L, 1L, 1L, "U", 2.0),
+      Change(5L, 1L, 1L, "U", 2.0)) // exact duplicate (redelivery)
+    val results = cs.permutations.flatMap { p =>
+      (0 to p.length).map { cut =>
+        val (l, r) = p.splitAt(cut)
+        val a = l.foldLeft(agg.zero)(agg.reduce)
+        val b = r.foldLeft(agg.zero)(agg.reduce)
+        agg.finish(agg.merge(a, b))
+      }
+    }.toSet
+    assert(results.size == 1, s"fold must be order-invariant, got $results")
+  }
+
   test("aggregator fold == reference brute force, independent of input order") {
     val rnd = new scala.util.Random(42)
     (0 until 30).foreach { i =>
