@@ -18,7 +18,7 @@ import graft.text.Lex
   *    mass), not O(n²).
   *  - n-gram Jaccard: inverted-index join on shingles (pairs sharing no
   *    shingle are never formed), exact similarity, no probabilistic screen.
-  *  - SimHash: 16-bit sign fingerprint per document; near-dup candidates are
+  *  - SimHash: 32-bit sign fingerprint per document ([[Lex.SimhashBits]]); near-dup candidates are
   *    equal-fingerprint groups (or small Hamming balls at query time).
   *
   * Oracle parity: every hash/permutation constant comes from [[Lex]] and is
@@ -194,14 +194,21 @@ object Dedup {
     * Hot shingles above [[MaxShingleDf]] are removed via a broadcast
     * anti-join against the (tiny) hot-shingle census, bounding every
     * posting-list self-join key at df ≤ cap. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // sh feeds four branches (hot census, both join sides, the size
-    // aggregate) — materialize the exploded shingles once.
+  /** The df-capped shingle index — the ONE inverted-index universe both
+    * [[ngramJaccard]] and [[containmentDedup]] measure over (a change to
+    * the capping scheme lands in both by construction). The exploded
+    * shingles feed several branches (hot census, both join sides, the size
+    * aggregate) — materialized once. */
+  private def cappedShingles(spark: SparkSession, dir: String): DataFrame = {
     val sh0 = docShingles(spark, dir).localCheckpoint(true)
     val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf)
-    val sh = sh0.join(broadcast(hot.select("sh")), Seq("sh"), "left_anti")
+    sh0.join(broadcast(hot.select("sh")), Seq("sh"), "left_anti")
       .localCheckpoint(true)
+  }
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = cappedShingles(spark, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     intersectionCounts(sh).transform(withJaccard(sizes, threshold = 0.5))
   }
@@ -227,27 +234,33 @@ object Dedup {
     * another — an excerpt, a quote page, a boilerplate-wrapped copy.
     * Symmetric Jaccard misses exactly this case: as the containing
     * document grows, |A∩B|/|A∪B| shrinks while |A∩B|/|A| stays ≈ 1.
-    * Same scale shape as [[ngramJaccard]]: the hot-shingle-capped inverted
-    * index bounds every posting-list self-join key at df ≤
-    * [[MaxShingleDf]]; both directions of each sharing pair are scored
-    * (containment is asymmetric). Emits (contained, container) at ≥ 0.8 —
-    * the "drop the excerpt, keep the superset" list. */
+    * Same scale shape as [[ngramJaccard]]: the SAME hot-shingle-capped
+    * inverted index ([[cappedShingles]]) bounds every posting-list
+    * self-join key at df ≤ [[MaxShingleDf]], and the pair counts come out
+    * of the ordered (`doc_a < doc_b`) join — each sharing pair is
+    * aggregated ONCE, not once per orientation.
+    *
+    * Emits a TRUE drop list: exactly one row per qualifying pair,
+    * oriented smaller-set ⊂ larger-set (`contained` is the candidate to
+    * drop, `container` the survivor); equal set sizes keep the smaller
+    * doc id (the canonical-survivor convention the cluster dedups use).
+    * Scoring only the smaller side loses nothing — n_inter/|smaller| ≥
+    * n_inter/|larger|, so any qualifying orientation implies the
+    * smaller-side one qualifies — and a mutual near-identical pair can
+    * never emit both directions (which, read as a drop list, would drop
+    * every copy and keep none). */
   def containmentDedup(spark: SparkSession, dir: String): DataFrame = {
-    val sh0 = docShingles(spark, dir).localCheckpoint(true)
-    val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > MaxShingleDf)
-    val sh = sh0.join(broadcast(hot.select("sh")), Seq("sh"), "left_anti")
-      .localCheckpoint(true)
+    val sh = cappedShingles(spark, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("sa").join(sh.as("sb"),
-        col("sa.sh") === col("sb.sh") && col("sa.doc_id") =!= col("sb.doc_id"))
-      .groupBy(col("sa.doc_id").as("contained"), col("sb.doc_id").as("container"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("contained"), col("n_sh").as("n_c")),
-        "contained")
+    intersectionCounts(sh)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("contained",
+        when(col("n_a") < col("n_b"), col("doc_a")).otherwise(col("doc_b")))
+      .withColumn("container",
+        when(col("n_a") < col("n_b"), col("doc_b")).otherwise(col("doc_a")))
       .withColumn("containment",
-        round(col("n_inter").cast("double") / col("n_c"), 4))
+        round(col("n_inter").cast("double") / least(col("n_a"), col("n_b")), 4))
       .filter(col("containment") >= 0.8)
       .select("contained", "container", "containment")
   }
@@ -256,14 +269,16 @@ object Dedup {
     s"""WITH s AS ($cappedShinglesCte),
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY 1),
        |inter AS (
-       |  SELECT sa.doc_id AS contained, sb.doc_id AS container,
-       |    count(*) AS n_inter
-       |  FROM s sa JOIN s sb ON sa.sh = sb.sh AND sa.doc_id <> sb.doc_id
+       |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM s sa JOIN s sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
        |  GROUP BY 1, 2)
-       |SELECT contained, container,
-       |  round(CAST(n_inter AS DOUBLE) / n_sh, 4) AS containment
-       |FROM inter JOIN sizes ON sizes.doc_id = contained
-       |WHERE round(CAST(n_inter AS DOUBLE) / n_sh, 4) >= 0.8""".stripMargin
+       |SELECT CASE WHEN na.n_sh < nb.n_sh THEN doc_a ELSE doc_b END AS contained,
+       |  CASE WHEN na.n_sh < nb.n_sh THEN doc_b ELSE doc_a END AS container,
+       |  round(CAST(n_inter AS DOUBLE) / least(na.n_sh, nb.n_sh), 4) AS containment
+       |FROM inter
+       |JOIN sizes na ON na.doc_id = doc_a
+       |JOIN sizes nb ON nb.doc_id = doc_b
+       |WHERE round(CAST(n_inter AS DOUBLE) / least(na.n_sh, nb.n_sh), 4) >= 0.8""".stripMargin
 
   /** Near-dup clusters: connected components over the verified MinHash-LSH
     * pair graph; every clustered document maps to its canonical (minimum)
@@ -415,8 +430,10 @@ object Dedup {
        |SELECT node AS doc_id, min(label) AS canonical_id
        |FROM reach GROUP BY node""".stripMargin
 
-  /** SimHash: 16-bit sign fingerprint over distinct-token hashes. Documents
-    * with equal fingerprints are near-dup candidates. */
+  /** SimHash: [[Lex.SimhashBits]]-bit (32) sign fingerprint over
+    * distinct-token hashes. Documents with equal fingerprints are near-dup
+    * candidates. (16 bits was rejected — it collides far too often; size
+    * Hamming-ball buckets from the 2^32 fingerprint space.) */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(array_distinct(Lex.toks(col("text")))).as("tok"))

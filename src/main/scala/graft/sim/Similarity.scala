@@ -369,7 +369,14 @@ object Similarity {
       .withColumn("ccos", dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
       .select("vec_id", "cent_id", "ccos")
       .groupBy("vec_id")
-      .agg(max_by(col("cent_id"), col("ccos")).as("cent_id"))
+      // deterministic argmax tie-break, same as trainCentroids: the
+      // untrained variant seeds centroids from RAW corpus vectors, and a
+      // corpus with exact-duplicate embeddings among the seeds makes two
+      // centroids bit-equal — every vector then ties, and a bare max_by
+      // would pick a partial-aggregation-order-dependent winner while the
+      // oracle's ORDER BY ccos DESC, cent_id always takes the lowest cell
+      .agg(max_by(col("cent_id"),
+        struct(col("ccos").as("c"), (-col("cent_id")).as("t"))).as("cent_id"))
     val assigned = e.join(assignment, "vec_id")
       .select(col("vec_id"), col("cent_id"), col("embedding"), col("nrm"))
     val q = e.filter(col("vec_id") >= 10 && col("vec_id") < 15)

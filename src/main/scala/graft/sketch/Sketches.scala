@@ -52,10 +52,13 @@ object Sketches {
           .otherwise(lit(27L) - length(conv(v.cast("string"), 10, 2))))
       .groupBy("lang", "register").agg(max("rank").as("r"))
     // Σ 2^-rank over present registers + 1.0 per empty register (rank 0).
-    // 2^-r is written 1.0/(1<<r): integer shift + exact division — no libm
-    // pow in either engine, so not even a 1-ulp divergence is possible
+    // 2^-r is written CAST(1 AS DOUBLE)/(1<<r): each term is an exactly
+    // representable power of two, and every partial sum of ≤ M terms with
+    // r ≤ 27 needs ≤ 33 mantissa bits — exact in DOUBLE in ANY addition
+    // order, in both engines. (A bare `1.0` literal parses as DECIMAL and
+    // rounds ranks ≥ 23 at the decimal scale cap — engine-dependent.)
     val agg = reg.groupBy("lang")
-      .agg(sum(expr("1.0 / shiftleft(cast(1 as bigint), cast(r as int))"))
+      .agg(sum(expr("cast(1 as double) / shiftleft(cast(1 as bigint), cast(r as int))"))
         .as("present_sum"),
         count(lit(1)).as("n_present"))
       .withColumn("denom", col("present_sum") + (lit(M) - col("n_present")))
@@ -191,9 +194,10 @@ object Sketches {
       .groupBy("key")
       .agg(sum(when(col("bits").bitwiseAND(col("mask")) =!= 0, 1).otherwise(0)).as("hits"))
       .filter(col("hits") === BloomHashes)
-    val members = orders.select(col("key")).distinct()
+    // `orders` IS the distinct member-key set already — re-distincting it
+    // would re-run the orders scan and a second aggregate for nothing
     accepted.select(count(lit(1)).as("n_accepted"))
-      .crossJoin(members.select(count(lit(1)).as("n_members")))
+      .crossJoin(orders.select(count(lit(1)).as("n_members")))
       .crossJoin(custKeys.select((count(lit(1)) * 2).as("n_probed")))
       .select(col("n_probed"), col("n_members"), col("n_accepted"),
         (col("n_accepted") - col("n_members")).as("n_false_positives"))
@@ -241,7 +245,7 @@ object Sketches {
        |             ELSE 27 - length(bin(h // $M)) END) AS r
        |  FROM tok GROUP BY 1, 2),
        |agg AS (
-       |  SELECT lang, sum(1.0 / (1::BIGINT << r)) AS present_sum,
+       |  SELECT lang, sum(CAST(1 AS DOUBLE) / (1::BIGINT << r)) AS present_sum,
        |    count(*) AS n_present
        |  FROM reg GROUP BY 1),
        |est AS (
@@ -282,7 +286,7 @@ object Sketches {
     val nShards = shardRegs.select(countDistinct("source").as("n_shards"))
     val merged = shardRegs.groupBy("register").agg(max("r").as("r"))
     val est = merged
-      .agg(sum(expr("1.0 / shiftleft(cast(1 as bigint), cast(r as int))"))
+      .agg(sum(expr("cast(1 as double) / shiftleft(cast(1 as bigint), cast(r as int))"))
         .as("present_sum"), count(lit(1)).as("n_present"))
       .withColumn("raw_est", lit(Alpha64) * M * M /
         (col("present_sum") + (lit(M) - col("n_present"))))
@@ -393,7 +397,7 @@ object Sketches {
        |merged AS (
        |  SELECT register, max(r) AS r FROM shard_regs GROUP BY 1),
        |agg AS (
-       |  SELECT sum(1.0 / (1::BIGINT << r)) AS present_sum, count(*) AS n_present
+       |  SELECT sum(CAST(1 AS DOUBLE) / (1::BIGINT << r)) AS present_sum, count(*) AS n_present
        |  FROM merged),
        |est AS (
        |  SELECT CASE WHEN raw_est <= 2.5 * $M AND n_present < $M
