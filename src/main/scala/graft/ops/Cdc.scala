@@ -44,9 +44,7 @@ object Cdc {
     Tables.events(spark, dir).select(
       col("event_id").as("commit_ts"),
       col("user_id").as("pk"),
-      when(col("event_type") === "signup", "I")
-        .when(col("event_type") === "error", "D")
-        .otherwise("U").as("op"),
+      expr(opCaseSql).as("op"), // ONE mapping, shared with every oracle CTE
       col("event_type"), col("ts"), col("value"), col("props"))
 
   /** A1: merge-by-primary-key log compaction

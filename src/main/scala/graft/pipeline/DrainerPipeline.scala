@@ -135,20 +135,28 @@ object DrainerPipeline {
 
   private def startApply(changes: DataFrame, stateRoot: String,
       checkpoint: String, cfg: DrainerConfig): StreamingQuery = {
-    val filtered = {
-      var df = changes
-      if (cfg.ignoreCommitTs.nonEmpty)
-        df = df.filter(!col("commit_ts").isin(cfg.ignoreCommitTs: _*))
-      cfg.minValue.foreach(v => df = df.filter(col("value") >= v))
-      df
-    }
+    // F2 needs an event_type column; the compact streaming envelope drops
+    // it after the op mapping — reject the config loudly instead of
+    // silently applying the events batch() would have dropped
+    require(cfg.dropEventTypes.isEmpty || changes.columns.contains("event_type"),
+      "dropEventTypes requires an envelope carrying event_type; the " +
+        "compact change envelope drops it after the op mapping")
     val sink = new UpsertSink(stateRoot)
-    filtered.writeStream
+    changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
+        // SAME order as batch(), via the SAME applyFilters: loopback break
+        // FIRST, then the config filters, then mark injection. A mark row
+        // carries value = channelId, so a minValue (or any other) filter
+        // upstream of the mark scan would strip the incoming marks and
+        // silently disable the F4 cycle break — looped-back transactions
+        // would re-apply and re-emit forever.
+        val unlooped = cfg.loopbackChannel
+          .map(ch => Filters.dropMarkedTxns(b, ch)).getOrElse(b)
+        val filtered = applyFilters(unlooped, cfg)
         val routed = cfg.loopbackChannel match {
           case Some(ch) =>
-            val marked = Filters.injectLoopbackMarks(Filters.dropMarkedTxns(b, ch), ch)
+            val marked = Filters.injectLoopbackMarks(filtered, ch)
             // idempotent per batch id: a replayed/retried batch OVERWRITES
             // its own batch=<id> partition instead of appending a duplicate
             // set of marked txns for a counterpart drainer to re-apply (the
@@ -156,7 +164,7 @@ object DrainerPipeline {
             // check; the outbinlog ship must be guarded the same way)
             marked.write.mode("overwrite").parquet(s"$stateRoot/outbinlog/batch=$id")
             marked
-          case None => b
+          case None => filtered
         }
         sink.applyBatch(routed, id): Unit
       }

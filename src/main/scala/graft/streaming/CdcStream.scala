@@ -51,9 +51,7 @@ object CdcStream {
       .select(
         col("event_id").as("commit_ts"),
         col("user_id").as("pk"),
-        when(col("event_type") === "signup", "I")
-          .when(col("event_type") === "error", "D")
-          .otherwise("U").as("op"),
+        expr(graft.ops.Cdc.opCaseSql).as("op"), // single-sourced op mapping
         col("ts"),
         col("value"))
   }

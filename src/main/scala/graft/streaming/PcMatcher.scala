@@ -48,7 +48,6 @@ object PcMatcher {
         e.kind match {
           case "P" =>
             state.update(Pending(e.payloadTs))
-            state.setTimeoutDuration(timeoutMs)
           case "C" =>
             if (state.exists) {
               out += Matched(startTs, state.get.prewriteTs, e.payloadTs, "matched")
@@ -62,6 +61,16 @@ object PcMatcher {
           case _ =>
         }
       }
+      // (re)arm AFTER the event loop: GroupState clears the stored timeout
+      // on EVERY function invocation, so any batch touching this key — in
+      // particular one carrying only an unrecognized kind from a newer
+      // producer — must re-set the timer while a prewrite is still
+      // pending. Arming only inside the "P" case would let such a batch
+      // silently DISARM the escalation: the pending entry never times out,
+      // `unresolved` never fires, and the state row leaks forever. (The
+      // timer restarting from the key's last activity is the semantics the
+      // reference's resolver escalation has too.)
+      if (state.exists) state.setTimeoutDuration(timeoutMs)
       out.iterator
     }
   }

@@ -51,6 +51,23 @@ class StreamingSpec extends SparkSpec {
     assert(m5 == Seq(PcMatcher.Matched(4L, 9L, -1L, "unresolved")) && !s5.exists)
   }
 
+  test("pc matcher re-arms the timeout when a batch carries only unknown kinds (T1)") {
+    // GroupState clears the stored timeout on EVERY function invocation;
+    // a batch delivering only an unrecognized kind for a key with a
+    // pending prewrite used to fall through `case _` without re-arming —
+    // permanently disarming the unresolved escalation and leaking the
+    // state row. The timer must be re-set whenever a prewrite is pending.
+    import org.apache.spark.sql.streaming.TestGroupState
+    val st = TestGroupState.create[PcMatcher.Pending](
+      Optional.of(PcMatcher.Pending(100L)),
+      GroupStateTimeout.ProcessingTimeTimeout, 2000L, Optional.of(0L), false)
+    val out = PcMatcher.matchFn(600000L)(5L,
+      Iterator(PcEvent(5L, "X", 101L)), st).toSeq
+    assert(out.isEmpty && st.exists, "unknown kinds neither emit nor clear")
+    assert(st.getTimeoutTimestampMs.isPresent,
+      "a pending prewrite must leave the invocation with its timeout armed")
+  }
+
   test("schema tracker: versioned lookups mirror the DDL history") {
     val t = new SchemaTracker(historyDepth = 10)
     t.createTable("db", "t1", Seq("a", "b"), version = 1)
@@ -888,6 +905,39 @@ class StreamingSpec extends SparkSpec {
     assert(Filters.dropMarkedTxns(back, 42L).count() == 0)
     // a foreign channel's drainer passes all of it through untouched
     assert(Filters.dropMarkedTxns(back, 7L).count() == back.count())
+  }
+
+  test("streaming loopback break survives config filters (F4∘F1 ordering)") {
+    // regression: the streaming drainer used to apply minValue UPSTREAM of
+    // the per-batch mark scan — mark rows carry value = channelId, so a
+    // threshold above the channel id stripped the marks, the cycle break
+    // found nothing, and every looped-back transaction re-applied. The
+    // fixed order (drop marked txns → config filters → inject) matches
+    // batch(); this feeds the drainer a stream where EVERY txn carries our
+    // channel's mark and asserts nothing at all survives.
+    import graft.pipeline.{DrainerConfig, DrainerPipeline}
+    val in = graft.util.Scratch.dir("graft_loopf1_in")
+    val stateRoot = graft.util.Scratch.dir("graft_loopf1_state")
+    val ckpt = graft.util.Scratch.dir("graft_loopf1_ckpt")
+    val raw = spark.read.parquet(s"$sf/events.parquet").filter(col("event_id") < 200)
+    // the envelope image of a channel-42 mark row, in RAW event space:
+    // user_id lands in the reserved negative pk keyspace, value = channel.
+    // ts shifted +1ms so the F10 (commit_ts, ts) dedup keeps mark AND row.
+    val markRaw = raw.select(col("event_id"),
+      (col("ts") + expr("INTERVAL 1 MILLISECOND")).as("ts"),
+      (-(col("event_id") % lit(graft.ops.Filters.LoopbackWorkers)) - 1).as("user_id"),
+      lit("mark").as("event_type"), lit(42.0).as("value"),
+      lit(null).cast("string").as("props"))
+    addFile(raw.unionByName(markRaw)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props"),
+      in, "looped")
+    val q = DrainerPipeline.streaming(spark, in, stateRoot, ckpt,
+      DrainerConfig(minValue = Some(50.0), loopbackChannel = Some(42L)))
+    try q.processAllAvailable() finally q.stop()
+    val state = new UpsertSink(stateRoot).currentState(spark)
+    assert(state.count() == 0,
+      "every txn carried our mark: the cycle break must drop them ALL, " +
+        "even with a minValue filter above the channel id")
   }
 
   test("streaming session windows match batch sessionization totals") {
