@@ -242,21 +242,30 @@ object Multimodal {
       * data chunk are present with consistent framing. */
     def sniff(b: Array[Byte]): Option[SniffedWav] = {
       if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
-      var i = 12
+      // Long index walk: a hostile declared chunk size near Int.MaxValue
+      // must advance past the buffer end (loop exits), never WRAP to a
+      // negative Int index and throw out of the task — malformed bytes of
+      // unknown provenance take the documented None path
+      var i = 12L
       var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
       var dataLen = -1
       while (i + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
-        val id = tag(b, i)
-        val sz = rdLe32(b, i + 4)
+        val ii = i.toInt
+        val id = tag(b, ii)
+        val sz = rdLe32(b, ii + 4)
         if (sz < 0) return None
         if (id == "fmt " && sz >= 16 && i + 8 + 16 <= b.length)
-          fmt = Some((rdLe16(b, i + 10), rdLe32(b, i + 12), rdLe16(b, i + 22)))
+          fmt = Some((rdLe16(b, ii + 10), rdLe32(b, ii + 12), rdLe16(b, ii + 22)))
         else if (id == "data")
-          dataLen = math.min(sz, b.length - i - 8) // tolerate truncated tails
-        i += 8 + sz + (sz & 1) // chunks are word-aligned
+          dataLen = math.min(sz.toLong, b.length - i - 8).toInt // truncated tails tolerated
+        i += 8L + sz + (sz & 1) // chunks are word-aligned
       }
-      fmt.collect { case (ch, rate, bits) if dataLen >= 0 && ch > 0 && bits > 0 =>
-        SniffedWav(ch, rate, bits, dataLen.toLong / (ch * bits / 8))
+      // rate > 0 and whole-byte sample widths join the validity gate: a
+      // crafted fmt chunk (4-bit samples, zero rate) must sniff to None,
+      // not divide by zero inside frame/duration arithmetic
+      fmt.collect { case (ch, rate, bits) if dataLen >= 0 && ch > 0 &&
+          rate > 0 && bits > 0 && bits % 8 == 0 =>
+        SniffedWav(ch, rate, bits, dataLen.toLong / (ch * (bits / 8)))
       }
     }
   }

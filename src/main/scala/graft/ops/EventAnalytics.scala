@@ -151,7 +151,11 @@ object EventAnalytics {
       .agg(
         first("n").as("n"),
         round(first("mean_q") / 1e4, 4).as("mean_value"),
-        round(sqrt(first("var_q")) / 1e4, 4).as("std_value"),
+        // clamp: s2/n - mean² can round to a tiny NEGATIVE for a
+        // near-constant series at large magnitude — Spark's sqrt would
+        // yield NaN while DuckDB ABORTS on sqrt of a negative, so both
+        // sides clamp at zero before the root
+        round(sqrt(greatest(first("var_q"), lit(0.0))) / 1e4, 4).as("std_value"),
         sum(when(col("dev2") > lit(9.0) * col("var_q"), 1L).otherwise(0L)).as("n_anomalies"))
       .orderBy("event_type")
   }
@@ -168,7 +172,7 @@ object EventAnalytics {
       |)
       |SELECT ev.event_type, any_value(n) AS n,
       |       round(any_value(mean_q) / 1e4, 4) AS mean_value,
-      |       round(sqrt(any_value(var_q)) / 1e4, 4) AS std_value,
+      |       round(sqrt(greatest(any_value(var_q), 0)) / 1e4, 4) AS std_value,
       |       CAST(sum(CASE WHEN (q - mean_q)*(q - mean_q) > 9.0*var_q
       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
       |FROM ev JOIN st ON ev.event_type = st.event_type

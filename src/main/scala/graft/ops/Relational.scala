@@ -697,7 +697,7 @@ object Relational {
     * shuffle on l_partkey, NO row_number window (a window would re-sort the
     * whole bridge), and the supplier/nation/region side is broadcast (dims),
     * so lineitem is the only shuffled input. The tie-break is packed into
-    * the ordering value (bal · 10⁶ + suppkey, exact integer arithmetic) so
+    * the ordering value (bal · 10⁹ + suppkey, exact integer arithmetic) so
     * min_by is deterministic and both engines agree bit-for-bit. */
   def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.nation(spark, dir)
@@ -709,8 +709,12 @@ object Relational {
         // deterministic argmin key: acctbal is 2-decimal, ×100 is integer-
         // exact; +10^5 keeps the key positive for negative balances (Spark
         // `div` truncates toward zero, DuckDB `//` floors — they only agree
-        // on non-negatives); ×10^6 headroom then + suppkey breaks ties
-        ((round(col("s_acctbal") * 100).cast("long") + 100000L) * 1000000L +
+        // on non-negatives); ×10^9 headroom then + suppkey breaks ties.
+        // 10^9 and not 10^6: TPC-H has 10^4 suppliers per SF, so a 10^6
+        // slot overflows into the balance digits at SF ≥ 100 — exactly the
+        // scale this engine targets — and silently elects the wrong
+        // supplier. 1.1·10^6 × 10^9 + 10^9 < 2^63 with ample room.
+        ((round(col("s_acctbal") * 100).cast("long") + 100000L) * 1000000000L +
           col("s_suppkey")).as("ord"))
     val p = Tables.part(spark, dir).filter(col("p_type") === "STANDARD")
       .select(col("p_partkey"), col("p_brand"), col("p_size"))
@@ -724,14 +728,14 @@ object Relational {
     best.join(p, col("l_partkey") === col("p_partkey"))
       .select(col("p_partkey"), col("p_brand"), col("p_size"),
         col("w.s_name").as("s_name"), col("w.n_name").as("n_name"),
-        round((expr("min_ord div 1000000") - 100000L).cast("double") / 100.0, 2)
+        round((expr("min_ord div 1000000000") - 100000L).cast("double") / 100.0, 2)
           .as("s_acctbal"))
   }
 
   def minCostSupplierSql: String =
     """WITH s AS (
       |  SELECT s_suppkey, s_name, n_name,
-      |    (CAST(round(s_acctbal * 100) AS BIGINT) + 100000) * 1000000
+      |    (CAST(round(s_acctbal * 100) AS BIGINT) + 100000) * 1000000000
       |      + s_suppkey AS ord
       |  FROM supplier
       |  JOIN nation ON s_nationkey = n_nationkey
@@ -744,7 +748,7 @@ object Relational {
       |  FROM bridge JOIN s ON l_suppkey = s_suppkey
       |  GROUP BY l_partkey)
       |SELECT p_partkey, p_brand, p_size, s_name, n_name,
-      |  round(CAST(min_ord // 1000000 - 100000 AS DOUBLE) / 100.0, 2) AS s_acctbal
+      |  round(CAST(min_ord // 1000000000 - 100000 AS DOUBLE) / 100.0, 2) AS s_acctbal
       |FROM best JOIN part ON l_partkey = p_partkey
       |WHERE p_type = 'STANDARD'""".stripMargin
 

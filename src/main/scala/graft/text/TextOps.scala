@@ -12,7 +12,13 @@ import graft.model.Tables
   */
 object TextOps {
 
+  // regex constants single-sourced for the Spark plan AND the oracle SQL
+  // (the Lex pattern: editing one copy of a duplicated pattern silently
+  // breaks cross-engine agreement, detected only as a hash mismatch);
+  // patterns stay in the common Java-regex/RE2 subset
   private val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\\b"
 
   /** Token counting: whitespace tokens and a BPE-ish regex segmentation
     * (letter runs / digit runs / single symbols). */
@@ -26,7 +32,7 @@ object TextOps {
   def tokenCountsSql: String =
     s"""SELECT doc_id,
        |  len(${Lex.toksSql("text")}) AS n_tokens,
-       |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe,
+       |  len(regexp_extract_all(lower(text), '$bpePattern')) AS n_bpe,
        |  n_chars
        |FROM documents""".stripMargin
 
@@ -280,6 +286,9 @@ object TextOps {
       .withColumn("comp",
         // k1+1 is written as the literal 2.2 (not computed): the Scala-time
         // sum 1.2+1.0 and the SQL parser's literal 2.2 could land on
+        // different doubles. The oracle writes CAST(2.2 AS DOUBLE): a bare
+        // 2.2 next to the BIGINT tf is DECIMAL in DuckDB — tf*2.2 would be
+        // decimal-exact there and IEEE-rounded here, a real 1-ulp split.
         // different last-bit doubles; a shared literal cannot
         col("idf") * (col("tf") * lit(2.2)) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / col("avgdl"))))
@@ -318,7 +327,7 @@ object TextOps {
        |comp AS (
        |  SELECT tf.doc_id, tf.tok,
        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-       |      * (tf.tf * 2.2)
+       |      * (tf.tf * CAST(2.2 AS DOUBLE))
        |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.len / (CAST(sum_len AS DOUBLE) / n_docs)))
        |      AS comp
        |  FROM tf JOIN dfn USING (tok) CROSS JOIN stats),
@@ -440,8 +449,7 @@ object TextOps {
     * no lookaround), so both engines match identical spans. Output carries
     * the redacted text's digest, not the text — constant-width rows. */
   def piiRedact(spark: SparkSession, dir: String): DataFrame = {
-    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-    val phone = "\\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\\b"
+    val (email, phone) = (EmailRe, PhoneRe)
     val planted = concat(col("text"),
       lit(" contact user"), col("doc_id"), lit("@example.com or 555-"),
       lpad(col("doc_id") % 1000, 3, "0"), lit("-"),
@@ -456,8 +464,7 @@ object TextOps {
   }
 
   def piiRedactSql: String = {
-    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-    val phone = "\\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\\b"
+    val (email, phone) = (EmailRe, PhoneRe)
     s"""WITH p AS (
        |  SELECT doc_id,
        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
@@ -531,6 +538,11 @@ object TextOps {
     * bounded by n/stride per document. */
   def chunkWindows(spark: SparkSession, dir: String, win: Int = 64,
       stride: Int = 48): DataFrame = {
+    // overlapping-or-adjacent windows only: stride > win makes the last
+    // chunk's slice length negative — Spark's slice() throws mid-job while
+    // the SQL twin's list_slice tolerates it, so reject the shape up front
+    require(stride > 0 && win > 0 && stride <= win,
+      s"chunkWindows needs 0 < stride <= win, got win=$win stride=$stride")
     val toked = Tables.documents(spark, dir)
       .select(col("doc_id"), Lex.toks(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"))
@@ -651,10 +663,13 @@ object TextOps {
     val b = ParaBlock
     // `div`, not `/` (Column./ on ints is double division); empty docs are
     // filtered BEFORE the sequence (Spark's sequence(0, -1) counts DOWN).
-    // First-occurrence key packs (doc_id, pos) into one long — pos < 1000
-    // blocks/doc is guaranteed by the corpus (≤ ~100 tokens/doc); an
-    // integer min is ordering-parity-safe across engines where a struct
-    // min's comparison semantics are not.
+    // First-occurrence key packs (doc_id, pos) into one long — an integer
+    // min is ordering-parity-safe across engines where a struct min's
+    // comparison semantics are not. The pos slot is 2^20 (≈1M blocks =
+    // 4M tokens per doc, far beyond any real document; doc_id keeps 2^43),
+    // NOT a 10^3 slot sized to the test fixture: a >1000-block document
+    // would alias another doc's early blocks and silently mis-elect the
+    // first occurrence.
     val blocks = Tables.documents(spark, dir)
       .select(col("doc_id"), Lex.toks(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
@@ -662,7 +677,7 @@ object TextOps {
         s"transform(sequence(0, (size(toks) + ${b - 1}) div $b - 1), " +
           s"i -> concat_ws('_', slice(toks, i * $b + 1, $b)))")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("block"))
-      .withColumn("occ_key", col("doc_id") * 1000L + col("pos"))
+      .withColumn("occ_key", shiftleft(col("doc_id"), 20) + col("pos"))
     val firstOcc = blocks.groupBy("block").agg(min("occ_key").as("f"))
     blocks.join(firstOcc, "block")
       .groupBy("doc_id")
@@ -683,7 +698,7 @@ object TextOps {
        |blocks AS (
        |  SELECT doc_id, unnest(range(0, len(blocks))) AS pos,
        |    unnest(blocks) AS block FROM b0),
-       |keyed AS (SELECT doc_id, block, doc_id * 1000 + pos AS occ_key FROM blocks),
+       |keyed AS (SELECT doc_id, block, (doc_id << 20) + pos AS occ_key FROM blocks),
        |first_occ AS (SELECT block, min(occ_key) AS f FROM keyed GROUP BY block)
        |SELECT doc_id, count(*) AS n_blocks,
        |  CAST(sum(CASE WHEN occ_key = f THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
