@@ -11,9 +11,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
 /** Native codegen'd dot product of two `array<float>` columns, accumulated
   * in double in element order — bit-identical to the declarative
   * `aggregate(zip_with(a, b, (x, y) => x*y), 0.0, _+_)` fold (same IEEE op
-  * sequence) and to DuckDB's `list_sum(list_transform(list_zip(...)))`, but
-  * one tight loop instead of an interpreted lambda tree with two
-  * intermediate arrays per row. Higher-order functions are CodegenFallback
+  * sequence) and to the length-guarded DuckDB twin
+  * ([[graft.sim.Similarity.dotSql]]: a bare `list_sum` over `list_zip`
+  * would SKIP the pad nulls of a ragged pair and return a truncated sum
+  * where this returns NULL — the guard keeps the engines identical on ALL
+  * inputs), but one tight loop instead of an interpreted lambda tree with
+  * two intermediate arrays per row. Higher-order functions are CodegenFallback
   * in Spark, so on pair-join hot paths (ANN verify, IVF assignment) the
   * declarative form dominates the profile; this expression keeps the loop
   * inside whole-stage codegen.
@@ -85,8 +88,16 @@ case class DotProd(left: Expression, right: Expression) extends BinaryExpression
   * [[graft.text.Lex]]), not as child expressions — constant folding over
   * 16×64 literal arrays per row is exactly the overhead this avoids.
   */
-case class PlaneKey(child: Expression, planes: Array[Array[Double]])
+case class PlaneKey(child: Expression, planes: Seq[Seq[Double]])
     extends UnaryExpression {
+
+  // the constructor arg stays a value-equal Seq: an Array field makes the
+  // case-class equals/hashCode use reference identity, so two structurally
+  // identical plane_key calls would never canonicalize together and
+  // Catalyst's subexpression/exchange reuse would recompute all 16×64 dot
+  // products once per occurrence; eval reads this once-converted matrix
+  @transient private lazy val mat: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -99,8 +110,8 @@ case class PlaneKey(child: Expression, planes: Array[Array[Double]])
     val x = a.asInstanceOf[ArrayData]
     var key = 0L
     var p = 0
-    while (p < planes.length) {
-      val w = planes(p)
+    while (p < mat.length) {
+      val w = mat(p)
       val n = math.min(x.numElements(), w.length)
       var dot = 0.0
       var i = 0
@@ -112,7 +123,7 @@ case class PlaneKey(child: Expression, planes: Array[Array[Double]])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val mat = ctx.addReferenceObj("planes", planes, "double[][]")
+    val mat = ctx.addReferenceObj("planes", this.mat, "double[][]")
     nullSafeCodeGen(ctx, ev, a => {
       val p = ctx.freshName("p")
       val i = ctx.freshName("i")
@@ -148,5 +159,5 @@ object VectorExprs {
   /** `plane_key(v, planes)`: sign-LSH bucket key over a hyperplane table. */
   def plane_key(v: Column, planes: Seq[Seq[Long]]): Column =
     graftshim.exprColumn(PlaneKey(graftshim.columnExpr(v),
-      planes.map(_.map(_.toDouble).toArray).toArray))
+      planes.map(_.map(_.toDouble))))
 }

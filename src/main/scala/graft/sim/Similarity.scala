@@ -30,8 +30,15 @@ object Similarity {
     * pins their equality). */
   def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dot_prod(a, b)
 
+  /** The NULL-on-length-mismatch guard matches the engine side exactly:
+    * `DotProd` (and the declarative `zip_with` fold, where the pad null
+    * poisons the sum) returns NULL for ragged vectors, while a bare
+    * `list_sum` over `list_zip` would SKIP the pad nulls and return a
+    * silently truncated dot — the one input class where the two engines
+    * would otherwise diverge. */
   def dotSql(a: String, b: String): String =
-    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    s"CASE WHEN len($a) = len($b) THEN " +
+      s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) END"
 
   def norm(a: Column): Column = sqrt(dot(a, a))
   def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"

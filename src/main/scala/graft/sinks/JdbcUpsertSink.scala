@@ -63,7 +63,10 @@ object JdbcUpsertSink {
     * the query's cost scales with the prefix, not the corpus. */
   def stateQuery(spark: SparkSession, dir: String): DataFrame = {
     val changes = graft.ops.Cdc.changes(spark, dir)
-    val maxTs = changes.agg(max("commit_ts")).head.getLong(0)
+    // empty change set -> NULL max; getLong would NPE where the degenerate
+    // path should just apply an empty slice (same guard as batchQuery)
+    val maxRow = changes.agg(max("commit_ts")).head
+    val maxTs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     val slice = changes.filter(col("commit_ts") <= maxTs * 2 / 10)
       .select("pk", "commit_ts", "op", "value")
     // per-invocation in-memory database, reclaimed prefix-scoped (the
@@ -144,36 +147,47 @@ class JdbcUpsertSink(url: String, stateTable: String = "GRAFT_STATE",
     val ddls = batch.filter(col("op") === "DDL")
       .select(col("commit_ts"),
         (if (hasDdlSql) col("ddl_sql") else lit(null).cast("string")).as("ddl_sql"))
-      .orderBy("commit_ts").collect()
+      .collect()
     val barriers = ddls.map(r =>
         (r.getAs[Long]("commit_ts"), Option(r.getAs[String]("ddl_sql"))))
       .sortBy(_._1) :+ ((Long.MaxValue, None: Option[String]))
     var lower = Long.MinValue
+    var maxTs = prev.commitTs
     barriers.foreach { case (upper, stmt) =>
       val slice = batch.filter(col("op") =!= "DDL" &&
         col("commit_ts") > lower && col("commit_ts") <= upper)
-      applySlice(slice)
-      if (upper != Long.MaxValue) withConn { c =>
-        // execute alone, then log; an exception propagates and leaves the
-        // checkpoint at the previous batch — replay re-runs from the barrier
-        stmt.foreach { sql =>
-          val st = c.createStatement()
-          try st.execute(sql) finally st.close()
+      maxTs = math.max(maxTs, applySlice(slice))
+      if (upper != Long.MaxValue) {
+        withConn { c =>
+          // skip a barrier this batch already executed AND logged: a crash
+          // between a DDL and the checkpoint save replays the batch, and
+          // re-running the ALTER would throw and wedge every retry (same
+          // guard as JdbcSchemaLoader.applyBatch). Otherwise execute alone,
+          // then log; an exception propagates and leaves the checkpoint at
+          // the previous batch — replay re-runs from the barrier.
+          if (!JdbcMeta.ddlLogged(c, batchId, upper)) {
+            stmt.foreach { sql =>
+              val st = c.createStatement()
+              try st.execute(sql) finally st.close()
+            }
+            JdbcMeta.logDdl(c, batchId, upper, stmt.getOrElse(s"ddl@$upper"))
+          }
         }
-        JdbcMeta.logDdl(c, batchId, upper, stmt.getOrElse(s"ddl@$upper"))
+        maxTs = math.max(maxTs, upper)
       }
       lower = upper
     }
-    val maxTsRow = batch.agg(max("commit_ts")).collect()(0)
-    val maxTs = if (maxTsRow.isNullAt(0)) prev.commitTs else maxTsRow.getLong(0)
     val version = math.max(schemaVersion, prev.schemaVersion)
-    saveCheckpoint(Checkpoint(batchId, math.max(maxTs, prev.commitTs), version,
-      consistent = true))
+    saveCheckpoint(Checkpoint(batchId, maxTs, version, consistent = true))
     true
   }
 
-  private def applySlice(slice: DataFrame): Unit = {
-    if (slice.isEmpty) return
+  /** Returns the slice's max applied commit_ts (Long.MinValue when empty),
+    * computed with the emptiness check in ONE aggregate over the
+    * checkpointed merged frame — the caller's checkpoint watermark costs
+    * no second pass over the raw batch lineage (same shape as
+    * JdbcSchemaLoader.applyTable). */
+  private def applySlice(slice: DataFrame): Long = {
     // merge by PK: one DML per key, newest image wins; classify the merged
     // DML by its final op (ref: pkg/loader/merge.go — the merged type is
     // what execTableBatch groups on)
@@ -186,6 +200,11 @@ class JdbcUpsertSink(url: String, stateTable: String = "GRAFT_STATE",
       // dispatch (load.go:529-575); partitions never contend on a key
       .repartition(applyPartitions, col("pk"))
       .localCheckpoint(true) // applied twice (delete pass, upsert pass)
+    // the merged max equals the slice max: each pk's newest row survives,
+    // so the row holding the global max commit_ts is always kept
+    val stats = merged.agg(count(lit(1)), max("commit_ts")).collect()(0)
+    if (stats.getLong(0) == 0L) return Long.MinValue
+    val sliceMaxTs = stats.getLong(1)
 
     // capture locals, not `this`-bound config lookups, inside the closures
     val (u, tbl, bs, single) = (url, stateTable, batchSize, singleExec)
@@ -255,5 +274,6 @@ class JdbcUpsertSink(url: String, stateTable: String = "GRAFT_STATE",
           c.close()
         }
     }
+    sliceMaxTs
   }
 }

@@ -63,12 +63,40 @@ object InfoSchema {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
 
   /** Populate a [[SchemaTracker]] from the catalog — the S8 bootstrap the
-    * reference does once per table before applying DMLs. */
+    * reference does once per table before applying DMLs.
+    *
+    * Each catalog frame is collected ONCE and bucketed driver-side: a
+    * per-table `tableInfo` call would re-filter and re-collect both frames
+    * per table — against a real JDBC-backed information_schema that is
+    * 2·T+1 database round-trips for T tables, for data this doc already
+    * promises "collects once at the driver". */
   def loadInto(tracker: SchemaTracker, columnsDf: DataFrame, statsDf: DataFrame,
-      version: Long): Seq[TableInfo] =
-    tables(columnsDf).map { case (s, t) =>
-      val info = tableInfo(columnsDf, statsDf, s, t)
+      version: Long): Seq[TableInfo] = {
+    val colRows = columnsDf
+      .filter(!upper(coalesce(col("extra"), lit(""))).contains("GENERATED"))
+      .select("table_schema", "table_name", "column_name", "ordinal_position")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)))
+      .toSeq.groupBy(r => (r._1, r._2))
+    val keyRows = statsDf
+      .filter(col("non_unique") === 0)
+      .select("table_schema", "table_name", "index_name", "seq_in_index",
+        "column_name")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3),
+        r.getString(4)))
+      .toSeq.groupBy(r => (r._1, r._2))
+    colRows.keys.toSeq.sorted.map { case (s, t) =>
+      val cols = colRows(s -> t).sortBy(_._4).map(_._3)
+      val grouped = keyRows.getOrElse(s -> t, Seq.empty)
+        .sortBy(r => (r._3, r._4))
+        .groupBy(_._3).view.mapValues(_.map(_._5)).toMap
+        .map { case (name, cs) => IndexInfo(name, cs) }.toSeq
+        .sortBy(_.name)
+      val (primary, others) = grouped.partition(_.name == "PRIMARY")
+      val info = TableInfo(s, t, cols, primary.headOption, primary ++ others)
       tracker.createTable(s, t, info.columns, version)
       info
     }
+  }
 }
