@@ -27,20 +27,37 @@ import org.apache.spark.sql.functions._
 object Asof {
 
   /** Right side must be small (broadcast). `leftTs`/`rightTs` name the
-    * ordering columns; every right column except `rightTs` is carried. */
+    * ordering columns; every right column except `rightTs` is carried.
+    * The right side is projected under internal names first, so the two
+    * sides may share column names (a DML and a DDL stream both carrying
+    * `commit_ts` — the documented pairing) without ambiguous references.
+    *
+    * The per-left-row reduction is a hash aggregate with `max_by`, NOT a
+    * row_number window: a window partitioned on the row tag would
+    * hash-shuffle and sort the ENTIRE join fan-out (each left row × its
+    * matching right rows) — a multiple-of-input shuffle that contradicts
+    * the no-big-side-shuffle strategy. The aggregate collapses the fan-out
+    * map-side, so only ~|left| rows move (the same shape as [[maxLeq]]). */
   def broadcastAsof(left: DataFrame, right: DataFrame,
                     leftTs: String, rightTs: String): DataFrame = {
+    val rCols = right.columns.filterNot(_ == rightTs).toSeq
+    require(rCols.nonEmpty,
+      s"right side carries no columns besides $rightTs — use maxLeq")
     // a unique per-row tag, not the left columns themselves, keys the
     // post-join reduction: two identical left rows must each survive.
     val tagged = left.withColumn("__rid", monotonically_increasing_id())
-    val joined = tagged.join(broadcast(right), col(leftTs) >= col(rightTs), "left")
-    // keep, per left row, the right row with the greatest rightTs
-    val w = Window.partitionBy(col("__rid"))
-      .orderBy(col(rightTs).desc_nulls_last)
-    joined
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__rid")
+    val r = right.select(col(rightTs).as("__rts") +:
+      rCols.map(c => col(c).as(s"__r_$c")): _*)
+    val joined = tagged.join(broadcast(r), col(leftTs) >= col("__rts"), "left")
+    val groupCols: Seq[Column] = tagged.columns.map(col).toSeq
+    joined.groupBy(groupCols: _*)
+      // max_by ignores NULL ordering values (the unmatched left-join rows),
+      // and an all-NULL group yields a NULL struct — left rows with no
+      // match carry NULL right columns, like the window form did
+      .agg(max_by(struct(rCols.map(c => col(s"__r_$c").as(c)): _*),
+        col("__rts")).as("__best"))
+      .select(groupCols ++ rCols.map(c => col(s"__best.$c").as(c)): _*)
+      .drop("__rid")
   }
 
   /** Both sides keyed by `key`: one shuffle, per-key ordered window. Right
@@ -48,12 +65,21 @@ object Asof {
     * recent right payload forward onto each left row. */
   def keyedAsof(left: DataFrame, right: DataFrame, key: String,
                 leftTs: String, rightTs: String, payload: String): DataFrame = {
+    // the payload rides inside a one-field struct: the STRUCT is non-null
+    // for every right row even when the payload value itself is NULL, so
+    // last(ignoreNulls) anchors on "latest right ROW", not "latest
+    // non-null value" — a right row legitimately carrying NULL must win
+    // over an older non-null one, exactly as the DuckDB ASOF oracle does
+    // (a bare nullable payload column cannot distinguish a NULL-valued
+    // right row from a left carrier row)
+    val pType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", right.schema(payload).dataType)))
     val l = left.withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(0))
-      .withColumn("__p", lit(null).cast(right.schema(payload).dataType))
+      .withColumn("__p", lit(null).cast(pType))
     val r = right.select(
       col(key), col(rightTs).as("__ts"), lit(1).as("__side"),
-      col(payload).as("__p"))
+      struct(col(payload).as("v")).as("__p"))
     val rPadded = l.columns.foldLeft(r) { (df, c) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(l.schema(c).dataType))
@@ -63,7 +89,7 @@ object Asof {
     val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rPadded.unionByName(l)
-      .withColumn(payload, last("__p", ignoreNulls = true).over(w))
+      .withColumn(payload, last("__p", ignoreNulls = true).over(w).getField("v"))
       .filter(col("__side") === 0)
       .drop("__ts", "__side", "__p")
   }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Co-located (bucketed) joins — the storage-level shuffle elimination for
   * repeated fact⨝fact joins.
@@ -25,7 +26,13 @@ object Bucketing {
     * out of the default warehouse so tests can point it at a temp dir. */
   def writeBucketed(df: DataFrame, name: String, key: String,
       nBuckets: Int, path: String): Unit =
-    df.write.format("parquet")
+    // repartition on the bucket key FIRST (the same murmur3-pmod hash the
+    // bucket spec uses): without it every upstream partition emits its own
+    // file per bucket — up to P×nBuckets small files, re-creating the
+    // listing pressure bucketing exists to amortize — and multi-file
+    // buckets force a Sort back under every "zero-exchange" join
+    df.repartition(nBuckets, col(key))
+      .write.format("parquet")
       .bucketBy(nBuckets, key)
       .sortBy(key)
       .option("path", path)

@@ -25,6 +25,9 @@ object RangeJoin {
     * `start`, `end`, inclusive) on ts ∈ [start, end]. */
   def bucketed(points: DataFrame, ts: String, intervals: DataFrame,
       start: String, end: String, width: Long): DataFrame = {
+    // div 0 is NULL under non-ANSI Spark: every bucket would be NULL and
+    // the join silently empty — "no overlaps" instead of "bad parameter"
+    require(width > 0, s"bucket width must be positive, got $width")
     // collision-proof internal key: a caller whose frames already carry a
     // "bucket" column (e.g. LSH-bucketed inputs) must not get it clobbered
     val bk = "__rj_bucket"

@@ -25,10 +25,14 @@ object Skew {
     * id column, NOT rand() — replays must route rows identically). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltSrc: Column, factor: Int = 8): DataFrame = {
-    val salted = fact.withColumn("__salt", pmod(hash(saltSrc), lit(factor)))
-    val replicated = dim.withColumn("__salt",
+    // collision-proof internal name (the RangeJoin.bucketed discipline): a
+    // fact frame already carrying a __salt column — e.g. a prior salted
+    // stage left unprojected — must not get it clobbered and dropped
+    val sk = "__skew_salt"
+    val salted = fact.withColumn(sk, pmod(hash(saltSrc), lit(factor)))
+    val replicated = dim.withColumn(sk,
       explode(sequence(lit(0), lit(factor - 1))))
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+    salted.join(replicated, Seq(key, sk)).drop(sk)
   }
 
   /** Oracle-checked salted-join query: the events fact table joins a 5-row

@@ -48,10 +48,15 @@ object Scratch {
     // database and staging reads/writes would silently diverge. Staging
     // through memory: is therefore a local-mode-only device; a cluster run
     // must inject a networked JDBC URL at the same constructor instead.
-    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
-      require(s.sparkContext.isLocal,
-        "derbyMemUrl is JVM-local staging — inject a networked JDBC URL on a cluster")
-    }
+    // orElse(default): getActiveSession is THREAD-LOCAL — a harness/pool
+    // thread other than the session's owner would see None and silently
+    // skip the guard, handing executors a memory: URL on a real cluster
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach { s =>
+        require(s.sparkContext.isLocal,
+          "derbyMemUrl is JVM-local staging — inject a networked JDBC URL on a cluster")
+      }
     ensureDerbyHome()
     hookOnce()
     val url = s"jdbc:derby:memory:${prefix}_${memIds.incrementAndGet()};create=true"
@@ -88,6 +93,11 @@ object Scratch {
       val home = "/tmp/graft_derby_home"
       Files.createDirectories(Paths.get(home))
       System.setProperty("derby.system.home", home)
+      // registered for shutdown cleanup (after the engine shutdown in
+      // cleanup() releases derby.log) — the net-clean-/tmp promise covers
+      // the Derby home too, not just the createTempDirectory trees
+      dirs.add(home)
+      hookOnce()
     }
 
   /** A fresh temp dir registered for shutdown-time cleanup. */

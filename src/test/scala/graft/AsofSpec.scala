@@ -6,6 +6,34 @@ import graft.ops._
 
 class AsofSpec extends SparkSpec {
 
+  test("keyedAsof: a legitimately NULL right payload wins over an older non-null one") {
+    // regression: a bare nullable payload column could not distinguish a
+    // NULL-valued right row from a left carrier row, so last(ignoreNulls)
+    // skipped the true latest match and returned a STALE payload; the
+    // struct-wrapped payload anchors on "latest right ROW" (DuckDB ASOF
+    // semantics)
+    import spark.implicits._
+    val left = Seq((1L, 25L)).toDF("k", "lts")
+    val right = Seq((1L, 8L, Option("a")), (1L, 20L, Option.empty[String]))
+      .toDF("k", "rts", "payload")
+    val out = Asof.keyedAsof(left, right, "k", "lts", "rts", "payload")
+      .select("k", "payload").collect()
+    assert(out.length == 1 && out.head.isNullAt(1),
+      s"the rts=20 NULL payload must win over the rts=8 'a', got ${out.toSeq}")
+  }
+
+  test("broadcastAsof tolerates shared column names on the two sides") {
+    // the documented pairing — a DML and a DDL stream both carrying
+    // commit_ts — used to throw AMBIGUOUS_REFERENCE; the right side now
+    // projects under internal names first
+    import spark.implicits._
+    val left = Seq((100L, 15L), (200L, 3L)).toDF("id", "commit_ts")
+    val right = Seq((10L, "v10"), (20L, "v20")).toDF("commit_ts", "ver")
+    val out = Asof.broadcastAsof(left, right, "commit_ts", "commit_ts")
+      .select("id", "ver").as[(Long, Option[String])].collect().toMap
+    assert(out(100L) == Some("v10") && out(200L) == None)
+  }
+
   test("keyedAsof picks latest right payload with ts <= left ts, per key") {
     import spark.implicits._
     val left = Seq(
