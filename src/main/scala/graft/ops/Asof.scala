@@ -49,15 +49,32 @@ object Asof {
     val r = right.select(col(rightTs).as("__rts") +:
       rCols.map(c => col(c).as(s"__r_$c")): _*)
     val joined = tagged.join(broadcast(r), col(leftTs) >= col("__rts"), "left")
-    val groupCols: Seq[Column] = tagged.columns.map(col).toSeq
-    joined.groupBy(groupCols: _*)
-      // max_by ignores NULL ordering values (the unmatched left-join rows),
-      // and an all-NULL group yields a NULL struct — left rows with no
-      // match carry NULL right columns, like the window form did
-      .agg(max_by(struct(rCols.map(c => col(s"__r_$c").as(c)): _*),
-        col("__rts")).as("__best"))
-      .select(groupCols ++ rCols.map(c => col(s"__best.$c").as(c)): _*)
-      .drop("__rid")
+    val best = struct(rCols.map(c => col(s"__r_$c").as(c)): _*)
+    // the aggregate groups on EVERY left column (plus the tag), which
+    // requires them groupable; a left frame carrying a map column falls
+    // back to the per-tag window — correct on any schema, at the cost of
+    // shuffling the join fan-out (the documented fast path assumes
+    // orderable left columns, the overwhelmingly common shape)
+    val groupable = tagged.schema.fields.forall(f =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+    if (groupable) {
+      val groupCols: Seq[Column] = tagged.columns.map(col).toSeq
+      joined.groupBy(groupCols: _*)
+        // max_by ignores NULL ordering values (the unmatched left-join
+        // rows), and an all-NULL group yields a NULL struct — left rows
+        // with no match carry NULL right columns, like the window form
+        .agg(max_by(best, col("__rts")).as("__best"))
+        .select(groupCols ++ rCols.map(c => col(s"__best.$c").as(c)): _*)
+        .drop("__rid")
+    } else {
+      val w = Window.partitionBy(col("__rid")).orderBy(col("__rts").desc_nulls_last)
+      joined
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(tagged.columns.map(col) ++
+          rCols.map(c => col(s"__r_$c").as(c)): _*)
+        .drop("__rid")
+    }
   }
 
   /** Both sides keyed by `key`: one shuffle, per-key ordered window. Right

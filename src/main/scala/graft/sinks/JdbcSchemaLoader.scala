@@ -84,10 +84,15 @@ private[sinks] object JdbcMeta {
     * remains — DDL is not transactional on most engines — exactly the
     * window the reference's save-checkpoint-on-DDL rule has
     * (drainer/syncer.go:253-259). */
-  def ddlLogged(c: Connection, batchId: Long, commitTs: Long): Boolean = {
+  def ddlLogged(c: Connection, batchId: Long, commitTs: Long,
+      stmt: String): Boolean = {
+    // keyed on the STATEMENT too (same truncation as logDdl): two distinct
+    // DDLs sharing one commit_ts in a batch must each execute — a
+    // (batchId, ts)-only key would silently skip the second
     val st = c.prepareStatement(
-      s"SELECT 1 FROM $DdlTable WHERE batch_id = ? AND commit_ts = ?")
+      s"SELECT 1 FROM $DdlTable WHERE batch_id = ? AND commit_ts = ? AND stmt = ?")
     st.setLong(1, batchId); st.setLong(2, commitTs)
+    st.setString(3, stmt.take(512))
     val rs = st.executeQuery()
     val out = rs.next()
     rs.close(); st.close(); out
@@ -574,7 +579,7 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
           // the ALTER would throw and wedge every retry (the log row is
           // written right after the execute; the tiny exec→log window is
           // the same one the reference's checkpoint-on-DDL rule has)
-          if (!JdbcMeta.ddlLogged(c, batchId, upper)) {
+          if (!JdbcMeta.ddlLogged(c, batchId, upper, stmt.getOrElse(s"ddl@$upper"))) {
             stmt.foreach { sql =>
               val st = c.createStatement()
               try st.execute(sql) finally st.close()

@@ -165,7 +165,7 @@ class JdbcUpsertSink(url: String, stateTable: String = "GRAFT_STATE",
           // guard as JdbcSchemaLoader.applyBatch). Otherwise execute alone,
           // then log; an exception propagates and leaves the checkpoint at
           // the previous batch — replay re-runs from the barrier.
-          if (!JdbcMeta.ddlLogged(c, batchId, upper)) {
+          if (!JdbcMeta.ddlLogged(c, batchId, upper, stmt.getOrElse(s"ddl@$upper"))) {
             stmt.foreach { sql =>
               val st = c.createStatement()
               try st.execute(sql) finally st.close()
@@ -188,6 +188,10 @@ class JdbcUpsertSink(url: String, stateTable: String = "GRAFT_STATE",
     * no second pass over the raw batch lineage (same shape as
     * JdbcSchemaLoader.applyTable). */
   private def applySlice(slice: DataFrame): Long = {
+    // cheap early exit (a limit-1 job): empty slices — e.g. the sub-batch
+    // before a leading DDL barrier — must not pay the window + repartition
+    // + eager checkpoint machinery below just to count zero rows
+    if (slice.isEmpty) return Long.MinValue
     // merge by PK: one DML per key, newest image wins; classify the merged
     // DML by its final op (ref: pkg/loader/merge.go — the merged type is
     // what execTableBatch groups on)

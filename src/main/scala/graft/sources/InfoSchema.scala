@@ -33,6 +33,21 @@ object InfoSchema {
     * `statsDf`: (table_schema, table_name, index_name, non_unique,
     * seq_in_index, column_name) — unique keys are the non_unique = 0
     * indexes, columns in seq_in_index order, PRIMARY hoisted first. */
+  /** Assemble one table's info from pre-collected, pre-ordered rows — the
+    * ONE copy of the unique-key construction rules (group by index name,
+    * PRIMARY hoisted first, ref: util.go:96-104) shared by the per-table
+    * and bulk bootstrap paths, so they cannot desynchronize. `keyRows`
+    * must already be in (index_name, seq_in_index) order. */
+  private def assemble(schema: String, table: String, cols: Seq[String],
+      keyRows: Seq[(String, String)]): TableInfo = {
+    val grouped = keyRows.groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+      .map { case (name, cs) => IndexInfo(name, cs) }.toSeq
+      .sortBy(_.name)
+    val (primary, others) = grouped.partition(_.name == "PRIMARY")
+    TableInfo(schema, table, cols, primary.headOption, primary ++ others)
+  }
+
   def tableInfo(columnsDf: DataFrame, statsDf: DataFrame,
       schema: String, table: String): TableInfo = {
     val cols = columnsDf
@@ -47,14 +62,7 @@ object InfoSchema {
       .orderBy("index_name", "seq_in_index")
       .select("index_name", "column_name")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-    val grouped = keyRows.groupBy(_._1).view
-      .mapValues(_.map(_._2)).toMap
-      .map { case (name, cs) => IndexInfo(name, cs) }.toSeq
-      .sortBy(_.name)
-    // PRIMARY first (ref: util.go:96-104)
-    val (primary, others) = grouped.partition(_.name == "PRIMARY")
-    val uniqueKeys = primary ++ others
-    TableInfo(schema, table, cols, primary.headOption, uniqueKeys)
+    assemble(schema, table, cols, keyRows)
   }
 
   /** All (schema, table) pairs present in the catalog frame. */
@@ -72,29 +80,34 @@ object InfoSchema {
     * promises "collects once at the driver". */
   def loadInto(tracker: SchemaTracker, columnsDf: DataFrame, statsDf: DataFrame,
       version: Long): Seq[TableInfo] = {
+    // ordinals cast to LONG before collecting: a JDBC-backed catalog maps
+    // unsigned ORDINAL_POSITION/SEQ_IN_INDEX to LongType (or wider), so a
+    // getInt would ClassCastException on exactly the production shape this
+    // file promises to read. Tables are enumerated from the UNFILTERED
+    // rows (the generated-ness rides as a flag): a table whose every
+    // column is generated still registers, with an empty writable list,
+    // exactly like the per-table path.
     val colRows = columnsDf
-      .filter(!upper(coalesce(col("extra"), lit(""))).contains("GENERATED"))
-      .select("table_schema", "table_name", "column_name", "ordinal_position")
+      .select(col("table_schema"), col("table_name"), col("column_name"),
+        col("ordinal_position").cast("long"),
+        upper(coalesce(col("extra"), lit(""))).contains("GENERATED").as("gen"))
       .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)))
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getBoolean(4)))
       .toSeq.groupBy(r => (r._1, r._2))
     val keyRows = statsDf
       .filter(col("non_unique") === 0)
-      .select("table_schema", "table_name", "index_name", "seq_in_index",
-        "column_name")
+      .select(col("table_schema"), col("table_name"), col("index_name"),
+        col("seq_in_index").cast("long"), col("column_name"))
       .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3),
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
         r.getString(4)))
       .toSeq.groupBy(r => (r._1, r._2))
     colRows.keys.toSeq.sorted.map { case (s, t) =>
-      val cols = colRows(s -> t).sortBy(_._4).map(_._3)
-      val grouped = keyRows.getOrElse(s -> t, Seq.empty)
-        .sortBy(r => (r._3, r._4))
-        .groupBy(_._3).view.mapValues(_.map(_._5)).toMap
-        .map { case (name, cs) => IndexInfo(name, cs) }.toSeq
-        .sortBy(_.name)
-      val (primary, others) = grouped.partition(_.name == "PRIMARY")
-      val info = TableInfo(s, t, cols, primary.headOption, primary ++ others)
+      val cols = colRows(s -> t).filterNot(_._5).sortBy(_._4).map(_._3)
+      val keys = keyRows.getOrElse(s -> t, Seq.empty)
+        .sortBy(r => (r._3, r._4)).map(r => (r._3, r._5))
+      val info = assemble(s, t, cols, keys)
       tracker.createTable(s, t, info.columns, version)
       info
     }

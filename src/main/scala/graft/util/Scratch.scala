@@ -90,12 +90,12 @@ object Scratch {
     * first boots) so derby.log never lands in the working directory. */
   def ensureDerbyHome(): Unit =
     if (System.getProperty("derby.system.home") == null) {
-      val home = "/tmp/graft_derby_home"
-      Files.createDirectories(Paths.get(home))
+      // per-JVM temp dir, NOT a fixed shared path: concurrent test/bench
+      // JVMs each own their home, so one JVM's shutdown cleanup can never
+      // delete the directory out from under another's live engine; being
+      // registered in dirs keeps the net-clean-/tmp promise
+      val home = Files.createTempDirectory("graft_derby_home").toString
       System.setProperty("derby.system.home", home)
-      // registered for shutdown cleanup (after the engine shutdown in
-      // cleanup() releases derby.log) — the net-clean-/tmp promise covers
-      // the Derby home too, not just the createTempDirectory trees
       dirs.add(home)
       hookOnce()
     }
