@@ -22,13 +22,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var nFailed = 0
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.exists(name.contains) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        nFailed += 1
+        // e.toString, not getMessage (an NPE's message is null); and the
+        // PREVIOUS run's dump must not survive under this name — a failure
+        // at plan-construction time happens before mode("overwrite") could
+        // delete it, and a stale-but-correct dump would make the oracle
+        // compare silently pass over the regression
+        System.err.println(s"[verify] $name failed: ${e.toString.take(500)}")
+        val stale = Paths.get(s"$outDir/$name")
+        if (Files.exists(stale)) {
+          Files.walk(stale).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { Files.deleteIfExists(p); () })
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -47,5 +59,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // nonzero exit on any failed dump: a script gating on the exit code
+    // (instead of running the oracle compare) must not see success
+    if (nFailed > 0) {
+      System.err.println(s"[verify] $nFailed quer${if (nFailed == 1) "y" else "ies"} failed")
+      sys.exit(1)
+    }
   }
 }
