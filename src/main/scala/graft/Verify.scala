@@ -38,8 +38,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.toString.take(500)}")
         val stale = Paths.get(s"$outDir/$name")
         if (Files.exists(stale)) {
-          Files.walk(stale).sorted(java.util.Comparator.reverseOrder())
+          val walk = Files.walk(stale)
+          try walk.sorted(java.util.Comparator.reverseOrder())
             .forEach(p => { Files.deleteIfExists(p); () })
+          finally walk.close()
         }
       }
     }

@@ -29,8 +29,10 @@ object Asof {
   /** Right side must be small (broadcast). `leftTs`/`rightTs` name the
     * ordering columns; every right column except `rightTs` is carried.
     * The right side is projected under internal names first, so the two
-    * sides may share column names (a DML and a DDL stream both carrying
-    * `commit_ts` — the documented pairing) without ambiguous references.
+    * sides may share the TS column name (a DML and a DDL stream both
+    * carrying `commit_ts` — the documented pairing) without ambiguous
+    * references; a carried right column that collides with a LEFT column
+    * name lands under a `_right` suffix so the output stays unambiguous.
     *
     * The per-left-row reduction is a hash aggregate with `max_by`, NOT a
     * row_number window: a window partitioned on the row tag would
@@ -43,6 +45,14 @@ object Asof {
     val rCols = right.columns.filterNot(_ == rightTs).toSeq
     require(rCols.nonEmpty,
       s"right side carries no columns besides $rightTs — use maxLeq")
+    // a carried right column shadowed by a left column would duplicate the
+    // output name (ambiguous to select from) — carry it suffixed instead
+    val outName = rCols.map(c =>
+      c -> (if (left.columns.contains(c)) s"${c}_right" else c)).toMap
+    require(outName.values.toSeq.distinct.size == rCols.size &&
+      !outName.values.exists(left.columns.contains),
+      s"cannot disambiguate right columns ${rCols.mkString(",")} against " +
+        s"left columns ${left.columns.mkString(",")}")
     // a unique per-row tag, not the left columns themselves, keys the
     // post-join reduction: two identical left rows must each survive.
     val tagged = left.withColumn("__rid", monotonically_increasing_id())
@@ -64,7 +74,7 @@ object Asof {
         // rows), and an all-NULL group yields a NULL struct — left rows
         // with no match carry NULL right columns, like the window form
         .agg(max_by(best, col("__rts")).as("__best"))
-        .select(groupCols ++ rCols.map(c => col(s"__best.$c").as(c)): _*)
+        .select(groupCols ++ rCols.map(c => col(s"__best.$c").as(outName(c))): _*)
         .drop("__rid")
     } else {
       val w = Window.partitionBy(col("__rid")).orderBy(col("__rts").desc_nulls_last)
@@ -72,7 +82,7 @@ object Asof {
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(tagged.columns.map(col) ++
-          rCols.map(c => col(s"__r_$c").as(c)): _*)
+          rCols.map(c => col(s"__r_$c").as(outName(c))): _*)
         .drop("__rid")
     }
   }

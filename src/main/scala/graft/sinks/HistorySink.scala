@@ -36,16 +36,41 @@ import graft.util.MetaFs
   * rows duplicated on replay — the parquet stand-in has no cross-file
   * transaction; the production shape commits the append and the checkpoint
   * in one lakehouse/JDBC transaction (exactly the reference's
-  * checkpoint-in-same-txn rule, drainer/checkpoint/mysql.go). StreamingSpec
-  * pins the incremental history equal to the batch materialization of the
-  * whole stream. */
+  * checkpoint-in-same-txn rule, drainer/checkpoint/mysql.go). The other
+  * crash window — between the open-table swap's two renames, which leaves
+  * the ONLY copy of the open table at `open_old` — is self-healing: every
+  * read and apply first rolls a detected half-swap back (open_old present,
+  * open missing → promote it), and the old copy is deleted only after the
+  * promote, so no interleaving of crash and replay can lose live intervals.
+  * StreamingSpec pins both (the crash-injection case and the incremental
+  * history equal to the batch materialization of the whole stream). */
 class HistorySink(root: String) {
   private val openPath = s"$root/open"
   private val closedPath = s"$root/closed"
   private val metaPath = s"$root/_committed_batch"
 
   def lastCommitted: Long =
-    if (MetaFs.exists(metaPath)) MetaFs.readString(metaPath).trim.toLong else -1L
+    if (!MetaFs.exists(metaPath)) -1L
+    else try MetaFs.readString(metaPath).trim.toLong
+    catch {
+      // unreachable via MetaFs.writeString (torn writes stay in .tmp);
+      // external corruption must name the file, not wedge every restart
+      case e: NumberFormatException => throw new IllegalStateException(
+        s"corrupt checkpoint marker $metaPath — delete it to force an " +
+          "idempotent replay of the last batch", e)
+    }
+
+  /** Roll back (or finish) an open-table swap a crash interrupted: `open`
+    * missing with `open_old` present means the crash hit between the two
+    * renames and `open_old` holds the only copy — promote it back; both
+    * present means only the final delete was lost — drop the stale copy. */
+  private def healHalfSwap(): Unit = {
+    val old = s"$root/open_old"
+    if (MetaFs.exists(old)) {
+      if (!MetaFs.exists(openPath)) MetaFs.rename(old, openPath)
+      else MetaFs.delete(old)
+    }
+  }
 
   private def emptyFrame(spark: SparkSession, withTo: Boolean): DataFrame = {
     import org.apache.spark.sql.types._
@@ -56,10 +81,12 @@ class HistorySink(root: String) {
       StructType(base))
   }
 
-  private def openRows(spark: SparkSession): DataFrame =
+  private def openRows(spark: SparkSession): DataFrame = {
+    healHalfSwap() // a read after a mid-swap crash must see the live rows
     if (MetaFs.exists(openPath))
       spark.read.parquet(openPath).select("pk", "valid_from", "value")
     else emptyFrame(spark, withTo = false)
+  }
 
   private def closedRows(spark: SparkSession): DataFrame =
     if (MetaFs.exists(closedPath))
@@ -101,8 +128,11 @@ class HistorySink(root: String) {
       val tmp = s"$root/open_tmp"
       untouched.unionByName(newOpen).write.mode("overwrite").parquet(tmp)
       val old = s"$root/open_old"
-      MetaFs.delete(old)
-      // vacate-then-promote (Hadoop rename moves INTO an existing dir)
+      // self-healing vacate-then-promote (Hadoop rename moves INTO an
+      // existing dir, so the live table steps aside first): openRows above
+      // already healed any leftover half-swap, and the old copy is deleted
+      // only AFTER the promote — a crash at any point is rolled back or
+      // finished by healHalfSwap on the next read/apply
       if (MetaFs.exists(openPath)) MetaFs.rename(openPath, old)
       MetaFs.rename(tmp, openPath)
       MetaFs.delete(old)

@@ -61,10 +61,17 @@ class UpsertSink(root: String, nBuckets: Int = 16) {
 
   def lastCheckpoint: Checkpoint =
     if (MetaFs.exists(metaPath)) {
-      MetaFs.readString(metaPath).trim.split(' ') match {
+      // MetaFs.writeString makes a torn marker unreachable by construction;
+      // a parse failure therefore means external corruption — name the file
+      // instead of wedging every restart on a bare NumberFormatException
+      try MetaFs.readString(metaPath).trim.split(' ') match {
         case Array(b, ts, v, c) => Checkpoint(b.toLong, ts.toLong, v.toLong, c.toBoolean)
         case Array(b)           => Checkpoint(b.toLong, -1L, -1L, consistent = true)
         case _                  => Checkpoint(-1L, -1L, -1L, consistent = true)
+      } catch {
+        case e: NumberFormatException => throw new IllegalStateException(
+          s"corrupt checkpoint marker $metaPath — delete it to force an " +
+            "idempotent replay of the last batch", e)
       }
     } else Checkpoint(-1L, -1L, -1L, consistent = true)
 
@@ -87,11 +94,36 @@ class UpsertSink(root: String, nBuckets: Int = 16) {
         org.apache.spark.sql.types.StructField("commit_ts", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))))
 
-  def currentState(spark: SparkSession): DataFrame =
+  /** Roll back (or finish) a bucket swap a crash interrupted. The swap
+    * sequence is vacate(dst→old) then promote(src→dst) then delete(old); a
+    * crash between the renames leaves the ONLY copy of the bucket at `old`
+    * with `dst` missing — restore it, or the replayed batch would merge
+    * into an empty bucket and silently lose every pre-existing key. A
+    * leftover `old` WITH `dst` present means the promote succeeded and only
+    * the final delete was lost — drop the stale copy. */
+  private def healBucket(b: String): Unit = {
+    val old = s"$root/bucket_old=$b"
+    if (MetaFs.exists(old)) {
+      val dst = s"$statePath/bucket=$b"
+      if (!MetaFs.exists(dst)) MetaFs.rename(old, dst)
+      else MetaFs.delete(old)
+    }
+  }
+
+  /** At most one bucket can be half-swapped (the swap loop is sequential),
+    * but the old names are deterministic per bucket, so healing is one
+    * directory listing — run before any state read. */
+  private def healHalfSwaps(): Unit =
+    MetaFs.listNames(root).filter(_.startsWith("bucket_old="))
+      .foreach(n => healBucket(n.stripPrefix("bucket_old=")))
+
+  def currentState(spark: SparkSession): DataFrame = {
+    healHalfSwaps()
     if (MetaFs.exists(statePath))
       spark.read.option("basePath", statePath).parquet(statePath)
         .select("pk", "commit_ts", "value")
     else emptyState(spark)
+  }
 
   /** The state rows of a bucket subset — a partition-pruned read: only the
     * named bucket directories are listed and scanned. */
@@ -110,6 +142,7 @@ class UpsertSink(root: String, nBuckets: Int = 16) {
     * previous checkpoint, and whole-batch replay is idempotent. */
   def applyBatch(batch: DataFrame, batchId: Long, schemaVersion: Long = -1L): Boolean = {
     if (batchId <= lastCommitted) return false // idempotent replay skip
+    healHalfSwaps() // a crash mid-swap must be rolled back BEFORE state reads
     val spark = batch.sparkSession
     val prev = lastCheckpoint
 
@@ -167,12 +200,15 @@ class UpsertSink(root: String, nBuckets: Int = 16) {
     touched.foreach { b =>
       val src = s"$tmp/bucket=$b"
       val dst = s"$statePath/bucket=$b"
-      val old = s"$root/bucket_old"
-      MetaFs.delete(old)
-      // vacate-then-promote: Hadoop rename moves a source INTO an existing
-      // destination directory instead of replacing it, so the old bucket
-      // must step aside first; a bucket whose keys all deleted writes no
-      // staging dir and simply ends vacated
+      val old = s"$root/bucket_old=$b"
+      // self-healing vacate-then-promote: Hadoop rename moves a source INTO
+      // an existing destination directory instead of replacing it, so the
+      // old bucket must step aside first; the aside name is deterministic
+      // per bucket and the old copy is deleted only AFTER the promote, so a
+      // crash at ANY point leaves a state healBucket can roll back or
+      // finish on replay. A bucket whose keys all deleted writes no staging
+      // dir and simply ends vacated.
+      healBucket(b.toString) // never vacate INTO a leftover old
       if (MetaFs.exists(dst)) MetaFs.rename(dst, old)
       if (MetaFs.exists(src)) MetaFs.rename(src, dst)
       MetaFs.delete(old)

@@ -35,20 +35,38 @@ object MetaFs {
 
   def readString(path: String): String = {
     val f = fs(path); val p = new Path(path)
-    val buf = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+    val len = f.getFileStatus(p).getLen
+    // every caller reads metadata markers; a >2 GiB file would silently
+    // truncate through toInt — refuse loudly instead
+    require(len <= (1L << 20), s"$path is $len bytes — not a metadata marker")
+    val buf = new Array[Byte](len.toInt)
     val in = f.open(p)
     try in.readFully(0L, buf) finally in.close()
     new String(buf, "UTF-8")
   }
 
-  /** Overwrite-in-place marker write — the same guarantee class as the
-    * `java.nio` `writeString` it replaces (the sinks' batch replay is
-    * idempotent, so a marker lost to a crash mid-write only costs a
-    * replayed batch, never a wrong state). */
+  /** Torn-write-safe marker write: the bytes land whole in a `.tmp` sibling
+    * and move into place, so a crash mid-write can never leave a HALF-WRITTEN
+    * marker to wedge the sinks' checkpoint parsers. The delete-then-rename
+    * pair (Hadoop rename does not replace an existing file) leaves only the
+    * benign window: a crash between them loses the marker entirely, which
+    * costs one idempotent batch replay — the guarantee class the sinks
+    * document. */
   def writeString(path: String, s: String): Unit = {
     val f = fs(path)
-    val out = f.create(new Path(path), true)
+    val tmp = new Path(path + ".tmp")
+    val out = f.create(tmp, true)
     try out.write(s.getBytes("UTF-8")) finally out.close()
+    f.delete(new Path(path), false)
+    if (!f.rename(tmp, new Path(path)))
+      throw new java.io.IOException(s"rename $tmp -> $path failed")
+  }
+
+  /** Child names of a directory; a missing path lists empty. */
+  def listNames(path: String): Seq[String] = {
+    val f = fs(path); val p = new Path(path)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).map(_.getPath.getName).toSeq
   }
 
   def mkdirs(path: String): Unit = { fs(path).mkdirs(new Path(path)); () }

@@ -34,6 +34,19 @@ class AsofSpec extends SparkSpec {
     assert(out(100L) == Some("v10") && out(200L) == None)
   }
 
+  test("broadcastAsof carries a colliding right column under a _right suffix") {
+    // a shared NON-ts column used to produce two output columns named the
+    // same (ambiguous to select from); it now lands suffixed
+    import spark.implicits._
+    val left = Seq((100L, 15L, "L")).toDF("id", "commit_ts", "ver")
+    val right = Seq((10L, "v10")).toDF("commit_ts", "ver")
+    val out = Asof.broadcastAsof(left, right, "commit_ts", "commit_ts")
+    assert(out.columns.count(_ == "ver") == 1 && out.columns.contains("ver_right"))
+    val r = out.select("ver", "ver_right")
+      .as[(String, Option[String])].collect().head
+    assert(r == (("L", Some("v10"))))
+  }
+
   test("keyedAsof picks latest right payload with ts <= left ts, per key") {
     import spark.implicits._
     val left = Seq(

@@ -341,6 +341,88 @@ class StreamingSpec extends SparkSpec {
       "the open-table swap must land under the URI's local path")
   }
 
+  test("upsert sink: a crash between the swap renames heals on replay (no lost keys)") {
+    // the r10 verdict's weak mark: vacate(dst→old) then promote(src→dst) —
+    // a crash between the renames leaves the ONLY copy of the bucket at
+    // `old`, and the replayed batch used to start by deleting it, silently
+    // losing every pre-existing key of the bucket. The swap is now
+    // self-healing: per-bucket old names, healed before any state read,
+    // old deleted only after the promote.
+    import graft.util.MetaFs
+    val root = graft.util.Scratch.dir("graft_crash_sink")
+    val sink = new UpsertSink(root, nBuckets = 1) // one bucket holds all keys
+    val b0 = (1L to 20L).map(pk => (pk, pk, "I", pk.toDouble))
+      .toDF("commit_ts", "pk", "op", "value")
+    assert(sink.applyBatch(b0, 0L))
+    // simulate the crash: batch 1's swap vacated the bucket but never
+    // promoted the staging dir (kill between the renames) — on disk the
+    // only copy of the state sits at bucket_old=0, checkpoint still at 0
+    MetaFs.rename(s"$root/state/bucket=0", s"$root/bucket_old=0")
+    assert(!MetaFs.exists(s"$root/state/bucket=0"))
+    val b1 = Seq((100L, 1L, "U", 42.0), (101L, 21L, "I", 21.0))
+      .toDF("commit_ts", "pk", "op", "value")
+    assert(new UpsertSink(root, nBuckets = 1).applyBatch(b1, 1L))
+    val state = new UpsertSink(root, nBuckets = 1).currentState(spark)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(state.size == 21, s"pre-existing keys lost: got ${state.size} keys")
+    assert(state(1L) == 42.0 && state(2L) == 2.0 && state(21L) == 21.0)
+    // a read-only open after the same crash must also heal
+    MetaFs.rename(s"$root/state/bucket=0", s"$root/bucket_old=0")
+    assert(new UpsertSink(root, nBuckets = 1).currentState(spark).count() == 21)
+    assert(MetaFs.exists(s"$root/state/bucket=0"))
+    // a stale old left AFTER a completed promote (crash before the final
+    // delete) is dropped, never restored over the live bucket
+    MetaFs.mkdirs(s"$root/bucket_old=0")
+    val b2 = Seq((200L, 2L, "U", 7.0)).toDF("commit_ts", "pk", "op", "value")
+    assert(new UpsertSink(root, nBuckets = 1).applyBatch(b2, 2L))
+    assert(!MetaFs.exists(s"$root/bucket_old=0"))
+    val st2 = new UpsertSink(root, nBuckets = 1).currentState(spark)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(st2.size == 21 && st2(2L) == 7.0)
+  }
+
+  test("history sink: a crash between the open-swap renames heals on read and replay") {
+    import graft.util.MetaFs
+    val root = graft.util.Scratch.dir("graft_crash_hist")
+    val sink = new graft.sinks.HistorySink(root)
+    val b0 = Seq((1L, 1L, "I", 1.0), (2L, 2L, "I", 2.0))
+      .toDF("commit_ts", "pk", "op", "value")
+    assert(sink.applyBatch(b0, 0L))
+    // crash between the renames while batch 1 was applying: the only copy
+    // of the open table sits at open_old, checkpoint still at 0
+    MetaFs.rename(s"$root/open", s"$root/open_old")
+    // a pure READ after the crash must still see the live intervals
+    assert(new graft.sinks.HistorySink(root).history(spark)
+      .filter(col("is_current")).count() == 2)
+    // crash again, then the replay of batch 1 merges against healed state
+    MetaFs.rename(s"$root/open", s"$root/open_old")
+    val b1 = Seq((10L, 1L, "U", 1.5)).toDF("commit_ts", "pk", "op", "value")
+    assert(new graft.sinks.HistorySink(root).applyBatch(b1, 1L))
+    val h = new graft.sinks.HistorySink(root).history(spark)
+      .select("pk", "valid_from", "valid_to", "is_current")
+      .as[(Long, Long, Option[Long], Boolean)].collect().toSet
+    assert(h == Set((1L, 1L, Some(10L), false), (1L, 10L, None, true),
+      (2L, 2L, None, true)))
+  }
+
+  test("a corrupted checkpoint marker names itself instead of a bare parse error") {
+    // MetaFs.writeString keeps torn writes in a .tmp sibling, so a corrupt
+    // marker means external damage — the error must say which file and how
+    // to recover, not wedge restarts on a NumberFormatException
+    val root = graft.util.Scratch.dir("graft_corrupt_marker")
+    val sink = new UpsertSink(root)
+    assert(sink.applyBatch(
+      Seq((1L, 1L, "I", 1.0)).toDF("commit_ts", "pk", "op", "value"), 0L))
+    graft.util.MetaFs.writeString(s"$root/_committed_batch", "garbage")
+    val e = intercept[IllegalStateException](new UpsertSink(root).lastCommitted)
+    assert(e.getMessage.contains("_committed_batch"))
+    val hroot = graft.util.Scratch.dir("graft_corrupt_hist_marker")
+    graft.util.MetaFs.writeString(s"$hroot/_committed_batch", "not a number")
+    val eh = intercept[IllegalStateException](
+      new graft.sinks.HistorySink(hroot).lastCommitted)
+    assert(eh.getMessage.contains("_committed_batch"))
+  }
+
   /** Stage the single events parquet file into a directory for the file
     * stream source (it requires a directory basePath). */
   private def stageEventsDir(): String = {
