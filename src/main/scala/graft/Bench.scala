@@ -21,9 +21,29 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // external-interference markers (r10 verdict: per-query spread tracked
+    // the DRIVER MACHINE's load, not the scheme — 18 under load vs 4 idle
+    // for identical code): (a) the 1-min loadavg BEFORE this JVM adds its
+    // own 32 threads — anything much above ~1 means a loaded machine and
+    // round-over-round deltas should be discounted; (b) probe_spread below.
+    def load1: Double = scala.util.Try(
+      scala.io.Source.fromFile("/proc/loadavg").mkString.split(' ')(0).toDouble
+    ).getOrElse(-1.0)
+    val load1Start = load1
     // absorb session warmup (codegen, shuffle init, parquet footers) so the
     // first timed query isn't charged ~4s of one-time cost
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // (b) a fixed CPU-bound probe, repeated: its max/min ratio measures
+    // scheduling jitter during THIS run — near 1.0 on an idle machine,
+    // inflated when neighbors steal cores. The first rep is discarded (it
+    // absorbs this plan shape's one-time codegen/JIT, which would
+    // masquerade as interference).
+    val probeTimes = (1 to 6).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(20000000L).selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.drop(1)
+    val probeSpread = probeTimes.max / probeTimes.min
     Seq("lineitem", "documents", "events").foreach { t =>
       graft.model.Tables.table(spark, sfDir, t).count()
     }
@@ -107,10 +127,10 @@ object Bench {
     val fastF = fast.filter { case (k, _) => timed(k) }
     val qs = slowF.map { case (k, _) => s"\"" + k + "\":" + ms(mins(k)) }
       .mkString("{", ",", "}")
-    // medians for the slowest 20 — the round-over-round mover set (capped
-    // so the one-line JSON keeps ~150 chars of slack inside the driver's
-    // 2000-char stdout tail window)
-    val md = slowF.take(20)
+    // medians for the slowest 17 — the round-over-round mover set (capped
+    // so the one-line JSON keeps ~180 chars of slack inside the driver's
+    // 2000-char stdout tail window, load markers included)
+    val md = slowF.take(17)
       .map { case (k, _) => s"\"" + k + "\":" + ms(meds(k)) }
       .mkString("{", ",", "}")
     // bounded error detail: the line must stay inside the driver's
@@ -124,7 +144,7 @@ object Bench {
     val totalMed = okF.map { case (k, _) => meds(k) }.sum
     val nSpread = slowF.count { case (k, _) =>
       mins(k) > 0 && meds(k) / mins(k) > 1.3 }
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"med":$md,"total_med":${ms(totalMed)},"fast_n":${fastF.size},"fast_sum":${ms(fastF.map(p => mins(p._1)).sum)},"n_queries":${results.size},"reps":$reps,"extra_reps_slow40":$extraReps,"agg":"min","spread":"med_over_min","n_spread_gt13":$nSpread,"errors":$es,"n_errors":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"med":$md,"total_med":${ms(totalMed)},"fast_n":${fastF.size},"fast_sum":${ms(fastF.map(p => mins(p._1)).sum)},"n_queries":${results.size},"reps":$reps,"extra_reps_slow40":$extraReps,"agg":"min","spread":"med_over_min","n_spread_gt13":$nSpread,"load1_start":${ms(load1Start)},"probe_spread":${ms(probeSpread)},"errors":$es,"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

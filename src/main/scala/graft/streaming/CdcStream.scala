@@ -204,10 +204,35 @@ object CdcStream {
     "^ALTER TABLE `?([a-z0-9_]+)`?\\.`?([a-z0-9_]+)`? DROP COLUMN ([a-z0-9_]+)$".r
   private val RenameColumnRe =
     "^ALTER TABLE `?([a-z0-9_]+)`?\\.`?([a-z0-9_]+)`? RENAME COLUMN ([a-z0-9_]+) TO ([a-z0-9_]+)$".r
+  private val TruncateTableRe =
+    "^TRUNCATE TABLE `?([a-z0-9_]+)`?\\.`?([a-z0-9_]+)`?$".r
+  private val CreateTableRe =
+    "^CREATE TABLE `?([a-z0-9_]+)`?\\.`?([a-z0-9_]+)`? \\((.+)\\)$".r
+  private val DropTableRe =
+    "^DROP TABLE `?([a-z0-9_]+)`?\\.`?([a-z0-9_]+)`?$".r
+
+  /** Split a CREATE TABLE column list on top-level commas only — a type
+    * argument list like `DECIMAL(10,2)` carries commas of its own. */
+  private def splitColumnDefs(defs: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = 0; var i = 0
+    while (i < defs.length) {
+      defs.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          out += defs.substring(start, i).trim; start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += defs.substring(start).trim
+    out.result().filter(_.nonEmpty)
+  }
 
   /** One applied wire-DDL log record: (version, schema, table, action,
     * column, arg) — `arg` is the new type for modify/add, the new name for
-    * rename, empty for drop. */
+    * rename, the column-def list for create_table, empty otherwise. */
   private type AppliedDdl = (Long, String, String, String, String, String)
 
   /** Replay one logged DDL into the tracker — the single dispatch both the
@@ -220,6 +245,9 @@ object CdcStream {
       case "add"    => tracker.addColumn(schema, table, s"$column $arg", version)
       case "drop"   => tracker.dropColumn(schema, table, column, version)
       case "rename" => tracker.renameColumn(schema, table, column, arg, version)
+      case "truncate"     => tracker.truncateTable(schema, table, version)
+      case "create_table" => tracker.createTable(schema, table, splitColumnDefs(arg), version)
+      case "drop_table"   => tracker.dropTable(schema, table, version)
       case other => throw new IllegalArgumentException(s"unknown logged DDL action: $other")
     }
 
@@ -255,112 +283,217 @@ object CdcStream {
   def ddlDrivenDecode(wire: DataFrame, tracker: SchemaTracker, outDir: String,
       checkpoint: String, schemaName: String = "app",
       table: String = "events",
-      belowFrontier: Option[org.apache.spark.util.LongAccumulator] = None): StreamingQuery = {
+      belowFrontier: Option[org.apache.spark.util.LongAccumulator] = None): StreamingQuery =
+    decodeQuery(wire, tracker, outDir, checkpoint, schemaName,
+      tableOf = lit(table), fixedTables = Some(Seq(table)),
+      layout = (id, _) => s"$outDir/data/batch=$id", belowFrontier)
+
+  /** Multi-table T5∘T6 — the drainer's real shape: EVERY table on the
+    * shared wire decodes against its own schema history in one stream
+    * (ref: drainer/syncer.go:374-397 routes each mutation's table through
+    * the versioned catalog; drainer/schema.go:293-331 replays DDL jobs per
+    * table). `tableOf` names each DML frame's table (an expression over
+    * the envelope — typically a routing column); the decode set is every
+    * table registered in the tracker under `schemaName`, plus tables a
+    * wire CREATE TABLE registers mid-stream. Per batch, each table's
+    * frames are sliced at ITS OWN DDL barriers only — a foreign table's
+    * DDL neither cuts nor reshapes another table's decode — and each
+    * table's decoded union lands under `outDir/data/batch=<id>/table=<t>`
+    * (idempotent per batch id; the per-table slice shape the multi-table
+    * JDBC loader consumes). One shared action-tagged DDL log orders all
+    * tables' schema history by commit ts, so a restart replays N
+    * independent table histories from one durable log
+    * ([[recoverDecodeTracker]], unchanged). Frames addressing no tracked
+    * table drop, like the reference's filter-then-load contract — routing
+    * upstream decides what reaches the decode. */
+  def ddlDrivenDecodeTables(wire: DataFrame, tracker: SchemaTracker,
+      outDir: String, checkpoint: String, schemaName: String,
+      tableOf: Column,
+      belowFrontier: Option[org.apache.spark.util.LongAccumulator] = None): StreamingQuery =
+    decodeQuery(wire, tracker, outDir, checkpoint, schemaName,
+      tableOf, fixedTables = None,
+      layout = (id, t) => s"$outDir/data/batch=$id/table=$t", belowFrontier)
+
+  private def decodeQuery(wire: DataFrame, tracker: SchemaTracker,
+      outDir: String, checkpoint: String, schemaName: String,
+      tableOf: Column, fixedTables: Option[Seq[String]],
+      layout: (Long, String) => String,
+      belowFrontier: Option[org.apache.spark.util.LongAccumulator]): StreamingQuery = {
     // forward-only-delivery violations surface here instead of silently
     // mis-typing rows (see the check inside the batch); callers that want
     // to assert/alert pass their own accumulator, otherwise a named one
     // still shows in the Spark UI metrics
     val frontierViolations = belowFrontier.getOrElse {
-      val acc = wire.sparkSession.sparkContext.longAccumulator(
-        s"graft.ddl_decode.below_frontier_frames.$schemaName.$table")
-      acc
+      wire.sparkSession.sparkContext.longAccumulator(
+        s"graft.ddl_decode.below_frontier_frames.$schemaName")
     }
+    // only the multi-table form grows its decode set from wire CREATEs: the
+    // single-table form writes a flat batch dir, where a second table would
+    // collide — there a CREATE passes through like any foreign DDL
+    val dynamicTables = fixedTables.isEmpty
     wire.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        val spark = batch.sparkSession
-        var info = tracker.current(schemaName, table).getOrElse(
-          throw new NoSuchElementException(s"$schemaName.$table not registered"))
-        // ONE gather job per batch: the (rare, bounded) DDL rows AND the
-        // forward-only contract check — a frame delivered below the
-        // tracker's already-applied DDL frontier would decode with the NEW
-        // schema (slicing happens within the batch; ref: drainer/syncer.go
-        // decodes each DML at the schema in force at its commit ts). The
-        // upstream ordered merge makes violations impossible; if a pump
-        // ever breaks the contract, the count surfaces instead of rows
-        // silently mis-typing. Folding the count into the DDL gather keeps
-        // this at zero extra passes over the batch.
-        val gathered = batch.agg(
-          sort_array(collect_list(when(col("op") === "DDL",
-            struct(col("commit_ts"), col("ddl_sql"))))).as("ddls"),
-          sum(when(col("op") =!= "DDL" &&
-            col("commit_ts") <= lit(info.version), 1L)).as("below")).head()
-        val ddls = gathered.getSeq[org.apache.spark.sql.Row](0)
-          .map(r => (r.getLong(0), r.getString(1)))
-        // registration versions are 0/negative — only an applied wire DDL
-        // puts real commit ts below the frontier check
-        if (info.version > 0 && !gathered.isNullAt(1) && gathered.getLong(1) > 0)
-          frontierViolations.add(gathered.getLong(1))
-        val barriers = ddls :+ ((Long.MaxValue, null: String))
-        var lower = Long.MinValue
-        val applied = scala.collection.mutable.ArrayBuffer.empty[AppliedDdl]
-        val slices = barriers.map { case (upper, stmt) =>
-          // the from_json schema is captured at plan-construction time,
-          // from the LOCAL catalog view — the live tracker is untouched.
-          // A table whose LAST column was dropped decodes to the bare
-          // (commit_ts, pk, schema_version) envelope — fromDDL("") would
-          // throw on the empty definition
-          val wireSchema = if (info.columns.isEmpty) new StructType()
-            else StructType.fromDDL(info.columns.mkString(", "))
-          val payload = from_json(col("props"), wireSchema)
-          val decoded = batch
-            .filter(col("op") =!= "DDL" &&
-              col("commit_ts") > lower && col("commit_ts") <= upper)
-            .select(Seq(col("commit_ts"), col("pk")) ++
-              wireSchema.fieldNames.toSeq.map(f =>
-                payload.getField(f).cast("string").as(s"${f}_str")) :+
-              lit(info.version).as("schema_version"): _*)
-          stmt match {
-            case null => ()
-            // only a DDL addressing THE decoded table changes this
-            // stream's view (and enters the log); a foreign table's DDL on
-            // the shared wire passes through untouched — it must neither
-            // crash the query nor (if column names collide) silently
-            // reshape this table's decode (ref: drainer/schema.go applies
-            // each job to ITS table's history only). ADD/DROP change the
-            // decode SHAPE: later slices carry more/fewer columns, and the
-            // per-batch union aligns them by name with nulls where a
-            // column did not exist yet (added: NULL before, value after)
-            // or no longer exists (dropped: value before, NULL after).
-            case ModifyColumnRe(s, t, c, newType)
-                if s == schemaName && t == table =>
-              info = tracker.retyped(info, c, s"$c $newType", upper)
-              applied += ((upper, s, t, "modify", c, newType))
-            case AddColumnRe(s, t, c, newType)
-                if s == schemaName && t == table =>
-              info = tracker.added(info, s"$c $newType", upper)
-              applied += ((upper, s, t, "add", c, newType))
-            case DropColumnRe(s, t, c) if s == schemaName && t == table =>
-              info = tracker.dropped(info, c, upper)
-              applied += ((upper, s, t, "drop", c, ""))
-            case RenameColumnRe(s, t, from, to)
-                if s == schemaName && t == table =>
-              info = tracker.renamed(info, from, to, upper)
-              applied += ((upper, s, t, "rename", from, to))
-            case ModifyColumnRe(_, _, _, _) | AddColumnRe(_, _, _, _) |
-                 DropColumnRe(_, _, _) | RenameColumnRe(_, _, _, _) => ()
-            case other =>
-              throw new IllegalArgumentException(s"unsupported wire DDL: $other")
+      .foreachBatch { (batch0: DataFrame, id: Long) =>
+        val spark = batch0.sparkSession
+        // the gather plus one filter per (table, slice) re-scan this batch;
+        // pin it once instead of re-running the source scan each time
+        val batch = batch0.persist()
+        try {
+          val tables0 = fixedTables.getOrElse(tracker.tablesOf(schemaName))
+          // the LOCAL catalog view: the decode transforms this copy, and
+          // the live tracker advances only after the batch's output and
+          // DDL log are durable — a crash mid-write replays against an
+          // unchanged tracker and reproduces the same bytes
+          var catalog: Map[String, tracker.TableInfo] = tables0.map { t =>
+            t -> tracker.current(schemaName, t).getOrElse(
+              throw new NoSuchElementException(s"$schemaName.$t not registered"))
+          }.toMap
+          // ONE gather job per batch: the (rare, bounded) DDL rows AND the
+          // forward-only contract check — a frame delivered below ITS
+          // table's already-applied DDL frontier would decode with the NEW
+          // schema (slicing happens within the batch; ref:
+          // drainer/syncer.go decodes each DML at the schema in force at
+          // its commit ts). The upstream ordered merge makes violations
+          // impossible; if a pump ever breaks the contract, the count
+          // surfaces instead of rows silently mis-typing. Registration
+          // versions are 0/negative, so only tables with an applied wire
+          // DDL contribute a frontier term.
+          val belowCond = catalog.toSeq.sortBy(_._1)
+            .filter(_._2.version > 0)
+            .foldLeft(lit(false)) { case (acc, (t, info)) =>
+              acc || (tableOf === lit(t) && col("commit_ts") <= lit(info.version))
+            }
+          val gathered = batch.agg(
+            sort_array(collect_list(when(col("op") === "DDL",
+              struct(col("commit_ts"), col("ddl_sql"))))).as("ddls"),
+            sum(when(col("op") =!= "DDL" && belowCond, 1L)).as("below")).head()
+          val ddls = gathered.getSeq[org.apache.spark.sql.Row](0)
+            .map(r => (r.getLong(0), r.getString(1)))
+          if (!gathered.isNullAt(1) && gathered.getLong(1) > 0)
+            frontierViolations.add(gathered.getLong(1))
+
+          val applied = scala.collection.mutable.ArrayBuffer.empty[AppliedDdl]
+          val slicesOf = scala.collection.mutable.LinkedHashMap(
+            tables0.map(t =>
+              t -> scala.collection.mutable.ArrayBuffer.empty[DataFrame]): _*)
+          val lowerOf = scala.collection.mutable.Map(
+            tables0.map(_ -> Long.MinValue): _*)
+          // one decoded slice of table `t`: its frames in (lower, upper],
+          // decoded DISTRIBUTED with the from_json schema the local view
+          // holds — captured at plan-construction time. A table whose LAST
+          // column was dropped decodes to the bare (commit_ts, pk,
+          // schema_version) envelope (fromDDL("") would throw).
+          def decodeSlice(t: String, info: tracker.TableInfo, upper: Long): Unit = {
+            val wireSchema = if (info.columns.isEmpty) new StructType()
+              else StructType.fromDDL(info.columns.mkString(", "))
+            val payload = from_json(col("props"), wireSchema)
+            slicesOf(t) += batch
+              .filter(col("op") =!= "DDL" && tableOf === lit(t) &&
+                col("commit_ts") > lowerOf(t) && col("commit_ts") <= upper)
+              .select(Seq(col("commit_ts"), col("pk")) ++
+                wireSchema.fieldNames.toSeq.map(f =>
+                  payload.getField(f).cast("string").as(s"${f}_str")) :+
+                lit(info.version).as("schema_version"): _*)
+            lowerOf(t) = upper
           }
-          lower = upper
-          decoded
-        }
-        slices.reduce(_.unionByName(_, allowMissingColumns = true))
-          .write.mode("overwrite").parquet(s"$outDir/data/batch=$id")
-        import spark.implicits._
-        // written only when non-empty (an empty parquet dir is schema-less
-        // and would break the recovery read); a replayed batch regenerates
-        // the same DDL set, so the skip is deterministic
-        if (applied.nonEmpty)
-          applied.toSeq
-            .toDF("version", "schema_name", "table_name", "action", "column_name", "arg")
-            .write.mode("overwrite").parquet(s"$outDir/ddl/batch=$id")
-        // only now does the live catalog advance — a crash anywhere above
-        // replays this batch against the unchanged tracker
-        applied.foreach { case (v, s, t, action, c, arg) =>
-          applyLogged(tracker, s, t, action, c, arg, v)
-        }
-        ()
+          // walk the batch's DDLs in commit-ts order (driver-side: DDL is
+          // rare and totally ordered). Only a DDL addressing a TRACKED
+          // table of `schemaName` cuts that table's slices and enters the
+          // log; everything else on the shared wire passes through
+          // untouched — it must neither crash the query nor (if column
+          // names collide) reshape another table's decode (ref:
+          // drainer/schema.go applies each job to ITS table's history
+          // only). A frame AT a barrier's commit ts still decodes with the
+          // old shape — the DDL takes effect after its own commit, the
+          // loader's barrier rule. ADD/DROP change the decode SHAPE: the
+          // per-batch union aligns slices by name with nulls where a
+          // column did not exist yet (added: NULL before, value after) or
+          // no longer exists (dropped: value before, NULL after).
+          ddls.foreach { case (ts, stmt) =>
+            def shapeDdl(t: String, action: String, column: String, arg: String)(
+                f: tracker.TableInfo => tracker.TableInfo): Unit = {
+              decodeSlice(t, catalog(t), ts)
+              catalog += t -> f(catalog(t))
+              applied += ((ts, schemaName, t, action, column, arg))
+            }
+            stmt match {
+              case ModifyColumnRe(s, t, c, newType)
+                  if s == schemaName && catalog.contains(t) =>
+                shapeDdl(t, "modify", c, newType)(i =>
+                  tracker.retyped(i, c, s"$c $newType", ts))
+              case AddColumnRe(s, t, c, newType)
+                  if s == schemaName && catalog.contains(t) =>
+                shapeDdl(t, "add", c, newType)(i =>
+                  tracker.added(i, s"$c $newType", ts))
+              case DropColumnRe(s, t, c)
+                  if s == schemaName && catalog.contains(t) =>
+                shapeDdl(t, "drop", c, "")(i => tracker.dropped(i, c, ts))
+              case RenameColumnRe(s, t, from, to)
+                  if s == schemaName && catalog.contains(t) =>
+                shapeDdl(t, "rename", from, to)(i =>
+                  tracker.renamed(i, from, to, ts))
+              case TruncateTableRe(s, t) if s == schemaName && catalog.contains(t) =>
+                // streamed F6: in-flight frames of the truncated table at
+                // or below the truncate commit ts DROP — they addressed
+                // the old incarnation the truncate erased (ref:
+                // drainer/syncer.go:744-762 drops in-flight mutations of
+                // the old table id); later frames decode against the fresh
+                // table (same shape, new version)
+                slicesOf(t).clear()
+                lowerOf(t) = ts
+                catalog += t -> catalog(t).copy(version = ts)
+                applied += ((ts, schemaName, t, "truncate", "", ""))
+              case CreateTableRe(s, t, defs)
+                  if s == schemaName && dynamicTables && !catalog.contains(t) =>
+                // wire-registered table: decodes from its create ts forward
+                // (a frame of t below the create has no schema to decode
+                // against and drops, like any unrouted frame)
+                val cols = splitColumnDefs(defs)
+                slicesOf.getOrElseUpdate(t,
+                  scala.collection.mutable.ArrayBuffer.empty[DataFrame])
+                lowerOf(t) = ts
+                catalog += t -> tracker.TableInfo(schemaName, t, cols.toVector, ts)
+                applied += ((ts, schemaName, t, "create_table", "", cols.mkString(", ")))
+              case DropTableRe(s, t) if s == schemaName && catalog.contains(t) =>
+                // in-flight frames at/below the drop still decode (they
+                // committed against the live table); later frames of the
+                // dropped table are unaddressable and drop
+                decodeSlice(t, catalog(t), ts)
+                catalog -= t
+                applied += ((ts, schemaName, t, "drop_table", "", ""))
+              case ModifyColumnRe(_, _, _, _) | AddColumnRe(_, _, _, _) |
+                   DropColumnRe(_, _, _) | RenameColumnRe(_, _, _, _) |
+                   TruncateTableRe(_, _) | CreateTableRe(_, _, _) |
+                   DropTableRe(_, _) => () // foreign-table pass-through
+              case other =>
+                throw new IllegalArgumentException(s"unsupported wire DDL: $other")
+            }
+          }
+          // tail slice per still-live table, then one write per table
+          catalog.toSeq.sortBy(_._1).foreach { case (t, info) =>
+            decodeSlice(t, info, Long.MaxValue)
+          }
+          slicesOf.foreach { case (t, slices) =>
+            if (slices.nonEmpty)
+              slices.reduce(_.unionByName(_, allowMissingColumns = true))
+                .write.mode("overwrite").parquet(layout(id, t))
+          }
+          import spark.implicits._
+          // written only when non-empty (an empty parquet dir is
+          // schema-less and would break the recovery read); a replayed
+          // batch regenerates the same DDL set, so the skip is
+          // deterministic
+          if (applied.nonEmpty)
+            applied.toSeq
+              .toDF("version", "schema_name", "table_name", "action", "column_name", "arg")
+              .write.mode("overwrite").parquet(s"$outDir/ddl/batch=$id")
+          // only now does the live catalog advance — a crash anywhere
+          // above replays this batch against the unchanged tracker
+          applied.foreach { case (v, s, t, action, c, arg) =>
+            applyLogged(tracker, s, t, action, c, arg, v)
+          }
+          ()
+        } finally { batch.unpersist(); () }
       }
       .start()
   }
@@ -418,6 +551,78 @@ object CdcStream {
             r.getAs[String]("column_name"), arg, v)
       }
   }
+
+  /** Oracle-checked multi-table decode (the [[ddlDrivenDecodeTables]]
+    * composition under the hash gate): stage a TWO-table wire from the
+    * events data — table `ta` (even pk) gets a MODIFY COLUMN at the
+    * stream's midpoint, table `tb` (odd pk) a TRUNCATE at the 3/4 point —
+    * decode it in one stream, and return the decoded rows. The DuckDB
+    * oracle computes the same decode algebra straight from the parquet:
+    * ta re-types after the midpoint (x.26 payloads round to x.3 — the
+    * offset is deliberately tie-free, and the oracle casts through DOUBLE
+    * because DuckDB TRUNCATES a decimal→decimal downscale while Spark's
+    * from_json rounds half-up), tb's frames at/below the truncate drop
+    * and later ones carry the truncate's version. Payload values ride mod
+    * 1e6 so the JSON text never reaches double scientific notation at any
+    * scale factor. */
+  def multiDecodeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.PbBinlogFile
+    val wireDir = graft.util.Scratch.dir("graft_mdec_wire")
+    val outDir = graft.util.Scratch.dir("graft_mdec_out")
+    val ckpt = graft.util.Scratch.dir("graft_mdec_ckpt")
+    val changes = graft.ops.Cdc.changes(spark, dir).persist()
+    try {
+      val maxRow = changes.agg(max("commit_ts")).head
+      val maxTs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      val mid = maxTs / 2
+      val t34 = 3 * maxTs / 4
+      val dml = changes.select(
+        col("commit_ts"), col("pk"), lit("U").as("op"),
+        when(pmod(col("pk"), lit(2)) === 0, "ta").otherwise("tb").as("event_type"),
+        col("ts"), col("value"),
+        concat(lit("{\"k\": "),
+          (pmod(col("commit_ts"), lit(1000000L)).cast("double") + 0.26)
+            .cast("string"),
+          lit("}")).as("props"),
+        lit(null).cast("string").as("ddl_sql"))
+      def ddlRow(ts: Long, sql: String) = spark.range(1).select(
+        lit(ts).as("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
+        lit("ddl").as("event_type"),
+        timestamp_micros(lit(ts) * 1000000L).as("ts"),
+        lit(null).cast("double").as("value"),
+        lit(null).cast("string").as("props"),
+        lit(sql).as("ddl_sql"))
+      PbBinlogFile.write(dml
+        .unionByName(ddlRow(mid, "ALTER TABLE app.ta MODIFY COLUMN k DECIMAL(10,1)"))
+        .unionByName(ddlRow(t34, "TRUNCATE TABLE app.tb")),
+        wireDir, nFiles = 2)
+    } finally { changes.unpersist(); () }
+    val tracker = new SchemaTracker()
+    tracker.createTable("app", "ta", Seq("k DOUBLE"), version = 0)
+    tracker.createTable("app", "tb", Seq("k DOUBLE"), version = 0)
+    val q = ddlDrivenDecodeTables(PbBinlogFile.readStream(spark, wireDir),
+      tracker, outDir, ckpt, "app", col("event_type"))
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(s"$outDir/data")
+      .select(col("table").cast("string").as("table_name"), col("commit_ts"),
+        col("k_str"), col("schema_version"))
+  }
+
+  def multiDecodeSql: String =
+    s"""WITH c AS (${graft.ops.Cdc.changesCte}),
+       |b AS (SELECT max(commit_ts)//2 AS mid, (3*max(commit_ts))//4 AS t34 FROM c)
+       |SELECT 'ta' AS table_name, c.commit_ts,
+       |  CASE WHEN c.commit_ts <= b.mid
+       |       THEN CAST((c.commit_ts % 1000000) + 0.26 AS VARCHAR)
+       |       ELSE CAST(CAST(CAST((c.commit_ts % 1000000) + 0.26 AS DOUBLE) AS DECIMAL(10,1)) AS VARCHAR)
+       |  END AS k_str,
+       |  CASE WHEN c.commit_ts <= b.mid THEN 0 ELSE b.mid END AS schema_version
+       |FROM c, b WHERE c.pk % 2 = 0
+       |UNION ALL
+       |SELECT 'tb' AS table_name, c.commit_ts,
+       |  CAST((c.commit_ts % 1000000) + 0.26 AS VARCHAR) AS k_str,
+       |  b.t34 AS schema_version
+       |FROM c, b WHERE c.pk % 2 = 1 AND c.commit_ts > b.t34""".stripMargin
 
   /** Flagship streaming path: change stream → per-batch merge-by-PK upsert
     * into the materialized state with exactly-once batch ids. */

@@ -170,6 +170,12 @@ class SchemaTracker(historyDepth: Int = 2) {
   def current(schema: String, table: String): Option[TableInfo] =
     byName.get((schema, table)).flatMap(_.lastOption)
 
+  /** The registered tables of a schema, name-sorted — the multi-table
+    * decode derives its per-batch decode set from this (ref: the drainer
+    * decodes every table its schema storage knows, drainer/schema.go). */
+  def tablesOf(schema: String): Seq[String] =
+    byName.keys.collect { case (s, t) if s == schema => t }.toSeq.sorted
+
   /** Schema valid at a DML's SchemaVersion: the newest entry whose version
     * is ≤ the requested one (ref: schema.go:221-234). */
   def atVersion(schema: String, table: String, version: Long): Option[TableInfo] =

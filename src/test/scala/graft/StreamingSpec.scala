@@ -1475,6 +1475,192 @@ class StreamingSpec extends SparkSpec {
     assert(acc.value == 1L, s"below-frontier frame must be counted, got ${acc.value}")
   }
 
+  test("streaming multi-table T5∘T6: independent histories per table; TRUNCATE/CREATE/DROP TABLE") {
+    // the drainer's real shape (ref: drainer/syncer.go:374-397,
+    // drainer/schema.go:293-331): N tables' frames on ONE shared wire,
+    // each decoding against its own schema history — a DDL cuts and
+    // reshapes only ITS table's decode — plus the table-level grammar:
+    // TRUNCATE drops in-flight frames of the old incarnation (streamed F6,
+    // ref: drainer/syncer.go:744-762), CREATE registers a new table
+    // mid-stream, DROP ends a table's decode. All restart-safe through the
+    // one shared action-tagged DDL log.
+    import graft.sources.PbBinlogFile
+    val wireDir = graft.util.Scratch.dir("graft_multi_wire")
+    val outDir = graft.util.Scratch.dir("graft_multi_out")
+    val ckpt = graft.util.Scratch.dir("graft_multi_ckpt")
+
+    def dml(tbl: String, ids: Seq[Long], props: Long => String) =
+      ids.toDF("commit_ts").select(
+        col("commit_ts"), col("commit_ts").as("pk"), lit("U").as("op"),
+        lit(tbl).as("event_type"),
+        timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+        col("commit_ts").cast("double").as("value"),
+        udf(props).apply(col("commit_ts")).as("props"),
+        lit(null).cast("string").as("ddl_sql"))
+    def ddl(ts: Long, sql: String) = Seq(ts).toDF("commit_ts").select(
+      col("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
+      lit("ddl").as("event_type"),
+      timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+      lit(null).cast("double").as("value"),
+      lit(null).cast("string").as("props"),
+      lit(sql).as("ddl_sql"))
+
+    // batch 0: ta on odd ts, tb on even ts, interleaved with ta's ADD at
+    // 40 and tb's MODIFY at 50 — each must reshape only its own decode
+    PbBinlogFile.write(
+      dml("ta", (1L to 39L by 2), n => s"""{"k": ${n}.25}""")
+        .unionByName(dml("ta", (41L to 79L by 2),
+          n => s"""{"k": ${n}.25, "extra": ${n * 10}}"""))
+        .unionByName(dml("tb", (2L to 80L by 2), n => s"""{"k": ${n}.25}"""))
+        .unionByName(ddl(40L, "ALTER TABLE app.ta ADD COLUMN extra BIGINT"))
+        .unionByName(ddl(50L, "ALTER TABLE app.tb MODIFY COLUMN k DECIMAL(10,1)")),
+      wireDir, nFiles = 1)
+    val tracker = new SchemaTracker()
+    tracker.createTable("app", "ta", Seq("k DOUBLE"), version = 0)
+    tracker.createTable("app", "tb", Seq("k DOUBLE"), version = 0)
+    val q1 = CdcStream.ddlDrivenDecodeTables(
+      PbBinlogFile.readStream(spark, wireDir), tracker, outDir, ckpt,
+      "app", col("event_type"))
+    try q1.processAllAvailable() finally q1.stop()
+    assert(tracker.current("app", "ta").get.columns ==
+      Vector("k DOUBLE", "extra BIGINT"))
+    assert(tracker.current("app", "tb").get.columns == Vector("k DECIMAL(10,1)"))
+
+    // per-table output purity: tb's file carries NO trace of ta's ADD
+    val tb0 = spark.read.parquet(s"$outDir/data/batch=0/table=tb")
+    assert(tb0.columns.toSeq.sorted == Seq("commit_ts", "k_str", "pk", "schema_version"),
+      s"ta's DDL leaked into tb's decode: ${tb0.columns.toSeq}")
+    val tbRows = tb0.collect()
+      .map(r => r.getAs[Long]("commit_ts") ->
+        ((r.getAs[String]("k_str"), r.getAs[Long]("schema_version")))).toMap
+    assert(tbRows.size == 40)
+    (2L to 80L by 2).foreach { n =>
+      val expect = if (n <= 50L) (s"$n.25", 0L) else (s"$n.3", 50L)
+      assert(tbRows(n) == expect, s"tb row $n: ${tbRows(n)}")
+    }
+    val taRows = spark.read.parquet(s"$outDir/data/batch=0/table=ta").collect()
+      .map(r => r.getAs[Long]("commit_ts") ->
+        ((Option(r.getAs[String]("extra_str")), r.getAs[Long]("schema_version")))).toMap
+    assert(taRows.size == 40)
+    (1L to 79L by 2).foreach { n =>
+      val expect = if (n <= 40L) (None, 0L) else (Some((n * 10).toString), 40L)
+      assert(taRows(n) == expect, s"ta row $n: ${taRows(n)}")
+    }
+
+    // restart: both tables' histories replay from the ONE shared DDL log
+    val tracker2 = new SchemaTracker()
+    tracker2.createTable("app", "ta", Seq("k DOUBLE"), version = 0)
+    tracker2.createTable("app", "tb", Seq("k DOUBLE"), version = 0)
+    CdcStream.recoverDecodeTracker(spark, outDir, ckpt, tracker2)
+    assert(tracker2.current("app", "ta").get.columns ==
+      Vector("k DOUBLE", "extra BIGINT") &&
+      tracker2.current("app", "tb").get.columns == Vector("k DECIMAL(10,1)"))
+
+    // batch 1: the table-level grammar — TRUNCATE tb at 100 (in-flight
+    // frames <= 100 drop, later ones decode at the new version), CREATE tc
+    // at 104 (decodes from its create forward), DROP ta at 108 (in-flight
+    // frames decode, later ones drop)
+    PbBinlogFile.write(
+      dml("tb", Seq(82L, 96L, 100L, 112L, 120L), n => s"""{"k": ${n}.25}""")
+        .unionByName(dml("tc", Seq(102L, 106L, 114L), n => s"""{"v": ${n}}"""))
+        .unionByName(dml("ta", Seq(101L, 107L, 115L),
+          n => s"""{"k": ${n}.25, "extra": ${n * 10}}"""))
+        .unionByName(ddl(100L, "TRUNCATE TABLE app.tb"))
+        .unionByName(ddl(104L, "CREATE TABLE app.tc (v BIGINT)"))
+        .unionByName(ddl(108L, "DROP TABLE app.ta")),
+      wireDir, nFiles = 1)
+    val q2 = CdcStream.ddlDrivenDecodeTables(
+      PbBinlogFile.readStream(spark, wireDir), tracker2, outDir, ckpt,
+      "app", col("event_type"))
+    try q2.processAllAvailable() finally q2.stop()
+
+    assert(tracker2.tablesOf("app") == Seq("tb", "tc"))
+    assert(tracker2.current("app", "tb").get.version == 100L)
+    assert(tracker2.current("app", "tc").get.columns == Vector("v BIGINT"))
+    val tb1 = spark.read.parquet(s"$outDir/data/batch=1/table=tb").collect()
+      .map(r => r.getAs[Long]("commit_ts") ->
+        ((r.getAs[String]("k_str"), r.getAs[Long]("schema_version")))).toMap
+    assert(tb1 == Map(112L -> (("112.3", 100L)), 120L -> (("120.3", 100L))),
+      s"truncate must drop in-flight frames <= 100, got $tb1")
+    val tc1 = spark.read.parquet(s"$outDir/data/batch=1/table=tc").collect()
+      .map(r => r.getAs[Long]("commit_ts") ->
+        ((r.getAs[String]("v_str"), r.getAs[Long]("schema_version")))).toMap
+    assert(tc1 == Map(106L -> (("106", 104L)), 114L -> (("114", 104L))),
+      s"created table must decode from its create forward, got $tc1")
+    val ta1 = spark.read.parquet(s"$outDir/data/batch=1/table=ta")
+      .select("commit_ts").as[Long].collect().toSet
+    assert(ta1 == Set(101L, 107L),
+      s"drop must keep in-flight frames and drop later ones, got $ta1")
+
+    // second restart: create/drop/truncate replay from the durable log
+    val tracker3 = new SchemaTracker()
+    tracker3.createTable("app", "ta", Seq("k DOUBLE"), version = 0)
+    tracker3.createTable("app", "tb", Seq("k DOUBLE"), version = 0)
+    CdcStream.recoverDecodeTracker(spark, outDir, ckpt, tracker3)
+    assert(tracker3.tablesOf("app") == Seq("tb", "tc"))
+    assert(tracker3.current("app", "tb").get.version == 100L &&
+      tracker3.current("app", "tb").get.columns == Vector("k DECIMAL(10,1)"))
+    assert(tracker3.current("app", "tc").get.columns == Vector("v BIGINT"))
+  }
+
+  test("T2∘T5∘T6: the multi-pump merged wire keeps the decode frontier clean") {
+    // ties the k-way merge's min-frontier delivery guarantee (the
+    // streamingMerged topology's per-pump watermarks) to the versioned
+    // decode that depends on it: across the full multi-pump composition,
+    // no frame arrives below the applied DDL frontier — the
+    // below-frontier accumulator must stay ZERO end-to-end, and every
+    // frame decodes at its correct version
+    import graft.sources.PbBinlogFile
+    val root = graft.util.Scratch.dir("graft_t2t5_pumps")
+    val outDir = graft.util.Scratch.dir("graft_t2t5_out")
+    val ckpt = graft.util.Scratch.dir("graft_t2t5_ckpt")
+    def dml(ids: Seq[Long]) = ids.toDF("commit_ts").select(
+      col("commit_ts"), col("commit_ts").as("pk"), lit("U").as("op"),
+      lit("row").as("event_type"),
+      timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+      col("commit_ts").cast("double").as("value"),
+      concat(lit("{\"k\": "),
+        (col("commit_ts").cast("double") + 0.25).cast("string"),
+        lit("}")).as("props"),
+      lit(null).cast("string").as("ddl_sql"))
+    val ddl50 = Seq(50L).toDF("commit_ts").select(
+      col("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
+      lit("ddl").as("event_type"),
+      timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+      lit(null).cast("double").as("value"),
+      lit(null).cast("string").as("props"),
+      lit("ALTER TABLE app.events MODIFY COLUMN k DECIMAL(10,1)").as("ddl_sql"))
+    val pumps = Seq(s"$root/p0", s"$root/p1")
+    // stage 1: both pumps deliver up to ts 60, the DDL rides pump 0
+    PbBinlogFile.write(dml((1L to 59L by 2)).unionByName(ddl50), pumps(0), nFiles = 1)
+    PbBinlogFile.write(dml((2L to 60L by 2)), pumps(1), nFiles = 1)
+    val tracker = new SchemaTracker()
+    tracker.createTable("app", "events", Seq("k DOUBLE"), version = 0)
+    val acc = spark.sparkContext.longAccumulator("test.t2t5.frontier")
+    // the streamingMerged shape: one watermark PER pump before the union
+    // (min frontier), then the versioned decode over the merged wire
+    val merged = pumps.map(d => PbBinlogFile.readStream(spark, d)
+        .withWatermark("ts", "1 hour"))
+      .reduce(_ unionByName _)
+    val q = CdcStream.ddlDrivenDecode(merged, tracker, outDir, ckpt,
+      belowFrontier = Some(acc))
+    try {
+      q.processAllAvailable()
+      // stage 2: both pumps deliver PAST the applied frontier (ts 50) —
+      // the ordered-delivery contract the merge guarantees
+      PbBinlogFile.write(dml((61L to 99L by 2)), pumps(0), nFiles = 1)
+      PbBinlogFile.write(dml((62L to 100L by 2)), pumps(1), nFiles = 1)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(acc.value == 0L,
+      s"the merged topology must never deliver below the frontier: ${acc.value}")
+    val out = spark.read.parquet(s"$outDir/data").collect()
+      .map(r => r.getAs[Long]("commit_ts") -> r.getAs[Long]("schema_version")).toMap
+    assert(out.size == 100)
+    (1L to 100L).foreach(n =>
+      assert(out(n) == (if (n <= 50L) 0L else 50L), s"row $n at v${out(n)}"))
+  }
+
   test("pc matcher streams on RocksDB: custom state class survives the store round trip (T1)") {
     // The dedup case pins the BUILT-IN dedup state on RocksDB; this pins
     // the CUSTOM flatMapGroupsWithState path — PcMatcher.Pending must
