@@ -108,6 +108,25 @@ object CdcStream {
       .reduce(_ unionByName _)
   }
 
+  /** T2 over the WIRE envelope: the multi-pump binlog merge the versioned
+    * decode consumes — one watermark PER pump before the union (the same
+    * min-frontier mechanism as [[mergedPumpStream]]) over
+    * [[graft.sources.PbBinlogFile.readStream]] sources, so a lagging pump
+    * holds the decode frontier and no frame can arrive below an applied
+    * DDL's commit ts — the delivery contract
+    * [[ddlDrivenDecode]]/[[ddlDrivenDecodeTables]]'s below-frontier
+    * accumulator audits (ref: drainer/merge.go:236-335 feeding
+    * drainer/syncer.go). `maxFilesPerTrigger` is the per-pump P4
+    * admission knob, applied to EACH source. */
+  def mergedWireStream(spark: SparkSession, pumpDirs: Seq[String],
+      delay: String = "0 seconds", maxFilesPerTrigger: Int = 0): DataFrame = {
+    require(pumpDirs.nonEmpty, "mergedWireStream needs at least one pump directory")
+    pumpDirs.map(d =>
+        graft.sources.PbBinlogFile.readStream(spark, d, maxFilesPerTrigger)
+          .withWatermark("ts", delay))
+      .reduce(_ unionByName _)
+  }
+
   /** T3 twin: watermarked per-day/per-op counts (fake-binlog-free — Spark
     * advances the watermark from event time directly). */
   def watermarkedCounts(changes: DataFrame): DataFrame =
@@ -210,6 +229,8 @@ object CdcStream {
     "^CREATE TABLE `?([a-z0-9_]+)`?\\.`?([a-z0-9_]+)`? \\((.+)\\)$".r
   private val DropTableRe =
     "^DROP TABLE `?([a-z0-9_]+)`?\\.`?([a-z0-9_]+)`?$".r
+  private val RenameTableRe =
+    "^RENAME TABLE `?([a-z0-9_]+)`?\\.`?([a-z0-9_]+)`? TO (?:`?([a-z0-9_]+)`?\\.)?`?([a-z0-9_]+)`?$".r
 
   /** Split a CREATE TABLE column list on top-level commas only — a type
     * argument list like `DECIMAL(10,2)` carries commas of its own. */
@@ -248,6 +269,7 @@ object CdcStream {
       case "truncate"     => tracker.truncateTable(schema, table, version)
       case "create_table" => tracker.createTable(schema, table, splitColumnDefs(arg), version)
       case "drop_table"   => tracker.dropTable(schema, table, version)
+      case "rename_table" => tracker.renameTable(schema, table, arg, version)
       case other => throw new IllegalArgumentException(s"unknown logged DDL action: $other")
     }
 
@@ -295,7 +317,8 @@ object CdcStream {
     * table). `tableOf` names each DML frame's table (an expression over
     * the envelope — typically a routing column); the decode set is every
     * table registered in the tracker under `schemaName`, plus tables a
-    * wire CREATE TABLE registers mid-stream. Per batch, each table's
+    * wire CREATE TABLE registers (or a RENAME TABLE re-homes)
+    * mid-stream. Per batch, each table's
     * frames are sliced at ITS OWN DDL barriers only — a foreign table's
     * DDL neither cuts nor reshapes another table's decode — and each
     * table's decoded union lands under `outDir/data/batch=<id>/table=<t>`
@@ -461,10 +484,27 @@ object CdcStream {
                 decodeSlice(t, catalog(t), ts)
                 catalog -= t
                 applied += ((ts, schemaName, t, "drop_table", "", ""))
+              case RenameTableRe(s, t, toSchema, to)
+                  if s == schemaName && dynamicTables && catalog.contains(t) &&
+                    (toSchema == null || toSchema == schemaName) &&
+                    !catalog.contains(to) =>
+                // the renamed table keeps its shape and history under the
+                // new name (ref: drainer/schema.go renameTable — same table
+                // id, new name): in-flight frames still addressed to the
+                // OLD name decode now, later frames arrive under the NEW
+                // name and continue the same schema history
+                decodeSlice(t, catalog(t), ts)
+                slicesOf.getOrElseUpdate(to,
+                  scala.collection.mutable.ArrayBuffer.empty[DataFrame])
+                lowerOf(to) = ts
+                catalog += to -> catalog(t).copy(table = to, version = ts)
+                catalog -= t
+                applied += ((ts, schemaName, t, "rename_table", "", to))
               case ModifyColumnRe(_, _, _, _) | AddColumnRe(_, _, _, _) |
                    DropColumnRe(_, _, _) | RenameColumnRe(_, _, _, _) |
                    TruncateTableRe(_, _) | CreateTableRe(_, _, _) |
-                   DropTableRe(_, _) => () // foreign-table pass-through
+                   DropTableRe(_, _) | RenameTableRe(_, _, _, _) =>
+                () // foreign-table pass-through
               case other =>
                 throw new IllegalArgumentException(s"unsupported wire DDL: $other")
             }

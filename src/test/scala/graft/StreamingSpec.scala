@@ -1601,6 +1601,41 @@ class StreamingSpec extends SparkSpec {
     assert(tracker3.current("app", "tb").get.version == 100L &&
       tracker3.current("app", "tb").get.columns == Vector("k DECIMAL(10,1)"))
     assert(tracker3.current("app", "tc").get.columns == Vector("v BIGINT"))
+
+    // batch 2: RENAME TABLE tb→td at 130 — in-flight frames under the OLD
+    // name decode now, later frames arrive under the NEW name and continue
+    // the SAME schema history (the modify'd DECIMAL shape survives the
+    // rename; ref: drainer/schema.go renameTable keeps the table id)
+    PbBinlogFile.write(
+      dml("tb", Seq(122L, 126L), n => s"""{"k": ${n}.25}""")
+        .unionByName(dml("td", Seq(134L, 140L), n => s"""{"k": ${n}.25}"""))
+        .unionByName(ddl(130L, "RENAME TABLE app.tb TO app.td")),
+      wireDir, nFiles = 1)
+    val q3 = CdcStream.ddlDrivenDecodeTables(
+      PbBinlogFile.readStream(spark, wireDir), tracker3, outDir, ckpt,
+      "app", col("event_type"))
+    try q3.processAllAvailable() finally q3.stop()
+    assert(tracker3.tablesOf("app") == Seq("tc", "td"))
+    assert(tracker3.current("app", "td").get.columns == Vector("k DECIMAL(10,1)") &&
+      tracker3.current("app", "td").get.version == 130L)
+    val tb2 = spark.read.parquet(s"$outDir/data/batch=2/table=tb").collect()
+      .map(r => r.getAs[Long]("commit_ts") ->
+        ((r.getAs[String]("k_str"), r.getAs[Long]("schema_version")))).toMap
+    assert(tb2 == Map(122L -> (("122.3", 100L)), 126L -> (("126.3", 100L))),
+      s"in-flight frames under the old name must decode, got $tb2")
+    val td2 = spark.read.parquet(s"$outDir/data/batch=2/table=td").collect()
+      .map(r => r.getAs[Long]("commit_ts") ->
+        ((r.getAs[String]("k_str"), r.getAs[Long]("schema_version")))).toMap
+    assert(td2 == Map(134L -> (("134.3", 130L)), 140L -> (("140.3", 130L))),
+      s"the renamed table must keep the DECIMAL shape, got $td2")
+
+    // third restart: the rename replays from the durable log
+    val tracker4 = new SchemaTracker()
+    tracker4.createTable("app", "ta", Seq("k DOUBLE"), version = 0)
+    tracker4.createTable("app", "tb", Seq("k DOUBLE"), version = 0)
+    CdcStream.recoverDecodeTracker(spark, outDir, ckpt, tracker4)
+    assert(tracker4.tablesOf("app") == Seq("tc", "td"))
+    assert(tracker4.current("app", "td").get.columns == Vector("k DECIMAL(10,1)"))
   }
 
   test("T2∘T5∘T6: the multi-pump merged wire keeps the decode frontier clean") {
@@ -1637,11 +1672,9 @@ class StreamingSpec extends SparkSpec {
     val tracker = new SchemaTracker()
     tracker.createTable("app", "events", Seq("k DOUBLE"), version = 0)
     val acc = spark.sparkContext.longAccumulator("test.t2t5.frontier")
-    // the streamingMerged shape: one watermark PER pump before the union
-    // (min frontier), then the versioned decode over the merged wire
-    val merged = pumps.map(d => PbBinlogFile.readStream(spark, d)
-        .withWatermark("ts", "1 hour"))
-      .reduce(_ unionByName _)
+    // the product topology: mergedWireStream (one watermark PER pump
+    // before the union, min frontier), then the versioned decode over it
+    val merged = CdcStream.mergedWireStream(spark, pumps, delay = "1 hour")
     val q = CdcStream.ddlDrivenDecode(merged, tracker, outDir, ckpt,
       belowFrontier = Some(acc))
     try {
