@@ -4,9 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
+import org.apache.spark.sql.Column
+
 import graft.ops.{Cdc, Filters}
-import graft.sinks.UpsertSink
-import graft.streaming.CdcStream
+import graft.sinks.{JdbcSchemaLoader, UpsertSink}
+import graft.streaming.{CdcStream, SchemaTracker}
 
 /** End-to-end composition of the drainer path (SURVEY §3.2 in miniature):
   * pump sources → k-way merge → rule filters → per-PK log compaction →
@@ -170,4 +172,161 @@ object DrainerPipeline {
       }
       .start()
   }
+
+  /** The reference drainer's COMPLETE replication loop as ONE streaming
+    * query (S5/S6∘T2∘T5/T6∘P3/K1 — the pump collector feeding
+    * drainer/syncer.go feeding pkg/loader/load.go): pump binlog
+    * directories → merged wire stream (per-pump watermarks, min frontier)
+    * → multi-table schema-versioned decode (each table's frames against
+    * its own history, wire DDL re-typing later frames, durable DDL log) →
+    * the schema-driven JDBC loader, one multi-table
+    * [[JdbcSchemaLoader.applyBatch]] per micro-batch. Exactly-once falls
+    * out of the two replay guards composing: the decode replays a crashed
+    * batch byte-identically (its tracker advances last), and the loader
+    * skips a batch id it has already committed.
+    *
+    * `tableMap` routes a wire table to its target table (the F9 router
+    * analog; wire tables mapping to one target — e.g. across a RENAME —
+    * union into one slice). `ddlToTarget` translates an applied wire DDL —
+    * (wire table, action, column, arg), the [[CdcStream.DecodedBatch]]
+    * log shape — into a target-dialect statement (M8's job), or None to
+    * manage target schema out of band. Translated statements ride the
+    * batch's frames, so the loader executes them at its global ts
+    * barriers and re-reads the target catalog after each: an ADD COLUMN
+    * becomes writable for post-barrier rows of the SAME batch, while
+    * pre-barrier rows insert without it — the reference loader's
+    * column-refresh-on-DDL behavior (pkg/loader/load.go:845-866). Decoded
+    * string values are cast back to the wire column types, so the loader
+    * binds typed objects. */
+  def streamingReplicated(spark: SparkSession, pumpDirs: Seq[String],
+      tracker: SchemaTracker, loader: JdbcSchemaLoader, outDir: String,
+      checkpoint: String, schemaName: String, tableOf: Column,
+      tableMap: String => String = identity,
+      ddlToTarget: (String, String, String, String) => Option[String] =
+        (_, _, _, _) => None,
+      delay: String = "0 seconds", merge: Boolean = true): StreamingQuery =
+    CdcStream.ddlDrivenDecodeTables(
+      CdcStream.mergedWireStream(spark, pumpDirs, delay),
+      tracker, outDir, checkpoint, schemaName, tableOf,
+      emit = Some { case (batchId, frames, ddls) =>
+        import spark.implicits._
+        val slices = frames.toSeq.sortBy(_._1).map { case (t, (defs, df)) =>
+          val typed = defs.map { d =>
+            val Array(n, ty) = d.split(" ", 2)
+            col(s"${n}_str").cast(ty).as(n)
+          }
+          tableMap(t) -> df.select(
+            Seq(col("commit_ts"), col("pk"), col("op")) ++ typed: _*)
+        }.groupBy(_._1).view.mapValues(
+            _.map(_._2).reduce(_.unionByName(_, allowMissingColumns = true)))
+          .toMap.toSeq.sortBy(_._1)
+        val ddlRows = ddls.flatMap { case (v, _, t, action, c, arg) =>
+          ddlToTarget(t, action, c, arg).map(sql => (v, sql))
+        }
+        if (slices.nonEmpty) {
+          // translated DDL rides the first frame: applyBatch gathers DDL
+          // rows ACROSS frames into global ts barriers, so which frame
+          // carries them does not matter
+          val withDdl = ddlRows match {
+            case Seq() => slices
+            case rows =>
+              val (t0, df0) = slices.head
+              val ddlDf = rows.toDF("commit_ts", "ddl_sql").select(
+                col("commit_ts"), lit("DDL").as("op"), col("ddl_sql"))
+              (t0 -> df0.withColumn("ddl_sql", lit(null).cast("string"))
+                .unionByName(ddlDf, allowMissingColumns = true)) +: slices.tail
+          }
+          loader.applyBatch(withDdl.toMap, batchId, merge = merge): Unit
+        } else
+          // a batch carrying only DDL has no DML to order against —
+          // execute directly under the same logged replay guard
+          ddlRows.sortBy(_._1).foreach { case (v, sql) =>
+            loader.executeLoggedDdl(batchId, v, sql)
+          }
+      })
+
+  /** Oracle-checked [[streamingReplicated]] composition under the hash
+    * gate: stage the change stream onto the binlog wire as TWO tables
+    * routed by pk parity — `ta` (even) gains `extra BIGINT` via a wire
+    * ADD COLUMN at the stream midpoint, `tb` (odd) stays narrow — run the
+    * full loop (merged wire → versioned decode → translated DDL at the
+    * loader barrier → merge-by-PK into Derby), and return the final
+    * target state of both tables. The DuckDB oracle computes the same
+    * end state straight from the parquet: last image per pk, deletes
+    * absent, `extra` only for post-midpoint `ta` images (pre-barrier rows
+    * inserted before the target knew the column; Derby backfills NULL on
+    * ADD COLUMN, exactly the decode's pre-DDL NULL). Payload values ride
+    * mod 1e6 + .25 so both engines stay float-exact. */
+  def replicatedQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.PbBinlogFile
+    import graft.streaming.SchemaTracker
+    val wireDir = graft.util.Scratch.dir("graft_repl_wire")
+    val outDir = graft.util.Scratch.dir("graft_replq_out")
+    val ckpt = graft.util.Scratch.dir("graft_replq_ckpt")
+    val changes = Cdc.changes(spark, dir).persist()
+    val mid = try {
+      val maxRow = changes.agg(max("commit_ts")).head
+      val maxTs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      val m = maxTs / 2
+      val dml = changes.select(
+        col("commit_ts"), col("pk"), col("op"),
+        when(pmod(col("pk"), lit(2)) === 0, "ta").otherwise("tb").as("event_type"),
+        col("ts"), col("value"),
+        concat(lit("{\"k\": "),
+          (pmod(col("commit_ts"), lit(1000000L)).cast("double") + 0.25)
+            .cast("string"),
+          when(pmod(col("pk"), lit(2)) === 0 && col("commit_ts") > m,
+            concat(lit(", \"extra\": "), pmod(col("pk"), lit(1000000L))))
+            .otherwise(lit("")),
+          lit("}")).as("props"),
+        lit(null).cast("string").as("ddl_sql"))
+      val ddlRow = spark.range(1).select(
+        lit(m).as("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
+        lit("ddl").as("event_type"),
+        timestamp_micros(lit(m) * 1000000L).as("ts"),
+        lit(null).cast("double").as("value"),
+        lit(null).cast("string").as("props"),
+        lit("ALTER TABLE app.ta ADD COLUMN extra BIGINT").as("ddl_sql"))
+      PbBinlogFile.write(dml.unionByName(ddlRow), wireDir, nFiles = 2)
+      m
+    } finally { changes.unpersist(); () }
+    val tracker = new SchemaTracker()
+    tracker.createTable("app", "ta", Seq("k DOUBLE"), version = 0)
+    tracker.createTable("app", "tb", Seq("k DOUBLE"), version = 0)
+    val loader = new graft.sinks.JdbcSchemaLoader(
+      graft.util.Scratch.derbyMemUrl("graft_repl_q"), applyPartitions = 8)
+    loader.createTable(
+      "CREATE TABLE TA_STATE (PK BIGINT PRIMARY KEY, COMMIT_TS BIGINT, K DOUBLE)")
+    loader.createTable(
+      "CREATE TABLE TB_STATE (PK BIGINT PRIMARY KEY, COMMIT_TS BIGINT, K DOUBLE)")
+    val q = streamingReplicated(spark, Seq(wireDir), tracker, loader,
+      outDir, ckpt, "app", col("event_type"),
+      tableMap = t => t.toUpperCase + "_STATE",
+      ddlToTarget = {
+        case (t, "add", c, ty) =>
+          Some(s"ALTER TABLE ${t.toUpperCase}_STATE ADD COLUMN ${c.toUpperCase} $ty")
+        case _ => None
+      })
+    try q.processAllAvailable() finally q.stop()
+    val ta = loader.readTable(spark, "TA_STATE", Some("PK")).select(
+      lit("ta").as("tbl"), col("PK").as("pk"), col("COMMIT_TS").as("commit_ts"),
+      col("K").as("k"), col("EXTRA").cast("long").as("extra"))
+    val tb = loader.readTable(spark, "TB_STATE", Some("PK")).select(
+      lit("tb").as("tbl"), col("PK").as("pk"), col("COMMIT_TS").as("commit_ts"),
+      col("K").as("k"), lit(null).cast("long").as("extra"))
+    ta.unionByName(tb)
+  }
+
+  def replicatedSql: String =
+    s"""WITH c AS (${Cdc.changesCte}),
+       |b AS (SELECT max(commit_ts)//2 AS mid FROM c),
+       |r AS (SELECT pk, commit_ts, op,
+       |        CAST((commit_ts % 1000000) + 0.25 AS DOUBLE) AS k,
+       |        CASE WHEN pk % 2 = 0 AND commit_ts > b.mid
+       |             THEN pk % 1000000 END AS extra,
+       |        row_number() OVER (PARTITION BY pk ORDER BY commit_ts DESC) AS rn
+       |      FROM c, b)
+       |SELECT CASE WHEN pk % 2 = 0 THEN 'ta' ELSE 'tb' END AS tbl,
+       |  pk, commit_ts, k, CAST(extra AS BIGINT) AS extra
+       |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin
 }

@@ -395,6 +395,20 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
     }
   }
 
+  /** Execute one statement against the target under the same logged
+    * replay guard the batch barriers use (P3): a replayed batch skips an
+    * already-executed statement instead of wedging on it. For DDL arriving
+    * in a micro-batch that carries no DML to order against. */
+  def executeLoggedDdl(batchId: Long, commitTs: Long, sql: String): Unit =
+    withConn { c =>
+      JdbcMeta.ensureMeta(c)
+      if (!JdbcMeta.ddlLogged(c, batchId, commitTs, sql)) {
+        val st = c.createStatement()
+        try st.execute(sql) finally st.close()
+        JdbcMeta.logDdl(c, batchId, commitTs, sql)
+      }
+    }
+
   def createTable(ddl: String): Unit =
     withConn(c => JdbcMeta.createIfAbsent(c, ddl))
 

@@ -308,7 +308,14 @@ object CdcStream {
       belowFrontier: Option[org.apache.spark.util.LongAccumulator] = None): StreamingQuery =
     decodeQuery(wire, tracker, outDir, checkpoint, schemaName,
       tableOf = lit(table), fixedTables = Some(Seq(table)),
-      layout = (id, _) => s"$outDir/data/batch=$id", belowFrontier)
+      layout = (id, _) => s"$outDir/data/batch=$id", belowFrontier, emit = None)
+
+  /** Per-batch decoded output handed to a composing sink (see
+    * [[ddlDrivenDecodeTables]]'s `emit`): the batch id, each table's
+    * (final column defs, string-decoded union frame), and the batch's
+    * applied wire DDLs as (version, schema, table, action, column, arg). */
+  type DecodedBatch = (Long, Map[String, (Seq[String], DataFrame)],
+    Seq[(Long, String, String, String, String, String)])
 
   /** Multi-table T5∘T6 — the drainer's real shape: EVERY table on the
     * shared wire decodes against its own schema history in one stream
@@ -332,16 +339,19 @@ object CdcStream {
   def ddlDrivenDecodeTables(wire: DataFrame, tracker: SchemaTracker,
       outDir: String, checkpoint: String, schemaName: String,
       tableOf: Column,
-      belowFrontier: Option[org.apache.spark.util.LongAccumulator] = None): StreamingQuery =
+      belowFrontier: Option[org.apache.spark.util.LongAccumulator] = None,
+      emit: Option[DecodedBatch => Unit] = None): StreamingQuery =
     decodeQuery(wire, tracker, outDir, checkpoint, schemaName,
       tableOf, fixedTables = None,
-      layout = (id, t) => s"$outDir/data/batch=$id/table=$t", belowFrontier)
+      layout = (id, t) => s"$outDir/data/batch=$id/table=$t", belowFrontier,
+      emit)
 
   private def decodeQuery(wire: DataFrame, tracker: SchemaTracker,
       outDir: String, checkpoint: String, schemaName: String,
       tableOf: Column, fixedTables: Option[Seq[String]],
       layout: (Long, String) => String,
-      belowFrontier: Option[org.apache.spark.util.LongAccumulator]): StreamingQuery = {
+      belowFrontier: Option[org.apache.spark.util.LongAccumulator],
+      emit: Option[DecodedBatch => Unit]): StreamingQuery = {
     // forward-only-delivery violations surface here instead of silently
     // mis-typing rows (see the check inside the batch); callers that want
     // to assert/alert pass their own accumulator, otherwise a named one
@@ -401,6 +411,10 @@ object CdcStream {
               t -> scala.collection.mutable.ArrayBuffer.empty[DataFrame]): _*)
           val lowerOf = scala.collection.mutable.Map(
             tables0.map(_ -> Long.MinValue): _*)
+          // the column defs each table's LAST slice decoded with — for a
+          // live table the end-of-batch catalog shape, for a dropped one
+          // its shape at the drop barrier (what `emit` casts by)
+          val defsOf = scala.collection.mutable.Map.empty[String, Seq[String]]
           // one decoded slice of table `t`: its frames in (lower, upper],
           // decoded DISTRIBUTED with the from_json schema the local view
           // holds — captured at plan-construction time. A table whose LAST
@@ -413,11 +427,14 @@ object CdcStream {
             slicesOf(t) += batch
               .filter(col("op") =!= "DDL" && tableOf === lit(t) &&
                 col("commit_ts") > lowerOf(t) && col("commit_ts") <= upper)
-              .select(Seq(col("commit_ts"), col("pk")) ++
+              // op rides through: a decoded binlog item keeps its mutation
+              // type (I/U/D) — any downstream apply needs it
+              .select(Seq(col("commit_ts"), col("pk"), col("op")) ++
                 wireSchema.fieldNames.toSeq.map(f =>
                   payload.getField(f).cast("string").as(s"${f}_str")) :+
                 lit(info.version).as("schema_version"): _*)
             lowerOf(t) = upper
+            defsOf(t) = info.columns
           }
           // walk the batch's DDLs in commit-ts order (driver-side: DDL is
           // rare and totally ordered). Only a DDL addressing a TRACKED
@@ -513,10 +530,13 @@ object CdcStream {
           catalog.toSeq.sortBy(_._1).foreach { case (t, info) =>
             decodeSlice(t, info, Long.MaxValue)
           }
-          slicesOf.foreach { case (t, slices) =>
-            if (slices.nonEmpty)
-              slices.reduce(_.unionByName(_, allowMissingColumns = true))
-                .write.mode("overwrite").parquet(layout(id, t))
+          val unions = slicesOf.toSeq.collect {
+            case (t, slices) if slices.nonEmpty =>
+              t -> ((defsOf(t),
+                slices.reduce(_.unionByName(_, allowMissingColumns = true))))
+          }
+          unions.foreach { case (t, (_, df)) =>
+            df.write.mode("overwrite").parquet(layout(id, t))
           }
           import spark.implicits._
           // written only when non-empty (an empty parquet dir is
@@ -527,6 +547,11 @@ object CdcStream {
             applied.toSeq
               .toDF("version", "schema_name", "table_name", "action", "column_name", "arg")
               .write.mode("overwrite").parquet(s"$outDir/ddl/batch=$id")
+          // composing sink (e.g. a JDBC loader) consumes the decoded batch
+          // AFTER the parquet log is durable and BEFORE the live catalog
+          // advances — a crash inside the sink replays the batch
+          // identically, and an idempotent sink (batch-id guard) skips
+          emit.foreach(f => f((id, unions.toMap, applied.toSeq)))
           // only now does the live catalog advance — a crash anywhere
           // above replays this batch against the unchanged tracker
           applied.foreach { case (v, s, t, action, c, arg) =>

@@ -1528,7 +1528,7 @@ class StreamingSpec extends SparkSpec {
 
     // per-table output purity: tb's file carries NO trace of ta's ADD
     val tb0 = spark.read.parquet(s"$outDir/data/batch=0/table=tb")
-    assert(tb0.columns.toSeq.sorted == Seq("commit_ts", "k_str", "pk", "schema_version"),
+    assert(tb0.columns.toSeq.sorted == Seq("commit_ts", "k_str", "op", "pk", "schema_version"),
       s"ta's DDL leaked into tb's decode: ${tb0.columns.toSeq}")
     val tbRows = tb0.collect()
       .map(r => r.getAs[Long]("commit_ts") ->
@@ -1692,6 +1692,89 @@ class StreamingSpec extends SparkSpec {
     assert(out.size == 100)
     (1L to 100L).foreach(n =>
       assert(out(n) == (if (n <= 50L) 0L else 50L), s"row $n at v${out(n)}"))
+  }
+
+  test("streamingReplicated: merged pumps → versioned decode → JDBC target, DDL barrier included") {
+    // the drainer's COMPLETE loop as one streaming query: two pump binlog
+    // dirs → min-frontier merge → multi-table versioned decode → the
+    // schema-driven loader. The wire ADD COLUMN re-types the decode AND
+    // (translated) executes on the Derby target at the loader's global
+    // barrier, so post-barrier rows of the SAME batch insert the new
+    // column while pre-barrier rows insert without it (pkg/loader/
+    // load.go:845-866 column refresh on DDL).
+    import graft.pipeline.DrainerPipeline
+    import graft.sinks.JdbcSchemaLoader
+    import graft.sources.PbBinlogFile
+    val root = graft.util.Scratch.dir("graft_repl_pumps")
+    val outDir = graft.util.Scratch.dir("graft_repl_out")
+    val ckpt = graft.util.Scratch.dir("graft_repl_ckpt")
+    def dml(tbl: String, ids: Seq[Long], props: Long => String) =
+      ids.toDF("commit_ts").select(
+        col("commit_ts"), col("commit_ts").as("pk"), lit("U").as("op"),
+        lit(tbl).as("event_type"),
+        timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+        col("commit_ts").cast("double").as("value"),
+        udf(props).apply(col("commit_ts")).as("props"),
+        lit(null).cast("string").as("ddl_sql"))
+    val addDdl = Seq(40L).toDF("commit_ts").select(
+      col("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
+      lit("ddl").as("event_type"),
+      timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+      lit(null).cast("double").as("value"),
+      lit(null).cast("string").as("props"),
+      lit("ALTER TABLE app.ta ADD COLUMN extra BIGINT").as("ddl_sql"))
+    // ta rides pump 0 (odd ts, the DDL with it), tb rides pump 1 (even ts)
+    PbBinlogFile.write(
+      dml("ta", (1L to 39L by 2), n => s"""{"k": ${n}.25}""")
+        .unionByName(dml("ta", (41L to 79L by 2),
+          n => s"""{"k": ${n}.25, "extra": ${n * 10}}"""))
+        .unionByName(addDdl),
+      s"$root/p0", nFiles = 1)
+    PbBinlogFile.write(dml("tb", (2L to 80L by 2), n => s"""{"k": ${n}.25}"""),
+      s"$root/p1", nFiles = 1)
+
+    val tracker = new SchemaTracker()
+    tracker.createTable("app", "ta", Seq("k DOUBLE"), version = 0)
+    tracker.createTable("app", "tb", Seq("k DOUBLE"), version = 0)
+    val url = freshDerbyUrl("repl")
+    val loader = new JdbcSchemaLoader(url, applyPartitions = 4)
+    loader.createTable(
+      "CREATE TABLE TA_STATE (PK BIGINT PRIMARY KEY, COMMIT_TS BIGINT, K DOUBLE)")
+    loader.createTable(
+      "CREATE TABLE TB_STATE (PK BIGINT PRIMARY KEY, COMMIT_TS BIGINT, K DOUBLE)")
+    val q = DrainerPipeline.streamingReplicated(spark, Seq(s"$root/p0", s"$root/p1"),
+      tracker, loader, outDir, ckpt, "app", col("event_type"),
+      tableMap = t => t.toUpperCase + "_STATE",
+      ddlToTarget = {
+        case (t, "add", c, ty) =>
+          Some(s"ALTER TABLE ${t.toUpperCase}_STATE ADD COLUMN ${c.toUpperCase} $ty")
+        case _ => None
+      })
+    try {
+      q.processAllAvailable()
+      // stage 2: continuation past the checkpoint — later rows land on the
+      // widened table through the SAME query
+      PbBinlogFile.write(dml("ta", Seq(81L, 83L),
+        n => s"""{"k": ${n}.25, "extra": ${n * 10}}"""), s"$root/p0", nFiles = 1)
+      PbBinlogFile.write(dml("tb", Seq(82L, 84L), n => s"""{"k": ${n}.25}"""),
+        s"$root/p1", nFiles = 1)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ta = loader.readTable(spark, "TA_STATE", Some("PK")).collect()
+      .map(r => r.getAs[Long]("PK") ->
+        ((r.getAs[Double]("K"), Option(r.getAs[java.lang.Long]("EXTRA"))
+          .map(_.longValue)))).toMap
+    assert(ta.size == 42, s"TA_STATE rows: ${ta.size}")
+    ((1L to 39L by 2)).foreach(n =>
+      assert(ta(n) == ((n + 0.25, None)), s"pre-DDL ta row $n: ${ta(n)}"))
+    ((41L to 83L by 2)).foreach(n =>
+      assert(ta(n) == ((n + 0.25, Some(n * 10))), s"post-DDL ta row $n: ${ta(n)}"))
+    val tbDf = loader.readTable(spark, "TB_STATE", Some("PK"))
+    assert(!tbDf.columns.contains("EXTRA"), "ta's DDL leaked into TB_STATE")
+    val tb = tbDf.collect()
+      .map(r => r.getAs[Long]("PK") -> r.getAs[Double]("K")).toMap
+    assert(tb.size == 42 && tb(2L) == 2.25 && tb(84L) == 84.25, s"TB_STATE: ${tb.size}")
   }
 
   test("pc matcher streams on RocksDB: custom state class survives the store round trip (T1)") {
