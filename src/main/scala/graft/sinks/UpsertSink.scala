@@ -69,7 +69,10 @@ class UpsertSink(root: String, nBuckets: Int = 16) {
         case Array(b)           => Checkpoint(b.toLong, -1L, -1L, consistent = true)
         case _                  => Checkpoint(-1L, -1L, -1L, consistent = true)
       } catch {
-        case e: NumberFormatException => throw new IllegalStateException(
+        // IllegalArgumentException covers both the numeric fields (NFE is
+        // its subclass) and a corrupt boolean field (`toBoolean` throws
+        // the parent directly)
+        case e: IllegalArgumentException => throw new IllegalStateException(
           s"corrupt checkpoint marker $metaPath — delete it to force an " +
             "idempotent replay of the last batch", e)
       }

@@ -399,11 +399,17 @@ object CdcStream {
           val gathered = batch.agg(
             sort_array(collect_list(when(col("op") === "DDL",
               struct(col("commit_ts"), col("ddl_sql"))))).as("ddls"),
-            sum(when(col("op") =!= "DDL" && belowCond, 1L)).as("below")).head()
+            sum(when(col("op") =!= "DDL" && belowCond, 1L)).as("below"),
+            collect_set(when(col("op") =!= "DDL", tableOf)).as("touched")).head()
           val ddls = gathered.getSeq[org.apache.spark.sql.Row](0)
             .map(r => (r.getLong(0), r.getString(1)))
           if (!gathered.isNullAt(1) && gathered.getLong(1) > 0)
             frontierViolations.add(gathered.getLong(1))
+          // the tables this batch actually carries DML for — per-batch
+          // decode/write/emit work scales with THIS set, not with every
+          // table the tracker knows (at N tracked tables and sparse
+          // traffic, the difference is N jobs per trigger vs a handful)
+          val touched = gathered.getSeq[String](2).toSet
 
           val applied = scala.collection.mutable.ArrayBuffer.empty[AppliedDdl]
           val slicesOf = scala.collection.mutable.LinkedHashMap(
@@ -411,16 +417,22 @@ object CdcStream {
               t -> scala.collection.mutable.ArrayBuffer.empty[DataFrame]): _*)
           val lowerOf = scala.collection.mutable.Map(
             tables0.map(_ -> Long.MinValue): _*)
-          // the column defs each table's LAST slice decoded with — for a
-          // live table the end-of-batch catalog shape, for a dropped one
-          // its shape at the drop barrier (what `emit` casts by)
-          val defsOf = scala.collection.mutable.Map.empty[String, Seq[String]]
+          // every column def a table's slices decoded with THIS batch, in
+          // first-seen order with the latest type winning — `emit` casts
+          // by these, so pre-barrier values of a column dropped or renamed
+          // away mid-batch still reach a composing sink (whose target
+          // loses the column only AT its own translated barrier)
+          val defsOf = scala.collection.mutable.Map
+            .empty[String, scala.collection.mutable.LinkedHashMap[String, String]]
           // one decoded slice of table `t`: its frames in (lower, upper],
           // decoded DISTRIBUTED with the from_json schema the local view
           // holds — captured at plan-construction time. A table whose LAST
           // column was dropped decodes to the bare (commit_ts, pk,
-          // schema_version) envelope (fromDDL("") would throw).
+          // schema_version) envelope (fromDDL("") would throw). A table
+          // with no DML rows this batch has nothing to decode — skip the
+          // whole job.
           def decodeSlice(t: String, info: tracker.TableInfo, upper: Long): Unit = {
+            if (!touched.contains(t)) return
             val wireSchema = if (info.columns.isEmpty) new StructType()
               else StructType.fromDDL(info.columns.mkString(", "))
             val payload = from_json(col("props"), wireSchema)
@@ -434,7 +446,9 @@ object CdcStream {
                   payload.getField(f).cast("string").as(s"${f}_str")) :+
                 lit(info.version).as("schema_version"): _*)
             lowerOf(t) = upper
-            defsOf(t) = info.columns
+            val acc = defsOf.getOrElseUpdate(t,
+              scala.collection.mutable.LinkedHashMap.empty[String, String])
+            info.columns.foreach(d => acc += d.split(" ", 2)(0) -> d)
           }
           // walk the batch's DDLs in commit-ts order (driver-side: DDL is
           // rare and totally ordered). Only a DDL addressing a TRACKED
@@ -495,6 +509,14 @@ object CdcStream {
                 catalog += t -> tracker.TableInfo(schemaName, t, cols.toVector, ts)
                 applied += ((ts, schemaName, t, "create_table", "", cols.mkString(", ")))
               case DropTableRe(s, t) if s == schemaName && catalog.contains(t) =>
+                // the single-table form pins its one table for the query's
+                // lifetime — accepting the drop would only defer the crash
+                // to the NEXT batch's catalog build with a misleading
+                // "not registered" error, after durably mutating the log
+                if (!dynamicTables)
+                  throw new IllegalArgumentException(
+                    s"wire DROP TABLE of the pinned decode table $s.$t is " +
+                      "unsupported in single-table decode")
                 // in-flight frames at/below the drop still decode (they
                 // committed against the live table); later frames of the
                 // dropped table are unaddressable and drop
@@ -517,6 +539,20 @@ object CdcStream {
                 catalog += to -> catalog(t).copy(table = to, version = ts)
                 catalog -= t
                 applied += ((ts, schemaName, t, "rename_table", "", to))
+              case RenameTableRe(s, t, toSchema, to)
+                  if s == schemaName && catalog.contains(t) =>
+                // a rename of a TRACKED table the apply case above could
+                // not take must fail loudly — silently passing it through
+                // would detach the table's replication (later frames
+                // arrive under a name the decode does not know)
+                val target = s"${Option(toSchema).getOrElse(schemaName)}.$to"
+                val why =
+                  if (!dynamicTables) "single-table decode cannot follow a rename"
+                  else if (toSchema != null && toSchema != schemaName)
+                    "cross-schema rename is unsupported"
+                  else s"target $target is already tracked"
+                throw new IllegalArgumentException(
+                  s"cannot apply wire RENAME TABLE $s.$t TO $target: $why")
               case ModifyColumnRe(_, _, _, _) | AddColumnRe(_, _, _, _) |
                    DropColumnRe(_, _, _) | RenameColumnRe(_, _, _, _) |
                    TruncateTableRe(_, _) | CreateTableRe(_, _, _) |
@@ -532,7 +568,7 @@ object CdcStream {
           }
           val unions = slicesOf.toSeq.collect {
             case (t, slices) if slices.nonEmpty =>
-              t -> ((defsOf(t),
+              t -> ((defsOf(t).values.toSeq,
                 slices.reduce(_.unionByName(_, allowMissingColumns = true))))
           }
           unions.foreach { case (t, (_, df)) =>

@@ -112,10 +112,16 @@ class SchemaTracker(historyDepth: Int = 2) {
     push((schema, table), renamed(cur, from, to, version))
   }
 
-  /** rename keeps history under the new name (ref: schema.go renameTable). */
+  /** rename keeps history under the new name (ref: schema.go renameTable).
+    * Fails loudly on a missing source or an occupied target — silently
+    * registering an empty history would hand every later catalog read a
+    * phantom table that `current` cannot resolve. */
   def renameTable(schema: String, from: String, to: String, version: Long): Unit = {
     currentVersion = version
-    val hist = byName.getOrElse((schema, from), Vector.empty)
+    val hist = byName.getOrElse((schema, from),
+      throw new NoSuchElementException(s"$schema.$from"))
+    require(!byName.contains((schema, to)),
+      s"rename target $schema.$to is already registered")
     byName -= ((schema, from))
     byName += (schema, to) -> hist.map(i => i.copy(table = to, version = version))
   }

@@ -1761,6 +1761,57 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
 
+    // stage 3: RESTART the loop (tracker recovered from the shared DDL
+    // log) and deliver a DDL-ONLY batch — no DML anywhere on the wire —
+    // the translated statement must still execute on the target, through
+    // the direct logged-replay-guard path; then one more row lands on the
+    // widened table through the same restarted query
+    val tracker2 = new SchemaTracker()
+    tracker2.createTable("app", "ta", Seq("k DOUBLE"), version = 0)
+    tracker2.createTable("app", "tb", Seq("k DOUBLE"), version = 0)
+    CdcStream.recoverDecodeTracker(spark, outDir, ckpt, tracker2)
+    assert(tracker2.current("app", "ta").get.columns ==
+      Vector("k DOUBLE", "extra BIGINT"))
+    def ddlAt(ts: Long, sql: String) = Seq(ts).toDF("commit_ts").select(
+      col("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
+      lit("ddl").as("event_type"),
+      timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+      lit(null).cast("double").as("value"),
+      lit(null).cast("string").as("props"),
+      lit(sql).as("ddl_sql"))
+    // wire types live in SPARK's domain (STRING, not VARCHAR — the
+    // decode builds from_json schemas from them); the target dialect
+    // mapping is ddlToTarget's job, M8 in miniature
+    PbBinlogFile.write(ddlAt(90L, "ALTER TABLE app.tb ADD COLUMN note STRING"),
+      s"$root/p1", nFiles = 1)
+    val q2 = DrainerPipeline.streamingReplicated(spark, Seq(s"$root/p0", s"$root/p1"),
+      tracker2, loader, outDir, ckpt, "app", col("event_type"),
+      tableMap = t => t.toUpperCase + "_STATE",
+      ddlToTarget = {
+        case (t, "add", c, ty) =>
+          val target = if (ty == "STRING") "VARCHAR(32)" else ty
+          Some(s"ALTER TABLE ${t.toUpperCase}_STATE ADD COLUMN ${c.toUpperCase} $target")
+        case _ => None
+      })
+    try {
+      q2.processAllAvailable()
+      PbBinlogFile.write(dml("tb", Seq(92L),
+        n => s"""{"k": ${n}.25, "note": "n$n"}"""), s"$root/p1", nFiles = 1)
+      q2.processAllAvailable()
+      // stage 5: mid-batch DROP COLUMN — the pre-barrier row's value must
+      // still reach the target (the emit frame casts by EVERY def the
+      // batch decoded with, not just the final shape); the target keeps
+      // its column (ddlToTarget drops nothing), so the pre-barrier value
+      // lands and the post-barrier row backfills NULL
+      PbBinlogFile.write(
+        dml("tb", Seq(94L), n => s"""{"k": ${n}.25, "note": "n$n"}""")
+          .unionByName(dml("tb", Seq(96L), n => s"""{"k": ${n}.25}"""))
+          .unionByName(ddlAt(95L, "ALTER TABLE app.tb DROP COLUMN note")),
+        s"$root/p1", nFiles = 1)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(tracker2.current("app", "tb").get.columns == Vector("k DOUBLE"))
+
     val ta = loader.readTable(spark, "TA_STATE", Some("PK")).collect()
       .map(r => r.getAs[Long]("PK") ->
         ((r.getAs[Double]("K"), Option(r.getAs[java.lang.Long]("EXTRA"))
@@ -1772,9 +1823,17 @@ class StreamingSpec extends SparkSpec {
       assert(ta(n) == ((n + 0.25, Some(n * 10))), s"post-DDL ta row $n: ${ta(n)}"))
     val tbDf = loader.readTable(spark, "TB_STATE", Some("PK"))
     assert(!tbDf.columns.contains("EXTRA"), "ta's DDL leaked into TB_STATE")
+    assert(tbDf.columns.contains("NOTE"),
+      "the DDL-only batch must execute its translated statement on the target")
     val tb = tbDf.collect()
-      .map(r => r.getAs[Long]("PK") -> r.getAs[Double]("K")).toMap
-    assert(tb.size == 42 && tb(2L) == 2.25 && tb(84L) == 84.25, s"TB_STATE: ${tb.size}")
+      .map(r => r.getAs[Long]("PK") ->
+        ((r.getAs[Double]("K"), Option(r.getAs[String]("NOTE"))))).toMap
+    assert(tb.size == 45 && tb(2L) == ((2.25, None)) &&
+      tb(84L) == ((84.25, None)) && tb(92L) == ((92.25, Some("n92"))),
+      s"TB_STATE: ${tb.size} / ${tb.get(92L)}")
+    assert(tb(94L) == ((94.25, Some("n94"))),
+      s"pre-barrier value of a mid-batch-dropped column lost: ${tb(94L)}")
+    assert(tb(96L) == ((96.25, None)), s"post-drop row: ${tb(96L)}")
   }
 
   test("pc matcher streams on RocksDB: custom state class survives the store round trip (T1)") {
