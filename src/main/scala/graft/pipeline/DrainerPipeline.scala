@@ -267,8 +267,13 @@ object DrainerPipeline {
     val mid = try {
       val maxRow = changes.agg(max("commit_ts")).head
       val maxTs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-      val m = maxTs / 2
-      val dml = changes.select(
+      // first 20% of the stream, DDL at its midpoint — the composition
+      // exercises every path at any volume; the embedded target's JDBC
+      // throughput should not dominate the bench (multiTableQuery's
+      // slicing rationale)
+      val bound = maxTs / 5
+      val m = bound / 2
+      val dml = changes.filter(col("commit_ts") <= bound).select(
         col("commit_ts"), col("pk"), col("op"),
         when(pmod(col("pk"), lit(2)) === 0, "ta").otherwise("tb").as("event_type"),
         col("ts"), col("value"),
@@ -319,13 +324,13 @@ object DrainerPipeline {
 
   def replicatedSql: String =
     s"""WITH c AS (${Cdc.changesCte}),
-       |b AS (SELECT max(commit_ts)//2 AS mid FROM c),
+       |b AS (SELECT max(commit_ts)//5 AS bound, (max(commit_ts)//5)//2 AS mid FROM c),
        |r AS (SELECT pk, commit_ts, op,
        |        CAST((commit_ts % 1000000) + 0.25 AS DOUBLE) AS k,
        |        CASE WHEN pk % 2 = 0 AND commit_ts > b.mid
        |             THEN pk % 1000000 END AS extra,
        |        row_number() OVER (PARTITION BY pk ORDER BY commit_ts DESC) AS rn
-       |      FROM c, b)
+       |      FROM c, b WHERE c.commit_ts <= b.bound)
        |SELECT CASE WHEN pk % 2 = 0 THEN 'ta' ELSE 'tb' END AS tbl,
        |  pk, commit_ts, k, CAST(extra AS BIGINT) AS extra
        |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin

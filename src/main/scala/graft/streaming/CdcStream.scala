@@ -391,11 +391,17 @@ object CdcStream {
           // surfaces instead of rows silently mis-typing. Registration
           // versions are 0/negative, so only tables with an applied wire
           // DDL contribute a frontier term.
-          val belowCond = catalog.toSeq.sortBy(_._1)
-            .filter(_._2.version > 0)
-            .foldLeft(lit(false)) { case (acc, (t, info)) =>
-              acc || (tableOf === lit(t) && col("commit_ts") <= lit(info.version))
-            }
+          // one map-literal lookup, not an OR-chain over the tracked set —
+          // a per-table branch would grow the codegen'd predicate linearly
+          // with the catalog (thousands of tables → an unplannable
+          // expression); the map lookup stays O(1) in plan size
+          val frontiers = catalog.collect {
+            case (t, info) if info.version > 0 => t -> info.version
+          }
+          val belowCond =
+            if (frontiers.isEmpty) lit(false)
+            else col("commit_ts") <= coalesce(
+              element_at(typedLit(frontiers), tableOf), lit(Long.MinValue))
           val gathered = batch.agg(
             sort_array(collect_list(when(col("op") === "DDL",
               struct(col("commit_ts"), col("ddl_sql"))))).as("ddls"),
