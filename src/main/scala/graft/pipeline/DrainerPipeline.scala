@@ -248,7 +248,9 @@ object DrainerPipeline {
   /** Oracle-checked [[streamingReplicated]] composition under the hash
     * gate: stage the change stream onto the binlog wire as TWO tables
     * routed by pk parity — `ta` (even) gains `extra BIGINT` via a wire
-    * ADD COLUMN at the stream midpoint, `tb` (odd) stays narrow — run the
+    * ADD COLUMN at the staged slice's midpoint (the slice is the stream's
+    * first 20% so the embedded target's JDBC throughput doesn't dominate
+    * the bench), `tb` (odd) stays narrow — run the
     * full loop (merged wire → versioned decode → translated DDL at the
     * loader barrier → merge-by-PK into Derby), and return the final
     * target state of both tables. The DuckDB oracle computes the same
@@ -264,7 +266,7 @@ object DrainerPipeline {
     val outDir = graft.util.Scratch.dir("graft_replq_out")
     val ckpt = graft.util.Scratch.dir("graft_replq_ckpt")
     val changes = Cdc.changes(spark, dir).persist()
-    val mid = try {
+    try {
       val maxRow = changes.agg(max("commit_ts")).head
       val maxTs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
       // first 20% of the stream, DDL at its midpoint — the composition
@@ -293,7 +295,6 @@ object DrainerPipeline {
         lit(null).cast("string").as("props"),
         lit("ALTER TABLE app.ta ADD COLUMN extra BIGINT").as("ddl_sql"))
       PbBinlogFile.write(dml.unionByName(ddlRow), wireDir, nFiles = 2)
-      m
     } finally { changes.unpersist(); () }
     val tracker = new SchemaTracker()
     tracker.createTable("app", "ta", Seq("k DOUBLE"), version = 0)

@@ -312,8 +312,13 @@ object CdcStream {
 
   /** Per-batch decoded output handed to a composing sink (see
     * [[ddlDrivenDecodeTables]]'s `emit`): the batch id, each table's
-    * (final column defs, string-decoded union frame), and the batch's
-    * applied wire DDLs as (version, schema, table, action, column, arg). */
+    * (column defs, string-decoded union frame), and the batch's applied
+    * wire DDLs as (version, schema, table, action, column, arg). The defs
+    * are EVERY def the table's slices decoded with this batch —
+    * first-seen order, latest type winning — NOT the end-of-batch shape:
+    * a column dropped or renamed away mid-batch stays listed so its
+    * pre-barrier values remain addressable (a sink deriving the table's
+    * final shape must consult the tracker, not this seq). */
   type DecodedBatch = (Long, Map[String, (Seq[String], DataFrame)],
     Seq[(Long, String, String, String, String, String)])
 
@@ -330,7 +335,10 @@ object CdcStream {
     * DDL neither cuts nor reshapes another table's decode — and each
     * table's decoded union lands under `outDir/data/batch=<id>/table=<t>`
     * (idempotent per batch id; the per-table slice shape the multi-table
-    * JDBC loader consumes). One shared action-tagged DDL log orders all
+    * JDBC loader consumes). Only tables the batch carries DML for write a
+    * dir — per-batch work scales with the touched set, so a sparse-traffic
+    * table is simply absent from batches that never mention it (consumers
+    * must enumerate existing dirs, not tracker.tablesOf × batch ids). One shared action-tagged DDL log orders all
     * tables' schema history by commit ts, so a restart replays N
     * independent table histories from one durable log
     * ([[recoverDecodeTracker]], unchanged). Frames addressing no tracked
@@ -522,7 +530,9 @@ object CdcStream {
                 if (!dynamicTables)
                   throw new IllegalArgumentException(
                     s"wire DROP TABLE of the pinned decode table $s.$t is " +
-                      "unsupported in single-table decode")
+                      "unsupported in single-table decode — drop the " +
+                      "statement upstream (F5 ddl-skip filter) or use " +
+                      "ddlDrivenDecodeTables")
                 // in-flight frames at/below the drop still decode (they
                 // committed against the live table); later frames of the
                 // dropped table are unaddressable and drop
@@ -558,7 +568,9 @@ object CdcStream {
                     "cross-schema rename is unsupported"
                   else s"target $target is already tracked"
                 throw new IllegalArgumentException(
-                  s"cannot apply wire RENAME TABLE $s.$t TO $target: $why")
+                  s"cannot apply wire RENAME TABLE $s.$t TO $target: $why — " +
+                    "drop the statement upstream (F5 ddl-skip filter) or " +
+                    "restart the decode with a registration that can take it")
               case ModifyColumnRe(_, _, _, _) | AddColumnRe(_, _, _, _) |
                    DropColumnRe(_, _, _) | RenameColumnRe(_, _, _, _) |
                    TruncateTableRe(_, _) | CreateTableRe(_, _, _) |
