@@ -1628,6 +1628,11 @@ class StreamingSpec extends SparkSpec {
         ((r.getAs[String]("k_str"), r.getAs[Long]("schema_version")))).toMap
     assert(td2 == Map(134L -> (("134.3", 130L)), 140L -> (("140.3", 130L))),
       s"the renamed table must keep the DECIMAL shape, got $td2")
+    // the sparse-batch layout contract: tc is tracked but carries no DML
+    // in batch 2 — per-batch work scales with the TOUCHED set, so it must
+    // not write a (or even an empty) batch dir
+    assert(!Files.exists(java.nio.file.Paths.get(s"$outDir/data/batch=2/table=tc")),
+      "untouched tracked table wrote a batch dir")
 
     // third restart: the rename replays from the durable log
     val tracker4 = new SchemaTracker()
