@@ -212,8 +212,12 @@ object DrainerPipeline {
         import spark.implicits._
         val slices = frames.toSeq.sortBy(_._1).map { case (t, (defs, df)) =>
           val typed = defs.map { d =>
-            val Array(n, ty) = d.split(" ", 2)
-            col(s"${n}_str").cast(ty).as(n)
+            val cut = d.indexOf(' ')
+            require(cut > 0,
+              s"column def '$d' of wire table $t lacks a type token — the " +
+                "decode log must carry 'name TYPE' defs")
+            val n = d.substring(0, cut)
+            col(s"${n}_str").cast(d.substring(cut + 1)).as(n)
           }
           tableMap(t) -> df.select(
             Seq(col("commit_ts"), col("pk"), col("op")) ++ typed: _*)

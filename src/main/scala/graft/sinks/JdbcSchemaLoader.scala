@@ -579,13 +579,20 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
     var lower = Long.MinValue
     var maxTs = prev.commitTs
     barriers.foreach { case (upper, stmt) =>
-      slices.foreach { case (table, df) =>
-        val slice = df.filter(col("op") =!= "DDL" &&
-          col("commit_ts") > lower && col("commit_ts") <= upper)
-        maxTs = math.max(maxTs,
+      // tables between two barriers are independent — apply them across
+      // the bounded worker pool (ref: pkg/loader/load.go:508-527, the
+      // reference's 16 parallel table workers); only the barrier itself
+      // is a sequential point. Each apply opens its own connections
+      // (driver-side metadata reads and executor-side batches alike), so
+      // nothing here shares JDBC state across threads.
+      val applied = graft.util.Par.mapPar(slices.toSeq.sortBy(_._1)) {
+        case (table, df) =>
+          val slice = df.filter(col("op") =!= "DDL" &&
+            col("commit_ts") > lower && col("commit_ts") <= upper)
           if (merge) applyTable(slice, table)
-          else applyTableSequence(slice, table, safeMode))
+          else applyTableSequence(slice, table, safeMode)
       }
+      maxTs = (maxTs +: applied).max
       if (upper != Long.MaxValue) {
         withConn { c =>
           // skip a barrier this batch already executed: a crash between a

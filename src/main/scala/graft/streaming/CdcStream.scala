@@ -215,22 +215,103 @@ object CdcStream {
     }
   }
 
+  // ---- wire-DDL grammar ---------------------------------------------------
+  // Keywords lex case-insensitively and identifiers take optional backticks
+  // (real binlog traffic carries both); identifier TEXT stays case-sensitive
+  // against the registration — table names are case-sensitive on the
+  // reference's platform (MySQL on Linux), so `APP.T` and `app.t` are
+  // different tables, not different spellings.
+  private val Id = "`?([A-Za-z0-9_]+)`?"
+  private val Qual = s"$Id\\.$Id"
   private val ModifyColumnRe =
-    "^ALTER TABLE `?([a-z0-9_]+)`?\\.`?([a-z0-9_]+)`? MODIFY COLUMN ([a-z0-9_]+) (.+)$".r
+    s"(?i)^ALTER TABLE $Qual MODIFY(?: COLUMN)? $Id (.+)$$".r
   private val AddColumnRe =
-    "^ALTER TABLE `?([a-z0-9_]+)`?\\.`?([a-z0-9_]+)`? ADD COLUMN ([a-z0-9_]+) (.+)$".r
+    s"(?i)^ALTER TABLE $Qual ADD COLUMN $Id (.+)$$".r
+  // CHANGE [COLUMN] old new TYPE — MySQL's combined rename+retype
+  private val ChangeColumnRe =
+    s"(?i)^ALTER TABLE $Qual CHANGE(?: COLUMN)? $Id $Id (.+)$$".r
   private val DropColumnRe =
-    "^ALTER TABLE `?([a-z0-9_]+)`?\\.`?([a-z0-9_]+)`? DROP COLUMN ([a-z0-9_]+)$".r
+    s"(?i)^ALTER TABLE $Qual DROP(?: COLUMN)? $Id$$".r
   private val RenameColumnRe =
-    "^ALTER TABLE `?([a-z0-9_]+)`?\\.`?([a-z0-9_]+)`? RENAME COLUMN ([a-z0-9_]+) TO ([a-z0-9_]+)$".r
+    s"(?i)^ALTER TABLE $Qual RENAME COLUMN $Id TO $Id$$".r
   private val TruncateTableRe =
-    "^TRUNCATE TABLE `?([a-z0-9_]+)`?\\.`?([a-z0-9_]+)`?$".r
+    s"(?i)^TRUNCATE(?: TABLE)? $Qual$$".r
+  // trailing table options (ENGINE=…, COMMENT …) after the def list are
+  // legal and shape-neutral
   private val CreateTableRe =
-    "^CREATE TABLE `?([a-z0-9_]+)`?\\.`?([a-z0-9_]+)`? \\((.+)\\)$".r
+    s"(?i)^CREATE TABLE(?: IF NOT EXISTS)? $Qual \\((.+)\\)(?: [^)]*)?$$".r
   private val DropTableRe =
-    "^DROP TABLE `?([a-z0-9_]+)`?\\.`?([a-z0-9_]+)`?$".r
+    s"(?i)^DROP TABLE(?: IF EXISTS)? $Qual$$".r
   private val RenameTableRe =
-    "^RENAME TABLE `?([a-z0-9_]+)`?\\.`?([a-z0-9_]+)`? TO (?:`?([a-z0-9_]+)`?\\.)?`?([a-z0-9_]+)`?$".r
+    s"(?i)^RENAME TABLE $Qual TO (?:$Id\\.)?$Id$$".r
+  // ALTER TABLE … RENAME [TO|AS] … — the equivalent single-table form
+  private val AlterRenameRe =
+    s"(?i)^ALTER TABLE $Qual RENAME(?: TO| AS)? (?:$Id\\.)?$Id$$".r
+  private val DropSchemaRe =
+    s"(?i)^DROP (?:DATABASE|SCHEMA)(?: IF EXISTS)? $Id$$".r
+
+  /** Administrative / shape-neutral statements the decode SKIPS with a
+    * counter instead of killing the stream — indexes, constraints,
+    * partition maintenance, placement/resource/lock/cache/attribute
+    * statements, ANALYZE, CREATE/ALTER DATABASE (ref:
+    * drainer/schema.go:333-353 skip list; drainer/syncer.go:436-462 logs
+    * and continues past unsupported jobs). None of these change how a
+    * row's payload decodes, so replication must ride over them. */
+  private val AdminDdlRes: Seq[scala.util.matching.Regex] = Seq(
+    "(?i)^CREATE (?:UNIQUE |FULLTEXT |SPATIAL )?INDEX .+".r,
+    "(?i)^DROP INDEX .+".r,
+    ("(?i)^ALTER TABLE \\S+ (?:ADD|DROP|RENAME|ALTER) (?:UNIQUE|FULLTEXT|" +
+      "SPATIAL|INDEX|KEY|CONSTRAINT|CHECK|PRIMARY|FOREIGN|PARTITION)\\b.*").r,
+    ("(?i)^ALTER TABLE \\S+ (?:COMMENT|AUTO_INCREMENT|ENGINE|ROW_FORMAT|" +
+      "CHARACTER SET|CONVERT TO|CACHE|NOCACHE|PLACEMENT|COMPACT|ATTRIBUTES|" +
+      "SHARD_ROW_ID_BITS|SET TIFLASH)\\b.*").r,
+    "(?i)^(?:CREATE|ALTER|DROP) PLACEMENT POLICY .+".r,
+    "(?i)^(?:CREATE|ALTER|DROP) RESOURCE GROUP .+".r,
+    "(?i)^(?:LOCK|UNLOCK) TABLES?\\b.*".r,
+    "(?i)^ANALYZE TABLE .+".r,
+    "(?i)^(?:CREATE|ALTER) (?:DATABASE|SCHEMA)\\b.*".r)
+
+  /** Does an (unparseable) statement address a table's SHAPE? The loud-fail
+    * gate: an unknown statement aimed at a TRACKED table cannot be skipped
+    * — later frames of that table might decode against a stale shape. */
+  private val ShapeHeadRe =
+    s"(?i)^(?:ALTER|TRUNCATE|RENAME|CREATE|DROP) TABLE(?: IF(?: NOT)? EXISTS)? $Qual\\b.*".r
+
+  /** One parsed wire statement. `AdminDdl` = recognized shape-neutral,
+    * `UnknownDdl` = outside the grammar; the dispatch decides whether an
+    * unknown is skippable (foreign/untracked) or fatal (tracked shape). */
+  private[graft] sealed trait WireDdl
+  private[graft] final case class ColumnDdl(schema: String, table: String,
+    action: String, column: String, arg: String) extends WireDdl
+  private[graft] final case class TruncateDdl(schema: String, table: String) extends WireDdl
+  private[graft] final case class CreateDdl(schema: String, table: String,
+    defs: Seq[String]) extends WireDdl
+  private[graft] final case class DropTableDdl(schema: String, table: String) extends WireDdl
+  private[graft] final case class RenameDdl(schema: String, table: String,
+    toSchema: Option[String], to: String) extends WireDdl
+  private[graft] final case class DropSchemaDdl(schema: String) extends WireDdl
+  private[graft] case object AdminDdl extends WireDdl
+  private[graft] final case class UnknownDdl(stmt: String) extends WireDdl
+
+  private[graft] def parseWireDdl(stmt0: String): WireDdl = {
+    val stmt = stmt0.trim
+    stmt match {
+      case ModifyColumnRe(s, t, c, ty) => ColumnDdl(s, t, "modify", c, ty.trim)
+      case AddColumnRe(s, t, c, ty)    => ColumnDdl(s, t, "add", c, ty.trim)
+      case ChangeColumnRe(s, t, c, nc, ty) =>
+        ColumnDdl(s, t, "change", c, s"$nc ${ty.trim}")
+      case DropColumnRe(s, t, c)       => ColumnDdl(s, t, "drop", c, "")
+      case RenameColumnRe(s, t, a, b)  => ColumnDdl(s, t, "rename", a, b)
+      case TruncateTableRe(s, t)       => TruncateDdl(s, t)
+      case CreateTableRe(s, t, defs)   => CreateDdl(s, t, splitColumnDefs(defs))
+      case DropTableRe(s, t)           => DropTableDdl(s, t)
+      case RenameTableRe(s, t, toS, to) => RenameDdl(s, t, Option(toS), to)
+      case AlterRenameRe(s, t, toS, to) => RenameDdl(s, t, Option(toS), to)
+      case DropSchemaRe(s)             => DropSchemaDdl(s)
+      case _ if AdminDdlRes.exists(_.pattern.matcher(stmt).matches) => AdminDdl
+      case other => UnknownDdl(other)
+    }
+  }
 
   /** Split a CREATE TABLE column list on top-level commas only — a type
     * argument list like `DECIMAL(10,2)` carries commas of its own. */
@@ -266,10 +347,18 @@ object CdcStream {
       case "add"    => tracker.addColumn(schema, table, s"$column $arg", version)
       case "drop"   => tracker.dropColumn(schema, table, column, version)
       case "rename" => tracker.renameColumn(schema, table, column, arg, version)
+      // CHANGE COLUMN: arg = "newName TYPE" — rename + retype in one record
+      case "change" => tracker.changeColumn(schema, table, column, arg, version)
       case "truncate"     => tracker.truncateTable(schema, table, version)
       case "create_table" => tracker.createTable(schema, table, splitColumnDefs(arg), version)
       case "drop_table"   => tracker.dropTable(schema, table, version)
-      case "rename_table" => tracker.renameTable(schema, table, arg, version)
+      case "rename_table" =>
+        // arg = "to" (same schema) or "toSchema.to" (cross-schema re-home;
+        // identifiers cannot carry '.', so the encoding is unambiguous)
+        arg.split("\\.", 2) match {
+          case Array(to)          => tracker.renameTable(schema, table, to, version)
+          case Array(toS, to)     => tracker.renameTable(schema, table, toS, to, version)
+        }
       case other => throw new IllegalArgumentException(s"unknown logged DDL action: $other")
     }
 
@@ -306,9 +395,11 @@ object CdcStream {
       checkpoint: String, schemaName: String = "app",
       table: String = "events",
       belowFrontier: Option[org.apache.spark.util.LongAccumulator] = None): StreamingQuery =
-    decodeQuery(wire, tracker, outDir, checkpoint, schemaName,
-      tableOf = lit(table), fixedTables = Some(Seq(table)),
-      layout = (id, _) => s"$outDir/data/batch=$id", belowFrontier, emit = None)
+    decodeQuery(wire, tracker, outDir, checkpoint, Seq(schemaName),
+      schemaOf = lit(schemaName), tableOf = lit(table),
+      fixedTables = Some(Seq((schemaName, table))),
+      layout = (id, _, _) => s"$outDir/data/batch=$id", belowFrontier,
+      skippedDdl = None, emit = None)
 
   /** Per-batch decoded output handed to a composing sink (see
     * [[ddlDrivenDecodeTables]]'s `emit`): the batch id, each table's
@@ -320,6 +411,12 @@ object CdcStream {
     * pre-barrier values remain addressable (a sink deriving the table's
     * final shape must consult the tracker, not this seq). */
   type DecodedBatch = (Long, Map[String, (Seq[String], DataFrame)],
+    Seq[(Long, String, String, String, String, String)])
+
+  /** The multi-schema form of [[DecodedBatch]]: frames keyed by
+    * (schema, table) — two databases on one wire can carry the same table
+    * NAME, so a bare-name key would merge their decodes. */
+  type DecodedBatchMulti = (Long, Map[(String, String), (Seq[String], DataFrame)],
     Seq[(Long, String, String, String, String, String)])
 
   /** Multi-table T5∘T6 — the drainer's real shape: EVERY table on the
@@ -348,30 +445,70 @@ object CdcStream {
       outDir: String, checkpoint: String, schemaName: String,
       tableOf: Column,
       belowFrontier: Option[org.apache.spark.util.LongAccumulator] = None,
-      emit: Option[DecodedBatch => Unit] = None): StreamingQuery =
-    decodeQuery(wire, tracker, outDir, checkpoint, schemaName,
-      tableOf, fixedTables = None,
-      layout = (id, t) => s"$outDir/data/batch=$id/table=$t", belowFrontier,
-      emit)
+      emit: Option[DecodedBatch => Unit] = None,
+      skippedDdl: Option[org.apache.spark.util.LongAccumulator] = None): StreamingQuery =
+    decodeQuery(wire, tracker, outDir, checkpoint, Seq(schemaName),
+      schemaOf = lit(schemaName), tableOf = tableOf, fixedTables = None,
+      layout = (id, _, t) => s"$outDir/data/batch=$id/table=$t", belowFrontier,
+      skippedDdl,
+      emit.map(f => (b: DecodedBatchMulti) =>
+        f((b._1, b._2.map { case ((_, t), v) => t -> v }, b._3))))
+
+  /** The reference catalog's FULL shape: EVERY schema on the shared wire
+    * decodes in one stream (ref: drainer/schema.go:43-62 — the `schemas`
+    * map tracks all databases at once; drainer/syncer.go:374-397 routes
+    * each mutation by (schema, table)). `schemaOf`/`tableOf` name each DML
+    * frame's database and table (expressions over the envelope — typically
+    * routing columns); the decode set is every table the tracker has
+    * registered under any of `schemas`, plus tables a wire CREATE TABLE
+    * registers (or a RENAME TABLE re-homes — including ACROSS schemas)
+    * mid-stream. Each schema's DDL reshapes only its own tables; two
+    * schemas may carry the same table NAME without interference. Output
+    * lands under `outDir/data/batch=<id>/schema=<s>/table=<t>`; the one
+    * shared action-tagged DDL log (already schema-qualified) replays N
+    * schemas' histories through the unchanged [[recoverDecodeTracker]]. */
+  def ddlDrivenDecodeSchemas(wire: DataFrame, tracker: SchemaTracker,
+      outDir: String, checkpoint: String, schemas: Seq[String],
+      schemaOf: Column, tableOf: Column,
+      belowFrontier: Option[org.apache.spark.util.LongAccumulator] = None,
+      skippedDdl: Option[org.apache.spark.util.LongAccumulator] = None,
+      emit: Option[DecodedBatchMulti => Unit] = None): StreamingQuery =
+    decodeQuery(wire, tracker, outDir, checkpoint, schemas, schemaOf, tableOf,
+      fixedTables = None,
+      layout = (id, s, t) => s"$outDir/data/batch=$id/schema=$s/table=$t",
+      belowFrontier, skippedDdl, emit)
 
   private def decodeQuery(wire: DataFrame, tracker: SchemaTracker,
-      outDir: String, checkpoint: String, schemaName: String,
-      tableOf: Column, fixedTables: Option[Seq[String]],
-      layout: (Long, String) => String,
+      outDir: String, checkpoint: String, schemas: Seq[String],
+      schemaOf: Column, tableOf: Column,
+      fixedTables: Option[Seq[(String, String)]],
+      layout: (Long, String, String) => String,
       belowFrontier: Option[org.apache.spark.util.LongAccumulator],
-      emit: Option[DecodedBatch => Unit]): StreamingQuery = {
+      skippedDdl: Option[org.apache.spark.util.LongAccumulator],
+      emit: Option[DecodedBatchMulti => Unit]): StreamingQuery = {
+    val tag = schemas.mkString("+")
     // forward-only-delivery violations surface here instead of silently
     // mis-typing rows (see the check inside the batch); callers that want
     // to assert/alert pass their own accumulator, otherwise a named one
     // still shows in the Spark UI metrics
     val frontierViolations = belowFrontier.getOrElse {
       wire.sparkSession.sparkContext.longAccumulator(
-        s"graft.ddl_decode.below_frontier_frames.$schemaName")
+        s"graft.ddl_decode.below_frontier_frames.$tag")
     }
-    // only the multi-table form grows its decode set from wire CREATEs: the
-    // single-table form writes a flat batch dir, where a second table would
-    // collide — there a CREATE passes through like any foreign DDL
+    // administrative / unparseable-but-untracked statements SKIP with this
+    // count instead of killing the stream (ref: drainer/schema.go:333-353,
+    // drainer/syncer.go:436-462 log and continue) — a replication query
+    // must ride over a CREATE INDEX; only a statement that addresses a
+    // TRACKED table's shape and cannot apply throws
+    val skipped = skippedDdl.getOrElse {
+      wire.sparkSession.sparkContext.longAccumulator(
+        s"graft.ddl_decode.skipped_ddl.$tag")
+    }
+    // only the multi-table forms grow their decode set from wire CREATEs:
+    // the single-table form writes a flat batch dir, where a second table
+    // would collide — there a CREATE skips like any foreign DDL
     val dynamicTables = fixedTables.isEmpty
+    val trackedSchemas = schemas.toSet
     wire.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch0: DataFrame, id: Long) =>
@@ -380,14 +517,15 @@ object CdcStream {
         // pin it once instead of re-running the source scan each time
         val batch = batch0.persist()
         try {
-          val tables0 = fixedTables.getOrElse(tracker.tablesOf(schemaName))
+          val tables0: Seq[(String, String)] = fixedTables.getOrElse(
+            schemas.flatMap(s => tracker.tablesOf(s).map(s -> _)))
           // the LOCAL catalog view: the decode transforms this copy, and
           // the live tracker advances only after the batch's output and
           // DDL log are durable — a crash mid-write replays against an
           // unchanged tracker and reproduces the same bytes
-          var catalog: Map[String, tracker.TableInfo] = tables0.map { t =>
-            t -> tracker.current(schemaName, t).getOrElse(
-              throw new NoSuchElementException(s"$schemaName.$t not registered"))
+          var catalog: Map[(String, String), tracker.TableInfo] = tables0.map { k =>
+            k -> tracker.current(k._1, k._2).getOrElse(
+              throw new NoSuchElementException(s"${k._1}.${k._2} not registered"))
           }.toMap
           // ONE gather job per batch: the (rare, bounded) DDL rows AND the
           // forward-only contract check — a frame delivered below ITS
@@ -403,18 +541,24 @@ object CdcStream {
           // a per-table branch would grow the codegen'd predicate linearly
           // with the catalog (thousands of tables → an unplannable
           // expression); the map lookup stays O(1) in plan size
+          // frontier keys combine (schema, table) with a space — the lexer
+          // admits only [A-Za-z0-9_] identifiers, so the key is
+          // collision-free
+          val keyOf = concat(schemaOf, lit(" "), tableOf)
           val frontiers = catalog.collect {
-            case (t, info) if info.version > 0 => t -> info.version
+            case ((s, t), info) if info.version > 0 =>
+              (s + " " + t) -> info.version
           }
           val belowCond =
             if (frontiers.isEmpty) lit(false)
             else col("commit_ts") <= coalesce(
-              element_at(typedLit(frontiers), tableOf), lit(Long.MinValue))
+              element_at(typedLit(frontiers), keyOf), lit(Long.MinValue))
           val gathered = batch.agg(
             sort_array(collect_list(when(col("op") === "DDL",
               struct(col("commit_ts"), col("ddl_sql"))))).as("ddls"),
             sum(when(col("op") =!= "DDL" && belowCond, 1L)).as("below"),
-            collect_set(when(col("op") =!= "DDL", tableOf)).as("touched")).head()
+            collect_set(when(col("op") =!= "DDL",
+              struct(schemaOf.as("s"), tableOf.as("t")))).as("touched")).head()
           val ddls = gathered.getSeq[org.apache.spark.sql.Row](0)
             .map(r => (r.getLong(0), r.getString(1)))
           if (!gathered.isNullAt(1) && gathered.getLong(1) > 0)
@@ -423,12 +567,13 @@ object CdcStream {
           // decode/write/emit work scales with THIS set, not with every
           // table the tracker knows (at N tracked tables and sparse
           // traffic, the difference is N jobs per trigger vs a handful)
-          val touched = gathered.getSeq[String](2).toSet
+          val touched = gathered.getSeq[org.apache.spark.sql.Row](2)
+            .map(r => (r.getString(0), r.getString(1))).toSet
 
           val applied = scala.collection.mutable.ArrayBuffer.empty[AppliedDdl]
           val slicesOf = scala.collection.mutable.LinkedHashMap(
-            tables0.map(t =>
-              t -> scala.collection.mutable.ArrayBuffer.empty[DataFrame]): _*)
+            tables0.map(k =>
+              k -> scala.collection.mutable.ArrayBuffer.empty[DataFrame]): _*)
           val lowerOf = scala.collection.mutable.Map(
             tables0.map(_ -> Long.MinValue): _*)
           // every column def a table's slices decoded with THIS batch, in
@@ -436,93 +581,98 @@ object CdcStream {
           // by these, so pre-barrier values of a column dropped or renamed
           // away mid-batch still reach a composing sink (whose target
           // loses the column only AT its own translated barrier)
-          val defsOf = scala.collection.mutable.Map
-            .empty[String, scala.collection.mutable.LinkedHashMap[String, String]]
-          // one decoded slice of table `t`: its frames in (lower, upper],
+          val defsOf = scala.collection.mutable.Map.empty[(String, String),
+            scala.collection.mutable.LinkedHashMap[String, String]]
+          // one decoded slice of table `k`: its frames in (lower, upper],
           // decoded DISTRIBUTED with the from_json schema the local view
           // holds — captured at plan-construction time. A table whose LAST
           // column was dropped decodes to the bare (commit_ts, pk,
           // schema_version) envelope (fromDDL("") would throw). A table
           // with no DML rows this batch has nothing to decode — skip the
           // whole job.
-          def decodeSlice(t: String, info: tracker.TableInfo, upper: Long): Unit = {
-            if (!touched.contains(t)) return
+          def decodeSlice(k: (String, String), info: tracker.TableInfo,
+              upper: Long): Unit = {
+            if (!touched.contains(k)) return
             val wireSchema = if (info.columns.isEmpty) new StructType()
               else StructType.fromDDL(info.columns.mkString(", "))
             val payload = from_json(col("props"), wireSchema)
-            slicesOf(t) += batch
-              .filter(col("op") =!= "DDL" && tableOf === lit(t) &&
-                col("commit_ts") > lowerOf(t) && col("commit_ts") <= upper)
+            slicesOf(k) += batch
+              .filter(col("op") =!= "DDL" && schemaOf === lit(k._1) &&
+                tableOf === lit(k._2) &&
+                col("commit_ts") > lowerOf(k) && col("commit_ts") <= upper)
               // op rides through: a decoded binlog item keeps its mutation
               // type (I/U/D) — any downstream apply needs it
               .select(Seq(col("commit_ts"), col("pk"), col("op")) ++
                 wireSchema.fieldNames.toSeq.map(f =>
                   payload.getField(f).cast("string").as(s"${f}_str")) :+
                 lit(info.version).as("schema_version"): _*)
-            lowerOf(t) = upper
-            val acc = defsOf.getOrElseUpdate(t,
+            lowerOf(k) = upper
+            val acc = defsOf.getOrElseUpdate(k,
               scala.collection.mutable.LinkedHashMap.empty[String, String])
             info.columns.foreach(d => acc += d.split(" ", 2)(0) -> d)
           }
           // walk the batch's DDLs in commit-ts order (driver-side: DDL is
           // rare and totally ordered). Only a DDL addressing a TRACKED
-          // table of `schemaName` cuts that table's slices and enters the
-          // log; everything else on the shared wire passes through
-          // untouched — it must neither crash the query nor (if column
-          // names collide) reshape another table's decode (ref:
-          // drainer/schema.go applies each job to ITS table's history
-          // only). A frame AT a barrier's commit ts still decodes with the
-          // old shape — the DDL takes effect after its own commit, the
-          // loader's barrier rule. ADD/DROP change the decode SHAPE: the
-          // per-batch union aligns slices by name with nulls where a
-          // column did not exist yet (added: NULL before, value after) or
-          // no longer exists (dropped: value before, NULL after).
+          // (schema, table) cuts that table's slices and enters the log;
+          // everything else on the shared wire SKIPS with a count — a
+          // foreign table's (or schema's) DDL, an administrative
+          // statement, an unparseable statement of an untracked table must
+          // neither crash the query nor (if column names collide) reshape
+          // another table's decode (ref: drainer/schema.go applies each
+          // job to ITS table's history only; schema.go:333-353 skips the
+          // administrative job set). The loud throw remains for exactly
+          // one class: a statement that addresses a tracked table's SHAPE
+          // and cannot apply — skipping it would decode later frames
+          // against a stale shape. A frame AT a barrier's commit ts still
+          // decodes with the old shape — the DDL takes effect after its
+          // own commit, the loader's barrier rule. ADD/DROP change the
+          // decode SHAPE: the per-batch union aligns slices by name with
+          // nulls where a column did not exist yet (added: NULL before,
+          // value after) or no longer exists (dropped: value before, NULL
+          // after).
           ddls.foreach { case (ts, stmt) =>
-            def shapeDdl(t: String, action: String, column: String, arg: String)(
-                f: tracker.TableInfo => tracker.TableInfo): Unit = {
-              decodeSlice(t, catalog(t), ts)
-              catalog += t -> f(catalog(t))
-              applied += ((ts, schemaName, t, action, column, arg))
+            def shapeDdl(k: (String, String), action: String, column: String,
+                arg: String)(f: tracker.TableInfo => tracker.TableInfo): Unit = {
+              decodeSlice(k, catalog(k), ts)
+              catalog += k -> f(catalog(k))
+              applied += ((ts, k._1, k._2, action, column, arg))
             }
-            stmt match {
-              case ModifyColumnRe(s, t, c, newType)
-                  if s == schemaName && catalog.contains(t) =>
-                shapeDdl(t, "modify", c, newType)(i =>
-                  tracker.retyped(i, c, s"$c $newType", ts))
-              case AddColumnRe(s, t, c, newType)
-                  if s == schemaName && catalog.contains(t) =>
-                shapeDdl(t, "add", c, newType)(i =>
-                  tracker.added(i, s"$c $newType", ts))
-              case DropColumnRe(s, t, c)
-                  if s == schemaName && catalog.contains(t) =>
-                shapeDdl(t, "drop", c, "")(i => tracker.dropped(i, c, ts))
-              case RenameColumnRe(s, t, from, to)
-                  if s == schemaName && catalog.contains(t) =>
-                shapeDdl(t, "rename", from, to)(i =>
-                  tracker.renamed(i, from, to, ts))
-              case TruncateTableRe(s, t) if s == schemaName && catalog.contains(t) =>
+            parseWireDdl(stmt) match {
+              case ColumnDdl(s, t, action, c, arg) if catalog.contains((s, t)) =>
+                shapeDdl((s, t), action, c, arg)(i => action match {
+                  case "modify" => tracker.retyped(i, c, s"$c $arg", ts)
+                  case "add"    => tracker.added(i, s"$c $arg", ts)
+                  case "drop"   => tracker.dropped(i, c, ts)
+                  case "rename" => tracker.renamed(i, c, arg, ts)
+                  case "change" => tracker.changed(i, c, arg, ts)
+                })
+              case TruncateDdl(s, t) if catalog.contains((s, t)) =>
                 // streamed F6: in-flight frames of the truncated table at
                 // or below the truncate commit ts DROP — they addressed
                 // the old incarnation the truncate erased (ref:
                 // drainer/syncer.go:744-762 drops in-flight mutations of
                 // the old table id); later frames decode against the fresh
-                // table (same shape, new version)
-                slicesOf(t).clear()
-                lowerOf(t) = ts
-                catalog += t -> catalog(t).copy(version = ts)
-                applied += ((ts, schemaName, t, "truncate", "", ""))
-              case CreateTableRe(s, t, defs)
-                  if s == schemaName && dynamicTables && !catalog.contains(t) =>
+                // table (same shape, new version). The recorded defs clear
+                // WITH the slices: a def only a pre-truncate slice decoded
+                // (e.g. a column dropped earlier in this batch) would
+                // otherwise make a composing sink select a `<col>_str` the
+                // post-truncate union no longer carries.
+                slicesOf((s, t)).clear()
+                defsOf.remove((s, t))
+                lowerOf((s, t)) = ts
+                catalog += (s, t) -> catalog((s, t)).copy(version = ts)
+                applied += ((ts, s, t, "truncate", "", ""))
+              case CreateDdl(s, t, cols)
+                  if trackedSchemas(s) && dynamicTables && !catalog.contains((s, t)) =>
                 // wire-registered table: decodes from its create ts forward
                 // (a frame of t below the create has no schema to decode
                 // against and drops, like any unrouted frame)
-                val cols = splitColumnDefs(defs)
-                slicesOf.getOrElseUpdate(t,
+                slicesOf.getOrElseUpdate((s, t),
                   scala.collection.mutable.ArrayBuffer.empty[DataFrame])
-                lowerOf(t) = ts
-                catalog += t -> tracker.TableInfo(schemaName, t, cols.toVector, ts)
-                applied += ((ts, schemaName, t, "create_table", "", cols.mkString(", ")))
-              case DropTableRe(s, t) if s == schemaName && catalog.contains(t) =>
+                lowerOf((s, t)) = ts
+                catalog += (s, t) -> tracker.TableInfo(s, t, cols.toVector, ts)
+                applied += ((ts, s, t, "create_table", "", cols.mkString(", ")))
+              case DropTableDdl(s, t) if catalog.contains((s, t)) =>
                 // the single-table form pins its one table for the query's
                 // lifetime — accepting the drop would only defer the crash
                 // to the NEXT batch's catalog build with a misleading
@@ -536,61 +686,89 @@ object CdcStream {
                 // in-flight frames at/below the drop still decode (they
                 // committed against the live table); later frames of the
                 // dropped table are unaddressable and drop
-                decodeSlice(t, catalog(t), ts)
-                catalog -= t
-                applied += ((ts, schemaName, t, "drop_table", "", ""))
-              case RenameTableRe(s, t, toSchema, to)
-                  if s == schemaName && dynamicTables && catalog.contains(t) &&
-                    (toSchema == null || toSchema == schemaName) &&
-                    !catalog.contains(to) =>
+                decodeSlice((s, t), catalog((s, t)), ts)
+                catalog -= ((s, t))
+                applied += ((ts, s, t, "drop_table", "", ""))
+              case DropSchemaDdl(s) if catalog.keys.exists(_._1 == s) =>
+                if (!dynamicTables)
+                  throw new IllegalArgumentException(
+                    s"wire DROP DATABASE $s would drop the pinned decode " +
+                      "table — drop the statement upstream (F5 ddl-skip " +
+                      "filter) or use ddlDrivenDecodeTables")
+                // every tracked table of the schema ends its decode at the
+                // drop; the log records one drop_table per table, so a
+                // restart replays the same end state (ref:
+                // drainer/schema.go ActionDropSchema drops the schema's
+                // tables from the catalog)
+                catalog.keys.filter(_._1 == s).toSeq.sorted.foreach { k =>
+                  decodeSlice(k, catalog(k), ts)
+                  catalog -= k
+                  applied += ((ts, k._1, k._2, "drop_table", "", ""))
+                }
+              case RenameDdl(s, t, toSchemaOpt, to) if catalog.contains((s, t)) =>
+                val s2 = toSchemaOpt.getOrElse(s)
+                val canApply = dynamicTables && trackedSchemas(s2) &&
+                  !catalog.contains((s2, to))
+                if (!canApply) {
+                  // a rename of a TRACKED table the decode cannot take must
+                  // fail loudly — silently skipping it would detach the
+                  // table's replication (later frames arrive under a name
+                  // the decode does not know)
+                  val why =
+                    if (!dynamicTables) "single-table decode cannot follow a rename"
+                    else if (!trackedSchemas(s2))
+                      s"target schema $s2 is outside the decode's schema set"
+                    else s"target $s2.$to is already tracked"
+                  throw new IllegalArgumentException(
+                    s"cannot apply wire RENAME TABLE $s.$t TO $s2.$to: $why — " +
+                      "drop the statement upstream (F5 ddl-skip filter) or " +
+                      "restart the decode with a registration that can take it")
+                }
                 // the renamed table keeps its shape and history under the
-                // new name (ref: drainer/schema.go renameTable — same table
-                // id, new name): in-flight frames still addressed to the
-                // OLD name decode now, later frames arrive under the NEW
-                // name and continue the same schema history
-                decodeSlice(t, catalog(t), ts)
-                slicesOf.getOrElseUpdate(to,
+                // new name — including ACROSS schemas (ref:
+                // drainer/schema.go renameTable follows the table id
+                // wherever it lands): in-flight frames still addressed to
+                // the OLD name decode now, later frames arrive under the
+                // NEW (schema, name) and continue the same schema history
+                decodeSlice((s, t), catalog((s, t)), ts)
+                slicesOf.getOrElseUpdate((s2, to),
                   scala.collection.mutable.ArrayBuffer.empty[DataFrame])
-                lowerOf(to) = ts
-                catalog += to -> catalog(t).copy(table = to, version = ts)
-                catalog -= t
-                applied += ((ts, schemaName, t, "rename_table", "", to))
-              case RenameTableRe(s, t, toSchema, to)
-                  if s == schemaName && catalog.contains(t) =>
-                // a rename of a TRACKED table the apply case above could
-                // not take must fail loudly — silently passing it through
-                // would detach the table's replication (later frames
-                // arrive under a name the decode does not know)
-                val target = s"${Option(toSchema).getOrElse(schemaName)}.$to"
-                val why =
-                  if (!dynamicTables) "single-table decode cannot follow a rename"
-                  else if (toSchema != null && toSchema != schemaName)
-                    "cross-schema rename is unsupported"
-                  else s"target $target is already tracked"
-                throw new IllegalArgumentException(
-                  s"cannot apply wire RENAME TABLE $s.$t TO $target: $why — " +
-                    "drop the statement upstream (F5 ddl-skip filter) or " +
-                    "restart the decode with a registration that can take it")
-              case ModifyColumnRe(_, _, _, _) | AddColumnRe(_, _, _, _) |
-                   DropColumnRe(_, _, _) | RenameColumnRe(_, _, _, _) |
-                   TruncateTableRe(_, _) | CreateTableRe(_, _, _) |
-                   DropTableRe(_, _) | RenameTableRe(_, _, _, _) =>
-                () // foreign-table pass-through
-              case other =>
-                throw new IllegalArgumentException(s"unsupported wire DDL: $other")
+                lowerOf((s2, to)) = ts
+                catalog += (s2, to) -> catalog((s, t))
+                  .copy(schema = s2, table = to, version = ts)
+                catalog -= ((s, t))
+                applied += ((ts, s, t, "rename_table", "",
+                  if (s2 == s) to else s"$s2.$to"))
+              case UnknownDdl(text) =>
+                text match {
+                  case ShapeHeadRe(s, t) if catalog.contains((s, t)) =>
+                    throw new IllegalArgumentException(
+                      s"unappliable wire DDL addresses tracked table $s.$t: " +
+                        s"$text — later frames would decode against a stale " +
+                        "shape; drop the statement upstream (F5 ddl-skip " +
+                        "filter) or extend the decode grammar")
+                  case _ => skipped.add(1L)
+                }
+              // administrative statements and parsed DDLs of untracked
+              // tables/schemas: count and continue
+              case _ => skipped.add(1L)
             }
           }
           // tail slice per still-live table, then one write per table
-          catalog.toSeq.sortBy(_._1).foreach { case (t, info) =>
-            decodeSlice(t, info, Long.MaxValue)
+          catalog.toSeq.sortBy(_._1).foreach { case (k, info) =>
+            decodeSlice(k, info, Long.MaxValue)
           }
           val unions = slicesOf.toSeq.collect {
-            case (t, slices) if slices.nonEmpty =>
-              t -> ((defsOf(t).values.toSeq,
+            case (k, slices) if slices.nonEmpty =>
+              k -> ((defsOf(k).values.toSeq,
                 slices.reduce(_.unionByName(_, allowMissingColumns = true))))
           }
-          unions.foreach { case (t, (_, df)) =>
-            df.write.mode("overwrite").parquet(layout(id, t))
+          // per-table writes are independent jobs — fan them out on the
+          // bounded pool (ref: pkg/loader/load.go:508-527's 16 workers): a
+          // trigger touching hundreds of tables must not serialize
+          // hundreds of small driver-submitted jobs
+          graft.util.Par.foreachPar(unions) { case ((s, t), (_, df)) =>
+            df.write.mode("overwrite").parquet(layout(id, s, t))
           }
           import spark.implicits._
           // written only when non-empty (an empty parquet dir is
@@ -653,8 +831,17 @@ object CdcStream {
     val hasAction = log.columns.contains("action")
     val hasArg = log.columns.contains("arg")
     val hasLegacyType = log.columns.contains("new_type")
+    // the replay threshold is the version the tracker held BEFORE this
+    // replay — checked against a snapshot, not the advancing version: one
+    // wire statement can expand to SEVERAL log records at ONE version (a
+    // DROP DATABASE logs a drop_table per table), and a guard against the
+    // advancing version would apply the first group member and silently
+    // skip the rest. Ties within a version sort by (schema, table) — the
+    // order the live walk emitted them (records sharing a version are
+    // independent tables' drops, so the order is cosmetic but pinned).
+    val start = tracker.version
     log.filter(col("batch") <= committed)
-      .orderBy("version").collect().foreach { r =>
+      .orderBy("version", "schema_name", "table_name").collect().foreach { r =>
         val v = r.getAs[Long]("version")
         val action = if (hasAction) Option(r.getAs[String]("action"))
           .getOrElse("modify") else "modify"
@@ -664,11 +851,29 @@ object CdcStream {
           else if (hasLegacyType) r.getAs[String]("new_type")
           else ""
         }
-        if (v > tracker.version)
+        if (v > start)
           applyLogged(tracker, r.getAs[String]("schema_name"),
             r.getAs[String]("table_name"), action,
             r.getAs[String]("column_name"), arg, v)
       }
+  }
+
+  /** Pin of the staged-wire oracle queries' single-batch assumption: their
+    * DuckDB oracles compute TRUNCATE's in-flight drop (and every other
+    * intra-batch interaction) as if the whole wire lands in ONE micro-batch
+    * — true because the file stream's default admission is unlimited, but a
+    * source-default change must fail the gate loudly, not silently decode
+    * across batch boundaries the oracle doesn't model. */
+  private def assertSingleBatch(spark: SparkSession, outDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val data = new org.apache.hadoop.fs.Path(s"$outDir/data")
+    val fs = data.getFileSystem(conf)
+    val batches = fs.listStatus(data).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).toSeq
+    require(batches == Seq("batch=0"),
+      s"staged-wire oracle expected exactly one micro-batch, got $batches — " +
+        "the source drained in multiple triggers; the oracle SQL no longer " +
+        "models the decode")
   }
 
   /** Oracle-checked multi-table decode (the [[ddlDrivenDecodeTables]]
@@ -722,6 +927,7 @@ object CdcStream {
     val q = ddlDrivenDecodeTables(PbBinlogFile.readStream(spark, wireDir),
       tracker, outDir, ckpt, "app", col("event_type"))
     try q.processAllAvailable() finally q.stop()
+    assertSingleBatch(spark, outDir)
     spark.read.parquet(s"$outDir/data")
       .select(col("table").cast("string").as("table_name"), col("commit_ts"),
         col("k_str"), col("schema_version"))
@@ -742,6 +948,87 @@ object CdcStream {
        |  CAST((c.commit_ts % 1000000) + 0.26 AS VARCHAR) AS k_str,
        |  b.t34 AS schema_version
        |FROM c, b WHERE c.pk % 2 = 1 AND c.commit_ts > b.t34""".stripMargin
+
+  /** Oracle-checked multi-SCHEMA decode (the [[ddlDrivenDecodeSchemas]]
+    * composition under the hash gate): stage a two-database wire from the
+    * events data — schema `sa` (even pk) and schema `sb` (odd pk) each
+    * carry a table of the SAME name `t`, so the decode must route by the
+    * schema dimension. `sa.t` gets a MODIFY COLUMN at the stream's
+    * midpoint — written with mixed-case keywords and backticked
+    * identifiers, so the lexer itself sits under the oracle gate — while
+    * two administrative statements (a CREATE INDEX and an OPTIMIZE TABLE
+    * aimed at `sb.t`) ride the wire and must SKIP without cutting
+    * `sb`'s decode or bumping its version (the skip count is asserted in
+    * line). Same tie-free x.26 payload algebra as [[multiDecodeQuery]]. */
+  def schemaRoutedQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.PbBinlogFile
+    val wireDir = graft.util.Scratch.dir("graft_srt_wire")
+    val outDir = graft.util.Scratch.dir("graft_srt_out")
+    val ckpt = graft.util.Scratch.dir("graft_srt_ckpt")
+    val changes = graft.ops.Cdc.changes(spark, dir).persist()
+    try {
+      val maxRow = changes.agg(max("commit_ts")).head
+      val maxTs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      val mid = maxTs / 2
+      val dml = changes.select(
+        col("commit_ts"), col("pk"), lit("U").as("op"),
+        when(pmod(col("pk"), lit(2)) === 0, "sa:t").otherwise("sb:t")
+          .as("event_type"),
+        col("ts"), col("value"),
+        concat(lit("{\"k\": "),
+          (pmod(col("commit_ts"), lit(1000000L)).cast("double") + 0.26)
+            .cast("string"),
+          lit("}")).as("props"),
+        lit(null).cast("string").as("ddl_sql"))
+      def ddlRow(ts: Long, sql: String) = spark.range(1).select(
+        lit(ts).as("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
+        lit("ddl").as("event_type"),
+        timestamp_micros(lit(ts) * 1000000L).as("ts"),
+        lit(null).cast("double").as("value"),
+        lit(null).cast("string").as("props"),
+        lit(sql).as("ddl_sql"))
+      PbBinlogFile.write(dml
+        .unionByName(ddlRow(mid,
+          "Alter Table `sa`.`t` Modify Column k DECIMAL(10,1)"))
+        .unionByName(ddlRow(3 * maxTs / 4, "CREATE INDEX i_k ON sb.t (k)"))
+        .unionByName(ddlRow(5 * maxTs / 8, "OPTIMIZE TABLE sb.t")),
+        wireDir, nFiles = 2)
+    } finally { changes.unpersist(); () }
+    val tracker = new SchemaTracker()
+    tracker.createTable("sa", "t", Seq("k DOUBLE"), version = 0)
+    tracker.createTable("sb", "t", Seq("k DOUBLE"), version = 0)
+    val skipped = spark.sparkContext.longAccumulator(
+      "graft.t6_schema_routed.skipped_ddl")
+    val q = ddlDrivenDecodeSchemas(PbBinlogFile.readStream(spark, wireDir),
+      tracker, outDir, ckpt, Seq("sa", "sb"),
+      substring_index(col("event_type"), ":", 1),
+      substring_index(col("event_type"), ":", -1),
+      skippedDdl = Some(skipped))
+    try q.processAllAvailable() finally q.stop()
+    assertSingleBatch(spark, outDir)
+    require(skipped.value == 2L,
+      s"expected the 2 administrative wire statements skipped, got ${skipped.value}")
+    spark.read.parquet(s"$outDir/data")
+      .select(col("schema").cast("string").as("schema_name"),
+        col("table").cast("string").as("table_name"), col("commit_ts"),
+        col("k_str"), col("schema_version"))
+  }
+
+  def schemaRoutedSql: String =
+    s"""WITH c AS (${graft.ops.Cdc.changesCte}),
+       |b AS (SELECT max(commit_ts)//2 AS mid FROM c)
+       |SELECT 'sa' AS schema_name, 't' AS table_name, c.commit_ts,
+       |  CASE WHEN c.commit_ts <= b.mid
+       |       THEN CAST((c.commit_ts % 1000000) + 0.26 AS VARCHAR)
+       |       ELSE CAST(CAST(CAST((c.commit_ts % 1000000) + 0.26 AS DOUBLE) AS DECIMAL(10,1)) AS VARCHAR)
+       |  END AS k_str,
+       |  CASE WHEN c.commit_ts <= b.mid THEN 0 ELSE b.mid END AS schema_version
+       |FROM c, b WHERE c.pk % 2 = 0
+       |UNION ALL
+       |SELECT 'sb' AS schema_name, 't' AS table_name, c.commit_ts,
+       |  CAST((c.commit_ts % 1000000) + 0.26 AS VARCHAR) AS k_str,
+       |  0 AS schema_version
+       |FROM c WHERE c.pk % 2 = 1""".stripMargin
 
   /** Flagship streaming path: change stream → per-batch merge-by-PK upsert
     * into the materialized state with exactly-once batch ids. */

@@ -85,6 +85,14 @@ class SchemaTracker(historyDepth: Int = 2) {
     info.copy(columns = info.columns.updated(idx, newDef), version = version)
   }
 
+  /** MySQL CHANGE COLUMN: rename + retype in place, one version step.
+    * `newDef` is the full `"newName TYPE"` text. */
+  def changed(info: TableInfo, from: String, newDef: String,
+      version: Long): TableInfo = {
+    val newName = newDef.split(" ", 2)(0)
+    retyped(renamed(info, from, newName, version), newName, newDef, version)
+  }
+
   def modifyColumn(schema: String, table: String, column: String,
       newDef: String, version: Long): Unit = {
     currentVersion = version
@@ -112,18 +120,34 @@ class SchemaTracker(historyDepth: Int = 2) {
     push((schema, table), renamed(cur, from, to, version))
   }
 
+  def changeColumn(schema: String, table: String, from: String,
+      newDef: String, version: Long): Unit = {
+    currentVersion = version
+    val cur = current(schema, table).getOrElse(
+      throw new NoSuchElementException(s"$schema.$table"))
+    push((schema, table), changed(cur, from, newDef, version))
+  }
+
   /** rename keeps history under the new name (ref: schema.go renameTable).
     * Fails loudly on a missing source or an occupied target — silently
     * registering an empty history would hand every later catalog read a
     * phantom table that `current` cannot resolve. */
-  def renameTable(schema: String, from: String, to: String, version: Long): Unit = {
+  def renameTable(schema: String, from: String, to: String, version: Long): Unit =
+    renameTable(schema, from, schema, to, version)
+
+  /** Cross-schema form: the reference follows a rename by table id wherever
+    * it lands (drainer/schema.go:360-561), so the history re-homes to
+    * (toSchema, to) intact. */
+  def renameTable(schema: String, from: String, toSchema: String, to: String,
+      version: Long): Unit = {
     currentVersion = version
     val hist = byName.getOrElse((schema, from),
       throw new NoSuchElementException(s"$schema.$from"))
-    require(!byName.contains((schema, to)),
-      s"rename target $schema.$to is already registered")
+    require(!byName.contains((toSchema, to)),
+      s"rename target $toSchema.$to is already registered")
     byName -= ((schema, from))
-    byName += (schema, to) -> hist.map(i => i.copy(table = to, version = version))
+    byName += (toSchema, to) -> hist.map(i =>
+      i.copy(schema = toSchema, table = to, version = version))
   }
 
   /** truncate resets the table identity but not its shape. */

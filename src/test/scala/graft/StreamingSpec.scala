@@ -1643,6 +1643,320 @@ class StreamingSpec extends SparkSpec {
     assert(tracker4.current("app", "td").get.columns == Vector("k DECIMAL(10,1)"))
   }
 
+  test("streamed wire DDL grammar: admin/unknown statements skip counted; case and backticks lex; tracked-shape unknowns throw") {
+    // the reference SKIPS administrative / unsupported DDL with a log line
+    // and keeps replicating (ref: drainer/schema.go:333-353 skip list,
+    // drainer/syncer.go:436-462) — a CREATE INDEX on the wire must not
+    // kill the stream. Keywords lex case-insensitively, identifiers take
+    // backticks but stay case-sensitive (MySQL-on-Linux table names), and
+    // the loud throw survives for exactly one class: an unparseable
+    // statement that addresses a TRACKED table's shape.
+    import graft.sources.PbBinlogFile
+    val wireDir = graft.util.Scratch.dir("graft_gram_wire")
+    val outDir = graft.util.Scratch.dir("graft_gram_out")
+    val ckpt = graft.util.Scratch.dir("graft_gram_ckpt")
+
+    def dml(ids: Seq[Long], props: Long => String) =
+      ids.toDF("commit_ts").select(
+        col("commit_ts"), col("commit_ts").as("pk"), lit("U").as("op"),
+        lit("t").as("event_type"),
+        timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+        col("commit_ts").cast("double").as("value"),
+        udf(props).apply(col("commit_ts")).as("props"),
+        lit(null).cast("string").as("ddl_sql"))
+    def ddl(ts: Long, sql: String) = Seq(ts).toDF("commit_ts").select(
+      col("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
+      lit("ddl").as("event_type"),
+      timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+      lit(null).cast("double").as("value"),
+      lit(null).cast("string").as("props"),
+      lit(sql).as("ddl_sql"))
+
+    PbBinlogFile.write(
+      dml(Seq(1L, 3L, 5L, 7L, 9L), n => s"""{"k": ${n}.25}""")
+        // applies: lowercase keywords + backticked identifiers
+        .unionByName(ddl(10L, "alter table `app`.`t` add column extra BIGINT"))
+        .unionByName(dml(Seq(11L, 13L, 15L, 17L),
+          n => s"""{"k": ${n}.25, "extra": ${n * 10}}"""))
+        // the skip set: index/lock/analyze admin statements, a
+        // case-variant (hence untracked) table, a foreign table's DDL,
+        // and a statement outside the grammar aimed at no tracked shape
+        .unionByName(ddl(4L, "CREATE INDEX i_k ON app.t (k)"))
+        .unionByName(ddl(6L, "LOCK TABLES app.t WRITE"))
+        .unionByName(ddl(8L, "Analyze Table app.t"))
+        .unionByName(ddl(12L, "ALTER TABLE APP.T MODIFY COLUMN k BIGINT"))
+        .unionByName(ddl(14L, "ALTER TABLE other.x DROP COLUMN y"))
+        .unionByName(ddl(16L, "OPTIMIZE TABLE app.t"))
+        // applies: MySQL CHANGE COLUMN = rename + retype in one statement
+        .unionByName(ddl(18L, "alter table app.t change column k k2 DECIMAL(10,1)"))
+        .unionByName(dml(Seq(19L), n => s"""{"k2": ${n}.25}""")),
+      wireDir, nFiles = 1)
+
+    val tracker = new SchemaTracker()
+    tracker.createTable("app", "t", Seq("k DOUBLE"), version = 0)
+    val skipped = spark.sparkContext.longAccumulator("test.skipped_ddl")
+    val q = CdcStream.ddlDrivenDecodeTables(
+      PbBinlogFile.readStream(spark, wireDir), tracker, outDir, ckpt,
+      "app", col("event_type"), skippedDdl = Some(skipped))
+    try q.processAllAvailable() finally q.stop()
+
+    assert(skipped.value == 6L, s"expected 6 skipped wire DDLs, got ${skipped.value}")
+    assert(tracker.current("app", "t").get.columns ==
+      Vector("k2 DECIMAL(10,1)", "extra BIGINT"))
+    val rows = spark.read.parquet(s"$outDir/data/batch=0/table=t").collect()
+      .map(r => r.getAs[Long]("commit_ts") ->
+        ((Option(r.getAs[String]("k_str")), Option(r.getAs[String]("extra_str")),
+          Option(r.getAs[String]("k2_str")), r.getAs[Long]("schema_version"))))
+      .toMap
+    assert(rows.size == 10)
+    // the skipped statements neither cut slices nor bumped versions
+    assert(rows(9L) == ((Some("9.25"), None, None, 0L)))
+    assert(rows(17L) == ((Some("17.25"), Some("170"), None, 10L)))
+    // CHANGE COLUMN: post-barrier frames decode the NEW name at the NEW type
+    assert(rows(19L) == ((None, None, Some("19.3"), 18L)))
+
+    // the change action replays from the durable log like any other
+    val tracker2 = new SchemaTracker()
+    tracker2.createTable("app", "t", Seq("k DOUBLE"), version = 0)
+    CdcStream.recoverDecodeTracker(spark, outDir, ckpt, tracker2)
+    assert(tracker2.current("app", "t").get.columns ==
+      Vector("k2 DECIMAL(10,1)", "extra BIGINT"))
+
+    // loud-fail preserved: an unknown statement addressing the TRACKED
+    // table's shape must kill the stream, not skip — later frames would
+    // decode against a stale shape
+    val wire2 = graft.util.Scratch.dir("graft_gram_wire2")
+    val out2 = graft.util.Scratch.dir("graft_gram_out2")
+    val ckpt2 = graft.util.Scratch.dir("graft_gram_ckpt2")
+    PbBinlogFile.write(
+      dml(Seq(21L), n => s"""{"k": ${n}.25}""")
+        .unionByName(ddl(22L, "ALTER TABLE app.t SPLIT INTO 4 SHARDS")),
+      wire2, nFiles = 1)
+    val tracker3 = new SchemaTracker()
+    tracker3.createTable("app", "t", Seq("k DOUBLE"), version = 0)
+    val q2 = CdcStream.ddlDrivenDecodeTables(
+      PbBinlogFile.readStream(spark, wire2), tracker3, out2, ckpt2,
+      "app", col("event_type"))
+    val e = intercept[Exception] { try q2.processAllAvailable() finally q2.stop() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      String.valueOf(c.getMessage).contains("unappliable wire DDL")),
+      s"expected the tracked-shape loud throw, got $e")
+  }
+
+  test("multi-schema decode: two databases on one wire, per-schema histories, cross-schema rename, DROP DATABASE") {
+    // the reference catalog tracks EVERY schema on the wire at once
+    // (ref: drainer/schema.go:43-62 `schemas` map; drainer/syncer.go:374-397
+    // routes by (schema, table)): two databases may carry the same table
+    // NAME, each schema's DDL reshapes only its own tables, a RENAME may
+    // re-home a table ACROSS schemas (schema.go:360-561 follows the table
+    // id), and DROP DATABASE ends every table of that schema — all
+    // restart-safe through the one shared DDL log.
+    import graft.sources.PbBinlogFile
+    val wireDir = graft.util.Scratch.dir("graft_msch_wire")
+    val outDir = graft.util.Scratch.dir("graft_msch_out")
+    val ckpt = graft.util.Scratch.dir("graft_msch_ckpt")
+
+    def dml(route: String, ids: Seq[Long], props: Long => String) =
+      ids.toDF("commit_ts").select(
+        col("commit_ts"), col("commit_ts").as("pk"), lit("U").as("op"),
+        lit(route).as("event_type"),
+        timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+        col("commit_ts").cast("double").as("value"),
+        udf(props).apply(col("commit_ts")).as("props"),
+        lit(null).cast("string").as("ddl_sql"))
+    def ddl(ts: Long, sql: String) = Seq(ts).toDF("commit_ts").select(
+      col("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
+      lit("ddl").as("event_type"),
+      timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+      lit(null).cast("double").as("value"),
+      lit(null).cast("string").as("props"),
+      lit(sql).as("ddl_sql"))
+    // route column carries "schema:table"
+    val schemaOf = substring_index(col("event_type"), ":", 1)
+    val tableOf = substring_index(col("event_type"), ":", -1)
+    def freshTracker() = {
+      val t = new SchemaTracker()
+      t.createTable("sa", "t", Seq("k DOUBLE"), version = 0)
+      t.createTable("sb", "t", Seq("k DOUBLE"), version = 0)
+      t
+    }
+
+    // batch 0: same table NAME in both schemas; sa's ADD at 40 and sb's
+    // MODIFY at 50 must each reshape only their OWN schema's table
+    PbBinlogFile.write(
+      dml("sa:t", (1L to 39L by 2), n => s"""{"k": ${n}.25}""")
+        .unionByName(dml("sa:t", (41L to 79L by 2),
+          n => s"""{"k": ${n}.25, "extra": ${n * 10}}"""))
+        .unionByName(dml("sb:t", (2L to 80L by 2), n => s"""{"k": ${n}.25}"""))
+        .unionByName(ddl(40L, "ALTER TABLE sa.t ADD COLUMN extra BIGINT"))
+        .unionByName(ddl(50L, "ALTER TABLE sb.t MODIFY COLUMN k DECIMAL(10,1)")),
+      wireDir, nFiles = 1)
+    val tracker = freshTracker()
+    val q1 = CdcStream.ddlDrivenDecodeSchemas(
+      PbBinlogFile.readStream(spark, wireDir), tracker, outDir, ckpt,
+      Seq("sa", "sb"), schemaOf, tableOf)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(tracker.current("sa", "t").get.columns ==
+      Vector("k DOUBLE", "extra BIGINT"))
+    assert(tracker.current("sb", "t").get.columns == Vector("k DECIMAL(10,1)"))
+    val sb0 = spark.read.parquet(s"$outDir/data/batch=0/schema=sb/table=t")
+    assert(sb0.columns.toSeq.sorted ==
+      Seq("commit_ts", "k_str", "op", "pk", "schema_version"),
+      s"sa's DDL leaked into sb's decode: ${sb0.columns.toSeq}")
+    val sbRows = sb0.collect().map(r => r.getAs[Long]("commit_ts") ->
+      ((r.getAs[String]("k_str"), r.getAs[Long]("schema_version")))).toMap
+    assert(sbRows.size == 40)
+    (2L to 80L by 2).foreach { n =>
+      val expect = if (n <= 50L) (s"$n.25", 0L) else (s"$n.3", 50L)
+      assert(sbRows(n) == expect, s"sb.t row $n: ${sbRows(n)}")
+    }
+    val saRows = spark.read.parquet(s"$outDir/data/batch=0/schema=sa/table=t")
+      .collect().map(r => r.getAs[Long]("commit_ts") ->
+        ((Option(r.getAs[String]("extra_str")), r.getAs[Long]("schema_version")))).toMap
+    assert(saRows.size == 40)
+    (1L to 79L by 2).foreach { n =>
+      val expect = if (n <= 40L) (None, 0L) else (Some((n * 10).toString), 40L)
+      assert(saRows(n) == expect, s"sa.t row $n: ${saRows(n)}")
+    }
+
+    // restart: both schemas' histories replay from the one shared log
+    val tracker2 = freshTracker()
+    CdcStream.recoverDecodeTracker(spark, outDir, ckpt, tracker2)
+    assert(tracker2.current("sa", "t").get.columns ==
+      Vector("k DOUBLE", "extra BIGINT") &&
+      tracker2.current("sb", "t").get.columns == Vector("k DECIMAL(10,1)"))
+
+    // batch 1: RENAME TABLE sa.t TO sb.t2 — the history re-homes ACROSS
+    // schemas; in-flight frames under the old (schema, name) decode now,
+    // later frames arrive under the new one and continue the widened shape
+    PbBinlogFile.write(
+      dml("sa:t", Seq(96L, 98L), n => s"""{"k": ${n}.25, "extra": ${n * 10}}""")
+        .unionByName(ddl(100L, "RENAME TABLE sa.t TO sb.t2"))
+        .unionByName(dml("sb:t2", Seq(104L, 108L),
+          n => s"""{"k": ${n}.25, "extra": ${n * 10}}"""))
+        .unionByName(dml("sb:t", Seq(102L), n => s"""{"k": ${n}.25}""")),
+      wireDir, nFiles = 1)
+    val q2 = CdcStream.ddlDrivenDecodeSchemas(
+      PbBinlogFile.readStream(spark, wireDir), tracker2, outDir, ckpt,
+      Seq("sa", "sb"), schemaOf, tableOf)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(tracker2.tablesOf("sa") == Seq() &&
+      tracker2.tablesOf("sb") == Seq("t", "t2"))
+    assert(tracker2.current("sb", "t2").get.columns ==
+      Vector("k DOUBLE", "extra BIGINT") &&
+      tracker2.current("sb", "t2").get.version == 100L)
+    val saOld = spark.read.parquet(s"$outDir/data/batch=1/schema=sa/table=t")
+      .select("commit_ts").as[Long].collect().toSet
+    assert(saOld == Set(96L, 98L), s"in-flight frames under the old home: $saOld")
+    val t2Rows = spark.read.parquet(s"$outDir/data/batch=1/schema=sb/table=t2")
+      .collect().map(r => r.getAs[Long]("commit_ts") ->
+        ((r.getAs[String]("extra_str"), r.getAs[Long]("schema_version")))).toMap
+    assert(t2Rows == Map(104L -> (("1040", 100L)), 108L -> (("1080", 100L))),
+      s"re-homed table must keep the widened shape: $t2Rows")
+
+    // second restart: the cross-schema rename replays from the log
+    val tracker3 = freshTracker()
+    CdcStream.recoverDecodeTracker(spark, outDir, ckpt, tracker3)
+    assert(tracker3.tablesOf("sa") == Seq() &&
+      tracker3.tablesOf("sb") == Seq("t", "t2") &&
+      tracker3.current("sb", "t2").get.columns == Vector("k DOUBLE", "extra BIGINT"))
+
+    // batch 2: DROP DATABASE sb ends BOTH of sb's tables — in-flight
+    // frames at/below the drop decode, later ones are unaddressable
+    PbBinlogFile.write(
+      dml("sb:t", Seq(106L), n => s"""{"k": ${n}.25}""")
+        .unionByName(dml("sb:t2", Seq(109L),
+          n => s"""{"k": ${n}.25, "extra": ${n * 10}}"""))
+        .unionByName(ddl(110L, "DROP DATABASE sb"))
+        .unionByName(dml("sb:t2", Seq(112L),
+          n => s"""{"k": ${n}.25, "extra": ${n * 10}}""")),
+      wireDir, nFiles = 1)
+    val q3 = CdcStream.ddlDrivenDecodeSchemas(
+      PbBinlogFile.readStream(spark, wireDir), tracker3, outDir, ckpt,
+      Seq("sa", "sb"), schemaOf, tableOf)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(tracker3.tablesOf("sb") == Seq())
+    val sbT = spark.read.parquet(s"$outDir/data/batch=2/schema=sb/table=t")
+      .select("commit_ts").as[Long].collect().toSet
+    val sbT2 = spark.read.parquet(s"$outDir/data/batch=2/schema=sb/table=t2")
+      .select("commit_ts").as[Long].collect().toSet
+    assert(sbT == Set(106L) && sbT2 == Set(109L),
+      s"drop database must keep in-flight frames and drop later ones: $sbT / $sbT2")
+
+    // third restart: the whole multi-schema history (rename + schema drop)
+    // replays into the same end state
+    val tracker4 = freshTracker()
+    CdcStream.recoverDecodeTracker(spark, outDir, ckpt, tracker4)
+    assert(tracker4.tablesOf("sa") == Seq() && tracker4.tablesOf("sb") == Seq())
+
+    // a rename whose target schema is OUTSIDE the decode's set still
+    // fails loudly — skipping it would silently detach replication
+    val wireX = graft.util.Scratch.dir("graft_msch_wirex")
+    PbBinlogFile.write(
+      dml("sa:t", Seq(1L), n => s"""{"k": ${n}.25}""")
+        .unionByName(ddl(2L, "RENAME TABLE sa.t TO sc.t")),
+      wireX, nFiles = 1)
+    val trackerX = new SchemaTracker()
+    trackerX.createTable("sa", "t", Seq("k DOUBLE"), version = 0)
+    val qx = CdcStream.ddlDrivenDecodeSchemas(
+      PbBinlogFile.readStream(spark, wireX), trackerX,
+      graft.util.Scratch.dir("graft_msch_outx"),
+      graft.util.Scratch.dir("graft_msch_ckptx"),
+      Seq("sa"), schemaOf, tableOf)
+    val ex = intercept[Exception] { try qx.processAllAvailable() finally qx.stop() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => String.valueOf(c.getMessage)
+      .contains("outside the decode's schema set")), s"got $ex")
+  }
+
+  test("per-touched-table batch work fans out on the bounded worker pool") {
+    // the reference applies tables across 16 parallel workers
+    // (pkg/loader/load.go:508-527); the decode's per-table writes and the
+    // loader's between-barrier applies ride graft.util.Par the same way —
+    // a trigger touching N tables must overlap their jobs, not serialize
+    // N driver submissions. The peak gauge is the machine-checkable
+    // witness of real overlap.
+    import graft.sources.PbBinlogFile
+    val wireDir = graft.util.Scratch.dir("graft_par_wire")
+    val outDir = graft.util.Scratch.dir("graft_par_out")
+    val ckpt = graft.util.Scratch.dir("graft_par_ckpt")
+    def dml(tbl: String, ids: Seq[Long]) =
+      ids.toDF("commit_ts").select(
+        col("commit_ts"), col("commit_ts").as("pk"), lit("U").as("op"),
+        lit(tbl).as("event_type"),
+        timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+        col("commit_ts").cast("double").as("value"),
+        concat(lit("{\"k\": "), col("commit_ts"), lit(".25}")).as("props"),
+        lit(null).cast("string").as("ddl_sql"))
+    val tables = (1 to 6).map(i => s"t$i")
+    PbBinlogFile.write(
+      tables.zipWithIndex.map { case (t, i) =>
+        dml(t, Seq(10L + i, 20L + i))
+      }.reduce(_ unionByName _), wireDir, nFiles = 1)
+    val tracker = new SchemaTracker()
+    tables.foreach(t => tracker.createTable("app", t, Seq("k DOUBLE"), version = 0))
+    graft.util.Par.resetPeak()
+    val q = CdcStream.ddlDrivenDecodeTables(
+      PbBinlogFile.readStream(spark, wireDir), tracker, outDir, ckpt,
+      "app", col("event_type"))
+    try q.processAllAvailable() finally q.stop()
+    assert(graft.util.Par.peakObserved >= 2,
+      s"6 tables' writes never overlapped (peak ${graft.util.Par.peakObserved})")
+    tables.foreach { t =>
+      assert(spark.read.parquet(s"$outDir/data/batch=0/table=$t").count() == 2L)
+    }
+    // failure contract: every task awaited, FIRST failure (item order)
+    // rethrown — deterministic under replay
+    val e = intercept[IllegalStateException] {
+      graft.util.Par.mapPar(1 to 4)(i =>
+        if (i % 2 == 0) throw new IllegalStateException(s"boom$i") else i)
+    }
+    assert(e.getMessage == "boom2")
+  }
+
   test("T2∘T5∘T6: the multi-pump merged wire keeps the decode frontier clean") {
     // ties the k-way merge's min-frontier delivery guarantee (the
     // streamingMerged topology's per-pump watermarks) to the versioned
