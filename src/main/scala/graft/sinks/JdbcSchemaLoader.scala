@@ -578,6 +578,7 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
 
     var lower = Long.MinValue
     var maxTs = prev.commitTs
+    val orderedSlices = slices.toSeq.sortBy(_._1)
     barriers.foreach { case (upper, stmt) =>
       // tables between two barriers are independent — apply them across
       // the bounded worker pool (ref: pkg/loader/load.go:508-527, the
@@ -585,7 +586,7 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
       // is a sequential point. Each apply opens its own connections
       // (driver-side metadata reads and executor-side batches alike), so
       // nothing here shares JDBC state across threads.
-      val applied = graft.util.Par.mapPar(slices.toSeq.sortBy(_._1)) {
+      val applied = graft.util.Par.mapPar(orderedSlices) {
         case (table, df) =>
           val slice = df.filter(col("op") =!= "DDL" &&
             col("commit_ts") > lower && col("commit_ts") <= upper)

@@ -225,8 +225,11 @@ object CdcStream {
   private val Qual = s"$Id\\.$Id"
   private val ModifyColumnRe =
     s"(?i)^ALTER TABLE $Qual MODIFY(?: COLUMN)? $Id (.+)$$".r
+  // COLUMN-less ADD is legal MySQL; ADD INDEX/KEY/… is claimed by the
+  // admin set FIRST (parse order below), so the bare-identifier form here
+  // can only be a column def
   private val AddColumnRe =
-    s"(?i)^ALTER TABLE $Qual ADD COLUMN $Id (.+)$$".r
+    s"(?i)^ALTER TABLE $Qual ADD(?: COLUMN)? $Id (.+)$$".r
   // CHANGE [COLUMN] old new TYPE — MySQL's combined rename+retype
   private val ChangeColumnRe =
     s"(?i)^ALTER TABLE $Qual CHANGE(?: COLUMN)? $Id $Id (.+)$$".r
@@ -236,10 +239,12 @@ object CdcStream {
     s"(?i)^ALTER TABLE $Qual RENAME COLUMN $Id TO $Id$$".r
   private val TruncateTableRe =
     s"(?i)^TRUNCATE(?: TABLE)? $Qual$$".r
-  // trailing table options (ENGINE=…, COMMENT …) after the def list are
-  // legal and shape-neutral
-  private val CreateTableRe =
-    s"(?i)^CREATE TABLE(?: IF NOT EXISTS)? $Qual \\((.+)\\)(?: [^)]*)?$$".r
+  // head only — the column-def list is cut by a balanced-paren scan in
+  // [[parseWireDdl]], because trailing table options may themselves carry
+  // parens (PARTITION BY HASH(a), COMMENT '(x)') that defeat any
+  // single-regex capture
+  private val CreateTableHeadRe =
+    s"(?i)^CREATE TABLE(?: IF NOT EXISTS)? $Qual \\(".r
   private val DropTableRe =
     s"(?i)^DROP TABLE(?: IF EXISTS)? $Qual$$".r
   private val RenameTableRe =
@@ -252,30 +257,49 @@ object CdcStream {
 
   /** Administrative / shape-neutral statements the decode SKIPS with a
     * counter instead of killing the stream — indexes, constraints,
-    * partition maintenance, placement/resource/lock/cache/attribute
-    * statements, ANALYZE, CREATE/ALTER DATABASE (ref:
-    * drainer/schema.go:333-353 skip list; drainer/syncer.go:436-462 logs
-    * and continues past unsupported jobs). None of these change how a
-    * row's payload decodes, so replication must ride over them. */
+    * partition/tablespace maintenance, column defaults,
+    * placement/resource/lock/cache/attribute statements, ANALYZE/OPTIMIZE,
+    * CREATE/ALTER DATABASE (ref: drainer/schema.go:333-353 skip list;
+    * drainer/syncer.go:436-462 logs and continues past unsupported jobs).
+    * None of these change how a row's payload decodes, so replication must
+    * ride over them. Checked BEFORE the shape grammar: `ADD INDEX i (k)`
+    * must land here, not in the COLUMN-less ADD-column form (a column
+    * literally named `index`/`key` is written backticked in MySQL for the
+    * same reason, and the backtick routes it past these keywords). */
   private val AdminDdlRes: Seq[scala.util.matching.Regex] = Seq(
     "(?i)^CREATE (?:UNIQUE |FULLTEXT |SPATIAL )?INDEX .+".r,
     "(?i)^DROP INDEX .+".r,
     ("(?i)^ALTER TABLE \\S+ (?:ADD|DROP|RENAME|ALTER) (?:UNIQUE|FULLTEXT|" +
       "SPATIAL|INDEX|KEY|CONSTRAINT|CHECK|PRIMARY|FOREIGN|PARTITION)\\b.*").r,
+    // ALTER [COLUMN] c SET/DROP DEFAULT — default changes are decode-neutral
+    "(?i)^ALTER TABLE \\S+ ALTER(?: COLUMN)? \\S+ (?:SET|DROP) DEFAULT\\b.*".r,
+    // partition / tablespace maintenance verbs
+    ("(?i)^ALTER TABLE \\S+ (?:TRUNCATE|REORGANIZE|COALESCE|ANALYZE|CHECK|" +
+      "OPTIMIZE|REBUILD|REPAIR|EXCHANGE|IMPORT|DISCARD) " +
+      "(?:PARTITION|TABLESPACE)\\b.*").r,
     ("(?i)^ALTER TABLE \\S+ (?:COMMENT|AUTO_INCREMENT|ENGINE|ROW_FORMAT|" +
       "CHARACTER SET|CONVERT TO|CACHE|NOCACHE|PLACEMENT|COMPACT|ATTRIBUTES|" +
       "SHARD_ROW_ID_BITS|SET TIFLASH)\\b.*").r,
     "(?i)^(?:CREATE|ALTER|DROP) PLACEMENT POLICY .+".r,
     "(?i)^(?:CREATE|ALTER|DROP) RESOURCE GROUP .+".r,
     "(?i)^(?:LOCK|UNLOCK) TABLES?\\b.*".r,
-    "(?i)^ANALYZE TABLE .+".r,
+    "(?i)^(?:ANALYZE|OPTIMIZE) TABLE .+".r,
     "(?i)^(?:CREATE|ALTER) (?:DATABASE|SCHEMA)\\b.*".r)
 
-  /** Does an (unparseable) statement address a table's SHAPE? The loud-fail
-    * gate: an unknown statement aimed at a TRACKED table cannot be skipped
-    * — later frames of that table might decode against a stale shape. */
-  private val ShapeHeadRe =
-    s"(?i)^(?:ALTER|TRUNCATE|RENAME|CREATE|DROP) TABLE(?: IF(?: NOT)? EXISTS)? $Qual\\b.*".r
+  /** The loud-fail gate for statements outside the grammar: a table-verb
+    * statement is scanned for EVERY qualified name it carries (a legal
+    * multi-table `RENAME TABLE a TO b, c TO d` or `DROP TABLE x, y` names
+    * several), because an unknown statement aimed at ANY tracked table
+    * cannot be skipped — later frames of that table might decode against
+    * a stale shape. */
+  private val TableVerbRe =
+    "(?i)^(?:ALTER|TRUNCATE|RENAME|CREATE|DROP) TABLE\\b.*".r
+  private val QualAnyRe = s"$Qual".r
+
+  private def qualsAddressed(stmt: String): Seq[(String, String)] =
+    if (TableVerbRe.pattern.matcher(stmt).matches)
+      QualAnyRe.findAllMatchIn(stmt).map(m => (m.group(1), m.group(2))).toSeq
+    else Seq.empty
 
   /** One parsed wire statement. `AdminDdl` = recognized shape-neutral,
     * `UnknownDdl` = outside the grammar; the dispatch decides whether an
@@ -293,9 +317,35 @@ object CdcStream {
   private[graft] case object AdminDdl extends WireDdl
   private[graft] final case class UnknownDdl(stmt: String) extends WireDdl
 
+  /** CREATE TABLE: cut the column-def list at the close paren BALANCING
+    * the list's open — trailing table options may carry parens of their
+    * own (`PARTITION BY HASH(a)`, `COMMENT '(x)'`), so a regex capture
+    * either swallows option text into the defs or rejects the statement
+    * outright. An unbalanced statement parses as unknown. */
+  private def parseCreateTable(stmt: String): Option[WireDdl] =
+    CreateTableHeadRe.findPrefixMatchOf(stmt).flatMap { m =>
+      val open = m.end - 1
+      var depth = 0; var i = open; var close = -1
+      while (i < stmt.length && close < 0) {
+        stmt.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case _ => ()
+        }
+        i += 1
+      }
+      if (close < 0) None
+      else Some(CreateDdl(m.group(1), m.group(2),
+        splitColumnDefs(stmt.substring(open + 1, close))))
+    }
+
   private[graft] def parseWireDdl(stmt0: String): WireDdl = {
+    // a DDL frame with no statement text carries no shape information —
+    // parse to unknown (the dispatch skips it, counted) instead of NPEing
+    if (stmt0 == null) return UnknownDdl("<missing ddl_sql>")
     val stmt = stmt0.trim
-    stmt match {
+    if (AdminDdlRes.exists(_.pattern.matcher(stmt).matches)) AdminDdl
+    else stmt match {
       case ModifyColumnRe(s, t, c, ty) => ColumnDdl(s, t, "modify", c, ty.trim)
       case AddColumnRe(s, t, c, ty)    => ColumnDdl(s, t, "add", c, ty.trim)
       case ChangeColumnRe(s, t, c, nc, ty) =>
@@ -303,13 +353,11 @@ object CdcStream {
       case DropColumnRe(s, t, c)       => ColumnDdl(s, t, "drop", c, "")
       case RenameColumnRe(s, t, a, b)  => ColumnDdl(s, t, "rename", a, b)
       case TruncateTableRe(s, t)       => TruncateDdl(s, t)
-      case CreateTableRe(s, t, defs)   => CreateDdl(s, t, splitColumnDefs(defs))
       case DropTableRe(s, t)           => DropTableDdl(s, t)
       case RenameTableRe(s, t, toS, to) => RenameDdl(s, t, Option(toS), to)
       case AlterRenameRe(s, t, toS, to) => RenameDdl(s, t, Option(toS), to)
       case DropSchemaRe(s)             => DropSchemaDdl(s)
-      case _ if AdminDdlRes.exists(_.pattern.matcher(stmt).matches) => AdminDdl
-      case other => UnknownDdl(other)
+      case other => parseCreateTable(other).getOrElse(UnknownDdl(other))
     }
   }
 
@@ -740,14 +788,16 @@ object CdcStream {
                 applied += ((ts, s, t, "rename_table", "",
                   if (s2 == s) to else s"$s2.$to"))
               case UnknownDdl(text) =>
-                text match {
-                  case ShapeHeadRe(s, t) if catalog.contains((s, t)) =>
+                // scan EVERY qualified name (a multi-table RENAME/DROP
+                // list may bury a tracked table behind untracked ones)
+                qualsAddressed(text).find(catalog.contains) match {
+                  case Some((s, t)) =>
                     throw new IllegalArgumentException(
                       s"unappliable wire DDL addresses tracked table $s.$t: " +
                         s"$text — later frames would decode against a stale " +
                         "shape; drop the statement upstream (F5 ddl-skip " +
                         "filter) or extend the decode grammar")
-                  case _ => skipped.add(1L)
+                  case None => skipped.add(1L)
                 }
               // administrative statements and parsed DDLs of untracked
               // tables/schemas: count and continue

@@ -39,6 +39,16 @@ object Par {
   private[graft] def resetPeak(): Unit = peak.set(0)
   private[graft] def peakObserved: Int = peak.get
 
+  /** Spark job properties are thread-local via InheritableThreadLocal: a
+    * pool thread freezes whatever the thread that CREATED it carried, so a
+    * job submitted later from that pool thread would run under a stale job
+    * group — and a streaming query's stop() cancels its job group, which
+    * could then kill an unrelated query's jobs. Each task instead carries
+    * the SUBMITTER's values for the keys that affect cancellation,
+    * scheduling and UI attribution, and clears them afterwards. */
+  private val InheritedProps = Seq("spark.jobGroup.id", "spark.job.description",
+    "spark.job.interruptOnCancel", "spark.scheduler.pool")
+
   /** Run `f` over `items` with bounded parallelism, preserving result
     * order. ALWAYS awaits every task — a failed sibling must not leave
     * stragglers mutating sink state after the caller has thrown — then
@@ -52,12 +62,25 @@ object Par {
     if (items.lengthCompare(2) < 0 ||
         Thread.currentThread().getName.startsWith("graft-par-")) items.map(f)
     else {
+      val session = org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      // read on the SUBMITTING thread; null values still propagate (they
+      // clear whatever the pool thread inherited at creation)
+      val props = session.map(s =>
+        InheritedProps.map(k => k -> s.sparkContext.getLocalProperty(k)))
       val futures = items.map { it =>
         pool.submit(new Callable[R] {
           def call(): R = {
             val cur = active.incrementAndGet()
             peak.getAndUpdate(p => math.max(p, cur))
-            try f(it) finally { active.decrementAndGet(); () }
+            for (s <- session; (k, v) <- props.get)
+              s.sparkContext.setLocalProperty(k, v)
+            try f(it) finally {
+              for (s <- session; (k, _) <- props.get)
+                s.sparkContext.setLocalProperty(k, null)
+              active.decrementAndGet()
+              ()
+            }
           }
         })
       }

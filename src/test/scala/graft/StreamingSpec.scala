@@ -1670,7 +1670,7 @@ class StreamingSpec extends SparkSpec {
       timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
       lit(null).cast("double").as("value"),
       lit(null).cast("string").as("props"),
-      lit(sql).as("ddl_sql"))
+      (if (sql == null) lit(null).cast("string") else lit(sql)).as("ddl_sql"))
 
     PbBinlogFile.write(
       dml(Seq(1L, 3L, 5L, 7L, 9L), n => s"""{"k": ${n}.25}""")
@@ -1689,7 +1689,21 @@ class StreamingSpec extends SparkSpec {
         .unionByName(ddl(16L, "OPTIMIZE TABLE app.t"))
         // applies: MySQL CHANGE COLUMN = rename + retype in one statement
         .unionByName(ddl(18L, "alter table app.t change column k k2 DECIMAL(10,1)"))
-        .unionByName(dml(Seq(19L), n => s"""{"k2": ${n}.25}""")),
+        .unionByName(dml(Seq(19L), n => s"""{"k2": ${n}.25}"""))
+        // applies: COLUMN-less ADD (legal MySQL; ADD INDEX stays admin)
+        .unionByName(ddl(20L, "ALTER TABLE app.t ADD extra2 BIGINT"))
+        .unionByName(dml(Seq(21L), n => s"""{"k2": ${n}.25, "extra2": 7}"""))
+        // more skips: default change, partition maintenance, a DDL frame
+        // with no statement text at all
+        .unionByName(ddl(22L, "ALTER TABLE app.t ALTER COLUMN k2 SET DEFAULT 5"))
+        .unionByName(ddl(24L, "ALTER TABLE app.t TRUNCATE PARTITION p0"))
+        .unionByName(ddl(26L, null))
+        // applies: CREATE TABLE whose trailing options carry parens — the
+        // balanced-paren cut must keep the def list exact
+        .unionByName(ddl(28L,
+          "CREATE TABLE app.tnew (v BIGINT) PARTITION BY HASH(v) PARTITIONS 4"))
+        .unionByName(dml(Seq(29L), n => s"""{"v": ${n}}""")
+          .withColumn("event_type", lit("tnew"))),
       wireDir, nFiles = 1)
 
     val tracker = new SchemaTracker()
@@ -1700,37 +1714,48 @@ class StreamingSpec extends SparkSpec {
       "app", col("event_type"), skippedDdl = Some(skipped))
     try q.processAllAvailable() finally q.stop()
 
-    assert(skipped.value == 6L, s"expected 6 skipped wire DDLs, got ${skipped.value}")
+    assert(skipped.value == 9L, s"expected 9 skipped wire DDLs, got ${skipped.value}")
     assert(tracker.current("app", "t").get.columns ==
-      Vector("k2 DECIMAL(10,1)", "extra BIGINT"))
+      Vector("k2 DECIMAL(10,1)", "extra BIGINT", "extra2 BIGINT"))
+    assert(tracker.current("app", "tnew").get.columns == Vector("v BIGINT"),
+      "paren-bearing CREATE TABLE options corrupted the def list")
     val rows = spark.read.parquet(s"$outDir/data/batch=0/table=t").collect()
       .map(r => r.getAs[Long]("commit_ts") ->
         ((Option(r.getAs[String]("k_str")), Option(r.getAs[String]("extra_str")),
-          Option(r.getAs[String]("k2_str")), r.getAs[Long]("schema_version"))))
+          Option(r.getAs[String]("k2_str")), Option(r.getAs[String]("extra2_str")),
+          r.getAs[Long]("schema_version"))))
       .toMap
-    assert(rows.size == 10)
+    assert(rows.size == 11)
     // the skipped statements neither cut slices nor bumped versions
-    assert(rows(9L) == ((Some("9.25"), None, None, 0L)))
-    assert(rows(17L) == ((Some("17.25"), Some("170"), None, 10L)))
+    assert(rows(9L) == ((Some("9.25"), None, None, None, 0L)))
+    assert(rows(17L) == ((Some("17.25"), Some("170"), None, None, 10L)))
     // CHANGE COLUMN: post-barrier frames decode the NEW name at the NEW type
-    assert(rows(19L) == ((None, None, Some("19.3"), 18L)))
+    assert(rows(19L) == ((None, None, Some("19.3"), None, 18L)))
+    // COLUMN-less ADD applied; the three later skips left version at 20
+    assert(rows(21L) == ((None, None, Some("21.3"), Some("7"), 20L)))
+    val tnew = spark.read.parquet(s"$outDir/data/batch=0/table=tnew").collect()
+      .map(r => (r.getAs[Long]("commit_ts"), r.getAs[String]("v_str"),
+        r.getAs[Long]("schema_version")))
+    assert(tnew.toSeq == Seq((29L, "29", 28L)))
 
     // the change action replays from the durable log like any other
     val tracker2 = new SchemaTracker()
     tracker2.createTable("app", "t", Seq("k DOUBLE"), version = 0)
     CdcStream.recoverDecodeTracker(spark, outDir, ckpt, tracker2)
     assert(tracker2.current("app", "t").get.columns ==
-      Vector("k2 DECIMAL(10,1)", "extra BIGINT"))
+      Vector("k2 DECIMAL(10,1)", "extra BIGINT", "extra2 BIGINT"))
+    assert(tracker2.current("app", "tnew").get.columns == Vector("v BIGINT"))
 
-    // loud-fail preserved: an unknown statement addressing the TRACKED
-    // table's shape must kill the stream, not skip — later frames would
-    // decode against a stale shape
+    // loud-fail preserved: an unknown statement addressing a TRACKED
+    // table's shape must kill the stream, not skip — even when the
+    // tracked table hides behind untracked ones in a multi-table list
     val wire2 = graft.util.Scratch.dir("graft_gram_wire2")
     val out2 = graft.util.Scratch.dir("graft_gram_out2")
     val ckpt2 = graft.util.Scratch.dir("graft_gram_ckpt2")
     PbBinlogFile.write(
       dml(Seq(21L), n => s"""{"k": ${n}.25}""")
-        .unionByName(ddl(22L, "ALTER TABLE app.t SPLIT INTO 4 SHARDS")),
+        .unionByName(ddl(22L,
+          "RENAME TABLE other.x TO other.y, app.t TO app.t2")),
       wire2, nFiles = 1)
     val tracker3 = new SchemaTracker()
     tracker3.createTable("app", "t", Seq("k DOUBLE"), version = 0)
