@@ -12,13 +12,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
-      // the default 100-entry codegen class cache thrashes when 134 queries
-      // interleave: every pass recompiles every generated class (the suite
-      // is planning/codegen-bound at sf0.1, so that's a first-order cost).
-      // A long-lived cluster app accumulates exactly this cache; size it so
-      // one suite's classes fit. Static conf — must be set before the
+      // the default 100-entry codegen class cache thrashes when ~150
+      // queries interleave: every pass recompiles every generated class
+      // (the suite is planning/codegen-bound at sf0.1, so that's a
+      // first-order cost). A long-lived cluster app accumulates exactly
+      // this cache; size it with headroom over one suite's classes — the
+      // registry grows every round. Static conf — must be set before the
       // session starts.
-      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      .config("spark.sql.codegen.cache.maxEntries", "8000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // external-interference markers (r10 verdict: per-query spread tracked
