@@ -208,46 +208,82 @@ object DrainerPipeline {
     CdcStream.ddlDrivenDecodeTables(
       CdcStream.mergedWireStream(spark, pumpDirs, delay),
       tracker, outDir, checkpoint, schemaName, tableOf,
-      emit = Some { case (batchId, frames, ddls) =>
-        import spark.implicits._
-        val slices = frames.toSeq.sortBy(_._1).map { case (t, (defs, df)) =>
-          val typed = defs.map { d =>
-            val cut = d.indexOf(' ')
-            require(cut > 0,
-              s"column def '$d' of wire table $t lacks a type token — the " +
-                "decode log must carry 'name TYPE' defs")
-            val n = d.substring(0, cut)
-            col(s"${n}_str").cast(d.substring(cut + 1)).as(n)
-          }
-          tableMap(t) -> df.select(
-            Seq(col("commit_ts"), col("pk"), col("op")) ++ typed: _*)
-        }.groupBy(_._1).view.mapValues(
-            _.map(_._2).reduce(_.unionByName(_, allowMissingColumns = true)))
-          .toMap.toSeq.sortBy(_._1)
-        val ddlRows = ddls.flatMap { case (v, _, t, action, c, arg) =>
-          ddlToTarget(t, action, c, arg).map(sql => (v, sql))
-        }
-        if (slices.nonEmpty) {
-          // translated DDL rides the first frame: applyBatch gathers DDL
-          // rows ACROSS frames into global ts barriers, so which frame
-          // carries them does not matter
-          val withDdl = ddlRows match {
-            case Seq() => slices
-            case rows =>
-              val (t0, df0) = slices.head
-              val ddlDf = rows.toDF("commit_ts", "ddl_sql").select(
-                col("commit_ts"), lit("DDL").as("op"), col("ddl_sql"))
-              (t0 -> df0.withColumn("ddl_sql", lit(null).cast("string"))
-                .unionByName(ddlDf, allowMissingColumns = true)) +: slices.tail
-          }
-          loader.applyBatch(withDdl.toMap, batchId, merge = merge): Unit
-        } else
-          // a batch carrying only DDL has no DML to order against —
-          // execute directly under the same logged replay guard
-          ddlRows.sortBy(_._1).foreach { case (v, sql) =>
-            loader.executeLoggedDdl(batchId, v, sql)
-          }
+      emit = Some { b =>
+        replicateEmit(spark, loader, (s, t) => tableMap(t),
+          (_, t, action, c, arg) => ddlToTarget(t, action, c, arg), merge)(
+          (b._1, b._2.map { case (t, v) => (schemaName, t) -> v }, b._3))
       })
+
+  /** [[streamingReplicated]] over a MULTI-SCHEMA wire — the reference
+    * drainer's complete shape (its catalog replicates every database the
+    * wire carries, drainer/schema.go:43-62): the decode set spans
+    * `schemas`, frames route by (`schemaOf`, `tableOf`), and `tableMap`
+    * takes the schema dimension so two databases sharing a table name land
+    * in distinct targets (the reference's route-by-(schema, table),
+    * drainer/syncer.go:374-397). `ddlToTarget` likewise sees
+    * (schema, table, action, column, arg). Everything else — the barrier
+    * discipline, the two composed replay guards, the DDL-only direct
+    * path — is the single-schema loop unchanged. */
+  def streamingReplicatedSchemas(spark: SparkSession, pumpDirs: Seq[String],
+      tracker: SchemaTracker, loader: JdbcSchemaLoader, outDir: String,
+      checkpoint: String, schemas: Seq[String], schemaOf: Column,
+      tableOf: Column, tableMap: (String, String) => String,
+      ddlToTarget: (String, String, String, String, String) => Option[String] =
+        (_, _, _, _, _) => None,
+      delay: String = "0 seconds", merge: Boolean = true): StreamingQuery =
+    CdcStream.ddlDrivenDecodeSchemas(
+      CdcStream.mergedWireStream(spark, pumpDirs, delay),
+      tracker, outDir, checkpoint, schemas, schemaOf, tableOf,
+      emit = Some(replicateEmit(spark, loader, tableMap, ddlToTarget, merge)))
+
+  /** The shared per-batch apply of both replication loops: cast each
+    * decoded (schema, table) frame back to typed columns, route it through
+    * `tableMap`, translate applied wire DDL, and hand ONE multi-table
+    * loader batch (or the DDL-only direct path) to the JDBC loader. */
+  private def replicateEmit(spark: SparkSession, loader: JdbcSchemaLoader,
+      tableMap: (String, String) => String,
+      ddlToTarget: (String, String, String, String, String) => Option[String],
+      merge: Boolean): CdcStream.DecodedBatchMulti => Unit = {
+    case (batchId, frames, ddls) =>
+      import spark.implicits._
+      val slices = frames.toSeq.sortBy(_._1).map { case ((s, t), (defs, df)) =>
+        val typed = defs.map { d =>
+          val cut = d.indexOf(' ')
+          require(cut > 0,
+            s"column def '$d' of wire table $s.$t lacks a type token — the " +
+              "decode log must carry 'name TYPE' defs")
+          val n = d.substring(0, cut)
+          col(s"${n}_str").cast(d.substring(cut + 1)).as(n)
+        }
+        tableMap(s, t) -> df.select(
+          Seq(col("commit_ts"), col("pk"), col("op")) ++ typed: _*)
+      }.groupBy(_._1).view.mapValues(
+          _.map(_._2).reduce(_.unionByName(_, allowMissingColumns = true)))
+        .toMap.toSeq.sortBy(_._1)
+      val ddlRows = ddls.flatMap { case (v, s, t, action, c, arg) =>
+        ddlToTarget(s, t, action, c, arg).map(sql => (v, sql))
+      }
+      if (slices.nonEmpty) {
+        // translated DDL rides the first frame: applyBatch gathers DDL
+        // rows ACROSS frames into global ts barriers, so which frame
+        // carries them does not matter
+        val withDdl = ddlRows match {
+          case Seq() => slices
+          case rows =>
+            val (t0, df0) = slices.head
+            val ddlDf = rows.toDF("commit_ts", "ddl_sql").select(
+              col("commit_ts"), lit("DDL").as("op"), col("ddl_sql"))
+            (t0 -> df0.withColumn("ddl_sql", lit(null).cast("string"))
+              .unionByName(ddlDf, allowMissingColumns = true)) +: slices.tail
+        }
+        loader.applyBatch(withDdl.toMap, batchId, merge = merge): Unit
+      } else
+        // a batch carrying only DDL has no DML to order against —
+        // execute directly under the same logged replay guard
+        ddlRows.sortBy(_._1).foreach { case (v, sql) =>
+          loader.executeLoggedDdl(batchId, v, sql)
+        }
+  }
 
   /** Oracle-checked [[streamingReplicated]] composition under the hash
     * gate: stage the change stream onto the binlog wire as TWO tables

@@ -2180,6 +2180,80 @@ class StreamingSpec extends SparkSpec {
     assert(tb(96L) == ((96.25, None)), s"post-drop row: ${tb(96L)}")
   }
 
+  test("streamingReplicatedSchemas: two databases on one wire replicate into distinct targets") {
+    // the reference drainer replicates EVERY database its catalog tracks
+    // (drainer/schema.go:43-62 feeding syncer.go:374-397): schemas sa and
+    // sb carry the SAME table name t on one wire, so target routing must
+    // take the schema dimension — and sa's translated ADD COLUMN must
+    // reach only sa's target
+    import graft.pipeline.DrainerPipeline
+    import graft.sinks.JdbcSchemaLoader
+    import graft.sources.PbBinlogFile
+    val root = graft.util.Scratch.dir("graft_rsch_pumps")
+    val outDir = graft.util.Scratch.dir("graft_rsch_out")
+    val ckpt = graft.util.Scratch.dir("graft_rsch_ckpt")
+    def dml(route: String, ids: Seq[Long], props: Long => String) =
+      ids.toDF("commit_ts").select(
+        col("commit_ts"), col("commit_ts").as("pk"), lit("U").as("op"),
+        lit(route).as("event_type"),
+        timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+        col("commit_ts").cast("double").as("value"),
+        udf(props).apply(col("commit_ts")).as("props"),
+        lit(null).cast("string").as("ddl_sql"))
+    val addDdl = Seq(10L).toDF("commit_ts").select(
+      col("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
+      lit("ddl").as("event_type"),
+      timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+      lit(null).cast("double").as("value"),
+      lit(null).cast("string").as("props"),
+      lit("ALTER TABLE sa.t ADD COLUMN extra BIGINT").as("ddl_sql"))
+    PbBinlogFile.write(
+      dml("sa:t", (1L to 9L by 2), n => s"""{"k": ${n}.25}""")
+        .unionByName(dml("sa:t", (11L to 19L by 2),
+          n => s"""{"k": ${n}.25, "extra": ${n * 10}}"""))
+        .unionByName(dml("sb:t", (2L to 20L by 2), n => s"""{"k": ${n}.25}"""))
+        .unionByName(addDdl),
+      s"$root/p0", nFiles = 1)
+
+    val tracker = new SchemaTracker()
+    tracker.createTable("sa", "t", Seq("k DOUBLE"), version = 0)
+    tracker.createTable("sb", "t", Seq("k DOUBLE"), version = 0)
+    val loader = new JdbcSchemaLoader(freshDerbyUrl("rsch"), applyPartitions = 4)
+    loader.createTable(
+      "CREATE TABLE SA_T (PK BIGINT PRIMARY KEY, COMMIT_TS BIGINT, K DOUBLE)")
+    loader.createTable(
+      "CREATE TABLE SB_T (PK BIGINT PRIMARY KEY, COMMIT_TS BIGINT, K DOUBLE)")
+    val q = DrainerPipeline.streamingReplicatedSchemas(spark, Seq(s"$root/p0"),
+      tracker, loader, outDir, ckpt, Seq("sa", "sb"),
+      substring_index(col("event_type"), ":", 1),
+      substring_index(col("event_type"), ":", -1),
+      tableMap = (s, t) => s"${s.toUpperCase}_${t.toUpperCase}",
+      ddlToTarget = {
+        case (s, t, "add", c, ty) =>
+          Some(s"ALTER TABLE ${s.toUpperCase}_${t.toUpperCase} " +
+            s"ADD COLUMN ${c.toUpperCase} $ty")
+        case _ => None
+      })
+    try q.processAllAvailable() finally q.stop()
+
+    val sa = loader.readTable(spark, "SA_T", Some("PK")).collect()
+      .map(r => r.getAs[Long]("PK") ->
+        ((r.getAs[Double]("K"), Option(r.getAs[java.lang.Long]("EXTRA"))
+          .map(_.longValue)))).toMap
+    assert(sa.size == 10, s"SA_T rows: ${sa.size}")
+    (1L to 9L by 2).foreach(n =>
+      assert(sa(n) == ((n + 0.25, None)), s"pre-DDL sa row $n: ${sa(n)}"))
+    (11L to 19L by 2).foreach(n =>
+      assert(sa(n) == ((n + 0.25, Some(n * 10))), s"post-DDL sa row $n: ${sa(n)}"))
+    val sbDf = loader.readTable(spark, "SB_T", Some("PK"))
+    assert(!sbDf.columns.contains("EXTRA"),
+      "sa's translated DDL leaked into sb's target")
+    val sb = sbDf.collect()
+      .map(r => r.getAs[Long]("PK") -> r.getAs[Double]("K")).toMap
+    assert(sb.size == 10 && sb(2L) == 2.25 && sb(20L) == 20.25,
+      s"SB_T: ${sb.size} / ${sb.get(20L)}")
+  }
+
   test("pc matcher streams on RocksDB: custom state class survives the store round trip (T1)") {
     // The dedup case pins the BUILT-IN dedup state on RocksDB; this pins
     // the CUSTOM flatMapGroupsWithState path — PcMatcher.Pending must
