@@ -121,60 +121,75 @@ class StreamingSpec extends SparkSpec {
     // shape map. Checked after EVERY op: current() matches the model,
     // atVersion(current) == current, atVersion never resolves to a newer
     // entry than asked for.
+    // TWO schemas so the rename draw can re-home a table across them —
+    // the reference follows a rename by table id wherever it lands
+    // (schema.go:360-561) — and CHANGE COLUMN joins the swept set
     val rnd = new scala.util.Random(7)
     val t = new SchemaTracker(historyDepth = 4)
-    var live = Map.empty[String, Vector[String]]   // table -> columns
-    var dropped = Map.empty[String, Vector[String]] // drop-time shape
+    var live = Map.empty[(String, String), Vector[String]]   // (schema, table) -> columns
+    var dropped = Map.empty[(String, String), Vector[String]] // drop-time shape
     var v = 0L
-    val names = (1 to 6).map(i => s"t$i")
+    val schemas = Seq("db", "db2")
+    val keys = for (s <- schemas; i <- 1 to 6) yield (s, s"t$i")
     var colSeq = 0
-    (1 to 300).foreach { _ =>
+    (1 to 400).foreach { _ =>
       v += 1 + rnd.nextInt(3)
       val existing = live.keys.toSeq.sorted
-      val free = names.filterNot(n => live.contains(n))
-      rnd.nextInt(8) match {
+      val free = keys.filterNot(live.contains)
+      rnd.nextInt(9) match {
         case 0 | 1 if free.nonEmpty =>
-          val n = free(rnd.nextInt(free.size)); colSeq += 1
+          val k = free(rnd.nextInt(free.size)); colSeq += 1
           val cols = Vector(s"c$colSeq", s"c${colSeq}b")
-          t.createTable("db", n, cols, v); live += n -> cols
-          dropped -= n // re-create supersedes any recoverable shape
+          t.createTable(k._1, k._2, cols, v); live += k -> cols
+          dropped -= k // re-create supersedes any recoverable shape
         case 2 if existing.nonEmpty =>
-          val n = existing(rnd.nextInt(existing.size)); colSeq += 1
-          t.addColumn("db", n, s"c$colSeq", v)
-          live += n -> (live(n) :+ s"c$colSeq")
+          val k = existing(rnd.nextInt(existing.size)); colSeq += 1
+          t.addColumn(k._1, k._2, s"c$colSeq", v)
+          live += k -> (live(k) :+ s"c$colSeq")
         case 3 if existing.nonEmpty && live(existing(rnd.nextInt(existing.size))).nonEmpty =>
-          val n = existing(rnd.nextInt(existing.size))
-          if (live(n).nonEmpty) {
-            val c = live(n)(rnd.nextInt(live(n).size))
-            t.dropColumn("db", n, c, v)
-            live += n -> live(n).filterNot(_ == c)
+          val k = existing(rnd.nextInt(existing.size))
+          if (live(k).nonEmpty) {
+            val c = live(k)(rnd.nextInt(live(k).size))
+            t.dropColumn(k._1, k._2, c, v)
+            live += k -> live(k).filterNot(_ == c)
           }
         case 4 if existing.nonEmpty && free.nonEmpty =>
+          // target drawn over BOTH schemas: same-schema and cross-schema
+          // renames interleave through the one code path
           val from = existing(rnd.nextInt(existing.size))
           val to = free(rnd.nextInt(free.size))
-          t.renameTable("db", from, to, v)
+          t.renameTable(from._1, from._2, to._1, to._2, v)
           live = live - from + (to -> live(from))
         case 5 if existing.nonEmpty =>
-          val n = existing(rnd.nextInt(existing.size))
-          t.truncateTable("db", n, v) // identity reset, shape unchanged
+          val k = existing(rnd.nextInt(existing.size))
+          t.truncateTable(k._1, k._2, v) // identity reset, shape unchanged
         case 6 if existing.nonEmpty =>
-          val n = existing(rnd.nextInt(existing.size))
-          t.dropTable("db", n, v)
-          dropped += n -> live(n); live -= n
-        case 7 if dropped.keys.exists(n => !live.contains(n)) =>
+          val k = existing(rnd.nextInt(existing.size))
+          t.dropTable(k._1, k._2, v)
+          dropped += k -> live(k); live -= k
+        case 7 if dropped.keys.exists(k => !live.contains(k)) =>
           val cand = dropped.keys.filterNot(live.contains).toSeq.sorted
-          val n = cand(rnd.nextInt(cand.size))
-          t.recoverTable("db", n, v)
-          live += n -> dropped(n); dropped -= n
+          val k = cand(rnd.nextInt(cand.size))
+          t.recoverTable(k._1, k._2, v)
+          live += k -> dropped(k); dropped -= k
+        case 8 if existing.nonEmpty && live(existing(rnd.nextInt(existing.size))).nonEmpty =>
+          // CHANGE COLUMN: rename+retype in place, position preserved
+          val k = existing(rnd.nextInt(existing.size))
+          if (live(k).nonEmpty) {
+            val idx = rnd.nextInt(live(k).size); colSeq += 1
+            val bare = live(k)(idx).split(" ", 2)(0)
+            t.changeColumn(k._1, k._2, bare, s"c$colSeq BIGINT", v)
+            live += k -> live(k).updated(idx, s"c$colSeq BIGINT")
+          }
         case _ => () // no legal target for the drawn action this step
       }
-      names.foreach { n =>
-        assert(t.current("db", n).map(_.columns) == live.get(n),
-          s"current($n) diverged at v=$v")
-        if (live.contains(n)) {
-          val at = t.atVersion("db", n, v)
-          assert(at.map(_.columns) == live.get(n), s"atVersion($n, now) at v=$v")
-          val past = t.atVersion("db", n, rnd.nextInt(v.toInt).toLong)
+      keys.foreach { k =>
+        assert(t.current(k._1, k._2).map(_.columns) == live.get(k),
+          s"current($k) diverged at v=$v")
+        if (live.contains(k)) {
+          val at = t.atVersion(k._1, k._2, v)
+          assert(at.map(_.columns) == live.get(k), s"atVersion($k, now) at v=$v")
+          val past = t.atVersion(k._1, k._2, rnd.nextInt(v.toInt).toLong)
           past.foreach(i => assert(i.version <= v, s"atVersion resolved ahead"))
         }
       }
