@@ -325,11 +325,12 @@ object CdcStream {
   private def parseCreateTable(stmt: String): Option[WireDdl] =
     CreateTableHeadRe.findPrefixMatchOf(stmt).flatMap { m =>
       val open = m.end - 1
-      var depth = 0; var i = open; var close = -1
+      var depth = 0; var i = open; var close = -1; var inQ = false
       while (i < stmt.length && close < 0) {
         stmt.charAt(i) match {
-          case '(' => depth += 1
-          case ')' => depth -= 1; if (depth == 0) close = i
+          case '\'' => inQ = !inQ
+          case '(' if !inQ => depth += 1
+          case ')' if !inQ => depth -= 1; if (depth == 0) close = i
           case _ => ()
         }
         i += 1
@@ -362,15 +363,19 @@ object CdcStream {
   }
 
   /** Split a CREATE TABLE column list on top-level commas only — a type
-    * argument list like `DECIMAL(10,2)` carries commas of its own. */
+    * argument list like `DECIMAL(10,2)` carries commas of its own, and a
+    * quoted literal (`DEFAULT 'x,y'`) may carry commas AND parens that
+    * must not count (a doubled `''` escape toggles the state twice, which
+    * nets out correctly for counting purposes). */
   private def splitColumnDefs(defs: String): Seq[String] = {
     val out = Seq.newBuilder[String]
-    var depth = 0; var start = 0; var i = 0
+    var depth = 0; var start = 0; var i = 0; var inQ = false
     while (i < defs.length) {
       defs.charAt(i) match {
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case ',' if depth == 0 =>
+        case '\'' => inQ = !inQ
+        case '(' if !inQ => depth += 1
+        case ')' if !inQ => depth -= 1
+        case ',' if !inQ && depth == 0 =>
           out += defs.substring(start, i).trim; start = i + 1
         case _ => ()
       }

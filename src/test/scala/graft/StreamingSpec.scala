@@ -1658,6 +1658,49 @@ class StreamingSpec extends SparkSpec {
     assert(tracker4.current("app", "td").get.columns == Vector("k DECIMAL(10,1)"))
   }
 
+  test("wire DDL parser: unit anchors for the grammar's sharp edges") {
+    import CdcStream._
+    // quoted literals carry commas and parens the def split must not count
+    assert(parseWireDdl(
+      "CREATE TABLE s.t (a VARCHAR(5) DEFAULT 'x,y', b INT DEFAULT ')', c DECIMAL(10,2))") ==
+      CreateDdl("s", "t",
+        Seq("a VARCHAR(5) DEFAULT 'x,y'", "b INT DEFAULT ')'", "c DECIMAL(10,2)")))
+    // trailing options with parens stay OUT of the def list
+    assert(parseWireDdl(
+      "create table if not exists `s`.`t` (a INT, b BIGINT) PARTITION BY HASH(a) PARTITIONS 4") ==
+      CreateDdl("s", "t", Seq("a INT", "b BIGINT")))
+    // an unbalanced def list parses as unknown, never as a garbage create
+    assert(parseWireDdl("CREATE TABLE s.t (a INT") == UnknownDdl("CREATE TABLE s.t (a INT"))
+    // COLUMN-less ADD is a column def; ADD INDEX/KEY stays administrative,
+    // and a backticked column named `key` routes past the keyword
+    assert(parseWireDdl("ALTER TABLE s.t ADD extra BIGINT") ==
+      ColumnDdl("s", "t", "add", "extra", "BIGINT"))
+    assert(parseWireDdl("ALTER TABLE s.t ADD INDEX i (k)") == AdminDdl)
+    assert(parseWireDdl("ALTER TABLE s.t ADD `key` BIGINT") ==
+      ColumnDdl("s", "t", "add", "key", "BIGINT"))
+    // CHANGE = rename+retype; both rename-table spellings converge
+    assert(parseWireDdl("alter table s.t change column a b DECIMAL(10,1)") ==
+      ColumnDdl("s", "t", "change", "a", "b DECIMAL(10,1)"))
+    assert(parseWireDdl("RENAME TABLE s.t TO s2.u") ==
+      RenameDdl("s", "t", Some("s2"), "u"))
+    assert(parseWireDdl("ALTER TABLE s.t RENAME TO u") ==
+      RenameDdl("s", "t", None, "u"))
+    // shape-neutral ALTER forms and lock/placement statements are admin
+    assert(parseWireDdl("ALTER TABLE s.t ALTER COLUMN k SET DEFAULT 5") == AdminDdl)
+    assert(parseWireDdl("ALTER TABLE s.t TRUNCATE PARTITION p0") == AdminDdl)
+    assert(parseWireDdl("ALTER TABLE s.t DROP PRIMARY KEY") == AdminDdl)
+    assert(parseWireDdl("CREATE PLACEMENT POLICY p FOLLOWERS=2") == AdminDdl)
+    // IF EXISTS forms; TRUNCATE without TABLE; null statement text
+    assert(parseWireDdl("DROP TABLE IF EXISTS s.t") == DropTableDdl("s", "t"))
+    assert(parseWireDdl("TRUNCATE s.t") == TruncateDdl("s", "t"))
+    assert(parseWireDdl("DROP DATABASE IF EXISTS s") == DropSchemaDdl("s"))
+    assert(parseWireDdl(null) == UnknownDdl("<missing ddl_sql>"))
+    // a multi-table list is outside the grammar — the DISPATCH scans its
+    // qualified names for tracked tables (streamed test below)
+    assert(parseWireDdl("RENAME TABLE a.x TO a.y, s.t TO s.u") ==
+      UnknownDdl("RENAME TABLE a.x TO a.y, s.t TO s.u"))
+  }
+
   test("streamed wire DDL grammar: admin/unknown statements skip counted; case and backticks lex; tracked-shape unknowns throw") {
     // the reference SKIPS administrative / unsupported DDL with a log line
     // and keeps replicating (ref: drainer/schema.go:333-353 skip list,
