@@ -340,6 +340,56 @@ object CdcStream {
         splitColumnDefs(stmt.substring(open + 1, close))))
     }
 
+  private val RenameListHeadRe = "(?i)^RENAME TABLE (.+)$".r
+  private val DropListHeadRe = "(?i)^DROP TABLE(?: IF EXISTS)? (.+)$".r
+  private val RenamePartRe = s"(?i)^$Qual TO (?:$Id\\.)?$Id$$".r
+  private val QualOnlyRe = s"^$Qual$$".r
+
+  /** Legal MySQL renames/drops SEVERAL tables in one statement. Each part
+    * becomes its own action (the reference's TiDB jobs are per-table
+    * anyway); parts split on top-level commas with the quote-aware
+    * splitter. A CHAINED rename list (a→b, b→c — any source that is also
+    * a target) is order-dependent in a way the version-sorted log replay
+    * cannot reproduce, so it parses as unknown: the dispatch then fails
+    * loudly iff it touches a tracked table, exactly the safe outcome. */
+  private[graft] def parseWireDdls(stmt0: String): Seq[WireDdl] = {
+    if (stmt0 == null) return Seq(UnknownDdl("<missing ddl_sql>"))
+    val stmt = stmt0.trim
+    def multiRename(rest: String): Option[Seq[WireDdl]] = {
+      val parts = splitColumnDefs(rest)
+      if (parts.size < 2) None
+      else {
+        val parsed = parts.map {
+          case RenamePartRe(s, t, toS, to) => Some(RenameDdl(s, t, Option(toS), to))
+          case _ => None
+        }
+        if (!parsed.forall(_.isDefined)) None
+        else {
+          val rs = parsed.flatten.collect { case r: RenameDdl => r }
+          val sources = rs.map(r => (r.schema, r.table)).toSet
+          val targets = rs.map(r => (r.toSchema.getOrElse(r.schema), r.to)).toSet
+          if ((sources & targets).nonEmpty) None else Some(rs)
+        }
+      }
+    }
+    def multiDrop(rest: String): Option[Seq[WireDdl]] = {
+      val parts = splitColumnDefs(rest)
+      if (parts.size < 2) None
+      else {
+        val parsed = parts.map {
+          case QualOnlyRe(s, t) => Some(DropTableDdl(s, t))
+          case _ => None
+        }
+        if (parsed.forall(_.isDefined)) Some(parsed.flatten) else None
+      }
+    }
+    (stmt match {
+      case RenameListHeadRe(rest) => multiRename(rest)
+      case DropListHeadRe(rest)   => multiDrop(rest)
+      case _ => None
+    }).getOrElse(Seq(parseWireDdl(stmt)))
+  }
+
   private[graft] def parseWireDdl(stmt0: String): WireDdl = {
     // a DDL frame with no statement text carries no shape information —
     // parse to unknown (the dispatch skips it, counted) instead of NPEing
@@ -684,13 +734,32 @@ object CdcStream {
           // value after) or no longer exists (dropped: value before, NULL
           // after).
           ddls.foreach { case (ts, stmt) =>
+            // a DDL whose resulting defs Spark's DDL parser rejects (wire
+            // types live in Spark's type domain) must fail AT the
+            // statement — durably logging a broken def would instead kill
+            // the first decode of every restart replay
+            def validateDecodable(info: tracker.TableInfo): Unit =
+              if (info.columns.nonEmpty)
+                try { StructType.fromDDL(info.columns.mkString(", ")); () }
+                catch {
+                  case e: Exception =>
+                    throw new IllegalArgumentException(
+                      s"wire DDL leaves ${info.schema}.${info.table} " +
+                        s"undecodable: $stmt — defs " +
+                        s"(${info.columns.mkString(", ")}) rejected by " +
+                        s"Spark's DDL parser (${e.getMessage})")
+                }
             def shapeDdl(k: (String, String), action: String, column: String,
                 arg: String)(f: tracker.TableInfo => tracker.TableInfo): Unit = {
               decodeSlice(k, catalog(k), ts)
-              catalog += k -> f(catalog(k))
+              val next = f(catalog(k))
+              validateDecodable(next)
+              catalog += k -> next
               applied += ((ts, k._1, k._2, action, column, arg))
             }
-            parseWireDdl(stmt) match {
+            // one statement may carry several actions (multi-table
+            // RENAME/DROP lists); each part dispatches independently
+            parseWireDdls(stmt).foreach {
               case ColumnDdl(s, t, action, c, arg) if catalog.contains((s, t)) =>
                 shapeDdl((s, t), action, c, arg)(i => action match {
                   case "modify" => tracker.retyped(i, c, s"$c $arg", ts)
@@ -720,10 +789,12 @@ object CdcStream {
                 // wire-registered table: decodes from its create ts forward
                 // (a frame of t below the create has no schema to decode
                 // against and drops, like any unrouted frame)
+                val created = tracker.TableInfo(s, t, cols.toVector, ts)
+                validateDecodable(created)
                 slicesOf.getOrElseUpdate((s, t),
                   scala.collection.mutable.ArrayBuffer.empty[DataFrame])
                 lowerOf((s, t)) = ts
-                catalog += (s, t) -> tracker.TableInfo(s, t, cols.toVector, ts)
+                catalog += (s, t) -> created
                 applied += ((ts, s, t, "create_table", "", cols.mkString(", ")))
               case DropTableDdl(s, t) if catalog.contains((s, t)) =>
                 // the single-table form pins its one table for the query's

@@ -1695,10 +1695,19 @@ class StreamingSpec extends SparkSpec {
     assert(parseWireDdl("TRUNCATE s.t") == TruncateDdl("s", "t"))
     assert(parseWireDdl("DROP DATABASE IF EXISTS s") == DropSchemaDdl("s"))
     assert(parseWireDdl(null) == UnknownDdl("<missing ddl_sql>"))
-    // a multi-table list is outside the grammar — the DISPATCH scans its
-    // qualified names for tracked tables (streamed test below)
-    assert(parseWireDdl("RENAME TABLE a.x TO a.y, s.t TO s.u") ==
-      UnknownDdl("RENAME TABLE a.x TO a.y, s.t TO s.u"))
+    // legal multi-table lists expand to per-table actions (the
+    // reference's TiDB jobs are per-table anyway)…
+    assert(parseWireDdls("RENAME TABLE a.x TO a.y, s.t TO s2.u") ==
+      Seq(RenameDdl("a", "x", Some("a"), "y"), RenameDdl("s", "t", Some("s2"), "u")))
+    assert(parseWireDdls("DROP TABLE IF EXISTS a.x, s.t") ==
+      Seq(DropTableDdl("a", "x"), DropTableDdl("s", "t")))
+    // …but a CHAINED rename list is order-dependent (the version-sorted
+    // log replay cannot reproduce statement order) and parses as unknown,
+    // so the dispatch fails loudly iff it touches a tracked table
+    assert(parseWireDdls("RENAME TABLE s.t2 TO s.t3, s.t1 TO s.t2") ==
+      Seq(UnknownDdl("RENAME TABLE s.t2 TO s.t3, s.t1 TO s.t2")))
+    // single statements pass through the list parser unchanged
+    assert(parseWireDdls("TRUNCATE TABLE s.t") == Seq(TruncateDdl("s", "t")))
   }
 
   test("streamed wire DDL grammar: admin/unknown statements skip counted; case and backticks lex; tracked-shape unknowns throw") {
@@ -1804,28 +1813,56 @@ class StreamingSpec extends SparkSpec {
       Vector("k2 DECIMAL(10,1)", "extra BIGINT", "extra2 BIGINT"))
     assert(tracker2.current("app", "tnew").get.columns == Vector("v BIGINT"))
 
-    // loud-fail preserved: an unknown statement addressing a TRACKED
-    // table's shape must kill the stream, not skip — even when the
-    // tracked table hides behind untracked ones in a multi-table list
+    // a legal multi-table RENAME list applies per part: the untracked
+    // part skips (counted), the tracked part re-homes the table
     val wire2 = graft.util.Scratch.dir("graft_gram_wire2")
     val out2 = graft.util.Scratch.dir("graft_gram_out2")
     val ckpt2 = graft.util.Scratch.dir("graft_gram_ckpt2")
     PbBinlogFile.write(
-      dml(Seq(21L), n => s"""{"k": ${n}.25}""")
-        .unionByName(ddl(22L,
-          "RENAME TABLE other.x TO other.y, app.t TO app.t2")),
+      dml(Seq(31L), n => s"""{"k": ${n}.25}""")
+        .unionByName(ddl(32L,
+          "RENAME TABLE other.x TO other.y, app.t TO app.t2"))
+        .unionByName(dml(Seq(33L), n => s"""{"k": ${n}.25}""")
+          .withColumn("event_type", lit("t2"))),
       wire2, nFiles = 1)
     val tracker3 = new SchemaTracker()
     tracker3.createTable("app", "t", Seq("k DOUBLE"), version = 0)
+    val skipped2 = spark.sparkContext.longAccumulator("test.skipped_ddl2")
     val q2 = CdcStream.ddlDrivenDecodeTables(
       PbBinlogFile.readStream(spark, wire2), tracker3, out2, ckpt2,
-      "app", col("event_type"))
-    val e = intercept[Exception] { try q2.processAllAvailable() finally q2.stop() }
+      "app", col("event_type"), skippedDdl = Some(skipped2))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(skipped2.value == 1L && tracker3.tablesOf("app") == Seq("t2"),
+      s"multi-rename list must apply per part: ${tracker3.tablesOf("app")}")
+    assert(spark.read.parquet(s"$out2/data/batch=0/table=t2")
+      .select("commit_ts").as[Long].collect().toSet == Set(33L))
+
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Nil else t +: causes(t.getCause)
-    assert(causes(e).exists(c =>
-      String.valueOf(c.getMessage).contains("unappliable wire DDL")),
-      s"expected the tracked-shape loud throw, got $e")
+    def loudCase(tag: String, sql: String, needle: String): Unit = {
+      val w = graft.util.Scratch.dir(s"graft_gram_w$tag")
+      PbBinlogFile.write(
+        dml(Seq(41L), n => s"""{"k": ${n}.25}""").unionByName(ddl(42L, sql)),
+        w, nFiles = 1)
+      val tr = new SchemaTracker()
+      tr.createTable("app", "t", Seq("k DOUBLE"), version = 0)
+      val qq = CdcStream.ddlDrivenDecodeTables(
+        PbBinlogFile.readStream(spark, w), tr,
+        graft.util.Scratch.dir(s"graft_gram_o$tag"),
+        graft.util.Scratch.dir(s"graft_gram_c$tag"),
+        "app", col("event_type"))
+      val e = intercept[Exception] { try qq.processAllAvailable() finally qq.stop() }
+      assert(causes(e).exists(c => String.valueOf(c.getMessage).contains(needle)),
+        s"[$tag] expected '$needle' in the failure chain, got $e")
+    }
+    // loud-fail preserved for exactly two classes: an order-dependent
+    // (chained) rename list touching a tracked table, and a DDL whose
+    // resulting defs Spark's DDL parser rejects — both must kill the
+    // stream AT the statement, never skip or durably log a broken shape
+    loudCase("chain", "RENAME TABLE app.t TO app.u, app.u TO app.w",
+      "unappliable wire DDL")
+    loudCase("badtype", "ALTER TABLE app.t MODIFY COLUMN k NOTATYPE(3)",
+      "undecodable")
   }
 
   test("multi-schema decode: two databases on one wire, per-schema histories, cross-schema rename, DROP DATABASE") {
