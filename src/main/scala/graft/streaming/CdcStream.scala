@@ -247,6 +247,12 @@ object CdcStream {
     s"(?i)^CREATE TABLE(?: IF NOT EXISTS)? $Qual \\(".r
   private val DropTableRe =
     s"(?i)^DROP TABLE(?: IF EXISTS)? $Qual$$".r
+  // TiDB FLASHBACK: recover a dropped table (optionally under a new name)
+  // while it is still in the GC window
+  private val FlashbackRe =
+    s"(?i)^FLASHBACK TABLE $Qual(?: TO $Id)?$$".r
+  private val CreateLikeRe =
+    s"(?i)^CREATE TABLE(?: IF NOT EXISTS)? $Qual LIKE $Qual$$".r
   private val RenameTableRe =
     s"(?i)^RENAME TABLE $Qual TO (?:$Id\\.)?$Id$$".r
   // ALTER TABLE … RENAME [TO|AS] … — the equivalent single-table form
@@ -314,6 +320,10 @@ object CdcStream {
   private[graft] final case class RenameDdl(schema: String, table: String,
     toSchema: Option[String], to: String) extends WireDdl
   private[graft] final case class DropSchemaDdl(schema: String) extends WireDdl
+  private[graft] final case class FlashbackDdl(schema: String, table: String,
+    to: Option[String]) extends WireDdl
+  private[graft] final case class CreateLikeDdl(schema: String, table: String,
+    srcSchema: String, srcTable: String) extends WireDdl
   private[graft] case object AdminDdl extends WireDdl
   private[graft] final case class UnknownDdl(stmt: String) extends WireDdl
 
@@ -405,6 +415,8 @@ object CdcStream {
       case RenameColumnRe(s, t, a, b)  => ColumnDdl(s, t, "rename", a, b)
       case TruncateTableRe(s, t)       => TruncateDdl(s, t)
       case DropTableRe(s, t)           => DropTableDdl(s, t)
+      case FlashbackRe(s, t, to)       => FlashbackDdl(s, t, Option(to))
+      case CreateLikeRe(s, t, s2, u)   => CreateLikeDdl(s, t, s2, u)
       case RenameTableRe(s, t, toS, to) => RenameDdl(s, t, Option(toS), to)
       case AlterRenameRe(s, t, toS, to) => RenameDdl(s, t, Option(toS), to)
       case DropSchemaRe(s)             => DropSchemaDdl(s)
@@ -455,6 +467,10 @@ object CdcStream {
       case "truncate"     => tracker.truncateTable(schema, table, version)
       case "create_table" => tracker.createTable(schema, table, splitColumnDefs(arg), version)
       case "drop_table"   => tracker.dropTable(schema, table, version)
+      // arg = the recovery name when FLASHBACK ... TO renamed, else empty
+      case "recover_table" =>
+        tracker.recoverTable(schema, table,
+          if (arg.isEmpty) table else arg, version)
       case "rename_table" =>
         // arg = "to" (same schema) or "toSchema.to" (cross-schema re-home;
         // identifiers cannot carry '.', so the encoding is unambiguous)
@@ -630,6 +646,11 @@ object CdcStream {
             k -> tracker.current(k._1, k._2).getOrElse(
               throw new NoSuchElementException(s"${k._1}.${k._2} not registered"))
           }.toMap
+          // drop-time shapes of tables dropped IN THIS BATCH — a same-batch
+          // FLASHBACK reads these (the live tracker's graveyard only fills
+          // when the batch commits); cross-batch recovery consults
+          // tracker.droppedShape
+          var localGrave = Map.empty[(String, String), Vector[String]]
           // ONE gather job per batch: the (rare, bounded) DDL rows AND the
           // forward-only contract check — a frame delivered below ITS
           // table's already-applied DDL frontier would decode with the NEW
@@ -811,6 +832,7 @@ object CdcStream {
                 // committed against the live table); later frames of the
                 // dropped table are unaddressable and drop
                 decodeSlice((s, t), catalog((s, t)), ts)
+                localGrave += (s, t) -> catalog((s, t)).columns
                 catalog -= ((s, t))
                 applied += ((ts, s, t, "drop_table", "", ""))
               case DropSchemaDdl(s) if catalog.keys.exists(_._1 == s) =>
@@ -826,9 +848,44 @@ object CdcStream {
                 // tables from the catalog)
                 catalog.keys.filter(_._1 == s).toSeq.sorted.foreach { k =>
                   decodeSlice(k, catalog(k), ts)
+                  localGrave += k -> catalog(k).columns
                   catalog -= k
                   applied += ((ts, k._1, k._2, "drop_table", "", ""))
                 }
+              case FlashbackDdl(s, t, toOpt)
+                  if trackedSchemas(s) && dynamicTables &&
+                    !catalog.contains((s, toOpt.getOrElse(t))) &&
+                    (localGrave.contains((s, t)) ||
+                      tracker.droppedShape(s, t).isDefined) =>
+                // TiDB FLASHBACK TABLE (ref: drainer/schema.go:435,
+                // ActionRecoverTable handled like a create with the
+                // dropped shape): the table re-registers — optionally
+                // under a new name — with its drop-time columns, decoding
+                // from the flashback forward. A flashback of a table the
+                // decode never tracked has no shape to recover and skips
+                // below like any unregistered table.
+                val target = toOpt.getOrElse(t)
+                val shape = localGrave.getOrElse((s, t),
+                  tracker.droppedShape(s, t).get)
+                localGrave -= ((s, t))
+                slicesOf.getOrElseUpdate((s, target),
+                  scala.collection.mutable.ArrayBuffer.empty[DataFrame])
+                lowerOf((s, target)) = ts
+                catalog += (s, target) -> tracker.TableInfo(s, target, shape, ts)
+                applied += ((ts, s, t, "recover_table", "",
+                  if (target == t) "" else target))
+              case CreateLikeDdl(s, t, s2, u)
+                  if trackedSchemas(s) && dynamicTables &&
+                    !catalog.contains((s, t)) && catalog.contains((s2, u)) =>
+                // CREATE TABLE … LIKE: registers with the SOURCE's current
+                // shape; logged as a plain create_table carrying the
+                // resolved defs, so replay needs no LIKE resolution
+                val cols = catalog((s2, u)).columns
+                slicesOf.getOrElseUpdate((s, t),
+                  scala.collection.mutable.ArrayBuffer.empty[DataFrame])
+                lowerOf((s, t)) = ts
+                catalog += (s, t) -> tracker.TableInfo(s, t, cols, ts)
+                applied += ((ts, s, t, "create_table", "", cols.mkString(", ")))
               case RenameDdl(s, t, toSchemaOpt, to) if catalog.contains((s, t)) =>
                 val s2 = toSchemaOpt.getOrElse(s)
                 val canApply = dynamicTables && trackedSchemas(s2) &&

@@ -166,12 +166,23 @@ class SchemaTracker(historyDepth: Int = 2) {
     * (ref: drainer/schema.go:435 — ActionRecoverTable is handled exactly
     * like ActionCreateTable, the job carries the recovered TableInfo; here
     * the shape comes from the drop-time graveyard). */
-  def recoverTable(schema: String, table: String, version: Long): Unit = {
+  def recoverTable(schema: String, table: String, version: Long): Unit =
+    recoverTable(schema, table, table, version)
+
+  /** TiDB `FLASHBACK TABLE t TO newname`: recover under a different name,
+    * same drop-time shape. */
+  def recoverTable(schema: String, table: String, to: String,
+      version: Long): Unit = {
     val info = graveyard.getOrElse((schema, table),
       throw new NoSuchElementException(s"no dropped table $schema.$table to recover"))
     graveyard -= ((schema, table))
-    createTable(schema, table, info.columns, version)
+    createTable(schema, to, info.columns, version)
   }
+
+  /** Drop-time shape of a dropped table still in the graveyard — the
+    * versioned decode consults this for a cross-batch FLASHBACK. */
+  def droppedShape(schema: String, table: String): Option[Vector[String]] =
+    graveyard.get((schema, table)).map(_.columns)
 
   /** CreateTables: one DDL job creating several tables at a single schema
     * version (ref: drainer/schema.go:499-520 ActionCreateTables loops the

@@ -1708,6 +1708,12 @@ class StreamingSpec extends SparkSpec {
       Seq(UnknownDdl("RENAME TABLE s.t2 TO s.t3, s.t1 TO s.t2")))
     // single statements pass through the list parser unchanged
     assert(parseWireDdls("TRUNCATE TABLE s.t") == Seq(TruncateDdl("s", "t")))
+    // FLASHBACK (plain and renamed) and CREATE LIKE
+    assert(parseWireDdl("FLASHBACK TABLE s.t") == FlashbackDdl("s", "t", None))
+    assert(parseWireDdl("flashback table s.t TO t9") ==
+      FlashbackDdl("s", "t", Some("t9")))
+    assert(parseWireDdl("CREATE TABLE s.t2 LIKE s.t") ==
+      CreateLikeDdl("s", "t2", "s", "t"))
   }
 
   test("streamed wire DDL grammar: admin/unknown statements skip counted; case and backticks lex; tracked-shape unknowns throw") {
@@ -2030,6 +2036,96 @@ class StreamingSpec extends SparkSpec {
       if (t == null) Nil else t +: causes(t.getCause)
     assert(causes(ex).exists(c => String.valueOf(c.getMessage)
       .contains("outside the decode's schema set")), s"got $ex")
+  }
+
+  test("streamed FLASHBACK TABLE and CREATE TABLE LIKE: recovery and shape-copy on the wire") {
+    // TiDB FLASHBACK recovers a dropped table inside the GC window (ref:
+    // drainer/schema.go:435 — ActionRecoverTable handled like a create
+    // with the dropped shape): same-batch recovery reads the batch-local
+    // graveyard, cross-batch recovery the tracker's; CREATE LIKE registers
+    // with the source's CURRENT shape. All restart-safe through the log
+    // (the recover_table action, the LIKE resolved to plain defs).
+    import graft.sources.PbBinlogFile
+    val wireDir = graft.util.Scratch.dir("graft_fb_wire")
+    val outDir = graft.util.Scratch.dir("graft_fb_out")
+    val ckpt = graft.util.Scratch.dir("graft_fb_ckpt")
+    def dml(tbl: String, ids: Seq[Long]) =
+      ids.toDF("commit_ts").select(
+        col("commit_ts"), col("commit_ts").as("pk"), lit("U").as("op"),
+        lit(tbl).as("event_type"),
+        timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+        col("commit_ts").cast("double").as("value"),
+        concat(lit("{\"k\": "), col("commit_ts"), lit(".25}")).as("props"),
+        lit(null).cast("string").as("ddl_sql"))
+    def ddl(ts: Long, sql: String) = Seq(ts).toDF("commit_ts").select(
+      col("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
+      lit("ddl").as("event_type"),
+      timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+      lit(null).cast("double").as("value"),
+      lit(null).cast("string").as("props"),
+      lit(sql).as("ddl_sql"))
+
+    // batch 0: drop + SAME-batch flashback (batch-local graveyard), then
+    // CREATE LIKE off the recovered table
+    PbBinlogFile.write(
+      dml("t", Seq(2L, 4L, 8L, 12L))
+        .unionByName(ddl(6L, "DROP TABLE app.t"))
+        .unionByName(ddl(10L, "FLASHBACK TABLE app.t"))
+        .unionByName(ddl(14L, "CREATE TABLE app.t2 LIKE app.t"))
+        .unionByName(dml("t2", Seq(16L))),
+      wireDir, nFiles = 1)
+    val tracker = new SchemaTracker()
+    tracker.createTable("app", "t", Seq("k DOUBLE"), version = 0)
+    val q1 = CdcStream.ddlDrivenDecodeTables(
+      PbBinlogFile.readStream(spark, wireDir), tracker, outDir, ckpt,
+      "app", col("event_type"))
+    try q1.processAllAvailable() finally q1.stop()
+    assert(tracker.tablesOf("app") == Seq("t", "t2"))
+    assert(tracker.current("app", "t").get.version == 10L &&
+      tracker.current("app", "t2").get.columns == Vector("k DOUBLE"))
+    val t0 = spark.read.parquet(s"$outDir/data/batch=0/table=t").collect()
+      .map(r => r.getAs[Long]("commit_ts") -> r.getAs[Long]("schema_version"))
+      .toMap
+    // 8 fell between drop and flashback: unaddressable, dropped
+    assert(t0 == Map(2L -> 0L, 4L -> 0L, 12L -> 10L),
+      s"flashback decode window wrong: $t0")
+    assert(spark.read.parquet(s"$outDir/data/batch=0/table=t2").collect()
+      .map(r => (r.getAs[Long]("commit_ts"), r.getAs[Long]("schema_version")))
+      .toSeq == Seq((16L, 14L)))
+
+    // restart: drop + recover + resolved LIKE all replay from the log
+    val tracker2 = new SchemaTracker()
+    tracker2.createTable("app", "t", Seq("k DOUBLE"), version = 0)
+    CdcStream.recoverDecodeTracker(spark, outDir, ckpt, tracker2)
+    assert(tracker2.tablesOf("app") == Seq("t", "t2"))
+
+    // batch 1: drop t2; batch 2: CROSS-batch FLASHBACK … TO a new name
+    // (shape from the tracker's graveyard, replayed by the restart)
+    PbBinlogFile.write(ddl(20L, "DROP TABLE app.t2"), wireDir, nFiles = 1)
+    val q2 = CdcStream.ddlDrivenDecodeTables(
+      PbBinlogFile.readStream(spark, wireDir), tracker2, outDir, ckpt,
+      "app", col("event_type"))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(tracker2.tablesOf("app") == Seq("t"))
+    PbBinlogFile.write(
+      ddl(24L, "FLASHBACK TABLE app.t2 TO t3")
+        .unionByName(dml("t3", Seq(26L))),
+      wireDir, nFiles = 1)
+    val q3 = CdcStream.ddlDrivenDecodeTables(
+      PbBinlogFile.readStream(spark, wireDir), tracker2, outDir, ckpt,
+      "app", col("event_type"))
+    try q3.processAllAvailable() finally q3.stop()
+    assert(tracker2.tablesOf("app") == Seq("t", "t3") &&
+      tracker2.current("app", "t3").get.columns == Vector("k DOUBLE"))
+    assert(spark.read.parquet(s"$outDir/data/batch=2/table=t3").collect()
+      .map(r => (r.getAs[Long]("commit_ts"), r.getAs[Long]("schema_version")))
+      .toSeq == Seq((26L, 24L)))
+
+    // full-history restart: drop → recover-as-t3 replays end to end
+    val tracker3 = new SchemaTracker()
+    tracker3.createTable("app", "t", Seq("k DOUBLE"), version = 0)
+    CdcStream.recoverDecodeTracker(spark, outDir, ckpt, tracker3)
+    assert(tracker3.tablesOf("app") == Seq("t", "t3"))
   }
 
   test("per-touched-table batch work fans out on the bounded worker pool") {
