@@ -2128,6 +2128,62 @@ class StreamingSpec extends SparkSpec {
     assert(tracker3.tablesOf("app") == Seq("t", "t3"))
   }
 
+  test("TRUNCATE clears batch-local defs: a column dropped earlier in the batch cannot poison emit") {
+    // regression: DROP COLUMN then TRUNCATE in ONE micro-batch — the drop
+    // leaves `e` in the batch's def accumulator (pre-barrier values stay
+    // addressable), but the truncate then discards every pre-truncate
+    // slice, so an emit selecting `e_str` by those defs would throw an
+    // AnalysisException on every replay and wedge the stream. The defs
+    // must clear WITH the slices.
+    import graft.sources.PbBinlogFile
+    val wireDir = graft.util.Scratch.dir("graft_trdef_wire")
+    val outDir = graft.util.Scratch.dir("graft_trdef_out")
+    val ckpt = graft.util.Scratch.dir("graft_trdef_ckpt")
+    def dml(ids: Seq[Long], props: Long => String) =
+      ids.toDF("commit_ts").select(
+        col("commit_ts"), col("commit_ts").as("pk"), lit("U").as("op"),
+        lit("t").as("event_type"),
+        timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+        col("commit_ts").cast("double").as("value"),
+        udf(props).apply(col("commit_ts")).as("props"),
+        lit(null).cast("string").as("ddl_sql"))
+    def ddl(ts: Long, sql: String) = Seq(ts).toDF("commit_ts").select(
+      col("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
+      lit("ddl").as("event_type"),
+      timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+      lit(null).cast("double").as("value"),
+      lit(null).cast("string").as("props"),
+      lit(sql).as("ddl_sql"))
+    PbBinlogFile.write(
+      dml(Seq(2L), n => s"""{"k": ${n}.25, "e": $n}""")
+        .unionByName(ddl(4L, "ALTER TABLE app.t DROP COLUMN e"))
+        .unionByName(dml(Seq(6L), n => s"""{"k": ${n}.25}"""))
+        .unionByName(ddl(8L, "TRUNCATE TABLE app.t"))
+        .unionByName(dml(Seq(10L), n => s"""{"k": ${n}.25}""")),
+      wireDir, nFiles = 1)
+    val tracker = new SchemaTracker()
+    tracker.createTable("app", "t", Seq("k DOUBLE", "e BIGINT"), version = 0)
+    var emitted = Map.empty[String, (Seq[String], Set[Long])]
+    val q = CdcStream.ddlDrivenDecodeTables(
+      PbBinlogFile.readStream(spark, wireDir), tracker, outDir, ckpt,
+      "app", col("event_type"),
+      emit = Some { case (_, frames, _) =>
+        emitted = frames.map { case (t, (defs, df)) =>
+          // select strictly BY THE DEFS, the composing-sink contract —
+          // a stale def of the dropped column would throw right here
+          val cols = defs.map(d => col(d.split(" ", 2)(0) + "_str"))
+          t -> ((defs, df.select(col("commit_ts") +: cols: _*)
+            .collect().map(_.getLong(0)).toSet))
+        }
+      })
+    try q.processAllAvailable() finally q.stop()
+    val (defs, rows) = emitted("t")
+    assert(defs == Seq("k DOUBLE"),
+      s"defs of the pre-truncate incarnation survived the truncate: $defs")
+    assert(rows == Set(10L), s"pre-truncate rows survived: $rows")
+    assert(tracker.current("app", "t").get.columns == Vector("k DOUBLE"))
+  }
+
   test("per-touched-table batch work fans out on the bounded worker pool") {
     // the reference applies tables across 16 parallel workers
     // (pkg/loader/load.go:508-527); the decode's per-table writes and the
