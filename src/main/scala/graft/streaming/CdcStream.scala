@@ -338,6 +338,7 @@ object CdcStream {
       var depth = 0; var i = open; var close = -1; var inQ = false
       while (i < stmt.length && close < 0) {
         stmt.charAt(i) match {
+          case '\\' if inQ => i += 1 // escaped char inside a literal
           case '\'' => inQ = !inQ
           case '(' if !inQ => depth += 1
           case ')' if !inQ => depth -= 1; if (depth == 0) close = i
@@ -356,12 +357,13 @@ object CdcStream {
   private val QualOnlyRe = s"^$Qual$$".r
 
   /** Legal MySQL renames/drops SEVERAL tables in one statement. Each part
-    * becomes its own action (the reference's TiDB jobs are per-table
-    * anyway); parts split on top-level commas with the quote-aware
-    * splitter. A CHAINED rename list (a→b, b→c — any source that is also
-    * a target) is order-dependent in a way the version-sorted log replay
-    * cannot reproduce, so it parses as unknown: the dispatch then fails
-    * loudly iff it touches a tracked table, exactly the safe outcome. */
+    * becomes its own action applied in STATEMENT ORDER (the reference's
+    * TiDB jobs are per-table anyway); parts split on top-level commas
+    * with the quote-aware splitter. Chained lists — `RENAME TABLE t TO
+    * _old, _new TO t`, the standard online-schema-change cutover — are
+    * order-dependent, which the applied log preserves via its per-batch
+    * `seq` column (replayed by (version, seq), see
+    * [[recoverDecodeTracker]]). */
   private[graft] def parseWireDdls(stmt0: String): Seq[WireDdl] = {
     if (stmt0 == null) return Seq(UnknownDdl("<missing ddl_sql>"))
     val stmt = stmt0.trim
@@ -373,13 +375,7 @@ object CdcStream {
           case RenamePartRe(s, t, toS, to) => Some(RenameDdl(s, t, Option(toS), to))
           case _ => None
         }
-        if (!parsed.forall(_.isDefined)) None
-        else {
-          val rs = parsed.flatten.collect { case r: RenameDdl => r }
-          val sources = rs.map(r => (r.schema, r.table)).toSet
-          val targets = rs.map(r => (r.toSchema.getOrElse(r.schema), r.to)).toSet
-          if ((sources & targets).nonEmpty) None else Some(rs)
-        }
+        if (parsed.forall(_.isDefined)) Some(parsed.flatten) else None
       }
     }
     def multiDrop(rest: String): Option[Seq[WireDdl]] = {
@@ -427,13 +423,16 @@ object CdcStream {
   /** Split a CREATE TABLE column list on top-level commas only — a type
     * argument list like `DECIMAL(10,2)` carries commas of its own, and a
     * quoted literal (`DEFAULT 'x,y'`) may carry commas AND parens that
-    * must not count (a doubled `''` escape toggles the state twice, which
-    * nets out correctly for counting purposes). */
+    * must not count. Inside a literal, a backslash escapes the next
+    * character (MySQL/TiDB default escaping; `DEFAULT 'x\'y'` stays one
+    * literal) and a doubled `''` toggles the state twice, which nets out
+    * correctly for counting purposes. */
   private def splitColumnDefs(defs: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0; var start = 0; var i = 0; var inQ = false
     while (i < defs.length) {
       defs.charAt(i) match {
+        case '\\' if inQ => i += 1 // escaped char inside a literal
         case '\'' => inQ = !inQ
         case '(' if !inQ => depth += 1
         case ')' if !inQ => depth -= 1
@@ -649,8 +648,12 @@ object CdcStream {
           // drop-time shapes of tables dropped IN THIS BATCH — a same-batch
           // FLASHBACK reads these (the live tracker's graveyard only fills
           // when the batch commits); cross-batch recovery consults
-          // tracker.droppedShape
+          // tracker.droppedShape, and consumedGrave remembers which of
+          // THOSE this batch already recovered (the tracker's graveyard
+          // only shrinks at commit, so without it a duplicated FLASHBACK
+          // would pass the guard twice and wedge the commit walk)
           var localGrave = Map.empty[(String, String), Vector[String]]
+          var consumedGrave = Set.empty[(String, String)]
           // ONE gather job per batch: the (rare, bounded) DDL rows AND the
           // forward-only contract check — a frame delivered below ITS
           // table's already-applied DDL frontier would decode with the NEW
@@ -854,20 +857,25 @@ object CdcStream {
                 }
               case FlashbackDdl(s, t, toOpt)
                   if trackedSchemas(s) && dynamicTables &&
-                    !catalog.contains((s, toOpt.getOrElse(t))) &&
-                    (localGrave.contains((s, t)) ||
-                      tracker.droppedShape(s, t).isDefined) =>
+                    !catalog.contains((s, toOpt.getOrElse(t))) =>
                 // TiDB FLASHBACK TABLE (ref: drainer/schema.go:435,
                 // ActionRecoverTable handled like a create with the
                 // dropped shape): the table re-registers — optionally
                 // under a new name — with its drop-time columns, decoding
-                // from the flashback forward. A flashback of a table the
-                // decode never tracked has no shape to recover and skips
-                // below like any unregistered table.
+                // from the flashback forward. No recoverable shape (never
+                // tracked, or already recovered this batch) fails LOUDLY:
+                // the recovered table lives in a tracked schema, so
+                // skipping would silently detach its replication.
                 val target = toOpt.getOrElse(t)
-                val shape = localGrave.getOrElse((s, t),
-                  tracker.droppedShape(s, t).get)
-                localGrave -= ((s, t))
+                val shape = localGrave.get((s, t)).orElse(
+                  if (consumedGrave((s, t))) None else tracker.droppedShape(s, t))
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"cannot apply wire FLASHBACK TABLE $s.$t: no recoverable " +
+                      "drop-time shape (the table was never tracked, or was " +
+                      "already recovered) — register it explicitly or drop " +
+                      "the statement upstream (F5 ddl-skip filter)"))
+                if (localGrave.contains((s, t))) localGrave -= ((s, t))
+                else consumedGrave += ((s, t))
                 slicesOf.getOrElseUpdate((s, target),
                   scala.collection.mutable.ArrayBuffer.empty[DataFrame])
                 lowerOf((s, target)) = ts
@@ -876,11 +884,20 @@ object CdcStream {
                   if (target == t) "" else target))
               case CreateLikeDdl(s, t, s2, u)
                   if trackedSchemas(s) && dynamicTables &&
-                    !catalog.contains((s, t)) && catalog.contains((s2, u)) =>
+                    !catalog.contains((s, t)) =>
                 // CREATE TABLE … LIKE: registers with the SOURCE's current
                 // shape; logged as a plain create_table carrying the
-                // resolved defs, so replay needs no LIKE resolution
-                val cols = catalog((s2, u)).columns
+                // resolved defs, so replay needs no LIKE resolution. An
+                // unresolvable source fails LOUDLY for the same reason as
+                // an unrecoverable FLASHBACK: the new table lives in a
+                // tracked schema and upstream replicates it from here on.
+                val cols = catalog.getOrElse((s2, u),
+                  throw new IllegalArgumentException(
+                    s"cannot apply wire CREATE TABLE $s.$t LIKE $s2.$u: " +
+                      "the source is not tracked, so the new table's shape " +
+                      "is unknown and it would silently detach — register " +
+                      "the source or drop the statement upstream (F5 " +
+                      "ddl-skip filter)")).columns
                 slicesOf.getOrElseUpdate((s, t),
                   scala.collection.mutable.ArrayBuffer.empty[DataFrame])
                 lowerOf((s, t)) = ts
@@ -958,9 +975,15 @@ object CdcStream {
           // schema-less and would break the recovery read); a replayed
           // batch regenerates the same DDL set, so the skip is
           // deterministic
+          // `seq` pins the WALK order: several records can share a version
+          // (a multi-table RENAME's chained parts, a DROP DATABASE
+          // expansion) and a chained rename only replays correctly in
+          // statement order
           if (applied.nonEmpty)
-            applied.toSeq
-              .toDF("version", "schema_name", "table_name", "action", "column_name", "arg")
+            applied.toSeq.zipWithIndex
+              .map { case ((v, s, t, a, c, g), i) => (v, s, t, a, c, g, i.toLong) }
+              .toDF("version", "schema_name", "table_name", "action",
+                "column_name", "arg", "seq")
               .write.mode("overwrite").parquet(s"$outDir/ddl/batch=$id")
           // composing sink (e.g. a JDBC loader) consumes the decoded batch
           // AFTER the parquet log is durable and BEFORE the live catalog
@@ -1017,14 +1040,19 @@ object CdcStream {
     // the replay threshold is the version the tracker held BEFORE this
     // replay — checked against a snapshot, not the advancing version: one
     // wire statement can expand to SEVERAL log records at ONE version (a
-    // DROP DATABASE logs a drop_table per table), and a guard against the
-    // advancing version would apply the first group member and silently
-    // skip the rest. Ties within a version sort by (schema, table) — the
-    // order the live walk emitted them (records sharing a version are
-    // independent tables' drops, so the order is cosmetic but pinned).
+    // chained multi-table RENAME, a DROP DATABASE expansion), and a guard
+    // against the advancing version would apply the first group member
+    // and silently skip the rest. Ties within a version replay in the
+    // live walk's statement order via `seq` (a chained rename is
+    // order-DEPENDENT); logs from before the seq column carry only
+    // order-independent ties (per-table drops), where the (schema, table)
+    // fallback is cosmetic but pinned.
     val start = tracker.version
+    val seqCol = if (log.columns.contains("seq")) col("seq")
+      else lit(null).cast("long")
     log.filter(col("batch") <= committed)
-      .orderBy("version", "schema_name", "table_name").collect().foreach { r =>
+      .orderBy(col("version"), seqCol.asc_nulls_first,
+        col("schema_name"), col("table_name")).collect().foreach { r =>
         val v = r.getAs[Long]("version")
         val action = if (hasAction) Option(r.getAs[String]("action"))
           .getOrElse("modify") else "modify"

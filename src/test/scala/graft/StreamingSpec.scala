@@ -1701,13 +1701,17 @@ class StreamingSpec extends SparkSpec {
       Seq(RenameDdl("a", "x", Some("a"), "y"), RenameDdl("s", "t", Some("s2"), "u")))
     assert(parseWireDdls("DROP TABLE IF EXISTS a.x, s.t") ==
       Seq(DropTableDdl("a", "x"), DropTableDdl("s", "t")))
-    // …but a CHAINED rename list is order-dependent (the version-sorted
-    // log replay cannot reproduce statement order) and parses as unknown,
-    // so the dispatch fails loudly iff it touches a tracked table
-    assert(parseWireDdls("RENAME TABLE s.t2 TO s.t3, s.t1 TO s.t2") ==
-      Seq(UnknownDdl("RENAME TABLE s.t2 TO s.t3, s.t1 TO s.t2")))
+    // …including CHAINED lists (the online-schema-change cutover shape):
+    // parts apply in statement order, preserved through the log's seq
+    assert(parseWireDdls("RENAME TABLE s.t TO s._t_old, s._t_new TO s.t") ==
+      Seq(RenameDdl("s", "t", Some("s"), "_t_old"),
+        RenameDdl("s", "_t_new", Some("s"), "t")))
     // single statements pass through the list parser unchanged
     assert(parseWireDdls("TRUNCATE TABLE s.t") == Seq(TruncateDdl("s", "t")))
+    // backslash-escaped quotes inside a literal stay inside the literal
+    assert(parseWireDdl(
+      "CREATE TABLE s.t (a VARCHAR(9) DEFAULT 'x\\'y', b INT)") ==
+      CreateDdl("s", "t", Seq("a VARCHAR(9) DEFAULT 'x\\'y'", "b INT")))
     // FLASHBACK (plain and renamed) and CREATE LIKE
     assert(parseWireDdl("FLASHBACK TABLE s.t") == FlashbackDdl("s", "t", None))
     assert(parseWireDdl("flashback table s.t TO t9") ==
@@ -1861,14 +1865,88 @@ class StreamingSpec extends SparkSpec {
       assert(causes(e).exists(c => String.valueOf(c.getMessage).contains(needle)),
         s"[$tag] expected '$needle' in the failure chain, got $e")
     }
-    // loud-fail preserved for exactly two classes: an order-dependent
-    // (chained) rename list touching a tracked table, and a DDL whose
-    // resulting defs Spark's DDL parser rejects — both must kill the
+    // loud-fail preserved for the statement classes that cannot skip: an
+    // unknown statement addressing a tracked table, a DDL whose resulting
+    // defs Spark's parser rejects, a FLASHBACK with no recoverable shape,
+    // and a CREATE LIKE off an untracked source — each must kill the
     // stream AT the statement, never skip or durably log a broken shape
-    loudCase("chain", "RENAME TABLE app.t TO app.u, app.u TO app.w",
+    loudCase("unk", "ALTER TABLE app.t FROBNICATE NONSENSE",
       "unappliable wire DDL")
     loudCase("badtype", "ALTER TABLE app.t MODIFY COLUMN k NOTATYPE(3)",
       "undecodable")
+    loudCase("fb", "FLASHBACK TABLE app.never_dropped",
+      "no recoverable drop-time shape")
+    loudCase("like", "CREATE TABLE app.t9 LIKE app.missing_src",
+      "source is not tracked")
+  }
+
+  test("online-schema-change cutover: CREATE LIKE + chained atomic RENAME follow through the decode") {
+    // the gh-ost/pt-osc flow on the wire: create the ghost table LIKE the
+    // original, reshape it, then the atomic chained cutover
+    // `RENAME TABLE t TO _t_old, _t_new TO t` — the decode must follow
+    // every step, and a RESTART must replay the chain in STATEMENT order
+    // (the log's seq column: sorted by name, `_t_new TO t` would replay
+    // first and hit an occupied target)
+    import graft.sources.PbBinlogFile
+    val wireDir = graft.util.Scratch.dir("graft_osc_wire")
+    val outDir = graft.util.Scratch.dir("graft_osc_out")
+    val ckpt = graft.util.Scratch.dir("graft_osc_ckpt")
+    def dml(tbl: String, ids: Seq[Long], props: Long => String) =
+      ids.toDF("commit_ts").select(
+        col("commit_ts"), col("commit_ts").as("pk"), lit("U").as("op"),
+        lit(tbl).as("event_type"),
+        timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+        col("commit_ts").cast("double").as("value"),
+        udf(props).apply(col("commit_ts")).as("props"),
+        lit(null).cast("string").as("ddl_sql"))
+    def ddl(ts: Long, sql: String) = Seq(ts).toDF("commit_ts").select(
+      col("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
+      lit("ddl").as("event_type"),
+      timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+      lit(null).cast("double").as("value"),
+      lit(null).cast("string").as("props"),
+      lit(sql).as("ddl_sql"))
+    PbBinlogFile.write(
+      dml("t", Seq(2L, 4L), n => s"""{"k": ${n}.25}""")
+        .unionByName(ddl(6L, "CREATE TABLE app._t_new LIKE app.t"))
+        .unionByName(ddl(8L, "ALTER TABLE app._t_new ADD COLUMN extra BIGINT"))
+        .unionByName(dml("_t_new", Seq(10L),
+          n => s"""{"k": ${n}.25, "extra": $n}"""))
+        .unionByName(ddl(14L,
+          "RENAME TABLE app.t TO app._t_old, app._t_new TO app.t"))
+        .unionByName(dml("t", Seq(16L),
+          n => s"""{"k": ${n}.25, "extra": $n}""")),
+      wireDir, nFiles = 1)
+    val tracker = new SchemaTracker()
+    tracker.createTable("app", "t", Seq("k DOUBLE"), version = 0)
+    val q = CdcStream.ddlDrivenDecodeTables(
+      PbBinlogFile.readStream(spark, wireDir), tracker, outDir, ckpt,
+      "app", col("event_type"))
+    try q.processAllAvailable() finally q.stop()
+    assert(tracker.tablesOf("app") == Seq("_t_old", "t"))
+    assert(tracker.current("app", "t").get.columns ==
+      Vector("k DOUBLE", "extra BIGINT") &&
+      tracker.current("app", "t").get.version == 14L,
+      "post-cutover t must carry the ghost table's widened shape")
+    assert(tracker.current("app", "_t_old").get.columns == Vector("k DOUBLE"))
+    val tRows = spark.read.parquet(s"$outDir/data/batch=0/table=t").collect()
+      .map(r => r.getAs[Long]("commit_ts") ->
+        ((Option(r.getAs[String]("extra_str")), r.getAs[Long]("schema_version"))))
+      .toMap
+    // pre-cutover frames decode as the ORIGINAL table, post-cutover ones
+    // as the renamed-in ghost (same name-keyed dir, disambiguated by
+    // schema_version)
+    assert(tRows == Map(2L -> ((None, 0L)), 4L -> ((None, 0L)),
+      16L -> ((Some("16"), 14L))), s"cutover decode window wrong: $tRows")
+
+    // the restart is where statement order matters: replayed by seq the
+    // chain applies t→_t_old then _t_new→t; name-sorted it would wedge
+    val tracker2 = new SchemaTracker()
+    tracker2.createTable("app", "t", Seq("k DOUBLE"), version = 0)
+    CdcStream.recoverDecodeTracker(spark, outDir, ckpt, tracker2)
+    assert(tracker2.tablesOf("app") == Seq("_t_old", "t") &&
+      tracker2.current("app", "t").get.columns ==
+        Vector("k DOUBLE", "extra BIGINT"))
   }
 
   test("multi-schema decode: two databases on one wire, per-schema histories, cross-schema rename, DROP DATABASE") {
