@@ -874,8 +874,13 @@ object CdcStream {
                       "drop-time shape (the table was never tracked, or was " +
                       "already recovered) — register it explicitly or drop " +
                       "the statement upstream (F5 ddl-skip filter)"))
-                if (localGrave.contains((s, t))) localGrave -= ((s, t))
-                else consumedGrave += ((s, t))
+                // mark BOTH stores consumed: a flashback served from the
+                // batch-local graveyard must also block the tracker's
+                // (possibly stale, older-incarnation) entry from serving a
+                // duplicated FLASHBACK of the same name — a legitimate
+                // re-drop refills localGrave, which is checked first
+                localGrave -= ((s, t))
+                consumedGrave += ((s, t))
                 slicesOf.getOrElseUpdate((s, target),
                   scala.collection.mutable.ArrayBuffer.empty[DataFrame])
                 lowerOf((s, target)) = ts

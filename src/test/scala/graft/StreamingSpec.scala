@@ -2204,6 +2204,35 @@ class StreamingSpec extends SparkSpec {
     tracker3.createTable("app", "t", Seq("k DOUBLE"), version = 0)
     CdcStream.recoverDecodeTracker(spark, outDir, ckpt, tracker3)
     assert(tracker3.tablesOf("app") == Seq("t", "t3"))
+
+    // duplicated FLASHBACK: the first consumes the batch-local shape; the
+    // second must fail LOUDLY at the statement — a STALE older
+    // incarnation in the tracker's graveyard (from a drop committed long
+    // ago) must not serve it, which would durably log a recover the
+    // commit walk can never apply
+    val wireD = graft.util.Scratch.dir("graft_fb_dup_wire")
+    val trackerD = new SchemaTracker()
+    trackerD.createTable("app", "t", Seq("old DOUBLE"), version = 0)
+    trackerD.dropTable("app", "t", version = 1) // stale graveyard incarnation
+    trackerD.createTable("app", "z", Seq("k DOUBLE"), version = 0)
+    PbBinlogFile.write(
+      dml("z", Seq(48L))
+        .unionByName(ddl(40L, "CREATE TABLE app.t (b BIGINT)"))
+        .unionByName(ddl(42L, "DROP TABLE app.t"))
+        .unionByName(ddl(44L, "FLASHBACK TABLE app.t TO t5"))
+        .unionByName(ddl(46L, "FLASHBACK TABLE app.t TO t6")),
+      wireD, nFiles = 1)
+    val qd = CdcStream.ddlDrivenDecodeTables(
+      PbBinlogFile.readStream(spark, wireD), trackerD,
+      graft.util.Scratch.dir("graft_fb_dup_out"),
+      graft.util.Scratch.dir("graft_fb_dup_ckpt"),
+      "app", col("event_type"))
+    val ed = intercept[Exception] { try qd.processAllAvailable() finally qd.stop() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ed).exists(c => String.valueOf(c.getMessage)
+      .contains("no recoverable drop-time shape")),
+      s"stale graveyard incarnation served a duplicated FLASHBACK: $ed")
   }
 
   test("TRUNCATE clears batch-local defs: a column dropped earlier in the batch cannot poison emit") {
