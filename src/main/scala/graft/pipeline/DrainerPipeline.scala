@@ -252,12 +252,17 @@ object DrainerPipeline {
       import spark.implicits._
       val slices = frames.toSeq.sortBy(_._1).map { case ((s, t), (defs, df)) =>
         val typed = defs.map { d =>
-          val cut = d.indexOf(' ')
-          require(cut > 0,
-            s"column def '$d' of wire table $s.$t lacks a type token — the " +
-              "decode log must carry 'name TYPE' defs")
-          val n = d.substring(0, cut)
-          col(s"${n}_str").cast(d.substring(cut + 1)).as(n)
+          // full DDL parse, not a split-at-first-space: a def may legally
+          // carry NOT NULL / COMMENT tails (the wire grammar keeps both),
+          // which a naive cast-to-tail would reject
+          val field =
+            try org.apache.spark.sql.types.StructType.fromDDL(d).head
+            catch {
+              case e: Exception => throw new IllegalArgumentException(
+                s"column def '$d' of wire table $s.$t is not a parseable " +
+                  s"'name TYPE' def (${e.getMessage})")
+            }
+          col(s"${field.name}_str").cast(field.dataType).as(field.name)
         }
         tableMap(s, t) -> df.select(
           Seq(col("commit_ts"), col("pk"), col("op")) ++ typed: _*)

@@ -242,9 +242,11 @@ object CdcStream {
   // head only — the column-def list is cut by a balanced-paren scan in
   // [[parseWireDdl]], because trailing table options may themselves carry
   // parens (PARTITION BY HASH(a), COMMENT '(x)') that defeat any
-  // single-regex capture
+  // single-regex capture. IF NOT EXISTS is captured: a create of an
+  // already-tracked name is a legal upstream no-op WITH it, illegal
+  // without — the dispatch skips one and throws on the other.
   private val CreateTableHeadRe =
-    s"(?i)^CREATE TABLE(?: IF NOT EXISTS)? $Qual \\(".r
+    s"(?i)^CREATE TABLE( IF NOT EXISTS)? $Qual \\(".r
   private val DropTableRe =
     s"(?i)^DROP TABLE(?: IF EXISTS)? $Qual$$".r
   // TiDB FLASHBACK: recover a dropped table (optionally under a new name)
@@ -252,7 +254,7 @@ object CdcStream {
   private val FlashbackRe =
     s"(?i)^FLASHBACK TABLE $Qual(?: TO $Id)?$$".r
   private val CreateLikeRe =
-    s"(?i)^CREATE TABLE(?: IF NOT EXISTS)? $Qual LIKE $Qual$$".r
+    s"(?i)^CREATE TABLE( IF NOT EXISTS)? $Qual LIKE $Qual$$".r
   private val RenameTableRe =
     s"(?i)^RENAME TABLE $Qual TO (?:$Id\\.)?$Id$$".r
   // ALTER TABLE … RENAME [TO|AS] … — the equivalent single-table form
@@ -297,25 +299,51 @@ object CdcStream {
     * multi-table `RENAME TABLE a TO b, c TO d` or `DROP TABLE x, y` names
     * several), because an unknown statement aimed at ANY tracked table
     * cannot be skipped — later frames of that table might decode against
-    * a stale shape. */
+    * a stale shape. FLASHBACK is in the verb set WITHOUT a noun: every
+    * unrecognized variant of that family (FLASHBACK DATABASE, FLASHBACK
+    * CLUSTER, an option tail the grammar rejects) RECREATES tracked state,
+    * so it must reach the qual scan — and, because its operand may be a
+    * bare unqualified name, the dispatch additionally scans its bare
+    * identifiers against the tracked namespace ([[decodeQuery]]). */
   private val TableVerbRe =
-    "(?i)^(?:ALTER|TRUNCATE|RENAME|CREATE|DROP) TABLE\\b.*".r
+    "(?i)^(?:(?:ALTER|TRUNCATE|RENAME|CREATE|DROP) TABLE|FLASHBACK)\\b.*".r
+  private val CreateTableVerbRe = "(?i)^CREATE TABLE\\b.*".r
+  private val FlashbackVerbRe = "(?i)^FLASHBACK\\b.*".r
   private val QualAnyRe = s"$Qual".r
+  private val BareIdRe = s"$Id".r
+  // the statement's own lexical material — never table/schema operands
+  private val FlashbackKeywords =
+    Set("FLASHBACK", "TABLE", "DATABASE", "SCHEMA", "CLUSTER", "TO", "IF",
+      "NOT", "EXISTS", "TIMESTAMP", "TSO")
 
   private def qualsAddressed(stmt: String): Seq[(String, String)] =
     if (TableVerbRe.pattern.matcher(stmt).matches)
       QualAnyRe.findAllMatchIn(stmt).map(m => (m.group(1), m.group(2))).toSeq
     else Seq.empty
 
+  /** Bare (unqualified) identifier operands of an unparseable FLASHBACK
+    * statement — everything that lexes as an identifier minus the
+    * statement's own keywords and the qualified names (already scanned by
+    * [[qualsAddressed]]). */
+  private def flashbackBareIds(stmt: String): Seq[String] = {
+    val inQuals = qualsAddressed(stmt).flatMap { case (s, t) => Seq(s, t) }.toSet
+    BareIdRe.findAllMatchIn(stmt).map(_.group(1)).toSeq
+      .filterNot(id => FlashbackKeywords(id.toUpperCase) || inQuals(id))
+  }
+
   /** One parsed wire statement. `AdminDdl` = recognized shape-neutral,
     * `UnknownDdl` = outside the grammar; the dispatch decides whether an
-    * unknown is skippable (foreign/untracked) or fatal (tracked shape). */
+    * unknown is skippable (foreign/untracked) or fatal (tracked shape).
+    * `default` on a column action (and `defaults` on a create) is the
+    * ORIGIN default stripped from the def by [[normalizeColumnTail]]. */
   private[graft] sealed trait WireDdl
   private[graft] final case class ColumnDdl(schema: String, table: String,
-    action: String, column: String, arg: String) extends WireDdl
+    action: String, column: String, arg: String,
+    default: Option[String] = None) extends WireDdl
   private[graft] final case class TruncateDdl(schema: String, table: String) extends WireDdl
   private[graft] final case class CreateDdl(schema: String, table: String,
-    defs: Seq[String]) extends WireDdl
+    defs: Seq[String], ifNotExists: Boolean = false,
+    defaults: Map[String, String] = Map.empty) extends WireDdl
   private[graft] final case class DropTableDdl(schema: String, table: String) extends WireDdl
   private[graft] final case class RenameDdl(schema: String, table: String,
     toSchema: Option[String], to: String) extends WireDdl
@@ -323,15 +351,104 @@ object CdcStream {
   private[graft] final case class FlashbackDdl(schema: String, table: String,
     to: Option[String]) extends WireDdl
   private[graft] final case class CreateLikeDdl(schema: String, table: String,
-    srcSchema: String, srcTable: String) extends WireDdl
+    srcSchema: String, srcTable: String,
+    ifNotExists: Boolean = false) extends WireDdl
   private[graft] case object AdminDdl extends WireDdl
   private[graft] final case class UnknownDdl(stmt: String) extends WireDdl
+
+  /** Split a column-def tail into top-level tokens: whitespace splits only
+    * outside quoted literals and outside ()/<> nesting, so
+    * `DECIMAL(10, 2)`, `STRUCT<a: INT>` and `DEFAULT 'a b'` each stay one
+    * token. Inside a literal a backslash escapes the next character
+    * ([[splitColumnDefs]]'s convention). */
+  private def tailTokens(s: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0; var start = -1; var depth = 0; var inQ = false
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      ch match {
+        case '\\' if inQ => i += 1
+        case '\'' => inQ = !inQ
+        case '(' | '<' if !inQ => depth += 1
+        case ')' | '>' if !inQ => depth -= 1
+        case _ => ()
+      }
+      if (ch.isWhitespace && !inQ && depth <= 0) {
+        if (start >= 0) { out += s.substring(start, i); start = -1 }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    if (start >= 0) out += s.substring(start)
+    out.result()
+  }
+
+  /** Strip the decode-neutral column-option tails real MySQL/TiDB traffic
+    * carries on ADD/MODIFY/CHANGE defs and CREATE TABLE column defs —
+    * position (`AFTER x`/`FIRST`), `ON UPDATE`, charset/collation, bare
+    * `NULL`, `AUTO_INCREMENT`, inline key markers — none change how a
+    * row's payload decodes, so they must not reach the tracker (whose defs
+    * feed Spark's DDL parser, which rejects them). `DEFAULT <expr>` is
+    * stripped AND captured: it is the column's ORIGIN default — the value
+    * TiDB fills for rows that predate the column (ref:
+    * drainer/translator/translator.go:169-227 consumes origin defaults;
+    * tests/dailytest/case.go:386-485 runs add-column-with-default under
+    * load) — and rides its own `origin_default` log record into the
+    * tracker's metadata for T7-parity fill. `NOT NULL` and `COMMENT`
+    * survive in the def: Spark's DDL parser accepts both and a composing
+    * sink's target DDL wants them. Anything ELSE unrecognized stays in the
+    * def, where the statement-time decodability check fails LOUDLY — the
+    * normalizer never turns an unknown tail into a silent drop. */
+  private[graft] def normalizeColumnTail(tail: String): (String, Option[String]) = {
+    val toks = tailTokens(tail)
+    val keep = Vector.newBuilder[String]
+    var default: Option[String] = None
+    var i = 0
+    def up(j: Int): String = if (j < toks.length) toks(j).toUpperCase else ""
+    while (i < toks.length) {
+      up(i) match {
+        case "DEFAULT" if i + 1 < toks.length =>
+          default = Some(toks(i + 1)); i += 2
+        case "NOT" if up(i + 1) == "NULL" =>
+          keep += toks(i) += toks(i + 1); i += 2
+        case "AFTER" | "COLLATE" | "CHARSET" if i + 1 < toks.length => i += 2
+        case "FIRST" | "NULL" | "AUTO_INCREMENT" | "KEY" => i += 1
+        case "UNIQUE" => i += (if (up(i + 1) == "KEY") 2 else 1)
+        case "PRIMARY" if up(i + 1) == "KEY" => i += 2
+        case "ON" if up(i + 1) == "UPDATE" && i + 2 < toks.length => i += 3
+        case "CHARACTER" if up(i + 1) == "SET" && i + 2 < toks.length => i += 3
+        case _ => keep += toks(i); i += 1
+      }
+    }
+    (keep.result().mkString(" "), default)
+  }
+
+  /** Table-level constraint entries legal inside a CREATE TABLE def list —
+    * indexes and key declarations are decode-neutral (the F5/admin rule)
+    * and drop out of the tracked shape. A backticked COLUMN named `key`
+    * routes past these keywords, same as in the ALTER grammar. */
+  private val ConstraintDefRe =
+    ("(?i)^(?:PRIMARY KEY|UNIQUE(?: KEY| INDEX)?|KEY|INDEX|CONSTRAINT|" +
+      "FOREIGN KEY|CHECK|FULLTEXT|SPATIAL)\\b.*").r
+
+  /** Normalize one CREATE TABLE column def: `name` keeps its text (minus
+    * backticks), the tail goes through [[normalizeColumnTail]]. */
+  private def normalizeCreateDef(d: String): (String, Option[(String, String)]) = {
+    val toks = tailTokens(d)
+    if (toks.length < 2) (d, None)
+    else {
+      val name = toks.head.stripPrefix("`").stripSuffix("`")
+      val (clean, dflt) = normalizeColumnTail(toks.tail.mkString(" "))
+      (s"$name $clean", dflt.map(name -> _))
+    }
+  }
 
   /** CREATE TABLE: cut the column-def list at the close paren BALANCING
     * the list's open — trailing table options may carry parens of their
     * own (`PARTITION BY HASH(a)`, `COMMENT '(x)'`), so a regex capture
     * either swallows option text into the defs or rejects the statement
-    * outright. An unbalanced statement parses as unknown. */
+    * outright. An unbalanced statement parses as unknown. Each column def
+    * normalizes through [[normalizeColumnTail]] (origin defaults captured
+    * per column); table-level constraint entries drop as decode-neutral. */
   private def parseCreateTable(stmt: String): Option[WireDdl] =
     CreateTableHeadRe.findPrefixMatchOf(stmt).flatMap { m =>
       val open = m.end - 1
@@ -347,8 +464,14 @@ object CdcStream {
         i += 1
       }
       if (close < 0) None
-      else Some(CreateDdl(m.group(1), m.group(2),
-        splitColumnDefs(stmt.substring(open + 1, close))))
+      else {
+        val normed = splitColumnDefs(stmt.substring(open + 1, close))
+          .filterNot(d => ConstraintDefRe.pattern.matcher(d).matches)
+          .map(normalizeCreateDef)
+        Some(CreateDdl(m.group(2), m.group(3), normed.map(_._1),
+          ifNotExists = m.group(1) != null,
+          defaults = normed.flatMap(_._2).toMap))
+      }
     }
 
   private val RenameListHeadRe = "(?i)^RENAME TABLE (.+)$".r
@@ -403,16 +526,22 @@ object CdcStream {
     val stmt = stmt0.trim
     if (AdminDdlRes.exists(_.pattern.matcher(stmt).matches)) AdminDdl
     else stmt match {
-      case ModifyColumnRe(s, t, c, ty) => ColumnDdl(s, t, "modify", c, ty.trim)
-      case AddColumnRe(s, t, c, ty)    => ColumnDdl(s, t, "add", c, ty.trim)
+      case ModifyColumnRe(s, t, c, ty) =>
+        val (clean, dflt) = normalizeColumnTail(ty.trim)
+        ColumnDdl(s, t, "modify", c, clean, dflt)
+      case AddColumnRe(s, t, c, ty)    =>
+        val (clean, dflt) = normalizeColumnTail(ty.trim)
+        ColumnDdl(s, t, "add", c, clean, dflt)
       case ChangeColumnRe(s, t, c, nc, ty) =>
-        ColumnDdl(s, t, "change", c, s"$nc ${ty.trim}")
+        val (clean, dflt) = normalizeColumnTail(ty.trim)
+        ColumnDdl(s, t, "change", c, s"$nc $clean", dflt)
       case DropColumnRe(s, t, c)       => ColumnDdl(s, t, "drop", c, "")
       case RenameColumnRe(s, t, a, b)  => ColumnDdl(s, t, "rename", a, b)
       case TruncateTableRe(s, t)       => TruncateDdl(s, t)
       case DropTableRe(s, t)           => DropTableDdl(s, t)
       case FlashbackRe(s, t, to)       => FlashbackDdl(s, t, Option(to))
-      case CreateLikeRe(s, t, s2, u)   => CreateLikeDdl(s, t, s2, u)
+      case CreateLikeRe(ine, s, t, s2, u) =>
+        CreateLikeDdl(s, t, s2, u, ifNotExists = ine != null)
       case RenameTableRe(s, t, toS, to) => RenameDdl(s, t, Option(toS), to)
       case AlterRenameRe(s, t, toS, to) => RenameDdl(s, t, Option(toS), to)
       case DropSchemaRe(s)             => DropSchemaDdl(s)
@@ -477,6 +606,9 @@ object CdcStream {
           case Array(to)          => tracker.renameTable(schema, table, to, version)
           case Array(toS, to)     => tracker.renameTable(schema, table, toS, to, version)
         }
+      // arg = the ORIGIN default expression stripped from the column def
+      case "origin_default" =>
+        tracker.setOriginDefault(schema, table, column, arg, version)
       case other => throw new IllegalArgumentException(s"unknown logged DDL action: $other")
     }
 
@@ -784,7 +916,7 @@ object CdcStream {
             // one statement may carry several actions (multi-table
             // RENAME/DROP lists); each part dispatches independently
             parseWireDdls(stmt).foreach {
-              case ColumnDdl(s, t, action, c, arg) if catalog.contains((s, t)) =>
+              case ColumnDdl(s, t, action, c, arg, dflt) if catalog.contains((s, t)) =>
                 shapeDdl((s, t), action, c, arg)(i => action match {
                   case "modify" => tracker.retyped(i, c, s"$c $arg", ts)
                   case "add"    => tracker.added(i, s"$c $arg", ts)
@@ -792,6 +924,15 @@ object CdcStream {
                   case "rename" => tracker.renamed(i, c, arg, ts)
                   case "change" => tracker.changed(i, c, arg, ts)
                 })
+                // an ADD's stripped DEFAULT is the column's ORIGIN default
+                // (TiDB fills it for rows predating the column) — logged as
+                // its own record so the T7-fill metadata survives restart.
+                // A MODIFY/CHANGE default tail is NOT an origin default
+                // (the column already exists; it only changes future
+                // upstream inserts, which arrive with explicit values) and
+                // is discarded like the admin SET DEFAULT form.
+                if (action == "add")
+                  dflt.foreach(d => applied += ((ts, s, t, "origin_default", c, d)))
               case TruncateDdl(s, t) if catalog.contains((s, t)) =>
                 // streamed F6: in-flight frames of the truncated table at
                 // or below the truncate commit ts DROP — they addressed
@@ -808,7 +949,7 @@ object CdcStream {
                 lowerOf((s, t)) = ts
                 catalog += (s, t) -> catalog((s, t)).copy(version = ts)
                 applied += ((ts, s, t, "truncate", "", ""))
-              case CreateDdl(s, t, cols)
+              case CreateDdl(s, t, cols, _, dflts)
                   if trackedSchemas(s) && dynamicTables && !catalog.contains((s, t)) =>
                 // wire-registered table: decodes from its create ts forward
                 // (a frame of t below the create has no schema to decode
@@ -820,6 +961,20 @@ object CdcStream {
                 lowerOf((s, t)) = ts
                 catalog += (s, t) -> created
                 applied += ((ts, s, t, "create_table", "", cols.mkString(", ")))
+                dflts.toSeq.sortBy(_._1).foreach { case (c, d) =>
+                  applied += ((ts, s, t, "origin_default", c, d))
+                }
+              case CreateDdl(s, t, _, ifNotExists, _) if catalog.contains((s, t)) =>
+                // the already-tracked dispatch is EXPLICIT, not the default
+                // skip: CREATE IF NOT EXISTS of a tracked name is a legal
+                // upstream no-op (counted skip); the plain form is illegal
+                // upstream (TiDB rejects it) and unappliable here — the
+                // tracked-shape contract says throw, never silently drop
+                if (ifNotExists) skipped.add(1L)
+                else throw new IllegalArgumentException(
+                  s"cannot apply wire CREATE TABLE of already-tracked $s.$t: " +
+                    "illegal upstream and unappliable here — drop the " +
+                    "statement upstream (F5 ddl-skip filter)")
               case DropTableDdl(s, t) if catalog.contains((s, t)) =>
                 // the single-table form pins its one table for the query's
                 // lifetime — accepting the drop would only defer the crash
@@ -887,7 +1042,25 @@ object CdcStream {
                 catalog += (s, target) -> tracker.TableInfo(s, target, shape, ts)
                 applied += ((ts, s, t, "recover_table", "",
                   if (target == t) "" else target))
-              case CreateLikeDdl(s, t, s2, u)
+              case FlashbackDdl(s, t, toOpt)
+                  if trackedSchemas(s) && catalog.contains((s, toOpt.getOrElse(t))) =>
+                // occupied recovery target: illegal upstream (TiDB rejects
+                // a FLASHBACK whose name exists) and unappliable here —
+                // explicit loud dispatch, same contract as the plain
+                // CREATE of a tracked name (a silent skip would leave the
+                // graveyard entry armed for a later wrong recovery)
+                throw new IllegalArgumentException(
+                  s"cannot apply wire FLASHBACK TABLE $s.$t: recovery target " +
+                    s"$s.${toOpt.getOrElse(t)} is already tracked — illegal " +
+                    "upstream; drop the statement upstream (F5 ddl-skip filter)")
+              case CreateLikeDdl(s, t, _, _, ifNotExists) if catalog.contains((s, t)) =>
+                // same explicit dispatch as plain CREATE of a tracked name
+                if (ifNotExists) skipped.add(1L)
+                else throw new IllegalArgumentException(
+                  s"cannot apply wire CREATE TABLE $s.$t LIKE …: target is " +
+                    "already tracked — illegal upstream and unappliable " +
+                    "here; drop the statement upstream (F5 ddl-skip filter)")
+              case CreateLikeDdl(s, t, s2, u, _)
                   if trackedSchemas(s) && dynamicTables &&
                     !catalog.contains((s, t)) =>
                 // CREATE TABLE … LIKE: registers with the SOURCE's current
@@ -951,6 +1124,38 @@ object CdcStream {
                       s"unappliable wire DDL addresses tracked table $s.$t: " +
                         s"$text — later frames would decode against a stale " +
                         "shape; drop the statement upstream (F5 ddl-skip " +
+                        "filter) or extend the decode grammar")
+                  case None if FlashbackVerbRe.pattern.matcher(text).matches &&
+                      flashbackBareIds(text).exists(id =>
+                        trackedSchemas(id) || catalog.keys.exists(_._2 == id) ||
+                          localGrave.keys.exists(_._2 == id) ||
+                          trackedSchemas.exists(s2 =>
+                            tracker.droppedTables(s2).contains(id))) =>
+                    // an unrecognized FLASHBACK variant (FLASHBACK DATABASE
+                    // of a tracked schema, an unqualified FLASHBACK TABLE of
+                    // a tracked/dropped name, FLASHBACK CLUSTER) RECREATES
+                    // tracked state — skipping it would detach the recreated
+                    // tables' replication; same loud contract as a tracked-
+                    // qual unknown (bare operands can over-match a foreign
+                    // name that collides with a tracked one — loud beats
+                    // silent for a statement family that rewrites history)
+                    throw new IllegalArgumentException(
+                      s"unappliable wire FLASHBACK addresses tracked state: " +
+                        s"$text — drop the statement upstream (F5 ddl-skip " +
+                        "filter) or extend the decode grammar")
+                  case None if dynamicTables &&
+                      CreateTableVerbRe.pattern.matcher(text).matches &&
+                      qualsAddressed(text).exists(q => trackedSchemas(q._1)) =>
+                    // an unparseable CREATE TABLE of a NEW name in a TRACKED
+                    // schema (CTAS, an option head the balanced-paren scan
+                    // rejects): the new table belongs to the decode's
+                    // replication set from this statement on, so its frames
+                    // would silently drop — fatal in dynamic mode, matching
+                    // the CREATE…LIKE unknown-source contract
+                    throw new IllegalArgumentException(
+                      s"unparseable wire CREATE TABLE in tracked schema: " +
+                        s"$text — the new table's frames would silently " +
+                        "drop; drop the statement upstream (F5 ddl-skip " +
                         "filter) or extend the decode grammar")
                   case None => skipped.add(1L)
                 }
@@ -1245,6 +1450,78 @@ object CdcStream {
        |  CAST((c.commit_ts % 1000000) + 0.26 AS VARCHAR) AS k_str,
        |  0 AS schema_version
        |FROM c WHERE c.pk % 2 = 1""".stripMargin
+
+  /** Oracle-checked column-option-tail normalization (the r12-verdict
+    * robustness gap under the hash gate): stage a wire where the midpoint
+    * DDL is the add-column-with-default statement real traffic carries
+    * routinely — `ADD COLUMN c DECIMAL(10,1) NOT NULL DEFAULT 1.5 AFTER k`
+    * (ref: tests/dailytest/case.go:386-485 runs add-column-with-default
+    * under load) — so the decode must strip the decode-neutral tail
+    * (AFTER), keep the decodable one (NOT NULL), capture the DEFAULT as
+    * the origin default (asserted in line), and ride on. Post-midpoint
+    * frames carry `c` in their payload and decode at the new version;
+    * pre-midpoint frames decode without it. Same tie-free x.26 payload
+    * algebra as [[multiDecodeQuery]] (the oracle casts through DOUBLE
+    * because DuckDB truncates a decimal downscale where Spark's from_json
+    * rounds half-up). */
+  def optionTailsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.PbBinlogFile
+    val wireDir = graft.util.Scratch.dir("graft_tails_wire")
+    val outDir = graft.util.Scratch.dir("graft_tails_out")
+    val ckpt = graft.util.Scratch.dir("graft_tails_ckpt")
+    val changes = graft.ops.Cdc.changes(spark, dir).persist()
+    try {
+      val maxRow = changes.agg(max("commit_ts")).head
+      val maxTs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      val mid = maxTs / 2
+      val payload = (pmod(col("commit_ts"), lit(1000000L)).cast("double") + 0.26)
+        .cast("string")
+      val dml = changes.select(
+        col("commit_ts"), col("pk"), lit("U").as("op"),
+        lit("t").as("event_type"),
+        col("ts"), col("value"),
+        concat(lit("{\"k\": "), payload,
+          when(col("commit_ts") > mid,
+            concat(lit(", \"c\": "), payload)).otherwise(lit("")),
+          lit("}")).as("props"),
+        lit(null).cast("string").as("ddl_sql"))
+      val ddlRow = spark.range(1).select(
+        lit(mid).as("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
+        lit("ddl").as("event_type"),
+        timestamp_micros(lit(mid) * 1000000L).as("ts"),
+        lit(null).cast("double").as("value"),
+        lit(null).cast("string").as("props"),
+        lit("ALTER TABLE `app`.`t` ADD COLUMN c DECIMAL(10,1) NOT NULL " +
+          "DEFAULT 1.5 AFTER k").as("ddl_sql"))
+      PbBinlogFile.write(dml.unionByName(ddlRow), wireDir, nFiles = 2)
+    } finally { changes.unpersist(); () }
+    val tracker = new SchemaTracker()
+    tracker.createTable("app", "t", Seq("k DOUBLE"), version = 0)
+    val q = ddlDrivenDecodeTables(PbBinlogFile.readStream(spark, wireDir),
+      tracker, outDir, ckpt, "app", col("event_type"))
+    try q.processAllAvailable() finally q.stop()
+    assertSingleBatch(spark, outDir)
+    require(tracker.originDefault("app", "t", "c").contains("1.5"),
+      s"the stripped DEFAULT must register as the origin default, got " +
+        s"${tracker.originDefault("app", "t", "c")}")
+    require(tracker.current("app", "t").get.columns ==
+      Vector("k DOUBLE", "c DECIMAL(10,1) NOT NULL"),
+      s"unexpected tracked defs: ${tracker.current("app", "t").get.columns}")
+    spark.read.parquet(s"$outDir/data")
+      .select(col("commit_ts"), col("k_str"), col("c_str"),
+        col("schema_version"))
+  }
+
+  def optionTailsSql: String =
+    s"""WITH c AS (${graft.ops.Cdc.changesCte}),
+       |b AS (SELECT max(commit_ts)//2 AS mid FROM c)
+       |SELECT c.commit_ts,
+       |  CAST((c.commit_ts % 1000000) + 0.26 AS VARCHAR) AS k_str,
+       |  CASE WHEN c.commit_ts > b.mid
+       |       THEN CAST(CAST(CAST((c.commit_ts % 1000000) + 0.26 AS DOUBLE) AS DECIMAL(10,1)) AS VARCHAR)
+       |  END AS c_str,
+       |  CASE WHEN c.commit_ts <= b.mid THEN 0 ELSE b.mid END AS schema_version
+       |FROM c, b""".stripMargin
 
   /** Flagship streaming path: change stream → per-batch merge-by-PK upsert
     * into the materialized state with exactly-once batch ids. */

@@ -15,7 +15,17 @@ package graft.streaming
   */
 class SchemaTracker(historyDepth: Int = 2) {
 
-  case class TableInfo(schema: String, table: String, columns: Vector[String], version: Long)
+  /** `defaults` carries each column's ORIGIN default — the expression TiDB
+    * fills for rows that PREDATE the column (ref:
+    * drainer/translator/translator.go:169-227 consumes origin defaults) —
+    * captured when the column is born (wire ADD COLUMN / CREATE TABLE
+    * `DEFAULT` clauses, stripped from the def text by the grammar's tail
+    * normalizer) and exposed for T7-parity fill. It rides the TableInfo so
+    * rename/drop/graveyard/recover propagate it for free. A later SET
+    * DEFAULT does NOT change it (it only affects future upstream inserts,
+    * which arrive with explicit values — the admin skip set). */
+  case class TableInfo(schema: String, table: String, columns: Vector[String],
+    version: Long, defaults: Map[String, String] = Map.empty)
 
   private var byName = Map.empty[(String, String), Vector[TableInfo]]
   // dropped tables keep their last shape so RecoverTable can restore it
@@ -72,17 +82,24 @@ class SchemaTracker(historyDepth: Int = 2) {
   def dropped(info: TableInfo, column: String, version: Long): TableInfo = {
     val idx = colIdx(info, column)
     require(idx >= 0, s"no column $column in ${info.schema}.${info.table}")
-    info.copy(columns = info.columns.patch(idx, Nil, 1), version = version)
+    info.copy(columns = info.columns.patch(idx, Nil, 1),
+      defaults = info.defaults - column, version = version)
   }
 
   /** Rename keeps the column's position and type text (the `" TYPE"` tail
-    * of a def entry survives under the new name). */
+    * of a def entry survives under the new name) and re-keys its origin
+    * default. */
   def renamed(info: TableInfo, from: String, to: String, version: Long): TableInfo = {
     val idx = colIdx(info, from)
     require(idx >= 0, s"no column $from in ${info.schema}.${info.table}")
     val def0 = info.columns(idx)
     val newDef = if (def0 == from) to else to + def0.substring(from.length)
-    info.copy(columns = info.columns.updated(idx, newDef), version = version)
+    val defaults = info.defaults.get(from) match {
+      case Some(d) => info.defaults - from + (to -> d)
+      case None    => info.defaults
+    }
+    info.copy(columns = info.columns.updated(idx, newDef),
+      defaults = defaults, version = version)
   }
 
   /** MySQL CHANGE COLUMN: rename + retype in place, one version step.
@@ -170,19 +187,46 @@ class SchemaTracker(historyDepth: Int = 2) {
     recoverTable(schema, table, table, version)
 
   /** TiDB `FLASHBACK TABLE t TO newname`: recover under a different name,
-    * same drop-time shape. */
+    * same drop-time shape (origin defaults included — the graveyard keeps
+    * the whole TableInfo). */
   def recoverTable(schema: String, table: String, to: String,
       version: Long): Unit = {
     val info = graveyard.getOrElse((schema, table),
       throw new NoSuchElementException(s"no dropped table $schema.$table to recover"))
     graveyard -= ((schema, table))
-    createTable(schema, to, info.columns, version)
+    currentVersion = version
+    push((schema, to), info.copy(table = to, version = version))
   }
 
   /** Drop-time shape of a dropped table still in the graveyard — the
     * versioned decode consults this for a cross-batch FLASHBACK. */
   def droppedShape(schema: String, table: String): Option[Vector[String]] =
     graveyard.get((schema, table)).map(_.columns)
+
+  /** Graveyard table names of a schema — the decode's loud-fail gate scans
+    * these when an unrecognized FLASHBACK carries bare identifiers (an
+    * unqualified name can only mean a tracked or dropped table). */
+  def droppedTables(schema: String): Seq[String] =
+    graveyard.keys.collect { case (s, t) if s == schema => t }.toSeq.sorted
+
+  /** Record column `column`'s ORIGIN default (see [[TableInfo.defaults]]).
+    * Amends the CURRENT shape entry in place rather than pushing a new
+    * history version: the default is metadata OF the add that was just
+    * applied at this same version, not a shape change of its own. */
+  def setOriginDefault(schema: String, table: String, column: String,
+      expr: String, version: Long): Unit = {
+    currentVersion = version
+    val hist = byName.getOrElse((schema, table),
+      throw new NoSuchElementException(s"$schema.$table"))
+    val last = hist.last
+    byName += (schema, table) ->
+      (hist.init :+ last.copy(defaults = last.defaults + (column -> expr)))
+  }
+
+  /** The T7-fill hook: the origin default of a column, if its birth DDL
+    * carried one (current shape; renames re-key it, drops remove it). */
+  def originDefault(schema: String, table: String, column: String): Option[String] =
+    current(schema, table).flatMap(_.defaults.get(column))
 
   /** CreateTables: one DDL job creating several tables at a single schema
     * version (ref: drainer/schema.go:499-520 ActionCreateTables loops the

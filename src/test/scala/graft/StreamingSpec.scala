@@ -1660,15 +1660,24 @@ class StreamingSpec extends SparkSpec {
 
   test("wire DDL parser: unit anchors for the grammar's sharp edges") {
     import CdcStream._
-    // quoted literals carry commas and parens the def split must not count
+    // quoted literals carry commas and parens the def split must not
+    // count; the tail normalizer strips each DEFAULT into the origin-
+    // default map (quote-aware: the captured literal keeps its comma)
     assert(parseWireDdl(
       "CREATE TABLE s.t (a VARCHAR(5) DEFAULT 'x,y', b INT DEFAULT ')', c DECIMAL(10,2))") ==
-      CreateDdl("s", "t",
-        Seq("a VARCHAR(5) DEFAULT 'x,y'", "b INT DEFAULT ')'", "c DECIMAL(10,2)")))
-    // trailing options with parens stay OUT of the def list
+      CreateDdl("s", "t", Seq("a VARCHAR(5)", "b INT", "c DECIMAL(10,2)"),
+        ifNotExists = false, defaults = Map("a" -> "'x,y'", "b" -> "')'")))
+    // trailing options with parens stay OUT of the def list; IF NOT
+    // EXISTS is captured (the tracked-name dispatch differs on it)
     assert(parseWireDdl(
       "create table if not exists `s`.`t` (a INT, b BIGINT) PARTITION BY HASH(a) PARTITIONS 4") ==
-      CreateDdl("s", "t", Seq("a INT", "b BIGINT")))
+      CreateDdl("s", "t", Seq("a INT", "b BIGINT"), ifNotExists = true))
+    // column-option tails normalize: NOT NULL survives (Spark's DDL
+    // parser accepts it), constraint entries drop as decode-neutral
+    assert(parseWireDdl(
+      "CREATE TABLE s.t (id BIGINT NOT NULL AUTO_INCREMENT, `v` INT DEFAULT 5, PRIMARY KEY (id), KEY i_v (v))") ==
+      CreateDdl("s", "t", Seq("id BIGINT NOT NULL", "v INT"),
+        ifNotExists = false, defaults = Map("v" -> "5")))
     // an unbalanced def list parses as unknown, never as a garbage create
     assert(parseWireDdl("CREATE TABLE s.t (a INT") == UnknownDdl("CREATE TABLE s.t (a INT"))
     // COLUMN-less ADD is a column def; ADD INDEX/KEY stays administrative,
@@ -1678,9 +1687,28 @@ class StreamingSpec extends SparkSpec {
     assert(parseWireDdl("ALTER TABLE s.t ADD INDEX i (k)") == AdminDdl)
     assert(parseWireDdl("ALTER TABLE s.t ADD `key` BIGINT") ==
       ColumnDdl("s", "t", "add", "key", "BIGINT"))
+    // the decode-neutral option tails real traffic carries on column DDL:
+    // position / charset / collation / ON UPDATE strip, DEFAULT strips
+    // AND captures as the origin default, unknown junk stays (loud later)
+    assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN c INT DEFAULT 5 AFTER k") ==
+      ColumnDdl("s", "t", "add", "c", "INT", Some("5")))
+    assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN c DECIMAL(10, 2) NOT NULL DEFAULT -1.5 FIRST") ==
+      ColumnDdl("s", "t", "add", "c", "DECIMAL(10, 2) NOT NULL", Some("-1.5")))
+    assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN c STRING DEFAULT 'a b' COMMENT 'keep me'") ==
+      ColumnDdl("s", "t", "add", "c", "STRING COMMENT 'keep me'", Some("'a b'")))
+    assert(parseWireDdl(
+      "ALTER TABLE s.t MODIFY COLUMN c TIMESTAMP NULL DEFAULT CURRENT_TIMESTAMP ON UPDATE CURRENT_TIMESTAMP") ==
+      ColumnDdl("s", "t", "modify", "c", "TIMESTAMP", Some("CURRENT_TIMESTAMP")))
+    assert(parseWireDdl(
+      "ALTER TABLE s.t MODIFY COLUMN c STRING CHARACTER SET utf8mb4 COLLATE utf8mb4_bin") ==
+      ColumnDdl("s", "t", "modify", "c", "STRING"))
+    assert(parseWireDdl("ALTER TABLE s.t FROBNICATE NONSENSE") ==
+      UnknownDdl("ALTER TABLE s.t FROBNICATE NONSENSE"))
     // CHANGE = rename+retype; both rename-table spellings converge
     assert(parseWireDdl("alter table s.t change column a b DECIMAL(10,1)") ==
       ColumnDdl("s", "t", "change", "a", "b DECIMAL(10,1)"))
+    assert(parseWireDdl("alter table s.t change a b BIGINT DEFAULT 9 AFTER z") ==
+      ColumnDdl("s", "t", "change", "a", "b BIGINT", Some("9")))
     assert(parseWireDdl("RENAME TABLE s.t TO s2.u") ==
       RenameDdl("s", "t", Some("s2"), "u"))
     assert(parseWireDdl("ALTER TABLE s.t RENAME TO u") ==
@@ -1708,16 +1736,20 @@ class StreamingSpec extends SparkSpec {
         RenameDdl("s", "_t_new", Some("s"), "t")))
     // single statements pass through the list parser unchanged
     assert(parseWireDdls("TRUNCATE TABLE s.t") == Seq(TruncateDdl("s", "t")))
-    // backslash-escaped quotes inside a literal stay inside the literal
+    // backslash-escaped quotes inside a literal stay inside the literal —
+    // through the def split AND the captured origin default
     assert(parseWireDdl(
       "CREATE TABLE s.t (a VARCHAR(9) DEFAULT 'x\\'y', b INT)") ==
-      CreateDdl("s", "t", Seq("a VARCHAR(9) DEFAULT 'x\\'y'", "b INT")))
+      CreateDdl("s", "t", Seq("a VARCHAR(9)", "b INT"),
+        ifNotExists = false, defaults = Map("a" -> "'x\\'y'")))
     // FLASHBACK (plain and renamed) and CREATE LIKE
     assert(parseWireDdl("FLASHBACK TABLE s.t") == FlashbackDdl("s", "t", None))
     assert(parseWireDdl("flashback table s.t TO t9") ==
       FlashbackDdl("s", "t", Some("t9")))
     assert(parseWireDdl("CREATE TABLE s.t2 LIKE s.t") ==
       CreateLikeDdl("s", "t2", "s", "t"))
+    assert(parseWireDdl("CREATE TABLE IF NOT EXISTS s.t2 LIKE s.t") ==
+      CreateLikeDdl("s", "t2", "s", "t", ifNotExists = true))
   }
 
   test("streamed wire DDL grammar: admin/unknown statements skip counted; case and backticks lex; tracked-shape unknowns throw") {
@@ -1878,6 +1910,146 @@ class StreamingSpec extends SparkSpec {
       "no recoverable drop-time shape")
     loudCase("like", "CREATE TABLE app.t9 LIKE app.missing_src",
       "source is not tracked")
+    // the already-tracked dispatch: a plain CREATE of a tracked name is
+    // illegal upstream and unappliable — explicit throw, not the default
+    // skip (a silent drop would leave the decode blind to a divergence)
+    loudCase("crdup", "CREATE TABLE app.t (z INT)", "already-tracked")
+    loudCase("likedup", "CREATE TABLE app.t LIKE app.t", "already tracked")
+    // FLASHBACK whose recovery target is occupied: illegal upstream,
+    // explicit loud dispatch (was a silent counted skip)
+    loudCase("fbocc", "FLASHBACK TABLE app.was_dropped TO t", "already tracked")
+    // unrecognized FLASHBACK variants RECREATE tracked state — loud even
+    // though they sit outside the grammar: FLASHBACK DATABASE of a
+    // tracked schema, and an unqualified FLASHBACK TABLE of a tracked
+    // bare name (the qual scan alone cannot see either)
+    loudCase("fbdb", "FLASHBACK DATABASE app", "addresses tracked state")
+    loudCase("fbbare", "FLASHBACK TABLE t", "addresses tracked state")
+    // an unparseable CREATE TABLE of a NEW name in a TRACKED schema (CTAS)
+    // is fatal in dynamic mode — the new table's frames would silently drop
+    loudCase("ctas", "CREATE TABLE app.ctas AS SELECT 1 FROM dual",
+      "unparseable wire CREATE TABLE in tracked schema")
+
+    // …while the legal no-op and foreign forms still SKIP counted: CREATE
+    // IF NOT EXISTS of a tracked name, a foreign-schema CTAS, an
+    // unqualified FLASHBACK of a fully-foreign name, and a CREATE VIEW
+    // reading a tracked table (not a table-verb statement)
+    val wire3 = graft.util.Scratch.dir("graft_gram_wire3")
+    val out3 = graft.util.Scratch.dir("graft_gram_out3")
+    val ckpt3 = graft.util.Scratch.dir("graft_gram_ckpt3")
+    PbBinlogFile.write(
+      dml(Seq(51L), n => s"""{"k": ${n}.25}""")
+        .unionByName(ddl(52L, "CREATE TABLE IF NOT EXISTS app.t (z INT)"))
+        .unionByName(ddl(54L, "CREATE TABLE IF NOT EXISTS app.t LIKE app.t"))
+        .unionByName(ddl(56L, "CREATE TABLE foreign_db.x AS SELECT 1 FROM dual"))
+        .unionByName(ddl(58L, "FLASHBACK TABLE completely_foreign"))
+        .unionByName(ddl(60L, "CREATE VIEW app.v AS SELECT k FROM app.t")),
+      wire3, nFiles = 1)
+    val tracker5 = new SchemaTracker()
+    tracker5.createTable("app", "t", Seq("k DOUBLE"), version = 0)
+    val skipped3 = spark.sparkContext.longAccumulator("test.skipped_ddl3")
+    val q3 = CdcStream.ddlDrivenDecodeTables(
+      PbBinlogFile.readStream(spark, wire3), tracker5, out3, ckpt3,
+      "app", col("event_type"), skippedDdl = Some(skipped3))
+    try q3.processAllAvailable() finally q3.stop()
+    assert(skipped3.value == 5L,
+      s"expected 5 counted skips, got ${skipped3.value}")
+    assert(tracker5.current("app", "t").get.columns == Vector("k DOUBLE") &&
+      tracker5.current("app", "t").get.version == 0L,
+      "a skipped statement must neither reshape nor bump the version")
+  }
+
+  test("wire column DDL option tails: add-column-with-default decodes; origin default survives restart") {
+    // the verdict-r12 robustness gap: `ALTER TABLE s.t ADD COLUMN c INT
+    // DEFAULT 5 AFTER k` is ROUTINE real traffic (ref:
+    // tests/dailytest/case.go:386-485 runs add-column-with-default under
+    // load) and used to fail loudly at the decodability check — the
+    // normalizer must strip the decode-neutral tail, the decode must ride
+    // on, and the stripped DEFAULT must survive as the column's ORIGIN
+    // default (ref: drainer/translator/translator.go:169-227), including
+    // across a restart replay of the durable log
+    import graft.sources.PbBinlogFile
+    val wireDir = graft.util.Scratch.dir("graft_tail_wire")
+    val outDir = graft.util.Scratch.dir("graft_tail_out")
+    val ckpt = graft.util.Scratch.dir("graft_tail_ckpt")
+    def dml(ids: Seq[Long], props: Long => String) =
+      ids.toDF("commit_ts").select(
+        col("commit_ts"), col("commit_ts").as("pk"), lit("U").as("op"),
+        lit("t").as("event_type"),
+        timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+        col("commit_ts").cast("double").as("value"),
+        udf(props).apply(col("commit_ts")).as("props"),
+        lit(null).cast("string").as("ddl_sql"))
+    def ddl(ts: Long, sql: String) = Seq(ts).toDF("commit_ts").select(
+      col("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
+      lit("ddl").as("event_type"),
+      timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+      lit(null).cast("double").as("value"),
+      lit(null).cast("string").as("props"),
+      lit(sql).as("ddl_sql"))
+    PbBinlogFile.write(
+      dml(Seq(1L, 3L), n => s"""{"k": ${n}.25}""")
+        .unionByName(ddl(10L,
+          "ALTER TABLE app.t ADD COLUMN c INT DEFAULT 5 AFTER k"))
+        .unionByName(dml(Seq(11L, 13L), n => s"""{"k": ${n}.25, "c": $n}"""))
+        // a MODIFY with charset junk applies the retype and DISCARDS its
+        // default tail — the origin default is the ADD-time value
+        .unionByName(ddl(14L,
+          "ALTER TABLE app.t MODIFY COLUMN c BIGINT CHARACTER SET utf8mb4 COLLATE utf8mb4_bin DEFAULT 99"))
+        .unionByName(dml(Seq(15L), n => s"""{"k": ${n}.25, "c": $n}""")),
+      wireDir, nFiles = 1)
+    val tracker = new SchemaTracker()
+    tracker.createTable("app", "t", Seq("k DOUBLE"), version = 0)
+    val q = CdcStream.ddlDrivenDecodeTables(
+      PbBinlogFile.readStream(spark, wireDir), tracker, outDir, ckpt,
+      "app", col("event_type"))
+    try q.processAllAvailable() finally q.stop()
+    assert(tracker.current("app", "t").get.columns ==
+      Vector("k DOUBLE", "c BIGINT"))
+    assert(tracker.originDefault("app", "t", "c") == Some("5"),
+      "the ADD-time DEFAULT is the origin default; MODIFY must not change it")
+    val rows = spark.read.parquet(s"$outDir/data/batch=0/table=t").collect()
+      .map(r => r.getAs[Long]("commit_ts") ->
+        ((Option(r.getAs[String]("c_str")), r.getAs[Long]("schema_version"))))
+      .toMap
+    assert(rows.size == 5)
+    assert(rows(3L) == ((None, 0L)), "pre-add frames carry no c")
+    assert(rows(11L) == ((Some("11"), 10L)) && rows(13L) == ((Some("13"), 10L)),
+      s"post-add frames must decode c, got $rows")
+    assert(rows(15L) == ((Some("15"), 14L)), "post-modify frames at the retype version")
+
+    // restart: the origin_default record replays from the durable log
+    val tracker2 = new SchemaTracker()
+    tracker2.createTable("app", "t", Seq("k DOUBLE"), version = 0)
+    CdcStream.recoverDecodeTracker(spark, outDir, ckpt, tracker2)
+    assert(tracker2.current("app", "t").get.columns ==
+      Vector("k DOUBLE", "c BIGINT"))
+    assert(tracker2.originDefault("app", "t", "c") == Some("5"),
+      "origin default must survive the restart replay")
+
+    // and a wire CREATE TABLE's per-column defaults register the same way
+    val wire2 = graft.util.Scratch.dir("graft_tail_wire2")
+    val out2 = graft.util.Scratch.dir("graft_tail_out2")
+    val ckpt2 = graft.util.Scratch.dir("graft_tail_ckpt2")
+    PbBinlogFile.write(
+      ddl(20L, "CREATE TABLE app.tn (id BIGINT NOT NULL, v INT DEFAULT 7, PRIMARY KEY (id))")
+        .unionByName(dml(Seq(21L), n => s"""{"id": $n, "v": $n}""")
+          .withColumn("event_type", lit("tn"))),
+      wire2, nFiles = 1)
+    val tracker3 = new SchemaTracker()
+    tracker3.createTable("app", "t", Seq("k DOUBLE"), version = 0)
+    val q2 = CdcStream.ddlDrivenDecodeTables(
+      PbBinlogFile.readStream(spark, wire2), tracker3, out2, ckpt2,
+      "app", col("event_type"))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(tracker3.current("app", "tn").get.columns ==
+      Vector("id BIGINT NOT NULL", "v INT"),
+      "NOT NULL survives in the def; constraints and DEFAULT drop out")
+    assert(tracker3.originDefault("app", "tn", "v") == Some("7"))
+    val tn = spark.read.parquet(s"$out2/data/batch=0/table=tn").collect()
+      .map(r => (r.getAs[Long]("commit_ts"), r.getAs[String]("id_str"),
+        r.getAs[String]("v_str")))
+    assert(tn.toSeq == Seq((21L, "21", "21")),
+      "a NOT NULL def must still decode through from_json")
   }
 
   test("online-schema-change cutover: CREATE LIKE + chained atomic RENAME follow through the decode") {
