@@ -728,6 +728,12 @@ object CdcStream {
       layout = (id, s, t) => s"$outDir/data/batch=$id/schema=$s/table=$t",
       belowFrontier, skippedDdl, emit)
 
+  /** Test hook: per-output-dir size of the last batch's driver-side
+    * catalog view — the O(touched ∪ addressed) discipline is asserted by
+    * spec against a wide registration (never consulted by product code). */
+  private[graft] val lastDriverCatalogSizes =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   private def decodeQuery(wire: DataFrame, tracker: SchemaTracker,
       outDir: String, checkpoint: String, schemas: Seq[String],
       schemaOf: Column, tableOf: Column,
@@ -767,16 +773,72 @@ object CdcStream {
         // pin it once instead of re-running the source scan each time
         val batch = batch0.persist()
         try {
-          val tables0: Seq[(String, String)] = fixedTables.getOrElse(
-            schemas.flatMap(s => tracker.tablesOf(s).map(s -> _)))
+          // ONE gather job per batch, grouped by (is_ddl, schema, table):
+          // result rows = the TOUCHED table set plus the DDL frames'
+          // routing groups — metadata-sized. Every piece of per-trigger
+          // driver state below (catalog view, slice seeds, frontier
+          // check) builds from (touched ∪ DDL-addressed), NEVER from the
+          // full registration: at 100k tracked tables and sparse traffic
+          // that is a handful of map entries per trigger, not 100k.
+          val gathered = batch.groupBy(
+              (col("op") === "DDL").as("is_ddl"),
+              schemaOf.as("s"), tableOf.as("t"))
+            .agg(
+              sort_array(collect_list(when(col("op") === "DDL",
+                struct(col("commit_ts"), col("ddl_sql"))))).as("ddls"),
+              min(when(col("op") =!= "DDL", col("commit_ts"))).as("min_ts"))
+            .collect()
+          // DDL frames in commit-ts order (ties by statement text, the
+          // pre-grouping sort_array convention; a missing statement text
+          // sorts first and parses to a counted unknown)
+          val ddls = gathered.filter(_.getBoolean(0)).toSeq
+            .flatMap(_.getSeq[org.apache.spark.sql.Row](3))
+            .map(r => (r.getLong(0), r.getString(1)))
+            .sortBy { case (ts, sql) => (ts, if (sql == null) "" else sql) }
+          // the tables this batch actually carries DML for, each with its
+          // min commit ts (the frontier-violation precheck input) —
+          // per-batch decode/write/emit work scales with THIS set
+          val touchedMin: Map[(String, String), Long] = gathered
+            .filter(r => !r.getBoolean(0))
+            .map(r => (r.getString(1), r.getString(2)) -> r.getLong(4)).toMap
+          val touched = touchedMin.keySet
+          // parse once; the walk below dispatches the same parse
+          val parsedDdls: Seq[(Long, String, Seq[WireDdl])] =
+            ddls.map { case (ts, stmt) => (ts, stmt, parseWireDdls(stmt)) }
+          // every (schema, table) a parsed statement may consult or
+          // mutate — membership in the local catalog view drives the
+          // dispatch, so the view must cover these keys too
+          def keysOf(d: WireDdl): Seq[(String, String)] = d match {
+            case ColumnDdl(s, t, _, _, _, _)   => Seq((s, t))
+            case TruncateDdl(s, t)             => Seq((s, t))
+            case CreateDdl(s, t, _, _, _)      => Seq((s, t))
+            case DropTableDdl(s, t)            => Seq((s, t))
+            case RenameDdl(s, t, toS, to)      => Seq((s, t), (toS.getOrElse(s), to))
+            case FlashbackDdl(s, t, to)        => Seq((s, t), (s, to.getOrElse(t)))
+            case CreateLikeDdl(s, t, s2, u, _) => Seq((s, t), (s2, u))
+            case DropSchemaDdl(s)              => tracker.tablesOf(s).map(s -> _)
+            case UnknownDdl(text)              => qualsAddressed(text)
+            case AdminDdl                      => Seq.empty
+          }
+          val subsetKeys: Seq[(String, String)] = fixedTables.getOrElse(
+            (touched ++ parsedDdls.flatMap(_._3).flatMap(keysOf)).toSeq.sorted)
           // the LOCAL catalog view: the decode transforms this copy, and
           // the live tracker advances only after the batch's output and
           // DDL log are durable — a crash mid-write replays against an
-          // unchanged tracker and reproduces the same bytes
-          var catalog: Map[(String, String), tracker.TableInfo] = tables0.map { k =>
-            k -> tracker.current(k._1, k._2).getOrElse(
-              throw new NoSuchElementException(s"${k._1}.${k._2} not registered"))
-          }.toMap
+          // unchanged tracker and reproduces the same bytes. The fixed
+          // (single-table) form still demands registration; on the
+          // dynamic wire an absent key is simply foreign traffic whose
+          // frames drop.
+          var catalog: Map[(String, String), tracker.TableInfo] =
+            if (fixedTables.isDefined)
+              subsetKeys.map { k =>
+                k -> tracker.current(k._1, k._2).getOrElse(
+                  throw new NoSuchElementException(s"${k._1}.${k._2} not registered"))
+              }.toMap
+            else
+              subsetKeys.flatMap(k =>
+                tracker.current(k._1, k._2).map(k -> _)).toMap
+          lastDriverCatalogSizes.put(outDir, Integer.valueOf(catalog.size))
           // drop-time shapes of tables dropped IN THIS BATCH — a same-batch
           // FLASHBACK reads these (the live tracker's graveyard only fills
           // when the batch commits); cross-batch recovery consults
@@ -786,55 +848,45 @@ object CdcStream {
           // would pass the guard twice and wedge the commit walk)
           var localGrave = Map.empty[(String, String), Vector[String]]
           var consumedGrave = Set.empty[(String, String)]
-          // ONE gather job per batch: the (rare, bounded) DDL rows AND the
-          // forward-only contract check — a frame delivered below ITS
-          // table's already-applied DDL frontier would decode with the NEW
-          // schema (slicing happens within the batch; ref:
-          // drainer/syncer.go decodes each DML at the schema in force at
-          // its commit ts). The upstream ordered merge makes violations
+          // forward-only contract precheck from the SAME gather — a frame
+          // delivered below ITS table's already-applied DDL frontier would
+          // decode with the NEW schema (slicing happens within the batch;
+          // ref: drainer/syncer.go decodes each DML at the schema in force
+          // at its commit ts). The upstream ordered merge makes violations
           // impossible; if a pump ever breaks the contract, the count
           // surfaces instead of rows silently mis-typing. Registration
           // versions are 0/negative, so only tables with an applied wire
-          // DDL contribute a frontier term.
-          // one map-literal lookup, not an OR-chain over the tracked set —
-          // a per-table branch would grow the codegen'd predicate linearly
-          // with the catalog (thousands of tables → an unplannable
-          // expression); the map lookup stays O(1) in plan size
-          // frontier keys combine (schema, table) with a space — the lexer
-          // admits only [A-Za-z0-9_] identifiers, so the key is
-          // collision-free
-          val keyOf = concat(schemaOf, lit(" "), tableOf)
-          val frontiers = catalog.collect {
-            case ((s, t), info) if info.version > 0 =>
-              (s + " " + t) -> info.version
+          // DDL contribute a frontier term; a touched table whose min
+          // commit ts sits at/below its frontier carries violating frames.
+          // EXACT counting needs a row-level pass — run it ONLY when the
+          // precheck fires (never, under the ordered merge), keeping the
+          // normal path at one gather job and O(touched) driver state.
+          val suspect = touchedMin.filter { case (k, minTs) =>
+            catalog.get(k).exists(i => i.version > 0 && minTs <= i.version)
           }
-          val belowCond =
-            if (frontiers.isEmpty) lit(false)
-            else col("commit_ts") <= coalesce(
-              element_at(typedLit(frontiers), keyOf), lit(Long.MinValue))
-          val gathered = batch.agg(
-            sort_array(collect_list(when(col("op") === "DDL",
-              struct(col("commit_ts"), col("ddl_sql"))))).as("ddls"),
-            sum(when(col("op") =!= "DDL" && belowCond, 1L)).as("below"),
-            collect_set(when(col("op") =!= "DDL",
-              struct(schemaOf.as("s"), tableOf.as("t")))).as("touched")).head()
-          val ddls = gathered.getSeq[org.apache.spark.sql.Row](0)
-            .map(r => (r.getLong(0), r.getString(1)))
-          if (!gathered.isNullAt(1) && gathered.getLong(1) > 0)
-            frontierViolations.add(gathered.getLong(1))
-          // the tables this batch actually carries DML for — per-batch
-          // decode/write/emit work scales with THIS set, not with every
-          // table the tracker knows (at N tracked tables and sparse
-          // traffic, the difference is N jobs per trigger vs a handful)
-          val touched = gathered.getSeq[org.apache.spark.sql.Row](2)
-            .map(r => (r.getString(0), r.getString(1))).toSet
+          if (suspect.nonEmpty) {
+            // one map-literal lookup, not an OR-chain over the suspect set
+            // (an OR-chain grows the codegen'd predicate linearly); keys
+            // combine (schema, table) with a space — the lexer admits only
+            // [A-Za-z0-9_] identifiers, so the key is collision-free
+            val keyOf = concat(schemaOf, lit(" "), tableOf)
+            val frontiers = suspect.keys.map(k =>
+              (k._1 + " " + k._2) -> catalog(k).version).toMap
+            val below = batch.filter(col("op") =!= "DDL" &&
+              col("commit_ts") <= coalesce(
+                element_at(typedLit(frontiers), keyOf), lit(Long.MinValue)))
+              .count()
+            if (below > 0) frontierViolations.add(below)
+          }
 
           val applied = scala.collection.mutable.ArrayBuffer.empty[AppliedDdl]
+          // seeded from the subset view, not the registration — see the
+          // gather note above
           val slicesOf = scala.collection.mutable.LinkedHashMap(
-            tables0.map(k =>
+            catalog.keys.toSeq.sorted.map(k =>
               k -> scala.collection.mutable.ArrayBuffer.empty[DataFrame]): _*)
           val lowerOf = scala.collection.mutable.Map(
-            tables0.map(_ -> Long.MinValue): _*)
+            catalog.keys.toSeq.map(_ -> Long.MinValue): _*)
           // every column def a table's slices decoded with THIS batch, in
           // first-seen order with the latest type winning — `emit` casts
           // by these, so pre-barrier values of a column dropped or renamed
@@ -889,7 +941,7 @@ object CdcStream {
           // nulls where a column did not exist yet (added: NULL before,
           // value after) or no longer exists (dropped: value before, NULL
           // after).
-          ddls.foreach { case (ts, stmt) =>
+          parsedDdls.foreach { case (ts, stmt, parsedParts) =>
             // a DDL whose resulting defs Spark's DDL parser rejects (wire
             // types live in Spark's type domain) must fail AT the
             // statement — durably logging a broken def would instead kill
@@ -915,7 +967,7 @@ object CdcStream {
             }
             // one statement may carry several actions (multi-table
             // RENAME/DROP lists); each part dispatches independently
-            parseWireDdls(stmt).foreach {
+            parsedParts.foreach {
               case ColumnDdl(s, t, action, c, arg, dflt) if catalog.contains((s, t)) =>
                 shapeDdl((s, t), action, c, arg)(i => action match {
                   case "modify" => tracker.retyped(i, c, s"$c $arg", ts)
@@ -1130,7 +1182,11 @@ object CdcStream {
                         trackedSchemas(id) || catalog.keys.exists(_._2 == id) ||
                           localGrave.keys.exists(_._2 == id) ||
                           trackedSchemas.exists(s2 =>
-                            tracker.droppedTables(s2).contains(id))) =>
+                            // the LIVE registration, not the subset view —
+                            // the bare name may be a tracked table this
+                            // batch neither touched nor addressed
+                            tracker.tablesOf(s2).contains(id) ||
+                              tracker.droppedTables(s2).contains(id))) =>
                     // an unrecognized FLASHBACK variant (FLASHBACK DATABASE
                     // of a tracked schema, an unqualified FLASHBACK TABLE of
                     // a tracked/dropped name, FLASHBACK CLUSTER) RECREATES

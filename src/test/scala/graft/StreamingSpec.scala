@@ -1958,6 +1958,76 @@ class StreamingSpec extends SparkSpec {
       "a skipped statement must neither reshape nor bump the version")
   }
 
+  test("per-trigger driver init scales with the touched set, not the registration") {
+    // at 100k tracked tables and sparse traffic, rebuilding the full
+    // catalog view (and seeding per-table slice maps) every trigger is
+    // O(registration) driver CPU for a batch that touches one table —
+    // the view must build from (touched ∪ DDL-addressed) only
+    import graft.sources.PbBinlogFile
+    val wireDir = graft.util.Scratch.dir("graft_tchd_wire")
+    val outDir = graft.util.Scratch.dir("graft_tchd_out")
+    val ckpt = graft.util.Scratch.dir("graft_tchd_ckpt")
+    PbBinlogFile.write(
+      Seq(1L, 3L).toDF("commit_ts").select(
+        col("commit_ts"), col("commit_ts").as("pk"), lit("U").as("op"),
+        lit("t007").as("event_type"),
+        timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+        col("commit_ts").cast("double").as("value"),
+        concat(lit("{\"k\": "), col("commit_ts").cast("string"), lit("}"))
+          .as("props"),
+        lit(null).cast("string").as("ddl_sql"))
+        // one foreign-table DDL rides along: addressed-but-untracked keys
+        // stay out of the view; a TRACKED addressed table would add one
+        .unionByName(Seq(4L).toDF("commit_ts").select(
+          col("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
+          lit("ddl").as("event_type"),
+          timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+          lit(null).cast("double").as("value"),
+          lit(null).cast("string").as("props"),
+          lit("ALTER TABLE other.x ADD COLUMN y INT").as("ddl_sql"))),
+      wireDir, nFiles = 1)
+    val tracker = new SchemaTracker()
+    (0 until 200).foreach(i =>
+      tracker.createTable("app", f"t$i%03d", Seq("k DOUBLE"), version = 0))
+    val q = CdcStream.ddlDrivenDecodeTables(
+      PbBinlogFile.readStream(spark, wireDir), tracker, outDir, ckpt,
+      "app", col("event_type"))
+    try q.processAllAvailable() finally q.stop()
+    val viewSize = CdcStream.lastDriverCatalogSizes.get(outDir)
+    assert(viewSize != null && viewSize.intValue == 1,
+      s"driver catalog view must hold only the touched table, got $viewSize of 200")
+    assert(spark.read.parquet(s"$outDir/data/batch=0/table=t007")
+      .select("commit_ts").as[Long].collect().toSet == Set(1L, 3L))
+    // a DDL addressing a REGISTERED-but-untouched table still enters the
+    // view (the dispatch needs its shape) and applies
+    val wire2 = graft.util.Scratch.dir("graft_tchd_wire2")
+    PbBinlogFile.write(
+      Seq(11L).toDF("commit_ts").select(
+        col("commit_ts"), col("commit_ts").as("pk"), lit("U").as("op"),
+        lit("t007").as("event_type"),
+        timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+        col("commit_ts").cast("double").as("value"),
+        concat(lit("{\"k\": "), col("commit_ts").cast("string"), lit("}"))
+          .as("props"),
+        lit(null).cast("string").as("ddl_sql"))
+        .unionByName(Seq(12L).toDF("commit_ts").select(
+          col("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
+          lit("ddl").as("event_type"),
+          timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+          lit(null).cast("double").as("value"),
+          lit(null).cast("string").as("props"),
+          lit("ALTER TABLE app.t123 ADD COLUMN extra BIGINT").as("ddl_sql"))),
+      wire2, nFiles = 1)
+    val q2 = CdcStream.ddlDrivenDecodeTables(
+      PbBinlogFile.readStream(spark, wire2), tracker, outDir,
+      graft.util.Scratch.dir("graft_tchd_ckpt2"), "app", col("event_type"))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(CdcStream.lastDriverCatalogSizes.get(outDir).intValue == 2,
+      "touched + DDL-addressed must both be in the view")
+    assert(tracker.current("app", "t123").get.columns ==
+      Vector("k DOUBLE", "extra BIGINT"))
+  }
+
   test("wire column DDL option tails: add-column-with-default decodes; origin default survives restart") {
     // the verdict-r12 robustness gap: `ALTER TABLE s.t ADD COLUMN c INT
     // DEFAULT 5 AFTER k` is ROUTINE real traffic (ref:
