@@ -734,6 +734,71 @@ object CdcStream {
   private[graft] val lastDriverCatalogSizes =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
+  /** Lower-case the schema/table identifiers of one parsed wire statement
+    * — applied when the tracker opts into `foldCase` (column identifiers
+    * never fold; see [[SchemaTracker]]'s policy note). */
+  private def foldWireDdl(d: WireDdl): WireDdl = d match {
+    case x: ColumnDdl     => x.copy(schema = x.schema.toLowerCase,
+      table = x.table.toLowerCase)
+    case x: TruncateDdl   => TruncateDdl(x.schema.toLowerCase, x.table.toLowerCase)
+    case x: CreateDdl     => x.copy(schema = x.schema.toLowerCase,
+      table = x.table.toLowerCase)
+    case x: DropTableDdl  => DropTableDdl(x.schema.toLowerCase, x.table.toLowerCase)
+    case x: RenameDdl     => RenameDdl(x.schema.toLowerCase, x.table.toLowerCase,
+      x.toSchema.map(_.toLowerCase), x.to.toLowerCase)
+    case x: DropSchemaDdl => DropSchemaDdl(x.schema.toLowerCase)
+    case x: FlashbackDdl  => FlashbackDdl(x.schema.toLowerCase,
+      x.table.toLowerCase, x.to.map(_.toLowerCase))
+    case x: CreateLikeDdl => x.copy(schema = x.schema.toLowerCase,
+      table = x.table.toLowerCase, srcSchema = x.srcSchema.toLowerCase,
+      srcTable = x.srcTable.toLowerCase)
+    case other            => other
+  }
+
+  /** Name of the `observe()` node every decode query carries — its
+    * aggregates land in `StreamingQueryProgress.observedMetrics` per
+    * micro-batch. */
+  val DecodeObservationName = "graft_decode"
+
+  /** A4 metrics through the STREAMING ENGINE's own progress path: merges
+    * each decode query's observed event counts (plan-side aggregates —
+    * ddl_frames, dml_frames, max_commit_ts) with the two driver-side
+    * counters the decode keeps (skipped administrative DDL, below-frontier
+    * frames — walk products no plan expression can compute), keyed by
+    * query id. An operator reads ONE map per query from progress events
+    * instead of digging accumulators out of the Spark UI (ref:
+    * drainer/metrics.go registers event counters and skipped-job counts as
+    * first-class Prometheus metrics). Register with
+    * `spark.streams.addListener`; pass the SAME accumulators given to the
+    * decode. Snapshots persist past query stop (progress events are
+    * asynchronous — poll [[snapshot]] until the expected batch shows). */
+  final class DecodeMetricsListener(
+      skippedDdl: Option[org.apache.spark.util.LongAccumulator] = None,
+      belowFrontier: Option[org.apache.spark.util.LongAccumulator] = None)
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val byId =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, Map[String, Long]]()
+    def snapshot(queryId: java.util.UUID): Map[String, Long] =
+      Option(byId.get(queryId)).getOrElse(Map.empty)
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val row = e.progress.observedMetrics.get(DecodeObservationName)
+      if (row != null) {
+        // accumulator reads are safe here: foreachBatch completes (and
+        // with it every driver-side .add) before the progress event fires
+        val counters: Map[String, Long] =
+          skippedDdl.map(a => "skipped_ddl" -> a.value.longValue).toMap ++
+            belowFrontier.map(a => "below_frontier_frames" -> a.value.longValue).toMap
+        val obs = row.schema.fieldNames.zipWithIndex.collect {
+          case (n, i) if !row.isNullAt(i) => n -> row.getLong(i)
+        }.toMap
+        byId.put(e.progress.id, obs ++ counters)
+      }
+    }
+  }
+
   private def decodeQuery(wire: DataFrame, tracker: SchemaTracker,
       outDir: String, checkpoint: String, schemas: Seq[String],
       schemaOf: Column, tableOf: Column,
@@ -764,8 +829,29 @@ object CdcStream {
     // the single-table form writes a flat batch dir, where a second table
     // would collide — there a CREATE skips like any foreign DDL
     val dynamicTables = fixedTables.isEmpty
-    val trackedSchemas = schemas.toSet
-    wire.writeStream
+    // identifier policy from the tracker (the lower_case_table_names
+    // analog, SchemaTracker.foldCase): schema/table identifiers fold at
+    // EVERY boundary — the routing expressions, the registration-derived
+    // sets, and the parsed wire statements — so mixed-case traffic lands
+    // on one table; column names never fold (from_json matches JSON keys
+    // exactly as declared)
+    val fold = tracker.foldCase
+    def normId(id: String): String = if (fold) id.toLowerCase else id
+    val trackedSchemas = schemas.map(normId).toSet
+    val sOf = if (fold) lower(schemaOf) else schemaOf
+    val tOf = if (fold) lower(tableOf) else tableOf
+    val fixedKeys = fixedTables.map(_.map { case (s, t) => (normId(s), normId(t)) })
+    // A4-parity event counts in the query's own progress stream
+    // (`StreamingQueryProgress.observedMetrics`) — [[DecodeMetricsListener]]
+    // merges these with the two driver-side counters above, so an operator
+    // reads skips and frontier violations from progress events instead of
+    // digging accumulators out of the Spark UI (ref: drainer/metrics.go
+    // counts events and skipped jobs as first-class metrics)
+    val observed = wire.observe(DecodeObservationName,
+      count(when(col("op") === "DDL", lit(1))).as("ddl_frames"),
+      count(when(col("op") =!= "DDL", lit(1))).as("dml_frames"),
+      max(col("commit_ts")).as("max_commit_ts"))
+    observed.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch0: DataFrame, id: Long) =>
         val spark = batch0.sparkSession
@@ -782,7 +868,7 @@ object CdcStream {
           // that is a handful of map entries per trigger, not 100k.
           val gathered = batch.groupBy(
               (col("op") === "DDL").as("is_ddl"),
-              schemaOf.as("s"), tableOf.as("t"))
+              sOf.as("s"), tOf.as("t"))
             .agg(
               sort_array(collect_list(when(col("op") === "DDL",
                 struct(col("commit_ts"), col("ddl_sql"))))).as("ddls"),
@@ -802,9 +888,13 @@ object CdcStream {
             .filter(r => !r.getBoolean(0))
             .map(r => (r.getString(1), r.getString(2)) -> r.getLong(4)).toMap
           val touched = touchedMin.keySet
-          // parse once; the walk below dispatches the same parse
+          // parse once; the walk below dispatches the same parse (folded
+          // under the tracker's identifier policy)
           val parsedDdls: Seq[(Long, String, Seq[WireDdl])] =
-            ddls.map { case (ts, stmt) => (ts, stmt, parseWireDdls(stmt)) }
+            ddls.map { case (ts, stmt) =>
+              val parts = parseWireDdls(stmt)
+              (ts, stmt, if (fold) parts.map(foldWireDdl) else parts)
+            }
           // every (schema, table) a parsed statement may consult or
           // mutate — membership in the local catalog view drives the
           // dispatch, so the view must cover these keys too
@@ -817,10 +907,11 @@ object CdcStream {
             case FlashbackDdl(s, t, to)        => Seq((s, t), (s, to.getOrElse(t)))
             case CreateLikeDdl(s, t, s2, u, _) => Seq((s, t), (s2, u))
             case DropSchemaDdl(s)              => tracker.tablesOf(s).map(s -> _)
-            case UnknownDdl(text)              => qualsAddressed(text)
+            case UnknownDdl(text)              =>
+              qualsAddressed(text).map(q => (normId(q._1), normId(q._2)))
             case AdminDdl                      => Seq.empty
           }
-          val subsetKeys: Seq[(String, String)] = fixedTables.getOrElse(
+          val subsetKeys: Seq[(String, String)] = fixedKeys.getOrElse(
             (touched ++ parsedDdls.flatMap(_._3).flatMap(keysOf)).toSeq.sorted)
           // the LOCAL catalog view: the decode transforms this copy, and
           // the live tracker advances only after the batch's output and
@@ -830,7 +921,7 @@ object CdcStream {
           // dynamic wire an absent key is simply foreign traffic whose
           // frames drop.
           var catalog: Map[(String, String), tracker.TableInfo] =
-            if (fixedTables.isDefined)
+            if (fixedKeys.isDefined)
               subsetKeys.map { k =>
                 k -> tracker.current(k._1, k._2).getOrElse(
                   throw new NoSuchElementException(s"${k._1}.${k._2} not registered"))
@@ -869,7 +960,7 @@ object CdcStream {
             // (an OR-chain grows the codegen'd predicate linearly); keys
             // combine (schema, table) with a space — the lexer admits only
             // [A-Za-z0-9_] identifiers, so the key is collision-free
-            val keyOf = concat(schemaOf, lit(" "), tableOf)
+            val keyOf = concat(sOf, lit(" "), tOf)
             val frontiers = suspect.keys.map(k =>
               (k._1 + " " + k._2) -> catalog(k).version).toMap
             val below = batch.filter(col("op") =!= "DDL" &&
@@ -908,8 +999,8 @@ object CdcStream {
               else StructType.fromDDL(info.columns.mkString(", "))
             val payload = from_json(col("props"), wireSchema)
             slicesOf(k) += batch
-              .filter(col("op") =!= "DDL" && schemaOf === lit(k._1) &&
-                tableOf === lit(k._2) &&
+              .filter(col("op") =!= "DDL" && sOf === lit(k._1) &&
+                tOf === lit(k._2) &&
                 col("commit_ts") > lowerOf(k) && col("commit_ts") <= upper)
               // op rides through: a decoded binlog item keeps its mutation
               // type (I/U/D) — any downstream apply needs it
@@ -1170,7 +1261,8 @@ object CdcStream {
               case UnknownDdl(text) =>
                 // scan EVERY qualified name (a multi-table RENAME/DROP
                 // list may bury a tracked table behind untracked ones)
-                qualsAddressed(text).find(catalog.contains) match {
+                qualsAddressed(text).map(q => (normId(q._1), normId(q._2)))
+                  .find(catalog.contains) match {
                   case Some((s, t)) =>
                     throw new IllegalArgumentException(
                       s"unappliable wire DDL addresses tracked table $s.$t: " +
@@ -1178,7 +1270,7 @@ object CdcStream {
                         "shape; drop the statement upstream (F5 ddl-skip " +
                         "filter) or extend the decode grammar")
                   case None if FlashbackVerbRe.pattern.matcher(text).matches &&
-                      flashbackBareIds(text).exists(id =>
+                      flashbackBareIds(text).map(normId).exists(id =>
                         trackedSchemas(id) || catalog.keys.exists(_._2 == id) ||
                           localGrave.keys.exists(_._2 == id) ||
                           trackedSchemas.exists(s2 =>
@@ -1201,7 +1293,7 @@ object CdcStream {
                         "filter) or extend the decode grammar")
                   case None if dynamicTables &&
                       CreateTableVerbRe.pattern.matcher(text).matches &&
-                      qualsAddressed(text).exists(q => trackedSchemas(q._1)) =>
+                      qualsAddressed(text).exists(q => trackedSchemas(normId(q._1))) =>
                     // an unparseable CREATE TABLE of a NEW name in a TRACKED
                     // schema (CTAS, an option head the balanced-paren scan
                     // rejects): the new table belongs to the decode's

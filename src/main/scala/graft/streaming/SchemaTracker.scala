@@ -12,8 +12,19 @@ package graft.streaming
   * rare and totally ordered, so a single-writer catalog is not a
   * bottleneck — the per-row work (decode against a version) happens
   * distributed, against an immutable snapshot of this map.
-  */
-class SchemaTracker(historyDepth: Int = 2) {
+  *
+  * `foldCase = true` opts into MySQL's `lower_case_table_names` policy:
+  * SCHEMA and TABLE identifiers fold to lower case at every boundary —
+  * registration here and the wire grammar in the decode — so `APP.T` and
+  * `app.t` are one table, matching deployments where the upstream stores
+  * lowercased names (TiDB defaults to lower_case_table_names=2 semantics).
+  * COLUMN names never fold: lower_case_table_names does not apply to
+  * columns, and the decode's from_json must match the payload's JSON keys
+  * exactly as declared. Default (false) keeps the case-sensitive
+  * MySQL-on-Linux policy the grammar documents. */
+class SchemaTracker(historyDepth: Int = 2, val foldCase: Boolean = false) {
+
+  private def n(id: String): String = if (foldCase) id.toLowerCase else id
 
   /** `defaults` carries each column's ORIGIN default — the expression TiDB
     * fills for rows that PREDATE the column (ref:
@@ -36,7 +47,11 @@ class SchemaTracker(historyDepth: Int = 2) {
 
   def version: Long = currentVersion
 
-  private def push(key: (String, String), info: TableInfo): Unit = {
+  private def push(key0: (String, String), info0: TableInfo): Unit = {
+    val key = (n(key0._1), n(key0._2))
+    val info =
+      if (info0.schema == key._1 && info0.table == key._2) info0
+      else info0.copy(schema = key._1, table = key._2)
     val hist = byName.getOrElse(key, Vector.empty) :+ info
     byName += key -> hist.takeRight(historyDepth)
   }
@@ -158,13 +173,13 @@ class SchemaTracker(historyDepth: Int = 2) {
   def renameTable(schema: String, from: String, toSchema: String, to: String,
       version: Long): Unit = {
     currentVersion = version
-    val hist = byName.getOrElse((schema, from),
+    val hist = byName.getOrElse((n(schema), n(from)),
       throw new NoSuchElementException(s"$schema.$from"))
-    require(!byName.contains((toSchema, to)),
+    require(!byName.contains((n(toSchema), n(to))),
       s"rename target $toSchema.$to is already registered")
-    byName -= ((schema, from))
-    byName += (toSchema, to) -> hist.map(i =>
-      i.copy(schema = toSchema, table = to, version = version))
+    byName -= ((n(schema), n(from)))
+    byName += (n(toSchema), n(to)) -> hist.map(i =>
+      i.copy(schema = n(toSchema), table = n(to), version = version))
   }
 
   /** truncate resets the table identity but not its shape. */
@@ -175,8 +190,8 @@ class SchemaTracker(historyDepth: Int = 2) {
 
   def dropTable(schema: String, table: String, version: Long): Unit = {
     currentVersion = version
-    current(schema, table).foreach(i => graveyard += (schema, table) -> i)
-    byName -= ((schema, table))
+    current(schema, table).foreach(i => graveyard += (n(schema), n(table)) -> i)
+    byName -= ((n(schema), n(table)))
   }
 
   /** RecoverTable: re-register a dropped table with its last known shape
@@ -191,23 +206,23 @@ class SchemaTracker(historyDepth: Int = 2) {
     * the whole TableInfo). */
   def recoverTable(schema: String, table: String, to: String,
       version: Long): Unit = {
-    val info = graveyard.getOrElse((schema, table),
+    val info = graveyard.getOrElse((n(schema), n(table)),
       throw new NoSuchElementException(s"no dropped table $schema.$table to recover"))
-    graveyard -= ((schema, table))
+    graveyard -= ((n(schema), n(table)))
     currentVersion = version
-    push((schema, to), info.copy(table = to, version = version))
+    push((schema, to), info.copy(table = n(to), version = version))
   }
 
   /** Drop-time shape of a dropped table still in the graveyard — the
     * versioned decode consults this for a cross-batch FLASHBACK. */
   def droppedShape(schema: String, table: String): Option[Vector[String]] =
-    graveyard.get((schema, table)).map(_.columns)
+    graveyard.get((n(schema), n(table))).map(_.columns)
 
   /** Graveyard table names of a schema — the decode's loud-fail gate scans
     * these when an unrecognized FLASHBACK carries bare identifiers (an
     * unqualified name can only mean a tracked or dropped table). */
   def droppedTables(schema: String): Seq[String] =
-    graveyard.keys.collect { case (s, t) if s == schema => t }.toSeq.sorted
+    graveyard.keys.collect { case (s, t) if s == n(schema) => t }.toSeq.sorted
 
   /** Record column `column`'s ORIGIN default (see [[TableInfo.defaults]]).
     * Amends the CURRENT shape entry in place rather than pushing a new
@@ -216,10 +231,10 @@ class SchemaTracker(historyDepth: Int = 2) {
   def setOriginDefault(schema: String, table: String, column: String,
       expr: String, version: Long): Unit = {
     currentVersion = version
-    val hist = byName.getOrElse((schema, table),
+    val hist = byName.getOrElse((n(schema), n(table)),
       throw new NoSuchElementException(s"$schema.$table"))
     val last = hist.last
-    byName += (schema, table) ->
+    byName += (n(schema), n(table)) ->
       (hist.init :+ last.copy(defaults = last.defaults + (column -> expr)))
   }
 
@@ -253,16 +268,16 @@ class SchemaTracker(historyDepth: Int = 2) {
   }
 
   def current(schema: String, table: String): Option[TableInfo] =
-    byName.get((schema, table)).flatMap(_.lastOption)
+    byName.get((n(schema), n(table))).flatMap(_.lastOption)
 
   /** The registered tables of a schema, name-sorted — the multi-table
     * decode derives its per-batch decode set from this (ref: the drainer
     * decodes every table its schema storage knows, drainer/schema.go). */
   def tablesOf(schema: String): Seq[String] =
-    byName.keys.collect { case (s, t) if s == schema => t }.toSeq.sorted
+    byName.keys.collect { case (s, t) if s == n(schema) => t }.toSeq.sorted
 
   /** Schema valid at a DML's SchemaVersion: the newest entry whose version
     * is ≤ the requested one (ref: schema.go:221-234). */
   def atVersion(schema: String, table: String, version: Long): Option[TableInfo] =
-    byName.get((schema, table)).flatMap(_.reverse.find(_.version <= version))
+    byName.get((n(schema), n(table))).flatMap(_.reverse.find(_.version <= version))
 }

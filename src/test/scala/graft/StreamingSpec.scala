@@ -2028,6 +2028,131 @@ class StreamingSpec extends SparkSpec {
       Vector("k DOUBLE", "extra BIGINT"))
   }
 
+  test("opt-in case folding: mixed-case schema/table identifiers land on one table") {
+    // MySQL lower_case_table_names-style deployments (TiDB's default
+    // semantics) write mixed-case names that mean ONE table — under
+    // SchemaTracker(foldCase = true) registration, routing columns and
+    // the wire grammar all fold schema/table to lower case, while column
+    // identifiers stay exact (from_json must match the JSON keys). The
+    // default policy stays case-sensitive (the existing grammar test pins
+    // APP.T skipping as a case-variant foreign table).
+    import graft.sources.PbBinlogFile
+    val wireDir = graft.util.Scratch.dir("graft_fold_wire")
+    val outDir = graft.util.Scratch.dir("graft_fold_out")
+    val ckpt = graft.util.Scratch.dir("graft_fold_ckpt")
+    def dml(ids: Seq[Long], route: String, props: Long => String) =
+      ids.toDF("commit_ts").select(
+        col("commit_ts"), col("commit_ts").as("pk"), lit("U").as("op"),
+        lit(route).as("event_type"),
+        timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+        col("commit_ts").cast("double").as("value"),
+        udf(props).apply(col("commit_ts")).as("props"),
+        lit(null).cast("string").as("ddl_sql"))
+    def ddl(ts: Long, sql: String) = Seq(ts).toDF("commit_ts").select(
+      col("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
+      lit("ddl").as("event_type"),
+      timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+      lit(null).cast("double").as("value"),
+      lit(null).cast("string").as("props"),
+      lit(sql).as("ddl_sql"))
+    PbBinlogFile.write(
+      // three spellings of the SAME table on the routing column
+      dml(Seq(1L), "App:T", n => s"""{"k": ${n}.25}""")
+        .unionByName(dml(Seq(3L), "APP:t", n => s"""{"k": ${n}.25}"""))
+        .unionByName(ddl(10L, "ALTER TABLE `APP`.`T` ADD COLUMN extra BIGINT"))
+        .unionByName(dml(Seq(11L), "app:t",
+          n => s"""{"k": ${n}.25, "extra": $n}""")),
+      wireDir, nFiles = 1)
+    val tracker = new SchemaTracker(foldCase = true)
+    tracker.createTable("App", "T", Seq("k DOUBLE"), version = 0)
+    assert(tracker.current("APP", "t").get.columns == Vector("k DOUBLE"),
+      "folded registration must resolve under any case")
+    val q = CdcStream.ddlDrivenDecodeSchemas(
+      PbBinlogFile.readStream(spark, wireDir), tracker, outDir, ckpt,
+      Seq("APP"),
+      substring_index(col("event_type"), ":", 1),
+      substring_index(col("event_type"), ":", -1))
+    try q.processAllAvailable() finally q.stop()
+    // one folded table: all three spellings decoded, the mixed-case DDL
+    // applied, the layout dir carries the folded name
+    assert(tracker.current("app", "t").get.columns ==
+      Vector("k DOUBLE", "extra BIGINT"))
+    val rows = spark.read
+      .parquet(s"$outDir/data/batch=0/schema=app/table=t").collect()
+      .map(r => r.getAs[Long]("commit_ts") ->
+        ((Option(r.getAs[String]("extra_str")), r.getAs[Long]("schema_version"))))
+      .toMap
+    assert(rows.keySet == Set(1L, 3L, 11L), s"got ${rows.keySet}")
+    assert(rows(11L) == ((Some("11"), 10L)) && rows(1L) == ((None, 0L)),
+      s"got $rows")
+
+    // contrast: the default policy keeps the spellings distinct
+    val strict = new SchemaTracker()
+    strict.createTable("App", "T", Seq("k DOUBLE"), version = 0)
+    assert(strict.current("app", "t").isEmpty && strict.current("App", "T").isDefined)
+  }
+
+  test("decode metrics ride query progress: observed event counts merged with skip/frontier counters") {
+    // A4 through the engine's own telemetry: the decode's observe() node
+    // puts ddl/dml frame counts and the max commit ts into each progress
+    // event, and DecodeMetricsListener merges the two driver-side
+    // counters (skipped admin DDL, below-frontier frames) into the same
+    // per-query map — the operator-facing surface the reference serves
+    // from drainer/metrics.go, without reading Spark UI accumulators
+    import graft.sources.PbBinlogFile
+    val wireDir = graft.util.Scratch.dir("graft_met_wire")
+    val outDir = graft.util.Scratch.dir("graft_met_out")
+    val ckpt = graft.util.Scratch.dir("graft_met_ckpt")
+    def dml(ids: Seq[Long]) =
+      ids.toDF("commit_ts").select(
+        col("commit_ts"), col("commit_ts").as("pk"), lit("U").as("op"),
+        lit("t").as("event_type"),
+        timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+        col("commit_ts").cast("double").as("value"),
+        concat(lit("{\"k\": "), col("commit_ts").cast("string"), lit("}"))
+          .as("props"),
+        lit(null).cast("string").as("ddl_sql"))
+    def ddl(ts: Long, sql: String) = Seq(ts).toDF("commit_ts").select(
+      col("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
+      lit("ddl").as("event_type"),
+      timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+      lit(null).cast("double").as("value"),
+      lit(null).cast("string").as("props"),
+      lit(sql).as("ddl_sql"))
+    PbBinlogFile.write(
+      dml(Seq(1L, 3L, 5L))
+        .unionByName(ddl(6L, "CREATE INDEX i_k ON app.t (k)"))
+        .unionByName(ddl(8L, "OPTIMIZE TABLE app.t"))
+        .unionByName(ddl(10L, "ALTER TABLE app.t ADD COLUMN c BIGINT"))
+        .unionByName(dml(Seq(11L))),
+      wireDir, nFiles = 1)
+    val tracker = new SchemaTracker()
+    tracker.createTable("app", "t", Seq("k DOUBLE"), version = 0)
+    val skipped = spark.sparkContext.longAccumulator("test.met.skipped")
+    val below = spark.sparkContext.longAccumulator("test.met.below")
+    val listener = new CdcStream.DecodeMetricsListener(Some(skipped), Some(below))
+    spark.streams.addListener(listener)
+    try {
+      val q = CdcStream.ddlDrivenDecodeTables(
+        PbBinlogFile.readStream(spark, wireDir), tracker, outDir, ckpt,
+        "app", col("event_type"),
+        belowFrontier = Some(below), skippedDdl = Some(skipped))
+      try q.processAllAvailable() finally q.stop()
+      // progress events are asynchronous — poll until the batch's metrics land
+      val deadline = System.currentTimeMillis + 30000
+      var snap = listener.snapshot(q.id)
+      while (snap.get("dml_frames") != Some(4L) &&
+          System.currentTimeMillis < deadline) {
+        Thread.sleep(100); snap = listener.snapshot(q.id)
+      }
+      assert(snap.get("dml_frames") == Some(4L), s"snapshot=$snap")
+      assert(snap.get("ddl_frames") == Some(3L), s"snapshot=$snap")
+      assert(snap.get("max_commit_ts") == Some(11L), s"snapshot=$snap")
+      assert(snap.get("skipped_ddl") == Some(2L), s"snapshot=$snap")
+      assert(snap.get("below_frontier_frames") == Some(0L), s"snapshot=$snap")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("wire column DDL option tails: add-column-with-default decodes; origin default survives restart") {
     // the verdict-r12 robustness gap: `ALTER TABLE s.t ADD COLUMN c INT
     // DEFAULT 5 AFTER k` is ROUTINE real traffic (ref:
