@@ -269,7 +269,30 @@ object DrainerPipeline {
       }.groupBy(_._1).view.mapValues(
           _.map(_._2).reduce(_.unionByName(_, allowMissingColumns = true)))
         .toMap.toSeq.sortBy(_._1)
-      val ddlRows = ddls.flatMap { case (v, s, t, action, c, arg) =>
+      // T7 parity at the target: an add's origin default folds into its
+      // paired add record — ONE `ADD COLUMN … DEFAULT x` statement lets
+      // the target backfill pre-barrier rows exactly like the reference's
+      // origin-default fill (translator.go:169-227); two separate barrier
+      // statements could not (a later SET DEFAULT does not backfill, and
+      // same-ts barrier ordering is undefined). Unpaired origin_default
+      // records (a wire CREATE TABLE's per-column defaults) pass through
+      // for the translator to use or ignore.
+      val foldedDdls = {
+        val originOf = ddls.collect {
+          case (v, s, t, "origin_default", c, d) => ((v, s, t, c), d)
+        }.toMap
+        ddls.flatMap {
+          case (v, s, t, "add", c, ty) =>
+            Seq((v, s, t, "add", c,
+              originOf.get((v, s, t, c)).map(d => s"$ty DEFAULT $d").getOrElse(ty)))
+          case (v, s, t, "origin_default", c, _)
+              if ddls.exists { case (v2, s2, t2, a2, c2, _) =>
+                v2 == v && s2 == s && t2 == t && a2 == "add" && c2 == c
+              } => Seq.empty
+          case other => Seq(other)
+        }
+      }
+      val ddlRows = foldedDdls.flatMap { case (v, s, t, action, c, arg) =>
         ddlToTarget(s, t, action, c, arg).map(sql => (v, sql))
       }
       if (slices.nonEmpty) {

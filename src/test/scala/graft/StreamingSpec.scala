@@ -2153,6 +2153,66 @@ class StreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("origin default reaches the target: ADD COLUMN … DEFAULT backfills pre-barrier rows") {
+    // T7∘K1 parity: the reference fills origin defaults for rows that
+    // predate a column (translator.go:169-227). In the replication loop
+    // the fill comes from the TARGET's own ADD COLUMN … DEFAULT backfill,
+    // so replicateEmit folds the origin_default record into its paired
+    // add — the translated barrier statement carries the default, and
+    // rows inserted BEFORE the barrier read back the default, not NULL
+    import graft.pipeline.DrainerPipeline
+    import graft.sinks.JdbcSchemaLoader
+    import graft.sources.PbBinlogFile
+    val root = graft.util.Scratch.dir("graft_odef_pump")
+    val outDir = graft.util.Scratch.dir("graft_odef_out")
+    val ckpt = graft.util.Scratch.dir("graft_odef_ckpt")
+    def dml(ids: Seq[Long], props: Long => String) =
+      ids.toDF("commit_ts").select(
+        col("commit_ts"), col("commit_ts").as("pk"), lit("U").as("op"),
+        lit("ta").as("event_type"),
+        timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+        col("commit_ts").cast("double").as("value"),
+        udf(props).apply(col("commit_ts")).as("props"),
+        lit(null).cast("string").as("ddl_sql"))
+    val addDdl = Seq(10L).toDF("commit_ts").select(
+      col("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
+      lit("ddl").as("event_type"),
+      timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+      lit(null).cast("double").as("value"),
+      lit(null).cast("string").as("props"),
+      lit("ALTER TABLE app.ta ADD COLUMN extra BIGINT DEFAULT 5 AFTER k")
+        .as("ddl_sql"))
+    PbBinlogFile.write(
+      dml(Seq(1L, 3L), n => s"""{"k": ${n}.25}""")
+        .unionByName(addDdl)
+        .unionByName(dml(Seq(11L, 13L),
+          n => s"""{"k": ${n}.25, "extra": ${n * 10}}""")),
+      s"$root/p0", nFiles = 1)
+    val tracker = new SchemaTracker()
+    tracker.createTable("app", "ta", Seq("k DOUBLE"), version = 0)
+    val url = freshDerbyUrl("odef")
+    val loader = new JdbcSchemaLoader(url, applyPartitions = 4)
+    loader.createTable(
+      "CREATE TABLE TA_STATE (PK BIGINT PRIMARY KEY, COMMIT_TS BIGINT, K DOUBLE)")
+    val q = DrainerPipeline.streamingReplicated(spark, Seq(s"$root/p0"),
+      tracker, loader, outDir, ckpt, "app", col("event_type"),
+      tableMap = t => t.toUpperCase + "_STATE",
+      ddlToTarget = {
+        // arg arrives as "BIGINT DEFAULT 5" — the folded form
+        case (t, "add", c, ty) =>
+          Some(s"ALTER TABLE ${t.toUpperCase}_STATE ADD COLUMN ${c.toUpperCase} $ty")
+        case _ => None
+      })
+    try q.processAllAvailable() finally q.stop()
+    val rows = loader.readTable(spark, "TA_STATE", Some("PK")).collect()
+      .map(r => r.getAs[Long]("PK") ->
+        Option(r.getAs[java.lang.Long]("EXTRA")).map(_.longValue)).toMap
+    assert(rows.keySet == Set(1L, 3L, 11L, 13L), s"got ${rows.keySet}")
+    assert(rows(1L) == Some(5L) && rows(3L) == Some(5L),
+      s"pre-barrier rows must read the origin default back, got $rows")
+    assert(rows(11L) == Some(110L) && rows(13L) == Some(130L), s"got $rows")
+  }
+
   test("wire column DDL option tails: add-column-with-default decodes; origin default survives restart") {
     // the verdict-r12 robustness gap: `ALTER TABLE s.t ADD COLUMN c INT
     // DEFAULT 5 AFTER k` is ROUTINE real traffic (ref:
