@@ -281,14 +281,15 @@ object DrainerPipeline {
         val originOf = ddls.collect {
           case (v, s, t, "origin_default", c, d) => ((v, s, t, c), d)
         }.toMap
+        val addKeys = ddls.collect {
+          case (v, s, t, "add", c, _) => (v, s, t, c)
+        }.toSet
         ddls.flatMap {
           case (v, s, t, "add", c, ty) =>
             Seq((v, s, t, "add", c,
               originOf.get((v, s, t, c)).map(d => s"$ty DEFAULT $d").getOrElse(ty)))
-          case (v, s, t, "origin_default", c, _)
-              if ddls.exists { case (v2, s2, t2, a2, c2, _) =>
-                v2 == v && s2 == s && t2 == t && a2 == "add" && c2 == c
-              } => Seq.empty
+          case (v, s, t, "origin_default", c, _) if addKeys((v, s, t, c)) =>
+            Seq.empty
           case other => Seq(other)
         }
       }

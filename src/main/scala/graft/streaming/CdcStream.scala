@@ -356,31 +356,44 @@ object CdcStream {
   private[graft] case object AdminDdl extends WireDdl
   private[graft] final case class UnknownDdl(stmt: String) extends WireDdl
 
-  /** Split a column-def tail into top-level tokens: whitespace splits only
-    * outside quoted literals and outside ()/<> nesting, so
-    * `DECIMAL(10, 2)`, `STRUCT<a: INT>` and `DEFAULT 'a b'` each stay one
-    * token. Inside a literal a backslash escapes the next character
-    * ([[splitColumnDefs]]'s convention). */
-  private def tailTokens(s: String): Vector[String] = {
+  /** The ONE top-level scanner behind the grammar's splitters: walk `s`
+    * tracking single-quote literals (backslash escapes the next char —
+    * MySQL/TiDB default escaping), paren depth, and — when `angles` —
+    * generic-type depth (`STRUCT<a: INT>`; a bare `>` with no open `<`,
+    * e.g. `DEFAULT (a > 0)`, does NOT count as nesting), and split on
+    * characters matching `splitOn` at top level only. Shared by
+    * [[splitColumnDefs]] (split on commas) and [[tailTokens]] (split on
+    * whitespace) so the quoting/nesting convention can never diverge. */
+  private def splitTopLevel(s: String, splitOn: Char => Boolean,
+      angles: Boolean): Vector[String] = {
     val out = Vector.newBuilder[String]
-    var i = 0; var start = -1; var depth = 0; var inQ = false
+    var i = 0; var start = 0; var depth = 0; var angle = 0; var inQ = false
     while (i < s.length) {
       val ch = s.charAt(i)
       ch match {
         case '\\' if inQ => i += 1
         case '\'' => inQ = !inQ
-        case '(' | '<' if !inQ => depth += 1
-        case ')' | '>' if !inQ => depth -= 1
+        case '(' if !inQ => depth += 1
+        case ')' if !inQ => depth -= 1
+        case '<' if angles && !inQ => angle += 1
+        case '>' if angles && !inQ && angle > 0 => angle -= 1
         case _ => ()
       }
-      if (ch.isWhitespace && !inQ && depth <= 0) {
-        if (start >= 0) { out += s.substring(start, i); start = -1 }
-      } else if (start < 0) start = i
+      if (splitOn(ch) && !inQ && depth <= 0 && angle == 0) {
+        out += s.substring(start, i); start = i + 1
+      }
       i += 1
     }
-    if (start >= 0) out += s.substring(start)
+    out += s.substring(start)
     out.result()
   }
+
+  /** Split a column-def tail into top-level tokens: whitespace splits only
+    * outside quoted literals and outside ()/<> nesting, so
+    * `DECIMAL(10, 2)`, `STRUCT<a: INT>`, `DEFAULT (a > 0)` and
+    * `DEFAULT 'a b'` each stay one token. */
+  private def tailTokens(s: String): Vector[String] =
+    splitTopLevel(s, _.isWhitespace, angles = true).filter(_.nonEmpty)
 
   /** Strip the decode-neutral column-option tails real MySQL/TiDB traffic
     * carries on ADD/MODIFY/CHANGE defs and CREATE TABLE column defs —
@@ -555,25 +568,11 @@ object CdcStream {
     * must not count. Inside a literal, a backslash escapes the next
     * character (MySQL/TiDB default escaping; `DEFAULT 'x\'y'` stays one
     * literal) and a doubled `''` toggles the state twice, which nets out
-    * correctly for counting purposes. */
-  private def splitColumnDefs(defs: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    var depth = 0; var start = 0; var i = 0; var inQ = false
-    while (i < defs.length) {
-      defs.charAt(i) match {
-        case '\\' if inQ => i += 1 // escaped char inside a literal
-        case '\'' => inQ = !inQ
-        case '(' if !inQ => depth += 1
-        case ')' if !inQ => depth -= 1
-        case ',' if !inQ && depth == 0 =>
-          out += defs.substring(start, i).trim; start = i + 1
-        case _ => ()
-      }
-      i += 1
-    }
-    out += defs.substring(start).trim
-    out.result().filter(_.nonEmpty)
-  }
+    * correctly for counting purposes. (Shares [[splitTopLevel]] with the
+    * tail tokenizer; angle brackets do NOT nest here — a def list is
+    * comma-split before any type text is interpreted.) */
+  private def splitColumnDefs(defs: String): Seq[String] =
+    splitTopLevel(defs, _ == ',', angles = false).map(_.trim).filter(_.nonEmpty)
 
   /** One applied wire-DDL log record: (version, schema, table, action,
     * column, arg) — `arg` is the new type for modify/add, the new name for
@@ -738,20 +737,20 @@ object CdcStream {
     * — applied when the tracker opts into `foldCase` (column identifiers
     * never fold; see [[SchemaTracker]]'s policy note). */
   private def foldWireDdl(d: WireDdl): WireDdl = d match {
-    case x: ColumnDdl     => x.copy(schema = x.schema.toLowerCase,
-      table = x.table.toLowerCase)
-    case x: TruncateDdl   => TruncateDdl(x.schema.toLowerCase, x.table.toLowerCase)
-    case x: CreateDdl     => x.copy(schema = x.schema.toLowerCase,
-      table = x.table.toLowerCase)
-    case x: DropTableDdl  => DropTableDdl(x.schema.toLowerCase, x.table.toLowerCase)
-    case x: RenameDdl     => RenameDdl(x.schema.toLowerCase, x.table.toLowerCase,
-      x.toSchema.map(_.toLowerCase), x.to.toLowerCase)
-    case x: DropSchemaDdl => DropSchemaDdl(x.schema.toLowerCase)
-    case x: FlashbackDdl  => FlashbackDdl(x.schema.toLowerCase,
-      x.table.toLowerCase, x.to.map(_.toLowerCase))
-    case x: CreateLikeDdl => x.copy(schema = x.schema.toLowerCase,
-      table = x.table.toLowerCase, srcSchema = x.srcSchema.toLowerCase,
-      srcTable = x.srcTable.toLowerCase)
+    case x: ColumnDdl     => x.copy(schema = x.schema.toLowerCase(java.util.Locale.ROOT),
+      table = x.table.toLowerCase(java.util.Locale.ROOT))
+    case x: TruncateDdl   => TruncateDdl(x.schema.toLowerCase(java.util.Locale.ROOT), x.table.toLowerCase(java.util.Locale.ROOT))
+    case x: CreateDdl     => x.copy(schema = x.schema.toLowerCase(java.util.Locale.ROOT),
+      table = x.table.toLowerCase(java.util.Locale.ROOT))
+    case x: DropTableDdl  => DropTableDdl(x.schema.toLowerCase(java.util.Locale.ROOT), x.table.toLowerCase(java.util.Locale.ROOT))
+    case x: RenameDdl     => RenameDdl(x.schema.toLowerCase(java.util.Locale.ROOT), x.table.toLowerCase(java.util.Locale.ROOT),
+      x.toSchema.map(_.toLowerCase(java.util.Locale.ROOT)), x.to.toLowerCase(java.util.Locale.ROOT))
+    case x: DropSchemaDdl => DropSchemaDdl(x.schema.toLowerCase(java.util.Locale.ROOT))
+    case x: FlashbackDdl  => FlashbackDdl(x.schema.toLowerCase(java.util.Locale.ROOT),
+      x.table.toLowerCase(java.util.Locale.ROOT), x.to.map(_.toLowerCase(java.util.Locale.ROOT)))
+    case x: CreateLikeDdl => x.copy(schema = x.schema.toLowerCase(java.util.Locale.ROOT),
+      table = x.table.toLowerCase(java.util.Locale.ROOT), srcSchema = x.srcSchema.toLowerCase(java.util.Locale.ROOT),
+      srcTable = x.srcTable.toLowerCase(java.util.Locale.ROOT))
     case other            => other
   }
 
@@ -836,7 +835,8 @@ object CdcStream {
     // on one table; column names never fold (from_json matches JSON keys
     // exactly as declared)
     val fold = tracker.foldCase
-    def normId(id: String): String = if (fold) id.toLowerCase else id
+    def normId(id: String): String =
+      if (fold) id.toLowerCase(java.util.Locale.ROOT) else id
     val trackedSchemas = schemas.map(normId).toSet
     val sOf = if (fold) lower(schemaOf) else schemaOf
     val tOf = if (fold) lower(tableOf) else tableOf
@@ -1270,15 +1270,21 @@ object CdcStream {
                         "shape; drop the statement upstream (F5 ddl-skip " +
                         "filter) or extend the decode grammar")
                   case None if FlashbackVerbRe.pattern.matcher(text).matches &&
-                      flashbackBareIds(text).map(normId).exists(id =>
-                        trackedSchemas(id) || catalog.keys.exists(_._2 == id) ||
-                          localGrave.keys.exists(_._2 == id) ||
-                          trackedSchemas.exists(s2 =>
-                            // the LIVE registration, not the subset view —
-                            // the bare name may be a tracked table this
-                            // batch neither touched nor addressed
-                            tracker.tablesOf(s2).contains(id) ||
-                              tracker.droppedTables(s2).contains(id))) =>
+                      (// any QUALIFIED operand in a tracked schema: the
+                       // live-catalog scan above misses a DROPPED table's
+                       // qual (it recreates tracked state all the same —
+                       // e.g. a qualified TO target the grammar rejects)
+                       qualsAddressed(text).exists(q =>
+                         trackedSchemas(normId(q._1))) ||
+                        flashbackBareIds(text).map(normId).exists(id =>
+                          trackedSchemas(id) || catalog.keys.exists(_._2 == id) ||
+                            localGrave.keys.exists(_._2 == id) ||
+                            trackedSchemas.exists(s2 =>
+                              // the LIVE registration, not the subset view —
+                              // the bare name may be a tracked table this
+                              // batch neither touched nor addressed
+                              tracker.tablesOf(s2).contains(id) ||
+                                tracker.droppedTables(s2).contains(id)))) =>
                     // an unrecognized FLASHBACK variant (FLASHBACK DATABASE
                     // of a tracked schema, an unqualified FLASHBACK TABLE of
                     // a tracked/dropped name, FLASHBACK CLUSTER) RECREATES
@@ -1293,7 +1299,11 @@ object CdcStream {
                         "filter) or extend the decode grammar")
                   case None if dynamicTables &&
                       CreateTableVerbRe.pattern.matcher(text).matches &&
-                      qualsAddressed(text).exists(q => trackedSchemas(normId(q._1))) =>
+                      // the FIRST qual is the create TARGET — later quals
+                      // are read-side references (a foreign CTAS reading a
+                      // tracked schema creates nothing this decode owns)
+                      qualsAddressed(text).headOption.exists(q =>
+                        trackedSchemas(normId(q._1))) =>
                     // an unparseable CREATE TABLE of a NEW name in a TRACKED
                     // schema (CTAS, an option head the balanced-paren scan
                     // rejects): the new table belongs to the decode's

@@ -24,7 +24,11 @@ package graft.streaming
   * MySQL-on-Linux policy the grammar documents. */
 class SchemaTracker(historyDepth: Int = 2, val foldCase: Boolean = false) {
 
-  private def n(id: String): String = if (foldCase) id.toLowerCase else id
+  // Locale.ROOT: the fold must agree byte-for-byte with Spark's locale-
+  // independent lower() on the routing columns (a Turkish-locale JVM's
+  // toLowerCase would split the two foldings and silently drop frames)
+  private def n(id: String): String =
+    if (foldCase) id.toLowerCase(java.util.Locale.ROOT) else id
 
   /** `defaults` carries each column's ORIGIN default — the expression TiDB
     * fills for rows that PREDATE the column (ref:

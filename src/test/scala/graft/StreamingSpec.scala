@@ -1692,6 +1692,12 @@ class StreamingSpec extends SparkSpec {
     // AND captures as the origin default, unknown junk stays (loud later)
     assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN c INT DEFAULT 5 AFTER k") ==
       ColumnDdl("s", "t", "add", "c", "INT", Some("5")))
+    // a parenthesized expression default may carry comparisons — the bare
+    // '>' must not count as generic-type nesting
+    assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN c INT DEFAULT (a > 0) AFTER k") ==
+      ColumnDdl("s", "t", "add", "c", "INT", Some("(a > 0)")))
+    assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN c STRUCT<a: INT, b: STRING> AFTER k") ==
+      ColumnDdl("s", "t", "add", "c", "STRUCT<a: INT, b: STRING>"))
     assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN c DECIMAL(10, 2) NOT NULL DEFAULT -1.5 FIRST") ==
       ColumnDdl("s", "t", "add", "c", "DECIMAL(10, 2) NOT NULL", Some("-1.5")))
     assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN c STRING DEFAULT 'a b' COMMENT 'keep me'") ==
@@ -1924,6 +1930,11 @@ class StreamingSpec extends SparkSpec {
     // bare name (the qual scan alone cannot see either)
     loudCase("fbdb", "FLASHBACK DATABASE app", "addresses tracked state")
     loudCase("fbbare", "FLASHBACK TABLE t", "addresses tracked state")
+    // …and a QUALIFIED tracked-schema operand the grammar rejects (e.g. a
+    // qualified TO target) — the live-catalog scan alone would miss a
+    // dropped table's qual
+    loudCase("fbqual", "FLASHBACK TABLE app.gone TO app.t2",
+      "addresses tracked state")
     // an unparseable CREATE TABLE of a NEW name in a TRACKED schema (CTAS)
     // is fatal in dynamic mode — the new table's frames would silently drop
     loudCase("ctas", "CREATE TABLE app.ctas AS SELECT 1 FROM dual",
@@ -1942,7 +1953,13 @@ class StreamingSpec extends SparkSpec {
         .unionByName(ddl(54L, "CREATE TABLE IF NOT EXISTS app.t LIKE app.t"))
         .unionByName(ddl(56L, "CREATE TABLE foreign_db.x AS SELECT 1 FROM dual"))
         .unionByName(ddl(58L, "FLASHBACK TABLE completely_foreign"))
-        .unionByName(ddl(60L, "CREATE VIEW app.v AS SELECT k FROM app.t")),
+        .unionByName(ddl(60L, "CREATE VIEW app.v AS SELECT k FROM app.t"))
+        // a FOREIGN CTAS that merely READS a tracked schema creates
+        // nothing this decode owns — only the first qual (the target)
+        // decides; and a fully-foreign qualified FLASHBACK stays foreign
+        .unionByName(ddl(62L,
+          "CREATE TABLE foreign_db.y AS SELECT k FROM app.unregistered"))
+        .unionByName(ddl(64L, "FLASHBACK TABLE foreign_db.x TO foreign_db.y")),
       wire3, nFiles = 1)
     val tracker5 = new SchemaTracker()
     tracker5.createTable("app", "t", Seq("k DOUBLE"), version = 0)
@@ -1951,8 +1968,8 @@ class StreamingSpec extends SparkSpec {
       PbBinlogFile.readStream(spark, wire3), tracker5, out3, ckpt3,
       "app", col("event_type"), skippedDdl = Some(skipped3))
     try q3.processAllAvailable() finally q3.stop()
-    assert(skipped3.value == 5L,
-      s"expected 5 counted skips, got ${skipped3.value}")
+    assert(skipped3.value == 7L,
+      s"expected 7 counted skips, got ${skipped3.value}")
     assert(tracker5.current("app", "t").get.columns == Vector("k DOUBLE") &&
       tracker5.current("app", "t").get.version == 0L,
       "a skipped statement must neither reshape nor bump the version")
