@@ -359,9 +359,11 @@ object CdcStream {
   /** The ONE top-level scanner behind the grammar's splitters: walk `s`
     * tracking single-quote literals (backslash escapes the next char —
     * MySQL/TiDB default escaping), paren depth, and — when `angles` —
-    * generic-type depth (`STRUCT<a: INT>`; a bare `>` with no open `<`,
-    * e.g. `DEFAULT (a > 0)`, does NOT count as nesting), and split on
-    * characters matching `splitOn` at top level only. Shared by
+    * generic-type depth, and split on characters matching `splitOn` at
+    * top level only. Angle brackets count as nesting ONLY at paren depth
+    * 0 (`STRUCT<a: INT>` nests; the comparisons of an expression default
+    * like `DEFAULT (a < 0)` or `DEFAULT (a > 0)` sit inside parens and
+    * must not), and a bare `>` with no open `<` never counts. Shared by
     * [[splitColumnDefs]] (split on commas) and [[tailTokens]] (split on
     * whitespace) so the quoting/nesting convention can never diverge. */
   private def splitTopLevel(s: String, splitOn: Char => Boolean,
@@ -375,8 +377,8 @@ object CdcStream {
         case '\'' => inQ = !inQ
         case '(' if !inQ => depth += 1
         case ')' if !inQ => depth -= 1
-        case '<' if angles && !inQ => angle += 1
-        case '>' if angles && !inQ && angle > 0 => angle -= 1
+        case '<' if angles && !inQ && depth == 0 => angle += 1
+        case '>' if angles && !inQ && depth == 0 && angle > 0 => angle -= 1
         case _ => ()
       }
       if (splitOn(ch) && !inQ && depth <= 0 && angle == 0) {
@@ -411,9 +413,28 @@ object CdcStream {
     * sink's target DDL wants them. Anything ELSE unrecognized stays in the
     * def, where the statement-time decodability check fails LOUDLY — the
     * normalizer never turns an unknown tail into a silent drop. */
+  /** `TYPE UNSIGNED` (TiDB's routine auto-id shape) widens to the next
+    * Spark type that holds the full unsigned range — Spark has no
+    * unsigned integers, and `BIGINT UNSIGNED` values above 2^63-1 must
+    * not overflow the decode (the M9 type-domain rule). Display widths
+    * (`INT(10)`) drop with the widening; non-integer `UNSIGNED`
+    * (deprecated MySQL float/decimal forms) keeps its type — the signed
+    * domain already contains the values. */
+  private def widenUnsigned(ty: String): String = {
+    val base = ty.toUpperCase(java.util.Locale.ROOT).takeWhile(_ != '(')
+    base match {
+      case "TINYINT"           => "SMALLINT"
+      case "SMALLINT"          => "INT"
+      case "MEDIUMINT"         => "INT"
+      case "INT" | "INTEGER"   => "BIGINT"
+      case "BIGINT"            => "DECIMAL(20,0)"
+      case _                   => ty
+    }
+  }
+
   private[graft] def normalizeColumnTail(tail: String): (String, Option[String]) = {
     val toks = tailTokens(tail)
-    val keep = Vector.newBuilder[String]
+    val keep = scala.collection.mutable.ArrayBuffer.empty[String]
     var default: Option[String] = None
     var i = 0
     def up(j: Int): String = if (j < toks.length) toks(j).toUpperCase else ""
@@ -423,6 +444,11 @@ object CdcStream {
           default = Some(toks(i + 1)); i += 2
         case "NOT" if up(i + 1) == "NULL" =>
           keep += toks(i) += toks(i + 1); i += 2
+        case "UNSIGNED" if keep.nonEmpty =>
+          // widen the type token just kept (the tail's grammar puts
+          // UNSIGNED immediately after the type)
+          keep(keep.length - 1) = widenUnsigned(keep.last); i += 1
+        case "ZEROFILL" => i += 1 // display-only
         case "AFTER" | "COLLATE" | "CHARSET" if i + 1 < toks.length => i += 2
         case "FIRST" | "NULL" | "AUTO_INCREMENT" | "KEY" => i += 1
         case "UNIQUE" => i += (if (up(i + 1) == "KEY") 2 else 1)
@@ -432,7 +458,7 @@ object CdcStream {
         case _ => keep += toks(i); i += 1
       }
     }
-    (keep.result().mkString(" "), default)
+    (keep.mkString(" "), default)
   }
 
   /** Table-level constraint entries legal inside a CREATE TABLE def list —
@@ -735,23 +761,23 @@ object CdcStream {
 
   /** Lower-case the schema/table identifiers of one parsed wire statement
     * — applied when the tracker opts into `foldCase` (column identifiers
-    * never fold; see [[SchemaTracker]]'s policy note). */
-  private def foldWireDdl(d: WireDdl): WireDdl = d match {
-    case x: ColumnDdl     => x.copy(schema = x.schema.toLowerCase(java.util.Locale.ROOT),
-      table = x.table.toLowerCase(java.util.Locale.ROOT))
-    case x: TruncateDdl   => TruncateDdl(x.schema.toLowerCase(java.util.Locale.ROOT), x.table.toLowerCase(java.util.Locale.ROOT))
-    case x: CreateDdl     => x.copy(schema = x.schema.toLowerCase(java.util.Locale.ROOT),
-      table = x.table.toLowerCase(java.util.Locale.ROOT))
-    case x: DropTableDdl  => DropTableDdl(x.schema.toLowerCase(java.util.Locale.ROOT), x.table.toLowerCase(java.util.Locale.ROOT))
-    case x: RenameDdl     => RenameDdl(x.schema.toLowerCase(java.util.Locale.ROOT), x.table.toLowerCase(java.util.Locale.ROOT),
-      x.toSchema.map(_.toLowerCase(java.util.Locale.ROOT)), x.to.toLowerCase(java.util.Locale.ROOT))
-    case x: DropSchemaDdl => DropSchemaDdl(x.schema.toLowerCase(java.util.Locale.ROOT))
-    case x: FlashbackDdl  => FlashbackDdl(x.schema.toLowerCase(java.util.Locale.ROOT),
-      x.table.toLowerCase(java.util.Locale.ROOT), x.to.map(_.toLowerCase(java.util.Locale.ROOT)))
-    case x: CreateLikeDdl => x.copy(schema = x.schema.toLowerCase(java.util.Locale.ROOT),
-      table = x.table.toLowerCase(java.util.Locale.ROOT), srcSchema = x.srcSchema.toLowerCase(java.util.Locale.ROOT),
-      srcTable = x.srcTable.toLowerCase(java.util.Locale.ROOT))
-    case other            => other
+    * never fold; see [[SchemaTracker]]'s policy note). Locale.ROOT keeps
+    * the fold byte-identical to Spark's locale-independent `lower()`. */
+  private def foldWireDdl(d: WireDdl): WireDdl = {
+    def f(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    d match {
+      case x: ColumnDdl     => x.copy(schema = f(x.schema), table = f(x.table))
+      case x: TruncateDdl   => TruncateDdl(f(x.schema), f(x.table))
+      case x: CreateDdl     => x.copy(schema = f(x.schema), table = f(x.table))
+      case x: DropTableDdl  => DropTableDdl(f(x.schema), f(x.table))
+      case x: RenameDdl     =>
+        RenameDdl(f(x.schema), f(x.table), x.toSchema.map(f), f(x.to))
+      case x: DropSchemaDdl => DropSchemaDdl(f(x.schema))
+      case x: FlashbackDdl  => FlashbackDdl(f(x.schema), f(x.table), x.to.map(f))
+      case x: CreateLikeDdl => x.copy(schema = f(x.schema), table = f(x.table),
+        srcSchema = f(x.srcSchema), srcTable = f(x.srcTable))
+      case other            => other
+    }
   }
 
   /** Name of the `observe()` node every decode query carries — its
@@ -770,7 +796,13 @@ object CdcStream {
     * first-class Prometheus metrics). Register with
     * `spark.streams.addListener`; pass the SAME accumulators given to the
     * decode. Snapshots persist past query stop (progress events are
-    * asynchronous — poll [[snapshot]] until the expected batch shows). */
+    * asynchronous — poll [[snapshot]] until the expected batch shows).
+    * Semantics mirror Prometheus: the observed fields are PER-BATCH, the
+    * `_total` counter fields are CUMULATIVE reads taken when the progress
+    * event is handled — on a live multi-batch stream a snapshot's totals
+    * may already include a later batch's counts (the reference's counters
+    * are cumulative the same way); the converged post-stream snapshot is
+    * exact. */
   final class DecodeMetricsListener(
       skippedDdl: Option[org.apache.spark.util.LongAccumulator] = None,
       belowFrontier: Option[org.apache.spark.util.LongAccumulator] = None)
@@ -785,11 +817,11 @@ object CdcStream {
     override def onQueryProgress(e: QueryProgressEvent): Unit = {
       val row = e.progress.observedMetrics.get(DecodeObservationName)
       if (row != null) {
-        // accumulator reads are safe here: foreachBatch completes (and
-        // with it every driver-side .add) before the progress event fires
+        // cumulative counter reads (see the class note on semantics)
         val counters: Map[String, Long] =
-          skippedDdl.map(a => "skipped_ddl" -> a.value.longValue).toMap ++
-            belowFrontier.map(a => "below_frontier_frames" -> a.value.longValue).toMap
+          skippedDdl.map(a => "skipped_ddl_total" -> a.value.longValue).toMap ++
+            belowFrontier.map(a =>
+              "below_frontier_frames_total" -> a.value.longValue).toMap
         val obs = row.schema.fieldNames.zipWithIndex.collect {
           case (n, i) if !row.isNullAt(i) => n -> row.getLong(i)
         }.toMap
@@ -884,8 +916,10 @@ object CdcStream {
           // the tables this batch actually carries DML for, each with its
           // min commit ts (the frontier-violation precheck input) —
           // per-batch decode/write/emit work scales with THIS set
+          // a NULL routing value can never match a table — drop it here
+          // (it would NPE the key sort and poison the catalog build)
           val touchedMin: Map[(String, String), Long] = gathered
-            .filter(r => !r.getBoolean(0))
+            .filter(r => !r.getBoolean(0) && !r.isNullAt(1) && !r.isNullAt(2))
             .map(r => (r.getString(1), r.getString(2)) -> r.getLong(4)).toMap
           val touched = touchedMin.keySet
           // parse once; the walk below dispatches the same parse (folded

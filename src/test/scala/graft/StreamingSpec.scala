@@ -1696,8 +1696,18 @@ class StreamingSpec extends SparkSpec {
     // '>' must not count as generic-type nesting
     assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN c INT DEFAULT (a > 0) AFTER k") ==
       ColumnDdl("s", "t", "add", "c", "INT", Some("(a > 0)")))
+    assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN c INT DEFAULT (a < 0) NOT NULL AFTER k") ==
+      ColumnDdl("s", "t", "add", "c", "INT NOT NULL", Some("(a < 0)")))
     assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN c STRUCT<a: INT, b: STRING> AFTER k") ==
       ColumnDdl("s", "t", "add", "c", "STRUCT<a: INT, b: STRING>"))
+    // UNSIGNED widens to the Spark type holding the full range (M9 type
+    // domain); ZEROFILL and display widths are display-only
+    assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN id BIGINT UNSIGNED NOT NULL DEFAULT 0") ==
+      ColumnDdl("s", "t", "add", "id", "DECIMAL(20,0) NOT NULL", Some("0")))
+    assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN n INT(10) UNSIGNED ZEROFILL") ==
+      ColumnDdl("s", "t", "add", "n", "BIGINT"))
+    assert(parseWireDdl("ALTER TABLE s.t MODIFY COLUMN n TINYINT UNSIGNED") ==
+      ColumnDdl("s", "t", "modify", "n", "SMALLINT"))
     assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN c DECIMAL(10, 2) NOT NULL DEFAULT -1.5 FIRST") ==
       ColumnDdl("s", "t", "add", "c", "DECIMAL(10, 2) NOT NULL", Some("-1.5")))
     assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN c STRING DEFAULT 'a b' COMMENT 'keep me'") ==
@@ -2033,11 +2043,22 @@ class StreamingSpec extends SparkSpec {
           timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
           lit(null).cast("double").as("value"),
           lit(null).cast("string").as("props"),
-          lit("ALTER TABLE app.t123 ADD COLUMN extra BIGINT").as("ddl_sql"))),
+          lit("ALTER TABLE app.t123 ADD COLUMN extra BIGINT").as("ddl_sql")))
+        // a frame whose ROUTING EXPRESSION evaluates to null (a `when`
+        // with no otherwise, below) matches no table: it must drop, not
+        // poison the touched-set key sort
+        .unionByName(Seq(14L).toDF("commit_ts").select(
+          col("commit_ts"), col("commit_ts").as("pk"), lit("U").as("op"),
+          lit("unrouted").as("event_type"),
+          timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+          col("commit_ts").cast("double").as("value"),
+          lit("{\"k\": 14}").as("props"),
+          lit(null).cast("string").as("ddl_sql"))),
       wire2, nFiles = 1)
     val q2 = CdcStream.ddlDrivenDecodeTables(
       PbBinlogFile.readStream(spark, wire2), tracker, outDir,
-      graft.util.Scratch.dir("graft_tchd_ckpt2"), "app", col("event_type"))
+      graft.util.Scratch.dir("graft_tchd_ckpt2"), "app",
+      when(col("event_type") =!= "unrouted", col("event_type")))
     try q2.processAllAvailable() finally q2.stop()
     assert(CdcStream.lastDriverCatalogSizes.get(outDir).intValue == 2,
       "touched + DDL-addressed must both be in the view")
@@ -2165,8 +2186,8 @@ class StreamingSpec extends SparkSpec {
       assert(snap.get("dml_frames") == Some(4L), s"snapshot=$snap")
       assert(snap.get("ddl_frames") == Some(3L), s"snapshot=$snap")
       assert(snap.get("max_commit_ts") == Some(11L), s"snapshot=$snap")
-      assert(snap.get("skipped_ddl") == Some(2L), s"snapshot=$snap")
-      assert(snap.get("below_frontier_frames") == Some(0L), s"snapshot=$snap")
+      assert(snap.get("skipped_ddl_total") == Some(2L), s"snapshot=$snap")
+      assert(snap.get("below_frontier_frames_total") == Some(0L), s"snapshot=$snap")
     } finally spark.streams.removeListener(listener)
   }
 
