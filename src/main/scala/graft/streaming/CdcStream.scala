@@ -436,6 +436,11 @@ object CdcStream {
     val toks = tailTokens(tail)
     val keep = scala.collection.mutable.ArrayBuffer.empty[String]
     var default: Option[String] = None
+    // NOT NULL / COMMENT are re-emitted in CANONICAL order (type, NOT
+    // NULL, COMMENT): MySQL accepts the clauses in any order, Spark's
+    // DDL parser only in this one
+    var notNull = false
+    var comment: Option[String] = None
     var i = 0
     def up(j: Int): String = if (j < toks.length) toks(j).toUpperCase else ""
     while (i < toks.length) {
@@ -443,7 +448,9 @@ object CdcStream {
         case "DEFAULT" if i + 1 < toks.length =>
           default = Some(toks(i + 1)); i += 2
         case "NOT" if up(i + 1) == "NULL" =>
-          keep += toks(i) += toks(i + 1); i += 2
+          notNull = true; i += 2
+        case "COMMENT" if i + 1 < toks.length =>
+          comment = Some(toks(i + 1)); i += 2
         case "UNSIGNED" if keep.nonEmpty =>
           // widen the type token just kept (the tail's grammar puts
           // UNSIGNED immediately after the type)
@@ -458,6 +465,8 @@ object CdcStream {
         case _ => keep += toks(i); i += 1
       }
     }
+    if (notNull) { keep += "NOT"; keep += "NULL" }
+    comment.foreach { c => keep += "COMMENT"; keep += c }
     (keep.mkString(" "), default)
   }
 
@@ -594,11 +603,12 @@ object CdcStream {
     * must not count. Inside a literal, a backslash escapes the next
     * character (MySQL/TiDB default escaping; `DEFAULT 'x\'y'` stays one
     * literal) and a doubled `''` toggles the state twice, which nets out
-    * correctly for counting purposes. (Shares [[splitTopLevel]] with the
-    * tail tokenizer; angle brackets do NOT nest here — a def list is
-    * comma-split before any type text is interpreted.) */
+    * correctly for counting purposes. Angle brackets nest too (shared
+    * [[splitTopLevel]] rules): the wire's type domain is Spark's, where a
+    * def like `c STRUCT<a: INT, b: STRING>` legally carries top-level-
+    * paren-depth commas inside generics. */
   private def splitColumnDefs(defs: String): Seq[String] =
-    splitTopLevel(defs, _ == ',', angles = false).map(_.trim).filter(_.nonEmpty)
+    splitTopLevel(defs, _ == ',', angles = true).map(_.trim).filter(_.nonEmpty)
 
   /** One applied wire-DDL log record: (version, schema, table, action,
     * column, arg) — `arg` is the new type for modify/add, the new name for

@@ -1678,6 +1678,11 @@ class StreamingSpec extends SparkSpec {
       "CREATE TABLE s.t (id BIGINT NOT NULL AUTO_INCREMENT, `v` INT DEFAULT 5, PRIMARY KEY (id), KEY i_v (v))") ==
       CreateDdl("s", "t", Seq("id BIGINT NOT NULL", "v INT"),
         ifNotExists = false, defaults = Map("v" -> "5")))
+    // a generic Spark type carries commas inside <> that must not split
+    // the def list (the wire's type domain is Spark's)
+    assert(parseWireDdl(
+      "CREATE TABLE s.t (c STRUCT<a: INT, b: STRING>, d ARRAY<INT>)") ==
+      CreateDdl("s", "t", Seq("c STRUCT<a: INT, b: STRING>", "d ARRAY<INT>")))
     // an unbalanced def list parses as unknown, never as a garbage create
     assert(parseWireDdl("CREATE TABLE s.t (a INT") == UnknownDdl("CREATE TABLE s.t (a INT"))
     // COLUMN-less ADD is a column def; ADD INDEX/KEY stays administrative,
@@ -1766,6 +1771,48 @@ class StreamingSpec extends SparkSpec {
       CreateLikeDdl("s", "t2", "s", "t"))
     assert(parseWireDdl("CREATE TABLE IF NOT EXISTS s.t2 LIKE s.t") ==
       CreateLikeDdl("s", "t2", "s", "t", ifNotExists = true))
+  }
+
+  test("tail normalizer property sweep: any legal option-tail permutation yields a decodable def") {
+    // randomized (fixed seed) MySQL/TiDB column tails: type + a shuffled
+    // subset of option clauses in any order — the normalized def must
+    // ALWAYS parse under Spark's DDL parser (the decodability invariant
+    // the stream's validateDecodable enforces), the DEFAULT expression
+    // must be captured verbatim, and NOT NULL must survive when present
+    import CdcStream._
+    import org.apache.spark.sql.types.StructType
+    val rnd = new scala.util.Random(13)
+    val types = Seq("INT", "BIGINT", "DOUBLE", "DECIMAL(10,2)", "STRING",
+      "TIMESTAMP", "STRUCT<a: INT, b: STRING>")
+    val intTypes = Set("INT", "BIGINT")
+    val defaults = Seq("5", "-1.5", "'x,y'", "'a b'", "(a > 0)", "(a < 0)",
+      "CURRENT_TIMESTAMP", "'it\\'s'")
+    val options: Seq[String => Seq[String]] = Seq(
+      _ => Seq("NOT NULL"), _ => Seq("NULL"), _ => Seq("AFTER k"),
+      _ => Seq("FIRST"), _ => Seq("ON UPDATE CURRENT_TIMESTAMP"),
+      _ => Seq("COLLATE utf8mb4_bin"), _ => Seq("CHARACTER SET utf8mb4"),
+      _ => Seq("CHARSET latin1"), _ => Seq("AUTO_INCREMENT"),
+      _ => Seq("UNIQUE"), _ => Seq("UNIQUE KEY"), _ => Seq("PRIMARY KEY"),
+      _ => Seq("KEY"), _ => Seq("COMMENT 'note'"), _ => Seq("ZEROFILL"))
+    (1 to 300).foreach { i =>
+      val ty = types(rnd.nextInt(types.length))
+      // UNSIGNED is only legal immediately after the type
+      val unsigned = intTypes(ty) && rnd.nextBoolean()
+      val dflt = if (rnd.nextBoolean())
+        Some(defaults(rnd.nextInt(defaults.length))) else None
+      val opts = rnd.shuffle(options).take(rnd.nextInt(4))
+        .flatMap(f => f(ty)) ++ dflt.map(d => s"DEFAULT $d").toSeq
+      val tail = (Seq(ty) ++ (if (unsigned) Seq("UNSIGNED") else Nil) ++
+        rnd.shuffle(opts)).mkString(" ")
+      val (clean, captured) = normalizeColumnTail(tail)
+      val parsed = scala.util.Try(StructType.fromDDL(s"c $clean"))
+      assert(parsed.isSuccess,
+        s"[#$i] tail '$tail' normalized to undecodable '$clean': $parsed")
+      assert(captured == dflt,
+        s"[#$i] tail '$tail' captured default $captured, expected $dflt")
+      if (tail.contains("NOT NULL"))
+        assert(clean.contains("NOT NULL"), s"[#$i] '$tail' lost NOT NULL → '$clean'")
+    }
   }
 
   test("streamed wire DDL grammar: admin/unknown statements skip counted; case and backticks lex; tracked-shape unknowns throw") {
