@@ -413,13 +413,29 @@ object CdcStream {
     * sink's target DDL wants them. Anything ELSE unrecognized stays in the
     * def, where the statement-time decodability check fails LOUDLY — the
     * normalizer never turns an unknown tail into a silent drop. */
+  private val IntTypeBases =
+    Set("TINYINT", "SMALLINT", "MEDIUMINT", "INT", "INTEGER", "BIGINT")
+
+  /** MySQL integer display widths (`INT(11)`, `TINYINT(1)` — the
+    * canonical mysqldump spelling) are pure formatting and drop; bare
+    * `MEDIUMINT` maps to the Spark type that holds it. Non-integer types
+    * pass through untouched (`DECIMAL(10,2)` keeps its real precision
+    * args). */
+  private def normalizeIntType(ty: String): String = {
+    val base = ty.toUpperCase(java.util.Locale.ROOT).takeWhile(_ != '(')
+    if (!IntTypeBases(base)) ty
+    else if (base == "MEDIUMINT") "INT"
+    else base
+  }
+
   /** `TYPE UNSIGNED` (TiDB's routine auto-id shape) widens to the next
     * Spark type that holds the full unsigned range — Spark has no
     * unsigned integers, and `BIGINT UNSIGNED` values above 2^63-1 must
-    * not overflow the decode (the M9 type-domain rule). Display widths
-    * (`INT(10)`) drop with the widening; non-integer `UNSIGNED`
-    * (deprecated MySQL float/decimal forms) keeps its type — the signed
-    * domain already contains the values. */
+    * not overflow the decode (the M9 type-domain rule). Non-integer
+    * `UNSIGNED` (deprecated MySQL float/decimal forms) keeps its type —
+    * the signed domain already contains the values. (Runs AFTER
+    * [[normalizeIntType]], so MEDIUMINT arrives as INT — unsigned
+    * mediumint's 2^24-1 max fits the signed BIGINT that yields.) */
   private def widenUnsigned(ty: String): String = {
     val base = ty.toUpperCase(java.util.Locale.ROOT).takeWhile(_ != '(')
     base match {
@@ -433,7 +449,11 @@ object CdcStream {
   }
 
   private[graft] def normalizeColumnTail(tail: String): (String, Option[String]) = {
-    val toks = tailTokens(tail)
+    val toks0 = tailTokens(tail)
+    // the first token is the TYPE: MySQL integer display widths and
+    // MEDIUMINT normalize here regardless of signedness
+    val toks = if (toks0.isEmpty) toks0
+      else toks0.updated(0, normalizeIntType(toks0.head))
     val keep = scala.collection.mutable.ArrayBuffer.empty[String]
     var default: Option[String] = None
     // NOT NULL / COMMENT are re-emitted in CANONICAL order (type, NOT
@@ -441,8 +461,17 @@ object CdcStream {
     // DDL parser only in this one
     var notNull = false
     var comment: Option[String] = None
+    // UNSIGNED widens the type exactly once — MySQL's ZEROFILL IMPLIES
+    // UNSIGNED (a bare-ZEROFILL column stores the unsigned range), so
+    // both tokens trigger the widening, and `INT UNSIGNED ZEROFILL`
+    // must not widen twice
+    var widened = false
     var i = 0
     def up(j: Int): String = if (j < toks.length) toks(j).toUpperCase else ""
+    def widenOnce(): Unit =
+      if (!widened && keep.nonEmpty) {
+        keep(keep.length - 1) = widenUnsigned(keep.last); widened = true
+      }
     while (i < toks.length) {
       up(i) match {
         case "DEFAULT" if i + 1 < toks.length =>
@@ -451,11 +480,9 @@ object CdcStream {
           notNull = true; i += 2
         case "COMMENT" if i + 1 < toks.length =>
           comment = Some(toks(i + 1)); i += 2
-        case "UNSIGNED" if keep.nonEmpty =>
-          // widen the type token just kept (the tail's grammar puts
-          // UNSIGNED immediately after the type)
-          keep(keep.length - 1) = widenUnsigned(keep.last); i += 1
-        case "ZEROFILL" => i += 1 // display-only
+        case "UNSIGNED" | "ZEROFILL" =>
+          // the tail's grammar puts both immediately after the type
+          widenOnce(); i += 1
         case "AFTER" | "COLLATE" | "CHARSET" if i + 1 < toks.length => i += 2
         case "FIRST" | "NULL" | "AUTO_INCREMENT" | "KEY" => i += 1
         case "UNIQUE" => i += (if (up(i + 1) == "KEY") 2 else 1)

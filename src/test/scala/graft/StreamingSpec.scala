@@ -1713,6 +1713,17 @@ class StreamingSpec extends SparkSpec {
       ColumnDdl("s", "t", "add", "n", "BIGINT"))
     assert(parseWireDdl("ALTER TABLE s.t MODIFY COLUMN n TINYINT UNSIGNED") ==
       ColumnDdl("s", "t", "modify", "n", "SMALLINT"))
+    // SIGNED display widths are formatting too (the mysqldump spelling);
+    // MEDIUMINT maps to the Spark type that holds it; a bare ZEROFILL
+    // implies UNSIGNED in MySQL and widens exactly once
+    assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN flag TINYINT(1) DEFAULT 0") ==
+      ColumnDdl("s", "t", "add", "flag", "TINYINT", Some("0")))
+    assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN n INT(11) NOT NULL") ==
+      ColumnDdl("s", "t", "add", "n", "INT NOT NULL"))
+    assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN m MEDIUMINT") ==
+      ColumnDdl("s", "t", "add", "m", "INT"))
+    assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN z INT ZEROFILL") ==
+      ColumnDdl("s", "t", "add", "z", "BIGINT"))
     assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN c DECIMAL(10, 2) NOT NULL DEFAULT -1.5 FIRST") ==
       ColumnDdl("s", "t", "add", "c", "DECIMAL(10, 2) NOT NULL", Some("-1.5")))
     assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN c STRING DEFAULT 'a b' COMMENT 'keep me'") ==
