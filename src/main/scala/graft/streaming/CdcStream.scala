@@ -218,9 +218,12 @@ object CdcStream {
   // ---- wire-DDL grammar ---------------------------------------------------
   // Keywords lex case-insensitively and identifiers take optional backticks
   // (real binlog traffic carries both); identifier TEXT stays case-sensitive
-  // against the registration — table names are case-sensitive on the
-  // reference's platform (MySQL on Linux), so `APP.T` and `app.t` are
-  // different tables, not different spellings.
+  // against the registration BY DEFAULT — table names are case-sensitive on
+  // the reference's platform (MySQL on Linux), so `APP.T` and `app.t` are
+  // different tables, not different spellings. `SchemaTracker(foldCase =
+  // true)` opts into the lower_case_table_names policy instead: the decode
+  // then folds schema/table identifiers across registration, routing and
+  // this grammar (never columns).
   private val Id = "`?([A-Za-z0-9_]+)`?"
   private val Qual = s"$Id\\.$Id"
   private val ModifyColumnRe =
