@@ -327,10 +327,13 @@ object CdcStream {
   /** Bare (unqualified) identifier operands of an unparseable FLASHBACK
     * statement — everything that lexes as an identifier minus the
     * statement's own keywords and the qualified names (already scanned by
-    * [[qualsAddressed]]). */
+    * [[qualsAddressed]]). Single-quoted literals are blanked first: a
+    * token inside `TO TIMESTAMP '2024-01-01 …'` is the statement's DATA,
+    * not an operand, and must not widen the loud-fail over-match. */
   private def flashbackBareIds(stmt: String): Seq[String] = {
-    val inQuals = qualsAddressed(stmt).flatMap { case (s, t) => Seq(s, t) }.toSet
-    BareIdRe.findAllMatchIn(stmt).map(_.group(1)).toSeq
+    val noLits = stmt.replaceAll("'(?:\\\\.|[^'\\\\])*'", " ")
+    val inQuals = qualsAddressed(noLits).flatMap { case (s, t) => Seq(s, t) }.toSet
+    BareIdRe.findAllMatchIn(noLits).map(_.group(1)).toSeq
       .filterNot(id => FlashbackKeywords(id.toUpperCase) || inQuals(id))
   }
 
@@ -492,6 +495,23 @@ object CdcStream {
         case "PRIMARY" if up(i + 1) == "KEY" => i += 2
         case "ON" if up(i + 1) == "UPDATE" && i + 2 < toks.length => i += 3
         case "CHARACTER" if up(i + 1) == "SET" && i + 2 < toks.length => i += 3
+        // column-level CHECK constraints are decode-neutral (the payload is
+        // unaffected by a predicate on it): `[CONSTRAINT [sym]] CHECK (expr)
+        // [[NOT] ENFORCED]` strips whole
+        case "CHECK" if i + 1 < toks.length && toks(i + 1).startsWith("(") => i += 2
+        case "CONSTRAINT" if up(i + 1) == "CHECK" => i += 1
+        case "CONSTRAINT" if i + 1 < toks.length => i += 2
+        case "NOT" if up(i + 1) == "ENFORCED" => i += 2
+        case "ENFORCED" => i += 1
+        // generated columns: `[GENERATED ALWAYS] AS (expr) [VIRTUAL|STORED]`
+        // strips to a plain column of the declared type — the reference
+        // EXCLUDES generated columns from binlog rows (the F7 writable-
+        // columns rule), so the wire payload never carries a value and the
+        // decode correctly reads NULL
+        case "GENERATED" if up(i + 1) == "ALWAYS" && up(i + 2) == "AS" &&
+            i + 3 < toks.length && toks(i + 3).startsWith("(") => i += 4
+        case "AS" if i + 1 < toks.length && toks(i + 1).startsWith("(") => i += 2
+        case "VIRTUAL" | "STORED" => i += 1
         case _ => keep += toks(i); i += 1
       }
     }
@@ -898,7 +918,9 @@ object CdcStream {
     }
     // only the multi-table forms grow their decode set from wire CREATEs:
     // the single-table form writes a flat batch dir, where a second table
-    // would collide — there a CREATE skips like any foreign DDL
+    // would collide — there only a FOREIGN/new-name CREATE skips; a plain
+    // CREATE of the pinned table throws via the already-tracked dispatch
+    // (IF NOT EXISTS remains the counted legal no-op)
     val dynamicTables = fixedTables.isEmpty
     // identifier policy from the tracker (the lower_case_table_names
     // analog, SchemaTracker.foldCase): schema/table identifiers fold at
@@ -1343,22 +1365,7 @@ object CdcStream {
                         s"$text — later frames would decode against a stale " +
                         "shape; drop the statement upstream (F5 ddl-skip " +
                         "filter) or extend the decode grammar")
-                  case None if FlashbackVerbRe.pattern.matcher(text).matches &&
-                      (// any QUALIFIED operand in a tracked schema: the
-                       // live-catalog scan above misses a DROPPED table's
-                       // qual (it recreates tracked state all the same —
-                       // e.g. a qualified TO target the grammar rejects)
-                       qualsAddressed(text).exists(q =>
-                         trackedSchemas(normId(q._1))) ||
-                        flashbackBareIds(text).map(normId).exists(id =>
-                          trackedSchemas(id) || catalog.keys.exists(_._2 == id) ||
-                            localGrave.keys.exists(_._2 == id) ||
-                            trackedSchemas.exists(s2 =>
-                              // the LIVE registration, not the subset view —
-                              // the bare name may be a tracked table this
-                              // batch neither touched nor addressed
-                              tracker.tablesOf(s2).contains(id) ||
-                                tracker.droppedTables(s2).contains(id)))) =>
+                  case None if FlashbackVerbRe.pattern.matcher(text).matches =>
                     // an unrecognized FLASHBACK variant (FLASHBACK DATABASE
                     // of a tracked schema, an unqualified FLASHBACK TABLE of
                     // a tracked/dropped name, FLASHBACK CLUSTER) RECREATES
@@ -1366,11 +1373,33 @@ object CdcStream {
                     // tables' replication; same loud contract as a tracked-
                     // qual unknown (bare operands can over-match a foreign
                     // name that collides with a tracked one — loud beats
-                    // silent for a statement family that rewrites history)
-                    throw new IllegalArgumentException(
-                      s"unappliable wire FLASHBACK addresses tracked state: " +
-                        s"$text — drop the statement upstream (F5 ddl-skip " +
-                        "filter) or extend the decode grammar")
+                    // silent for a statement family that rewrites history).
+                    // The first QUALIFIED operand in a tracked schema counts
+                    // too: the live-catalog scan above misses a DROPPED
+                    // table's qual (a qualified TO target the grammar
+                    // rejects recreates tracked state all the same).
+                    val hit = qualsAddressed(text)
+                      .find(q => trackedSchemas(normId(q._1)))
+                      .map { case (s2, t2) => s"$s2.$t2" }
+                      .orElse(flashbackBareIds(text).find { id0 =>
+                        val id = normId(id0)
+                        trackedSchemas(id) || catalog.keys.exists(_._2 == id) ||
+                          localGrave.keys.exists(_._2 == id) ||
+                          trackedSchemas.exists(s2 =>
+                            // the LIVE registration, not the subset view —
+                            // the bare name may be a tracked table this
+                            // batch neither touched nor addressed
+                            tracker.tablesOf(s2).contains(id) ||
+                              tracker.droppedTables(s2).contains(id))
+                      })
+                    hit match {
+                      case Some(id) => throw new IllegalArgumentException(
+                        s"unappliable wire FLASHBACK addresses tracked state " +
+                          s"(matched identifier: $id): $text — drop the " +
+                          "statement upstream (F5 ddl-skip filter) or extend " +
+                          "the decode grammar")
+                      case None => skipped.add(1L)
+                    }
                   case None if dynamicTables &&
                       CreateTableVerbRe.pattern.matcher(text).matches &&
                       // the FIRST qual is the create TARGET — later quals

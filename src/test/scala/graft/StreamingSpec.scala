@@ -1804,7 +1804,18 @@ class StreamingSpec extends SparkSpec {
       _ => Seq("COLLATE utf8mb4_bin"), _ => Seq("CHARACTER SET utf8mb4"),
       _ => Seq("CHARSET latin1"), _ => Seq("AUTO_INCREMENT"),
       _ => Seq("UNIQUE"), _ => Seq("UNIQUE KEY"), _ => Seq("PRIMARY KEY"),
-      _ => Seq("KEY"), _ => Seq("COMMENT 'note'"), _ => Seq("ZEROFILL"))
+      _ => Seq("KEY"), _ => Seq("COMMENT 'note'"), _ => Seq("ZEROFILL"),
+      _ => Seq("CHECK (c > 0)"), _ => Seq("CHECK (c > 0) ENFORCED"),
+      _ => Seq("CONSTRAINT chk1 CHECK (c > 0) NOT ENFORCED"),
+      _ => Seq("GENERATED ALWAYS AS (k + 1) VIRTUAL"),
+      _ => Seq("AS (k * 2) STORED"))
+    // direct anchors for the CHECK / GENERATED tail classes (routine MySQL
+    // 8 / TiDB DDL shapes that must strip as decode-neutral)
+    assert(normalizeColumnTail("INT CHECK (c > 0)")._1 == "INT")
+    assert(normalizeColumnTail(
+      "INT CONSTRAINT c1 CHECK (c > 0) NOT ENFORCED NOT NULL")._1 == "INT NOT NULL")
+    assert(normalizeColumnTail("INT GENERATED ALWAYS AS (a + b) STORED")._1 == "INT")
+    assert(normalizeColumnTail("INT AS (a + b) VIRTUAL NOT NULL")._1 == "INT NOT NULL")
     (1 to 300).foreach { i =>
       val ty = types(rnd.nextInt(types.length))
       // UNSIGNED is only legal immediately after the type
@@ -2027,7 +2038,11 @@ class StreamingSpec extends SparkSpec {
         // decides; and a fully-foreign qualified FLASHBACK stays foreign
         .unionByName(ddl(62L,
           "CREATE TABLE foreign_db.y AS SELECT k FROM app.unregistered"))
-        .unionByName(ddl(64L, "FLASHBACK TABLE foreign_db.x TO foreign_db.y")),
+        .unionByName(ddl(64L, "FLASHBACK TABLE foreign_db.x TO foreign_db.y"))
+        // tokens inside a quoted literal are DATA, not operands: 't' and
+        // 'app' collide with tracked names but must not arm the loud gate
+        .unionByName(ddl(66L,
+          "FLASHBACK TABLE completely_foreign TO TIMESTAMP '2024-01-01 t app'")),
       wire3, nFiles = 1)
     val tracker5 = new SchemaTracker()
     tracker5.createTable("app", "t", Seq("k DOUBLE"), version = 0)
@@ -2036,8 +2051,8 @@ class StreamingSpec extends SparkSpec {
       PbBinlogFile.readStream(spark, wire3), tracker5, out3, ckpt3,
       "app", col("event_type"), skippedDdl = Some(skipped3))
     try q3.processAllAvailable() finally q3.stop()
-    assert(skipped3.value == 7L,
-      s"expected 7 counted skips, got ${skipped3.value}")
+    assert(skipped3.value == 8L,
+      s"expected 8 counted skips, got ${skipped3.value}")
     assert(tracker5.current("app", "t").get.columns == Vector("k DOUBLE") &&
       tracker5.current("app", "t").get.version == 0L,
       "a skipped statement must neither reshape nor bump the version")
