@@ -345,11 +345,13 @@ object CdcStream {
   private[graft] sealed trait WireDdl
   private[graft] final case class ColumnDdl(schema: String, table: String,
     action: String, column: String, arg: String,
-    default: Option[String] = None) extends WireDdl
+    default: Option[String] = None,
+    dict: Option[Vector[String]] = None) extends WireDdl
   private[graft] final case class TruncateDdl(schema: String, table: String) extends WireDdl
   private[graft] final case class CreateDdl(schema: String, table: String,
     defs: Seq[String], ifNotExists: Boolean = false,
-    defaults: Map[String, String] = Map.empty) extends WireDdl
+    defaults: Map[String, String] = Map.empty,
+    dicts: Map[String, Vector[String]] = Map.empty) extends WireDdl
   private[graft] final case class DropTableDdl(schema: String, table: String) extends WireDdl
   private[graft] final case class RenameDdl(schema: String, table: String,
     toSchema: Option[String], to: String) extends WireDdl
@@ -454,12 +456,77 @@ object CdcStream {
     }
   }
 
-  private[graft] def normalizeColumnTail(tail: String): (String, Option[String]) = {
+  /** The text VALUE of a single-quoted SQL literal: surrounding quotes
+    * strip, backslash escapes and doubled `''` unescape; non-literal text
+    * passes through (a numeric DEFAULT keeps its spelling). */
+  private[graft] def unquoteLiteral(s: String): String =
+    if (s.length >= 2 && s.head == '\'' && s.last == '\'')
+      s.substring(1, s.length - 1).replace("\\'", "'").replace("''", "'")
+        .replace("\\\\", "\\")
+    else s
+
+  /** ENUM/SET value list, declaration order (= 1-based ordinal order; SET
+    * bit positions follow the same order). */
+  private def dictValues(ty: String): Vector[String] = {
+    val open = ty.indexOf('(')
+    if (open < 0 || !ty.endsWith(")")) Vector.empty
+    else splitTopLevel(ty.substring(open + 1, ty.length - 1), _ == ',',
+      angles = false).map(v => unquoteLiteral(v.trim)).filter(_.nonEmpty)
+  }
+
+  /** Map a MySQL/TiDB-native column-type spelling to the Spark type that
+    * holds its value domain — what real wire DDL carries (ref:
+    * drainer/translator/kafka.go:227-294 DatumToColumn maps the full
+    * domain; tests/dailytest/case.go:97-146 exercises it; SURVEY §1.3 is
+    * the target table): the CHAR/TEXT families → STRING;
+    * DATETIME/TIMESTAMP → TIMESTAMP; TIME → STRING and YEAR → INT (the
+    * reference formats both to text/int, mysql.go:258-265); ENUM/SET →
+    * STRING value text PLUS their value DICTIONARY (M9 parity: the
+    * reference maps enum/set to the numeric value, mysql.go:266-269 — the
+    * dictionary rides the tracker so a sink can choose either
+    * representation); JSON → STRING (opaque text, kafka.go:283-284); the
+    * BLOB/BINARY families → BINARY; BIT → BIGINT (uint64 domain,
+    * mysql.go:270-276); BOOL → BOOLEAN; REAL → DOUBLE (MySQL REAL
+    * defaults to double precision); deprecated FLOAT/DOUBLE display args
+    * drop; DEC/FIXED/NUMERIC → DECIMAL keeping real precision args.
+    * Integer spellings normalize as before ([[normalizeIntType]]). An
+    * UNKNOWN spelling passes through, where the statement-time
+    * decodability check fails LOUDLY — never a silent guess. */
+  private def mysqlTypeToSpark(ty0: String): (String, Option[Vector[String]]) = {
+    val ty = normalizeIntType(ty0)
+    val base = ty.toUpperCase(java.util.Locale.ROOT).takeWhile(_ != '(')
+    base match {
+      case "CHAR" | "VARCHAR" | "NCHAR" | "NVARCHAR" | "TINYTEXT" | "TEXT" |
+           "MEDIUMTEXT" | "LONGTEXT" | "JSON" | "TIME" => ("STRING", None)
+      case "DATETIME" | "TIMESTAMP"    => ("TIMESTAMP", None)
+      case "YEAR"                      => ("INT", None)
+      case "ENUM" | "SET"              => ("STRING", Some(dictValues(ty)))
+      case "TINYBLOB" | "BLOB" | "MEDIUMBLOB" | "LONGBLOB" | "BINARY" |
+           "VARBINARY"                 => ("BINARY", None)
+      case "BIT"                       => ("BIGINT", None)
+      case "BOOL" | "BOOLEAN"          => ("BOOLEAN", None)
+      case "REAL"                      => ("DOUBLE", None)
+      case "DOUBLE" | "FLOAT"          => (base, None)
+      case "DEC" | "FIXED" | "NUMERIC" =>
+        ("DECIMAL" + ty.dropWhile(_ != '('), None)
+      case _                           => (ty, None)
+    }
+  }
+
+  private[graft] def normalizeColumnTail(
+      tail: String): (String, Option[String], Option[Vector[String]]) = {
     val toks0 = tailTokens(tail)
-    // the first token is the TYPE: MySQL integer display widths and
-    // MEDIUMINT normalize here regardless of signedness
-    val toks = if (toks0.isEmpty) toks0
-      else toks0.updated(0, normalizeIntType(toks0.head))
+    // the first token is the TYPE: the MySQL-native domain maps to Spark's
+    // here (ENUM/SET yield their value dictionary); `DOUBLE PRECISION` is
+    // the one TWO-token spelling — its tail word drops with the map
+    val (toks, dict) = if (toks0.isEmpty) (toks0, None)
+      else {
+        val (ty, d) = mysqlTypeToSpark(toks0.head)
+        val mapped = toks0.updated(0, ty)
+        (if (ty == "DOUBLE" && toks0.length > 1 &&
+            toks0(1).equalsIgnoreCase("PRECISION")) mapped.patch(1, Nil, 1)
+         else mapped, d)
+      }
     val keep = scala.collection.mutable.ArrayBuffer.empty[String]
     var default: Option[String] = None
     // NOT NULL / COMMENT are re-emitted in CANONICAL order (type, NOT
@@ -517,7 +584,7 @@ object CdcStream {
     }
     if (notNull) { keep += "NOT"; keep += "NULL" }
     comment.foreach { c => keep += "COMMENT"; keep += c }
-    (keep.mkString(" "), default)
+    (keep.mkString(" "), default, dict)
   }
 
   /** Table-level constraint entries legal inside a CREATE TABLE def list —
@@ -529,14 +596,17 @@ object CdcStream {
       "FOREIGN KEY|CHECK|FULLTEXT|SPATIAL)\\b.*").r
 
   /** Normalize one CREATE TABLE column def: `name` keeps its text (minus
-    * backticks), the tail goes through [[normalizeColumnTail]]. */
-  private def normalizeCreateDef(d: String): (String, Option[(String, String)]) = {
+    * backticks), the tail goes through [[normalizeColumnTail]] (origin
+    * default and ENUM/SET dictionary captured per column). */
+  private def normalizeCreateDef(
+      d: String): (String, Option[(String, String)],
+                   Option[(String, Vector[String])]) = {
     val toks = tailTokens(d)
-    if (toks.length < 2) (d, None)
+    if (toks.length < 2) (d, None, None)
     else {
       val name = toks.head.stripPrefix("`").stripSuffix("`")
-      val (clean, dflt) = normalizeColumnTail(toks.tail.mkString(" "))
-      (s"$name $clean", dflt.map(name -> _))
+      val (clean, dflt, dict) = normalizeColumnTail(toks.tail.mkString(" "))
+      (s"$name $clean", dflt.map(name -> _), dict.map(name -> _))
     }
   }
 
@@ -568,7 +638,8 @@ object CdcStream {
           .map(normalizeCreateDef)
         Some(CreateDdl(m.group(2), m.group(3), normed.map(_._1),
           ifNotExists = m.group(1) != null,
-          defaults = normed.flatMap(_._2).toMap))
+          defaults = normed.flatMap(_._2).toMap,
+          dicts = normed.flatMap(_._3).toMap))
       }
     }
 
@@ -625,14 +696,14 @@ object CdcStream {
     if (AdminDdlRes.exists(_.pattern.matcher(stmt).matches)) AdminDdl
     else stmt match {
       case ModifyColumnRe(s, t, c, ty) =>
-        val (clean, dflt) = normalizeColumnTail(ty.trim)
-        ColumnDdl(s, t, "modify", c, clean, dflt)
+        val (clean, dflt, dict) = normalizeColumnTail(ty.trim)
+        ColumnDdl(s, t, "modify", c, clean, dflt, dict)
       case AddColumnRe(s, t, c, ty)    =>
-        val (clean, dflt) = normalizeColumnTail(ty.trim)
-        ColumnDdl(s, t, "add", c, clean, dflt)
+        val (clean, dflt, dict) = normalizeColumnTail(ty.trim)
+        ColumnDdl(s, t, "add", c, clean, dflt, dict)
       case ChangeColumnRe(s, t, c, nc, ty) =>
-        val (clean, dflt) = normalizeColumnTail(ty.trim)
-        ColumnDdl(s, t, "change", c, s"$nc $clean", dflt)
+        val (clean, dflt, dict) = normalizeColumnTail(ty.trim)
+        ColumnDdl(s, t, "change", c, s"$nc $clean", dflt, dict)
       case DropColumnRe(s, t, c)       => ColumnDdl(s, t, "drop", c, "")
       case RenameColumnRe(s, t, a, b)  => ColumnDdl(s, t, "rename", a, b)
       case TruncateTableRe(s, t)       => TruncateDdl(s, t)
@@ -665,6 +736,17 @@ object CdcStream {
     * rename, the column-def list for create_table, empty otherwise. */
   private type AppliedDdl = (Long, String, String, String, String, String)
 
+  /** A `dictionary` log record's arg: the value list re-quoted so the SAME
+    * scanner/unquoter that lexed it from the wire re-parses it on replay
+    * (values may carry commas and quotes). Empty = clear. */
+  private def encodeDictArg(vs: Vector[String]): String =
+    vs.map(v => "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'")
+      .mkString(",")
+  private def decodeDictArg(arg: String): Vector[String] =
+    if (arg.isEmpty) Vector.empty
+    else splitTopLevel(arg, _ == ',', angles = false)
+      .map(v => unquoteLiteral(v.trim))
+
   /** Replay one logged DDL into the tracker — the single dispatch both the
     * live commit path and [[recoverDecodeTracker]] use, so a restart can
     * never interpret a log record differently than the run that wrote it. */
@@ -694,6 +776,9 @@ object CdcStream {
       // arg = the ORIGIN default expression stripped from the column def
       case "origin_default" =>
         tracker.setOriginDefault(schema, table, column, arg, version)
+      // arg = the re-quoted ENUM/SET value list (empty clears)
+      case "dictionary" =>
+        tracker.setDictionary(schema, table, column, decodeDictArg(arg), version)
       case other => throw new IllegalArgumentException(s"unknown logged DDL action: $other")
     }
 
@@ -995,9 +1080,9 @@ object CdcStream {
           // mutate — membership in the local catalog view drives the
           // dispatch, so the view must cover these keys too
           def keysOf(d: WireDdl): Seq[(String, String)] = d match {
-            case ColumnDdl(s, t, _, _, _, _)   => Seq((s, t))
+            case c: ColumnDdl                  => Seq((c.schema, c.table))
             case TruncateDdl(s, t)             => Seq((s, t))
-            case CreateDdl(s, t, _, _, _)      => Seq((s, t))
+            case c: CreateDdl                  => Seq((c.schema, c.table))
             case DropTableDdl(s, t)            => Seq((s, t))
             case RenameDdl(s, t, toS, to)      => Seq((s, t), (toS.getOrElse(s), to))
             case FlashbackDdl(s, t, to)        => Seq((s, t), (s, to.getOrElse(t)))
@@ -1155,7 +1240,9 @@ object CdcStream {
             // one statement may carry several actions (multi-table
             // RENAME/DROP lists); each part dispatches independently
             parsedParts.foreach {
-              case ColumnDdl(s, t, action, c, arg, dflt) if catalog.contains((s, t)) =>
+              case ColumnDdl(s, t, action, c, arg, dflt, dict)
+                  if catalog.contains((s, t)) =>
+                val prior = catalog((s, t))
                 shapeDdl((s, t), action, c, arg)(i => action match {
                   case "modify" => tracker.retyped(i, c, s"$c $arg", ts)
                   case "add"    => tracker.added(i, s"$c $arg", ts)
@@ -1172,6 +1259,28 @@ object CdcStream {
                 // is discarded like the admin SET DEFAULT form.
                 if (action == "add")
                   dflt.foreach(d => applied += ((ts, s, t, "origin_default", c, d)))
+                // an ENUM/SET dictionary is metadata of the column's
+                // CURRENT type — unlike an origin default it FOLLOWS
+                // modify/change: record the new value list (keyed by the
+                // post-statement name), or clear a stale one when the
+                // type moves off enum/set
+                if (action == "add" || action == "modify" || action == "change") {
+                  val dictName =
+                    if (action == "change") arg.split(" ", 2)(0) else c
+                  // the local view's dicts update WITH the record, so a
+                  // same-batch follow-up statement sees current metadata
+                  def putDict(d: Map[String, Vector[String]]): Unit =
+                    catalog += (s, t) -> catalog((s, t)).copy(dicts = d)
+                  dict match {
+                    case Some(vs) =>
+                      putDict(catalog((s, t)).dicts + (dictName -> vs))
+                      applied += ((ts, s, t, "dictionary", dictName, encodeDictArg(vs)))
+                    case None if prior.dicts.contains(c) =>
+                      putDict(catalog((s, t)).dicts - dictName)
+                      applied += ((ts, s, t, "dictionary", dictName, ""))
+                    case None => ()
+                  }
+                }
               case TruncateDdl(s, t) if catalog.contains((s, t)) =>
                 // streamed F6: in-flight frames of the truncated table at
                 // or below the truncate commit ts DROP — they addressed
@@ -1188,12 +1297,13 @@ object CdcStream {
                 lowerOf((s, t)) = ts
                 catalog += (s, t) -> catalog((s, t)).copy(version = ts)
                 applied += ((ts, s, t, "truncate", "", ""))
-              case CreateDdl(s, t, cols, _, dflts)
+              case CreateDdl(s, t, cols, _, dflts, dicts)
                   if trackedSchemas(s) && dynamicTables && !catalog.contains((s, t)) =>
                 // wire-registered table: decodes from its create ts forward
                 // (a frame of t below the create has no schema to decode
                 // against and drops, like any unrouted frame)
-                val created = tracker.TableInfo(s, t, cols.toVector, ts)
+                val created = tracker.TableInfo(s, t, cols.toVector, ts,
+                  dicts = dicts)
                 validateDecodable(created)
                 slicesOf.getOrElseUpdate((s, t),
                   scala.collection.mutable.ArrayBuffer.empty[DataFrame])
@@ -1203,7 +1313,10 @@ object CdcStream {
                 dflts.toSeq.sortBy(_._1).foreach { case (c, d) =>
                   applied += ((ts, s, t, "origin_default", c, d))
                 }
-              case CreateDdl(s, t, _, ifNotExists, _) if catalog.contains((s, t)) =>
+                dicts.toSeq.sortBy(_._1).foreach { case (c, vs) =>
+                  applied += ((ts, s, t, "dictionary", c, encodeDictArg(vs)))
+                }
+              case CreateDdl(s, t, _, ifNotExists, _, _) if catalog.contains((s, t)) =>
                 // the already-tracked dispatch is EXPLICIT, not the default
                 // skip: CREATE IF NOT EXISTS of a tracked name is a legal
                 // upstream no-op (counted skip); the plain form is illegal
@@ -1308,18 +1421,25 @@ object CdcStream {
                 // unresolvable source fails LOUDLY for the same reason as
                 // an unrecoverable FLASHBACK: the new table lives in a
                 // tracked schema and upstream replicates it from here on.
-                val cols = catalog.getOrElse((s2, u),
+                val src = catalog.getOrElse((s2, u),
                   throw new IllegalArgumentException(
                     s"cannot apply wire CREATE TABLE $s.$t LIKE $s2.$u: " +
                       "the source is not tracked, so the new table's shape " +
                       "is unknown and it would silently detach — register " +
                       "the source or drop the statement upstream (F5 " +
-                      "ddl-skip filter)")).columns
+                      "ddl-skip filter)"))
+                val cols = src.columns
                 slicesOf.getOrElseUpdate((s, t),
                   scala.collection.mutable.ArrayBuffer.empty[DataFrame])
                 lowerOf((s, t)) = ts
-                catalog += (s, t) -> tracker.TableInfo(s, t, cols, ts)
+                // LIKE copies type metadata too: an ENUM column's def maps
+                // to STRING, so its value dictionary must ride along
+                catalog += (s, t) -> tracker.TableInfo(s, t, cols, ts,
+                  dicts = src.dicts)
                 applied += ((ts, s, t, "create_table", "", cols.mkString(", ")))
+                src.dicts.toSeq.sortBy(_._1).foreach { case (c, vs) =>
+                  applied += ((ts, s, t, "dictionary", c, encodeDictArg(vs)))
+                }
               case RenameDdl(s, t, toSchemaOpt, to) if catalog.contains((s, t)) =>
                 val s2 = toSchemaOpt.getOrElse(s)
                 val canApply = dynamicTables && trackedSchemas(s2) &&

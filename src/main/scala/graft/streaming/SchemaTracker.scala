@@ -39,8 +39,17 @@ class SchemaTracker(historyDepth: Int = 2, val foldCase: Boolean = false) {
     * rename/drop/graveyard/recover propagate it for free. A later SET
     * DEFAULT does NOT change it (it only affects future upstream inserts,
     * which arrive with explicit values — the admin skip set). */
+  /** `dicts` carries each ENUM/SET column's value dictionary (declaration
+    * order = 1-based ordinal order; SET bit positions follow the same
+    * order) — the wire grammar maps those types to STRING value text, and
+    * the dictionary is what lets a sink choose the reference's NUMERIC
+    * representation instead (ref: drainer/translator/mysql.go:266-269 maps
+    * enum/set to the number; M9 type-domain parity). Unlike an origin
+    * default it is metadata of the column's CURRENT type, so
+    * MODIFY/CHANGE update or clear it. */
   case class TableInfo(schema: String, table: String, columns: Vector[String],
-    version: Long, defaults: Map[String, String] = Map.empty)
+    version: Long, defaults: Map[String, String] = Map.empty,
+    dicts: Map[String, Vector[String]] = Map.empty)
 
   private var byName = Map.empty[(String, String), Vector[TableInfo]]
   // dropped tables keep their last shape so RecoverTable can restore it
@@ -102,12 +111,13 @@ class SchemaTracker(historyDepth: Int = 2, val foldCase: Boolean = false) {
     val idx = colIdx(info, column)
     require(idx >= 0, s"no column $column in ${info.schema}.${info.table}")
     info.copy(columns = info.columns.patch(idx, Nil, 1),
-      defaults = info.defaults - column, version = version)
+      defaults = info.defaults - column, dicts = info.dicts - column,
+      version = version)
   }
 
   /** Rename keeps the column's position and type text (the `" TYPE"` tail
     * of a def entry survives under the new name) and re-keys its origin
-    * default. */
+    * default and value dictionary. */
   def renamed(info: TableInfo, from: String, to: String, version: Long): TableInfo = {
     val idx = colIdx(info, from)
     require(idx >= 0, s"no column $from in ${info.schema}.${info.table}")
@@ -117,8 +127,12 @@ class SchemaTracker(historyDepth: Int = 2, val foldCase: Boolean = false) {
       case Some(d) => info.defaults - from + (to -> d)
       case None    => info.defaults
     }
+    val dicts = info.dicts.get(from) match {
+      case Some(vs) => info.dicts - from + (to -> vs)
+      case None     => info.dicts
+    }
     info.copy(columns = info.columns.updated(idx, newDef),
-      defaults = defaults, version = version)
+      defaults = defaults, dicts = dicts, version = version)
   }
 
   /** MySQL CHANGE COLUMN: rename + retype in place, one version step.
@@ -246,6 +260,26 @@ class SchemaTracker(historyDepth: Int = 2, val foldCase: Boolean = false) {
     * carried one (current shape; renames re-key it, drops remove it). */
   def originDefault(schema: String, table: String, column: String): Option[String] =
     current(schema, table).flatMap(_.defaults.get(column))
+
+  /** Record (or clear, when `values` is empty) a column's ENUM/SET value
+    * dictionary (see [[TableInfo.dicts]]). Amends the current shape entry
+    * in place like [[setOriginDefault]] — the dictionary is metadata OF
+    * the statement applied at this version, not a shape change. */
+  def setDictionary(schema: String, table: String, column: String,
+      values: Vector[String], version: Long): Unit = {
+    currentVersion = version
+    val hist = byName.getOrElse((n(schema), n(table)),
+      throw new NoSuchElementException(s"$schema.$table"))
+    val last = hist.last
+    val d = if (values.isEmpty) last.dicts - column
+      else last.dicts + (column -> values)
+    byName += (n(schema), n(table)) -> (hist.init :+ last.copy(dicts = d))
+  }
+
+  /** The M9-parity hook: a column's ENUM/SET value list in 1-based ordinal
+    * order, if its current type carries one. */
+  def dictionary(schema: String, table: String, column: String): Option[Vector[String]] =
+    current(schema, table).flatMap(_.dicts.get(column))
 
   /** CreateTables: one DDL job creating several tables at a single schema
     * version (ref: drainer/schema.go:499-520 ActionCreateTables loops the

@@ -1793,9 +1793,17 @@ class StreamingSpec extends SparkSpec {
     import CdcStream._
     import org.apache.spark.sql.types.StructType
     val rnd = new scala.util.Random(13)
+    // Spark-native spellings AND the MySQL-native domain real wire DDL
+    // carries (ref kafka.go:227-294) — every normalized def must decode
     val types = Seq("INT", "BIGINT", "DOUBLE", "DECIMAL(10,2)", "STRING",
-      "TIMESTAMP", "STRUCT<a: INT, b: STRING>")
-    val intTypes = Set("INT", "BIGINT")
+      "TIMESTAMP", "STRUCT<a: INT, b: STRING>",
+      "VARCHAR(255)", "CHAR(4)", "TEXT", "MEDIUMTEXT", "LONGTEXT",
+      "DATETIME", "DATETIME(6)", "DATE", "TIME", "TIME(3)", "YEAR",
+      "ENUM('a','b,c','it''s')", "SET('x','y')", "JSON",
+      "BLOB", "TINYBLOB", "VARBINARY(16)", "BINARY(8)", "BIT(64)",
+      "BOOLEAN", "BOOL", "MEDIUMINT(9)", "INT(11)", "TINYINT(1)",
+      "NUMERIC(10,2)", "REAL", "DOUBLE PRECISION")
+    val intTypes = Set("INT", "BIGINT", "MEDIUMINT(9)", "INT(11)", "TINYINT(1)")
     val defaults = Seq("5", "-1.5", "'x,y'", "'a b'", "(a > 0)", "(a < 0)",
       "CURRENT_TIMESTAMP", "'it\\'s'")
     val options: Seq[String => Seq[String]] = Seq(
@@ -1816,6 +1824,23 @@ class StreamingSpec extends SparkSpec {
       "INT CONSTRAINT c1 CHECK (c > 0) NOT ENFORCED NOT NULL")._1 == "INT NOT NULL")
     assert(normalizeColumnTail("INT GENERATED ALWAYS AS (a + b) STORED")._1 == "INT")
     assert(normalizeColumnTail("INT AS (a + b) VIRTUAL NOT NULL")._1 == "INT NOT NULL")
+    // MySQL-native type mapping anchors (SURVEY §1.3; ref kafka.go:227-294)
+    assert(normalizeColumnTail("VARCHAR(255) NOT NULL")._1 == "STRING NOT NULL")
+    assert(normalizeColumnTail("DATETIME(6)")._1 == "TIMESTAMP")
+    assert(normalizeColumnTail("TIME(3)")._1 == "STRING")
+    assert(normalizeColumnTail("YEAR")._1 == "INT")
+    assert(normalizeColumnTail("ENUM('red','green','blue') DEFAULT 'red'") ==
+      (("STRING", Some("'red'"), Some(Vector("red", "green", "blue")))))
+    assert(normalizeColumnTail("SET('a','b,c','it''s')")._3 ==
+      Some(Vector("a", "b,c", "it's")))
+    assert(normalizeColumnTail("JSON")._1 == "STRING")
+    assert(normalizeColumnTail("VARBINARY(16)")._1 == "BINARY")
+    assert(normalizeColumnTail("BIT(64)")._1 == "BIGINT")
+    assert(normalizeColumnTail("BOOL")._1 == "BOOLEAN")
+    assert(normalizeColumnTail("DOUBLE PRECISION NOT NULL")._1 == "DOUBLE NOT NULL")
+    assert(normalizeColumnTail("NUMERIC(10,2)")._1 == "DECIMAL(10,2)")
+    // UNSIGNED still widens the MAPPED integer spelling exactly once
+    assert(normalizeColumnTail("INT(10) UNSIGNED")._1 == "BIGINT")
     (1 to 300).foreach { i =>
       val ty = types(rnd.nextInt(types.length))
       // UNSIGNED is only legal immediately after the type
@@ -1826,7 +1851,7 @@ class StreamingSpec extends SparkSpec {
         .flatMap(f => f(ty)) ++ dflt.map(d => s"DEFAULT $d").toSeq
       val tail = (Seq(ty) ++ (if (unsigned) Seq("UNSIGNED") else Nil) ++
         rnd.shuffle(opts)).mkString(" ")
-      val (clean, captured) = normalizeColumnTail(tail)
+      val (clean, captured, _) = normalizeColumnTail(tail)
       val parsed = scala.util.Try(StructType.fromDDL(s"c $clean"))
       assert(parsed.isSuccess,
         s"[#$i] tail '$tail' normalized to undecodable '$clean': $parsed")
@@ -1835,6 +1860,31 @@ class StreamingSpec extends SparkSpec {
       if (tail.contains("NOT NULL"))
         assert(clean.contains("NOT NULL"), s"[#$i] '$tail' lost NOT NULL → '$clean'")
     }
+  }
+
+  test("ENUM/SET dictionaries: captured from the wire, re-keyed by rename, cleared by retype/drop") {
+    import CdcStream._
+    // wire capture: the type maps to STRING, the value list rides as the
+    // dictionary, the DEFAULT is still the origin default
+    assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN e ENUM('a','b') DEFAULT 'a'") ==
+      ColumnDdl("s", "t", "add", "e", "STRING", Some("'a'"), Some(Vector("a", "b"))))
+    assert(parseWireDdl("CREATE TABLE s.t2 (e ENUM('x','y') DEFAULT 'x', k INT(11))") ==
+      CreateDdl("s", "t2", Seq("e STRING", "k INT"),
+        defaults = Map("e" -> "'x'"), dicts = Map("e" -> Vector("x", "y"))))
+    val tr = new SchemaTracker()
+    tr.createTable("s", "t", Seq("k DOUBLE"), 0)
+    tr.addColumn("s", "t", "e STRING", 1)
+    tr.setDictionary("s", "t", "e", Vector("a", "b"), 1)
+    assert(tr.dictionary("s", "t", "e").contains(Vector("a", "b")))
+    tr.renameColumn("s", "t", "e", "e2", 2)
+    assert(tr.dictionary("s", "t", "e2").contains(Vector("a", "b")) &&
+      tr.dictionary("s", "t", "e").isEmpty)
+    tr.setDictionary("s", "t", "e2", Vector.empty, 3) // retype off enum clears
+    assert(tr.dictionary("s", "t", "e2").isEmpty)
+    tr.addColumn("s", "t", "f STRING", 4)
+    tr.setDictionary("s", "t", "f", Vector("x"), 4)
+    tr.dropColumn("s", "t", "f", 5)
+    assert(tr.current("s", "t").get.dicts.isEmpty)
   }
 
   test("streamed wire DDL grammar: admin/unknown statements skip counted; case and backticks lex; tracked-shape unknowns throw") {
