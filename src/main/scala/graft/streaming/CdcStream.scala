@@ -819,7 +819,7 @@ object CdcStream {
       schemaOf = lit(schemaName), tableOf = lit(table),
       fixedTables = Some(Seq((schemaName, table))),
       layout = (id, _, _) => s"$outDir/data/batch=$id", belowFrontier,
-      skippedDdl = None, emit = None)
+      skippedDdl = None, emit = None, fillOriginDefaults = false)
 
   /** Per-batch decoded output handed to a composing sink (see
     * [[ddlDrivenDecodeTables]]'s `emit`): the batch id, each table's
@@ -866,13 +866,15 @@ object CdcStream {
       tableOf: Column,
       belowFrontier: Option[org.apache.spark.util.LongAccumulator] = None,
       emit: Option[DecodedBatch => Unit] = None,
-      skippedDdl: Option[org.apache.spark.util.LongAccumulator] = None): StreamingQuery =
+      skippedDdl: Option[org.apache.spark.util.LongAccumulator] = None,
+      fillOriginDefaults: Boolean = false): StreamingQuery =
     decodeQuery(wire, tracker, outDir, checkpoint, Seq(schemaName),
       schemaOf = lit(schemaName), tableOf = tableOf, fixedTables = None,
       layout = (id, _, t) => s"$outDir/data/batch=$id/table=$t", belowFrontier,
       skippedDdl,
       emit.map(f => (b: DecodedBatchMulti) =>
-        f((b._1, b._2.map { case ((_, t), v) => t -> v }, b._3))))
+        f((b._1, b._2.map { case ((_, t), v) => t -> v }, b._3))),
+      fillOriginDefaults)
 
   /** The reference catalog's FULL shape: EVERY schema on the shared wire
     * decodes in one stream (ref: drainer/schema.go:43-62 — the `schemas`
@@ -892,11 +894,12 @@ object CdcStream {
       schemaOf: Column, tableOf: Column,
       belowFrontier: Option[org.apache.spark.util.LongAccumulator] = None,
       skippedDdl: Option[org.apache.spark.util.LongAccumulator] = None,
-      emit: Option[DecodedBatchMulti => Unit] = None): StreamingQuery =
+      emit: Option[DecodedBatchMulti => Unit] = None,
+      fillOriginDefaults: Boolean = false): StreamingQuery =
     decodeQuery(wire, tracker, outDir, checkpoint, schemas, schemaOf, tableOf,
       fixedTables = None,
       layout = (id, s, t) => s"$outDir/data/batch=$id/schema=$s/table=$t",
-      belowFrontier, skippedDdl, emit)
+      belowFrontier, skippedDdl, emit, fillOriginDefaults)
 
   /** Test hook: per-output-dir size of the last batch's driver-side
     * catalog view — the O(touched ∪ addressed) discipline is asserted by
@@ -975,6 +978,16 @@ object CdcStream {
     }
   }
 
+  /** `fillOriginDefaults = true` opts into the reference's DECODE-TIME
+    * T7 fill (ref: drainer/translator/translator.go:169-227
+    * getDefaultOrZeroValue fills columns missing from the row data): a
+    * row that PREDATES a column added with a DEFAULT reads the origin
+    * default from the decode's own output instead of NULL. The fill is
+    * version-gated — only rows whose decoding schema_version predates the
+    * add are touched, so a post-barrier EXPLICIT null survives. Default
+    * (false) keeps version-correct NULLs, with end-state parity reached
+    * at the sink's translated `ADD COLUMN … DEFAULT` barrier instead
+    * (the M8/K1 composition) — both equivalence points are supported. */
   private def decodeQuery(wire: DataFrame, tracker: SchemaTracker,
       outDir: String, checkpoint: String, schemas: Seq[String],
       schemaOf: Column, tableOf: Column,
@@ -982,7 +995,8 @@ object CdcStream {
       layout: (Long, String, String) => String,
       belowFrontier: Option[org.apache.spark.util.LongAccumulator],
       skippedDdl: Option[org.apache.spark.util.LongAccumulator],
-      emit: Option[DecodedBatchMulti => Unit]): StreamingQuery = {
+      emit: Option[DecodedBatchMulti => Unit],
+      fillOriginDefaults: Boolean = false): StreamingQuery = {
     val tag = schemas.mkString("+")
     // forward-only-delivery violations surface here instead of silently
     // mis-typing rows (see the check inside the batch); callers that want
@@ -1120,6 +1134,13 @@ object CdcStream {
           // would pass the guard twice and wedge the commit walk)
           var localGrave = Map.empty[(String, String), Vector[String]]
           var consumedGrave = Set.empty[(String, String)]
+          // decode-time T7 fill state (only when opted in): column →
+          // (add version, literal value) per table, for columns BORN WITH
+          // A DEFAULT in this batch — only those can leave missing-column
+          // NULLs in this batch's union (a column added in an earlier
+          // batch exists in every slice decoded now). Renames re-key,
+          // drops remove, like the tracker's own defaults map.
+          var localFill = Map.empty[(String, String), Map[String, (Long, String)]]
           // forward-only contract precheck from the SAME gather — a frame
           // delivered below ITS table's already-applied DDL frontier would
           // decode with the NEW schema (slicing happens within the batch;
@@ -1259,6 +1280,20 @@ object CdcStream {
                 // is discarded like the admin SET DEFAULT form.
                 if (action == "add")
                   dflt.foreach(d => applied += ((ts, s, t, "origin_default", c, d)))
+                if (fillOriginDefaults) {
+                  val cur = localFill.getOrElse((s, t), Map.empty)
+                  val next = action match {
+                    case "add" => dflt.fold(cur)(d =>
+                      cur + (c -> ((ts, unquoteLiteral(d)))))
+                    case "drop" => cur - c
+                    case "rename" => cur.get(c).fold(cur)(v => cur - c + (arg -> v))
+                    case "change" =>
+                      cur.get(c).fold(cur)(v => cur - c + (arg.split(" ", 2)(0) -> v))
+                    case _ => cur
+                  }
+                  if (next.nonEmpty) localFill += (s, t) -> next
+                  else localFill -= ((s, t))
+                }
                 // an ENUM/SET dictionary is metadata of the column's
                 // CURRENT type — unlike an origin default it FOLLOWS
                 // modify/change: record the new value list (keyed by the
@@ -1295,6 +1330,7 @@ object CdcStream {
                 slicesOf((s, t)).clear()
                 defsOf.remove((s, t))
                 lowerOf((s, t)) = ts
+                localFill -= ((s, t)) // pre-truncate rows left the output
                 catalog += (s, t) -> catalog((s, t)).copy(version = ts)
                 applied += ((ts, s, t, "truncate", "", ""))
               case CreateDdl(s, t, cols, _, dflts, dicts)
@@ -1344,6 +1380,7 @@ object CdcStream {
                 decodeSlice((s, t), catalog((s, t)), ts)
                 localGrave += (s, t) -> catalog((s, t)).columns
                 catalog -= ((s, t))
+                localFill -= ((s, t))
                 applied += ((ts, s, t, "drop_table", "", ""))
               case DropSchemaDdl(s) if catalog.keys.exists(_._1 == s) =>
                 if (!dynamicTables)
@@ -1360,6 +1397,7 @@ object CdcStream {
                   decodeSlice(k, catalog(k), ts)
                   localGrave += k -> catalog(k).columns
                   catalog -= k
+                  localFill -= k
                   applied += ((ts, k._1, k._2, "drop_table", "", ""))
                 }
               case FlashbackDdl(s, t, toOpt)
@@ -1472,6 +1510,9 @@ object CdcStream {
                 catalog += (s2, to) -> catalog((s, t))
                   .copy(schema = s2, table = to, version = ts)
                 catalog -= ((s, t))
+                localFill.get((s, t)).foreach { m =>
+                  localFill = localFill - ((s, t)) + ((s2, to) -> m)
+                }
                 applied += ((ts, s, t, "rename_table", "",
                   if (s2 == s) to else s"$s2.$to"))
               case UnknownDdl(text) =>
@@ -1551,8 +1592,19 @@ object CdcStream {
           }
           val unions = slicesOf.toSeq.collect {
             case (k, slices) if slices.nonEmpty =>
-              k -> ((defsOf(k).values.toSeq,
-                slices.reduce(_.unionByName(_, allowMissingColumns = true))))
+              val merged0 = slices.reduce(_.unionByName(_, allowMissingColumns = true))
+              // decode-time T7 fill (opt-in; see the decodeQuery note):
+              // version-gated so only rows decoded at a schema PREDATING
+              // the add are filled — a post-barrier explicit null survives
+              val merged = localFill.getOrElse(k, Map.empty)
+                .foldLeft(merged0) { case (df, (c, (addTs, v))) =>
+                  val cs = s"${c}_str"
+                  if (!df.columns.contains(cs)) df
+                  else df.withColumn(cs,
+                    when(col("schema_version") < addTs && col(cs).isNull,
+                      lit(v)).otherwise(col(cs)))
+                }
+              k -> ((defsOf(k).values.toSeq, merged))
           }
           // per-table writes are independent jobs — fan them out on the
           // bounded pool (ref: pkg/loader/load.go:508-527's 16 workers): a

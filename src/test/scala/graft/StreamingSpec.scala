@@ -2108,6 +2108,45 @@ class StreamingSpec extends SparkSpec {
       "a skipped statement must neither reshape nor bump the version")
   }
 
+  test("opt-in decode-time origin-default fill: pre-barrier rows read the default, explicit nulls survive") {
+    // reference parity point: translator.go:169-227 fills origin defaults
+    // for columns missing from the row data AT DECODE TIME; the fill is
+    // version-gated, so a post-barrier row that carries an EXPLICIT null
+    // keeps it (it does not predate the column)
+    import graft.sources.PbBinlogFile
+    val wireDir = graft.util.Scratch.dir("graft_fill_wire")
+    val outDir = graft.util.Scratch.dir("graft_fill_out")
+    val ckpt = graft.util.Scratch.dir("graft_fill_ckpt")
+    def row(ts: Long, op: String, props: String, sql: String) =
+      Seq(ts).toDF("commit_ts").select(
+        col("commit_ts"), lit(ts).as("pk"), lit(op).as("op"),
+        lit(if (op == "DDL") "ddl" else "t").as("event_type"),
+        timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+        lit(null).cast("double").as("value"),
+        (if (props == null) lit(null).cast("string") else lit(props)).as("props"),
+        (if (sql == null) lit(null).cast("string") else lit(sql)).as("ddl_sql"))
+    PbBinlogFile.write(
+      row(1L, "U", """{"k": 1.25}""", null)
+        .unionByName(row(3L, "U", """{"k": 3.25}""", null))
+        .unionByName(row(5L, "DDL", null,
+          "ALTER TABLE app.t ADD COLUMN c DECIMAL(10,1) DEFAULT 1.5 AFTER k"))
+        .unionByName(row(7L, "U", """{"k": 7.25, "c": 7.5}""", null))
+        .unionByName(row(9L, "U", """{"k": 9.25, "c": null}""", null)),
+      wireDir, nFiles = 1)
+    val tracker = new SchemaTracker()
+    tracker.createTable("app", "t", Seq("k DOUBLE"), version = 0)
+    val q = CdcStream.ddlDrivenDecodeTables(PbBinlogFile.readStream(spark, wireDir),
+      tracker, outDir, ckpt, "app", col("event_type"),
+      fillOriginDefaults = true)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$outDir/data")
+      .select(col("commit_ts"), col("c_str")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    assert(got == Map(1L -> "1.5", 3L -> "1.5", 7L -> "7.5", 9L -> null),
+      s"decode-time fill mismatch: $got")
+  }
+
   test("per-trigger driver init scales with the touched set, not the registration") {
     // at 100k tracked tables and sparse traffic, rebuilding the full
     // catalog view (and seeding per-table slice maps) every trigger is
