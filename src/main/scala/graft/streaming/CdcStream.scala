@@ -1956,6 +1956,119 @@ object CdcStream {
        |  CASE WHEN c.commit_ts <= b.mid THEN 0 ELSE b.mid END AS schema_version
        |FROM c, b""".stripMargin
 
+  /** Oracle-checked MYSQL-NATIVE TYPE DOMAIN on the wire (the r13-verdict
+    * robustness gap under the hash gate): the midpoint DDLs add columns
+    * spelled the way real TiDB traffic spells them — `VARCHAR(32)`,
+    * `DATETIME(3)`, `ENUM('red','green','blue') DEFAULT 'red'`, `YEAR`
+    * (ref: drainer/translator/kafka.go:227-294 maps exactly this domain;
+    * tests/dailytest/case.go:97-146 exercises it) — so the grammar must
+    * map each to the Spark type holding its values, capture the ENUM's
+    * value dictionary AND its origin default, and decode on. The decode
+    * runs with `fillOriginDefaults = true`, so pre-barrier rows read the
+    * enum's default from the decode output (the reference's decode-time
+    * T7 equivalence point; `t6_option_tails` keeps the sink-side-backfill
+    * mode under the same gate), and the output's `e_ord` column maps the
+    * enum text through the tracked dictionary to the reference's numeric
+    * representation (mysql.go:266-269). All four DDLs share one commit ts,
+    * the legal TiDB shape for one ALTER statement's jobs. */
+  def mysqlTypesQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.PbBinlogFile
+    val wireDir = graft.util.Scratch.dir("graft_myty_wire")
+    val outDir = graft.util.Scratch.dir("graft_myty_out")
+    val ckpt = graft.util.Scratch.dir("graft_myty_ckpt")
+    val changes = graft.ops.Cdc.changes(spark, dir).persist()
+    try {
+      val maxRow = changes.agg(max("commit_ts")).head
+      val maxTs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      val mid = maxTs / 2
+      val secs = pmod(col("commit_ts"), lit(86400L))
+      val hhmmss = concat(
+        lpad((secs / 3600).cast("long").cast("string"), 2, "0"), lit(":"),
+        lpad((pmod(secs, lit(3600L)) / 60).cast("long").cast("string"), 2, "0"),
+        lit(":"), lpad(pmod(secs, lit(60L)).cast("string"), 2, "0"))
+      val enumVal = element_at(
+        typedLit(Seq("red", "green", "blue")), (pmod(col("pk"), lit(3L)) + 1).cast("int"))
+      val payload = (pmod(col("commit_ts"), lit(1000000L)).cast("double") + 0.26)
+        .cast("string")
+      val dml = changes.select(
+        col("commit_ts"), col("pk"), lit("U").as("op"),
+        lit("t").as("event_type"),
+        col("ts"), col("value"),
+        concat(lit("{\"k\": "), payload,
+          when(col("commit_ts") > mid, concat(
+            lit(", \"v\": \"s"), col("pk").cast("string"), lit("\""),
+            lit(", \"d\": \"2026-01-01T"), hhmmss, lit("\""),
+            lit(", \"e\": \""), enumVal, lit("\""),
+            lit(", \"y\": "), (pmod(col("pk"), lit(30L)) + 1990).cast("string")))
+            .otherwise(lit("")),
+          lit("}")).as("props"),
+        lit(null).cast("string").as("ddl_sql"))
+      def ddlRow(sql: String) = spark.range(1).select(
+        lit(mid).as("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
+        lit("ddl").as("event_type"),
+        timestamp_micros(lit(mid) * 1000000L).as("ts"),
+        lit(null).cast("double").as("value"),
+        lit(null).cast("string").as("props"),
+        lit(sql).as("ddl_sql"))
+      PbBinlogFile.write(dml
+        .unionByName(ddlRow("ALTER TABLE app.t ADD COLUMN v VARCHAR(32) NOT NULL"))
+        .unionByName(ddlRow("ALTER TABLE app.t ADD COLUMN d DATETIME(3)"))
+        .unionByName(ddlRow(
+          "ALTER TABLE app.t ADD COLUMN e ENUM('red','green','blue') DEFAULT 'red'"))
+        .unionByName(ddlRow("ALTER TABLE app.t ADD COLUMN y YEAR")),
+        wireDir, nFiles = 2)
+    } finally { changes.unpersist(); () }
+    val tracker = new SchemaTracker()
+    tracker.createTable("app", "t", Seq("k DOUBLE"), version = 0)
+    val q = ddlDrivenDecodeTables(PbBinlogFile.readStream(spark, wireDir),
+      tracker, outDir, ckpt, "app", col("event_type"),
+      fillOriginDefaults = true)
+    try q.processAllAvailable() finally q.stop()
+    assertSingleBatch(spark, outDir)
+    // same-ts DDLs apply in statement-text order (the walk's tie rule), so
+    // the columns append d, e, v, y
+    require(tracker.current("app", "t").get.columns == Vector("k DOUBLE",
+      "d TIMESTAMP", "e STRING", "v STRING NOT NULL", "y INT"),
+      s"unexpected mapped defs: ${tracker.current("app", "t").get.columns}")
+    require(tracker.dictionary("app", "t", "e")
+      .contains(Vector("red", "green", "blue")),
+      s"enum dictionary not tracked: ${tracker.dictionary("app", "t", "e")}")
+    require(tracker.originDefault("app", "t", "e").contains("'red'"),
+      s"enum origin default not tracked: ${tracker.originDefault("app", "t", "e")}")
+    // M9 numeric representation: enum text → 1-based ordinal through the
+    // TRACKED dictionary (a driver-local constant map literal in the plan)
+    val ordinals = tracker.dictionary("app", "t", "e").get.zipWithIndex
+      .map { case (v, i) => v -> (i + 1).toLong }.toMap
+    spark.read.parquet(s"$outDir/data")
+      .select(col("commit_ts"), col("k_str"), col("v_str"), col("d_str"),
+        col("e_str"), element_at(typedLit(ordinals), col("e_str")).as("e_ord"),
+        col("y_str"), col("schema_version"))
+  }
+
+  def mysqlTypesSql: String =
+    s"""WITH c AS (${graft.ops.Cdc.changesCte}),
+       |b AS (SELECT max(commit_ts)//2 AS mid FROM c)
+       |SELECT c.commit_ts,
+       |  CAST((c.commit_ts % 1000000) + 0.26 AS VARCHAR) AS k_str,
+       |  CASE WHEN c.commit_ts > b.mid
+       |       THEN 's' || CAST(c.pk AS VARCHAR) END AS v_str,
+       |  CASE WHEN c.commit_ts > b.mid THEN '2026-01-01 '
+       |    || lpad(CAST((c.commit_ts % 86400) // 3600 AS VARCHAR), 2, '0')
+       |    || ':'
+       |    || lpad(CAST(((c.commit_ts % 86400) % 3600) // 60 AS VARCHAR), 2, '0')
+       |    || ':'
+       |    || lpad(CAST((c.commit_ts % 86400) % 60 AS VARCHAR), 2, '0')
+       |  END AS d_str,
+       |  CASE WHEN c.commit_ts <= b.mid THEN 'red'
+       |       ELSE CASE c.pk % 3 WHEN 0 THEN 'red' WHEN 1 THEN 'green'
+       |            ELSE 'blue' END END AS e_str,
+       |  CASE WHEN c.commit_ts <= b.mid THEN CAST(1 AS BIGINT)
+       |       ELSE c.pk % 3 + 1 END AS e_ord,
+       |  CASE WHEN c.commit_ts > b.mid
+       |       THEN CAST(1990 + c.pk % 30 AS VARCHAR) END AS y_str,
+       |  CASE WHEN c.commit_ts <= b.mid THEN 0 ELSE b.mid END AS schema_version
+       |FROM c, b""".stripMargin
+
   /** Flagship streaming path: change stream → per-batch merge-by-PK upsert
     * into the materialized state with exactly-once batch ids. */
   def applyToState(changes: DataFrame, stateRoot: String, checkpoint: String): StreamingQuery = {
