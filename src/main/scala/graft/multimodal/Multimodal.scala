@@ -15,9 +15,10 @@ import graft.model.Tables
   * Container metadata (format, dimensions) is parsed from REAL image
   * headers by [[HeaderCodec]] — a zero-dependency magic-bytes sniffer for
   * PNG (IHDR), JPEG (SOF marker scan) and GIF (logical screen descriptor).
-  * Only the pixel-level decode ([[FakeCodec]]) remains a deterministic
-  * stub: the container ships no raster codecs, and swapping it for a real
-  * JNI/FFmpeg/libjpeg kernel changes no plumbing.
+  * Pixel-level decode ([[RasterCodec]]) is equally real: the JDK's
+  * `javax.imageio` decodes PNG/JPEG/GIF/BMP headless with zero added
+  * dependencies, and PNG round-trips losslessly — so raster statistics
+  * are computed over ACTUAL pixel values and sit under the hash oracle.
   */
 object Multimodal {
 
@@ -26,11 +27,13 @@ object Multimodal {
                       width: Int, height: Int)
 
   /** Decoded feature record (fixed-shape, columnar-friendly). `format`,
-    * `width` and `height` are parsed out of the payload's real header;
-    * the byte statistics stand in for pixel statistics. */
+    * `width` and `height` come from the payload's real header; `px_sum`,
+    * `n_samples` and `histogram4` are REAL raster statistics over every
+    * channel sample of the decoded image (integer-exact so they hash).
+    * A payload ImageIO cannot decode reports `n_samples = -1`. */
   case class MediaFeature(doc_id: Long, format: String, width: Int,
-                          height: Int, n_bytes: Int, mean_byte: Double,
-                          histogram4: Array[Long], n_frames: Int)
+                          height: Int, n_bytes: Int, px_sum: Long,
+                          n_samples: Long, histogram4: Array[Long])
 
   /** Real container-header codec: writes and sniffs PNG / JPEG / GIF
     * headers from raw bytes. Encoding exists so the synthetic corpus
@@ -110,22 +113,68 @@ object Multimodal {
     }
   }
 
-  /** STUB pixel kernel — deterministic byte statistics standing in for a
-    * real raster decode (no codec libraries in the container). */
-  object FakeCodec {
-    val FrameBytes = 256
+  /** Frame/window granularity for the byte-slicing kernels
+    * ([[sampleFrames]]). */
+  val FrameBytes = 256
 
-    def decode(payload: Array[Byte]): (Double, Array[Long], Int) = {
-      // real implementation would be: decode image -> pixels -> stats.
-      val hist = new Array[Long](4)
-      var sum = 0L
-      payload.foreach { b =>
-        val u = b & 0xff
-        hist(u >> 6) += 1
-        sum += u
+  /** REAL raster codec over the JDK's `javax.imageio` — no added
+    * dependencies, works headless. Encode writes a deterministic gray
+    * raster (pixel value `(x*7 + y*13 + 3*docId) mod 256` on all three
+    * channels) as PNG, which is LOSSLESS: decode reads back the exact
+    * samples, so integer pixel statistics are reproducible by an oracle
+    * that knows only the formula. Decode accepts any ImageIO-supported
+    * container (PNG/JPEG/GIF/BMP) — at 100 TB this is a per-row map over
+    * a binary column, scan-bound, no shuffle. */
+  object RasterCodec {
+    def encodePng(docId: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = ((x * 7 + y * 13 + 3 * docId) % 256).toInt
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
       }
-      val mean = if (payload.isEmpty) 0.0 else sum.toDouble / payload.length
-      (mean, hist, math.max(1, payload.length / FrameBytes))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Exact integer statistics over every channel sample (R, G and B each
+      * count) of the decoded raster. */
+    case class Raster(width: Int, height: Int, nSamples: Long, pxSum: Long,
+                      hist4: Array[Long])
+
+    def decode(payload: Array[Byte]): Option[Raster] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val hist = new Array[Long](4)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            var c = 0
+            while (c < 3) {
+              val v = (rgb >> (8 * c)) & 0xff
+              hist(v >> 6) += 1
+              sum += v
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        Some(Raster(w, h, 3L * w * h, sum, hist))
+      }
     }
   }
 
@@ -152,25 +201,74 @@ object Multimodal {
       }
   }
 
+  /** Synthesize a REAL image table: one deterministic PNG per document,
+    * dimensions derived from the text length (small — the pixel kernels
+    * are per-row CPU, and the formula keeps the DuckDB oracle's
+    * generate_series recomputation tractable at verify scale). */
+  def asImages(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        val w = (nChars % 40 + 1).toInt
+        val h = (nChars * 7 % 30 + 1).toInt
+        MediaRow(id, RasterCodec.encodePng(id, w, h), "image/png", w, h)
+      }
+  }
+
   /** Batched partition-parallel decode: the mapInPandas analog. `batchSize`
-    * bounds peak memory per task regardless of payload sizes. Header
-    * metadata is REAL (sniffed from the bytes); pixel stats are the
-    * documented stub. */
+    * bounds peak memory per task regardless of payload sizes (decoded
+    * rasters release with each batch). Header metadata is sniffed from the
+    * bytes; pixel statistics come from the REAL ImageIO raster decode. */
   def decodeFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // a real codec would process `batch` as one vectorized call
         batch.iterator.map { m =>
           val meta = HeaderCodec.sniff(m.payload)
             .getOrElse(HeaderCodec.Sniffed("unknown", -1, -1))
-          val (mean, hist, frames) = FakeCodec.decode(m.payload)
-          MediaFeature(m.doc_id, meta.format, meta.width, meta.height,
-            m.payload.length, mean, hist, frames)
+          RasterCodec.decode(m.payload) match {
+            case Some(r) => MediaFeature(m.doc_id, meta.format, r.width,
+              r.height, m.payload.length, r.pxSum, r.nSamples, r.hist4)
+            case None => MediaFeature(m.doc_id, meta.format, meta.width,
+              meta.height, m.payload.length, -1L, -1L, new Array[Long](4))
+          }
         }
       }
     }
   }
+
+  /** Oracle-checked REAL pixel statistics: encode a deterministic raster
+    * per document with ImageIO, decode it back with ImageIO in the batched
+    * kernel, and report integer-exact per-image stats (sum, sample count,
+    * 4-bucket histogram over all three channels). PNG is lossless, so the
+    * DuckDB oracle recomputes the identical numbers from the pixel formula
+    * alone — a hash match proves the encode→decode raster round trip on
+    * every image. */
+  def pixelStatsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodeFeatures(asImages(spark, dir)).map { f =>
+      (f.doc_id, f.width.toLong, f.height.toLong, f.n_samples, f.px_sum,
+        f.histogram4(0), f.histogram4(1), f.histogram4(2), f.histogram4(3))
+    }.toDF("doc_id", "width", "height", "n_samples", "px_sum",
+      "h0", "h1", "h2", "h3")
+  }
+
+  def pixelStatsSql: String =
+    """WITH d AS (SELECT doc_id, n_chars % 40 + 1 AS w,
+      |                  (n_chars * 7) % 30 + 1 AS h FROM documents),
+      |xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+      |px AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+      |v AS (SELECT doc_id, w, h, (x * 7 + y * 13 + 3 * doc_id) % 256 AS val FROM px)
+      |SELECT doc_id, w AS width, h AS height,
+      |  3 * w * h AS n_samples,
+      |  CAST(3 * sum(val) AS BIGINT) AS px_sum,
+      |  3 * count(*) FILTER (val // 64 = 0) AS h0,
+      |  3 * count(*) FILTER (val // 64 = 1) AS h1,
+      |  3 * count(*) FILTER (val // 64 = 2) AS h2,
+      |  3 * count(*) FILTER (val // 64 = 3) AS h3
+      |FROM v GROUP BY doc_id, w, h""".stripMargin
 
   /** Oracle-checked metadata extraction: build the payload, then recover
     * format and dimensions FROM THE BYTES with [[HeaderCodec.sniff]]. The
@@ -317,7 +415,7 @@ object Multimodal {
   case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
   def sampleFrames(media: Dataset[MediaRow], every: Int = 4, maxFrames: Int = 8,
-      frameBytes: Int = FakeCodec.FrameBytes): Dataset[Frame] = {
+      frameBytes: Int = FrameBytes): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
       val nFrames = math.max(1, m.payload.length / frameBytes)

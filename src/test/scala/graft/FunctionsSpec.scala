@@ -145,15 +145,29 @@ class FunctionsSpec extends SparkSpec {
       s"header round-trip failed for docs ${mismatched.take(5).map(_.doc_id).toSeq}")
   }
 
-  test("multimodal decode is deterministic, batched and schema-typed") {
-    val media = Multimodal.asMedia(spark, sf)
+  test("multimodal raster decode is real, deterministic, batched and schema-typed") {
+    val media = Multimodal.asImages(spark, sf)
     val f1 = Multimodal.decodeFeatures(media, batchSize = 7).collect()
-      .map(f => f.doc_id -> ((f.n_bytes, f.mean_byte, f.histogram4.toSeq, f.n_frames))).toMap
+      .map(f => f.doc_id -> ((f.n_bytes, f.px_sum, f.n_samples, f.histogram4.toSeq))).toMap
     val f2 = Multimodal.decodeFeatures(media, batchSize = 64).collect()
-      .map(f => f.doc_id -> ((f.n_bytes, f.mean_byte, f.histogram4.toSeq, f.n_frames))).toMap
+      .map(f => f.doc_id -> ((f.n_bytes, f.px_sum, f.n_samples, f.histogram4.toSeq))).toMap
     assert(f1 == f2, "batch size must not change results")
-    assert(f1.values.forall { case (n, _, hist, frames) =>
-      hist.sum == n && frames >= 1 })
+    // real raster invariants: every sample counted once, sum bounded by
+    // 255 per sample, every image decoded (n_samples > 0)
+    assert(f1.values.forall { case (_, pxSum, n, hist) =>
+      n > 0 && hist.sum == n && pxSum >= 0 && pxSum <= 255L * n })
+    // a non-image payload takes the documented None path, no throw
+    val junk = Multimodal.RasterCodec.decode("not an image".getBytes)
+    assert(junk.isEmpty)
+    // and the pixel formula reads back exactly (PNG is lossless): doc 0's
+    // top-left sample is (0*7 + 0*13 + 0) % 256 = 0 — spot-check one
+    // whole small raster against the formula
+    val img = Multimodal.RasterCodec.encodePng(5L, 4, 3)
+    val r = Multimodal.RasterCodec.decode(img).get
+    val expected = (for { y <- 0 until 3; x <- 0 until 4 }
+      yield 3L * ((x * 7 + y * 13 + 15) % 256)).sum
+    assert(r.pxSum == expected && r.width == 4 && r.height == 3 &&
+      r.nSamples == 36L)
   }
 
   test("resize bounds output size and stays deterministic") {
@@ -172,6 +186,6 @@ class FunctionsSpec extends SparkSpec {
       every = 2, maxFrames = 3)
     val perDoc = frames.groupByKey(_.doc_id).count().collect()
     assert(perDoc.forall(_._2 <= 3))
-    assert(frames.collect().forall(_.frame.length <= Multimodal.FakeCodec.FrameBytes))
+    assert(frames.collect().forall(_.frame.length <= Multimodal.FrameBytes))
   }
 }
