@@ -947,10 +947,14 @@ object CdcStream {
     * asynchronous — poll [[snapshot]] until the expected batch shows).
     * Semantics mirror Prometheus: the observed fields are PER-BATCH, the
     * `_total` counter fields are CUMULATIVE reads taken when the progress
-    * event is handled — on a live multi-batch stream a snapshot's totals
-    * may already include a later batch's counts (the reference's counters
-    * are cumulative the same way); the converged post-stream snapshot is
-    * exact. */
+    * event is handled — on a live multi-batch stream a single total may
+    * attribute a later batch's counts to the event in hand, but the
+    * per-event `_delta` fields TELESCOPE: the listener retains the
+    * last-seen counter values per query and publishes the difference with
+    * each event (also kept in the [[deltas]] history), so the running sum
+    * of published deltas always equals the latest total exactly — a
+    * mid-stream consumer reads exact increments, and the converged
+    * post-stream snapshot is exact as before. */
   final class DecodeMetricsListener(
       skippedDdl: Option[org.apache.spark.util.LongAccumulator] = None,
       belowFrontier: Option[org.apache.spark.util.LongAccumulator] = None)
@@ -958,8 +962,16 @@ object CdcStream {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     private val byId =
       new java.util.concurrent.ConcurrentHashMap[java.util.UUID, Map[String, Long]]()
+    private val lastSeen =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, Map[String, Long]]()
+    private val deltasById =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, Vector[Map[String, Long]]]()
     def snapshot(queryId: java.util.UUID): Map[String, Long] =
       Option(byId.get(queryId)).getOrElse(Map.empty)
+    /** The per-event counter increments published so far, oldest first —
+      * their field-wise sum equals the snapshot's `_total` fields. */
+    def deltas(queryId: java.util.UUID): Seq[Map[String, Long]] =
+      Option(deltasById.get(queryId)).getOrElse(Vector.empty)
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     override def onQueryProgress(e: QueryProgressEvent): Unit = {
@@ -970,10 +982,17 @@ object CdcStream {
           skippedDdl.map(a => "skipped_ddl_total" -> a.value.longValue).toMap ++
             belowFrontier.map(a =>
               "below_frontier_frames_total" -> a.value.longValue).toMap
+        val prev = Option(lastSeen.get(e.progress.id)).getOrElse(Map.empty)
+        val delta = counters.map { case (k, v) =>
+          k.stripSuffix("_total") + "_delta" -> (v - prev.getOrElse(k, 0L))
+        }
+        lastSeen.put(e.progress.id, counters)
+        deltasById.merge(e.progress.id, Vector(delta),
+          (a, b) => a ++ b)
         val obs = row.schema.fieldNames.zipWithIndex.collect {
           case (n, i) if !row.isNullAt(i) => n -> row.getLong(i)
         }.toMap
-        byId.put(e.progress.id, obs ++ counters)
+        byId.put(e.progress.id, obs ++ counters ++ delta)
       }
     }
   }

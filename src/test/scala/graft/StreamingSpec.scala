@@ -2319,10 +2319,15 @@ class StreamingSpec extends SparkSpec {
       lit(null).cast("double").as("value"),
       lit(null).cast("string").as("props"),
       lit(sql).as("ddl_sql"))
+    // TWO wire segments drained one per trigger → a multi-batch stream,
+    // so the per-event DELTA fields are exercised across batches (each
+    // segment carries one administrative skip)
     PbBinlogFile.write(
       dml(Seq(1L, 3L, 5L))
-        .unionByName(ddl(6L, "CREATE INDEX i_k ON app.t (k)"))
-        .unionByName(ddl(8L, "OPTIMIZE TABLE app.t"))
+        .unionByName(ddl(6L, "CREATE INDEX i_k ON app.t (k)")),
+      wireDir, nFiles = 1)
+    PbBinlogFile.append(
+      ddl(8L, "OPTIMIZE TABLE app.t")
         .unionByName(ddl(10L, "ALTER TABLE app.t ADD COLUMN c BIGINT"))
         .unionByName(dml(Seq(11L))),
       wireDir, nFiles = 1)
@@ -2334,22 +2339,36 @@ class StreamingSpec extends SparkSpec {
     spark.streams.addListener(listener)
     try {
       val q = CdcStream.ddlDrivenDecodeTables(
-        PbBinlogFile.readStream(spark, wireDir), tracker, outDir, ckpt,
+        PbBinlogFile.readStream(spark, wireDir, maxFilesPerTrigger = 1),
+        tracker, outDir, ckpt,
         "app", col("event_type"),
         belowFrontier = Some(below), skippedDdl = Some(skipped))
       try q.processAllAvailable() finally q.stop()
-      // progress events are asynchronous — poll until the batch's metrics land
+      // progress events are asynchronous — poll until the last batch's
+      // metrics land (its observed dml count is 1: the ts-11 frame)
       val deadline = System.currentTimeMillis + 30000
       var snap = listener.snapshot(q.id)
-      while (snap.get("dml_frames") != Some(4L) &&
+      while (snap.get("skipped_ddl_total") != Some(2L) &&
           System.currentTimeMillis < deadline) {
         Thread.sleep(100); snap = listener.snapshot(q.id)
       }
-      assert(snap.get("dml_frames") == Some(4L), s"snapshot=$snap")
-      assert(snap.get("ddl_frames") == Some(3L), s"snapshot=$snap")
+      assert(snap.get("dml_frames") == Some(1L), s"snapshot=$snap")
+      assert(snap.get("ddl_frames") == Some(2L), s"snapshot=$snap")
       assert(snap.get("max_commit_ts") == Some(11L), s"snapshot=$snap")
       assert(snap.get("skipped_ddl_total") == Some(2L), s"snapshot=$snap")
       assert(snap.get("below_frontier_frames_total") == Some(0L), s"snapshot=$snap")
+      // per-batch-exact deltas: the published increments TELESCOPE — their
+      // field-wise sum equals the snapshot totals exactly, and each batch's
+      // one admin skip shows as its own increment
+      val ds = listener.deltas(q.id)
+      assert(ds.map(_.getOrElse("skipped_ddl_delta", 0L)).sum ==
+        snap("skipped_ddl_total"), s"deltas=$ds snap=$snap")
+      assert(ds.map(_.getOrElse("below_frontier_frames_delta", 0L)).sum ==
+        snap("below_frontier_frames_total"), s"deltas=$ds snap=$snap")
+      assert(ds.count(_.getOrElse("skipped_ddl_delta", 0L) == 1L) == 2,
+        s"each of the two batches must publish its own skip: $ds")
+      assert(snap.get("skipped_ddl_delta").contains(
+        ds.last("skipped_ddl_delta")), s"snapshot carries the latest delta")
     } finally spark.streams.removeListener(listener)
   }
 
