@@ -462,6 +462,16 @@ object PbBinlogFile {
     }
   }
 
+  /** Append a later batch of changes to an existing wire directory.
+    * [[write]] already has append semantics — it only `mkdirs` and names
+    * segments by (pid, seg, tsRange), never clobbering earlier intervals —
+    * this name states the contract at call sites that stage a multi-batch
+    * wire (ref: pump's binlogger appends to the open dir,
+    * pkg/binlogfile/binlogger.go:241-268). */
+  def append(changes: DataFrame, dir: String, nFiles: Int = 4,
+      maxBytesPerFile: Long = 512L * 1024 * 1024): Unit =
+    write(changes, dir, nFiles, maxBytesPerFile)
+
   /** K4 retention: reclaim every segment whose ENTIRE commit-ts range lies
     * at or below `safeTs` (ref: pkg/binlogfile/binlogger.go:354-380 GCByPos
     * removes all files before the position and ALWAYS keeps the latest;

@@ -1665,7 +1665,7 @@ class StreamingSpec extends SparkSpec {
     // default map (quote-aware: the captured literal keeps its comma)
     assert(parseWireDdl(
       "CREATE TABLE s.t (a VARCHAR(5) DEFAULT 'x,y', b INT DEFAULT ')', c DECIMAL(10,2))") ==
-      CreateDdl("s", "t", Seq("a VARCHAR(5)", "b INT", "c DECIMAL(10,2)"),
+      CreateDdl("s", "t", Seq("a STRING", "b INT", "c DECIMAL(10,2)"),
         ifNotExists = false, defaults = Map("a" -> "'x,y'", "b" -> "')'")))
     // trailing options with parens stay OUT of the def list; IF NOT
     // EXISTS is captured (the tracked-name dispatch differs on it)
@@ -1772,7 +1772,7 @@ class StreamingSpec extends SparkSpec {
     // through the def split AND the captured origin default
     assert(parseWireDdl(
       "CREATE TABLE s.t (a VARCHAR(9) DEFAULT 'x\\'y', b INT)") ==
-      CreateDdl("s", "t", Seq("a VARCHAR(9)", "b INT"),
+      CreateDdl("s", "t", Seq("a STRING", "b INT"),
         ifNotExists = false, defaults = Map("a" -> "'x\\'y'")))
     // FLASHBACK (plain and renamed) and CREATE LIKE
     assert(parseWireDdl("FLASHBACK TABLE s.t") == FlashbackDdl("s", "t", None))
