@@ -132,6 +132,22 @@ object TypeDomain {
           when(col("set_bits").bitwiseAND(lit(4L)) > 0, "c")).as("set_str"))
   }
 
+  /** M9 SET numeric representation from a TRACKED dictionary (ref:
+    * drainer/translator/mysql.go:266-269 — `GetMysqlSet().Value` is the
+    * bitmask of 1<<position in declaration order): comma-joined member
+    * text → the bitmask, through a driver-local constant map literal (a
+    * SET holds at most 64 members by MySQL's own limit, so the literal is
+    * tiny and the expression codegen-friendly). The empty set ('') is 0;
+    * an unknown member or NULL text yields NULL — loud, never a silent 0.
+    * Pairs with the decode's tracked ENUM ordinal derivation
+    * ([[graft.streaming.SchemaTracker]] `dicts`). */
+  def setMask(dict: Seq[String], member: Column): Column = {
+    val bits = dict.zipWithIndex.map { case (v, i) => v -> (1L << i) }.toMap
+    when(member === "", 0L).otherwise(
+      aggregate(split(member, ","), lit(0L),
+        (acc, m) => acc + element_at(typedLit(bits), m)))
+  }
+
   def enumSetSql: String = {
     val bits = s"${Lex.hex8Sql("CAST(commit_ts AS VARCHAR) || ':set'")} % 8"
     s"""WITH c AS (${Cdc.changesCte}), b AS (SELECT *, $bits AS set_bits FROM c)

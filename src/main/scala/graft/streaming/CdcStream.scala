@@ -465,6 +465,22 @@ object CdcStream {
         .replace("\\\\", "\\")
     else s
 
+  /** A DEFAULT expression the decode-time T7 fill may substitute: a quoted
+    * string, a plain numeric, or a boolean — the constants the reference's
+    * getDefaultOrZeroValue reads straight off the column
+    * (translator.go:169-227). EXPRESSION defaults (CURRENT_TIMESTAMP,
+    * NOW(), parenthesized expressions) are evaluated UPSTREAM at insert
+    * time; a decode-side fill would write the expression's text as a
+    * value, so those (and an explicit NULL default) skip the fill and keep
+    * the version-correct NULL — the `origin_default` log record still
+    * carries the text for composing sinks. */
+  private[graft] def isConstantLiteral(d: String): Boolean = {
+    val t = d.trim
+    (t.length >= 2 && t.head == '\'' && t.last == '\'') ||
+    t.matches("[+-]?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?") ||
+    t.equalsIgnoreCase("TRUE") || t.equalsIgnoreCase("FALSE")
+  }
+
   /** ENUM/SET value list, declaration order (= 1-based ordinal order; SET
     * bit positions follow the same order). */
   private def dictValues(ty: String): Vector[String] = {
@@ -496,7 +512,8 @@ object CdcStream {
     val ty = normalizeIntType(ty0)
     val base = ty.toUpperCase(java.util.Locale.ROOT).takeWhile(_ != '(')
     base match {
-      case "CHAR" | "VARCHAR" | "NCHAR" | "NVARCHAR" | "TINYTEXT" | "TEXT" |
+      case "CHAR" | "CHARACTER" | "VARCHAR" | "NCHAR" | "NVARCHAR" |
+           "TINYTEXT" | "TEXT" |
            "MEDIUMTEXT" | "LONGTEXT" | "JSON" | "TIME" => ("STRING", None)
       case "DATETIME" | "TIMESTAMP"    => ("TIMESTAMP", None)
       case "YEAR"                      => ("INT", None)
@@ -515,10 +532,28 @@ object CdcStream {
 
   private[graft] def normalizeColumnTail(
       tail: String): (String, Option[String], Option[Vector[String]]) = {
-    val toks0 = tailTokens(tail)
+    val toksR = tailTokens(tail)
+    // multi-token TYPE spellings collapse to the single head token the map
+    // reads: a leading NATIONAL drops (NATIONAL [VAR]CHAR[ACTER]), a
+    // VARYING word folds its head into VARCHAR (CHAR[ACTER] VARYING), and
+    // MySQL's optional space before the type's paren args (`ENUM ('a','b')`,
+    // `INT (11)`) folds the paren token back onto the word — `DOUBLE
+    // PRECISION` keeps its dedicated fold below
+    val toks0 = {
+      var t = toksR
+      if (t.length > 1 && t.head.equalsIgnoreCase("NATIONAL")) t = t.tail
+      val headBase = t.headOption.map(_.toUpperCase(java.util.Locale.ROOT)
+        .takeWhile(_ != '(')).getOrElse("")
+      if (t.length > 1 &&
+          (headBase == "CHAR" || headBase == "CHARACTER" || headBase == "NCHAR") &&
+          t(1).toUpperCase(java.util.Locale.ROOT).startsWith("VARYING"))
+        t = ("VARCHAR" + t(1).dropWhile(_ != '(')) +: t.drop(2)
+      if (t.length > 1 && t(1).startsWith("(")) t = (t.head + t(1)) +: t.drop(2)
+      t
+    }
     // the first token is the TYPE: the MySQL-native domain maps to Spark's
     // here (ENUM/SET yield their value dictionary); `DOUBLE PRECISION` is
-    // the one TWO-token spelling — its tail word drops with the map
+    // the one remaining TWO-token spelling — its tail word drops with the map
     val (toks, dict) = if (toks0.isEmpty) (toks0, None)
       else {
         val (ty, d) = mysqlTypeToSpark(toks0.head)
@@ -566,6 +601,8 @@ object CdcStream {
         // unaffected by a predicate on it): `[CONSTRAINT [sym]] CHECK (expr)
         // [[NOT] ENFORCED]` strips whole
         case "CHECK" if i + 1 < toks.length && toks(i + 1).startsWith("(") => i += 2
+        // no space before the predicate's paren: one token (`CHECK(c>0)`)
+        case ck if ck.startsWith("CHECK(") => i += 1
         case "CONSTRAINT" if up(i + 1) == "CHECK" => i += 1
         case "CONSTRAINT" if i + 1 < toks.length => i += 2
         case "NOT" if up(i + 1) == "ENFORCED" => i += 2
@@ -957,7 +994,8 @@ object CdcStream {
     * post-stream snapshot is exact as before. */
   final class DecodeMetricsListener(
       skippedDdl: Option[org.apache.spark.util.LongAccumulator] = None,
-      belowFrontier: Option[org.apache.spark.util.LongAccumulator] = None)
+      belowFrontier: Option[org.apache.spark.util.LongAccumulator] = None,
+      maxDeltaDepth: Int = 1024)
       extends org.apache.spark.sql.streaming.StreamingQueryListener {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     private val byId =
@@ -969,9 +1007,22 @@ object CdcStream {
     def snapshot(queryId: java.util.UUID): Map[String, Long] =
       Option(byId.get(queryId)).getOrElse(Map.empty)
     /** The per-event counter increments published so far, oldest first —
-      * their field-wise sum equals the snapshot's `_total` fields. */
+      * their field-wise sum equals the snapshot's `_total` fields (the
+      * history keeps the most recent `maxDeltaDepth` increments, so the
+      * identity holds while a mid-stream consumer stays within that lag;
+      * per-query state is otherwise bounded, one map per query). */
     def deltas(queryId: java.util.UUID): Seq[Map[String, Long]] =
       Option(deltasById.get(queryId)).getOrElse(Vector.empty)
+    /** Drop all retained state for a finished query. The listener cannot
+      * self-clean in onQueryTerminated: progress events are asynchronous
+      * and may land AFTER the terminate event — post-stop polling of
+      * [[snapshot]] is the documented read pattern — so a long-lived
+      * operator registering ONE listener across many queries calls this
+      * after its final read. */
+    def forget(queryId: java.util.UUID): Unit = {
+      byId.remove(queryId); lastSeen.remove(queryId)
+      deltasById.remove(queryId); ()
+    }
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     override def onQueryProgress(e: QueryProgressEvent): Unit = {
@@ -988,7 +1039,7 @@ object CdcStream {
         }
         lastSeen.put(e.progress.id, counters)
         deltasById.merge(e.progress.id, Vector(delta),
-          (a, b) => a ++ b)
+          (a, b) => (a ++ b).takeRight(maxDeltaDepth))
         val obs = row.schema.fieldNames.zipWithIndex.collect {
           case (n, i) if !row.isNullAt(i) => n -> row.getLong(i)
         }.toMap
@@ -1154,12 +1205,15 @@ object CdcStream {
           var localGrave = Map.empty[(String, String), Vector[String]]
           var consumedGrave = Set.empty[(String, String)]
           // decode-time T7 fill state (only when opted in): column →
-          // (add version, literal value) per table, for columns BORN WITH
-          // A DEFAULT in this batch — only those can leave missing-column
-          // NULLs in this batch's union (a column added in an earlier
-          // batch exists in every slice decoded now). Renames re-key,
-          // drops remove, like the tracker's own defaults map.
-          var localFill = Map.empty[(String, String), Map[String, (Long, String)]]
+          // constant literal value per table, for columns BORN WITH A
+          // CONSTANT DEFAULT in this batch — only those can leave
+          // missing-column NULLs in this batch's union (a column added in
+          // an earlier batch exists in every slice decoded now), and only
+          // a constant can substitute ([[isConstantLiteral]]). Renames
+          // re-key, drops remove, like the tracker's own defaults map.
+          // The fill itself gates on the ROW'S OWN SLICE lacking the
+          // column (see the union below), never on version arithmetic.
+          var localFill = Map.empty[(String, String), Map[String, String]]
           // forward-only contract precheck from the SAME gather — a frame
           // delivered below ITS table's already-applied DDL frontier would
           // decode with the NEW schema (slicing happens within the batch;
@@ -1206,6 +1260,13 @@ object CdcStream {
           // loses the column only AT its own translated barrier)
           val defsOf = scala.collection.mutable.Map.empty[(String, String),
             scala.collection.mutable.LinkedHashMap[String, String]]
+          // per-slice column PRESENCE, (slice schema_version → decoded
+          // columns): the T7 fill applies only to rows whose own slice
+          // LACKED the column — the union's structural NULLs — never to an
+          // explicit payload null from a version where the column existed
+          // (an add→drop→re-add chain within one batch leaves such rows)
+          val presentOf = scala.collection.mutable.Map.empty[(String, String),
+            scala.collection.mutable.ArrayBuffer[(Long, Set[String])]]
           // one decoded slice of table `k`: its frames in (lower, upper],
           // decoded DISTRIBUTED with the from_json schema the local view
           // holds — captured at plan-construction time. A table whose LAST
@@ -1230,6 +1291,9 @@ object CdcStream {
                   payload.getField(f).cast("string").as(s"${f}_str")) :+
                 lit(info.version).as("schema_version"): _*)
             lowerOf(k) = upper
+            presentOf.getOrElseUpdate(k,
+              scala.collection.mutable.ArrayBuffer.empty[(Long, Set[String])]) +=
+              ((info.version, wireSchema.fieldNames.toSet))
             val acc = defsOf.getOrElseUpdate(k,
               scala.collection.mutable.LinkedHashMap.empty[String, String])
             info.columns.foreach(d => acc += d.split(" ", 2)(0) -> d)
@@ -1302,8 +1366,8 @@ object CdcStream {
                 if (fillOriginDefaults) {
                   val cur = localFill.getOrElse((s, t), Map.empty)
                   val next = action match {
-                    case "add" => dflt.fold(cur)(d =>
-                      cur + (c -> ((ts, unquoteLiteral(d)))))
+                    case "add" => dflt.filter(isConstantLiteral).fold(cur)(d =>
+                      cur + (c -> unquoteLiteral(d)))
                     case "drop" => cur - c
                     case "rename" => cur.get(c).fold(cur)(v => cur - c + (arg -> v))
                     case "change" =>
@@ -1613,15 +1677,27 @@ object CdcStream {
             case (k, slices) if slices.nonEmpty =>
               val merged0 = slices.reduce(_.unionByName(_, allowMissingColumns = true))
               // decode-time T7 fill (opt-in; see the decodeQuery note):
-              // version-gated so only rows decoded at a schema PREDATING
-              // the add are filled — a post-barrier explicit null survives
+              // gated on the row's slice LACKING the column (its version is
+              // in `absent`), so an explicit payload null from any version
+              // where the column existed survives — including between a
+              // drop and a re-add. The constant casts through the column's
+              // WIRE type first (ref: translator.go:169-227 evaluates the
+              // default through the column type), so `DEFAULT 1.50` on a
+              // DECIMAL(10,1) fills the decode's own spelling `1.5`.
               val merged = localFill.getOrElse(k, Map.empty)
-                .foldLeft(merged0) { case (df, (c, (addTs, v))) =>
+                .foldLeft(merged0) { case (df, (c, v)) =>
                   val cs = s"${c}_str"
-                  if (!df.columns.contains(cs)) df
-                  else df.withColumn(cs,
-                    when(col("schema_version") < addTs && col(cs).isNull,
-                      lit(v)).otherwise(col(cs)))
+                  val absent = presentOf.getOrElse(k, Nil).collect {
+                    case (ver, cols) if !cols.contains(c) => ver }.toSeq
+                  if (!df.columns.contains(cs) || absent.isEmpty) df
+                  else {
+                    val ty = defsOf.get(k).flatMap(_.get(c))
+                      .map(_.split(" ")(1)).getOrElse("STRING")
+                    df.withColumn(cs,
+                      when(col("schema_version").isin(absent: _*) &&
+                          col(cs).isNull,
+                        lit(v).cast(ty).cast("string")).otherwise(col(cs)))
+                  }
                 }
               k -> ((defsOf(k).values.toSeq, merged))
           }
@@ -2007,6 +2083,16 @@ object CdcStream {
         lit(":"), lpad(pmod(secs, lit(60L)).cast("string"), 2, "0"))
       val enumVal = element_at(
         typedLit(Seq("red", "green", "blue")), (pmod(col("pk"), lit(3L)) + 1).cast("int"))
+      // SET('a','b','c') text printed the way MySQL prints it: members in
+      // declaration order, empty set = '' — the mask below must recover
+      // exactly pk % 8 from this text through the TRACKED dictionary
+      val setBits = pmod(col("pk"), lit(8L))
+      val setTxt = concat_ws(",",
+        when(setBits.bitwiseAND(lit(1L)) > 0, "a"),
+        when(setBits.bitwiseAND(lit(2L)) > 0, "b"),
+        when(setBits.bitwiseAND(lit(4L)) > 0, "c"))
+      val dateTxt = concat(lit("2026-03-"),
+        lpad((pmod(col("pk"), lit(28L)) + 1).cast("string"), 2, "0"))
       val payload = (pmod(col("commit_ts"), lit(1000000L)).cast("double") + 0.26)
         .cast("string")
       val dml = changes.select(
@@ -2017,7 +2103,9 @@ object CdcStream {
           when(col("commit_ts") > mid, concat(
             lit(", \"v\": \"s"), col("pk").cast("string"), lit("\""),
             lit(", \"d\": \"2026-01-01T"), hhmmss, lit("\""),
+            lit(", \"dt\": \""), dateTxt, lit("\""),
             lit(", \"e\": \""), enumVal, lit("\""),
+            lit(", \"st\": \""), setTxt, lit("\""),
             lit(", \"y\": "), (pmod(col("pk"), lit(30L)) + 1990).cast("string")))
             .otherwise(lit("")),
           lit("}")).as("props"),
@@ -2030,10 +2118,16 @@ object CdcStream {
         lit(null).cast("string").as("props"),
         lit(sql).as("ddl_sql"))
       PbBinlogFile.write(dml
-        .unionByName(ddlRow("ALTER TABLE app.t ADD COLUMN v VARCHAR(32) NOT NULL"))
+        // NATIONAL VARCHAR exercises a TWO-TOKEN native spelling on the
+        // wire path (the map's NATIONAL-prefix fold), DATE the untouched
+        // pass-through, SET the tracked-dictionary bitmask below
+        .unionByName(ddlRow(
+          "ALTER TABLE app.t ADD COLUMN v NATIONAL VARCHAR(32) NOT NULL"))
         .unionByName(ddlRow("ALTER TABLE app.t ADD COLUMN d DATETIME(3)"))
+        .unionByName(ddlRow("ALTER TABLE app.t ADD COLUMN dt DATE"))
         .unionByName(ddlRow(
           "ALTER TABLE app.t ADD COLUMN e ENUM('red','green','blue') DEFAULT 'red'"))
+        .unionByName(ddlRow("ALTER TABLE app.t ADD COLUMN st SET('a','b','c')"))
         .unionByName(ddlRow("ALTER TABLE app.t ADD COLUMN y YEAR")),
         wireDir, nFiles = 2)
     } finally { changes.unpersist(); () }
@@ -2045,22 +2139,31 @@ object CdcStream {
     try q.processAllAvailable() finally q.stop()
     assertSingleBatch(spark, outDir)
     // same-ts DDLs apply in statement-text order (the walk's tie rule), so
-    // the columns append d, e, v, y
+    // the columns append d, dt, e, st, v, y
     require(tracker.current("app", "t").get.columns == Vector("k DOUBLE",
-      "d TIMESTAMP", "e STRING", "v STRING NOT NULL", "y INT"),
+      "d TIMESTAMP", "dt DATE", "e STRING", "st STRING", "v STRING NOT NULL",
+      "y INT"),
       s"unexpected mapped defs: ${tracker.current("app", "t").get.columns}")
     require(tracker.dictionary("app", "t", "e")
       .contains(Vector("red", "green", "blue")),
       s"enum dictionary not tracked: ${tracker.dictionary("app", "t", "e")}")
+    require(tracker.dictionary("app", "t", "st")
+      .contains(Vector("a", "b", "c")),
+      s"set dictionary not tracked: ${tracker.dictionary("app", "t", "st")}")
     require(tracker.originDefault("app", "t", "e").contains("'red'"),
       s"enum origin default not tracked: ${tracker.originDefault("app", "t", "e")}")
-    // M9 numeric representation: enum text → 1-based ordinal through the
-    // TRACKED dictionary (a driver-local constant map literal in the plan)
+    // M9 numeric representations through the TRACKED dictionaries (driver-
+    // local constant map literals in the plan): enum text → 1-based
+    // ordinal, set text → member bitmask (mysql.go:266-269)
     val ordinals = tracker.dictionary("app", "t", "e").get.zipWithIndex
       .map { case (v, i) => v -> (i + 1).toLong }.toMap
+    val setDict = tracker.dictionary("app", "t", "st").get
     spark.read.parquet(s"$outDir/data")
       .select(col("commit_ts"), col("k_str"), col("v_str"), col("d_str"),
+        col("dt_str"),
         col("e_str"), element_at(typedLit(ordinals), col("e_str")).as("e_ord"),
+        col("st_str"),
+        graft.ops.TypeDomain.setMask(setDict, col("st_str")).as("st_mask"),
         col("y_str"), col("schema_version"))
   }
 
@@ -2078,11 +2181,19 @@ object CdcStream {
        |    || ':'
        |    || lpad(CAST((c.commit_ts % 86400) % 60 AS VARCHAR), 2, '0')
        |  END AS d_str,
+       |  CASE WHEN c.commit_ts > b.mid
+       |       THEN '2026-03-' || lpad(CAST(c.pk % 28 + 1 AS VARCHAR), 2, '0')
+       |  END AS dt_str,
        |  CASE WHEN c.commit_ts <= b.mid THEN 'red'
        |       ELSE CASE c.pk % 3 WHEN 0 THEN 'red' WHEN 1 THEN 'green'
        |            ELSE 'blue' END END AS e_str,
        |  CASE WHEN c.commit_ts <= b.mid THEN CAST(1 AS BIGINT)
        |       ELSE c.pk % 3 + 1 END AS e_ord,
+       |  CASE WHEN c.commit_ts > b.mid THEN concat_ws(',',
+       |    CASE WHEN (c.pk % 8) & 1 > 0 THEN 'a' END,
+       |    CASE WHEN (c.pk % 8) & 2 > 0 THEN 'b' END,
+       |    CASE WHEN (c.pk % 8) & 4 > 0 THEN 'c' END) END AS st_str,
+       |  CASE WHEN c.commit_ts > b.mid THEN c.pk % 8 END AS st_mask,
        |  CASE WHEN c.commit_ts > b.mid
        |       THEN CAST(1990 + c.pk % 30 AS VARCHAR) END AS y_str,
        |  CASE WHEN c.commit_ts <= b.mid THEN 0 ELSE b.mid END AS schema_version

@@ -2147,6 +2147,85 @@ class StreamingSpec extends SparkSpec {
       s"decode-time fill mismatch: $got")
   }
 
+  test("wire DDL parser: multi-token native type spellings normalize to the mapped Spark type") {
+    import CdcStream._
+    def ty(tail: String) = normalizeColumnTail(tail)._1
+    // NATIONAL prefix drops; VARYING folds its head into VARCHAR — every
+    // string spelling lands on STRING, option tails unaffected
+    assert(ty("NATIONAL CHAR(5)") == "STRING")
+    assert(ty("NATIONAL VARCHAR(10) NOT NULL") == "STRING NOT NULL")
+    assert(ty("NATIONAL CHARACTER(3)") == "STRING")
+    assert(ty("CHARACTER VARYING(20)") == "STRING")
+    assert(ty("CHAR VARYING (7)") == "STRING")
+    assert(ty("CHARACTER(4)") == "STRING")
+    assert(ty("NATIONAL CHARACTER VARYING(8)") == "STRING")
+    assert(ty("NCHAR VARYING(6)") == "STRING")
+    // MySQL admits a space before the type's paren args
+    assert(normalizeColumnTail("ENUM ('a','b') DEFAULT 'a'") ==
+      (("STRING", Some("'a'"), Some(Vector("a", "b")))))
+    assert(ty("INT (11) UNSIGNED") == "BIGINT")
+    // CHECK with no space before its paren strips like the spaced form
+    assert(ty("INT CHECK(c>0)") == "INT")
+    // DATE is already a Spark type — untouched pass-through
+    assert(ty("DATE") == "DATE")
+  }
+
+  test("decode-time fill: constants cast through the wire type, expression defaults skip, absence-gated across add/drop/re-add") {
+    // three reference-parity sharp edges (translator.go:169-227
+    // getDefaultOrZeroValue evaluates defaults through the column type):
+    // (a) a literal whose SPELLING differs from the decode's cast output
+    //     (`DEFAULT 2.50` on DECIMAL(10,1)) fills the decode's own `2.5`;
+    // (b) a non-constant default (CURRENT_TIMESTAMP) never fills — the
+    //     expression text is not a value;
+    // (c) the fill gates on the row's own slice LACKING the column: an
+    //     explicit payload null from between an add and a drop survives a
+    //     later re-add-with-default in the same batch
+    import graft.sources.PbBinlogFile
+    val wireDir = graft.util.Scratch.dir("graft_fill2_wire")
+    val outDir = graft.util.Scratch.dir("graft_fill2_out")
+    val ckpt = graft.util.Scratch.dir("graft_fill2_ckpt")
+    def row(ts: Long, op: String, props: String, sql: String) =
+      Seq(ts).toDF("commit_ts").select(
+        col("commit_ts"), lit(ts).as("pk"), lit(op).as("op"),
+        lit(if (op == "DDL") "ddl" else "t").as("event_type"),
+        timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+        lit(null).cast("double").as("value"),
+        (if (props == null) lit(null).cast("string") else lit(props)).as("props"),
+        (if (sql == null) lit(null).cast("string") else lit(sql)).as("ddl_sql"))
+    PbBinlogFile.write(
+      row(1L, "U", """{"k": 1.25}""", null)
+        .unionByName(row(2L, "DDL", null,
+          "ALTER TABLE app.t ADD COLUMN c DECIMAL(10,1) DEFAULT 1.5"))
+        .unionByName(row(2L, "DDL", null,
+          "ALTER TABLE app.t ADD COLUMN cts TIMESTAMP DEFAULT CURRENT_TIMESTAMP"))
+        .unionByName(row(3L, "U", """{"k": 3.25, "c": 3.5}""", null))
+        .unionByName(row(5L, "U", """{"k": 5.25, "c": null}""", null))
+        .unionByName(row(6L, "DDL", null, "ALTER TABLE app.t DROP COLUMN c"))
+        .unionByName(row(7L, "U", """{"k": 7.25}""", null))
+        .unionByName(row(8L, "DDL", null,
+          "ALTER TABLE app.t ADD COLUMN c DECIMAL(10,1) DEFAULT 2.50"))
+        .unionByName(row(9L, "U", """{"k": 9.25, "c": 9.5}""", null))
+        .unionByName(row(10L, "U", """{"k": 10.25, "c": null}""", null)),
+      wireDir, nFiles = 1)
+    val tracker = new SchemaTracker()
+    tracker.createTable("app", "t", Seq("k DOUBLE"), version = 0)
+    val q = CdcStream.ddlDrivenDecodeTables(PbBinlogFile.readStream(spark, wireDir),
+      tracker, outDir, ckpt, "app", col("event_type"),
+      fillOriginDefaults = true)
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.read.parquet(s"$outDir/data")
+      .select(col("commit_ts"), col("c_str"), col("cts_str")).collect()
+    val c = rows.map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    // ts 1 and ts 7 predate the (re-)added column → the re-add's default,
+    // CAST-NORMALIZED (2.50 → 2.5); ts 5's explicit null came from a slice
+    // where the column EXISTED → survives; ts 10's explicit null likewise
+    assert(c == Map(1L -> "2.5", 3L -> "3.5", 5L -> null, 7L -> "2.5",
+      9L -> "9.5", 10L -> null), s"fill mismatch: $c")
+    assert(rows.forall(_.isNullAt(2)),
+      "CURRENT_TIMESTAMP must never fill as text")
+  }
+
   test("per-trigger driver init scales with the touched set, not the registration") {
     // at 100k tracked tables and sparse traffic, rebuilding the full
     // catalog view (and seeding per-table slice maps) every trigger is
