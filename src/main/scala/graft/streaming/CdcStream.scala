@@ -1290,10 +1290,16 @@ object CdcStream {
                 wireSchema.fieldNames.toSeq.map(f =>
                   payload.getField(f).cast("string").as(s"${f}_str")) :+
                 lit(info.version).as("schema_version"): _*)
+            // presence records only slices that can HOLD rows: a same-ts
+            // DDL chain cuts empty (ts, ts] slices whose intermediate
+            // shapes share the final slice's schema_version — recording
+            // them would put that version in a later column's `absent`
+            // set and clobber real rows' explicit nulls
+            if (lowerOf(k) < upper)
+              presentOf.getOrElseUpdate(k,
+                scala.collection.mutable.ArrayBuffer.empty[(Long, Set[String])]) +=
+                ((info.version, wireSchema.fieldNames.toSet))
             lowerOf(k) = upper
-            presentOf.getOrElseUpdate(k,
-              scala.collection.mutable.ArrayBuffer.empty[(Long, Set[String])]) +=
-              ((info.version, wireSchema.fieldNames.toSet))
             val acc = defsOf.getOrElseUpdate(k,
               scala.collection.mutable.LinkedHashMap.empty[String, String])
             info.columns.foreach(d => acc += d.split(" ", 2)(0) -> d)
@@ -1365,13 +1371,25 @@ object CdcStream {
                   dflt.foreach(d => applied += ((ts, s, t, "origin_default", c, d)))
                 if (fillOriginDefaults) {
                   val cur = localFill.getOrElse((s, t), Map.empty)
+                  // a renamed column EXISTED (under its old name) in the
+                  // slices already cut — mark the NEW name present there
+                  // too, or the fill would treat those rows' structural
+                  // NULL (their value rides the old-name column) as
+                  // missing data and overwrite it with the default
+                  def aliasPresent(from: String, to: String): Unit =
+                    presentOf.get((s, t)).foreach(_.mapInPlace {
+                      case (ver, cols) if cols.contains(from) => (ver, cols + to)
+                      case e => e
+                    })
                   val next = action match {
                     case "add" => dflt.filter(isConstantLiteral).fold(cur)(d =>
                       cur + (c -> unquoteLiteral(d)))
                     case "drop" => cur - c
-                    case "rename" => cur.get(c).fold(cur)(v => cur - c + (arg -> v))
-                    case "change" =>
-                      cur.get(c).fold(cur)(v => cur - c + (arg.split(" ", 2)(0) -> v))
+                    case "rename" => cur.get(c).fold(cur) { v =>
+                      aliasPresent(c, arg); cur - c + (arg -> v) }
+                    case "change" => cur.get(c).fold(cur) { v =>
+                      val nn = arg.split(" ", 2)(0)
+                      aliasPresent(c, nn); cur - c + (nn -> v) }
                     case _ => cur
                   }
                   if (next.nonEmpty) localFill += (s, t) -> next
@@ -1691,8 +1709,10 @@ object CdcStream {
                     case (ver, cols) if !cols.contains(c) => ver }.toSeq
                   if (!df.columns.contains(cs) || absent.isEmpty) df
                   else {
+                    // paren-aware token split, NOT split-on-space: a type
+                    // may carry a space inside its args (`DECIMAL(10, 1)`)
                     val ty = defsOf.get(k).flatMap(_.get(c))
-                      .map(_.split(" ")(1)).getOrElse("STRING")
+                      .flatMap(d => tailTokens(d).lift(1)).getOrElse("STRING")
                     df.withColumn(cs,
                       when(col("schema_version").isin(absent: _*) &&
                           col(cs).isNull,

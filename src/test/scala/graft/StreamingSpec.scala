@@ -2194,18 +2194,25 @@ class StreamingSpec extends SparkSpec {
         (if (sql == null) lit(null).cast("string") else lit(sql)).as("ddl_sql"))
     PbBinlogFile.write(
       row(1L, "U", """{"k": 1.25}""", null)
+        // THREE same-ts adds: the intermediate (2,2] slices are empty but
+        // share the final slice's schema_version — they must not leak
+        // into a later column's absence set (b's explicit ts-3 null)
+        .unionByName(row(2L, "DDL", null,
+          "ALTER TABLE app.t ADD COLUMN b INT DEFAULT 9"))
         .unionByName(row(2L, "DDL", null,
           "ALTER TABLE app.t ADD COLUMN c DECIMAL(10,1) DEFAULT 1.5"))
         .unionByName(row(2L, "DDL", null,
           "ALTER TABLE app.t ADD COLUMN cts TIMESTAMP DEFAULT CURRENT_TIMESTAMP"))
-        .unionByName(row(3L, "U", """{"k": 3.25, "c": 3.5}""", null))
-        .unionByName(row(5L, "U", """{"k": 5.25, "c": null}""", null))
+        .unionByName(row(3L, "U", """{"k": 3.25, "c": 3.5, "b": null}""", null))
+        .unionByName(row(5L, "U", """{"k": 5.25, "c": null, "b": 55}""", null))
         .unionByName(row(6L, "DDL", null, "ALTER TABLE app.t DROP COLUMN c"))
         .unionByName(row(7L, "U", """{"k": 7.25}""", null))
+        // the re-add's type carries a SPACE inside its paren args — the
+        // fill's cast must read the whole type token, not split-on-space
         .unionByName(row(8L, "DDL", null,
-          "ALTER TABLE app.t ADD COLUMN c DECIMAL(10,1) DEFAULT 2.50"))
-        .unionByName(row(9L, "U", """{"k": 9.25, "c": 9.5}""", null))
-        .unionByName(row(10L, "U", """{"k": 10.25, "c": null}""", null)),
+          "ALTER TABLE app.t ADD COLUMN c DECIMAL(10, 1) DEFAULT 2.50"))
+        .unionByName(row(9L, "U", """{"k": 9.25, "c": 9.5, "b": 99}""", null))
+        .unionByName(row(10L, "U", """{"k": 10.25, "c": null, "b": 100}""", null)),
       wireDir, nFiles = 1)
     val tracker = new SchemaTracker()
     tracker.createTable("app", "t", Seq("k DOUBLE"), version = 0)
@@ -2214,7 +2221,8 @@ class StreamingSpec extends SparkSpec {
       fillOriginDefaults = true)
     try q.processAllAvailable() finally q.stop()
     val rows = spark.read.parquet(s"$outDir/data")
-      .select(col("commit_ts"), col("c_str"), col("cts_str")).collect()
+      .select(col("commit_ts"), col("c_str"), col("cts_str"), col("b_str"))
+      .collect()
     val c = rows.map(r =>
       r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
     // ts 1 and ts 7 predate the (re-)added column → the re-add's default,
@@ -2224,6 +2232,57 @@ class StreamingSpec extends SparkSpec {
       9L -> "9.5", 10L -> null), s"fill mismatch: $c")
     assert(rows.forall(_.isNullAt(2)),
       "CURRENT_TIMESTAMP must never fill as text")
+    val b = rows.map(r =>
+      r.getLong(0) -> (if (r.isNullAt(3)) null else r.getString(3))).toMap
+    // ts 3's explicit null rides a version shared with the same-ts DDL
+    // chain's empty intermediate slices — it must survive the fill
+    assert(b == Map(1L -> "9", 3L -> null, 5L -> "55", 7L -> null,
+      9L -> "99", 10L -> "100"), s"same-ts chain fill mismatch: $b")
+  }
+
+  test("decode-time fill: a same-batch rename keeps pre-rename rows' values out of the fill") {
+    // rows decoded while the column wore its OLD name carry their value
+    // in the old-name output column; the re-keyed fill must not treat the
+    // new-name column's structural NULL there as missing data
+    import graft.sources.PbBinlogFile
+    val wireDir = graft.util.Scratch.dir("graft_fill3_wire")
+    val outDir = graft.util.Scratch.dir("graft_fill3_out")
+    val ckpt = graft.util.Scratch.dir("graft_fill3_ckpt")
+    def row(ts: Long, op: String, props: String, sql: String) =
+      Seq(ts).toDF("commit_ts").select(
+        col("commit_ts"), lit(ts).as("pk"), lit(op).as("op"),
+        lit(if (op == "DDL") "ddl" else "t").as("event_type"),
+        timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+        lit(null).cast("double").as("value"),
+        (if (props == null) lit(null).cast("string") else lit(props)).as("props"),
+        (if (sql == null) lit(null).cast("string") else lit(sql)).as("ddl_sql"))
+    PbBinlogFile.write(
+      row(1L, "U", """{"k": 1.0}""", null)
+        .unionByName(row(2L, "DDL", null,
+          "ALTER TABLE app.t ADD COLUMN c INT DEFAULT 7"))
+        .unionByName(row(3L, "U", """{"k": 3.0, "c": 5}""", null))
+        .unionByName(row(4L, "U", """{"k": 4.0, "c": null}""", null))
+        .unionByName(row(5L, "DDL", null,
+          "ALTER TABLE app.t RENAME COLUMN c TO d"))
+        .unionByName(row(6L, "U", """{"k": 6.0, "d": 8}""", null)),
+      wireDir, nFiles = 1)
+    val tracker = new SchemaTracker()
+    tracker.createTable("app", "t", Seq("k DOUBLE"), version = 0)
+    val q = CdcStream.ddlDrivenDecodeTables(PbBinlogFile.readStream(spark, wireDir),
+      tracker, outDir, ckpt, "app", col("event_type"),
+      fillOriginDefaults = true)
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.read.parquet(s"$outDir/data")
+      .select(col("commit_ts"), col("c_str"), col("d_str")).collect()
+    def m(i: Int) = rows.map(r =>
+      r.getLong(0) -> (if (r.isNullAt(i)) null else r.getString(i))).toMap
+    // pre-rename rows keep their value (or explicit null) under the OLD
+    // name; only the truly-pre-column ts-1 row reads the fill under the
+    // new name (same as the pre-rework version gate gave)
+    assert(m(1) == Map(1L -> null, 3L -> "5", 4L -> null, 6L -> null),
+      s"old-name column mismatch: ${m(1)}")
+    assert(m(2) == Map(1L -> "7", 3L -> null, 4L -> null, 6L -> "8"),
+      s"new-name column mismatch: ${m(2)}")
   }
 
   test("per-trigger driver init scales with the touched set, not the registration") {
