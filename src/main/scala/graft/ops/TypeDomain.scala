@@ -139,6 +139,10 @@ object TypeDomain {
     * SET holds at most 64 members by MySQL's own limit, so the literal is
     * tiny and the expression codegen-friendly). The empty set ('') is 0;
     * an unknown member or NULL text yields NULL — loud, never a silent 0.
+    * The comma split is sound because MySQL itself FORBIDS commas inside
+    * SET members (the wire text is therefore unambiguous); a tracked
+    * dictionary carrying a comma member (the tracker's grammar admits the
+    * quoting) maps such rows to the loud NULL.
     * Pairs with the decode's tracked ENUM ordinal derivation
     * ([[graft.streaming.SchemaTracker]] `dicts`). */
   def setMask(dict: Seq[String], member: Column): Column = {

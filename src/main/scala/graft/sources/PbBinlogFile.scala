@@ -419,12 +419,40 @@ object PbBinlogFile {
         // still be replaced — local disk is the single-writer sandbox
         // case; the shared-storage deployments (HDFS, object stores)
         // refuse or version the destination and are fully closed.
+        // equal length alone is NOT proof of an idempotent retry: two
+        // same-shape batches covering the same ts interval encode to the
+        // same byte count with different content, and dropping the temp on
+        // length alone would silently lose the second batch — compare the
+        // actual bytes before declaring the promote a duplicate
+        def sameBytes(a: HPath, b: HPath): Boolean = {
+          val ia = fs.open(a); val ib = fs.open(b)
+          try {
+            val ba = new Array[Byte](65536); val bb = new Array[Byte](65536)
+            def fill(in: java.io.InputStream, buf: Array[Byte]): Int = {
+              var off = 0
+              var n = in.read(buf, off, buf.length - off)
+              while (n > 0) { off += n; n = in.read(buf, off, buf.length - off) }
+              off
+            }
+            var same = true
+            var na = fill(ia, ba)
+            var nb = fill(ib, bb)
+            while (same && (na > 0 || nb > 0)) {
+              same = na == nb && java.util.Arrays.equals(
+                ba, 0, na, bb, 0, nb)
+              if (same) { na = fill(ia, ba); nb = fill(ib, bb) }
+            }
+            same
+          } finally { ia.close(); ib.close() }
+        }
         def collide(len: Long): Unit =
-          if (len == fs.getFileStatus(tmpPath).getLen) {
+          if (len == fs.getFileStatus(tmpPath).getLen &&
+              sameBytes(finalPath, tmpPath)) {
             fs.delete(tmpPath, false); ()
           } else throw new java.io.IOException(
             s"promote $tmpPath -> $finalPath failed: " +
-              s"a different segment (len $len) already owns the name")
+              s"a different segment (len $len) already owns the name — " +
+              "clear or version the directory before re-writing the interval")
         if (fs.exists(finalPath)) collide(fs.getFileStatus(finalPath).getLen)
         else if (!fs.rename(tmpPath, finalPath)) {
           if (fs.exists(finalPath)) collide(fs.getFileStatus(finalPath).getLen)
@@ -467,7 +495,9 @@ object PbBinlogFile {
     * segments by (pid, seg, tsRange), never clobbering earlier intervals —
     * this name states the contract at call sites that stage a multi-batch
     * wire (ref: pump's binlogger appends to the open dir,
-    * pkg/binlogfile/binlogger.go:241-268). */
+    * pkg/binlogfile/binlogger.go:241-268). A later batch covering the SAME
+    * interval collides on the name: identical bytes (a retry) are dropped
+    * idempotently, different bytes throw — never silent loss. */
   def append(changes: DataFrame, dir: String, nFiles: Int = 4,
       maxBytesPerFile: Long = 512L * 1024 * 1024): Unit =
     write(changes, dir, nFiles, maxBytesPerFile)

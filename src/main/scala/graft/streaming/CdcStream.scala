@@ -473,11 +473,13 @@ object CdcStream {
     * time; a decode-side fill would write the expression's text as a
     * value, so those (and an explicit NULL default) skip the fill and keep
     * the version-correct NULL — the `origin_default` log record still
-    * carries the text for composing sinks. */
+    * carries the text for composing sinks. Hex (0x1F) and bit (b'101')
+    * literal spellings also skip: their byte-vs-number reading depends on
+    * the column type, so a textual substitute would guess. */
   private[graft] def isConstantLiteral(d: String): Boolean = {
     val t = d.trim
     (t.length >= 2 && t.head == '\'' && t.last == '\'') ||
-    t.matches("[+-]?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?") ||
+    t.matches("[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?") ||
     t.equalsIgnoreCase("TRUE") || t.equalsIgnoreCase("FALSE")
   }
 
@@ -1051,13 +1053,17 @@ object CdcStream {
   /** `fillOriginDefaults = true` opts into the reference's DECODE-TIME
     * T7 fill (ref: drainer/translator/translator.go:169-227
     * getDefaultOrZeroValue fills columns missing from the row data): a
-    * row that PREDATES a column added with a DEFAULT reads the origin
-    * default from the decode's own output instead of NULL. The fill is
-    * version-gated — only rows whose decoding schema_version predates the
-    * add are touched, so a post-barrier EXPLICIT null survives. Default
-    * (false) keeps version-correct NULLs, with end-state parity reached
-    * at the sink's translated `ADD COLUMN … DEFAULT` barrier instead
-    * (the M8/K1 composition) — both equivalence points are supported. */
+    * row that PREDATES a column added with a CONSTANT default reads that
+    * default — cast through the column's wire type, the reference's
+    * normalization — from the decode's own output instead of NULL. The
+    * fill gates on the row's own slice LACKING the column, so an
+    * EXPLICIT payload null from any version where the column existed
+    * survives (including between a drop and a re-add); non-constant
+    * defaults (CURRENT_TIMESTAMP, expressions) never substitute
+    * ([[isConstantLiteral]]). Default (false) keeps version-correct
+    * NULLs, with end-state parity reached at the sink's translated
+    * `ADD COLUMN … DEFAULT` barrier instead (the M8/K1 composition) —
+    * both equivalence points are supported. */
   private def decodeQuery(wire: DataFrame, tracker: SchemaTracker,
       outDir: String, checkpoint: String, schemas: Seq[String],
       schemaOf: Column, tableOf: Column,
@@ -1205,15 +1211,19 @@ object CdcStream {
           var localGrave = Map.empty[(String, String), Vector[String]]
           var consumedGrave = Set.empty[(String, String)]
           // decode-time T7 fill state (only when opted in): column →
-          // constant literal value per table, for columns BORN WITH A
-          // CONSTANT DEFAULT in this batch — only those can leave
-          // missing-column NULLs in this batch's union (a column added in
-          // an earlier batch exists in every slice decoded now), and only
-          // a constant can substitute ([[isConstantLiteral]]). Renames
-          // re-key, drops remove, like the tracker's own defaults map.
-          // The fill itself gates on the ROW'S OWN SLICE lacking the
-          // column (see the union below), never on version arithmetic.
-          var localFill = Map.empty[(String, String), Map[String, String]]
+          // (add version, constant literal value) per table, for columns
+          // BORN WITH A CONSTANT DEFAULT in this batch — only those can
+          // leave missing-column NULLs in this batch's union (a column
+          // added in an earlier batch exists in every slice decoded now),
+          // and only a constant can substitute ([[isConstantLiteral]]).
+          // Column renames re-key, column drops remove; a TABLE
+          // rename/drop KEEPS the entry under the emitting key (the
+          // pre-rename/pre-drop slices still fold at batch end and their
+          // pre-add rows still need the fill). The fill gates on the
+          // ROW'S OWN SLICE lacking the column; the add version is kept
+          // as an upper BOUND so an entry surviving a drop/recreate of
+          // its whole table never fills the recreated incarnation.
+          var localFill = Map.empty[(String, String), Map[String, (Long, String)]]
           // forward-only contract precheck from the SAME gather — a frame
           // delivered below ITS table's already-applied DDL frontier would
           // decode with the NEW schema (slicing happens within the batch;
@@ -1383,7 +1393,7 @@ object CdcStream {
                     })
                   val next = action match {
                     case "add" => dflt.filter(isConstantLiteral).fold(cur)(d =>
-                      cur + (c -> unquoteLiteral(d)))
+                      cur + (c -> ((ts, unquoteLiteral(d)))))
                     case "drop" => cur - c
                     case "rename" => cur.get(c).fold(cur) { v =>
                       aliasPresent(c, arg); cur - c + (arg -> v) }
@@ -1430,6 +1440,7 @@ object CdcStream {
                 // post-truncate union no longer carries.
                 slicesOf((s, t)).clear()
                 defsOf.remove((s, t))
+                presentOf.remove((s, t))
                 lowerOf((s, t)) = ts
                 localFill -= ((s, t)) // pre-truncate rows left the output
                 catalog += (s, t) -> catalog((s, t)).copy(version = ts)
@@ -1481,7 +1492,10 @@ object CdcStream {
                 decodeSlice((s, t), catalog((s, t)), ts)
                 localGrave += (s, t) -> catalog((s, t)).columns
                 catalog -= ((s, t))
-                localFill -= ((s, t))
+                // localFill stays: the dropped table's already-cut slices
+                // still fold at batch end, and their pre-add rows still
+                // read the fill (the entries' add-version bound keeps a
+                // same-batch recreate of the name unaffected)
                 applied += ((ts, s, t, "drop_table", "", ""))
               case DropSchemaDdl(s) if catalog.keys.exists(_._1 == s) =>
                 if (!dynamicTables)
@@ -1498,7 +1512,8 @@ object CdcStream {
                   decodeSlice(k, catalog(k), ts)
                   localGrave += k -> catalog(k).columns
                   catalog -= k
-                  localFill -= k
+                  // localFill stays — same batch-end fold rationale as the
+                  // single-table drop above
                   applied += ((ts, k._1, k._2, "drop_table", "", ""))
                 }
               case FlashbackDdl(s, t, toOpt)
@@ -1611,8 +1626,12 @@ object CdcStream {
                 catalog += (s2, to) -> catalog((s, t))
                   .copy(schema = s2, table = to, version = ts)
                 catalog -= ((s, t))
+                // COPY, don't move: the old key's already-cut slices (the
+                // pre-rename rows, which emit under the old name) still
+                // need their fill at batch end; the new key carries the
+                // same map forward for later DDL under the new name
                 localFill.get((s, t)).foreach { m =>
-                  localFill = localFill - ((s, t)) + ((s2, to) -> m)
+                  localFill += (s2, to) -> m
                 }
                 applied += ((ts, s, t, "rename_table", "",
                   if (s2 == s) to else s"$s2.$to"))
@@ -1703,20 +1722,34 @@ object CdcStream {
               // default through the column type), so `DEFAULT 1.50` on a
               // DECIMAL(10,1) fills the decode's own spelling `1.5`.
               val merged = localFill.getOrElse(k, Map.empty)
-                .foldLeft(merged0) { case (df, (c, v)) =>
+                .foldLeft(merged0) { case (df, (c, (addTs, v))) =>
                   val cs = s"${c}_str"
+                  // only slice versions BELOW the add can hold pre-column
+                  // rows (the bound is what keeps an entry surviving its
+                  // table's drop/recreate off the new incarnation)
                   val absent = presentOf.getOrElse(k, Nil).collect {
-                    case (ver, cols) if !cols.contains(c) => ver }.toSeq
+                    case (ver, cols) if !cols.contains(c) && ver < addTs => ver
+                  }.toSeq
                   if (!df.columns.contains(cs) || absent.isEmpty) df
                   else {
                     // paren-aware token split, NOT split-on-space: a type
                     // may carry a space inside its args (`DECIMAL(10, 1)`)
                     val ty = defsOf.get(k).flatMap(_.get(c))
                       .flatMap(d => tailTokens(d).lift(1)).getOrElse("STRING")
+                    // boolean and exponent spellings pre-normalize: the
+                    // raw string cast of TRUE to a numeric (or 1e3 to an
+                    // integer) is NULL, where the reference's evaluated
+                    // default is 1 (resp. 1000)
+                    val fillLit =
+                      if (v.equalsIgnoreCase("TRUE") || v.equalsIgnoreCase("FALSE"))
+                        lit(v.toBoolean)
+                      else if (v.matches("[+-]?[0-9]*\\.?[0-9]*[eE][+-]?[0-9]+"))
+                        lit(v).cast("DOUBLE")
+                      else lit(v)
                     df.withColumn(cs,
                       when(col("schema_version").isin(absent: _*) &&
                           col(cs).isNull,
-                        lit(v).cast(ty).cast("string")).otherwise(col(cs)))
+                        fillLit.cast(ty).cast("string")).otherwise(col(cs)))
                   }
                 }
               k -> ((defsOf(k).values.toSeq, merged))

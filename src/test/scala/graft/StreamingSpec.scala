@@ -2203,6 +2203,13 @@ class StreamingSpec extends SparkSpec {
           "ALTER TABLE app.t ADD COLUMN c DECIMAL(10,1) DEFAULT 1.5"))
         .unionByName(row(2L, "DDL", null,
           "ALTER TABLE app.t ADD COLUMN cts TIMESTAMP DEFAULT CURRENT_TIMESTAMP"))
+        // boolean and leading-dot constant spellings: both are constants
+        // the reference evaluates through the column type (TRUE on a
+        // TINYINT fills 1, .5 on a DOUBLE fills 0.5)
+        .unionByName(row(2L, "DDL", null,
+          "ALTER TABLE app.t ADD COLUMN f TINYINT DEFAULT TRUE"))
+        .unionByName(row(2L, "DDL", null,
+          "ALTER TABLE app.t ADD COLUMN r DOUBLE DEFAULT .5"))
         .unionByName(row(3L, "U", """{"k": 3.25, "c": 3.5, "b": null}""", null))
         .unionByName(row(5L, "U", """{"k": 5.25, "c": null, "b": 55}""", null))
         .unionByName(row(6L, "DDL", null, "ALTER TABLE app.t DROP COLUMN c"))
@@ -2238,6 +2245,11 @@ class StreamingSpec extends SparkSpec {
     // chain's empty intermediate slices — it must survive the fill
     assert(b == Map(1L -> "9", 3L -> null, 5L -> "55", 7L -> null,
       9L -> "99", 10L -> "100"), s"same-ts chain fill mismatch: $b")
+    val fr = spark.read.parquet(s"$outDir/data")
+      .select(col("commit_ts"), col("f_str"), col("r_str"))
+      .where(col("commit_ts") === 1L).head
+    assert(fr.getString(1) == "1" && fr.getString(2) == "0.5",
+      s"boolean/dot-literal fill mismatch: $fr")
   }
 
   test("decode-time fill: a same-batch rename keeps pre-rename rows' values out of the fill") {
@@ -2283,6 +2295,76 @@ class StreamingSpec extends SparkSpec {
       s"old-name column mismatch: ${m(1)}")
     assert(m(2) == Map(1L -> "7", 3L -> null, 4L -> null, 6L -> "8"),
       s"new-name column mismatch: ${m(2)}")
+  }
+
+  test("decode-time fill survives a same-batch RENAME TABLE and DROP TABLE for the old key's rows") {
+    // the pre-rename/pre-drop slices fold and emit under the OLD key at
+    // batch end — their pre-add rows still read the fill (the reference
+    // translated each row, defaults included, before the table-level
+    // statement arrived)
+    import graft.sources.PbBinlogFile
+    val wireDir = graft.util.Scratch.dir("graft_fill4_wire")
+    val outDir = graft.util.Scratch.dir("graft_fill4_out")
+    val ckpt = graft.util.Scratch.dir("graft_fill4_ckpt")
+    def row(tbl: String, ts: Long, props: String, sql: String) =
+      Seq(ts).toDF("commit_ts").select(
+        col("commit_ts"), lit(ts).as("pk"),
+        lit(if (sql == null) "U" else "DDL").as("op"),
+        lit(if (sql == null) tbl else "ddl").as("event_type"),
+        timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+        lit(null).cast("double").as("value"),
+        (if (props == null) lit(null).cast("string") else lit(props)).as("props"),
+        (if (sql == null) lit(null).cast("string") else lit(sql)).as("ddl_sql"))
+    PbBinlogFile.write(
+      row("t", 1L, """{"k": 1.0}""", null)
+        .unionByName(row("t", 2L, null,
+          "ALTER TABLE app.t ADD COLUMN c INT DEFAULT 7"))
+        .unionByName(row("t", 3L, """{"k": 3.0, "c": 5}""", null))
+        .unionByName(row("t", 4L, null, "RENAME TABLE app.t TO app.u"))
+        .unionByName(row("u", 5L, """{"k": 5.0, "c": 6}""", null))
+        .unionByName(row("g", 11L, """{"k": 11.0}""", null))
+        .unionByName(row("g", 12L, null,
+          "ALTER TABLE app.g ADD COLUMN c INT DEFAULT 7"))
+        .unionByName(row("g", 13L, """{"k": 13.0, "c": 5}""", null))
+        .unionByName(row("g", 14L, null, "DROP TABLE app.g")),
+      wireDir, nFiles = 1)
+    val tracker = new SchemaTracker()
+    tracker.createTable("app", "t", Seq("k DOUBLE"), version = 0)
+    tracker.createTable("app", "g", Seq("k DOUBLE"), version = 0)
+    val q = CdcStream.ddlDrivenDecodeTables(PbBinlogFile.readStream(spark, wireDir),
+      tracker, outDir, ckpt, "app", col("event_type"),
+      fillOriginDefaults = true)
+    try q.processAllAvailable() finally q.stop()
+    def m(tbl: String) = spark.read.parquet(s"$outDir/data/batch=0/table=$tbl")
+      .select(col("commit_ts"), col("c_str")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    assert(m("t") == Map(1L -> "7", 3L -> "5"),
+      s"renamed-away table lost its fill: ${m("t")}")
+    assert(m("u") == Map(5L -> "6"), s"post-rename rows mismatch: ${m("u")}")
+    assert(m("g") == Map(11L -> "7", 13L -> "5"),
+      s"dropped table lost its fill: ${m("g")}")
+  }
+
+  test("wire segment name collision with DIFFERENT content throws; an identical retry stays idempotent") {
+    import graft.sources.PbBinlogFile
+    val dir = graft.util.Scratch.dir("graft_collide")
+    def one(pk: Long) = Seq(10L).toDF("commit_ts").select(
+      col("commit_ts"), lit(pk).as("pk"), lit("I").as("op"),
+      lit("t").as("event_type"),
+      timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
+      lit(1.0).as("value"), lit("{}").as("props"),
+      lit(null).cast("string").as("ddl_sql"))
+    PbBinlogFile.write(one(1L), dir, nFiles = 1)
+    // same (pid, seg, ts-interval) name, same byte LENGTH, different pk:
+    // the length-only heuristic used to silently drop this batch
+    intercept[Exception] { PbBinlogFile.append(one(2L), dir, nFiles = 1) }
+    assert(PbBinlogFile.read(spark, dir).select("pk")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "the first batch's content must survive the refused promote")
+    // a TRUE retry (identical bytes) still promotes idempotently
+    PbBinlogFile.write(one(1L), dir, nFiles = 1)
+    assert(PbBinlogFile.read(spark, dir).count() == 1)
   }
 
   test("per-trigger driver init scales with the touched set, not the registration") {
