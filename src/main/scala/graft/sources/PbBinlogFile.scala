@@ -425,25 +425,12 @@ object PbBinlogFile {
         // length alone would silently lose the second batch — compare the
         // actual bytes before declaring the promote a duplicate
         def sameBytes(a: HPath, b: HPath): Boolean = {
-          val ia = fs.open(a); val ib = fs.open(b)
+          val ia = fs.open(a)
           try {
-            val ba = new Array[Byte](65536); val bb = new Array[Byte](65536)
-            def fill(in: java.io.InputStream, buf: Array[Byte]): Int = {
-              var off = 0
-              var n = in.read(buf, off, buf.length - off)
-              while (n > 0) { off += n; n = in.read(buf, off, buf.length - off) }
-              off
-            }
-            var same = true
-            var na = fill(ia, ba)
-            var nb = fill(ib, bb)
-            while (same && (na > 0 || nb > 0)) {
-              same = na == nb && java.util.Arrays.equals(
-                ba, 0, na, bb, 0, nb)
-              if (same) { na = fill(ia, ba); nb = fill(ib, bb) }
-            }
-            same
-          } finally { ia.close(); ib.close() }
+            val ib = fs.open(b)
+            try org.apache.commons.io.IOUtils.contentEquals(ia, ib)
+            finally ib.close()
+          } finally ia.close()
         }
         def collide(len: Long): Unit =
           if (len == fs.getFileStatus(tmpPath).getLen &&

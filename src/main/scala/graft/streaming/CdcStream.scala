@@ -483,6 +483,27 @@ object CdcStream {
     t.equalsIgnoreCase("TRUE") || t.equalsIgnoreCase("FALSE")
   }
 
+  /** The fill CONSTANT as a typed literal, built from the RAW default
+    * spelling (quoting intact — a QUOTED 'TRUE' or '1e3' is literal TEXT
+    * and must never reinterpret as a boolean or number): TRUE/FALSE
+    * become booleans, pure integers stay exact at any width, and
+    * dotted/exponent spellings route through DECIMAL — the default ANSI
+    * string→integral cast of a non-integral spelling THROWS (and the
+    * non-ANSI one nulls), while the reference evaluates the default
+    * through the column type; integral targets round like that
+    * evaluation (DEFAULT 1.5 on INT fills 2), others keep full scale. */
+  private def fillLiteral(raw: String, ty: String): Column = {
+    val t = raw.trim
+    val base = ty.toUpperCase(java.util.Locale.ROOT).takeWhile(_ != '(')
+    if (t.startsWith("'")) lit(unquoteLiteral(t))
+    else if (t.equalsIgnoreCase("TRUE") || t.equalsIgnoreCase("FALSE"))
+      lit(t.toBoolean)
+    else if (t.matches("[+-]?[0-9]+")) lit(t)
+    else if (Set("TINYINT", "SMALLINT", "INT", "INTEGER", "BIGINT")(base))
+      lit(t).cast("DECIMAL(38,0)")
+    else lit(t).cast("DECIMAL(38,18)")
+  }
+
   /** ENUM/SET value list, declaration order (= 1-based ordinal order; SET
     * bit positions follow the same order). */
   private def dictValues(ty: String): Vector[String] = {
@@ -1211,19 +1232,22 @@ object CdcStream {
           var localGrave = Map.empty[(String, String), Vector[String]]
           var consumedGrave = Set.empty[(String, String)]
           // decode-time T7 fill state (only when opted in): column →
-          // (add version, constant literal value) per table, for columns
-          // BORN WITH A CONSTANT DEFAULT in this batch — only those can
-          // leave missing-column NULLs in this batch's union (a column
-          // added in an earlier batch exists in every slice decoded now),
-          // and only a constant can substitute ([[isConstantLiteral]]).
-          // Column renames re-key, column drops remove; a TABLE
-          // rename/drop KEEPS the entry under the emitting key (the
-          // pre-rename/pre-drop slices still fold at batch end and their
-          // pre-add rows still need the fill). The fill gates on the
-          // ROW'S OWN SLICE lacking the column; the add version is kept
-          // as an upper BOUND so an entry surviving a drop/recreate of
-          // its whole table never fills the recreated incarnation.
-          var localFill = Map.empty[(String, String), Map[String, (Long, String)]]
+          // Vector of (add version, RAW constant default spelling) per
+          // table, for columns BORN WITH A CONSTANT DEFAULT in this batch
+          // — only those can leave missing-column NULLs in this batch's
+          // union (a column added in an earlier batch exists in every
+          // slice decoded now), and only a constant can substitute
+          // ([[isConstantLiteral]]; the raw spelling keeps its quoting
+          // for [[fillLiteral]]). Column renames re-key, column drops
+          // remove; a TABLE rename/drop KEEPS entries under the emitting
+          // key (the pre-rename/pre-drop slices still fold at batch end
+          // and their pre-add rows still need the fill) — a same-batch
+          // recreate that re-adds the column APPENDS its entry, and each
+          // absent slice reads the entry of the add that ended ITS
+          // incarnation's gap (the smallest add version above the slice),
+          // so the old incarnation's rows never read the new default.
+          var localFill =
+            Map.empty[(String, String), Map[String, Vector[(Long, String)]]]
           // forward-only contract precheck from the SAME gather — a frame
           // delivered below ITS table's already-applied DDL frontier would
           // decode with the NEW schema (slicing happens within the batch;
@@ -1393,7 +1417,7 @@ object CdcStream {
                     })
                   val next = action match {
                     case "add" => dflt.filter(isConstantLiteral).fold(cur)(d =>
-                      cur + (c -> ((ts, unquoteLiteral(d)))))
+                      cur + (c -> (cur.getOrElse(c, Vector.empty) :+ ((ts, d)))))
                     case "drop" => cur - c
                     case "rename" => cur.get(c).fold(cur) { v =>
                       aliasPresent(c, arg); cur - c + (arg -> v) }
@@ -1437,7 +1461,12 @@ object CdcStream {
                 // WITH the slices: a def only a pre-truncate slice decoded
                 // (e.g. a column dropped earlier in this batch) would
                 // otherwise make a composing sink select a `<col>_str` the
-                // post-truncate union no longer carries.
+                // post-truncate union no longer carries. KNOWN EDGE: the
+                // clear is keyed by name, so a same-batch DROP TABLE →
+                // CREATE → TRUNCATE chain also discards the DROPPED
+                // incarnation's final rows — incarnation-tagged slices
+                // would be needed to keep them; the chain is degenerate
+                // (the drop already ended that table's replication).
                 slicesOf((s, t)).clear()
                 defsOf.remove((s, t))
                 presentOf.remove((s, t))
@@ -1494,8 +1523,8 @@ object CdcStream {
                 catalog -= ((s, t))
                 // localFill stays: the dropped table's already-cut slices
                 // still fold at batch end, and their pre-add rows still
-                // read the fill (the entries' add-version bound keeps a
-                // same-batch recreate of the name unaffected)
+                // read the fill (the per-add version buckets keep a
+                // same-batch recreate of the name on its own defaults)
                 applied += ((ts, s, t, "drop_table", "", ""))
               case DropSchemaDdl(s) if catalog.keys.exists(_._1 == s) =>
                 if (!dynamicTables)
@@ -1629,9 +1658,17 @@ object CdcStream {
                 // COPY, don't move: the old key's already-cut slices (the
                 // pre-rename rows, which emit under the old name) still
                 // need their fill at batch end; the new key carries the
-                // same map forward for later DDL under the new name
+                // same entries forward for later DDL under the new name.
+                // MERGE per column rather than overwrite — the target name
+                // may hold a dropped incarnation's kept entries, and the
+                // add-version buckets at fold time keep both incarnations'
+                // slices on their own defaults
                 localFill.get((s, t)).foreach { m =>
-                  localFill += (s2, to) -> m
+                  val old = localFill.getOrElse((s2, to), Map.empty)
+                  localFill += (s2, to) -> m.foldLeft(old) {
+                    case (acc, (c, vec)) =>
+                      acc + (c -> (acc.getOrElse(c, Vector.empty) ++ vec))
+                  }
                 }
                 applied += ((ts, s, t, "rename_table", "",
                   if (s2 == s) to else s"$s2.$to"))
@@ -1722,34 +1759,34 @@ object CdcStream {
               // default through the column type), so `DEFAULT 1.50` on a
               // DECIMAL(10,1) fills the decode's own spelling `1.5`.
               val merged = localFill.getOrElse(k, Map.empty)
-                .foldLeft(merged0) { case (df, (c, (addTs, v))) =>
+                .foldLeft(merged0) { case (df, (c, entries)) =>
                   val cs = s"${c}_str"
-                  // only slice versions BELOW the add can hold pre-column
-                  // rows (the bound is what keeps an entry surviving its
-                  // table's drop/recreate off the new incarnation)
-                  val absent = presentOf.getOrElse(k, Nil).collect {
-                    case (ver, cols) if !cols.contains(c) && ver < addTs => ver
-                  }.toSeq
-                  if (!df.columns.contains(cs) || absent.isEmpty) df
+                  val sorted = entries.sortBy(_._1)
+                  // each absent slice reads the add that ended ITS gap —
+                  // the smallest add version above the slice's version —
+                  // so across a same-batch drop/recreate every
+                  // incarnation's rows keep their own default, and a
+                  // version above every add (a recreate that never
+                  // re-added) reads no fill at all
+                  val buckets = presentOf.getOrElse(k, Nil).collect {
+                    case (ver, cols) if !cols.contains(c) => ver
+                  }.groupBy(v => sorted.find(_._1 > v)).collect {
+                    case (Some(e), vers) => (e, vers.toSeq)
+                  }
+                  if (!df.columns.contains(cs) || buckets.isEmpty) df
                   else {
                     // paren-aware token split, NOT split-on-space: a type
                     // may carry a space inside its args (`DECIMAL(10, 1)`)
                     val ty = defsOf.get(k).flatMap(_.get(c))
                       .flatMap(d => tailTokens(d).lift(1)).getOrElse("STRING")
-                    // boolean and exponent spellings pre-normalize: the
-                    // raw string cast of TRUE to a numeric (or 1e3 to an
-                    // integer) is NULL, where the reference's evaluated
-                    // default is 1 (resp. 1000)
-                    val fillLit =
-                      if (v.equalsIgnoreCase("TRUE") || v.equalsIgnoreCase("FALSE"))
-                        lit(v.toBoolean)
-                      else if (v.matches("[+-]?[0-9]*\\.?[0-9]*[eE][+-]?[0-9]+"))
-                        lit(v).cast("DOUBLE")
-                      else lit(v)
-                    df.withColumn(cs,
-                      when(col("schema_version").isin(absent: _*) &&
-                          col(cs).isNull,
-                        fillLit.cast(ty).cast("string")).otherwise(col(cs)))
+                    val filled = buckets.foldLeft(col(cs)) {
+                      case (acc, ((_, raw), vers)) =>
+                        when(col("schema_version").isin(vers: _*) &&
+                            col(cs).isNull,
+                          fillLiteral(raw, ty).cast(ty).cast("string"))
+                          .otherwise(acc)
+                    }
+                    df.withColumn(cs, filled)
                   }
                 }
               k -> ((defsOf(k).values.toSeq, merged))

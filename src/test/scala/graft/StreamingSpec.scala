@@ -2210,6 +2210,13 @@ class StreamingSpec extends SparkSpec {
           "ALTER TABLE app.t ADD COLUMN f TINYINT DEFAULT TRUE"))
         .unionByName(row(2L, "DDL", null,
           "ALTER TABLE app.t ADD COLUMN r DOUBLE DEFAULT .5"))
+        // a fractional default on an INTEGRAL type must round through the
+        // numeric domain (ANSI's string→int cast of '1.5' throws), and a
+        // QUOTED 'TRUE' is literal text, never a boolean
+        .unionByName(row(2L, "DDL", null,
+          "ALTER TABLE app.t ADD COLUMN i INT DEFAULT 1.5"))
+        .unionByName(row(2L, "DDL", null,
+          "ALTER TABLE app.t ADD COLUMN s2 VARCHAR(8) DEFAULT 'TRUE'"))
         .unionByName(row(3L, "U", """{"k": 3.25, "c": 3.5, "b": null}""", null))
         .unionByName(row(5L, "U", """{"k": 5.25, "c": null, "b": 55}""", null))
         .unionByName(row(6L, "DDL", null, "ALTER TABLE app.t DROP COLUMN c"))
@@ -2246,10 +2253,13 @@ class StreamingSpec extends SparkSpec {
     assert(b == Map(1L -> "9", 3L -> null, 5L -> "55", 7L -> null,
       9L -> "99", 10L -> "100"), s"same-ts chain fill mismatch: $b")
     val fr = spark.read.parquet(s"$outDir/data")
-      .select(col("commit_ts"), col("f_str"), col("r_str"))
+      .select(col("commit_ts"), col("f_str"), col("r_str"), col("i_str"),
+        col("s2_str"))
       .where(col("commit_ts") === 1L).head
     assert(fr.getString(1) == "1" && fr.getString(2) == "0.5",
       s"boolean/dot-literal fill mismatch: $fr")
+    assert(fr.getString(3) == "2" && fr.getString(4) == "TRUE",
+      s"integral-rounding / quoted-text fill mismatch: $fr")
   }
 
   test("decode-time fill: a same-batch rename keeps pre-rename rows' values out of the fill") {
@@ -2326,7 +2336,15 @@ class StreamingSpec extends SparkSpec {
         .unionByName(row("g", 12L, null,
           "ALTER TABLE app.g ADD COLUMN c INT DEFAULT 7"))
         .unionByName(row("g", 13L, """{"k": 13.0, "c": 5}""", null))
-        .unionByName(row("g", 14L, null, "DROP TABLE app.g")),
+        .unionByName(row("g", 14L, null, "DROP TABLE app.g"))
+        // same-batch recreate that RE-ADDS the same column with a
+        // DIFFERENT default: each incarnation's pre-add rows must read
+        // their OWN default (the per-add version buckets)
+        .unionByName(row("g", 15L, null, "CREATE TABLE app.g (k DOUBLE)"))
+        .unionByName(row("g", 16L, """{"k": 16.0}""", null))
+        .unionByName(row("g", 17L, null,
+          "ALTER TABLE app.g ADD COLUMN c INT DEFAULT 9"))
+        .unionByName(row("g", 18L, """{"k": 18.0, "c": 3}""", null)),
       wireDir, nFiles = 1)
     val tracker = new SchemaTracker()
     tracker.createTable("app", "t", Seq("k DOUBLE"), version = 0)
@@ -2342,8 +2360,8 @@ class StreamingSpec extends SparkSpec {
     assert(m("t") == Map(1L -> "7", 3L -> "5"),
       s"renamed-away table lost its fill: ${m("t")}")
     assert(m("u") == Map(5L -> "6"), s"post-rename rows mismatch: ${m("u")}")
-    assert(m("g") == Map(11L -> "7", 13L -> "5"),
-      s"dropped table lost its fill: ${m("g")}")
+    assert(m("g") == Map(11L -> "7", 13L -> "5", 16L -> "9", 18L -> "3"),
+      s"per-incarnation fill mismatch: ${m("g")}")
   }
 
   test("wire segment name collision with DIFFERENT content throws; an identical retry stays idempotent") {
