@@ -1802,8 +1802,14 @@ class StreamingSpec extends SparkSpec {
       "ENUM('a','b,c','it''s')", "SET('x','y')", "JSON",
       "BLOB", "TINYBLOB", "VARBINARY(16)", "BINARY(8)", "BIT(64)",
       "BOOLEAN", "BOOL", "MEDIUMINT(9)", "INT(11)", "TINYINT(1)",
-      "NUMERIC(10,2)", "REAL", "DOUBLE PRECISION")
-    val intTypes = Set("INT", "BIGINT", "MEDIUMINT(9)", "INT(11)", "TINYINT(1)")
+      "NUMERIC(10,2)", "REAL", "DOUBLE PRECISION",
+      // multi-token native spellings and the space-before-paren forms
+      "NATIONAL CHAR(5)", "NATIONAL VARCHAR(32)",
+      "NATIONAL CHARACTER VARYING(8)", "CHARACTER VARYING(20)",
+      "CHAR VARYING(7)", "NCHAR VARYING(6)", "CHARACTER(4)",
+      "ENUM ('p','q')", "INT (11)", "DECIMAL(10, 2)")
+    val intTypes = Set("INT", "BIGINT", "MEDIUMINT(9)", "INT(11)",
+      "TINYINT(1)", "INT (11)")
     val defaults = Seq("5", "-1.5", "'x,y'", "'a b'", "(a > 0)", "(a < 0)",
       "CURRENT_TIMESTAMP", "'it\\'s'")
     val options: Seq[String => Seq[String]] = Seq(
