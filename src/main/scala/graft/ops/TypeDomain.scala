@@ -147,9 +147,12 @@ object TypeDomain {
     * ([[graft.streaming.SchemaTracker]] `dicts`). */
   def setMask(dict: Seq[String], member: Column): Column = {
     val bits = dict.zipWithIndex.map { case (v, i) => v -> (1L << i) }.toMap
+    // try_element_at, not element_at: under the default ANSI mode a
+    // missing map key THROWS — one drifted row must yield the contract's
+    // loud NULL, not kill the query
     when(member === "", 0L).otherwise(
       aggregate(split(member, ","), lit(0L),
-        (acc, m) => acc + element_at(typedLit(bits), m)))
+        (acc, m) => acc + try_element_at(typedLit(bits), m)))
   }
 
   def enumSetSql: String = {

@@ -402,7 +402,7 @@ object CdcStream {
     * outside quoted literals and outside ()/<> nesting, so
     * `DECIMAL(10, 2)`, `STRUCT<a: INT>`, `DEFAULT (a > 0)` and
     * `DEFAULT 'a b'` each stay one token. */
-  private def tailTokens(s: String): Vector[String] =
+  private[streaming] def tailTokens(s: String): Vector[String] =
     splitTopLevel(s, _.isWhitespace, angles = true).filter(_.nonEmpty)
 
   /** Strip the decode-neutral column-option tails real MySQL/TiDB traffic
@@ -464,45 +464,6 @@ object CdcStream {
       s.substring(1, s.length - 1).replace("\\'", "'").replace("''", "'")
         .replace("\\\\", "\\")
     else s
-
-  /** A DEFAULT expression the decode-time T7 fill may substitute: a quoted
-    * string, a plain numeric, or a boolean — the constants the reference's
-    * getDefaultOrZeroValue reads straight off the column
-    * (translator.go:169-227). EXPRESSION defaults (CURRENT_TIMESTAMP,
-    * NOW(), parenthesized expressions) are evaluated UPSTREAM at insert
-    * time; a decode-side fill would write the expression's text as a
-    * value, so those (and an explicit NULL default) skip the fill and keep
-    * the version-correct NULL — the `origin_default` log record still
-    * carries the text for composing sinks. Hex (0x1F) and bit (b'101')
-    * literal spellings also skip: their byte-vs-number reading depends on
-    * the column type, so a textual substitute would guess. */
-  private[graft] def isConstantLiteral(d: String): Boolean = {
-    val t = d.trim
-    (t.length >= 2 && t.head == '\'' && t.last == '\'') ||
-    t.matches("[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?") ||
-    t.equalsIgnoreCase("TRUE") || t.equalsIgnoreCase("FALSE")
-  }
-
-  /** The fill CONSTANT as a typed literal, built from the RAW default
-    * spelling (quoting intact — a QUOTED 'TRUE' or '1e3' is literal TEXT
-    * and must never reinterpret as a boolean or number): TRUE/FALSE
-    * become booleans, pure integers stay exact at any width, and
-    * dotted/exponent spellings route through DECIMAL — the default ANSI
-    * string→integral cast of a non-integral spelling THROWS (and the
-    * non-ANSI one nulls), while the reference evaluates the default
-    * through the column type; integral targets round like that
-    * evaluation (DEFAULT 1.5 on INT fills 2), others keep full scale. */
-  private def fillLiteral(raw: String, ty: String): Column = {
-    val t = raw.trim
-    val base = ty.toUpperCase(java.util.Locale.ROOT).takeWhile(_ != '(')
-    if (t.startsWith("'")) lit(unquoteLiteral(t))
-    else if (t.equalsIgnoreCase("TRUE") || t.equalsIgnoreCase("FALSE"))
-      lit(t.toBoolean)
-    else if (t.matches("[+-]?[0-9]+")) lit(t)
-    else if (Set("TINYINT", "SMALLINT", "INT", "INTEGER", "BIGINT")(base))
-      lit(t).cast("DECIMAL(38,0)")
-    else lit(t).cast("DECIMAL(38,18)")
-  }
 
   /** ENUM/SET value list, declaration order (= 1-based ordinal order; SET
     * bit positions follow the same order). */
@@ -1027,13 +988,18 @@ object CdcStream {
       new java.util.concurrent.ConcurrentHashMap[java.util.UUID, Map[String, Long]]()
     private val deltasById =
       new java.util.concurrent.ConcurrentHashMap[java.util.UUID, Vector[Map[String, Long]]]()
+    private val droppedById =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]()
     def snapshot(queryId: java.util.UUID): Map[String, Long] =
       Option(byId.get(queryId)).getOrElse(Map.empty)
     /** The per-event counter increments published so far, oldest first —
-      * their field-wise sum equals the snapshot's `_total` fields (the
-      * history keeps the most recent `maxDeltaDepth` increments, so the
-      * identity holds while a mid-stream consumer stays within that lag;
-      * per-query state is otherwise bounded, one map per query). */
+      * their field-wise sum equals the snapshot's `_total` fields while
+      * the history is complete. The history keeps the most recent
+      * `maxDeltaDepth` increments; evictions are NOT silent — the
+      * snapshot's `deltas_dropped_total` field counts them, so a consumer
+      * relying on the sum(deltas)==total identity checks it for 0 instead
+      * of discovering the gap as a mismatch. Per-query state is otherwise
+      * bounded, one map per query. */
     def deltas(queryId: java.util.UUID): Seq[Map[String, Long]] =
       Option(deltasById.get(queryId)).getOrElse(Vector.empty)
     /** Drop all retained state for a finished query. The listener cannot
@@ -1044,7 +1010,7 @@ object CdcStream {
       * after its final read. */
     def forget(queryId: java.util.UUID): Unit = {
       byId.remove(queryId); lastSeen.remove(queryId)
-      deltasById.remove(queryId); ()
+      deltasById.remove(queryId); droppedById.remove(queryId); ()
     }
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
@@ -1061,12 +1027,23 @@ object CdcStream {
           k.stripSuffix("_total") + "_delta" -> (v - prev.getOrElse(k, 0L))
         }
         lastSeen.put(e.progress.id, counters)
-        deltasById.merge(e.progress.id, Vector(delta),
-          (a, b) => (a ++ b).takeRight(maxDeltaDepth))
+        deltasById.compute(e.progress.id, (_, old) => {
+          val a = (if (old == null) Vector.empty else old) :+ delta
+          if (a.size <= maxDeltaDepth) a
+          else {
+            droppedById.merge(e.progress.id,
+              java.lang.Long.valueOf((a.size - maxDeltaDepth).toLong),
+              (x, y) => java.lang.Long.valueOf(x.longValue + y.longValue))
+            a.takeRight(maxDeltaDepth)
+          }
+        })
+        val dropped =
+          Option(droppedById.get(e.progress.id)).fold(0L)(_.longValue)
         val obs = row.schema.fieldNames.zipWithIndex.collect {
           case (n, i) if !row.isNullAt(i) => n -> row.getLong(i)
         }.toMap
-        byId.put(e.progress.id, obs ++ counters ++ delta)
+        byId.put(e.progress.id,
+          obs ++ counters ++ delta + ("deltas_dropped_total" -> dropped))
       }
     }
   }
@@ -1076,12 +1053,15 @@ object CdcStream {
     * getDefaultOrZeroValue fills columns missing from the row data): a
     * row that PREDATES a column added with a CONSTANT default reads that
     * default — cast through the column's wire type, the reference's
-    * normalization — from the decode's own output instead of NULL. The
-    * fill gates on the row's own slice LACKING the column, so an
-    * EXPLICIT payload null from any version where the column existed
-    * survives (including between a drop and a re-add); non-constant
-    * defaults (CURRENT_TIMESTAMP, expressions) never substitute
-    * ([[isConstantLiteral]]). Default (false) keeps version-correct
+    * normalization — and one predating a NOT NULL add WITHOUT a default
+    * reads the type's zero value, from the decode's own output instead
+    * of NULL. The fill gates on the row's own slice LACKING the column,
+    * so an EXPLICIT payload null from any version where the column
+    * existed survives (including between a drop and a re-add);
+    * non-constant defaults (CURRENT_TIMESTAMP, expressions) never
+    * substitute, and [[DecodeFill]] documents the NULL-filling
+    * divergences (expression defaults, NOT NULL ENUM/SET or date/time
+    * adds without one). Default (false) keeps version-correct
     * NULLs, with end-state parity reached at the sink's translated
     * `ADD COLUMN … DEFAULT` barrier instead (the M8/K1 composition) —
     * both equivalence points are supported. */
@@ -1231,23 +1211,13 @@ object CdcStream {
           // would pass the guard twice and wedge the commit walk)
           var localGrave = Map.empty[(String, String), Vector[String]]
           var consumedGrave = Set.empty[(String, String)]
-          // decode-time T7 fill state (only when opted in): column →
-          // Vector of (add version, RAW constant default spelling) per
-          // table, for columns BORN WITH A CONSTANT DEFAULT in this batch
-          // — only those can leave missing-column NULLs in this batch's
-          // union (a column added in an earlier batch exists in every
-          // slice decoded now), and only a constant can substitute
-          // ([[isConstantLiteral]]; the raw spelling keeps its quoting
-          // for [[fillLiteral]]). Column renames re-key, column drops
-          // remove; a TABLE rename/drop KEEPS entries under the emitting
-          // key (the pre-rename/pre-drop slices still fold at batch end
-          // and their pre-add rows still need the fill) — a same-batch
-          // recreate that re-adds the column APPENDS its entry, and each
-          // absent slice reads the entry of the add that ended ITS
-          // incarnation's gap (the smallest add version above the slice),
-          // so the old incarnation's rows never read the new default.
-          var localFill =
-            Map.empty[(String, String), Map[String, Vector[(Long, String)]]]
+          // decode-time T7 fill state (only when opted in): columns ADDED
+          // IN THIS BATCH — only those can leave missing-column NULLs in
+          // this batch's union (a column added in an earlier batch exists
+          // in every slice decoded now). Transition semantics, entry
+          // shape, and the documented NULL divergences live in
+          // [[DecodeFill]].
+          val fillState = new DecodeFill(fillOriginDefaults)
           // forward-only contract precheck from the SAME gather — a frame
           // delivered below ITS table's already-applied DDL frontier would
           // decode with the NEW schema (slicing happens within the batch;
@@ -1294,13 +1264,6 @@ object CdcStream {
           // loses the column only AT its own translated barrier)
           val defsOf = scala.collection.mutable.Map.empty[(String, String),
             scala.collection.mutable.LinkedHashMap[String, String]]
-          // per-slice column PRESENCE, (slice schema_version → decoded
-          // columns): the T7 fill applies only to rows whose own slice
-          // LACKED the column — the union's structural NULLs — never to an
-          // explicit payload null from a version where the column existed
-          // (an add→drop→re-add chain within one batch leaves such rows)
-          val presentOf = scala.collection.mutable.Map.empty[(String, String),
-            scala.collection.mutable.ArrayBuffer[(Long, Set[String])]]
           // one decoded slice of table `k`: its frames in (lower, upper],
           // decoded DISTRIBUTED with the from_json schema the local view
           // holds — captured at plan-construction time. A table whose LAST
@@ -1324,15 +1287,10 @@ object CdcStream {
                 wireSchema.fieldNames.toSeq.map(f =>
                   payload.getField(f).cast("string").as(s"${f}_str")) :+
                 lit(info.version).as("schema_version"): _*)
-            // presence records only slices that can HOLD rows: a same-ts
-            // DDL chain cuts empty (ts, ts] slices whose intermediate
-            // shapes share the final slice's schema_version — recording
-            // them would put that version in a later column's `absent`
-            // set and clobber real rows' explicit nulls
+            // presence records only slices that can HOLD rows (see
+            // [[DecodeFill.recordSlice]]'s empty-slice note)
             if (lowerOf(k) < upper)
-              presentOf.getOrElseUpdate(k,
-                scala.collection.mutable.ArrayBuffer.empty[(Long, Set[String])]) +=
-                ((info.version, wireSchema.fieldNames.toSet))
+              fillState.recordSlice(k, info.version, wireSchema.fieldNames.toSet)
             lowerOf(k) = upper
             val acc = defsOf.getOrElseUpdate(k,
               scala.collection.mutable.LinkedHashMap.empty[String, String])
@@ -1403,32 +1361,7 @@ object CdcStream {
                 // is discarded like the admin SET DEFAULT form.
                 if (action == "add")
                   dflt.foreach(d => applied += ((ts, s, t, "origin_default", c, d)))
-                if (fillOriginDefaults) {
-                  val cur = localFill.getOrElse((s, t), Map.empty)
-                  // a renamed column EXISTED (under its old name) in the
-                  // slices already cut — mark the NEW name present there
-                  // too, or the fill would treat those rows' structural
-                  // NULL (their value rides the old-name column) as
-                  // missing data and overwrite it with the default
-                  def aliasPresent(from: String, to: String): Unit =
-                    presentOf.get((s, t)).foreach(_.mapInPlace {
-                      case (ver, cols) if cols.contains(from) => (ver, cols + to)
-                      case e => e
-                    })
-                  val next = action match {
-                    case "add" => dflt.filter(isConstantLiteral).fold(cur)(d =>
-                      cur + (c -> (cur.getOrElse(c, Vector.empty) :+ ((ts, d)))))
-                    case "drop" => cur - c
-                    case "rename" => cur.get(c).fold(cur) { v =>
-                      aliasPresent(c, arg); cur - c + (arg -> v) }
-                    case "change" => cur.get(c).fold(cur) { v =>
-                      val nn = arg.split(" ", 2)(0)
-                      aliasPresent(c, nn); cur - c + (nn -> v) }
-                    case _ => cur
-                  }
-                  if (next.nonEmpty) localFill += (s, t) -> next
-                  else localFill -= ((s, t))
-                }
+                fillState.onColumnDdl((s, t), ts, action, c, arg, dflt, dict)
                 // an ENUM/SET dictionary is metadata of the column's
                 // CURRENT type — unlike an origin default it FOLLOWS
                 // modify/change: record the new value list (keyed by the
@@ -1469,9 +1402,8 @@ object CdcStream {
                 // (the drop already ended that table's replication).
                 slicesOf((s, t)).clear()
                 defsOf.remove((s, t))
-                presentOf.remove((s, t))
                 lowerOf((s, t)) = ts
-                localFill -= ((s, t)) // pre-truncate rows left the output
+                fillState.onTruncate((s, t)) // pre-truncate rows left the output
                 catalog += (s, t) -> catalog((s, t)).copy(version = ts)
                 applied += ((ts, s, t, "truncate", "", ""))
               case CreateDdl(s, t, cols, _, dflts, dicts)
@@ -1521,7 +1453,7 @@ object CdcStream {
                 decodeSlice((s, t), catalog((s, t)), ts)
                 localGrave += (s, t) -> catalog((s, t)).columns
                 catalog -= ((s, t))
-                // localFill stays: the dropped table's already-cut slices
+                // fill state stays: the dropped table's already-cut slices
                 // still fold at batch end, and their pre-add rows still
                 // read the fill (the per-add version buckets keep a
                 // same-batch recreate of the name on its own defaults)
@@ -1541,8 +1473,8 @@ object CdcStream {
                   decodeSlice(k, catalog(k), ts)
                   localGrave += k -> catalog(k).columns
                   catalog -= k
-                  // localFill stays — same batch-end fold rationale as the
-                  // single-table drop above
+                  // fill state stays — same batch-end fold rationale as
+                  // the single-table drop above
                   applied += ((ts, k._1, k._2, "drop_table", "", ""))
                 }
               case FlashbackDdl(s, t, toOpt)
@@ -1655,21 +1587,10 @@ object CdcStream {
                 catalog += (s2, to) -> catalog((s, t))
                   .copy(schema = s2, table = to, version = ts)
                 catalog -= ((s, t))
-                // COPY, don't move: the old key's already-cut slices (the
-                // pre-rename rows, which emit under the old name) still
-                // need their fill at batch end; the new key carries the
-                // same entries forward for later DDL under the new name.
-                // MERGE per column rather than overwrite — the target name
-                // may hold a dropped incarnation's kept entries, and the
-                // add-version buckets at fold time keep both incarnations'
-                // slices on their own defaults
-                localFill.get((s, t)).foreach { m =>
-                  val old = localFill.getOrElse((s2, to), Map.empty)
-                  localFill += (s2, to) -> m.foldLeft(old) {
-                    case (acc, (c, vec)) =>
-                      acc + (c -> (acc.getOrElse(c, Vector.empty) ++ vec))
-                  }
-                }
+                // COPY, don't move (see [[DecodeFill.onTableRename]]): the
+                // old key's already-cut slices still need their fill at
+                // batch end; the new key carries the entries forward
+                fillState.onTableRename((s, t), (s2, to))
                 applied += ((ts, s, t, "rename_table", "",
                   if (s2 == s) to else s"$s2.$to"))
               case UnknownDdl(text) =>
@@ -1750,46 +1671,14 @@ object CdcStream {
           val unions = slicesOf.toSeq.collect {
             case (k, slices) if slices.nonEmpty =>
               val merged0 = slices.reduce(_.unionByName(_, allowMissingColumns = true))
-              // decode-time T7 fill (opt-in; see the decodeQuery note):
-              // gated on the row's slice LACKING the column (its version is
-              // in `absent`), so an explicit payload null from any version
-              // where the column existed survives — including between a
-              // drop and a re-add. The constant casts through the column's
-              // WIRE type first (ref: translator.go:169-227 evaluates the
-              // default through the column type), so `DEFAULT 1.50` on a
+              // decode-time T7 fill (opt-in; see the decodeQuery note and
+              // [[DecodeFill.fold]]): gated on the row's slice LACKING the
+              // column, so an explicit payload null from any version where
+              // it existed survives; each constant casts through ITS add's
+              // wire type (ref: translator.go:169-227 evaluates the default
+              // through the column type), so `DEFAULT 1.50` on a
               // DECIMAL(10,1) fills the decode's own spelling `1.5`.
-              val merged = localFill.getOrElse(k, Map.empty)
-                .foldLeft(merged0) { case (df, (c, entries)) =>
-                  val cs = s"${c}_str"
-                  val sorted = entries.sortBy(_._1)
-                  // each absent slice reads the add that ended ITS gap —
-                  // the smallest add version above the slice's version —
-                  // so across a same-batch drop/recreate every
-                  // incarnation's rows keep their own default, and a
-                  // version above every add (a recreate that never
-                  // re-added) reads no fill at all
-                  val buckets = presentOf.getOrElse(k, Nil).collect {
-                    case (ver, cols) if !cols.contains(c) => ver
-                  }.groupBy(v => sorted.find(_._1 > v)).collect {
-                    case (Some(e), vers) => (e, vers.toSeq)
-                  }
-                  if (!df.columns.contains(cs) || buckets.isEmpty) df
-                  else {
-                    // paren-aware token split, NOT split-on-space: a type
-                    // may carry a space inside its args (`DECIMAL(10, 1)`)
-                    val ty = defsOf.get(k).flatMap(_.get(c))
-                      .flatMap(d => tailTokens(d).lift(1)).getOrElse("STRING")
-                    val filled = buckets.foldLeft(col(cs)) {
-                      case (acc, ((_, raw), vers)) =>
-                        when(col("schema_version").isin(vers: _*) &&
-                            col(cs).isNull,
-                          fillLiteral(raw, ty).cast(ty).cast("string"))
-                          .otherwise(acc)
-                    }
-                    df.withColumn(cs, filled)
-                  }
-                }
-              k -> ((defsOf(k).values.toSeq, merged))
+              k -> ((defsOf(k).values.toSeq, fillState.fold(k, merged0)))
           }
           // per-table writes are independent jobs — fan them out on the
           // bounded pool (ref: pkg/loader/load.go:508-527's 16 workers): a
@@ -1939,22 +1828,13 @@ object CdcStream {
       val maxTs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
       val mid = maxTs / 2
       val t34 = 3 * maxTs / 4
-      val dml = changes.select(
-        col("commit_ts"), col("pk"), lit("U").as("op"),
-        when(pmod(col("pk"), lit(2)) === 0, "ta").otherwise("tb").as("event_type"),
-        col("ts"), col("value"),
+      val dml = wireDmlRows(changes,
+        when(pmod(col("pk"), lit(2)) === 0, "ta").otherwise("tb"),
         concat(lit("{\"k\": "),
           (pmod(col("commit_ts"), lit(1000000L)).cast("double") + 0.26)
             .cast("string"),
-          lit("}")).as("props"),
-        lit(null).cast("string").as("ddl_sql"))
-      def ddlRow(ts: Long, sql: String) = spark.range(1).select(
-        lit(ts).as("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
-        lit("ddl").as("event_type"),
-        timestamp_micros(lit(ts) * 1000000L).as("ts"),
-        lit(null).cast("double").as("value"),
-        lit(null).cast("string").as("props"),
-        lit(sql).as("ddl_sql"))
+          lit("}")))
+      def ddlRow(ts: Long, sql: String) = wireDdlRow(spark, ts, sql)
       PbBinlogFile.write(dml
         .unionByName(ddlRow(mid, "ALTER TABLE app.ta MODIFY COLUMN k DECIMAL(10,1)"))
         .unionByName(ddlRow(t34, "TRUNCATE TABLE app.tb")),
@@ -2009,23 +1889,13 @@ object CdcStream {
       val maxRow = changes.agg(max("commit_ts")).head
       val maxTs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
       val mid = maxTs / 2
-      val dml = changes.select(
-        col("commit_ts"), col("pk"), lit("U").as("op"),
-        when(pmod(col("pk"), lit(2)) === 0, "sa:t").otherwise("sb:t")
-          .as("event_type"),
-        col("ts"), col("value"),
+      val dml = wireDmlRows(changes,
+        when(pmod(col("pk"), lit(2)) === 0, "sa:t").otherwise("sb:t"),
         concat(lit("{\"k\": "),
           (pmod(col("commit_ts"), lit(1000000L)).cast("double") + 0.26)
             .cast("string"),
-          lit("}")).as("props"),
-        lit(null).cast("string").as("ddl_sql"))
-      def ddlRow(ts: Long, sql: String) = spark.range(1).select(
-        lit(ts).as("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
-        lit("ddl").as("event_type"),
-        timestamp_micros(lit(ts) * 1000000L).as("ts"),
-        lit(null).cast("double").as("value"),
-        lit(null).cast("string").as("props"),
-        lit(sql).as("ddl_sql"))
+          lit("}")))
+      def ddlRow(ts: Long, sql: String) = wireDdlRow(spark, ts, sql)
       PbBinlogFile.write(dml
         .unionByName(ddlRow(mid,
           "Alter Table `sa`.`t` Modify Column k DECIMAL(10,1)"))
@@ -2069,6 +1939,27 @@ object CdcStream {
        |  0 AS schema_version
        |FROM c WHERE c.pk % 2 = 1""".stripMargin
 
+  /** One staged wire DDL frame — the shared envelope of the t6 oracle
+    * wires (a DDL item carries no payload; ref binlog.proto's DDL kind). */
+  private def wireDdlRow(spark: SparkSession, ts: Long, sql: String): DataFrame =
+    spark.range(1).select(
+      lit(ts).as("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
+      lit("ddl").as("event_type"),
+      timestamp_micros(lit(ts) * 1000000L).as("ts"),
+      lit(null).cast("double").as("value"),
+      lit(null).cast("string").as("props"),
+      lit(sql).as("ddl_sql"))
+
+  /** The matching DML envelope over the change stream: routing and JSON
+    * payload vary per wire, the frame shape never does. */
+  private def wireDmlRows(changes: DataFrame, eventType: Column,
+      props: Column): DataFrame =
+    changes.select(
+      col("commit_ts"), col("pk"), lit("U").as("op"),
+      eventType.as("event_type"),
+      col("ts"), col("value"), props.as("props"),
+      lit(null).cast("string").as("ddl_sql"))
+
   /** Oracle-checked column-option-tail normalization (the r12-verdict
     * robustness gap under the hash gate): stage a wire where the midpoint
     * DDL is the add-column-with-default statement real traffic carries
@@ -2094,23 +1985,14 @@ object CdcStream {
       val mid = maxTs / 2
       val payload = (pmod(col("commit_ts"), lit(1000000L)).cast("double") + 0.26)
         .cast("string")
-      val dml = changes.select(
-        col("commit_ts"), col("pk"), lit("U").as("op"),
-        lit("t").as("event_type"),
-        col("ts"), col("value"),
+      val dml = wireDmlRows(changes, lit("t"),
         concat(lit("{\"k\": "), payload,
           when(col("commit_ts") > mid,
             concat(lit(", \"c\": "), payload)).otherwise(lit("")),
-          lit("}")).as("props"),
-        lit(null).cast("string").as("ddl_sql"))
-      val ddlRow = spark.range(1).select(
-        lit(mid).as("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
-        lit("ddl").as("event_type"),
-        timestamp_micros(lit(mid) * 1000000L).as("ts"),
-        lit(null).cast("double").as("value"),
-        lit(null).cast("string").as("props"),
-        lit("ALTER TABLE `app`.`t` ADD COLUMN c DECIMAL(10,1) NOT NULL " +
-          "DEFAULT 1.5 AFTER k").as("ddl_sql"))
+          lit("}")))
+      val ddlRow = wireDdlRow(spark, mid,
+        "ALTER TABLE `app`.`t` ADD COLUMN c DECIMAL(10,1) NOT NULL " +
+          "DEFAULT 1.5 AFTER k")
       PbBinlogFile.write(dml.unionByName(ddlRow), wireDir, nFiles = 2)
     } finally { changes.unpersist(); () }
     val tracker = new SchemaTracker()
@@ -2152,10 +2034,15 @@ object CdcStream {
     * runs with `fillOriginDefaults = true`, so pre-barrier rows read the
     * enum's default from the decode output (the reference's decode-time
     * T7 equivalence point; `t6_option_tails` keeps the sink-side-backfill
-    * mode under the same gate), and the output's `e_ord` column maps the
-    * enum text through the tracked dictionary to the reference's numeric
-    * representation (mysql.go:266-269). All four DDLs share one commit ts,
-    * the legal TiDB shape for one ALTER statement's jobs. */
+    * mode under the same gate) — the NOT NULL no-default NATIONAL VARCHAR
+    * reads the zero-value '' and the BIT column its HEX-literal default's
+    * numeric value (translator.go:215-227) — and the output's `e_ord`
+    * column maps the enum text through the tracked dictionary to the
+    * reference's numeric representation (mysql.go:266-269). The ADD DDLs
+    * share one commit ts, the legal TiDB shape for one ALTER statement's
+    * jobs; a RENAME TABLE at the wire's max ts pins the fills surviving a
+    * same-batch table rename under the oracle hash (every row emits under
+    * the old key, at or below the rename barrier). */
   def mysqlTypesQuery(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.PbBinlogFile
     val wireDir = graft.util.Scratch.dir("graft_myty_wire")
@@ -2185,40 +2072,39 @@ object CdcStream {
         lpad((pmod(col("pk"), lit(28L)) + 1).cast("string"), 2, "0"))
       val payload = (pmod(col("commit_ts"), lit(1000000L)).cast("double") + 0.26)
         .cast("string")
-      val dml = changes.select(
-        col("commit_ts"), col("pk"), lit("U").as("op"),
-        lit("t").as("event_type"),
-        col("ts"), col("value"),
+      val dml = wireDmlRows(changes, lit("t"),
         concat(lit("{\"k\": "), payload,
           when(col("commit_ts") > mid, concat(
             lit(", \"v\": \"s"), col("pk").cast("string"), lit("\""),
+            lit(", \"bt\": "), pmod(col("pk"), lit(256L)).cast("string"),
             lit(", \"d\": \"2026-01-01T"), hhmmss, lit("\""),
             lit(", \"dt\": \""), dateTxt, lit("\""),
             lit(", \"e\": \""), enumVal, lit("\""),
             lit(", \"st\": \""), setTxt, lit("\""),
             lit(", \"y\": "), (pmod(col("pk"), lit(30L)) + 1990).cast("string")))
             .otherwise(lit("")),
-          lit("}")).as("props"),
-        lit(null).cast("string").as("ddl_sql"))
-      def ddlRow(sql: String) = spark.range(1).select(
-        lit(mid).as("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
-        lit("ddl").as("event_type"),
-        timestamp_micros(lit(mid) * 1000000L).as("ts"),
-        lit(null).cast("double").as("value"),
-        lit(null).cast("string").as("props"),
-        lit(sql).as("ddl_sql"))
+          lit("}")))
+      def ddlRow(sql: String, ts: Long = mid) = wireDdlRow(spark, ts, sql)
       PbBinlogFile.write(dml
         // NATIONAL VARCHAR exercises a TWO-TOKEN native spelling on the
         // wire path (the map's NATIONAL-prefix fold), DATE the untouched
-        // pass-through, SET the tracked-dictionary bitmask below
+        // pass-through, SET the tracked-dictionary bitmask below, BIT a
+        // HEX-literal default read as its unsigned numeric value
+        // (mysql.go:270-276); the end-of-wire RENAME TABLE pins the fill
+        // surviving a same-batch rename — every frame sits at or below
+        // the rename barrier, so all rows emit under the OLD key and the
+        // pre-barrier fills must ride with them
         .unionByName(ddlRow(
           "ALTER TABLE app.t ADD COLUMN v NATIONAL VARCHAR(32) NOT NULL"))
+        .unionByName(ddlRow(
+          "ALTER TABLE app.t ADD COLUMN bt BIT(8) NOT NULL DEFAULT 0x1F"))
         .unionByName(ddlRow("ALTER TABLE app.t ADD COLUMN d DATETIME(3)"))
         .unionByName(ddlRow("ALTER TABLE app.t ADD COLUMN dt DATE"))
         .unionByName(ddlRow(
           "ALTER TABLE app.t ADD COLUMN e ENUM('red','green','blue') DEFAULT 'red'"))
         .unionByName(ddlRow("ALTER TABLE app.t ADD COLUMN st SET('a','b','c')"))
-        .unionByName(ddlRow("ALTER TABLE app.t ADD COLUMN y YEAR")),
+        .unionByName(ddlRow("ALTER TABLE app.t ADD COLUMN y YEAR"))
+        .unionByName(ddlRow("RENAME TABLE app.t TO app.t2", ts = maxTs)),
         wireDir, nFiles = 2)
     } finally { changes.unpersist(); () }
     val tracker = new SchemaTracker()
@@ -2229,28 +2115,33 @@ object CdcStream {
     try q.processAllAvailable() finally q.stop()
     assertSingleBatch(spark, outDir)
     // same-ts DDLs apply in statement-text order (the walk's tie rule), so
-    // the columns append d, dt, e, st, v, y
-    require(tracker.current("app", "t").get.columns == Vector("k DOUBLE",
-      "d TIMESTAMP", "dt DATE", "e STRING", "st STRING", "v STRING NOT NULL",
-      "y INT"),
-      s"unexpected mapped defs: ${tracker.current("app", "t").get.columns}")
-    require(tracker.dictionary("app", "t", "e")
+    // the columns append bt, d, dt, e, st, v, y — and the tracked history
+    // lives under the RENAMED name (T5: same history, new key)
+    require(tracker.current("app", "t").isEmpty,
+      "the rename must move the tracked history off the old name")
+    require(tracker.current("app", "t2").get.columns == Vector("k DOUBLE",
+      "bt BIGINT NOT NULL", "d TIMESTAMP", "dt DATE", "e STRING",
+      "st STRING", "v STRING NOT NULL", "y INT"),
+      s"unexpected mapped defs: ${tracker.current("app", "t2").get.columns}")
+    require(tracker.dictionary("app", "t2", "e")
       .contains(Vector("red", "green", "blue")),
-      s"enum dictionary not tracked: ${tracker.dictionary("app", "t", "e")}")
-    require(tracker.dictionary("app", "t", "st")
+      s"enum dictionary not tracked: ${tracker.dictionary("app", "t2", "e")}")
+    require(tracker.dictionary("app", "t2", "st")
       .contains(Vector("a", "b", "c")),
-      s"set dictionary not tracked: ${tracker.dictionary("app", "t", "st")}")
-    require(tracker.originDefault("app", "t", "e").contains("'red'"),
-      s"enum origin default not tracked: ${tracker.originDefault("app", "t", "e")}")
+      s"set dictionary not tracked: ${tracker.dictionary("app", "t2", "st")}")
+    require(tracker.originDefault("app", "t2", "e").contains("'red'"),
+      s"enum origin default not tracked: ${tracker.originDefault("app", "t2", "e")}")
+    require(tracker.originDefault("app", "t2", "bt").contains("0x1F"),
+      s"hex origin default not tracked: ${tracker.originDefault("app", "t2", "bt")}")
     // M9 numeric representations through the TRACKED dictionaries (driver-
     // local constant map literals in the plan): enum text → 1-based
     // ordinal, set text → member bitmask (mysql.go:266-269)
-    val ordinals = tracker.dictionary("app", "t", "e").get.zipWithIndex
+    val ordinals = tracker.dictionary("app", "t2", "e").get.zipWithIndex
       .map { case (v, i) => v -> (i + 1).toLong }.toMap
-    val setDict = tracker.dictionary("app", "t", "st").get
+    val setDict = tracker.dictionary("app", "t2", "st").get
     spark.read.parquet(s"$outDir/data")
-      .select(col("commit_ts"), col("k_str"), col("v_str"), col("d_str"),
-        col("dt_str"),
+      .select(col("commit_ts"), col("k_str"), col("bt_str"), col("v_str"),
+        col("d_str"), col("dt_str"),
         col("e_str"), element_at(typedLit(ordinals), col("e_str")).as("e_ord"),
         col("st_str"),
         graft.ops.TypeDomain.setMask(setDict, col("st_str")).as("st_mask"),
@@ -2263,7 +2154,9 @@ object CdcStream {
        |SELECT c.commit_ts,
        |  CAST((c.commit_ts % 1000000) + 0.26 AS VARCHAR) AS k_str,
        |  CASE WHEN c.commit_ts > b.mid
-       |       THEN 's' || CAST(c.pk AS VARCHAR) END AS v_str,
+       |       THEN CAST(c.pk % 256 AS VARCHAR) ELSE '31' END AS bt_str,
+       |  CASE WHEN c.commit_ts > b.mid
+       |       THEN 's' || CAST(c.pk AS VARCHAR) ELSE '' END AS v_str,
        |  CASE WHEN c.commit_ts > b.mid THEN '2026-01-01 '
        |    || lpad(CAST((c.commit_ts % 86400) // 3600 AS VARCHAR), 2, '0')
        |    || ':'

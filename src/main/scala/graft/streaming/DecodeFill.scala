@@ -1,0 +1,240 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Decode-time T7 fill — the state machine behind `fillOriginDefaults`
+  * (ref: drainer/translator/translator.go:169-227 getDefaultOrZeroValue):
+  * a row that PREDATES a column's ADD reads the add's origin default —
+  * or, for a NOT NULL add without one, the type's zero value — from the
+  * decode output instead of the union's structural NULL. One instance
+  * lives per micro-batch, fed by the decode walk; each method documents
+  * its transition. Divergences from the reference, all NULL-filling: an
+  * expression default (CURRENT_TIMESTAMP — TiDB stores its DDL-time
+  * evaluation, unknowable decode-side), a NOT NULL ENUM/SET add without
+  * a default (the wire type erases which of the two the column was, and
+  * their zeros differ — first element vs empty set), and a NOT NULL
+  * date/time add without a default (MySQL's zero datetime has no Spark
+  * representation). */
+private[graft] object DecodeFill {
+
+  /** Fill disposition of one in-batch ADD COLUMN. */
+  sealed trait Fill
+  /** Constant default, RAW spelling (quoting intact — a QUOTED 'TRUE' or
+    * '1e3' is literal text and must never reinterpret). */
+  final case class Const(raw: String) extends Fill
+  /** NOT NULL without a default: the type's zero value
+    * (translator.go:215-227 → tidb table.GetZeroValue). */
+  case object Zero extends Fill
+  /** Nullable no-default or non-constant default: the add still ends an
+    * absence gap — shadowing earlier gaps from a LATER add's default —
+    * but fills nothing. */
+  case object KeepNull extends Fill
+
+  /** One in-batch ADD COLUMN: the version that ended an absence gap, its
+    * fill disposition, and the column's ADD-TIME wire type — each
+    * incarnation casts through its own type, so a same-batch recreate
+    * that re-adds the name with a different type never routes the old
+    * incarnation's default through the new type. */
+  final case class Entry(version: Long, fill: Fill, ty: String)
+
+  /** A DEFAULT expression the fill may substitute: a quoted string, a
+    * plain numeric, a boolean, or a hex/bit literal. EXPRESSION defaults
+    * (and an explicit NULL default) skip — the class-note divergence —
+    * while the `origin_default` log record still carries their text for
+    * composing sinks. */
+  private[graft] def isConstantLiteral(d: String): Boolean = {
+    val t = d.trim
+    (t.length >= 2 && t.head == '\'' && t.last == '\'') ||
+    t.matches("[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?") ||
+    t.equalsIgnoreCase("TRUE") || t.equalsIgnoreCase("FALSE") ||
+    hexBitBytes(t).isDefined
+  }
+
+  /** Bytes of a hex/bit literal spelling, or None. Partial leading
+    * digit groups left-pad with zeros (MySQL's own reading). */
+  private def hexBitBytes(t: String): Option[Array[Byte]] = {
+    def parse(ds: String, radix: Int, perByte: Int) = {
+      val p = "0" * ((perByte - ds.length % perByte) % perByte) + ds
+      p.grouped(perByte).map(java.lang.Integer.parseInt(_, radix).toByte).toArray
+    }
+    if (t.matches("(?i)0x[0-9a-f]+")) Some(parse(t.drop(2), 16, 2))
+    else if (t.matches("(?i)x'[0-9a-f]*'"))
+      Some(parse(t.substring(2, t.length - 1), 16, 2))
+    else if (t.matches("(?i)0b[01]+")) Some(parse(t.drop(2), 2, 8))
+    else if (t.matches("(?i)b'[01]*'"))
+      Some(parse(t.substring(2, t.length - 1), 2, 8))
+    else None
+  }
+
+  private val IntegralBases = Set("TINYINT", "SMALLINT", "INT", "INTEGER", "BIGINT")
+
+  /** The fill CONSTANT as a typed literal, from the RAW default spelling:
+    * TRUE/FALSE become booleans; pure integers stay exact at any width;
+    * hex/bit literals read by the target's nature (BINARY → the bytes,
+    * STRING → the bytes as text, numeric targets — BIT rides BIGINT — →
+    * the unsigned integer value, MySQL's own reading); a dotted/exponent
+    * spelling on an INTEGRAL target routes through DECIMAL(38,0) so it
+    * ROUNDS like the reference's evaluation instead of throwing the ANSI
+    * string→integral cast; a non-integral target casts the raw spelling
+    * DIRECTLY to the column type (DOUBLE DEFAULT 1e25 must not overflow
+    * a decimal intermediary, 1e-20 must not round to 0). */
+  private def fillLiteral(raw: String, ty: String): Column = {
+    val t = raw.trim
+    val base = ty.toUpperCase(java.util.Locale.ROOT).takeWhile(_ != '(')
+    if (t.startsWith("'")) lit(CdcStream.unquoteLiteral(t))
+    else if (t.equalsIgnoreCase("TRUE") || t.equalsIgnoreCase("FALSE"))
+      lit(t.toBoolean)
+    else hexBitBytes(t) match {
+      case Some(bytes) => base match {
+        case "BINARY" => lit(bytes)
+        case "STRING" =>
+          lit(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+        case _ => lit(new java.math.BigInteger(1, bytes).toString)
+      }
+      case None =>
+        if (t.matches("[+-]?[0-9]+")) lit(t)
+        else if (IntegralBases(base)) lit(t).cast("DECIMAL(38,0)")
+        else lit(t).cast(ty)
+    }
+  }
+
+  /** The wire type's MySQL zero value (tidb table.GetZeroValue): 0 for
+    * the numeric domain (BIT rides BIGINT), '' for text, empty bytes,
+    * FALSE. None where Spark cannot represent it (the zero DATETIME
+    * '0000-00-00') — the fill keeps NULL, the documented divergence. */
+  private def zeroLiteral(ty: String): Option[Column] =
+    ty.toUpperCase(java.util.Locale.ROOT).takeWhile(_ != '(') match {
+      case "TINYINT" | "SMALLINT" | "INT" | "INTEGER" | "BIGINT" |
+           "DECIMAL" | "DOUBLE" | "FLOAT" => Some(lit(0))
+      case "STRING"                       => Some(lit(""))
+      case "BINARY"                       => Some(lit(Array.empty[Byte]))
+      case "BOOLEAN"                      => Some(lit(false))
+      case _                              => None
+    }
+
+  /** The typed fill value of one entry, if it fills at all. */
+  private[graft] def fillValue(e: Entry): Option[Column] = e.fill match {
+    case Const(raw) => Some(fillLiteral(raw, e.ty))
+    case Zero       => zeroLiteral(e.ty)
+    case KeepNull   => None
+  }
+}
+
+/** Per-micro-batch fill state; `enabled = false` makes every call a
+  * no-op and [[fold]] the identity. Driver-side and tiny: one entry
+  * vector per in-batch ADD, one (version, column set) per cut slice. */
+private[graft] final class DecodeFill(enabled: Boolean) {
+  import DecodeFill._
+  private type K = (String, String)
+  private var fill = Map.empty[K, Map[String, Vector[Entry]]]
+  private val present = scala.collection.mutable.Map.empty[K,
+    scala.collection.mutable.ArrayBuffer[(Long, Set[String])]]
+
+  /** Record a cut slice's decoded columns under its schema version. The
+    * caller gates on the slice being able to HOLD rows (non-empty ts
+    * range): a same-ts DDL chain cuts empty slices whose intermediate
+    * shapes share the final slice's version — recording them would put
+    * that version in a later column's absent set and clobber real rows'
+    * explicit nulls. */
+  def recordSlice(k: K, version: Long, cols: Set[String]): Unit =
+    if (enabled) {
+      present.getOrElseUpdate(k,
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Set[String])]) +=
+        ((version, cols))
+      ()
+    }
+
+  /** Apply one column-shape action. For "add", `arg` is the normalized
+    * column tail (type first, canonical NOT NULL after) and `dict` the
+    * ENUM/SET value list when the native spelling carried one. */
+  def onColumnDdl(k: K, version: Long, action: String, c: String,
+      arg: String, dflt: Option[String],
+      dict: Option[Vector[String]]): Unit = if (enabled) {
+    val cur = fill.getOrElse(k, Map.empty)
+    // a renamed column EXISTED (under its old name) in the slices already
+    // cut — mark the NEW name present there too, or the fold would treat
+    // those rows' structural NULL (their value rides the old-name column)
+    // as missing data and overwrite it with a later add's default
+    def aliasPresent(from: String, to: String): Unit =
+      present.get(k).foreach { buf =>
+        buf.mapInPlace {
+          case (ver, cols) if cols.contains(from) => (ver, cols + to)
+          case e => e
+        }
+        ()
+      }
+    def rekey(to: String) = cur.get(c).fold(cur) { v =>
+      aliasPresent(c, to); cur - c + (to -> v)
+    }
+    val next = action match {
+      case "add" =>
+        val toks = CdcStream.tailTokens(arg)
+        val ty = toks.headOption.getOrElse("STRING")
+        val notNull = toks.map(_.toUpperCase(java.util.Locale.ROOT))
+          .containsSlice(Seq("NOT", "NULL"))
+        val disp = dflt match {
+          case Some(d) if isConstantLiteral(d) => Const(d)
+          case Some(_)                         => KeepNull
+          // dict present = ENUM/SET: zero is ambiguous (class note)
+          case None if notNull && dict.isEmpty => Zero
+          case None                            => KeepNull
+        }
+        cur + (c -> (cur.getOrElse(c, Vector.empty) :+ Entry(version, disp, ty)))
+      case "drop"   => cur - c
+      case "rename" => rekey(arg)
+      case "change" => rekey(arg.split(" ", 2)(0))
+      case _        => cur
+    }
+    if (next.nonEmpty) fill += k -> next else fill -= k
+  }
+
+  /** Pre-truncate rows leave the output with their slices — clear. */
+  def onTruncate(k: K): Unit = {
+    fill -= k
+    present.remove(k)
+    ()
+  }
+
+  /** Table rename: COPY entries to the new key (the old key's
+    * already-cut slices still fold at batch end) and MERGE per column —
+    * the target name may hold a dropped incarnation's kept entries, and
+    * the version buckets at fold time keep both incarnations' slices on
+    * their own defaults. */
+  def onTableRename(from: K, to: K): Unit = if (enabled) {
+    fill.get(from).foreach { m =>
+      val old = fill.getOrElse(to, Map.empty)
+      fill += to -> m.foldLeft(old) { case (acc, (c, vec)) =>
+        acc + (c -> (acc.getOrElse(c, Vector.empty) ++ vec))
+      }
+    }
+  }
+
+  /** Batch-end fold over one table's unioned slices: each absent slice
+    * reads the add that ended ITS gap — the smallest add version above
+    * the slice's version — gated on the row's value being the union's
+    * structural NULL. A version above every add (a recreate that never
+    * re-added) reads no fill at all. */
+  def fold(k: K, df: DataFrame): DataFrame =
+    fill.getOrElse(k, Map.empty).foldLeft(df) { case (df0, (c, entries)) =>
+      val cs = s"${c}_str"
+      val sorted = entries.sortBy(_.version)
+      val buckets = present.getOrElse(k, Nil).collect {
+        case (ver, cols) if !cols.contains(c) => ver
+      }.groupBy(v => sorted.find(_.version > v)).collect {
+        case (Some(e), vers) => (e, vers.toSeq)
+      }
+      if (!df0.columns.contains(cs) || buckets.isEmpty) df0
+      else {
+        val filled = buckets.foldLeft(col(cs)) {
+          case (acc, (e, vers)) => fillValue(e) match {
+            case Some(v) =>
+              when(col("schema_version").isin(vers: _*) && col(cs).isNull,
+                v.cast(e.ty).cast("string")).otherwise(acc)
+            case None => acc
+          }
+        }
+        df0.withColumn(cs, filled)
+      }
+    }
+}

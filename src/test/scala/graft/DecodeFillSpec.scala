@@ -1,0 +1,223 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.streaming.DecodeFill
+
+/** Drives the decode-time T7 fill state machine directly — transition
+  * tables for add/drop/re-add/rename chains, the literal grammar, and the
+  * zero-value branch — independent of the streaming walk that feeds it in
+  * production (ref: drainer/translator/translator.go:169-227). */
+class DecodeFillSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = ("app", "t")
+
+  /** One row per (schema_version, raw value); fold reads `c_str`. */
+  private def frame(rows: (Long, Option[String])*): DataFrame =
+    rows.toSeq.toDF("schema_version", "c_str")
+
+  private def folded(st: DecodeFill, df: DataFrame): Map[Long, Option[String]] =
+    st.fold(K, df).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+
+  test("constant default fills only structural NULLs, cast through the wire type") {
+    val st = new DecodeFill(true)
+    st.recordSlice(K, 0L, Set("k"))            // pre-add slice: c absent
+    st.recordSlice(K, 10L, Set("k", "c"))      // post-add slice: c present
+    st.onColumnDdl(K, 10L, "add", "c", "DECIMAL(10,1)", Some("1.50"), None)
+    // the absent version fills the decode's own spelling 1.5; the present
+    // version's explicit payload null (and its real values) survive
+    val rows = st.fold(K, frame(0L -> None, 10L -> None, 10L -> Some("2.5")))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(rows.contains((0L, Some("1.5"))))
+    assert(rows.contains((10L, None)))
+    assert(rows.contains((10L, Some("2.5"))))
+  }
+
+  test("disabled state is inert and fold is the identity") {
+    val st = new DecodeFill(false)
+    st.recordSlice(K, 0L, Set("k"))
+    st.onColumnDdl(K, 10L, "add", "c", "INT", Some("5"), None)
+    assert(st.fold(K, frame(0L -> None)).collect()(0).isNullAt(1))
+  }
+
+  test("NOT NULL add without a default fills the type's zero value") {
+    def zeroOf(tail: String, dict: Option[Vector[String]] = None): Option[String] = {
+      val st = new DecodeFill(true)
+      st.recordSlice(K, 0L, Set("k"))
+      st.onColumnDdl(K, 10L, "add", "c", tail, None, dict)
+      Option(st.fold(K, frame(0L -> None)).collect()(0).getString(1))
+    }
+    assert(zeroOf("INT NOT NULL").contains("0"))
+    assert(zeroOf("DECIMAL(10,2) NOT NULL").contains("0.00"))
+    assert(zeroOf("DOUBLE NOT NULL").contains("0.0"))
+    assert(zeroOf("STRING NOT NULL").contains(""))
+    assert(zeroOf("BINARY NOT NULL").contains(""))
+    assert(zeroOf("BOOLEAN NOT NULL").contains("false"))
+    // documented NULL divergences: nullable adds, expression defaults,
+    // date/time zeros Spark cannot represent, ENUM/SET ambiguity
+    assert(zeroOf("INT").isEmpty)
+    assert(zeroOf("TIMESTAMP NOT NULL").isEmpty)
+    assert(zeroOf("STRING NOT NULL", Some(Vector("red", "green"))).isEmpty)
+    val st = new DecodeFill(true)
+    st.recordSlice(K, 0L, Set("k"))
+    st.onColumnDdl(K, 10L, "add", "c", "TIMESTAMP NOT NULL",
+      Some("CURRENT_TIMESTAMP"), None)
+    assert(Option(st.fold(K, frame(0L -> None)).collect()(0).getString(1)).isEmpty)
+  }
+
+  test("each absent slice reads the add that ended ITS gap, typed per incarnation") {
+    // add@10 INT DEFAULT 5 — DROP TABLE (state kept, no transition) —
+    // recreate re-adds c@30 as STRING DEFAULT 'x': the old incarnation's
+    // pre-add rows keep 5 through INT, the new incarnation's pre-add rows
+    // read 'x', and a version above every add reads no fill
+    val st = new DecodeFill(true)
+    st.recordSlice(K, 0L, Set("k"))
+    st.onColumnDdl(K, 10L, "add", "c", "INT", Some("5"), None)
+    st.recordSlice(K, 10L, Set("k", "c"))
+    st.recordSlice(K, 20L, Set("k"))           // recreated table, c not yet re-added
+    st.onColumnDdl(K, 30L, "add", "c", "STRING", Some("'x'"), None)
+    st.recordSlice(K, 30L, Set("k", "c"))
+    st.recordSlice(K, 40L, Set("k"))           // second recreate, never re-added
+    val out = folded(st, frame(0L -> None, 10L -> None, 20L -> None,
+      30L -> None, 40L -> None))
+    assert(out(0L).contains("5"))
+    assert(out(20L).contains("x"))
+    assert(out(10L).isEmpty)                   // existed: explicit null survives
+    assert(out(30L).isEmpty)
+    assert(out(40L).isEmpty)                   // above every add: no fill
+  }
+
+  test("an add without a default still ends its gap (no later-default bleed)") {
+    // add@10 nullable/no default — drop table — re-add@30 with a default:
+    // rows BEFORE the first add must read that add's (empty) fill, never
+    // the re-add's default from a different incarnation
+    val st = new DecodeFill(true)
+    st.recordSlice(K, 0L, Set("k"))
+    st.onColumnDdl(K, 10L, "add", "c", "INT", None, None)
+    st.recordSlice(K, 10L, Set("k", "c"))
+    st.recordSlice(K, 20L, Set("k"))
+    st.onColumnDdl(K, 30L, "add", "c", "INT", Some("7"), None)
+    val out = folded(st, frame(0L -> None, 20L -> None))
+    assert(out(0L).isEmpty)
+    assert(out(20L).contains("7"))
+  }
+
+  test("column drop clears entries; a later re-add owns every earlier gap") {
+    val st = new DecodeFill(true)
+    st.recordSlice(K, 0L, Set("k"))
+    st.onColumnDdl(K, 10L, "add", "c", "INT", Some("5"), None)
+    st.recordSlice(K, 10L, Set("k", "c"))
+    st.onColumnDdl(K, 20L, "drop", "c", "", None, None)
+    st.recordSlice(K, 20L, Set("k"))
+    st.onColumnDdl(K, 30L, "add", "c", "INT", Some("9"), None)
+    val out = folded(st, frame(0L -> None, 10L -> None, 20L -> None))
+    // the live column's origin default is 9 — pre-add gaps read it; the
+    // version where c existed keeps its explicit null
+    assert(out(0L).contains("9"))
+    assert(out(10L).isEmpty)
+    assert(out(20L).contains("9"))
+  }
+
+  test("column rename re-keys entries and marks the new name present") {
+    val st = new DecodeFill(true)
+    st.recordSlice(K, 0L, Set("k"))
+    st.onColumnDdl(K, 10L, "add", "c", "INT", Some("5"), None)
+    st.recordSlice(K, 10L, Set("k", "c"))
+    st.onColumnDdl(K, 20L, "rename", "c", "x", None, None)
+    st.recordSlice(K, 20L, Set("k", "x"))
+    // x inherits c's entry: pre-add rows fill under the NEW name; the v10
+    // slice (where the value rides column c) is aliased present for x, so
+    // its structural NULL in x_str is NOT overwritten
+    val df = Seq((0L, None: Option[String], None: Option[String]),
+      (10L, Some("3"), None: Option[String]),
+      (20L, None: Option[String], Some("4")))
+      .toDF("schema_version", "c_str", "x_str")
+    val out = st.fold(K, df).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(out(0L).contains("5"))
+    assert(out(10L).isEmpty)
+    assert(out(20L).contains("4"))
+    // change re-keys the same way, new name first token of the def
+    val st2 = new DecodeFill(true)
+    st2.recordSlice(K, 0L, Set("k"))
+    st2.onColumnDdl(K, 10L, "add", "c", "INT", Some("5"), None)
+    st2.onColumnDdl(K, 20L, "change", "c", "y BIGINT", None, None)
+    val df2 = Seq((0L, None: Option[String])).toDF("schema_version", "y_str")
+    assert(st2.fold(K, df2).collect()(0).getString(1) == "5")
+  }
+
+  test("truncate clears; table rename copies and merges per column") {
+    val st = new DecodeFill(true)
+    st.recordSlice(K, 0L, Set("k"))
+    st.onColumnDdl(K, 10L, "add", "c", "INT", Some("5"), None)
+    st.onTruncate(K)
+    assert(st.fold(K, frame(0L -> None)).collect()(0).isNullAt(1))
+
+    val K2 = ("app", "t2")
+    val st2 = new DecodeFill(true)
+    st2.recordSlice(K, 0L, Set("k"))
+    st2.onColumnDdl(K, 10L, "add", "c", "INT", Some("5"), None)
+    st2.onTableRename(K, K2)
+    // the OLD key's slices still fill at batch end (copy, not move) …
+    assert(st2.fold(K, frame(0L -> None)).collect()(0).getString(1) == "5")
+    // … and the new key carries the entries forward; its own later slices
+    // need their own presence records
+    val st3 = new DecodeFill(true)
+    st3.recordSlice(K2, 20L, Set("k"))
+    st3.onColumnDdl(K2, 30L, "add", "c", "INT", Some("7"), None)
+    st3.onTableRename(K2, K2) // self-merge is a no-op shape-wise
+    assert(st3.fold(K2, frame(20L -> None)).collect()(0).getString(1) == "7")
+  }
+
+  test("literal grammar: constants, hex/bit spellings, expression rejection") {
+    import DecodeFill.isConstantLiteral
+    assert(isConstantLiteral("'red'"))
+    assert(isConstantLiteral("-3.5e2"))
+    assert(isConstantLiteral("TRUE"))
+    assert(isConstantLiteral("0x1F") && isConstantLiteral("0X1f"))
+    assert(isConstantLiteral("x'1f'") && isConstantLiteral("X'1F'"))
+    assert(isConstantLiteral("b'101'") && isConstantLiteral("0b101"))
+    assert(!isConstantLiteral("CURRENT_TIMESTAMP"))
+    assert(!isConstantLiteral("(a + 1)"))
+    assert(!isConstantLiteral("0x"))           // no digits: not a literal
+    assert(!isConstantLiteral("b'102'"))
+  }
+
+  private def fillOf(tail: String, raw: String): Option[String] = {
+    val st = new DecodeFill(true)
+    st.recordSlice(K, 0L, Set("k"))
+    st.onColumnDdl(K, 10L, "add", "c", tail, Some(raw), None)
+    Option(st.fold(K, frame(0L -> None)).collect()(0).getString(1))
+  }
+
+  test("hex/bit literal defaults evaluate through the wire type") {
+    // BIT rides BIGINT: the unsigned numeric reading (mysql.go:270-276)
+    assert(fillOf("BIGINT", "0x1F").contains("31"))
+    assert(fillOf("BIGINT", "b'101'").contains("5"))
+    assert(fillOf("BIGINT", "x'ff'").contains("255"))
+    assert(fillOf("INT", "0b0").contains("0"))
+    // BINARY reads the bytes; STRING the bytes as text; odd digit counts
+    // left-pad like MySQL's own reading
+    assert(fillOf("STRING", "0x41").contains("A"))
+    assert(fillOf("STRING", "x'414243'").contains("ABC"))
+    assert(fillOf("BINARY", "0x41").contains("A"))
+    assert(fillOf("BINARY", "x''").contains(""))
+    assert(fillOf("STRING", "0xF41").contains(new String(Array[Byte](0x0F, 0x41),
+      java.nio.charset.StandardCharsets.UTF_8)))
+  }
+
+  test("numeric spellings: integral targets round, non-integral keep the value") {
+    assert(fillOf("INT", "1.5").contains("2"))
+    assert(fillOf("BIGINT", "9223372036854775807").contains("9223372036854775807"))
+    // a legal DOUBLE default beyond DECIMAL(38,18)'s range must not
+    // overflow, and a tiny one must not round to zero
+    assert(fillOf("DOUBLE", "1e25").contains("1.0E25"))
+    assert(fillOf("DOUBLE", "1e-20").contains("1.0E-20"))
+    assert(fillOf("DECIMAL(10,3)", "1.5").contains("1.500"))
+    // quoted spellings stay literal text
+    assert(fillOf("STRING", "'1e3'").contains("1e3"))
+    assert(fillOf("BOOLEAN", "TRUE").contains("true"))
+  }
+}

@@ -188,4 +188,22 @@ class FunctionsSpec extends SparkSpec {
     assert(perDoc.forall(_._2 <= 3))
     assert(frames.collect().forall(_.frame.length <= Multimodal.FrameBytes))
   }
+
+  test("setMask: bitmask via the tracked dictionary; unknown member is a loud NULL") {
+    // the documented contract under the default ANSI mode: an unknown SET
+    // member (dictionary drift, a comma-bearing member the split breaks)
+    // must yield NULL for THAT row — never a silent 0, never a thrown
+    // MAP_KEY_DOES_NOT_EXIST that kills the whole query
+    val rows = Seq("", "a", "c", "a,c", "a,b,c", "zz", "a,zz")
+      .toDF("st").select(col("st"),
+        graft.ops.TypeDomain.setMask(Seq("a", "b", "c"), col("st")).as("m"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(rows("") == Some(0L))
+    assert(rows("a") == Some(1L))
+    assert(rows("c") == Some(4L))
+    assert(rows("a,c") == Some(5L))
+    assert(rows("a,b,c") == Some(7L))
+    assert(rows("zz").isEmpty)
+    assert(rows("a,zz").isEmpty)
+  }
 }

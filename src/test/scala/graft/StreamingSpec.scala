@@ -1811,7 +1811,10 @@ class StreamingSpec extends SparkSpec {
     val intTypes = Set("INT", "BIGINT", "MEDIUMINT(9)", "INT(11)",
       "TINYINT(1)", "INT (11)")
     val defaults = Seq("5", "-1.5", "'x,y'", "'a b'", "(a > 0)", "(a < 0)",
-      "CURRENT_TIMESTAMP", "'it\\'s'")
+      "CURRENT_TIMESTAMP", "'it\\'s'",
+      // hex/bit literal spellings (the T7 fill evaluates these through
+      // the wire type; here they must capture raw and strip clean)
+      "0x1F", "X'1f'", "b'101'", "0b0110")
     val options: Seq[String => Seq[String]] = Seq(
       _ => Seq("NOT NULL"), _ => Seq("NULL"), _ => Seq("AFTER k"),
       _ => Seq("FIRST"), _ => Seq("ON UPDATE CURRENT_TIMESTAMP"),
@@ -2580,7 +2583,13 @@ class StreamingSpec extends SparkSpec {
     val skipped = spark.sparkContext.longAccumulator("test.met.skipped")
     val below = spark.sparkContext.longAccumulator("test.met.below")
     val listener = new CdcStream.DecodeMetricsListener(Some(skipped), Some(below))
+    // a second listener with a depth-1 history on the SAME stream: the
+    // two-batch run must evict one increment and SAY SO via the
+    // snapshot's deltas_dropped_total — truncation is never silent
+    val shallow = new CdcStream.DecodeMetricsListener(Some(skipped),
+      Some(below), maxDeltaDepth = 1)
     spark.streams.addListener(listener)
+    spark.streams.addListener(shallow)
     try {
       val q = CdcStream.ddlDrivenDecodeTables(
         PbBinlogFile.readStream(spark, wireDir, maxFilesPerTrigger = 1),
@@ -2613,7 +2622,21 @@ class StreamingSpec extends SparkSpec {
         s"each of the two batches must publish its own skip: $ds")
       assert(snap.get("skipped_ddl_delta").contains(
         ds.last("skipped_ddl_delta")), s"snapshot carries the latest delta")
-    } finally spark.streams.removeListener(listener)
+      // the full-depth history dropped nothing; the depth-1 one dropped
+      // exactly one of the two increments and reports it
+      assert(snap.get("deltas_dropped_total") == Some(0L), s"snapshot=$snap")
+      var snap2 = shallow.snapshot(q.id)
+      val deadline2 = System.currentTimeMillis + 30000
+      while (snap2.get("deltas_dropped_total") != Some(1L) &&
+          System.currentTimeMillis < deadline2) {
+        Thread.sleep(100); snap2 = shallow.snapshot(q.id)
+      }
+      assert(snap2.get("deltas_dropped_total") == Some(1L), s"snapshot=$snap2")
+      assert(shallow.deltas(q.id).size == 1, s"depth-1 history must hold 1")
+    } finally {
+      spark.streams.removeListener(listener)
+      spark.streams.removeListener(shallow)
+    }
   }
 
   test("origin default reaches the target: ADD COLUMN … DEFAULT backfills pre-barrier rows") {
