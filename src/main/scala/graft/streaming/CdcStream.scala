@@ -1455,8 +1455,9 @@ object CdcStream {
                 catalog -= ((s, t))
                 // fill state stays: the dropped table's already-cut slices
                 // still fold at batch end, and their pre-add rows still
-                // read the fill (the per-add version buckets keep a
-                // same-batch recreate of the name on its own defaults)
+                // read the fill — but the recorded boundary keeps a LATER
+                // same-name add's default off this incarnation's rows
+                fillState.onTableDrop((s, t), ts)
                 applied += ((ts, s, t, "drop_table", "", ""))
               case DropSchemaDdl(s) if catalog.keys.exists(_._1 == s) =>
                 if (!dynamicTables)
@@ -1473,8 +1474,9 @@ object CdcStream {
                   decodeSlice(k, catalog(k), ts)
                   localGrave += k -> catalog(k).columns
                   catalog -= k
-                  // fill state stays — same batch-end fold rationale as
-                  // the single-table drop above
+                  // fill state stays — same batch-end fold and boundary
+                  // rationale as the single-table drop above
+                  fillState.onTableDrop(k, ts)
                   applied += ((ts, k._1, k._2, "drop_table", "", ""))
                 }
               case FlashbackDdl(s, t, toOpt)

@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   * a default (the wire type erases which of the two the column was, and
   * their zeros differ — first element vs empty set), and a NOT NULL
   * date/time add without a default (MySQL's zero datetime has no Spark
-  * representation). */
+  * representation). A constant the wire type cannot hold fills NULL the
+  * same way (try_cast at fold, never an ANSI abort), and an add's fill
+  * never crosses an intervening same-name DROP TABLE — each dropped
+  * incarnation's rows keep only their own incarnation's defaults. */
 private[graft] object DecodeFill {
 
   /** Fill disposition of one in-batch ADD COLUMN. */
@@ -94,8 +97,8 @@ private[graft] object DecodeFill {
       }
       case None =>
         if (t.matches("[+-]?[0-9]+")) lit(t)
-        else if (IntegralBases(base)) lit(t).cast("DECIMAL(38,0)")
-        else lit(t).cast(ty)
+        else if (IntegralBases(base)) lit(t).try_cast("DECIMAL(38,0)")
+        else lit(t).try_cast(ty)
     }
   }
 
@@ -130,6 +133,12 @@ private[graft] final class DecodeFill(enabled: Boolean) {
   private var fill = Map.empty[K, Map[String, Vector[Entry]]]
   private val present = scala.collection.mutable.Map.empty[K,
     scala.collection.mutable.ArrayBuffer[(Long, Set[String])]]
+  // per-key DROP TABLE versions: an add never fills across an intervening
+  // same-name drop — without this, a dropped incarnation's slices (kept
+  // for the batch-end emit) would read the default of a column a LATER
+  // same-name table (recreate without re-add, or a renamed-in table's
+  // copied entries) added after the drop
+  private val dropBounds = scala.collection.mutable.Map.empty[K, Vector[Long]]
 
   /** Record a cut slice's decoded columns under its schema version. The
     * caller gates on the slice being able to HOLD rows (non-empty ts
@@ -167,6 +176,16 @@ private[graft] final class DecodeFill(enabled: Boolean) {
     def rekey(to: String) = cur.get(c).fold(cur) { v =>
       aliasPresent(c, to); cur - c + (to -> v)
     }
+    // MODIFY/CHANGE retype the LIVE incarnation's entry (the last one):
+    // the reference evaluates an origin default through the column's
+    // CURRENT type (translator.go:169-177 reads the live ColumnInfo), so
+    // a same-batch retype after the add changes the fill's spelling too;
+    // earlier entries belong to dropped incarnations and stay frozen
+    def retyped(m: Map[String, Vector[Entry]], name: String, tail: String) =
+      m.get(name).fold(m) { vec =>
+        val ty = CdcStream.tailTokens(tail).headOption.getOrElse("STRING")
+        m + (name -> (vec.init :+ vec.last.copy(ty = ty)))
+      }
     val next = action match {
       case "add" =>
         val toks = CdcStream.tailTokens(arg)
@@ -183,8 +202,11 @@ private[graft] final class DecodeFill(enabled: Boolean) {
         cur + (c -> (cur.getOrElse(c, Vector.empty) :+ Entry(version, disp, ty)))
       case "drop"   => cur - c
       case "rename" => rekey(arg)
-      case "change" => rekey(arg.split(" ", 2)(0))
-      case _        => cur
+      case "modify" => retyped(cur, c, arg)
+      case "change" =>
+        val sp = arg.split(" ", 2)
+        retyped(rekey(sp(0)), sp(0), sp.lift(1).getOrElse(""))
+      case _ => cur
     }
     if (next.nonEmpty) fill += k -> next else fill -= k
   }
@@ -193,6 +215,14 @@ private[graft] final class DecodeFill(enabled: Boolean) {
   def onTruncate(k: K): Unit = {
     fill -= k
     present.remove(k)
+    dropBounds.remove(k)
+    ()
+  }
+
+  /** DROP TABLE: entries and slices stay (they fold at batch end), but
+    * record the incarnation boundary — see [[dropBounds]]. */
+  def onTableDrop(k: K, version: Long): Unit = if (enabled) {
+    dropBounds(k) = dropBounds.getOrElse(k, Vector.empty) :+ version
     ()
   }
 
@@ -212,25 +242,32 @@ private[graft] final class DecodeFill(enabled: Boolean) {
 
   /** Batch-end fold over one table's unioned slices: each absent slice
     * reads the add that ended ITS gap — the smallest add version above
-    * the slice's version — gated on the row's value being the union's
-    * structural NULL. A version above every add (a recreate that never
-    * re-added) reads no fill at all. */
+    * the slice's version with no DROP TABLE boundary in between — gated
+    * on the row's value being the union's structural NULL. A version
+    * above every add (a recreate that never re-added) reads no fill at
+    * all. */
   def fold(k: K, df: DataFrame): DataFrame =
     fill.getOrElse(k, Map.empty).foldLeft(df) { case (df0, (c, entries)) =>
       val cs = s"${c}_str"
       val sorted = entries.sortBy(_.version)
+      val bounds = dropBounds.getOrElse(k, Vector.empty)
       val buckets = present.getOrElse(k, Nil).collect {
         case (ver, cols) if !cols.contains(c) => ver
-      }.groupBy(v => sorted.find(_.version > v)).collect {
+      }.groupBy(v => sorted.find(e => e.version > v &&
+        !bounds.exists(b => v < b && b <= e.version))).collect {
         case (Some(e), vers) => (e, vers.toSeq)
       }
       if (!df0.columns.contains(cs) || buckets.isEmpty) df0
       else {
+        // try_cast, not cast: a legal-upstream constant the wire type
+        // cannot hold (BIT(64) DEFAULT 0xFFFFFFFFFFFFFFFF exceeds the
+        // signed BIGINT domain) must fill the loud NULL, not throw the
+        // ANSI overflow and kill the whole decode query
         val filled = buckets.foldLeft(col(cs)) {
           case (acc, (e, vers)) => fillValue(e) match {
             case Some(v) =>
               when(col("schema_version").isin(vers: _*) && col(cs).isNull,
-                v.cast(e.ty).cast("string")).otherwise(acc)
+                v.try_cast(e.ty).cast("string")).otherwise(acc)
             case None => acc
           }
         }

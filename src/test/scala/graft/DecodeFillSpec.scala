@@ -76,9 +76,11 @@ class DecodeFillSpec extends SparkSpec {
     st.recordSlice(K, 0L, Set("k"))
     st.onColumnDdl(K, 10L, "add", "c", "INT", Some("5"), None)
     st.recordSlice(K, 10L, Set("k", "c"))
+    st.onTableDrop(K, 15L)
     st.recordSlice(K, 20L, Set("k"))           // recreated table, c not yet re-added
     st.onColumnDdl(K, 30L, "add", "c", "STRING", Some("'x'"), None)
     st.recordSlice(K, 30L, Set("k", "c"))
+    st.onTableDrop(K, 35L)
     st.recordSlice(K, 40L, Set("k"))           // second recreate, never re-added
     val out = folded(st, frame(0L -> None, 10L -> None, 20L -> None,
       30L -> None, 40L -> None))
@@ -97,11 +99,57 @@ class DecodeFillSpec extends SparkSpec {
     st.recordSlice(K, 0L, Set("k"))
     st.onColumnDdl(K, 10L, "add", "c", "INT", None, None)
     st.recordSlice(K, 10L, Set("k", "c"))
+    st.onTableDrop(K, 15L)
     st.recordSlice(K, 20L, Set("k"))
     st.onColumnDdl(K, 30L, "add", "c", "INT", Some("7"), None)
     val out = folded(st, frame(0L -> None, 20L -> None))
     assert(out(0L).isEmpty)
     assert(out(20L).contains("7"))
+  }
+
+  test("an add never fills across an intervening same-name DROP TABLE") {
+    // dropped incarnation with NO in-batch add of c: a later same-name
+    // add (recreate, or a renamed-in table's copied entries) must not
+    // fill the dropped incarnation's rows with a column it never had
+    val st = new DecodeFill(true)
+    val K2 = ("app", "t2")
+    st.recordSlice(K2, 0L, Set("k"))
+    st.onTableDrop(K2, 10L)
+    st.onColumnDdl(K, 20L, "add", "c", "INT", Some("5"), None)
+    st.onTableRename(K, K2)                    // swap cutover: t -> t2
+    val out = folded(st, frame(0L -> None))    // old t2's pre-drop slice
+    assert(out(0L).isEmpty,
+      "the renamed-in add's default leaked onto the dropped incarnation")
+    // … while a slice of the SAME (recreated) incarnation above the
+    // boundary still reads the add that ended its own gap
+    st.recordSlice(K2, 15L, Set("k"))
+    st.onColumnDdl(K2, 25L, "add", "d", "INT", Some("9"), None)
+    val df = Seq((15L, None: Option[String])).toDF("schema_version", "d_str")
+    assert(st.fold(K2, df).collect()(0).getString(1) == "9")
+  }
+
+  test("same-batch MODIFY/CHANGE retype the live incarnation's fill type") {
+    // the reference evaluates an origin default through the column's
+    // CURRENT type — a retype after the add changes the fill's spelling
+    val st = new DecodeFill(true)
+    st.recordSlice(K, 0L, Set("k"))
+    st.onColumnDdl(K, 10L, "add", "c", "DECIMAL(10,2)", Some("1.5"), None)
+    st.onColumnDdl(K, 20L, "modify", "c", "DECIMAL(10,1)", None, None)
+    assert(st.fold(K, frame(0L -> None)).collect()(0).getString(1) == "1.5")
+    val st2 = new DecodeFill(true)
+    st2.recordSlice(K, 0L, Set("k"))
+    st2.onColumnDdl(K, 10L, "add", "c", "DECIMAL(10,1)", Some("1.5"), None)
+    st2.onColumnDdl(K, 20L, "change", "c", "y DECIMAL(10,3)", None, None)
+    val df = Seq((0L, None: Option[String])).toDF("schema_version", "y_str")
+    assert(st2.fold(K, df).collect()(0).getString(1) == "1.500")
+  }
+
+  test("a constant the wire type cannot hold fills the loud NULL, never throws") {
+    // BIT(64) rides the SIGNED BIGINT wire type; its full unsigned
+    // domain cannot — the fill must not kill the query under ANSI
+    assert(fillOf("BIGINT", "0xFFFFFFFFFFFFFFFF").isEmpty)
+    assert(fillOf("INT", "99999999999").isEmpty)
+    assert(fillOf("DECIMAL(4,2)", "123456.7").isEmpty)
   }
 
   test("column drop clears entries; a later re-add owns every earlier gap") {
