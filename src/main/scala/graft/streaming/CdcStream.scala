@@ -1418,6 +1418,7 @@ object CdcStream {
                   scala.collection.mutable.ArrayBuffer.empty[DataFrame])
                 lowerOf((s, t)) = ts
                 catalog += (s, t) -> created
+                fillState.onTableCreate((s, t), ts)
                 applied += ((ts, s, t, "create_table", "", cols.mkString(", ")))
                 dflts.toSeq.sortBy(_._1).foreach { case (c, d) =>
                   applied += ((ts, s, t, "origin_default", c, d))
@@ -1553,6 +1554,7 @@ object CdcStream {
                 // to STRING, so its value dictionary must ride along
                 catalog += (s, t) -> tracker.TableInfo(s, t, cols, ts,
                   dicts = src.dicts)
+                fillState.onTableCreate((s, t), ts)
                 applied += ((ts, s, t, "create_table", "", cols.mkString(", ")))
                 src.dicts.toSeq.sortBy(_._1).foreach { case (c, vs) =>
                   applied += ((ts, s, t, "dictionary", c, encodeDictArg(vs)))
@@ -1592,7 +1594,7 @@ object CdcStream {
                 // COPY, don't move (see [[DecodeFill.onTableRename]]): the
                 // old key's already-cut slices still need their fill at
                 // batch end; the new key carries the entries forward
-                fillState.onTableRename((s, t), (s2, to))
+                fillState.onTableRename((s, t), (s2, to), ts)
                 applied += ((ts, s, t, "rename_table", "",
                   if (s2 == s) to else s"$s2.$to"))
               case UnknownDdl(text) =>

@@ -35,11 +35,12 @@ private[graft] object DecodeFill {
   case object KeepNull extends Fill
 
   /** One in-batch ADD COLUMN: the version that ended an absence gap, its
-    * fill disposition, and the column's ADD-TIME wire type — each
-    * incarnation casts through its own type, so a same-batch recreate
-    * that re-adds the name with a different type never routes the old
-    * incarnation's default through the new type. */
-  final case class Entry(version: Long, fill: Fill, ty: String)
+    * fill disposition, the column's ADD-TIME wire type — each incarnation
+    * casts through its own type, so a same-batch recreate that re-adds
+    * the name with a different type never routes the old incarnation's
+    * default through the new type — and the table GENERATION the add
+    * belongs to (see the class note on generations). */
+  final case class Entry(version: Long, fill: Fill, ty: String, gen: Int)
 
   /** A DEFAULT expression the fill may substitute: a quoted string, a
     * plain numeric, a boolean, or a hex/bit literal. EXPRESSION defaults
@@ -126,19 +127,30 @@ private[graft] object DecodeFill {
 
 /** Per-micro-batch fill state; `enabled = false` makes every call a
   * no-op and [[fold]] the identity. Driver-side and tiny: one entry
-  * vector per in-batch ADD, one (version, column set) per cut slice. */
+  * vector per in-batch ADD, one (version, column set) per cut slice.
+  *
+  * GENERATIONS: a table NAME can host several incarnations within one
+  * batch — DROP then recreate, a rename-in after the old holder left —
+  * and their slices all fold under the name's key. Every incarnation
+  * boundary (DROP TABLE, CREATE of a tracked name, the target side of a
+  * table rename) appends its version to `bounds(k)`; a slice's
+  * generation is the count of boundaries at or below its version, a
+  * native add's is the boundary count when it applies, and entries a
+  * table rename copies in take the target's post-rename generation.
+  * [[fold]] matches entries to slices of the SAME generation only, so no
+  * incarnation ever reads a default a DIFFERENT table under the same
+  * name declared — in either direction. (FLASHBACK recovers the SAME
+  * table, not a new incarnation — deliberately no boundary.) */
 private[graft] final class DecodeFill(enabled: Boolean) {
   import DecodeFill._
   private type K = (String, String)
   private var fill = Map.empty[K, Map[String, Vector[Entry]]]
   private val present = scala.collection.mutable.Map.empty[K,
     scala.collection.mutable.ArrayBuffer[(Long, Set[String])]]
-  // per-key DROP TABLE versions: an add never fills across an intervening
-  // same-name drop — without this, a dropped incarnation's slices (kept
-  // for the batch-end emit) would read the default of a column a LATER
-  // same-name table (recreate without re-add, or a renamed-in table's
-  // copied entries) added after the drop
-  private val dropBounds = scala.collection.mutable.Map.empty[K, Vector[Long]]
+  private val bounds = scala.collection.mutable.Map.empty[K, Vector[Long]]
+  private def curGen(k: K): Int = bounds.getOrElse(k, Vector.empty).size
+  private def genOf(k: K, v: Long): Int =
+    bounds.getOrElse(k, Vector.empty).count(_ <= v)
 
   /** Record a cut slice's decoded columns under its schema version. The
     * caller gates on the slice being able to HOLD rows (non-empty ts
@@ -173,18 +185,33 @@ private[graft] final class DecodeFill(enabled: Boolean) {
         }
         ()
       }
-    def rekey(to: String) = cur.get(c).fold(cur) { v =>
-      aliasPresent(c, to); cur - c + (to -> v)
+    // every transition below touches only the LIVE generation's entries —
+    // a dropped incarnation's kept entries stay frozen (its rows' fills
+    // are already decided), whatever the recreated table does to a column
+    // that happens to share the name
+    val gen = curGen(k)
+    def put(m: Map[String, Vector[Entry]], name: String, vec: Vector[Entry]) =
+      if (vec.isEmpty) m - name else m + (name -> vec)
+    def rekey(to: String) = cur.get(c).fold(cur) { vec =>
+      val (mine, frozen) = vec.partition(_.gen == gen)
+      if (mine.isEmpty) cur
+      else {
+        aliasPresent(c, to)
+        val base = put(cur, c, frozen)
+        base + (to -> (base.getOrElse(to, Vector.empty) ++ mine))
+      }
     }
     // MODIFY/CHANGE retype the LIVE incarnation's entry (the last one):
     // the reference evaluates an origin default through the column's
     // CURRENT type (translator.go:169-177 reads the live ColumnInfo), so
-    // a same-batch retype after the add changes the fill's spelling too;
-    // earlier entries belong to dropped incarnations and stay frozen
+    // a same-batch retype after the add changes the fill's spelling too
     def retyped(m: Map[String, Vector[Entry]], name: String, tail: String) =
       m.get(name).fold(m) { vec =>
-        val ty = CdcStream.tailTokens(tail).headOption.getOrElse("STRING")
-        m + (name -> (vec.init :+ vec.last.copy(ty = ty)))
+        if (vec.last.gen != gen) m
+        else {
+          val ty = CdcStream.tailTokens(tail).headOption.getOrElse("STRING")
+          m + (name -> (vec.init :+ vec.last.copy(ty = ty)))
+        }
       }
     val next = action match {
       case "add" =>
@@ -199,8 +226,10 @@ private[graft] final class DecodeFill(enabled: Boolean) {
           case None if notNull && dict.isEmpty => Zero
           case None                            => KeepNull
         }
-        cur + (c -> (cur.getOrElse(c, Vector.empty) :+ Entry(version, disp, ty)))
-      case "drop"   => cur - c
+        cur + (c -> (cur.getOrElse(c, Vector.empty) :+
+          Entry(version, disp, ty, gen)))
+      case "drop"   =>
+        cur.get(c).fold(cur)(vec => put(cur, c, vec.filterNot(_.gen == gen)))
       case "rename" => rekey(arg)
       case "modify" => retyped(cur, c, arg)
       case "change" =>
@@ -215,46 +244,56 @@ private[graft] final class DecodeFill(enabled: Boolean) {
   def onTruncate(k: K): Unit = {
     fill -= k
     present.remove(k)
-    dropBounds.remove(k)
+    bounds.remove(k)
     ()
   }
 
   /** DROP TABLE: entries and slices stay (they fold at batch end), but
-    * record the incarnation boundary — see [[dropBounds]]. */
+    * the name's generation advances — see the class note. */
   def onTableDrop(k: K, version: Long): Unit = if (enabled) {
-    dropBounds(k) = dropBounds.getOrElse(k, Vector.empty) :+ version
+    bounds(k) = bounds.getOrElse(k, Vector.empty) :+ version
     ()
   }
 
-  /** Table rename: COPY entries to the new key (the old key's
-    * already-cut slices still fold at batch end) and MERGE per column —
-    * the target name may hold a dropped incarnation's kept entries, and
-    * the version buckets at fold time keep both incarnations' slices on
-    * their own defaults. */
-  def onTableRename(from: K, to: K): Unit = if (enabled) {
+  /** CREATE of a tracked name: a NEW incarnation (the name may have been
+    * freed by a rename-away, which records no boundary of its own). NOT
+    * called for FLASHBACK — recovery resumes the SAME table, so its
+    * in-batch pre-drop fills legitimately keep serving it. */
+  def onTableCreate(k: K, version: Long): Unit = onTableDrop(k, version)
+
+  /** Table rename: COPY the live generation's entries to the new key
+    * (the old key's already-cut slices still fold at batch end, on their
+    * own entries) and MERGE per column under the target's NEW generation
+    * — the target name may hold a dropped incarnation's kept entries,
+    * and the generation match at fold time keeps every incarnation's
+    * slices on their own defaults. */
+  def onTableRename(from: K, to: K, version: Long): Unit = if (enabled) {
+    bounds(to) = bounds.getOrElse(to, Vector.empty) :+ version
+    val gen = curGen(to)
+    val fromGen = curGen(from)
     fill.get(from).foreach { m =>
       val old = fill.getOrElse(to, Map.empty)
       fill += to -> m.foldLeft(old) { case (acc, (c, vec)) =>
-        acc + (c -> (acc.getOrElse(c, Vector.empty) ++ vec))
+        val mine = vec.collect { case e if e.gen == fromGen => e.copy(gen = gen) }
+        if (mine.isEmpty) acc
+        else acc + (c -> (acc.getOrElse(c, Vector.empty) ++ mine))
       }
     }
   }
 
   /** Batch-end fold over one table's unioned slices: each absent slice
     * reads the add that ended ITS gap — the smallest add version above
-    * the slice's version with no DROP TABLE boundary in between — gated
-    * on the row's value being the union's structural NULL. A version
-    * above every add (a recreate that never re-added) reads no fill at
-    * all. */
+    * the slice's version within the slice's OWN generation — gated on
+    * the row's value being the union's structural NULL. A version above
+    * every add (a recreate that never re-added) reads no fill at all. */
   def fold(k: K, df: DataFrame): DataFrame =
     fill.getOrElse(k, Map.empty).foldLeft(df) { case (df0, (c, entries)) =>
       val cs = s"${c}_str"
       val sorted = entries.sortBy(_.version)
-      val bounds = dropBounds.getOrElse(k, Vector.empty)
       val buckets = present.getOrElse(k, Nil).collect {
         case (ver, cols) if !cols.contains(c) => ver
-      }.groupBy(v => sorted.find(e => e.version > v &&
-        !bounds.exists(b => v < b && b <= e.version))).collect {
+      }.groupBy(v => sorted.find(e =>
+        e.version > v && e.gen == genOf(k, v))).collect {
         case (Some(e), vers) => (e, vers.toSeq)
       }
       if (!df0.columns.contains(cs) || buckets.isEmpty) df0

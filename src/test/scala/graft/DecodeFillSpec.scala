@@ -107,25 +107,66 @@ class DecodeFillSpec extends SparkSpec {
     assert(out(20L).contains("7"))
   }
 
-  test("an add never fills across an intervening same-name DROP TABLE") {
-    // dropped incarnation with NO in-batch add of c: a later same-name
-    // add (recreate, or a renamed-in table's copied entries) must not
-    // fill the dropped incarnation's rows with a column it never had
+  test("an add never fills across an incarnation boundary, either direction") {
+    // dropped incarnation with NO in-batch add of c: a renamed-in
+    // table's copied entries must not fill the dropped incarnation's
+    // rows with a column it never had — even though the copied add's
+    // VERSION (20) precedes nothing and its gap test alone would match
     val st = new DecodeFill(true)
     val K2 = ("app", "t2")
     st.recordSlice(K2, 0L, Set("k"))
     st.onTableDrop(K2, 10L)
-    st.onColumnDdl(K, 20L, "add", "c", "INT", Some("5"), None)
-    st.onTableRename(K, K2)                    // swap cutover: t -> t2
-    val out = folded(st, frame(0L -> None))    // old t2's pre-drop slice
-    assert(out(0L).isEmpty,
-      "the renamed-in add's default leaked onto the dropped incarnation")
-    // … while a slice of the SAME (recreated) incarnation above the
-    // boundary still reads the add that ended its own gap
-    st.recordSlice(K2, 15L, Set("k"))
+    st.recordSlice(K2, 15L, Set("k"))          // recreated incarnation
     st.onColumnDdl(K2, 25L, "add", "d", "INT", Some("9"), None)
-    val df = Seq((15L, None: Option[String])).toDF("schema_version", "d_str")
-    assert(st.fold(K2, df).collect()(0).getString(1) == "9")
+    st.onColumnDdl(K, 20L, "add", "c", "INT", Some("5"), None)
+    st.onTableRename(K, K2, 30L)               // swap cutover: t -> t2
+    val df = Seq((0L, None: Option[String], None: Option[String]),
+      (15L, None: Option[String], None: Option[String]))
+      .toDF("schema_version", "c_str", "d_str")
+    val out = st.fold(K2, df).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), Option(r.getString(2)))))
+      .toMap
+    assert(out(0L)._1.isEmpty,
+      "the renamed-in add's default leaked onto the dropped incarnation")
+    assert(out(0L)._2.isEmpty,
+      "the recreate's add leaked onto the dropped incarnation")
+    // the recreated incarnation still reads ITS OWN add's default, and
+    // never the renamed-in table's
+    assert(out(15L)._2.contains("9"))
+    assert(out(15L)._1.isEmpty)
+    // the gh-ost cutover's other direction: RENAME t TO _old must not
+    // let a later add under the name t fill _old's (never renamed-away
+    // key's) rows — the fresh CREATE under t is a new incarnation
+    val st2 = new DecodeFill(true)
+    st2.recordSlice(K, 0L, Set("k"))           // original t's rows
+    st2.onTableRename(K, ("app", "old"), 10L)  // t renamed away
+    st2.onTableCreate(K, 12L)                  // fresh t
+    st2.onColumnDdl(K, 20L, "add", "c", "INT", Some("5"), None)
+    assert(st2.fold(K, frame(0L -> None)).collect()(0).isNullAt(1),
+      "the fresh table's default leaked onto the renamed-away rows")
+  }
+
+  test("a recreated table's column DDL leaves the dropped incarnation's fills frozen") {
+    // drop column on the recreate must not erase the old incarnation's
+    // entry; modify must not retype it
+    val st = new DecodeFill(true)
+    st.recordSlice(K, 0L, Set("k"))
+    st.onColumnDdl(K, 10L, "add", "c", "INT", Some("5"), None)
+    st.onTableDrop(K, 15L)
+    st.onTableCreate(K, 18L)                   // recreate carries c in defs
+    st.recordSlice(K, 18L, Set("k", "c"))
+    st.onColumnDdl(K, 25L, "drop", "c", "", None, None)
+    st.recordSlice(K, 25L, Set("k"))
+    assert(st.fold(K, frame(0L -> None)).collect()(0).getString(1) == "5",
+      "the recreate's DROP COLUMN erased the old incarnation's fill")
+    val st2 = new DecodeFill(true)
+    st2.recordSlice(K, 0L, Set("k"))
+    st2.onColumnDdl(K, 10L, "add", "c", "DECIMAL(10,1)", Some("1.5"), None)
+    st2.onTableDrop(K, 15L)
+    st2.onTableCreate(K, 18L)
+    st2.onColumnDdl(K, 25L, "modify", "c", "DECIMAL(10,3)", None, None)
+    assert(st2.fold(K, frame(0L -> None)).collect()(0).getString(1) == "1.5",
+      "the recreate's MODIFY retyped the old incarnation's fill")
   }
 
   test("same-batch MODIFY/CHANGE retype the live incarnation's fill type") {
@@ -207,16 +248,17 @@ class DecodeFillSpec extends SparkSpec {
     val st2 = new DecodeFill(true)
     st2.recordSlice(K, 0L, Set("k"))
     st2.onColumnDdl(K, 10L, "add", "c", "INT", Some("5"), None)
-    st2.onTableRename(K, K2)
+    st2.onTableRename(K, K2, 20L)
     // the OLD key's slices still fill at batch end (copy, not move) …
     assert(st2.fold(K, frame(0L -> None)).collect()(0).getString(1) == "5")
-    // … and the new key carries the entries forward; its own later slices
-    // need their own presence records
-    val st3 = new DecodeFill(true)
-    st3.recordSlice(K2, 20L, Set("k"))
-    st3.onColumnDdl(K2, 30L, "add", "c", "INT", Some("7"), None)
-    st3.onTableRename(K2, K2) // self-merge is a no-op shape-wise
-    assert(st3.fold(K2, frame(20L -> None)).collect()(0).getString(1) == "7")
+    // … and the new key carries the entries forward: a later column
+    // rename under the NEW name re-keys the copied entry, and the old
+    // key's pre-add rows would still fill were they cut under it
+    st2.onColumnDdl(K2, 25L, "rename", "c", "c2", None, None)
+    val df2 = Seq((0L, None: Option[String])).toDF("schema_version", "c2_str")
+    // the old key's own entry is untouched by the new key's rename
+    assert(st2.fold(K, frame(0L -> None)).collect()(0).getString(1) == "5")
+    assert(st2.fold(K2, df2).collect()(0).isNullAt(1)) // gen 1 ≠ old slice gen
   }
 
   test("literal grammar: constants, hex/bit spellings, expression rejection") {
