@@ -1510,6 +1510,7 @@ object CdcStream {
                   scala.collection.mutable.ArrayBuffer.empty[DataFrame])
                 lowerOf((s, target)) = ts
                 catalog += (s, target) -> tracker.TableInfo(s, target, shape, ts)
+                fillState.onTableCreate((s, target), ts)
                 applied += ((ts, s, t, "recover_table", "",
                   if (target == t) "" else target))
               case FlashbackDdl(s, t, toOpt)

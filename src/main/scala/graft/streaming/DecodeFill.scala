@@ -139,8 +139,7 @@ private[graft] object DecodeFill {
   * table rename copies in take the target's post-rename generation.
   * [[fold]] matches entries to slices of the SAME generation only, so no
   * incarnation ever reads a default a DIFFERENT table under the same
-  * name declared — in either direction. (FLASHBACK recovers the SAME
-  * table, not a new incarnation — deliberately no boundary.) */
+  * name declared — in either direction. */
 private[graft] final class DecodeFill(enabled: Boolean) {
   import DecodeFill._
   private type K = (String, String)
@@ -173,32 +172,38 @@ private[graft] final class DecodeFill(enabled: Boolean) {
       arg: String, dflt: Option[String],
       dict: Option[Vector[String]]): Unit = if (enabled) {
     val cur = fill.getOrElse(k, Map.empty)
-    // a renamed column EXISTED (under its old name) in the slices already
-    // cut — mark the NEW name present there too, or the fold would treat
-    // those rows' structural NULL (their value rides the old-name column)
-    // as missing data and overwrite it with a later add's default
+    // every transition below touches only the LIVE generation's entries
+    // and slices — a dropped incarnation's kept state stays frozen (its
+    // rows' fills are already decided), whatever the recreated table
+    // does to a column that happens to share the name
+    val gen = curGen(k)
+    // a renamed column EXISTED (under its old name) in the live
+    // generation's slices already cut — mark the NEW name present there
+    // too, whether or not an in-batch add entry exists, or the fold
+    // would treat those rows' structural NULL (their value rides the
+    // old-name column) as missing data and overwrite it with a later
+    // add's default
     def aliasPresent(from: String, to: String): Unit =
       present.get(k).foreach { buf =>
         buf.mapInPlace {
-          case (ver, cols) if cols.contains(from) => (ver, cols + to)
+          case (ver, cols)
+              if cols.contains(from) && genOf(k, ver) == gen =>
+            (ver, cols + to)
           case e => e
         }
         ()
       }
-    // every transition below touches only the LIVE generation's entries —
-    // a dropped incarnation's kept entries stay frozen (its rows' fills
-    // are already decided), whatever the recreated table does to a column
-    // that happens to share the name
-    val gen = curGen(k)
     def put(m: Map[String, Vector[Entry]], name: String, vec: Vector[Entry]) =
       if (vec.isEmpty) m - name else m + (name -> vec)
-    def rekey(to: String) = cur.get(c).fold(cur) { vec =>
-      val (mine, frozen) = vec.partition(_.gen == gen)
-      if (mine.isEmpty) cur
-      else {
-        aliasPresent(c, to)
-        val base = put(cur, c, frozen)
-        base + (to -> (base.getOrElse(to, Vector.empty) ++ mine))
+    def rekey(to: String) = {
+      aliasPresent(c, to)
+      cur.get(c).fold(cur) { vec =>
+        val (mine, frozen) = vec.partition(_.gen == gen)
+        if (mine.isEmpty) cur
+        else {
+          val base = put(cur, c, frozen)
+          base + (to -> (base.getOrElse(to, Vector.empty) ++ mine))
+        }
       }
     }
     // MODIFY/CHANGE retype the LIVE incarnation's entry (the last one):
@@ -255,10 +260,14 @@ private[graft] final class DecodeFill(enabled: Boolean) {
     ()
   }
 
-  /** CREATE of a tracked name: a NEW incarnation (the name may have been
-    * freed by a rename-away, which records no boundary of its own). NOT
-    * called for FLASHBACK — recovery resumes the SAME table, so its
-    * in-batch pre-drop fills legitimately keep serving it. */
+  /** Any registration of a tracked name — CREATE, CREATE LIKE, or a
+    * FLASHBACK recovery — starts a NEW generation: the name may have
+    * been freed by a rename-away (which records no boundary of its own),
+    * so whatever held the name before must not exchange fills with the
+    * newcomer. For the common drop-then-recover flashback the extra
+    * boundary is inert — the drop already separated the generations and
+    * the recovered shape carries its pre-drop columns, so no absence
+    * gap spans the recovery. */
   def onTableCreate(k: K, version: Long): Unit = onTableDrop(k, version)
 
   /** Table rename: COPY the live generation's entries to the new key

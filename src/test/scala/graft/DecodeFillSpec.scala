@@ -246,19 +246,66 @@ class DecodeFillSpec extends SparkSpec {
 
     val K2 = ("app", "t2")
     val st2 = new DecodeFill(true)
+    st2.recordSlice(K2, 3L, Set("k"))          // a prior t2 incarnation's slice
+    st2.onTableDrop(K2, 5L)
     st2.recordSlice(K, 0L, Set("k"))
     st2.onColumnDdl(K, 10L, "add", "c", "INT", Some("5"), None)
     st2.onTableRename(K, K2, 20L)
     // the OLD key's slices still fill at batch end (copy, not move) …
     assert(st2.fold(K, frame(0L -> None)).collect()(0).getString(1) == "5")
     // … and the new key carries the entries forward: a later column
-    // rename under the NEW name re-keys the copied entry, and the old
-    // key's pre-add rows would still fill were they cut under it
+    // rename under the NEW name re-keys the copied entry — but the prior
+    // t2 incarnation's slice (other generation, lacks c2) never reads it
     st2.onColumnDdl(K2, 25L, "rename", "c", "c2", None, None)
-    val df2 = Seq((0L, None: Option[String])).toDF("schema_version", "c2_str")
+    val df2 = Seq((3L, None: Option[String])).toDF("schema_version", "c2_str")
+    assert(st2.fold(K2, df2).collect()(0).isNullAt(1),
+      "copied entry filled a foreign incarnation's slice through the re-key")
     // the old key's own entry is untouched by the new key's rename
     assert(st2.fold(K, frame(0L -> None)).collect()(0).getString(1) == "5")
-    assert(st2.fold(K2, df2).collect()(0).isNullAt(1)) // gen 1 ≠ old slice gen
+  }
+
+  test("live-table column rename aliases presence even without an in-batch entry") {
+    // column c predates the batch (no entry); rename c -> x, then drop x
+    // and re-add it with a default: the pre-rename slices' rows hold
+    // their value under c, so the re-add's default must not stamp x_str
+    val st = new DecodeFill(true)
+    st.recordSlice(K, 0L, Set("k", "c"))
+    st.onColumnDdl(K, 10L, "rename", "c", "x", None, None)
+    st.recordSlice(K, 10L, Set("k", "x"))
+    st.onColumnDdl(K, 20L, "drop", "x", "", None, None)
+    st.recordSlice(K, 20L, Set("k"))
+    st.onColumnDdl(K, 30L, "add", "x", "INT", Some("9"), None)
+    val df = Seq((0L, Some("7"), None: Option[String]),
+      (20L, None: Option[String], None: Option[String]))
+      .toDF("schema_version", "c_str", "x_str")
+    val out = st.fold(K, df).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(out(0L).isEmpty, "the re-add's default overwrote a renamed value")
+    assert(out(20L).contains("9"))
+    // … and the alias is generation-scoped: a FROZEN incarnation's slice
+    // containing the same old name keeps ITS own pending fill
+    val st2 = new DecodeFill(true)
+    st2.recordSlice(K, 0L, Set("k", "c"))      // gen-0 slice: has c, lacks x
+    st2.onColumnDdl(K, 5L, "add", "x", "INT", Some("7"), None)
+    st2.onTableDrop(K, 8L)
+    st2.onTableCreate(K, 9L)
+    st2.recordSlice(K, 9L, Set("k", "c"))
+    st2.onColumnDdl(K, 10L, "rename", "c", "x", None, None)
+    val df2 = Seq((0L, None: Option[String])).toDF("schema_version", "x_str")
+    assert(st2.fold(K, df2).collect()(0).getString(1) == "7",
+      "the recreate's rename aliased a frozen generation's slice")
+  }
+
+  test("FLASHBACK onto a rename-freed name starts its own generation") {
+    // RENAME t TO old frees the name; FLASHBACK x TO t registers a
+    // DIFFERENT table under it — its adds must not fill the renamed-away
+    // rows (registration = onTableCreate; same rule as CREATE)
+    val st = new DecodeFill(true)
+    st.recordSlice(K, 0L, Set("k"))
+    st.onTableRename(K, ("app", "old"), 10L)
+    st.onTableCreate(K, 12L)                   // the flashback registration
+    st.onColumnDdl(K, 20L, "add", "c", "INT", Some("5"), None)
+    assert(st.fold(K, frame(0L -> None)).collect()(0).isNullAt(1))
   }
 
   test("literal grammar: constants, hex/bit spellings, expression rejection") {
