@@ -1418,7 +1418,7 @@ object CdcStream {
                   scala.collection.mutable.ArrayBuffer.empty[DataFrame])
                 lowerOf((s, t)) = ts
                 catalog += (s, t) -> created
-                fillState.onTableCreate((s, t), ts)
+                fillState.onTableCreate((s, t))
                 applied += ((ts, s, t, "create_table", "", cols.mkString(", ")))
                 dflts.toSeq.sortBy(_._1).foreach { case (c, d) =>
                   applied += ((ts, s, t, "origin_default", c, d))
@@ -1458,7 +1458,7 @@ object CdcStream {
                 // still fold at batch end, and their pre-add rows still
                 // read the fill — but the recorded boundary keeps a LATER
                 // same-name add's default off this incarnation's rows
-                fillState.onTableDrop((s, t), ts)
+                fillState.onTableDrop((s, t))
                 applied += ((ts, s, t, "drop_table", "", ""))
               case DropSchemaDdl(s) if catalog.keys.exists(_._1 == s) =>
                 if (!dynamicTables)
@@ -1477,7 +1477,7 @@ object CdcStream {
                   catalog -= k
                   // fill state stays — same batch-end fold and boundary
                   // rationale as the single-table drop above
-                  fillState.onTableDrop(k, ts)
+                  fillState.onTableDrop(k)
                   applied += ((ts, k._1, k._2, "drop_table", "", ""))
                 }
               case FlashbackDdl(s, t, toOpt)
@@ -1510,7 +1510,7 @@ object CdcStream {
                   scala.collection.mutable.ArrayBuffer.empty[DataFrame])
                 lowerOf((s, target)) = ts
                 catalog += (s, target) -> tracker.TableInfo(s, target, shape, ts)
-                fillState.onTableCreate((s, target), ts)
+                fillState.onTableCreate((s, target))
                 applied += ((ts, s, t, "recover_table", "",
                   if (target == t) "" else target))
               case FlashbackDdl(s, t, toOpt)
@@ -1555,7 +1555,7 @@ object CdcStream {
                 // to STRING, so its value dictionary must ride along
                 catalog += (s, t) -> tracker.TableInfo(s, t, cols, ts,
                   dicts = src.dicts)
-                fillState.onTableCreate((s, t), ts)
+                fillState.onTableCreate((s, t))
                 applied += ((ts, s, t, "create_table", "", cols.mkString(", ")))
                 src.dicts.toSeq.sortBy(_._1).foreach { case (c, vs) =>
                   applied += ((ts, s, t, "dictionary", c, encodeDictArg(vs)))
@@ -1595,7 +1595,7 @@ object CdcStream {
                 // COPY, don't move (see [[DecodeFill.onTableRename]]): the
                 // old key's already-cut slices still need their fill at
                 // batch end; the new key carries the entries forward
-                fillState.onTableRename((s, t), (s2, to), ts)
+                fillState.onTableRename((s, t), (s2, to))
                 applied += ((ts, s, t, "rename_table", "",
                   if (s2 == s) to else s"$s2.$to"))
               case UnknownDdl(text) =>

@@ -38,9 +38,9 @@ private[graft] object DecodeFill {
     * fill disposition, the column's ADD-TIME wire type — each incarnation
     * casts through its own type, so a same-batch recreate that re-adds
     * the name with a different type never routes the old incarnation's
-    * default through the new type — and the table GENERATION the add
-    * belongs to (see the class note on generations). */
-  final case class Entry(version: Long, fill: Fill, ty: String, gen: Int)
+    * default through the new type — and the IDENTITY of the table that
+    * declared it (see the class note). */
+  final case class Entry(version: Long, fill: Fill, ty: String, inc: Int)
 
   /** A DEFAULT expression the fill may substitute: a quoted string, a
     * plain numeric, a boolean, or a hex/bit literal. EXPRESSION defaults
@@ -129,27 +129,29 @@ private[graft] object DecodeFill {
   * no-op and [[fold]] the identity. Driver-side and tiny: one entry
   * vector per in-batch ADD, one (version, column set) per cut slice.
   *
-  * GENERATIONS: a table NAME can host several incarnations within one
+  * IDENTITY: a table NAME can host several incarnations within one
   * batch — DROP then recreate, a rename-in after the old holder left —
-  * and their slices all fold under the name's key. Every incarnation
-  * boundary (DROP TABLE, CREATE of a tracked name, the target side of a
-  * table rename) appends its version to `bounds(k)`; a slice's
-  * generation is the count of boundaries at or below its version, a
-  * native add's is the boundary count when it applies, and entries a
-  * table rename copies in take the target's post-rename generation.
-  * [[fold]] matches entries to slices of the SAME generation only, so no
-  * incarnation ever reads a default a DIFFERENT table under the same
-  * name declared — in either direction. */
+  * and their slices all fold under the name's key. Every slice and
+  * every add therefore carries the IDENTITY of the table it belongs to:
+  * a fresh token per registration (CREATE, CREATE LIKE, FLASHBACK),
+  * allocated lazily for tables registered before the batch, and
+  * FOLLOWED through a table rename (the renamed table is the same
+  * table). [[fold]] matches entries to slices of the SAME identity
+  * only, so no incarnation ever reads a default a DIFFERENT table under
+  * the same name declared — in either direction — while a table renamed
+  * away and back keeps its own fills throughout. */
 private[graft] final class DecodeFill(enabled: Boolean) {
   import DecodeFill._
   private type K = (String, String)
   private var fill = Map.empty[K, Map[String, Vector[Entry]]]
   private val present = scala.collection.mutable.Map.empty[K,
-    scala.collection.mutable.ArrayBuffer[(Long, Set[String])]]
-  private val bounds = scala.collection.mutable.Map.empty[K, Vector[Long]]
-  private def curGen(k: K): Int = bounds.getOrElse(k, Vector.empty).size
-  private def genOf(k: K, v: Long): Int =
-    bounds.getOrElse(k, Vector.empty).count(_ <= v)
+    scala.collection.mutable.ArrayBuffer[(Long, Int, Set[String])]]
+  private var nextInc = 0
+  private val liveInc = scala.collection.mutable.Map.empty[K, Int]
+  /** The live table's identity under `k`, allocated on first touch for
+    * tables already registered when the batch began. */
+  private def inc(k: K): Int =
+    liveInc.getOrElseUpdate(k, { nextInc += 1; nextInc })
 
   /** Record a cut slice's decoded columns under its schema version. The
     * caller gates on the slice being able to HOLD rows (non-empty ts
@@ -160,8 +162,8 @@ private[graft] final class DecodeFill(enabled: Boolean) {
   def recordSlice(k: K, version: Long, cols: Set[String]): Unit =
     if (enabled) {
       present.getOrElseUpdate(k,
-        scala.collection.mutable.ArrayBuffer.empty[(Long, Set[String])]) +=
-        ((version, cols))
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Set[String])]) +=
+        ((version, inc(k), cols))
       ()
     }
 
@@ -172,23 +174,21 @@ private[graft] final class DecodeFill(enabled: Boolean) {
       arg: String, dflt: Option[String],
       dict: Option[Vector[String]]): Unit = if (enabled) {
     val cur = fill.getOrElse(k, Map.empty)
-    // every transition below touches only the LIVE generation's entries
-    // and slices — a dropped incarnation's kept state stays frozen (its
+    // every transition below touches only the LIVE table's entries and
+    // slices — a dropped incarnation's kept state stays frozen (its
     // rows' fills are already decided), whatever the recreated table
     // does to a column that happens to share the name
-    val gen = curGen(k)
-    // a renamed column EXISTED (under its old name) in the live
-    // generation's slices already cut — mark the NEW name present there
-    // too, whether or not an in-batch add entry exists, or the fold
-    // would treat those rows' structural NULL (their value rides the
-    // old-name column) as missing data and overwrite it with a later
-    // add's default
+    val me = inc(k)
+    // a renamed column EXISTED (under its old name) in the live table's
+    // slices already cut — mark the NEW name present there too, whether
+    // or not an in-batch add entry exists, or the fold would treat those
+    // rows' structural NULL (their value rides the old-name column) as
+    // missing data and overwrite it with a later add's default
     def aliasPresent(from: String, to: String): Unit =
       present.get(k).foreach { buf =>
         buf.mapInPlace {
-          case (ver, cols)
-              if cols.contains(from) && genOf(k, ver) == gen =>
-            (ver, cols + to)
+          case (ver, i, cols) if i == me && cols.contains(from) =>
+            (ver, i, cols + to)
           case e => e
         }
         ()
@@ -198,7 +198,7 @@ private[graft] final class DecodeFill(enabled: Boolean) {
     def rekey(to: String) = {
       aliasPresent(c, to)
       cur.get(c).fold(cur) { vec =>
-        val (mine, frozen) = vec.partition(_.gen == gen)
+        val (mine, frozen) = vec.partition(_.inc == me)
         if (mine.isEmpty) cur
         else {
           val base = put(cur, c, frozen)
@@ -212,7 +212,7 @@ private[graft] final class DecodeFill(enabled: Boolean) {
     // a same-batch retype after the add changes the fill's spelling too
     def retyped(m: Map[String, Vector[Entry]], name: String, tail: String) =
       m.get(name).fold(m) { vec =>
-        if (vec.last.gen != gen) m
+        if (vec.last.inc != me) m
         else {
           val ty = CdcStream.tailTokens(tail).headOption.getOrElse("STRING")
           m + (name -> (vec.init :+ vec.last.copy(ty = ty)))
@@ -232,9 +232,9 @@ private[graft] final class DecodeFill(enabled: Boolean) {
           case None                            => KeepNull
         }
         cur + (c -> (cur.getOrElse(c, Vector.empty) :+
-          Entry(version, disp, ty, gen)))
+          Entry(version, disp, ty, me)))
       case "drop"   =>
-        cur.get(c).fold(cur)(vec => put(cur, c, vec.filterNot(_.gen == gen)))
+        cur.get(c).fold(cur)(vec => put(cur, c, vec.filterNot(_.inc == me)))
       case "rename" => rekey(arg)
       case "modify" => retyped(cur, c, arg)
       case "change" =>
@@ -245,54 +245,59 @@ private[graft] final class DecodeFill(enabled: Boolean) {
     if (next.nonEmpty) fill += k -> next else fill -= k
   }
 
-  /** Pre-truncate rows leave the output with their slices — clear. */
+  /** Pre-truncate rows leave the output with their slices — clear. The
+    * table itself continues (same identity): everything the identity
+    * could separate was just cleared. */
   def onTruncate(k: K): Unit = {
     fill -= k
     present.remove(k)
-    bounds.remove(k)
     ()
   }
 
   /** DROP TABLE: entries and slices stay (they fold at batch end), but
-    * the name's generation advances — see the class note. */
-  def onTableDrop(k: K, version: Long): Unit = if (enabled) {
-    bounds(k) = bounds.getOrElse(k, Vector.empty) :+ version
+    * the key's live identity ends — whatever occupies the name next is
+    * a different table. */
+  def onTableDrop(k: K): Unit = if (enabled) {
+    liveInc.remove(k)
     ()
   }
 
   /** Any registration of a tracked name — CREATE, CREATE LIKE, or a
-    * FLASHBACK recovery — starts a NEW generation: the name may have
-    * been freed by a rename-away (which records no boundary of its own),
-    * so whatever held the name before must not exchange fills with the
-    * newcomer. For the common drop-then-recover flashback the extra
-    * boundary is inert — the drop already separated the generations and
-    * the recovered shape carries its pre-drop columns, so no absence
-    * gap spans the recovery. */
-  def onTableCreate(k: K, version: Long): Unit = onTableDrop(k, version)
+    * FLASHBACK recovery — is a NEW table: the name may have been freed
+    * by a rename-away (which ends no identity of its own), so whatever
+    * held the name before must not exchange fills with the newcomer.
+    * (A FLASHBACK after an in-batch drop technically resumes the SAME
+    * table, but the recovered shape carries its pre-drop columns, so no
+    * absence gap spans the recovery and the fresh identity is inert.) */
+  def onTableCreate(k: K): Unit = if (enabled) {
+    nextInc += 1
+    liveInc(k) = nextInc
+  }
 
-  /** Table rename: COPY the live generation's entries to the new key
-    * (the old key's already-cut slices still fold at batch end, on their
-    * own entries) and MERGE per column under the target's NEW generation
-    * — the target name may hold a dropped incarnation's kept entries,
-    * and the generation match at fold time keeps every incarnation's
-    * slices on their own defaults. */
-  def onTableRename(from: K, to: K, version: Long): Unit = if (enabled) {
-    bounds(to) = bounds.getOrElse(to, Vector.empty) :+ version
-    val gen = curGen(to)
-    val fromGen = curGen(from)
+  /** Table rename: the IDENTITY follows the table to the new key, and
+    * its live entries COPY along (the old key's already-cut slices still
+    * fold at batch end, on the entries the old key keeps) — the target
+    * name may hold a dropped incarnation's kept entries, and the
+    * identity match at fold time keeps every incarnation's slices on
+    * their own defaults. */
+  def onTableRename(from: K, to: K): Unit = if (enabled) {
+    val me = inc(from)
     fill.get(from).foreach { m =>
       val old = fill.getOrElse(to, Map.empty)
       fill += to -> m.foldLeft(old) { case (acc, (c, vec)) =>
-        val mine = vec.collect { case e if e.gen == fromGen => e.copy(gen = gen) }
+        val mine = vec.filter(_.inc == me)
         if (mine.isEmpty) acc
         else acc + (c -> (acc.getOrElse(c, Vector.empty) ++ mine))
       }
     }
+    liveInc(to) = me
+    liveInc.remove(from)
+    ()
   }
 
   /** Batch-end fold over one table's unioned slices: each absent slice
     * reads the add that ended ITS gap — the smallest add version above
-    * the slice's version within the slice's OWN generation — gated on
+    * the slice's version declared by the slice's OWN table — gated on
     * the row's value being the union's structural NULL. A version above
     * every add (a recreate that never re-added) reads no fill at all. */
   def fold(k: K, df: DataFrame): DataFrame =
@@ -300,10 +305,11 @@ private[graft] final class DecodeFill(enabled: Boolean) {
       val cs = s"${c}_str"
       val sorted = entries.sortBy(_.version)
       val buckets = present.getOrElse(k, Nil).collect {
-        case (ver, cols) if !cols.contains(c) => ver
-      }.groupBy(v => sorted.find(e =>
-        e.version > v && e.gen == genOf(k, v))).collect {
-        case (Some(e), vers) => (e, vers.toSeq)
+        case (ver, i, cols) if !cols.contains(c) => (ver, i)
+      }.groupBy { case (v, i) =>
+        sorted.find(e => e.version > v && e.inc == i)
+      }.collect {
+        case (Some(e), vers) => (e, vers.map(_._1).toSeq)
       }
       if (!df0.columns.contains(cs) || buckets.isEmpty) df0
       else {

@@ -1,0 +1,240 @@
+package graft
+
+import scala.util.Random
+
+import graft.streaming.DecodeFill
+
+/** Differential property sweep of the decode-time fill state machine:
+  * random LEGAL DDL sequences (column add/drop/rename/change/modify,
+  * table drop/create/rename, interleaved slice cuts) drive
+  * [[DecodeFill]] and an independently-written INCARNATION-IDENTITY
+  * model side by side, then every (slice, output column) cell of
+  * [[DecodeFill.fold]] is compared to the model's expectation.
+  *
+  * The shared spec both implement: fill state is KEY-LOCAL (a key's
+  * fills evolve only while a table occupies it; a table rename copies
+  * the live entries to the new key); a slice's row fills column n iff
+  * an add of n under the slice's key, by the slice's OWN table, at a
+  * version above the cut, has a substitutable default — and the slice
+  * carries no column that bore n from its cut onward (the
+  * value-rides-the-old-name rule). The model expresses "own table" as
+  * direct object identity and the rename rule as per-slice name-set
+  * mutation — where the implementation uses generation arithmetic,
+  * frozen entry vectors, and presence aliasing, the exact bookkeeping
+  * three r16 review passes found bugs in. Any divergence between the
+  * two is a finding. */
+class DecodeFillPropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val NamePool = Vector("c", "d", "x")
+  private val Keys = Vector(("app", "t"), ("app", "u"))
+  private type K = (String, String)
+
+  // ---- the model ------------------------------------------------------
+  private class MInc                       // a table incarnation: identity only
+  private class VEntry(val inc: MInc, val addVersion: Long, val raw: String,
+    val notNull: Boolean, var ty: String)
+  private class VSlice(val key: K, val version: Long, val inc: MInc,
+    val present: scala.collection.mutable.Set[String])
+
+  private def eval(raw: String, notNull: Boolean, ty: String): Option[String] =
+    (raw, ty) match {
+      case ("", _) if !notNull      => None
+      case ("", "INT")              => Some("0")
+      case ("", _)                  => Some("")
+      case ("5", _)                 => Some("5")
+      case ("'a'", "STRING")        => Some("a")
+      case ("'a'", _)               => None // try_cast 'a' to INT is NULL
+      case ("CURRENT_TIMESTAMP", _) => None
+      case other                    => sys.error(s"unmodelled default $other")
+    }
+
+  private def runScenario(seed: Int): Unit = {
+    val rnd = new Random(seed)
+    val st = new DecodeFill(true)
+    var version = 0L
+    def nextV(): Long = { version += 10; version }
+
+    // generator-side catalog (legality + slice column sets)
+    val liveCols = scala.collection.mutable.Map.empty[K, Vector[String]]
+    val liveInc = scala.collection.mutable.Map.empty[K, MInc]
+    // model state
+    val views = scala.collection.mutable.Map.empty[K, Map[String, Vector[VEntry]]]
+    val slices = scala.collection.mutable.ArrayBuffer.empty[VSlice]
+    val ops = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    def view(k: K) = views.getOrElse(k, Map.empty)
+    def putView(k: K, n: String, v: Vector[VEntry]): Unit =
+      views(k) = if (v.isEmpty) view(k) - n else view(k) + (n -> v)
+
+    def cut(k: K): Unit = liveInc.get(k).foreach { i =>
+      val v = nextV()
+      ops += s"cut $k v=$v cols=${liveCols(k)}"
+      st.recordSlice(k, v, liveCols(k).toSet)
+      slices += new VSlice(k, v, i,
+        scala.collection.mutable.Set(liveCols(k): _*))
+      ()
+    }
+
+    def addCol(k: K): Unit = {
+      val free = NamePool.filterNot(liveCols(k).toSet)
+      if (free.isEmpty) return
+      val n = free(rnd.nextInt(free.size))
+      val ty = if (rnd.nextBoolean()) "INT" else "STRING"
+      val (dflt, notNull) = rnd.nextInt(4) match {
+        case 0 => (Some("5"), false)
+        case 1 => (Some("'a'"), false)
+        case 2 => (Some("CURRENT_TIMESTAMP"), false)
+        case _ => (None, rnd.nextBoolean())
+      }
+      val v = nextV()
+      ops += s"add $k v=$v $n $ty${if (notNull) " NOT NULL" else ""} dflt=$dflt"
+      st.onColumnDdl(k, v, "add", n, ty + (if (notNull) " NOT NULL" else ""),
+        dflt, None)
+      putView(k, n, view(k).getOrElse(n, Vector.empty) :+
+        new VEntry(liveInc(k), v, dflt.getOrElse(""), notNull, ty))
+      liveCols(k) :+= n
+    }
+    def dropCol(k: K): Unit = {
+      if (liveCols(k).isEmpty) return
+      val n = liveCols(k)(rnd.nextInt(liveCols(k).size))
+      ops += s"dropCol $k $n"
+      st.onColumnDdl(k, nextV(), "drop", n, "", None, None)
+      putView(k, n, view(k).getOrElse(n, Vector.empty)
+        .filterNot(_.inc eq liveInc(k)))
+      liveCols(k) = liveCols(k).filterNot(_ == n)
+    }
+    def renameCol(k: K): Unit = {
+      val free = NamePool.filterNot(liveCols(k).toSet)
+      if (liveCols(k).isEmpty || free.isEmpty) return
+      val n = liveCols(k)(rnd.nextInt(liveCols(k).size))
+      val to = free(rnd.nextInt(free.size))
+      val v = nextV()
+      val newTy = if (rnd.nextBoolean()) None
+        else Some(if (rnd.nextBoolean()) "INT" else "STRING")
+      ops += s"renameCol $k v=$v $n->$to ty=$newTy"
+      newTy match {
+        case None => st.onColumnDdl(k, v, "rename", n, to, None, None)
+        case Some(ty) =>
+          st.onColumnDdl(k, v, "change", n, s"$to $ty", None, None)
+      }
+      // the value-rides-the-old-name rule: the slice set of THIS key and
+      // THIS table gains the new name wherever it carried the old
+      slices.foreach { s =>
+        if (s.key == k && (s.inc eq liveInc(k)) && s.present.contains(n)) {
+          s.present += to
+          ()
+        }
+      }
+      val (mine, frozen) = view(k).getOrElse(n, Vector.empty)
+        .partition(_.inc eq liveInc(k))
+      putView(k, n, frozen)
+      newTy.foreach(ty => mine.foreach(_.ty = ty))
+      if (mine.nonEmpty)
+        putView(k, to, view(k).getOrElse(to, Vector.empty) ++ mine)
+      liveCols(k) = liveCols(k).map(x => if (x == n) to else x)
+    }
+    def modifyCol(k: K): Unit = {
+      if (liveCols(k).isEmpty) return
+      val n = liveCols(k)(rnd.nextInt(liveCols(k).size))
+      val ty = if (rnd.nextBoolean()) "INT" else "STRING"
+      ops += s"modify $k $n -> $ty"
+      st.onColumnDdl(k, nextV(), "modify", n, ty, None, None)
+      view(k).getOrElse(n, Vector.empty)
+        .filter(_.inc eq liveInc(k)).foreach(_.ty = ty)
+    }
+    def dropTable(k: K): Unit = {
+      cut(k) // the walk cuts the in-flight slice at the drop barrier
+      val v = nextV()
+      ops += s"dropTable $k v=$v"
+      st.onTableDrop(k)
+      liveInc -= k
+      liveCols -= k
+      ()
+    }
+    def createTable(k: K): Unit = {
+      val v = nextV()
+      ops += s"create $k v=$v"
+      st.onTableCreate(k)
+      liveInc(k) = new MInc
+      // base columns are born with the CREATE — never fill candidates
+      liveCols(k) = rnd.shuffle(NamePool).take(1 + rnd.nextInt(2)).toVector
+    }
+    def renameTable(k: K): Unit = {
+      val frees = Keys.filterNot(liveInc.contains)
+      if (frees.isEmpty) return
+      val to = frees(rnd.nextInt(frees.size))
+      cut(k) // the walk cuts the old key's slice at the rename barrier
+      val v = nextV()
+      ops += s"renameTable $k->$to v=$v"
+      st.onTableRename(k, to)
+      // live entries COPY to the new key; the old key's view freezes
+      view(k).foreach { case (n, vec) =>
+        val mine = vec.filter(_.inc eq liveInc(k))
+        if (mine.nonEmpty)
+          putView(to, n, view(to).getOrElse(n, Vector.empty) ++ mine)
+      }
+      liveInc(to) = liveInc(k)
+      liveCols(to) = liveCols(k)
+      liveInc -= k
+      liveCols -= k
+      ()
+    }
+
+    createTable(Keys(0))
+    cut(Keys(0))
+    (1 to 14).foreach { _ =>
+      val ks = liveInc.keys.toVector.sorted
+      if (ks.isEmpty) createTable(Keys(rnd.nextInt(Keys.size)))
+      else {
+        val k = ks(rnd.nextInt(ks.size))
+        rnd.nextInt(10) match {
+          case 0 | 1 | 2 => addCol(k)
+          case 3         => dropCol(k)
+          case 4         => renameCol(k)
+          case 5         => modifyCol(k)
+          case 6         => dropTable(k)
+          case 7         => renameTable(k)
+          case 8 if !liveInc.contains(Keys(0)) => createTable(Keys(0))
+          case _         => ()
+        }
+        if (rnd.nextBoolean()) liveInc.keys.toVector.sorted
+          .foreach(kk => if (rnd.nextBoolean()) cut(kk))
+      }
+    }
+    liveInc.keys.toVector.sorted.foreach(cut)
+
+    // the model's cell expectation
+    def expect(s: VSlice, n: String): Option[String] =
+      if (s.present.contains(n)) None
+      else view(s.key).getOrElse(n, Vector.empty)
+        .filter(e => (e.inc eq s.inc) && e.addVersion > s.version)
+        .sortBy(_.addVersion).headOption
+        .flatMap(e => eval(e.raw, e.notNull, e.ty))
+
+    // fold each key's slices (all payload cells NULL: a fill is the only
+    // way a cell becomes non-null, explicit-null survival included)
+    slices.groupBy(_.key).foreach { case (k, ss) =>
+      val rows = ss.map(s =>
+        (s.version, null: String, null: String, null: String))
+      val df = rows.toSeq.toDF("schema_version", "c_str", "d_str", "x_str")
+      val got = st.fold(k, df).collect()
+        .map(r => r.getLong(0) -> NamePool.zipWithIndex.map { case (n, i) =>
+          n -> Option(r.getString(i + 1))
+        }.toMap).toMap
+      ss.foreach { s =>
+        NamePool.foreach { n =>
+          val want = expect(s, n)
+          assert(got(s.version)(n) == want,
+            s"seed=$seed key=$k slice v=${s.version} col=$n: " +
+              s"impl=${got(s.version)(n)} model=$want " +
+              s"(present=${s.present})\nops:\n${ops.mkString("\n")}")
+        }
+      }
+    }
+  }
+
+  test("random legal DDL sequences: fold matches the incarnation-identity model") {
+    (1 to 60).foreach(runScenario)
+  }
+}

@@ -68,7 +68,7 @@ class DecodeFillSpec extends SparkSpec {
   }
 
   test("each absent slice reads the add that ended ITS gap, typed per incarnation") {
-    // add@10 INT DEFAULT 5 — DROP TABLE (state kept, no transition) —
+    // add@10 INT DEFAULT 5 — DROP TABLE (entries kept, identity ends) —
     // recreate re-adds c@30 as STRING DEFAULT 'x': the old incarnation's
     // pre-add rows keep 5 through INT, the new incarnation's pre-add rows
     // read 'x', and a version above every add reads no fill
@@ -76,11 +76,11 @@ class DecodeFillSpec extends SparkSpec {
     st.recordSlice(K, 0L, Set("k"))
     st.onColumnDdl(K, 10L, "add", "c", "INT", Some("5"), None)
     st.recordSlice(K, 10L, Set("k", "c"))
-    st.onTableDrop(K, 15L)
+    st.onTableDrop(K)
     st.recordSlice(K, 20L, Set("k"))           // recreated table, c not yet re-added
     st.onColumnDdl(K, 30L, "add", "c", "STRING", Some("'x'"), None)
     st.recordSlice(K, 30L, Set("k", "c"))
-    st.onTableDrop(K, 35L)
+    st.onTableDrop(K)
     st.recordSlice(K, 40L, Set("k"))           // second recreate, never re-added
     val out = folded(st, frame(0L -> None, 10L -> None, 20L -> None,
       30L -> None, 40L -> None))
@@ -99,7 +99,7 @@ class DecodeFillSpec extends SparkSpec {
     st.recordSlice(K, 0L, Set("k"))
     st.onColumnDdl(K, 10L, "add", "c", "INT", None, None)
     st.recordSlice(K, 10L, Set("k", "c"))
-    st.onTableDrop(K, 15L)
+    st.onTableDrop(K)
     st.recordSlice(K, 20L, Set("k"))
     st.onColumnDdl(K, 30L, "add", "c", "INT", Some("7"), None)
     val out = folded(st, frame(0L -> None, 20L -> None))
@@ -115,11 +115,11 @@ class DecodeFillSpec extends SparkSpec {
     val st = new DecodeFill(true)
     val K2 = ("app", "t2")
     st.recordSlice(K2, 0L, Set("k"))
-    st.onTableDrop(K2, 10L)
+    st.onTableDrop(K2)
     st.recordSlice(K2, 15L, Set("k"))          // recreated incarnation
     st.onColumnDdl(K2, 25L, "add", "d", "INT", Some("9"), None)
     st.onColumnDdl(K, 20L, "add", "c", "INT", Some("5"), None)
-    st.onTableRename(K, K2, 30L)               // swap cutover: t -> t2
+    st.onTableRename(K, K2)               // swap cutover: t -> t2
     val df = Seq((0L, None: Option[String], None: Option[String]),
       (15L, None: Option[String], None: Option[String]))
       .toDF("schema_version", "c_str", "d_str")
@@ -139,8 +139,8 @@ class DecodeFillSpec extends SparkSpec {
     // key's) rows — the fresh CREATE under t is a new incarnation
     val st2 = new DecodeFill(true)
     st2.recordSlice(K, 0L, Set("k"))           // original t's rows
-    st2.onTableRename(K, ("app", "old"), 10L)  // t renamed away
-    st2.onTableCreate(K, 12L)                  // fresh t
+    st2.onTableRename(K, ("app", "old"))  // t renamed away
+    st2.onTableCreate(K)                  // fresh t
     st2.onColumnDdl(K, 20L, "add", "c", "INT", Some("5"), None)
     assert(st2.fold(K, frame(0L -> None)).collect()(0).isNullAt(1),
       "the fresh table's default leaked onto the renamed-away rows")
@@ -152,8 +152,8 @@ class DecodeFillSpec extends SparkSpec {
     val st = new DecodeFill(true)
     st.recordSlice(K, 0L, Set("k"))
     st.onColumnDdl(K, 10L, "add", "c", "INT", Some("5"), None)
-    st.onTableDrop(K, 15L)
-    st.onTableCreate(K, 18L)                   // recreate carries c in defs
+    st.onTableDrop(K)
+    st.onTableCreate(K)                   // recreate carries c in defs
     st.recordSlice(K, 18L, Set("k", "c"))
     st.onColumnDdl(K, 25L, "drop", "c", "", None, None)
     st.recordSlice(K, 25L, Set("k"))
@@ -162,8 +162,8 @@ class DecodeFillSpec extends SparkSpec {
     val st2 = new DecodeFill(true)
     st2.recordSlice(K, 0L, Set("k"))
     st2.onColumnDdl(K, 10L, "add", "c", "DECIMAL(10,1)", Some("1.5"), None)
-    st2.onTableDrop(K, 15L)
-    st2.onTableCreate(K, 18L)
+    st2.onTableDrop(K)
+    st2.onTableCreate(K)
     st2.onColumnDdl(K, 25L, "modify", "c", "DECIMAL(10,3)", None, None)
     assert(st2.fold(K, frame(0L -> None)).collect()(0).getString(1) == "1.5",
       "the recreate's MODIFY retyped the old incarnation's fill")
@@ -247,10 +247,10 @@ class DecodeFillSpec extends SparkSpec {
     val K2 = ("app", "t2")
     val st2 = new DecodeFill(true)
     st2.recordSlice(K2, 3L, Set("k"))          // a prior t2 incarnation's slice
-    st2.onTableDrop(K2, 5L)
+    st2.onTableDrop(K2)
     st2.recordSlice(K, 0L, Set("k"))
     st2.onColumnDdl(K, 10L, "add", "c", "INT", Some("5"), None)
-    st2.onTableRename(K, K2, 20L)
+    st2.onTableRename(K, K2)
     // the OLD key's slices still fill at batch end (copy, not move) …
     assert(st2.fold(K, frame(0L -> None)).collect()(0).getString(1) == "5")
     // … and the new key carries the entries forward: a later column
@@ -287,8 +287,8 @@ class DecodeFillSpec extends SparkSpec {
     val st2 = new DecodeFill(true)
     st2.recordSlice(K, 0L, Set("k", "c"))      // gen-0 slice: has c, lacks x
     st2.onColumnDdl(K, 5L, "add", "x", "INT", Some("7"), None)
-    st2.onTableDrop(K, 8L)
-    st2.onTableCreate(K, 9L)
+    st2.onTableDrop(K)
+    st2.onTableCreate(K)
     st2.recordSlice(K, 9L, Set("k", "c"))
     st2.onColumnDdl(K, 10L, "rename", "c", "x", None, None)
     val df2 = Seq((0L, None: Option[String])).toDF("schema_version", "x_str")
@@ -302,8 +302,8 @@ class DecodeFillSpec extends SparkSpec {
     // rows (registration = onTableCreate; same rule as CREATE)
     val st = new DecodeFill(true)
     st.recordSlice(K, 0L, Set("k"))
-    st.onTableRename(K, ("app", "old"), 10L)
-    st.onTableCreate(K, 12L)                   // the flashback registration
+    st.onTableRename(K, ("app", "old"))
+    st.onTableCreate(K)                   // the flashback registration
     st.onColumnDdl(K, 20L, "add", "c", "INT", Some("5"), None)
     assert(st.fold(K, frame(0L -> None)).collect()(0).isNullAt(1))
   }
