@@ -276,20 +276,26 @@ private[graft] final class DecodeFill(enabled: Boolean) {
 
   /** Table rename: the IDENTITY follows the table to the new key, and
     * its live entries COPY along (the old key's already-cut slices still
-    * fold at batch end, on the entries the old key keeps) — the target
-    * name may hold a dropped incarnation's kept entries, and the
+    * fold at batch end, on the frozen SNAPSHOT the old key keeps) — the
+    * target name may hold a dropped incarnation's kept entries, and the
     * identity match at fold time keeps every incarnation's slices on
-    * their own defaults. */
+    * their own defaults. A table renamed away and BACK re-occupies its
+    * old key live: the key's same-identity entries are REPLACED by the
+    * table's current state (mutations made while away — retypes, column
+    * drops — land, and no duplicate can shadow a later retype). */
   def onTableRename(from: K, to: K): Unit = if (enabled) {
     val me = inc(from)
-    fill.get(from).foreach { m =>
-      val old = fill.getOrElse(to, Map.empty)
-      fill += to -> m.foldLeft(old) { case (acc, (c, vec)) =>
+    val stripped = fill.getOrElse(to, Map.empty)
+      .map { case (c, vec) => c -> vec.filterNot(_.inc == me) }
+      .filter(_._2.nonEmpty)
+    val merged = fill.get(from).fold(stripped) { m =>
+      m.foldLeft(stripped) { case (acc, (c, vec)) =>
         val mine = vec.filter(_.inc == me)
         if (mine.isEmpty) acc
         else acc + (c -> (acc.getOrElse(c, Vector.empty) ++ mine))
       }
     }
+    if (merged.nonEmpty) fill += to -> merged else fill -= to
     liveInc(to) = me
     liveInc.remove(from)
     ()

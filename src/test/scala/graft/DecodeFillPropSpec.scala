@@ -168,9 +168,16 @@ class DecodeFillPropSpec extends SparkSpec {
       val v = nextV()
       ops += s"renameTable $k->$to v=$v"
       st.onTableRename(k, to)
-      // live entries COPY to the new key; the old key's view freezes
+      // live entries COPY to the new key as FRESH objects (the old key's
+      // view freezes as a snapshot; mutations at the new key must not
+      // reach back), and a same-table return REPLACES the target's own
+      // stale snapshot wholesale
+      view(to).foreach { case (n, vec) =>
+        putView(to, n, vec.filterNot(_.inc eq liveInc(k)))
+      }
       view(k).foreach { case (n, vec) =>
         val mine = vec.filter(_.inc eq liveInc(k))
+          .map(e => new VEntry(e.inc, e.addVersion, e.raw, e.notNull, e.ty))
         if (mine.nonEmpty)
           putView(to, n, view(to).getOrElse(n, Vector.empty) ++ mine)
       }
@@ -235,6 +242,6 @@ class DecodeFillPropSpec extends SparkSpec {
   }
 
   test("random legal DDL sequences: fold matches the incarnation-identity model") {
-    (1 to 60).foreach(runScenario)
+    (1 to 200).foreach(runScenario)
   }
 }

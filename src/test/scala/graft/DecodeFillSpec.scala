@@ -296,6 +296,38 @@ class DecodeFillSpec extends SparkSpec {
       "the recreate's rename aliased a frozen generation's slice")
   }
 
+  test("a table renamed away and back re-occupies its key LIVE") {
+    val K2 = ("app", "t2")
+    // a MODIFY after the return retypes the fill (no stale duplicate
+    // from the rename cycle may shadow it) …
+    val st = new DecodeFill(true)
+    st.recordSlice(K, 0L, Set("k"))
+    st.onColumnDdl(K, 10L, "add", "c", "INT", Some("5"), None)
+    st.onTableRename(K, K2)
+    st.onTableRename(K2, K)
+    st.onColumnDdl(K, 30L, "modify", "c", "DECIMAL(10,3)", None, None)
+    assert(st.fold(K, frame(0L -> None)).collect()(0).getString(1) == "5.000",
+      "a rename-cycle duplicate shadowed the MODIFY")
+    // … a column dropped while away is gone on return …
+    val st2 = new DecodeFill(true)
+    st2.recordSlice(K, 0L, Set("k"))
+    st2.onColumnDdl(K, 10L, "add", "c", "INT", Some("5"), None)
+    st2.onTableRename(K, K2)
+    st2.onColumnDdl(K2, 20L, "drop", "c", "", None, None)
+    st2.onTableRename(K2, K)
+    assert(st2.fold(K, frame(0L -> None)).collect()(0).isNullAt(1),
+      "a column dropped while away still filled after the return")
+    // … but a retype made while away does NOT reach back into the
+    // departed key's frozen snapshot
+    val st3 = new DecodeFill(true)
+    st3.recordSlice(K, 0L, Set("k"))
+    st3.onColumnDdl(K, 10L, "add", "c", "STRING", Some("'a'"), None)
+    st3.onTableRename(K, K2)
+    st3.onColumnDdl(K2, 20L, "modify", "c", "INT", None, None)
+    assert(st3.fold(K, frame(0L -> None)).collect()(0).getString(1) == "a",
+      "a retype at the new key reached back into the old key's snapshot")
+  }
+
   test("FLASHBACK onto a rename-freed name starts its own generation") {
     // RENAME t TO old frees the name; FLASHBACK x TO t registers a
     // DIFFERENT table under it — its adds must not fill the renamed-away
