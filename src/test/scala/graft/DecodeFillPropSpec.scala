@@ -45,6 +45,8 @@ class DecodeFillPropSpec extends SparkSpec {
       case ("5", _)                 => Some("5")
       case ("'a'", "STRING")        => Some("a")
       case ("'a'", _)               => None // try_cast 'a' to INT is NULL
+      case ("0x41", "INT")          => Some("65") // hex: numeric reading
+      case ("0x41", _)              => Some("A")  // hex on text: the byte
       case ("CURRENT_TIMESTAMP", _) => None
       case other                    => sys.error(s"unmodelled default $other")
     }
@@ -81,10 +83,11 @@ class DecodeFillPropSpec extends SparkSpec {
       if (free.isEmpty) return
       val n = free(rnd.nextInt(free.size))
       val ty = if (rnd.nextBoolean()) "INT" else "STRING"
-      val (dflt, notNull) = rnd.nextInt(4) match {
+      val (dflt, notNull) = rnd.nextInt(5) match {
         case 0 => (Some("5"), false)
         case 1 => (Some("'a'"), false)
         case 2 => (Some("CURRENT_TIMESTAMP"), false)
+        case 3 => (Some("0x41"), rnd.nextBoolean())
         case _ => (None, rnd.nextBoolean())
       }
       val v = nextV()
@@ -143,6 +146,16 @@ class DecodeFillPropSpec extends SparkSpec {
       view(k).getOrElse(n, Vector.empty)
         .filter(_.inc eq liveInc(k)).foreach(_.ty = ty)
     }
+    def truncate(k: K): Unit = {
+      // streamed F6: pre-truncate rows leave the output — ALL slices and
+      // entries under the name clear, the dropped-incarnation ones too
+      // (the documented DROP->CREATE->TRUNCATE limit)
+      ops += s"truncate $k"
+      st.onTruncate(k)
+      views -= k
+      slices.filterInPlace(_.key != k)
+      ()
+    }
     def dropTable(k: K): Unit = {
       cut(k) // the walk cuts the in-flight slice at the drop barrier
       val v = nextV()
@@ -195,7 +208,7 @@ class DecodeFillPropSpec extends SparkSpec {
       if (ks.isEmpty) createTable(Keys(rnd.nextInt(Keys.size)))
       else {
         val k = ks(rnd.nextInt(ks.size))
-        rnd.nextInt(10) match {
+        rnd.nextInt(11) match {
           case 0 | 1 | 2 => addCol(k)
           case 3         => dropCol(k)
           case 4         => renameCol(k)
@@ -203,6 +216,7 @@ class DecodeFillPropSpec extends SparkSpec {
           case 6         => dropTable(k)
           case 7         => renameTable(k)
           case 8 if !liveInc.contains(Keys(0)) => createTable(Keys(0))
+          case 9         => truncate(k)
           case _         => ()
         }
         if (rnd.nextBoolean()) liveInc.keys.toVector.sorted
