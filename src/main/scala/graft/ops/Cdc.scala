@@ -37,6 +37,15 @@ object Cdc {
        |  event_type, ts, value, props
        |FROM events""".stripMargin
 
+  /** Max commit ts of a change feed, 0 on an empty one — the NULL max
+    * would NPE a bare getLong where every degenerate path should just
+    * slice an empty window. One-row aggregate; shared by every staged
+    * query builder. */
+  def maxCommitTs(changes: DataFrame): Long = {
+    val r = changes.agg(max("commit_ts")).head
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   /** M1 `TiBinlogToTxn` analog (ref: drainer/translator/mysql.go:108-210):
     * raw ingest record → change-event envelope. Pure projection, no shuffle;
     * Catalyst prunes unused envelope columns upstream of any consumer. */

@@ -333,22 +333,18 @@ object DrainerPipeline {
     * ADD COLUMN, exactly the decode's pre-DDL NULL). Payload values ride
     * mod 1e6 + .25 so both engines stay float-exact. */
   def replicatedQuery(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sources.PbBinlogFile
     import graft.streaming.SchemaTracker
-    val wireDir = graft.util.Scratch.dir("graft_repl_wire")
-    val outDir = graft.util.Scratch.dir("graft_replq_out")
-    val ckpt = graft.util.Scratch.dir("graft_replq_ckpt")
-    val changes = Cdc.changes(spark, dir).persist()
-    try {
-      val maxRow = changes.agg(max("commit_ts")).head
-      val maxTs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val (wireDir, outDir, ckpt) = graft.streaming.CdcStream.stageWire(
+        spark, dir, "repl") { (changes, maxTs) =>
       // first 20% of the stream, DDL at its midpoint — the composition
       // exercises every path at any volume; the embedded target's JDBC
       // throughput should not dominate the bench (multiTableQuery's
-      // slicing rationale)
+      // slicing rationale). The DML keeps the ORIGINAL op column (the
+      // oracle filters deletes), so the envelope is spelled in place
+      // rather than through wireDmlRows' op='U' shape.
       val bound = maxTs / 5
       val m = bound / 2
-      val dml = changes.filter(col("commit_ts") <= bound).select(
+      changes.filter(col("commit_ts") <= bound).select(
         col("commit_ts"), col("pk"), col("op"),
         when(pmod(col("pk"), lit(2)) === 0, "ta").otherwise("tb").as("event_type"),
         col("ts"), col("value"),
@@ -360,15 +356,9 @@ object DrainerPipeline {
             .otherwise(lit("")),
           lit("}")).as("props"),
         lit(null).cast("string").as("ddl_sql"))
-      val ddlRow = spark.range(1).select(
-        lit(m).as("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
-        lit("ddl").as("event_type"),
-        timestamp_micros(lit(m) * 1000000L).as("ts"),
-        lit(null).cast("double").as("value"),
-        lit(null).cast("string").as("props"),
-        lit("ALTER TABLE app.ta ADD COLUMN extra BIGINT").as("ddl_sql"))
-      PbBinlogFile.write(dml.unionByName(ddlRow), wireDir, nFiles = 2)
-    } finally { changes.unpersist(); () }
+        .unionByName(graft.streaming.CdcStream.wireDdlRow(spark, m,
+          "ALTER TABLE app.ta ADD COLUMN extra BIGINT"))
+    }
     val tracker = new SchemaTracker()
     tracker.createTable("app", "ta", Seq("k DOUBLE"), version = 0)
     tracker.createTable("app", "tb", Seq("k DOUBLE"), version = 0)

@@ -52,10 +52,7 @@ object Reparo {
     val scratch = graft.util.Scratch.dir("graft_reparo_e2e")
     val changes = graft.ops.Cdc.changes(spark, dir)
     PbBinlogFile.write(changes, s"$scratch/pb", nFiles = 4)
-    // empty change set -> NULL max; getLong would NPE where the degenerate
-    // path should just replay an empty window (same guard as batchQuery)
-    val maxRow = changes.agg(max("commit_ts")).head
-    val maxTs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val maxTs = graft.ops.Cdc.maxCommitTs(changes)
     // wire files stay on disk (the binary format IS the substrate under
     // test); the recovery-target database is in-memory staging
     val url = graft.util.Scratch.derbyMemUrl("graft_reparo_e2e")
@@ -128,9 +125,7 @@ object Arbiter {
     val scratch = graft.util.Scratch.dir("graft_arbiter_e2e")
     val in = s"$scratch/frames"
     val changes = graft.ops.Cdc.changes(spark, dir)
-    // NULL-max guard: an empty change set slices to nothing, not an NPE
-    val maxRow = changes.agg(max("commit_ts")).head
-    val maxTs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val maxTs = graft.ops.Cdc.maxCommitTs(changes)
     val slice = changes.filter(col("commit_ts") <= maxTs / 20)
       .select("commit_ts", "pk", "op", "value")
     def frames = spark.readStream.schema(CdcStream.kafkaFrameSchema).parquet(in)

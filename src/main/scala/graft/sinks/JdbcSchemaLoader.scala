@@ -210,7 +210,7 @@ object JdbcSchemaLoader {
         | CONSTRAINT TYPED_UK UNIQUE (K1, K2))""".stripMargin)
     val changes = graft.ops.TypeDomain.typedEnvelope(
       graft.ops.Cdc.changes(spark, dir))
-    val maxTs = changes.agg(max("commit_ts")).head.getLong(0)
+    val maxTs = graft.ops.Cdc.maxCommitTs(changes)
     val slice = changes.filter(col("commit_ts") <= maxTs / 10)
     val orders = slice.filter(col("pk") % 2 === 0)
       .select(col("pk"), col("commit_ts"), col("op"), col("value").as("val"))
@@ -261,7 +261,7 @@ object JdbcSchemaLoader {
         | COMMIT_TS BIGINT, VAL DOUBLE,
         | CONSTRAINT SEQ_UK UNIQUE (UK))""".stripMargin)
     val changes = graft.ops.Cdc.changes(spark, dir)
-    val maxTs = changes.agg(max("commit_ts")).head.getLong(0)
+    val maxTs = graft.ops.Cdc.maxCommitTs(changes)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pk")).orderBy(col("commit_ts"))
     val slice = changes.filter(col("commit_ts") <= maxTs / 20)
@@ -318,7 +318,7 @@ object JdbcSchemaLoader {
         | COMMIT_TS BIGINT, VAL DOUBLE,
         | CONSTRAINT MIG_UK UNIQUE (K1, K2))""".stripMargin)
     val changes = graft.ops.Cdc.changes(spark, dir)
-    val maxTs = changes.agg(max("commit_ts")).head.getLong(0)
+    val maxTs = graft.ops.Cdc.maxCommitTs(changes)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pk")).orderBy(col("commit_ts"))
     val slice = changes.filter(col("commit_ts") <= maxTs / 20)

@@ -63,10 +63,7 @@ object JdbcUpsertSink {
     * the query's cost scales with the prefix, not the corpus. */
   def stateQuery(spark: SparkSession, dir: String): DataFrame = {
     val changes = graft.ops.Cdc.changes(spark, dir)
-    // empty change set -> NULL max; getLong would NPE where the degenerate
-    // path should just apply an empty slice (same guard as batchQuery)
-    val maxRow = changes.agg(max("commit_ts")).head
-    val maxTs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val maxTs = graft.ops.Cdc.maxCommitTs(changes)
     val slice = changes.filter(col("commit_ts") <= maxTs * 2 / 10)
       .select("pk", "commit_ts", "op", "value")
     // per-invocation in-memory database, reclaimed prefix-scoped (the

@@ -547,8 +547,7 @@ object PbBinlogFile {
     // pass) would otherwise rescan the source ~5 times
     val changes = graft.ops.Cdc.changes(spark, dir).persist()
     try {
-      val maxRow = changes.agg(max("commit_ts")).head
-      val maxTs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      val maxTs = graft.ops.Cdc.maxCommitTs(changes)
       val mid = maxTs / 2
       write(changes.filter(col("commit_ts") <= mid), out, nFiles = 2)
       write(changes.filter(col("commit_ts") > mid), out, nFiles = 2)
@@ -627,8 +626,7 @@ object PbBinlogFile {
     write(changes, out, nFiles = 4)
     // sf-relative [20%, 60%] of the ts domain, so the scan prunes files at
     // every scale factor; the max is a one-row aggregate
-    val maxRow = changes.agg(max("commit_ts")).head
-      val maxTs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val maxTs = graft.ops.Cdc.maxCommitTs(changes)
     read(spark, out, startTs = maxTs * 2 / 10, endTs = maxTs * 6 / 10)
       .select("commit_ts", "pk", "op", "event_type", "ts", "value", "props")
   }
@@ -655,9 +653,7 @@ object PbBinlogFile {
     val ckpt = graft.util.Scratch.dir("graft_wire_relay_ckpt")
     val changes = graft.ops.Cdc.changes(spark, dir).persist()
     try {
-      val maxRow = changes.agg(max("commit_ts")).head
-      val maxTs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-      val mid = maxTs / 2
+      val mid = graft.ops.Cdc.maxCommitTs(changes) / 2
       write(changes.filter(col("commit_ts") <= mid), out, nFiles = 2)
       write(changes.filter(col("commit_ts") > mid), out, nFiles = 2)
     } finally { changes.unpersist(); () }

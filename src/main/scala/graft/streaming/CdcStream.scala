@@ -1824,34 +1824,24 @@ object CdcStream {
     * scale factor. */
   def multiDecodeQuery(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.PbBinlogFile
-    val wireDir = graft.util.Scratch.dir("graft_mdec_wire")
-    val outDir = graft.util.Scratch.dir("graft_mdec_out")
-    val ckpt = graft.util.Scratch.dir("graft_mdec_ckpt")
-    val changes = graft.ops.Cdc.changes(spark, dir).persist()
-    try {
-      val maxRow = changes.agg(max("commit_ts")).head
-      val maxTs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-      val mid = maxTs / 2
-      val t34 = 3 * maxTs / 4
-      val dml = wireDmlRows(changes,
-        when(pmod(col("pk"), lit(2)) === 0, "ta").otherwise("tb"),
-        concat(lit("{\"k\": "),
-          (pmod(col("commit_ts"), lit(1000000L)).cast("double") + 0.26)
-            .cast("string"),
-          lit("}")))
-      def ddlRow(ts: Long, sql: String) = wireDdlRow(spark, ts, sql)
-      PbBinlogFile.write(dml
-        .unionByName(ddlRow(mid, "ALTER TABLE app.ta MODIFY COLUMN k DECIMAL(10,1)"))
-        .unionByName(ddlRow(t34, "TRUNCATE TABLE app.tb")),
-        wireDir, nFiles = 2)
-    } finally { changes.unpersist(); () }
+    val (wireDir, outDir, ckpt) = stageWire(spark, dir, "mdec") {
+      (changes, maxTs) =>
+        wireDmlRows(changes,
+          when(pmod(col("pk"), lit(2)) === 0, "ta").otherwise("tb"),
+          concat(lit("{\"k\": "),
+            (pmod(col("commit_ts"), lit(1000000L)).cast("double") + 0.26)
+              .cast("string"),
+            lit("}")))
+          .unionByName(wireDdlRow(spark, maxTs / 2,
+            "ALTER TABLE app.ta MODIFY COLUMN k DECIMAL(10,1)"))
+          .unionByName(wireDdlRow(spark, 3 * maxTs / 4, "TRUNCATE TABLE app.tb"))
+    }
     val tracker = new SchemaTracker()
     tracker.createTable("app", "ta", Seq("k DOUBLE"), version = 0)
     tracker.createTable("app", "tb", Seq("k DOUBLE"), version = 0)
     val q = ddlDrivenDecodeTables(PbBinlogFile.readStream(spark, wireDir),
       tracker, outDir, ckpt, "app", col("event_type"))
-    try q.processAllAvailable() finally q.stop()
-    assertSingleBatch(spark, outDir)
+    drainDecode(q, spark, outDir)
     spark.read.parquet(s"$outDir/data")
       .select(col("table").cast("string").as("table_name"), col("commit_ts"),
         col("k_str"), col("schema_version"))
@@ -1886,28 +1876,20 @@ object CdcStream {
     * line). Same tie-free x.26 payload algebra as [[multiDecodeQuery]]. */
   def schemaRoutedQuery(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.PbBinlogFile
-    val wireDir = graft.util.Scratch.dir("graft_srt_wire")
-    val outDir = graft.util.Scratch.dir("graft_srt_out")
-    val ckpt = graft.util.Scratch.dir("graft_srt_ckpt")
-    val changes = graft.ops.Cdc.changes(spark, dir).persist()
-    try {
-      val maxRow = changes.agg(max("commit_ts")).head
-      val maxTs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-      val mid = maxTs / 2
-      val dml = wireDmlRows(changes,
-        when(pmod(col("pk"), lit(2)) === 0, "sa:t").otherwise("sb:t"),
-        concat(lit("{\"k\": "),
-          (pmod(col("commit_ts"), lit(1000000L)).cast("double") + 0.26)
-            .cast("string"),
-          lit("}")))
-      def ddlRow(ts: Long, sql: String) = wireDdlRow(spark, ts, sql)
-      PbBinlogFile.write(dml
-        .unionByName(ddlRow(mid,
-          "Alter Table `sa`.`t` Modify Column k DECIMAL(10,1)"))
-        .unionByName(ddlRow(3 * maxTs / 4, "CREATE INDEX i_k ON sb.t (k)"))
-        .unionByName(ddlRow(5 * maxTs / 8, "OPTIMIZE TABLE sb.t")),
-        wireDir, nFiles = 2)
-    } finally { changes.unpersist(); () }
+    val (wireDir, outDir, ckpt) = stageWire(spark, dir, "srt") {
+      (changes, maxTs) =>
+        wireDmlRows(changes,
+          when(pmod(col("pk"), lit(2)) === 0, "sa:t").otherwise("sb:t"),
+          concat(lit("{\"k\": "),
+            (pmod(col("commit_ts"), lit(1000000L)).cast("double") + 0.26)
+              .cast("string"),
+            lit("}")))
+          .unionByName(wireDdlRow(spark, maxTs / 2,
+            "Alter Table `sa`.`t` Modify Column k DECIMAL(10,1)"))
+          .unionByName(wireDdlRow(spark, 3 * maxTs / 4,
+            "CREATE INDEX i_k ON sb.t (k)"))
+          .unionByName(wireDdlRow(spark, 5 * maxTs / 8, "OPTIMIZE TABLE sb.t"))
+    }
     val tracker = new SchemaTracker()
     tracker.createTable("sa", "t", Seq("k DOUBLE"), version = 0)
     tracker.createTable("sb", "t", Seq("k DOUBLE"), version = 0)
@@ -1918,8 +1900,7 @@ object CdcStream {
       substring_index(col("event_type"), ":", 1),
       substring_index(col("event_type"), ":", -1),
       skippedDdl = Some(skipped))
-    try q.processAllAvailable() finally q.stop()
-    assertSingleBatch(spark, outDir)
+    drainDecode(q, spark, outDir)
     require(skipped.value == 2L,
       s"expected the 2 administrative wire statements skipped, got ${skipped.value}")
     spark.read.parquet(s"$outDir/data")
@@ -1946,7 +1927,7 @@ object CdcStream {
 
   /** One staged wire DDL frame — the shared envelope of the t6 oracle
     * wires (a DDL item carries no payload; ref binlog.proto's DDL kind). */
-  private def wireDdlRow(spark: SparkSession, ts: Long, sql: String): DataFrame =
+  private[graft] def wireDdlRow(spark: SparkSession, ts: Long, sql: String): DataFrame =
     spark.range(1).select(
       lit(ts).as("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
       lit("ddl").as("event_type"),
@@ -1957,13 +1938,38 @@ object CdcStream {
 
   /** The matching DML envelope over the change stream: routing and JSON
     * payload vary per wire, the frame shape never does. */
-  private def wireDmlRows(changes: DataFrame, eventType: Column,
+  private[graft] def wireDmlRows(changes: DataFrame, eventType: Column,
       props: Column): DataFrame =
     changes.select(
       col("commit_ts"), col("pk"), lit("U").as("op"),
       eventType.as("event_type"),
       col("ts"), col("value"), props.as("props"),
       lit(null).cast("string").as("ddl_sql"))
+
+  /** Staging harness shared by the oracle wires: three per-invocation
+    * scratch dirs (wire, out, ckpt — concurrent constructions must never
+    * contend on one directory), the change feed pinned across the staging
+    * passes, its max commit ts handed to `build`, and the built wire
+    * written as two segments. */
+  private[graft] def stageWire(spark: SparkSession, dir: String, tag: String)(
+      build: (DataFrame, Long) => DataFrame): (String, String, String) = {
+    val wireDir = graft.util.Scratch.dir(s"graft_${tag}_wire")
+    val outDir = graft.util.Scratch.dir(s"graft_${tag}_out")
+    val ckpt = graft.util.Scratch.dir(s"graft_${tag}_ckpt")
+    val changes = graft.ops.Cdc.changes(spark, dir).persist()
+    try graft.sources.PbBinlogFile.write(
+      build(changes, graft.ops.Cdc.maxCommitTs(changes)), wireDir, nFiles = 2)
+    finally { changes.unpersist(); () }
+    (wireDir, outDir, ckpt)
+  }
+
+  /** Drain a staged-wire decode and enforce the one-micro-batch contract
+    * the oracle SQL models. */
+  private[graft] def drainDecode(q: StreamingQuery, spark: SparkSession,
+      outDir: String): Unit = {
+    try q.processAllAvailable() finally q.stop()
+    assertSingleBatch(spark, outDir)
+  }
 
   /** Oracle-checked column-option-tail normalization (the r12-verdict
     * robustness gap under the hash gate): stage a wire where the midpoint
@@ -1980,32 +1986,25 @@ object CdcStream {
     * rounds half-up). */
   def optionTailsQuery(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.PbBinlogFile
-    val wireDir = graft.util.Scratch.dir("graft_tails_wire")
-    val outDir = graft.util.Scratch.dir("graft_tails_out")
-    val ckpt = graft.util.Scratch.dir("graft_tails_ckpt")
-    val changes = graft.ops.Cdc.changes(spark, dir).persist()
-    try {
-      val maxRow = changes.agg(max("commit_ts")).head
-      val maxTs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-      val mid = maxTs / 2
-      val payload = (pmod(col("commit_ts"), lit(1000000L)).cast("double") + 0.26)
-        .cast("string")
-      val dml = wireDmlRows(changes, lit("t"),
-        concat(lit("{\"k\": "), payload,
-          when(col("commit_ts") > mid,
-            concat(lit(", \"c\": "), payload)).otherwise(lit("")),
-          lit("}")))
-      val ddlRow = wireDdlRow(spark, mid,
-        "ALTER TABLE `app`.`t` ADD COLUMN c DECIMAL(10,1) NOT NULL " +
-          "DEFAULT 1.5 AFTER k")
-      PbBinlogFile.write(dml.unionByName(ddlRow), wireDir, nFiles = 2)
-    } finally { changes.unpersist(); () }
+    val (wireDir, outDir, ckpt) = stageWire(spark, dir, "tails") {
+      (changes, maxTs) =>
+        val mid = maxTs / 2
+        val payload = (pmod(col("commit_ts"), lit(1000000L)).cast("double") + 0.26)
+          .cast("string")
+        wireDmlRows(changes, lit("t"),
+          concat(lit("{\"k\": "), payload,
+            when(col("commit_ts") > mid,
+              concat(lit(", \"c\": "), payload)).otherwise(lit("")),
+            lit("}")))
+          .unionByName(wireDdlRow(spark, mid,
+            "ALTER TABLE `app`.`t` ADD COLUMN c DECIMAL(10,1) NOT NULL " +
+              "DEFAULT 1.5 AFTER k"))
+    }
     val tracker = new SchemaTracker()
     tracker.createTable("app", "t", Seq("k DOUBLE"), version = 0)
     val q = ddlDrivenDecodeTables(PbBinlogFile.readStream(spark, wireDir),
       tracker, outDir, ckpt, "app", col("event_type"))
-    try q.processAllAvailable() finally q.stop()
-    assertSingleBatch(spark, outDir)
+    drainDecode(q, spark, outDir)
     require(tracker.originDefault("app", "t", "c").contains("1.5"),
       s"the stripped DEFAULT must register as the origin default, got " +
         s"${tracker.originDefault("app", "t", "c")}")
@@ -2050,13 +2049,8 @@ object CdcStream {
     * the old key, at or below the rename barrier). */
   def mysqlTypesQuery(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.PbBinlogFile
-    val wireDir = graft.util.Scratch.dir("graft_myty_wire")
-    val outDir = graft.util.Scratch.dir("graft_myty_out")
-    val ckpt = graft.util.Scratch.dir("graft_myty_ckpt")
-    val changes = graft.ops.Cdc.changes(spark, dir).persist()
-    try {
-      val maxRow = changes.agg(max("commit_ts")).head
-      val maxTs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val (wireDir, outDir, ckpt) = stageWire(spark, dir, "myty") {
+      (changes, maxTs) =>
       val mid = maxTs / 2
       val secs = pmod(col("commit_ts"), lit(86400L))
       val hhmmss = concat(
@@ -2090,7 +2084,7 @@ object CdcStream {
             .otherwise(lit("")),
           lit("}")))
       def ddlRow(sql: String, ts: Long = mid) = wireDdlRow(spark, ts, sql)
-      PbBinlogFile.write(dml
+      dml
         // NATIONAL VARCHAR exercises a TWO-TOKEN native spelling on the
         // wire path (the map's NATIONAL-prefix fold), DATE the untouched
         // pass-through, SET the tracked-dictionary bitmask below, BIT a
@@ -2109,16 +2103,14 @@ object CdcStream {
           "ALTER TABLE app.t ADD COLUMN e ENUM('red','green','blue') DEFAULT 'red'"))
         .unionByName(ddlRow("ALTER TABLE app.t ADD COLUMN st SET('a','b','c')"))
         .unionByName(ddlRow("ALTER TABLE app.t ADD COLUMN y YEAR"))
-        .unionByName(ddlRow("RENAME TABLE app.t TO app.t2", ts = maxTs)),
-        wireDir, nFiles = 2)
-    } finally { changes.unpersist(); () }
+        .unionByName(ddlRow("RENAME TABLE app.t TO app.t2", ts = maxTs))
+    }
     val tracker = new SchemaTracker()
     tracker.createTable("app", "t", Seq("k DOUBLE"), version = 0)
     val q = ddlDrivenDecodeTables(PbBinlogFile.readStream(spark, wireDir),
       tracker, outDir, ckpt, "app", col("event_type"),
       fillOriginDefaults = true)
-    try q.processAllAvailable() finally q.stop()
-    assertSingleBatch(spark, outDir)
+    drainDecode(q, spark, outDir)
     // same-ts DDLs apply in statement-text order (the walk's tie rule), so
     // the columns append bt, d, dt, e, st, v, y — and the tracked history
     // lives under the RENAMED name (T5: same history, new key)
