@@ -346,7 +346,8 @@ object CdcStream {
   private[graft] final case class ColumnDdl(schema: String, table: String,
     action: String, column: String, arg: String,
     default: Option[String] = None,
-    dict: Option[Vector[String]] = None) extends WireDdl
+    dict: Option[Vector[String]] = None,
+    native: String = "") extends WireDdl
   private[graft] final case class TruncateDdl(schema: String, table: String) extends WireDdl
   private[graft] final case class CreateDdl(schema: String, table: String,
     defs: Seq[String], ifNotExists: Boolean = false,
@@ -514,8 +515,8 @@ object CdcStream {
     }
   }
 
-  private[graft] def normalizeColumnTail(
-      tail: String): (String, Option[String], Option[Vector[String]]) = {
+  private[graft] def normalizeColumnTail(tail: String):
+      (String, Option[String], Option[Vector[String]], String) = {
     val toksR = tailTokens(tail)
     // multi-token TYPE spellings collapse to the single head token the map
     // reads: a leading NATIONAL drops (NATIONAL [VAR]CHAR[ACTER]), a
@@ -605,7 +606,10 @@ object CdcStream {
     }
     if (notNull) { keep += "NOT"; keep += "NULL" }
     comment.foreach { c => keep += "COMMENT"; keep += c }
-    (keep.mkString(" "), default, dict)
+    // the NATIVE type spelling rides along (4th element): the map above
+    // erases distinctions the T7 zero-value fill needs (TIME/JSON vs
+    // CHAR, fixed-width BINARY(n) vs BLOB — tidb table.GetZeroValue)
+    (keep.mkString(" "), default, dict, toks0.headOption.getOrElse(""))
   }
 
   /** Table-level constraint entries legal inside a CREATE TABLE def list —
@@ -626,7 +630,7 @@ object CdcStream {
     if (toks.length < 2) (d, None, None)
     else {
       val name = toks.head.stripPrefix("`").stripSuffix("`")
-      val (clean, dflt, dict) = normalizeColumnTail(toks.tail.mkString(" "))
+      val (clean, dflt, dict, _) = normalizeColumnTail(toks.tail.mkString(" "))
       (s"$name $clean", dflt.map(name -> _), dict.map(name -> _))
     }
   }
@@ -717,14 +721,14 @@ object CdcStream {
     if (AdminDdlRes.exists(_.pattern.matcher(stmt).matches)) AdminDdl
     else stmt match {
       case ModifyColumnRe(s, t, c, ty) =>
-        val (clean, dflt, dict) = normalizeColumnTail(ty.trim)
-        ColumnDdl(s, t, "modify", c, clean, dflt, dict)
+        val (clean, dflt, dict, native) = normalizeColumnTail(ty.trim)
+        ColumnDdl(s, t, "modify", c, clean, dflt, dict, native)
       case AddColumnRe(s, t, c, ty)    =>
-        val (clean, dflt, dict) = normalizeColumnTail(ty.trim)
-        ColumnDdl(s, t, "add", c, clean, dflt, dict)
+        val (clean, dflt, dict, native) = normalizeColumnTail(ty.trim)
+        ColumnDdl(s, t, "add", c, clean, dflt, dict, native)
       case ChangeColumnRe(s, t, c, nc, ty) =>
-        val (clean, dflt, dict) = normalizeColumnTail(ty.trim)
-        ColumnDdl(s, t, "change", c, s"$nc $clean", dflt, dict)
+        val (clean, dflt, dict, native) = normalizeColumnTail(ty.trim)
+        ColumnDdl(s, t, "change", c, s"$nc $clean", dflt, dict, native)
       case DropColumnRe(s, t, c)       => ColumnDdl(s, t, "drop", c, "")
       case RenameColumnRe(s, t, a, b)  => ColumnDdl(s, t, "rename", a, b)
       case TruncateTableRe(s, t)       => TruncateDdl(s, t)
@@ -1060,8 +1064,8 @@ object CdcStream {
     * existed survives (including between a drop and a re-add);
     * non-constant defaults (CURRENT_TIMESTAMP, expressions) never
     * substitute, and [[DecodeFill]] documents the NULL-filling
-    * divergences (expression defaults, NOT NULL ENUM/SET or date/time
-    * adds without one). Default (false) keeps version-correct
+    * divergences (expression defaults, zero-datetime adds Spark cannot
+    * represent). Default (false) keeps version-correct
     * NULLs, with end-state parity reached at the sink's translated
     * `ADD COLUMN … DEFAULT` barrier instead (the M8/K1 composition) —
     * both equivalence points are supported. */
@@ -1342,7 +1346,7 @@ object CdcStream {
             // one statement may carry several actions (multi-table
             // RENAME/DROP lists); each part dispatches independently
             parsedParts.foreach {
-              case ColumnDdl(s, t, action, c, arg, dflt, dict)
+              case ColumnDdl(s, t, action, c, arg, dflt, dict, native)
                   if catalog.contains((s, t)) =>
                 val prior = catalog((s, t))
                 shapeDdl((s, t), action, c, arg)(i => action match {
@@ -1361,7 +1365,8 @@ object CdcStream {
                 // is discarded like the admin SET DEFAULT form.
                 if (action == "add")
                   dflt.foreach(d => applied += ((ts, s, t, "origin_default", c, d)))
-                fillState.onColumnDdl((s, t), ts, action, c, arg, dflt, dict)
+                fillState.onColumnDdl((s, t), ts, action, c, arg, dflt, dict,
+                  native)
                 // an ENUM/SET dictionary is metadata of the column's
                 // CURRENT type — unlike an origin default it FOLLOWS
                 // modify/change: record the new value list (keyed by the
@@ -2039,8 +2044,11 @@ object CdcStream {
     * enum's default from the decode output (the reference's decode-time
     * T7 equivalence point; `t6_option_tails` keeps the sink-side-backfill
     * mode under the same gate) — the NOT NULL no-default NATIONAL VARCHAR
-    * reads the zero-value '' and the BIT column its HEX-literal default's
-    * numeric value (translator.go:215-227) — and the output's `e_ord`
+    * reads the zero-value '', the NOT NULL no-default TIME its
+    * NATIVE-keyed zero '00:00:00' (both map to STRING on the wire; tidb
+    * table.GetZeroValue tells them apart), and the BIT column its
+    * HEX-literal default's numeric value (translator.go:215-227) — and
+    * the output's `e_ord`
     * column maps the enum text through the tracked dictionary to the
     * reference's numeric representation (mysql.go:266-269). The ADD DDLs
     * share one commit ts, the legal TiDB shape for one ALTER statement's
@@ -2080,6 +2088,7 @@ object CdcStream {
             lit(", \"dt\": \""), dateTxt, lit("\""),
             lit(", \"e\": \""), enumVal, lit("\""),
             lit(", \"st\": \""), setTxt, lit("\""),
+            lit(", \"tm\": \""), hhmmss, lit("\""),
             lit(", \"y\": "), (pmod(col("pk"), lit(30L)) + 1990).cast("string")))
             .otherwise(lit("")),
           lit("}")))
@@ -2102,6 +2111,7 @@ object CdcStream {
         .unionByName(ddlRow(
           "ALTER TABLE app.t ADD COLUMN e ENUM('red','green','blue') DEFAULT 'red'"))
         .unionByName(ddlRow("ALTER TABLE app.t ADD COLUMN st SET('a','b','c')"))
+        .unionByName(ddlRow("ALTER TABLE app.t ADD COLUMN tm TIME NOT NULL"))
         .unionByName(ddlRow("ALTER TABLE app.t ADD COLUMN y YEAR"))
         .unionByName(ddlRow("RENAME TABLE app.t TO app.t2", ts = maxTs))
     }
@@ -2118,7 +2128,7 @@ object CdcStream {
       "the rename must move the tracked history off the old name")
     require(tracker.current("app", "t2").get.columns == Vector("k DOUBLE",
       "bt BIGINT NOT NULL", "d TIMESTAMP", "dt DATE", "e STRING",
-      "st STRING", "v STRING NOT NULL", "y INT"),
+      "st STRING", "tm STRING NOT NULL", "v STRING NOT NULL", "y INT"),
       s"unexpected mapped defs: ${tracker.current("app", "t2").get.columns}")
     require(tracker.dictionary("app", "t2", "e")
       .contains(Vector("red", "green", "blue")),
@@ -2142,7 +2152,7 @@ object CdcStream {
         col("e_str"), element_at(typedLit(ordinals), col("e_str")).as("e_ord"),
         col("st_str"),
         graft.ops.TypeDomain.setMask(setDict, col("st_str")).as("st_mask"),
-        col("y_str"), col("schema_version"))
+        col("tm_str"), col("y_str"), col("schema_version"))
   }
 
   def mysqlTypesSql: String =
@@ -2174,6 +2184,13 @@ object CdcStream {
        |    CASE WHEN (c.pk % 8) & 2 > 0 THEN 'b' END,
        |    CASE WHEN (c.pk % 8) & 4 > 0 THEN 'c' END) END AS st_str,
        |  CASE WHEN c.commit_ts > b.mid THEN c.pk % 8 END AS st_mask,
+       |  CASE WHEN c.commit_ts > b.mid THEN
+       |    lpad(CAST((c.commit_ts % 86400) // 3600 AS VARCHAR), 2, '0')
+       |    || ':'
+       |    || lpad(CAST(((c.commit_ts % 86400) % 3600) // 60 AS VARCHAR), 2, '0')
+       |    || ':'
+       |    || lpad(CAST((c.commit_ts % 86400) % 60 AS VARCHAR), 2, '0')
+       |  ELSE '00:00:00' END AS tm_str,
        |  CASE WHEN c.commit_ts > b.mid
        |       THEN CAST(1990 + c.pk % 30 AS VARCHAR) END AS y_str,
        |  CASE WHEN c.commit_ts <= b.mid THEN 0 ELSE b.mid END AS schema_version

@@ -6,41 +6,38 @@ import org.apache.spark.sql.functions._
 /** Decode-time T7 fill — the state machine behind `fillOriginDefaults`
   * (ref: drainer/translator/translator.go:169-227 getDefaultOrZeroValue):
   * a row that PREDATES a column's ADD reads the add's origin default —
-  * or, for a NOT NULL add without one, the type's zero value — from the
-  * decode output instead of the union's structural NULL. One instance
-  * lives per micro-batch, fed by the decode walk; each method documents
-  * its transition. Divergences from the reference, all NULL-filling: an
-  * expression default (CURRENT_TIMESTAMP — TiDB stores its DDL-time
-  * evaluation, unknowable decode-side), a NOT NULL ENUM/SET add without
-  * a default (the wire type erases which of the two the column was, and
-  * their zeros differ — first element vs empty set), and a NOT NULL
-  * date/time add without a default (MySQL's zero datetime has no Spark
+  * or, for a NOT NULL add without one, the type's MySQL zero value,
+  * keyed on the NATIVE spelling where the mapped wire type erases it
+  * (TIME '00:00:00', JSON 'null', ENUM first element, SET empty,
+  * fixed-width BINARY(n) n zero bytes — translator.go:221-225 + tidb
+  * table.GetZeroValue) — from the decode output instead of the union's
+  * structural NULL. One instance lives per micro-batch, fed by the
+  * decode walk; each method documents its transition. Divergences from
+  * the reference, both NULL-filling: an expression default
+  * (CURRENT_TIMESTAMP — TiDB stores its DDL-time evaluation, unknowable
+  * decode-side) and a NOT NULL date/datetime/timestamp add without a
+  * default (MySQL's zero datetime '0000-00-00' has no Spark
   * representation). A constant the wire type cannot hold fills NULL the
   * same way (try_cast at fold, never an ANSI abort), and an add's fill
   * never crosses an intervening same-name DROP TABLE — each dropped
   * incarnation's rows keep only their own incarnation's defaults. */
 private[graft] object DecodeFill {
 
-  /** Fill disposition of one in-batch ADD COLUMN. */
-  sealed trait Fill
-  /** Constant default, RAW spelling (quoting intact — a QUOTED 'TRUE' or
-    * '1e3' is literal text and must never reinterpret). */
-  final case class Const(raw: String) extends Fill
-  /** NOT NULL without a default: the type's zero value
-    * (translator.go:215-227 → tidb table.GetZeroValue). */
-  case object Zero extends Fill
-  /** Nullable no-default or non-constant default: the add still ends an
-    * absence gap — shadowing earlier gaps from a LATER add's default —
-    * but fills nothing. */
-  case object KeepNull extends Fill
-
-  /** One in-batch ADD COLUMN: the version that ended an absence gap, its
-    * fill disposition, the column's ADD-TIME wire type — each incarnation
-    * casts through its own type, so a same-batch recreate that re-adds
-    * the name with a different type never routes the old incarnation's
-    * default through the new type — and the IDENTITY of the table that
-    * declared it (see the class note). */
-  final case class Entry(version: Long, fill: Fill, ty: String, inc: Int)
+  /** One in-batch ADD COLUMN: the version that ended an absence gap, the
+    * add-time ORIGIN default spelling (raw, quoting intact — a QUOTED
+    * 'TRUE' or '1e3' is literal text and must never reinterpret; None =
+    * added without one), and the column's LIVE shape — NOT NULL flag,
+    * mapped wire type, native MySQL spelling, ENUM/SET dictionary. A
+    * same-batch MODIFY/CHANGE updates the live shape (the reference
+    * evaluates fills through the live ColumnInfo, translator.go:169-177)
+    * while the origin default stays add-time (TiDB pins
+    * OriginDefaultValue at ADD; a MODIFY default tail is not an origin
+    * default). `inc` is the identity of the declaring table, so a
+    * same-batch recreate that re-adds the name never routes another
+    * incarnation's default through its own type (see the class note). */
+  final case class Entry(version: Long, dflt: Option[String],
+    notNull: Boolean, ty: String, native: String, dict: Vector[String],
+    inc: Int)
 
   /** A DEFAULT expression the fill may substitute: a quoted string, a
     * plain numeric, a boolean, or a hex/bit literal. EXPRESSION defaults
@@ -74,21 +71,26 @@ private[graft] object DecodeFill {
   private val IntegralBases = Set("TINYINT", "SMALLINT", "INT", "INTEGER", "BIGINT")
 
   /** The fill CONSTANT as a typed literal, from the RAW default spelling:
-    * TRUE/FALSE become booleans; pure integers stay exact at any width;
-    * hex/bit literals read by the target's nature (BINARY → the bytes,
-    * STRING → the bytes as text, numeric targets — BIT rides BIGINT — →
-    * the unsigned integer value, MySQL's own reading); a dotted/exponent
-    * spelling on an INTEGRAL target routes through DECIMAL(38,0) so it
-    * ROUNDS like the reference's evaluation instead of throwing the ANSI
-    * string→integral cast; a non-integral target casts the raw spelling
-    * DIRECTLY to the column type (DOUBLE DEFAULT 1e25 must not overflow
-    * a decimal intermediary, 1e-20 must not round to 0). */
+    * TRUE/FALSE keep the boolean on a BOOLEAN-mapped column (whose
+    * decoded rows read true/false too) and otherwise become MySQL's
+    * evaluation 1/0 (a VARCHAR DEFAULT TRUE stores '1' upstream); pure
+    * integers stay exact at any width; hex/bit literals read by the
+    * target's nature (BINARY → the bytes, STRING → the bytes as text,
+    * numeric targets — BIT rides BIGINT — → the unsigned integer value,
+    * MySQL's own reading); a dotted/exponent spelling on an INTEGRAL
+    * target routes through DECIMAL(38,0) so it ROUNDS like the
+    * reference's evaluation instead of throwing the ANSI string→integral
+    * cast; a non-integral target casts the raw spelling DIRECTLY to the
+    * column type (DOUBLE DEFAULT 1e25 must not overflow a decimal
+    * intermediary, 1e-20 must not round to 0). */
   private def fillLiteral(raw: String, ty: String): Column = {
     val t = raw.trim
     val base = ty.toUpperCase(java.util.Locale.ROOT).takeWhile(_ != '(')
     if (t.startsWith("'")) lit(CdcStream.unquoteLiteral(t))
-    else if (t.equalsIgnoreCase("TRUE") || t.equalsIgnoreCase("FALSE"))
-      lit(t.toBoolean)
+    else if (t.equalsIgnoreCase("TRUE") || t.equalsIgnoreCase("FALSE")) {
+      if (base == "BOOLEAN") lit(t.toBoolean)
+      else lit(if (t.equalsIgnoreCase("TRUE")) "1" else "0")
+    }
     else hexBitBytes(t) match {
       case Some(bytes) => base match {
         case "BINARY" => lit(bytes)
@@ -103,12 +105,28 @@ private[graft] object DecodeFill {
     }
   }
 
-  /** The wire type's MySQL zero value (tidb table.GetZeroValue): 0 for
-    * the numeric domain (BIT rides BIGINT), '' for text, empty bytes,
-    * FALSE. None where Spark cannot represent it (the zero DATETIME
-    * '0000-00-00') — the fill keeps NULL, the documented divergence. */
-  private def zeroLiteral(ty: String): Option[Column] =
-    ty.toUpperCase(java.util.Locale.ROOT).takeWhile(_ != '(') match {
+  private def baseOf(s: String): String =
+    s.toUpperCase(java.util.Locale.ROOT).takeWhile(_ != '(')
+
+  /** The column's MySQL zero value (translator.go:221-225 + tidb
+    * table.GetZeroValue), keyed on the NATIVE spelling where the mapped
+    * wire type erases it — TIME/JSON both ride STRING but zero to
+    * '00:00:00' / the JSON null document, ENUM zeros to its FIRST
+    * element, SET to the empty set, and a fixed-width BINARY(n) to n
+    * zero bytes — falling back to the mapped type's zero (which agrees
+    * across the rest of the domain: 0, '', empty bytes, FALSE). None
+    * where Spark cannot represent it (the zero DATETIME '0000-00-00')
+    * — the fill keeps NULL, the documented divergence. */
+  private def zeroLiteral(e: Entry): Option[Column] = baseOf(e.native) match {
+    case "TIME" => Some(lit("00:00:00"))
+    case "JSON" => Some(lit("null"))
+    case "ENUM" => e.dict.headOption.map(lit(_))
+    case "SET"  => Some(lit(""))
+    case "BINARY" =>
+      val n = "\\((\\d+)\\)".r.findFirstMatchIn(e.native)
+        .map(_.group(1).toInt).getOrElse(1) // a bare BINARY is BINARY(1)
+      Some(lit(Array.fill(n)(0: Byte)))
+    case _ => baseOf(e.ty) match {
       case "TINYINT" | "SMALLINT" | "INT" | "INTEGER" | "BIGINT" |
            "DECIMAL" | "DOUBLE" | "FLOAT" => Some(lit(0))
       case "STRING"                       => Some(lit(""))
@@ -116,12 +134,17 @@ private[graft] object DecodeFill {
       case "BOOLEAN"                      => Some(lit(false))
       case _                              => None
     }
+  }
 
-  /** The typed fill value of one entry, if it fills at all. */
-  private[graft] def fillValue(e: Entry): Option[Column] = e.fill match {
-    case Const(raw) => Some(fillLiteral(raw, e.ty))
-    case Zero       => zeroLiteral(e.ty)
-    case KeepNull   => None
+  /** The typed fill value of one entry, if it fills at all — the
+    * reference's getDefaultOrZeroValue order: origin default first
+    * (constants only — the documented expression divergence), then the
+    * NOT NULL zero value, else the version-correct NULL. */
+  private[graft] def fillValue(e: Entry): Option[Column] = e.dflt match {
+    case Some(d) if isConstantLiteral(d) => Some(fillLiteral(d, e.ty))
+    case Some(_)                         => None
+    case None if e.notNull               => zeroLiteral(e)
+    case None                            => None
   }
 }
 
@@ -167,12 +190,14 @@ private[graft] final class DecodeFill(enabled: Boolean) {
       ()
     }
 
-  /** Apply one column-shape action. For "add", `arg` is the normalized
-    * column tail (type first, canonical NOT NULL after) and `dict` the
-    * ENUM/SET value list when the native spelling carried one. */
+  /** Apply one column-shape action. For "add"/"modify" (and the tail of
+    * "change"), `arg` is the normalized column tail (type first,
+    * canonical NOT NULL after), `dict` the ENUM/SET value list when the
+    * native spelling carried one, and `native` the original MySQL type
+    * spelling the zero-value branch keys on. */
   def onColumnDdl(k: K, version: Long, action: String, c: String,
       arg: String, dflt: Option[String],
-      dict: Option[Vector[String]]): Unit = if (enabled) {
+      dict: Option[Vector[String]], native: String = ""): Unit = if (enabled) {
     val cur = fill.getOrElse(k, Map.empty)
     // every transition below touches only the LIVE table's entries and
     // slices — a dropped incarnation's kept state stays frozen (its
@@ -206,33 +231,31 @@ private[graft] final class DecodeFill(enabled: Boolean) {
         }
       }
     }
-    // MODIFY/CHANGE retype the LIVE incarnation's entry (the last one):
-    // the reference evaluates an origin default through the column's
-    // CURRENT type (translator.go:169-177 reads the live ColumnInfo), so
-    // a same-batch retype after the add changes the fill's spelling too
+    def shapeOf(tail: String): (String, Boolean) = {
+      val toks = CdcStream.tailTokens(tail)
+      (toks.headOption.getOrElse("STRING"),
+        toks.map(_.toUpperCase(java.util.Locale.ROOT))
+          .containsSlice(Seq("NOT", "NULL")))
+    }
+    // MODIFY/CHANGE re-shape the LIVE incarnation's entry (the last one):
+    // the reference evaluates a fill through the column's CURRENT
+    // ColumnInfo (translator.go:169-177), so a same-batch retype after
+    // the add changes the fill's spelling — and a nullability flip flips
+    // the zero-value branch — while the add-time origin default stays
     def retyped(m: Map[String, Vector[Entry]], name: String, tail: String) =
       m.get(name).fold(m) { vec =>
         if (vec.last.inc != me) m
         else {
-          val ty = CdcStream.tailTokens(tail).headOption.getOrElse("STRING")
-          m + (name -> (vec.init :+ vec.last.copy(ty = ty)))
+          val (ty, nn) = shapeOf(tail)
+          m + (name -> (vec.init :+ vec.last.copy(ty = ty, notNull = nn,
+            native = native, dict = dict.getOrElse(Vector.empty))))
         }
       }
     val next = action match {
       case "add" =>
-        val toks = CdcStream.tailTokens(arg)
-        val ty = toks.headOption.getOrElse("STRING")
-        val notNull = toks.map(_.toUpperCase(java.util.Locale.ROOT))
-          .containsSlice(Seq("NOT", "NULL"))
-        val disp = dflt match {
-          case Some(d) if isConstantLiteral(d) => Const(d)
-          case Some(_)                         => KeepNull
-          // dict present = ENUM/SET: zero is ambiguous (class note)
-          case None if notNull && dict.isEmpty => Zero
-          case None                            => KeepNull
-        }
+        val (ty, nn) = shapeOf(arg)
         cur + (c -> (cur.getOrElse(c, Vector.empty) :+
-          Entry(version, disp, ty, me)))
+          Entry(version, dflt, nn, ty, native, dict.getOrElse(Vector.empty), me)))
       case "drop"   =>
         cur.get(c).fold(cur)(vec => put(cur, c, vec.filterNot(_.inc == me)))
       case "rename" => rekey(arg)

@@ -33,23 +33,31 @@ class DecodeFillPropSpec extends SparkSpec {
   // ---- the model ------------------------------------------------------
   private class MInc                       // a table incarnation: identity only
   private class VEntry(val inc: MInc, val addVersion: Long, val raw: String,
-    val notNull: Boolean, var ty: String)
+    var notNull: Boolean, var ty: String, var native: String)
   private class VSlice(val key: K, val version: Long, val inc: MInc,
     val present: scala.collection.mutable.Set[String])
 
-  private def eval(raw: String, notNull: Boolean, ty: String): Option[String] =
-    (raw, ty) match {
+  private def eval(raw: String, notNull: Boolean, native: String,
+      ty: String): Option[String] =
+    (raw, native) match {
       case ("", _) if !notNull      => None
-      case ("", "INT")              => Some("0")
+      case ("", "TIME")             => Some("00:00:00") // native-keyed zero
+      case ("", _) if ty == "INT"   => Some("0")
       case ("", _)                  => Some("")
       case ("5", _)                 => Some("5")
-      case ("'a'", "STRING")        => Some("a")
+      case ("TRUE", _)              => Some("1") // MySQL evaluates the boolean
+      case ("'a'", _) if ty == "STRING" => Some("a")
       case ("'a'", _)               => None // try_cast 'a' to INT is NULL
-      case ("0x41", "INT")          => Some("65") // hex: numeric reading
+      case ("0x41", _) if ty == "INT" => Some("65") // hex: numeric reading
       case ("0x41", _)              => Some("A")  // hex on text: the byte
       case ("CURRENT_TIMESTAMP", _) => None
       case other                    => sys.error(s"unmodelled default $other")
     }
+
+  /** The (native, mapped) type pool — TIME rides STRING like VARCHAR but
+    * zeros differently, pinning the native keying under the sweep. */
+  private val TypePool =
+    Vector(("INT", "INT"), ("VARCHAR(8)", "STRING"), ("TIME", "STRING"))
 
   private def runScenario(seed: Int): Unit = {
     val rnd = new Random(seed)
@@ -82,20 +90,21 @@ class DecodeFillPropSpec extends SparkSpec {
       val free = NamePool.filterNot(liveCols(k).toSet)
       if (free.isEmpty) return
       val n = free(rnd.nextInt(free.size))
-      val ty = if (rnd.nextBoolean()) "INT" else "STRING"
-      val (dflt, notNull) = rnd.nextInt(5) match {
+      val (native, ty) = TypePool(rnd.nextInt(TypePool.size))
+      val (dflt, notNull) = rnd.nextInt(6) match {
         case 0 => (Some("5"), false)
         case 1 => (Some("'a'"), false)
         case 2 => (Some("CURRENT_TIMESTAMP"), false)
         case 3 => (Some("0x41"), rnd.nextBoolean())
+        case 4 => (Some("TRUE"), rnd.nextBoolean())
         case _ => (None, rnd.nextBoolean())
       }
       val v = nextV()
-      ops += s"add $k v=$v $n $ty${if (notNull) " NOT NULL" else ""} dflt=$dflt"
+      ops += s"add $k v=$v $n $native${if (notNull) " NOT NULL" else ""} dflt=$dflt"
       st.onColumnDdl(k, v, "add", n, ty + (if (notNull) " NOT NULL" else ""),
-        dflt, None)
+        dflt, None, native)
       putView(k, n, view(k).getOrElse(n, Vector.empty) :+
-        new VEntry(liveInc(k), v, dflt.getOrElse(""), notNull, ty))
+        new VEntry(liveInc(k), v, dflt.getOrElse(""), notNull, ty, native))
       liveCols(k) :+= n
     }
     def dropCol(k: K): Unit = {
@@ -114,12 +123,13 @@ class DecodeFillPropSpec extends SparkSpec {
       val to = free(rnd.nextInt(free.size))
       val v = nextV()
       val newTy = if (rnd.nextBoolean()) None
-        else Some(if (rnd.nextBoolean()) "INT" else "STRING")
+        else Some((TypePool(rnd.nextInt(TypePool.size)), rnd.nextBoolean()))
       ops += s"renameCol $k v=$v $n->$to ty=$newTy"
       newTy match {
         case None => st.onColumnDdl(k, v, "rename", n, to, None, None)
-        case Some(ty) =>
-          st.onColumnDdl(k, v, "change", n, s"$to $ty", None, None)
+        case Some(((native, ty), nn)) =>
+          st.onColumnDdl(k, v, "change", n,
+            s"$to $ty${if (nn) " NOT NULL" else ""}", None, None, native)
       }
       // the value-rides-the-old-name rule: the slice set of THIS key and
       // THIS table gains the new name wherever it carried the old
@@ -132,7 +142,9 @@ class DecodeFillPropSpec extends SparkSpec {
       val (mine, frozen) = view(k).getOrElse(n, Vector.empty)
         .partition(_.inc eq liveInc(k))
       putView(k, n, frozen)
-      newTy.foreach(ty => mine.foreach(_.ty = ty))
+      newTy.foreach { case ((native, ty), nn) =>
+        mine.foreach { e => e.ty = ty; e.native = native; e.notNull = nn }
+      }
       if (mine.nonEmpty)
         putView(k, to, view(k).getOrElse(to, Vector.empty) ++ mine)
       liveCols(k) = liveCols(k).map(x => if (x == n) to else x)
@@ -140,11 +152,13 @@ class DecodeFillPropSpec extends SparkSpec {
     def modifyCol(k: K): Unit = {
       if (liveCols(k).isEmpty) return
       val n = liveCols(k)(rnd.nextInt(liveCols(k).size))
-      val ty = if (rnd.nextBoolean()) "INT" else "STRING"
-      ops += s"modify $k $n -> $ty"
-      st.onColumnDdl(k, nextV(), "modify", n, ty, None, None)
-      view(k).getOrElse(n, Vector.empty)
-        .filter(_.inc eq liveInc(k)).foreach(_.ty = ty)
+      val (native, ty) = TypePool(rnd.nextInt(TypePool.size))
+      val nn = rnd.nextBoolean()
+      ops += s"modify $k $n -> $native${if (nn) " NOT NULL" else ""}"
+      st.onColumnDdl(k, nextV(), "modify", n,
+        ty + (if (nn) " NOT NULL" else ""), None, None, native)
+      view(k).getOrElse(n, Vector.empty).filter(_.inc eq liveInc(k))
+        .foreach { e => e.ty = ty; e.native = native; e.notNull = nn }
     }
     def truncate(k: K): Unit = {
       // streamed F6: pre-truncate rows leave the output — ALL slices and
@@ -190,7 +204,8 @@ class DecodeFillPropSpec extends SparkSpec {
       }
       view(k).foreach { case (n, vec) =>
         val mine = vec.filter(_.inc eq liveInc(k))
-          .map(e => new VEntry(e.inc, e.addVersion, e.raw, e.notNull, e.ty))
+          .map(e => new VEntry(e.inc, e.addVersion, e.raw, e.notNull, e.ty,
+            e.native))
         if (mine.nonEmpty)
           putView(to, n, view(to).getOrElse(n, Vector.empty) ++ mine)
       }
@@ -231,7 +246,7 @@ class DecodeFillPropSpec extends SparkSpec {
       else view(s.key).getOrElse(n, Vector.empty)
         .filter(e => (e.inc eq s.inc) && e.addVersion > s.version)
         .sortBy(_.addVersion).headOption
-        .flatMap(e => eval(e.raw, e.notNull, e.ty))
+        .flatMap(e => eval(e.raw, e.notNull, e.native, e.ty))
 
     // fold each key's slices (all payload cells NULL: a fill is the only
     // way a cell becomes non-null, explicit-null survival included)

@@ -43,10 +43,11 @@ class DecodeFillSpec extends SparkSpec {
   }
 
   test("NOT NULL add without a default fills the type's zero value") {
-    def zeroOf(tail: String, dict: Option[Vector[String]] = None): Option[String] = {
+    def zeroOf(tail: String, dict: Option[Vector[String]] = None,
+        native: String = ""): Option[String] = {
       val st = new DecodeFill(true)
       st.recordSlice(K, 0L, Set("k"))
-      st.onColumnDdl(K, 10L, "add", "c", tail, None, dict)
+      st.onColumnDdl(K, 10L, "add", "c", tail, None, dict, native)
       Option(st.fold(K, frame(0L -> None)).collect()(0).getString(1))
     }
     assert(zeroOf("INT NOT NULL").contains("0"))
@@ -55,16 +56,43 @@ class DecodeFillSpec extends SparkSpec {
     assert(zeroOf("STRING NOT NULL").contains(""))
     assert(zeroOf("BINARY NOT NULL").contains(""))
     assert(zeroOf("BOOLEAN NOT NULL").contains("false"))
+    // the NATIVE spelling keys the zeros the mapped type erases
+    // (tidb table.GetZeroValue; ENUM first element translator.go:221-225)
+    assert(zeroOf("STRING NOT NULL", native = "TIME").contains("00:00:00"))
+    assert(zeroOf("STRING NOT NULL", native = "JSON").contains("null"))
+    assert(zeroOf("STRING NOT NULL", Some(Vector("red", "green")),
+      native = "ENUM('red','green')").contains("red"))
+    assert(zeroOf("STRING NOT NULL", Some(Vector("a", "b")),
+      native = "SET('a','b')").contains(""))
+    assert(zeroOf("BINARY NOT NULL", native = "BINARY(3)")
+      .contains("\u0000\u0000\u0000"))  // 3 zero bytes, cast to text
+    assert(zeroOf("BINARY NOT NULL", native = "VARBINARY(8)").contains(""))
     // documented NULL divergences: nullable adds, expression defaults,
-    // date/time zeros Spark cannot represent, ENUM/SET ambiguity
+    // zero-datetime values Spark cannot represent
     assert(zeroOf("INT").isEmpty)
     assert(zeroOf("TIMESTAMP NOT NULL").isEmpty)
-    assert(zeroOf("STRING NOT NULL", Some(Vector("red", "green"))).isEmpty)
+    assert(zeroOf("TIMESTAMP NOT NULL", native = "DATETIME(3)").isEmpty)
     val st = new DecodeFill(true)
     st.recordSlice(K, 0L, Set("k"))
     st.onColumnDdl(K, 10L, "add", "c", "TIMESTAMP NOT NULL",
       Some("CURRENT_TIMESTAMP"), None)
     assert(Option(st.fold(K, frame(0L -> None)).collect()(0).getString(1)).isEmpty)
+  }
+
+  test("a same-batch MODIFY follows nullability into the zero-value branch") {
+    // reference getDefaultOrZeroValue reads the LIVE ColumnInfo flag
+    // (translator.go:169-177): ADD ... NOT NULL then MODIFY ... NULL must
+    // stop zero-filling, and the inverse must start
+    val st = new DecodeFill(true)
+    st.recordSlice(K, 0L, Set("k"))
+    st.onColumnDdl(K, 10L, "add", "c", "INT NOT NULL", None, None)
+    st.onColumnDdl(K, 20L, "modify", "c", "BIGINT", None, None)
+    assert(folded(st, frame(0L -> None))(0L).isEmpty)
+    val st2 = new DecodeFill(true)
+    st2.recordSlice(K, 0L, Set("k"))
+    st2.onColumnDdl(K, 10L, "add", "c", "INT", None, None)
+    st2.onColumnDdl(K, 20L, "modify", "c", "INT NOT NULL", None, None)
+    assert(folded(st2, frame(0L -> None))(0L).contains("0"))
   }
 
   test("each absent slice reads the add that ended ITS gap, typed per incarnation") {
@@ -387,6 +415,12 @@ class DecodeFillSpec extends SparkSpec {
     assert(fillOf("DECIMAL(10,3)", "1.5").contains("1.500"))
     // quoted spellings stay literal text
     assert(fillOf("STRING", "'1e3'").contains("1e3"))
+    // a boolean literal keeps the boolean only on a BOOLEAN-mapped column
+    // (whose decoded rows read true/false too); elsewhere it is MySQL's
+    // evaluation 1/0 — a VARCHAR DEFAULT TRUE stores '1' upstream
     assert(fillOf("BOOLEAN", "TRUE").contains("true"))
+    assert(fillOf("STRING", "TRUE").contains("1"))
+    assert(fillOf("INT", "FALSE").contains("0"))
+    assert(fillOf("STRING", "'TRUE'").contains("TRUE")) // quoted: text
   }
 }

@@ -1688,59 +1688,64 @@ class StreamingSpec extends SparkSpec {
     // COLUMN-less ADD is a column def; ADD INDEX/KEY stays administrative,
     // and a backticked column named `key` routes past the keyword
     assert(parseWireDdl("ALTER TABLE s.t ADD extra BIGINT") ==
-      ColumnDdl("s", "t", "add", "extra", "BIGINT"))
+      ColumnDdl("s", "t", "add", "extra", "BIGINT", native = "BIGINT"))
     assert(parseWireDdl("ALTER TABLE s.t ADD INDEX i (k)") == AdminDdl)
     assert(parseWireDdl("ALTER TABLE s.t ADD `key` BIGINT") ==
-      ColumnDdl("s", "t", "add", "key", "BIGINT"))
+      ColumnDdl("s", "t", "add", "key", "BIGINT", native = "BIGINT"))
     // the decode-neutral option tails real traffic carries on column DDL:
     // position / charset / collation / ON UPDATE strip, DEFAULT strips
     // AND captures as the origin default, unknown junk stays (loud later)
     assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN c INT DEFAULT 5 AFTER k") ==
-      ColumnDdl("s", "t", "add", "c", "INT", Some("5")))
+      ColumnDdl("s", "t", "add", "c", "INT", Some("5"), native = "INT"))
     // a parenthesized expression default may carry comparisons — the bare
     // '>' must not count as generic-type nesting
     assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN c INT DEFAULT (a > 0) AFTER k") ==
-      ColumnDdl("s", "t", "add", "c", "INT", Some("(a > 0)")))
+      ColumnDdl("s", "t", "add", "c", "INT", Some("(a > 0)"), native = "INT"))
     assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN c INT DEFAULT (a < 0) NOT NULL AFTER k") ==
-      ColumnDdl("s", "t", "add", "c", "INT NOT NULL", Some("(a < 0)")))
+      ColumnDdl("s", "t", "add", "c", "INT NOT NULL", Some("(a < 0)"), native = "INT"))
     assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN c STRUCT<a: INT, b: STRING> AFTER k") ==
-      ColumnDdl("s", "t", "add", "c", "STRUCT<a: INT, b: STRING>"))
+      ColumnDdl("s", "t", "add", "c", "STRUCT<a: INT, b: STRING>",
+        native = "STRUCT<a: INT, b: STRING>"))
     // UNSIGNED widens to the Spark type holding the full range (M9 type
     // domain); ZEROFILL and display widths are display-only
     assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN id BIGINT UNSIGNED NOT NULL DEFAULT 0") ==
-      ColumnDdl("s", "t", "add", "id", "DECIMAL(20,0) NOT NULL", Some("0")))
+      ColumnDdl("s", "t", "add", "id", "DECIMAL(20,0) NOT NULL", Some("0"),
+        native = "BIGINT"))
     assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN n INT(10) UNSIGNED ZEROFILL") ==
-      ColumnDdl("s", "t", "add", "n", "BIGINT"))
+      ColumnDdl("s", "t", "add", "n", "BIGINT", native = "INT(10)"))
     assert(parseWireDdl("ALTER TABLE s.t MODIFY COLUMN n TINYINT UNSIGNED") ==
-      ColumnDdl("s", "t", "modify", "n", "SMALLINT"))
+      ColumnDdl("s", "t", "modify", "n", "SMALLINT", native = "TINYINT"))
     // SIGNED display widths are formatting too (the mysqldump spelling);
     // MEDIUMINT maps to the Spark type that holds it; a bare ZEROFILL
     // implies UNSIGNED in MySQL and widens exactly once
     assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN flag TINYINT(1) DEFAULT 0") ==
-      ColumnDdl("s", "t", "add", "flag", "TINYINT", Some("0")))
+      ColumnDdl("s", "t", "add", "flag", "TINYINT", Some("0"), native = "TINYINT(1)"))
     assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN n INT(11) NOT NULL") ==
-      ColumnDdl("s", "t", "add", "n", "INT NOT NULL"))
+      ColumnDdl("s", "t", "add", "n", "INT NOT NULL", native = "INT(11)"))
     assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN m MEDIUMINT") ==
-      ColumnDdl("s", "t", "add", "m", "INT"))
+      ColumnDdl("s", "t", "add", "m", "INT", native = "MEDIUMINT"))
     assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN z INT ZEROFILL") ==
-      ColumnDdl("s", "t", "add", "z", "BIGINT"))
+      ColumnDdl("s", "t", "add", "z", "BIGINT", native = "INT"))
     assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN c DECIMAL(10, 2) NOT NULL DEFAULT -1.5 FIRST") ==
-      ColumnDdl("s", "t", "add", "c", "DECIMAL(10, 2) NOT NULL", Some("-1.5")))
+      ColumnDdl("s", "t", "add", "c", "DECIMAL(10, 2) NOT NULL", Some("-1.5"),
+        native = "DECIMAL(10, 2)"))
     assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN c STRING DEFAULT 'a b' COMMENT 'keep me'") ==
-      ColumnDdl("s", "t", "add", "c", "STRING COMMENT 'keep me'", Some("'a b'")))
+      ColumnDdl("s", "t", "add", "c", "STRING COMMENT 'keep me'", Some("'a b'"),
+        native = "STRING"))
     assert(parseWireDdl(
       "ALTER TABLE s.t MODIFY COLUMN c TIMESTAMP NULL DEFAULT CURRENT_TIMESTAMP ON UPDATE CURRENT_TIMESTAMP") ==
-      ColumnDdl("s", "t", "modify", "c", "TIMESTAMP", Some("CURRENT_TIMESTAMP")))
+      ColumnDdl("s", "t", "modify", "c", "TIMESTAMP", Some("CURRENT_TIMESTAMP"),
+        native = "TIMESTAMP"))
     assert(parseWireDdl(
       "ALTER TABLE s.t MODIFY COLUMN c STRING CHARACTER SET utf8mb4 COLLATE utf8mb4_bin") ==
-      ColumnDdl("s", "t", "modify", "c", "STRING"))
+      ColumnDdl("s", "t", "modify", "c", "STRING", native = "STRING"))
     assert(parseWireDdl("ALTER TABLE s.t FROBNICATE NONSENSE") ==
       UnknownDdl("ALTER TABLE s.t FROBNICATE NONSENSE"))
     // CHANGE = rename+retype; both rename-table spellings converge
     assert(parseWireDdl("alter table s.t change column a b DECIMAL(10,1)") ==
-      ColumnDdl("s", "t", "change", "a", "b DECIMAL(10,1)"))
+      ColumnDdl("s", "t", "change", "a", "b DECIMAL(10,1)", native = "DECIMAL(10,1)"))
     assert(parseWireDdl("alter table s.t change a b BIGINT DEFAULT 9 AFTER z") ==
-      ColumnDdl("s", "t", "change", "a", "b BIGINT", Some("9")))
+      ColumnDdl("s", "t", "change", "a", "b BIGINT", Some("9"), native = "BIGINT"))
     assert(parseWireDdl("RENAME TABLE s.t TO s2.u") ==
       RenameDdl("s", "t", Some("s2"), "u"))
     assert(parseWireDdl("ALTER TABLE s.t RENAME TO u") ==
@@ -1839,7 +1844,8 @@ class StreamingSpec extends SparkSpec {
     assert(normalizeColumnTail("TIME(3)")._1 == "STRING")
     assert(normalizeColumnTail("YEAR")._1 == "INT")
     assert(normalizeColumnTail("ENUM('red','green','blue') DEFAULT 'red'") ==
-      (("STRING", Some("'red'"), Some(Vector("red", "green", "blue")))))
+      (("STRING", Some("'red'"), Some(Vector("red", "green", "blue")),
+        "ENUM('red','green','blue')")))
     assert(normalizeColumnTail("SET('a','b,c','it''s')")._3 ==
       Some(Vector("a", "b,c", "it's")))
     assert(normalizeColumnTail("JSON")._1 == "STRING")
@@ -1860,7 +1866,7 @@ class StreamingSpec extends SparkSpec {
         .flatMap(f => f(ty)) ++ dflt.map(d => s"DEFAULT $d").toSeq
       val tail = (Seq(ty) ++ (if (unsigned) Seq("UNSIGNED") else Nil) ++
         rnd.shuffle(opts)).mkString(" ")
-      val (clean, captured, _) = normalizeColumnTail(tail)
+      val (clean, captured, _, _) = normalizeColumnTail(tail)
       val parsed = scala.util.Try(StructType.fromDDL(s"c $clean"))
       assert(parsed.isSuccess,
         s"[#$i] tail '$tail' normalized to undecodable '$clean': $parsed")
@@ -1876,7 +1882,8 @@ class StreamingSpec extends SparkSpec {
     // wire capture: the type maps to STRING, the value list rides as the
     // dictionary, the DEFAULT is still the origin default
     assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN e ENUM('a','b') DEFAULT 'a'") ==
-      ColumnDdl("s", "t", "add", "e", "STRING", Some("'a'"), Some(Vector("a", "b"))))
+      ColumnDdl("s", "t", "add", "e", "STRING", Some("'a'"), Some(Vector("a", "b")),
+        native = "ENUM('a','b')"))
     assert(parseWireDdl("CREATE TABLE s.t2 (e ENUM('x','y') DEFAULT 'x', k INT(11))") ==
       CreateDdl("s", "t2", Seq("e STRING", "k INT"),
         defaults = Map("e" -> "'x'"), dicts = Map("e" -> Vector("x", "y"))))
@@ -2169,9 +2176,10 @@ class StreamingSpec extends SparkSpec {
     assert(ty("CHARACTER(4)") == "STRING")
     assert(ty("NATIONAL CHARACTER VARYING(8)") == "STRING")
     assert(ty("NCHAR VARYING(6)") == "STRING")
-    // MySQL admits a space before the type's paren args
+    // MySQL admits a space before the type's paren args (the paren token
+    // folds back onto the word — the NATIVE spelling carries the fold)
     assert(normalizeColumnTail("ENUM ('a','b') DEFAULT 'a'") ==
-      (("STRING", Some("'a'"), Some(Vector("a", "b")))))
+      (("STRING", Some("'a'"), Some(Vector("a", "b")), "ENUM('a','b')")))
     assert(ty("INT (11) UNSIGNED") == "BIGINT")
     // CHECK with no space before its paren strips like the spaced form
     assert(ty("INT CHECK(c>0)") == "INT")
