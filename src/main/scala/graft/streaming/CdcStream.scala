@@ -2122,7 +2122,7 @@ object CdcStream {
       fillOriginDefaults = true)
     drainDecode(q, spark, outDir)
     // same-ts DDLs apply in statement-text order (the walk's tie rule), so
-    // the columns append bt, d, dt, e, st, v, y — and the tracked history
+    // the columns append bt, d, dt, e, st, tm, v, y — and the tracked history
     // lives under the RENAMED name (T5: same history, new key)
     require(tracker.current("app", "t").isEmpty,
       "the rename must move the tracked history off the old name")

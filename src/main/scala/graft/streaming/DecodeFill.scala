@@ -85,7 +85,7 @@ private[graft] object DecodeFill {
     * intermediary, 1e-20 must not round to 0). */
   private def fillLiteral(raw: String, ty: String): Column = {
     val t = raw.trim
-    val base = ty.toUpperCase(java.util.Locale.ROOT).takeWhile(_ != '(')
+    val base = baseOf(ty)
     if (t.startsWith("'")) lit(CdcStream.unquoteLiteral(t))
     else if (t.equalsIgnoreCase("TRUE") || t.equalsIgnoreCase("FALSE")) {
       if (base == "BOOLEAN") lit(t.toBoolean)
