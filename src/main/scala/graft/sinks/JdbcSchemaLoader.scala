@@ -428,10 +428,17 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
       val md = c.getMetaData
       val up = table.toUpperCase
       val cols = scala.collection.mutable.ArrayBuffer[ColMeta]()
+      // getColumns takes a LIKE pattern where '_' is a wildcard — every
+      // table name here carries one (ORDERS_STATE, ...), so a sibling like
+      // ORDERSXSTATE would silently merge its columns in. Escaping is not
+      // portable (Derby's getSearchStringEscape returns ""), so filter the
+      // over-match by EXACT table name instead
+      // (getPrimaryKeys/getIndexInfo already take exact names).
       val rs = md.getColumns(null, null, up, null)
-      while (rs.next()) cols += ColMeta(rs.getString("COLUMN_NAME"),
-        rs.getInt("DATA_TYPE"),
-        rs.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls)
+      while (rs.next()) if (rs.getString("TABLE_NAME") == up)
+        cols += ColMeta(rs.getString("COLUMN_NAME"),
+          rs.getInt("DATA_TYPE"),
+          rs.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls)
       rs.close()
       require(cols.nonEmpty, s"table $table not found in catalog")
       val pk = scala.collection.mutable.ArrayBuffer[(Short, String)]()
@@ -477,7 +484,13 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
         }
         crs.close(); st.close()
         out.sortBy(_._1).map(_._2).toSeq
-      } catch { case _: SQLException | _: RuntimeException => Nil }
+      } catch {
+        // SQLException only — "engine has no SYS.*" means the query itself
+        // fails; a descriptor that PARSES wrong must throw loudly, or the
+        // table silently degrades to the all-columns pseudo-key and the
+        // merged fold dedups on every column instead of the unique key
+        case _: SQLException => Nil
+      }
       val keys = (primary.toSeq ++ uniques ++ constraintKeys).distinct
       (cols.toSeq, if (keys.nonEmpty) keys else Seq(cols.map(_.name).toSeq))
     }
@@ -760,14 +773,20 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
     * conflict (which stalls every worker) never happens: CC already merged
     * those groups.
     *
-    * Returns the slice plus `_rid` (stable row id) and `_grp` (group
-    * label), MATERIALIZED — `monotonically_increasing_id` is plan-
-    * nondeterministic, so the frame is pinned before anything executes
-    * against the target. NULL key columns image as a sentinel, conflicting
+    * Returns the slice plus `_rid` (row id) and `_grp` (group label). The
+    * id is a DETERMINISTIC content hash (xxhash64 over every column), so
+    * it survives plan re-execution unchanged with no pinning
+    * materialization — group assignment rests on hash determinism, not on
+    * a checkpoint. NULL key columns image as a sentinel, conflicting
     * with each other — the NULL-safe analog of the reference's nil key
     * handling. */
-  private[graft] def conflictGroupsFor(slice: DataFrame, table: String): DataFrame = {
-    val (_, uks) = tableMetaAll(table)
+  private[graft] def conflictGroupsFor(slice: DataFrame, table: String): DataFrame =
+    conflictGroupsFor(slice, table, tableMetaAll(table)._2)
+
+  /** The apply path already holds the catalog read — don't repeat it (a
+    * second connection + 4-way SYS join per slice). */
+  private def conflictGroupsFor(slice: DataFrame, table: String,
+      uks: Seq[Seq[String]]): DataFrame = {
     val frameCols = slice.columns.map(n => n.toUpperCase -> n).toMap
     // deterministic row id: a content hash, not monotonically_increasing_id
     // — the id must survive plan re-execution unchanged (the grouped frame
@@ -826,9 +845,10 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
       .select(col("node").as("_rid"), col("label").as("_grp"))
     // rows with no conflicts at all never appear in an edge; they are their
     // own singleton groups
-    // no checkpoint on the join: withId is pinned (the id determinism
-    // anchor) and CC's labels are materialized internally, so the single
-    // downstream consumer re-runs only the join itself
+    // no checkpoint on the join: the row id is a deterministic content
+    // hash (stable across plan re-execution) and CC's labels are
+    // materialized internally, so the single downstream consumer re-runs
+    // only the join itself
     withId.join(groups, Seq("_rid"), "left")
       .withColumn("_grp", coalesce(col("_grp"), col("_rid")))
   }
@@ -864,7 +884,7 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
     val stats = slice.agg(count(lit(1)), max("commit_ts")).collect()(0)
     if (stats.getLong(0) == 0L) return Long.MinValue
     val sliceMaxTs = stats.getLong(1)
-    val grouped = conflictGroupsFor(slice, table)
+    val grouped = conflictGroupsFor(slice, table, uks)
 
     val ordered = grouped
       .repartition(applyPartitions, col("_grp"))
@@ -900,6 +920,12 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
     val hasOld = oldIdxOf.contains(keyCols)
     val setCols = if (hasOld) insertCols
                   else insertCols.filterNot(keyCols.contains)
+    // a key covering EVERY frame column (a keyless table's all-columns
+    // pseudo-key, or a PK spanning the table) leaves the UPDATE nothing to
+    // SET — "UPDATE t SET WHERE ..." won't even prepare. Express U as
+    // delete-old-image + INSERT instead (the REPLACE shape — semantically
+    // identical when the whole row IS the key).
+    val replaceUpdates = setCols.isEmpty
 
     // the before image addresses the OLD row of a changed-key update, when
     // the frame carries one (T8 contract)
@@ -907,6 +933,15 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
       (if (hasOld) oldIdxOf(keyCols) else Map.empty)
 
     ordered.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      // a RETRIED task re-executes chunks its first attempt already
+      // committed — the plain INSERT path would hit duplicate keys and
+      // wedge the job. Fall back to the idempotent REPLACE semantics for
+      // the retry, the same way the reference absorbs its post-crash
+      // replay window with safe mode (syncer restart → translator safe
+      // mode); first attempts keep the fast path.
+      val retried = Option(org.apache.spark.TaskContext.get())
+        .exists(_.attemptNumber > 0)
+      val safeHere = safe || retried
       val c = DriverManager.getConnection(u)
       try {
         c.setAutoCommit(false)
@@ -918,9 +953,12 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
         val ins = c.prepareStatement(s"INSERT INTO $tbl " +
           s"(${insertCols.mkString(", ")}) VALUES " +
           insertCols.map(_ => "?").mkString("(", ", ", ")"))
-        val upd = c.prepareStatement(s"UPDATE $tbl SET " +
-          setCols.map(cn => s"$cn = ?").mkString(", ") +
-          s" WHERE ${keyPredicate(keyCols, meta)}")
+        // not prepared when nothing would SET (replaceUpdates) or when
+        // every U takes the REPLACE path anyway
+        val upd = if (replaceUpdates || safeHere) None
+          else Some(c.prepareStatement(s"UPDATE $tbl SET " +
+            setCols.map(cn => s"$cn = ?").mkString(", ") +
+            s" WHERE ${keyPredicate(keyCols, meta)}"))
         def deleteImages(r: org.apache.spark.sql.Row): Unit =
           dels.foreach { case (cs, del) =>
             bindKey(del, 1, r, cs, meta, frameIdxByUpper)
@@ -954,16 +992,20 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
           }
           ins.executeUpdate()
         }
+        var zeroPending = 0L // per-chunk, folded into the accumulator at
+                             // COMMIT — a deadlock retry re-executes the
+                             // chunk and must not double-count
         def execRow(r: org.apache.spark.sql.Row): Unit =
           r.getString(frameIdxByUpper("OP")) match {
             case "D" => deleteImages(r)
-            case "I" if !safe => insertRow(r)
-            case "U" if !safe =>
+            case "I" if !safeHere => insertRow(r)
+            case "U" if upd.isDefined =>
+              val u = upd.get
               var i = 1
               setCols.foreach { cn =>
                 val v = r.get(frameIdxByUpper(cn.toUpperCase))
-                if (v == null) upd.setNull(i, meta(cn).sqlType)
-                else upd.setObject(i, v)
+                if (v == null) u.setNull(i, meta(cn).sqlType)
+                else u.setObject(i, v)
                 i += 1
               }
               // an all-NULL old image means "no before image" (an upstream
@@ -971,10 +1013,12 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
               val whereIdx = if (hasOld &&
                   keyCols.exists(k => r.get(updIdx(k.toUpperCase)) != null))
                 updIdx else frameIdxByUpper
-              bindKey(upd, i, r, keyCols, meta, whereIdx)
-              if (upd.executeUpdate() == 0) zeroRowUpdates.add(1)
-            case _ => // safe mode: REPLACE semantics for both I and U
+              bindKey(u, i, r, keyCols, meta, whereIdx)
+              if (u.executeUpdate() == 0) zeroPending += 1
+            case "I" | "U" => // safe/retry/all-key-column: REPLACE semantics
               deleteImages(r); insertRow(r)
+            case other => throw new IllegalArgumentException(
+              s"unknown op '$other' in $tbl frame — only I/U/D apply")
           }
         // chunked commit with deadlock retry (ref: load.go:519
         // singleExecRetry, maxDMLRetryCount): a deadlock victim's txn is
@@ -988,7 +1032,11 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
           var attempt = 0
           var done = false
           while (!done) {
-            try { pending.foreach(execRow); c.commit(); done = true }
+            zeroPending = 0 // a retried chunk re-counts from scratch
+            try {
+              pending.foreach(execRow); c.commit()
+              zeroRowUpdates.add(zeroPending); done = true
+            }
             catch {
               case e: SQLException if e.getSQLState == "40001" && attempt < 5 =>
                 attempt += 1
@@ -1000,7 +1048,7 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
         }
         rows.foreach { r => pending += r; if (pending.size >= bs) flush() }
         flush()
-        dels.foreach(_._2.close()); ins.close(); upd.close()
+        dels.foreach(_._2.close()); ins.close(); upd.foreach(_.close())
       } finally {
         try c.rollback() catch { case _: SQLException => () }
         c.close()

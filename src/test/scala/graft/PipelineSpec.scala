@@ -182,6 +182,59 @@ class PipelineSpec extends SparkSpec {
     assert(!loader.applyBatch(Map("SWAP_T" -> swap), 1L, merge = false))
   }
 
+  test("sequence apply on a table whose key covers every column routes U as REPLACE") {
+    // setCols is empty when the key spans every frame column (the same
+    // shape a keyless table's all-columns pseudo-key produces) — an
+    // in-place UPDATE has nothing to SET and "UPDATE t SET WHERE" does
+    // not even prepare; U must take the delete-image + INSERT path
+    val url = freshDerbyUrl("allkey")
+    val loader = new graft.sinks.JdbcSchemaLoader(url, applyPartitions = 2)
+    loader.createTable(
+      """CREATE TABLE AK_T (PK BIGINT NOT NULL, COMMIT_TS BIGINT NOT NULL,
+        | CONSTRAINT AK_PK PRIMARY KEY (PK, COMMIT_TS))""".stripMargin)
+    val seed = Seq((1L, 5L, "I"), (2L, 6L, "I"))
+      .toDF("pk", "commit_ts", "op")
+    assert(loader.applyBatch(Map("AK_T" -> seed), 0L, merge = false))
+    val next = Seq((1L, 5L, "U"), (2L, 6L, "D"))
+      .toDF("pk", "commit_ts", "op")
+    assert(loader.applyBatch(Map("AK_T" -> next), 1L, merge = false))
+    val state = loader.readTable(spark, "AK_T")
+      .select("PK", "COMMIT_TS").as[(Long, Long)].collect().toSet
+    assert(state == Set((1L, 5L)))
+  }
+
+  test("sequence apply rejects an unknown op loudly instead of replacing it") {
+    val url = freshDerbyUrl("badop")
+    val loader = new graft.sinks.JdbcSchemaLoader(url, applyPartitions = 2)
+    loader.createTable(
+      "CREATE TABLE OP_T (PK BIGINT PRIMARY KEY, COMMIT_TS BIGINT, VAL DOUBLE)")
+    val bad = Seq((1L, 1L, "X", 1.0)).toDF("pk", "commit_ts", "op", "val")
+    val e = intercept[Exception] {
+      loader.applyBatch(Map("OP_T" -> bad), 0L, merge = false)
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("unknown op")), chain(e).mkString(" | "))
+  }
+
+  test("catalog read is exact-name: an underscore sibling never merges its columns in") {
+    // DatabaseMetaData.getColumns takes a LIKE pattern where '_' is a
+    // wildcard: without escaping, reading T_X's catalog also returns
+    // TYX's columns and the INSERT lists duplicates
+    val url = freshDerbyUrl("likeptn")
+    val loader = new graft.sinks.JdbcSchemaLoader(url, applyPartitions = 2)
+    loader.createTable(
+      "CREATE TABLE T_X (PK BIGINT PRIMARY KEY, COMMIT_TS BIGINT, VAL DOUBLE)")
+    loader.createTable(
+      """CREATE TABLE TYX (PK BIGINT PRIMARY KEY, COMMIT_TS BIGINT,
+        | VAL DOUBLE, EXTRA BIGINT)""".stripMargin)
+    val rows = Seq((1L, 1L, "I", 1.5)).toDF("pk", "commit_ts", "op", "val")
+    assert(loader.applyBatch(Map("T_X" -> rows), 0L))
+    val state = loader.readTable(spark, "T_X")
+      .select("PK", "VAL").as[(Long, Double)].collect().toSet
+    assert(state == Set((1L, 1.5)))
+  }
+
   test("MERGED apply splits a key-changing update into DELETE(old)+REPLACE(new)") {
     // ref: pkg/loader/merge.go:48-77 — the merge fold splits an update
     // whose unique key changed BEFORE compacting; without it the old-key
