@@ -166,11 +166,22 @@ object PbBinlogFile {
 
   // ---- payload encode/decode ----
 
-  /** uint64 decimal text → raw 64 bits (BigInteger.longValue wraps mod
-    * 2^64, which IS the unsigned reinterpretation). */
-  private def unsignedBits(s: String): Long = new java.math.BigInteger(s).longValue()
+  /** uint64 decimal text → raw 64 bits (BigInteger.longValue of an
+    * in-range value IS the unsigned reinterpretation). The carrying
+    * column is DECIMAL(20,0), which holds values OUTSIDE uint64 —
+    * wrapping those mod 2^64 would round-trip silently different data,
+    * so out-of-range input fails at the row. */
+  private def unsignedBits(s: String): Long = {
+    val bi = new java.math.BigInteger(s)
+    require(bi.signum >= 0 && bi.bitLength <= 64,
+      s"udec '$s' does not fit uint64 — the wire would wrap it")
+    bi.longValue()
+  }
 
   private[sources] def encodePayload(c: PbChange): Array[Byte] = {
+    require(c.op != null && c.event_type != null,
+      s"op/event_type must be non-null to encode (pk=${c.pk}, " +
+        s"commit_ts=${c.commit_ts})")
     val opB = c.op.getBytes("UTF-8"); val etB = c.event_type.getBytes("UTF-8")
     val prB = if (c.props == null) null else c.props.getBytes("UTF-8")
     val dcB = if (c.dec38 == null) null else c.dec38.getBytes("UTF-8")
@@ -285,7 +296,13 @@ object PbBinlogFile {
         val magic = b.getInt
         if (magic != Magic)
           throw new IllegalStateException(f"binlog magic mismatch: 0x$magic%08x")
-        val len = b.getLong.toInt
+        // same bounds check as the live reader — the two walks must
+        // stay aligned on malformed input too
+        val len64 = b.getLong
+        if (len64 < 0 || len64 > b.remaining())
+          throw new IllegalStateException(
+            s"binlog frame length $len64 exceeds remaining ${b.remaining()}")
+        val len = len64.toInt
         val payload = new Array[Byte](len); b.get(payload)
         val stored = b.getInt
         val crc = new CRC32C(); crc.update(payload)
@@ -374,7 +391,13 @@ object PbBinlogFile {
           optionalCols.map(c => col(c._1))): _*)
       .as[PbChange]
       .repartitionByRange(nFiles, col("commit_ts"))
-      .sortWithinPartitions("commit_ts")
+      // TOTAL order, not just commit_ts: the retry-idempotence contract
+      // below (identical bytes under a colliding name → drop the temp)
+      // needs a re-executed task to serialize tied-ts rows identically,
+      // and a post-shuffle sort on commit_ts alone leaves their order to
+      // fetch timing
+      .sortWithinPartitions(col("commit_ts"), col("pk"), col("op"),
+        col("event_type"), col("value"), col("props"), col("ddl_sql"))
     ds.foreachPartition { rows: Iterator[PbChange] =>
       val fs = writerFsFor(dir, hconf.value)
       val pid = TaskContext.getPartitionId()
@@ -454,6 +477,15 @@ object PbBinlogFile {
       }
       try {
         rows.foreach { c =>
+          // a negative ts would print a sign into the segment NAME's
+          // interval fields and poison the directory for every later
+          // list/read (the name parse requires exactly 4 '-'-parts);
+          // TiDB commit ts are non-negative by construction, so fail the
+          // row loudly (the CODEC itself round-trips any Long — only the
+          // file-naming write path carries this bound)
+          require(c.commit_ts >= 0,
+            s"negative commit_ts ${c.commit_ts} cannot ride the " +
+              s"segment-name interval (pk=${c.pk})")
           if (out == null) {
             // attempt id disambiguates retries WITHIN one application; the
             // random token disambiguates ACROSS applications sharing the
@@ -622,11 +654,16 @@ object PbBinlogFile {
     // test suites, bench reps) must never contend on one directory; the
     // registry's shutdown hook deletes the staged trees on JVM exit
     val out = graft.util.Scratch.dir("graft_wire_scan")
-    val changes = graft.ops.Cdc.changes(spark, dir)
-    write(changes, out, nFiles = 4)
-    // sf-relative [20%, 60%] of the ts domain, so the scan prunes files at
-    // every scale factor; the max is a one-row aggregate
-    val maxTs = graft.ops.Cdc.maxCommitTs(changes)
+    // pinned across staging: write() costs two passes (range-partition
+    // sampling + the write itself) and the max aggregate a third
+    // (gcScanQuery's rationale)
+    val changes = graft.ops.Cdc.changes(spark, dir).persist()
+    val maxTs = try {
+      write(changes, out, nFiles = 4)
+      graft.ops.Cdc.maxCommitTs(changes)
+    } finally { changes.unpersist(); () }
+    // sf-relative [20%, 60%] of the ts domain, so the scan prunes files
+    // at every scale factor
     read(spark, out, startTs = maxTs * 2 / 10, endTs = maxTs * 6 / 10)
       .select("commit_ts", "pk", "op", "event_type", "ts", "value", "props")
   }
@@ -718,7 +755,8 @@ object PbBinlogFile {
     // as complete frames by the corruption injector
     val hconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val files = listSegments(out, hconf.value)
-    spark.sparkContext.parallelize(files, files.size)
+    // numSlices must be positive even for the degenerate empty feed
+    spark.sparkContext.parallelize(files, math.max(files.size, 1))
       .foreach(n => corruptFile(fsFor(out, hconf.value), new HPath(out, n),
         ts => ts % 7 == 0))
     read(spark, out, recover = true)
@@ -742,8 +780,11 @@ object PbBinlogFile {
     * drainer/translator/pb.go:242-296; tests/dailytest/case.go:97-146). */
   def typedRoundtripQuery(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.util.Scratch.dir("graft_wire_typed")
-    val typed = graft.ops.TypeDomain.typedEnvelope(graft.ops.Cdc.changes(spark, dir))
-    write(typed, out, nFiles = 4)
+    // pinned across write()'s sampling + write passes (gcScanQuery's
+    // rationale — the typed projection re-derives the M9 domain per pass)
+    val typed = graft.ops.TypeDomain.typedEnvelope(
+      graft.ops.Cdc.changes(spark, dir)).persist()
+    try write(typed, out, nFiles = 4) finally { typed.unpersist(); () }
     read(spark, out)
       .select(col("commit_ts"), col("pk"), col("value"),
         col("dec38"), col("udec"), col("bits"),

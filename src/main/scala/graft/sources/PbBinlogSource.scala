@@ -217,11 +217,15 @@ case class PbBinlogInputPartition(path: String) extends InputPartition
   * [[PbBinlogFile.gc]] has reclaimed the file (keeping it forever would
   * make the per-trigger offset-log write grow with total history, an
   * unbounded cost on a months-long relay stream). Names are content-stable
-  * (the writer's collision guard never lets different bytes reuse a name),
-  * so membership is a correct consumed-marker; the one redelivery window —
-  * a bit-identical segment RE-promoted under a reclaimed name — is the
-  * same at-least-once contract the reference's relay GC has, and the
-  * batch-id-idempotent sinks absorb it. */
+  * (the writer's collision guard never lets different bytes reuse a name
+  * while the file EXISTS), so membership is a correct consumed-marker;
+  * the one redelivery window — a bit-identical segment RE-promoted under
+  * a reclaimed name — is the same at-least-once contract the reference's
+  * relay GC has, and the batch-id-idempotent sinks absorb it. The guard
+  * does NOT survive gc: a re-write of a reclaimed interval with DIFFERENT
+  * content re-takes the name unchecked, so retention must stay ahead of
+  * the slowest checkpointed reader (the reference's GC-vs-reader pacing
+  * contract, binlogger.go:354-380). */
 case class PbBinlogOffset(files: Seq[String]) extends Offset {
   override def json(): String =
     PbBinlogOffset.mapper.writeValueAsString(files.toArray)
@@ -269,7 +273,12 @@ class PbBinlogMicroBatchStream(dir: String, recover: Boolean, tsLo: Long,
     // admission slots go to READABLE segments only: a segment wholly
     // outside the pushed ts bounds is marked consumed immediately (the
     // bounds are fixed for the query's lifetime) instead of burning a
-    // maxFilesPerTrigger slot on a micro-batch that would decode nothing
+    // maxFilesPerTrigger slot on a micro-batch that would decode nothing.
+    // CONTRACT: the checkpoint is therefore bound to the query's pushed
+    // bounds — re-starting a WIDER query on the same checkpointLocation
+    // would skip these permanently-consumed segments; widening the
+    // predicate needs a fresh checkpoint (positional relay offsets in the
+    // reference have the same property, reader.go:50-121)
     val (inRange, outOfRange) = fresh.partition(n =>
       PbBinlogFile.segLastTs(n) >= tsLo && PbBinlogFile.segFirstTs(n) <= tsHi)
     val admitted = limit match {
@@ -323,6 +332,12 @@ class PbBinlogPartitionReader(path: String, conf: Configuration,
 
   private val frames: Iterator[PbBinlogFile.PbChange] =
     if (recover) {
+      // the salvage scan is in-memory by design (it re-synchronizes on
+      // magic across arbitrary corruption); a foreign file past the array
+      // limit must fail loudly, not read a silently truncated prefix
+      require(fileLen <= Int.MaxValue.toLong,
+        s"recover mode cannot salvage $path: $fileLen bytes exceeds the " +
+          "in-memory scan limit — split the file or read strict")
       val bytes = new Array[Byte](fileLen.toInt)
       val in = fs.open(hPath)
       try in.readFully(0L, bytes) finally in.close()

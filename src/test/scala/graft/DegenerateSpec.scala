@@ -48,4 +48,35 @@ class DegenerateSpec extends SparkSpec {
     val empty = graft.ops.Cdc.changes(spark, sf).filter(lit(false))
     assert(graft.ops.Cdc.compactByPk(empty).count() == 0)
   }
+
+  test("recover-scan staging over an empty change feed is empty, not an error") {
+    // zero staged segments: the corruption fan-out must not demand a
+    // positive slice count from an empty file list, and the salvage read
+    // of the (empty) directory is an empty frame
+    val dir = graft.util.Scratch.dir("graft_empty_feed")
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.streaming.CdcStream.eventsRawSchema)
+      .write.parquet(s"$dir/events.parquet")
+    assert(graft.sources.PbBinlogFile.recoverScanQuery(spark, dir).count() == 0)
+  }
+
+  test("the binlog writer rejects a negative commit ts instead of poisoning the name") {
+    // f"%020d" of a negative long prints a sign into the segment name's
+    // interval fields; every later list/read of the directory would then
+    // fail its name parse — the row must fail loudly at write
+    val dir = graft.util.Scratch.dir("graft_neg_ts")
+    val bad = Seq((-1L, 1L, "I", "e", 1.0))
+      .toDF("commit_ts", "pk", "op", "event_type", "value")
+      .withColumn("ts", timestamp_micros(lit(0L)))
+      .withColumn("props", lit(null).cast("string"))
+    val e = intercept[Exception] {
+      graft.sources.PbBinlogFile.write(bad, dir, nFiles = 1)
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("negative commit_ts")))
+    // and the directory stays readable (no poisoned name was promoted)
+    assert(graft.sources.PbBinlogFile.read(spark, dir).count() == 0)
+  }
 }
