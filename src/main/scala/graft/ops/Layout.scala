@@ -82,15 +82,24 @@ object Layout {
     * rule shared by [[compact]] and its roundtrip check, so what the
     * check counts is exactly what compaction measured. */
   private def parquetFiles(spark: SparkSession,
-      path: String): Array[org.apache.hadoop.fs.FileStatus] = {
+      path: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(new org.apache.hadoop.fs.Path(path))
-      .filter(_.getPath.getName.endsWith(".parquet"))
+    // RECURSIVE: streaming-sink output is routinely partitioned
+    // (bucket=N/ dirs) — a top-level listing would size such input at 0
+    // bytes and funnel the whole dataset through repartition(1)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+    val out = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) out += st
+    }
+    out.toSeq
   }
 
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val totalBytes = parquetFiles(spark, inPath).map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inPath)

@@ -67,7 +67,11 @@ class UpsertSink(root: String, nBuckets: Int = 16) {
       try MetaFs.readString(metaPath).trim.split(' ') match {
         case Array(b, ts, v, c) => Checkpoint(b.toLong, ts.toLong, v.toLong, c.toBoolean)
         case Array(b)           => Checkpoint(b.toLong, -1L, -1L, consistent = true)
-        case _                  => Checkpoint(-1L, -1L, -1L, consistent = true)
+        // a wrong token count is external corruption like a garbage field
+        // — resetting to batchId=-1 here would silently disable the
+        // replay-skip guard and move the resume position to the origin
+        case parts => throw new IllegalArgumentException(
+          s"${parts.length} fields where 1 or 4 expected")
       } catch {
         // IllegalArgumentException covers both the numeric fields (NFE is
         // its subclass) and a corrupt boolean field (`toBoolean` throws
@@ -89,6 +93,21 @@ class UpsertSink(root: String, nBuckets: Int = 16) {
 
   private def bucketOf(pk: org.apache.spark.sql.Column) =
     pmod(xxhash64(pk), lit(nBuckets)).cast("int")
+
+  // the bucket modulus is part of the ON-DISK layout: reopening an
+  // existing state with a different nBuckets would route keys to the
+  // wrong directories (pruned reads miss their real bucket, writes land
+  // a second copy elsewhere) with no error — pin it beside the
+  // checkpoint and fail loudly on mismatch
+  private val layoutPath = s"$root/_n_buckets"
+  private def checkLayout(): Unit =
+    if (MetaFs.exists(layoutPath)) {
+      val n = MetaFs.readString(layoutPath).trim.toInt
+      require(n == nBuckets,
+        s"state at $root is laid out with $n buckets; reopening with " +
+          s"$nBuckets would split keys across mismatched directories — " +
+          "rebucket (read + rewrite) or recreate the state")
+    } else MetaFs.writeString(layoutPath, s"$nBuckets\n")
 
   private def emptyState(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -122,7 +141,12 @@ class UpsertSink(root: String, nBuckets: Int = 16) {
 
   def currentState(spark: SparkSession): DataFrame = {
     healHalfSwaps()
-    if (MetaFs.exists(statePath))
+    // bucket-dir presence, not statePath presence: a state whose every
+    // key was deleted keeps the (empty) state dir but no bucket dirs —
+    // a parquet read of that throws schema-inference instead of empty
+    val hasBuckets = MetaFs.exists(statePath) &&
+      MetaFs.listNames(statePath).exists(_.startsWith("bucket="))
+    if (hasBuckets)
       spark.read.option("basePath", statePath).parquet(statePath)
         .select("pk", "commit_ts", "value")
     else emptyState(spark)
@@ -133,9 +157,13 @@ class UpsertSink(root: String, nBuckets: Int = 16) {
   private def stateForBuckets(spark: SparkSession, buckets: Seq[Int]): DataFrame = {
     val existing = buckets.map(b => s"$statePath/bucket=$b")
       .filter(MetaFs.exists)
-    if (existing.isEmpty) emptyState(spark)
+    // keep the partition column the pruned read provides: re-hashing
+    // existing rows per batch is wasted work, and rows staying in the
+    // directory they were read from holds by construction
+    if (existing.isEmpty) emptyState(spark).withColumn("bucket", lit(0))
     else spark.read.option("basePath", statePath).parquet(existing: _*)
-      .select("pk", "commit_ts", "value")
+      .select(col("pk"), col("commit_ts"), col("value"),
+        col("bucket").cast("int").as("bucket"))
   }
 
   /** Apply one micro-batch of change rows (pk, commit_ts, op, value[, ddl]).
@@ -143,38 +171,47 @@ class UpsertSink(root: String, nBuckets: Int = 16) {
     * checkpoint advances to (batchId, max applied commit_ts, schemaVersion,
     * consistent=true) in one marker write — a crash mid-apply leaves the
     * previous checkpoint, and whole-batch replay is idempotent. */
-  def applyBatch(batch: DataFrame, batchId: Long, schemaVersion: Long = -1L): Boolean = {
-    if (batchId <= lastCommitted) return false // idempotent replay skip
+  def applyBatch(batch0: DataFrame, batchId: Long, schemaVersion: Long = -1L): Boolean = {
+    val prev = lastCheckpoint // one marker read serves guard + fallbacks
+    if (batchId <= prev.batchId) return false // idempotent replay skip
+    checkLayout()
     healHalfSwaps() // a crash mid-swap must be rolled back BEFORE state reads
-    val spark = batch.sparkSession
-    val prev = lastCheckpoint
-
-    // DDL barrier: order sub-batches around DDL rows by commit_ts.
-    val ddls = batch.filter(col("op") === "DDL")
-      .select("commit_ts", "value").orderBy("commit_ts").collect()
-    val barriers = ddls.map(_.getAs[Long]("commit_ts")).sorted :+ Long.MaxValue
-    var lower = Long.MinValue
-    barriers.foreach { upper =>
-      val slice = batch.filter(col("op") =!= "DDL" &&
-        col("commit_ts") > lower && col("commit_ts") <= upper)
-      mergeSlice(spark, slice)
-      if (upper != Long.MaxValue) {
-        // the log was a single append-file before it became a marker
-        // directory: a pre-existing file under the name must step aside,
-        // not wedge mkdirs on its first post-upgrade DDL batch
-        if (MetaFs.exists(ddlLogDir) && !MetaFs.isDirectory(ddlLogDir))
-          MetaFs.rename(ddlLogDir, s"$ddlLogDir.v1")
-        MetaFs.mkdirs(ddlLogDir)
-        MetaFs.writeString(f"$ddlLogDir/$batchId%020d-$upper%020d", s"$batchId:$upper\n")
+    val spark = batch0.sparkSession
+    // pinned: the barrier collect, one filter-scan per slice, and the max
+    // agg would otherwise re-run the source scan 3+k times (the
+    // applyToJdbcTables rationale)
+    val batch = batch0.persist()
+    try {
+      // DDL barrier: order sub-batches around DDL rows by commit_ts.
+      // DISTINCT: several DDLs sharing one commit ts (one upstream txn's
+      // jobs) are ONE barrier — duplicate ts values would write the same
+      // marker name twice and slice nothing in between
+      val barriers = batch.filter(col("op") === "DDL")
+        .select("commit_ts").distinct()
+        .collect().map(_.getLong(0)).sorted :+ Long.MaxValue
+      var lower = Long.MinValue
+      barriers.foreach { upper =>
+        val slice = batch.filter(col("op") =!= "DDL" &&
+          col("commit_ts") > lower && col("commit_ts") <= upper)
+        mergeSlice(spark, slice)
+        if (upper != Long.MaxValue) {
+          // the log was a single append-file before it became a marker
+          // directory: a pre-existing file under the name must step aside,
+          // not wedge mkdirs on its first post-upgrade DDL batch
+          if (MetaFs.exists(ddlLogDir) && !MetaFs.isDirectory(ddlLogDir))
+            MetaFs.rename(ddlLogDir, s"$ddlLogDir.v1")
+          MetaFs.mkdirs(ddlLogDir)
+          MetaFs.writeString(f"$ddlLogDir/$batchId%020d-$upper%020d", s"$batchId:$upper\n")
+        }
+        lower = upper
       }
-      lower = upper
-    }
-    val maxTsRow = batch.agg(max("commit_ts")).collect()(0)
-    val maxTs = if (maxTsRow.isNullAt(0)) prev.commitTs else maxTsRow.getLong(0)
-    val version = if (schemaVersion >= 0) schemaVersion else prev.schemaVersion
-    MetaFs.writeString(metaPath,
-      s"$batchId ${math.max(maxTs, prev.commitTs)} $version true")
-    true
+      val maxTsRow = batch.agg(max("commit_ts")).collect()(0)
+      val maxTs = if (maxTsRow.isNullAt(0)) prev.commitTs else maxTsRow.getLong(0)
+      val version = if (schemaVersion >= 0) schemaVersion else prev.schemaVersion
+      MetaFs.writeString(metaPath,
+        s"$batchId ${math.max(maxTs, prev.commitTs)} $version true")
+      true
+    } finally { batch.unpersist(); () }
   }
 
   private def mergeSlice(spark: SparkSession, slice: DataFrame): Unit = {
@@ -187,8 +224,18 @@ class UpsertSink(root: String, nBuckets: Int = 16) {
       .collect().map(_.getInt(0)).sorted.toSeq
     val existing = stateForBuckets(spark, touched)
       .withColumn("op", lit("I")) // materialized rows behave as inserts
-    val w = Window.partitionBy("pk").orderBy(col("commit_ts").desc)
-    val next = existing.withColumn("bucket", bucketOf(col("pk")))
+    // ties broken DETERMINISTICALLY: TiDB stamps a whole txn with one
+    // commit ts, so a batch can carry several same-(pk, ts) ops. D
+    // outranks U outranks I — an incoming same-ts op beats the
+    // materialized row, and the common same-ts chains (I→U, I→D, U→D)
+    // resolve to their net effect. The one ambiguous chain
+    // (delete-then-reinsert within a single txn) needs the wire's T9
+    // intra-txn sequence; route such streams through the sequence apply.
+    val opRank = when(col("op") === "D", 2)
+      .when(col("op") === "U", 1).otherwise(0)
+    val w = Window.partitionBy("pk")
+      .orderBy(col("commit_ts").desc, opRank.desc, col("value").desc_nulls_last)
+    val next = existing
       .unionByName(incoming)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("op") =!= "D") // delete suppression

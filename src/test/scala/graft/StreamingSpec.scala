@@ -225,6 +225,66 @@ class StreamingSpec extends SparkSpec {
     assert(restarted.lastCommitTs == 50L)
   }
 
+  test("a state whose every key deleted reads back empty, not a schema error") {
+    val root = graft.util.Scratch.dir("graft_vacated_sink")
+    val sink = new UpsertSink(root, nBuckets = 4)
+    val ins = Seq((10L, 1L, "I", 1.0), (11L, 2L, "I", 2.0))
+      .toDF("commit_ts", "pk", "op", "value")
+    assert(sink.applyBatch(ins, 0L))
+    assert(sink.currentState(spark).count() == 2)
+    val dels = Seq((20L, 1L, "D", 0.0), (21L, 2L, "D", 0.0))
+      .toDF("commit_ts", "pk", "op", "value")
+    assert(sink.applyBatch(dels, 1L))
+    // every bucket dir vacated; the state dir itself remains — the read
+    // must degrade to the empty frame, never to parquet schema inference
+    assert(sink.currentState(spark).count() == 0)
+  }
+
+  test("reopening a state with a different bucket modulus fails loudly") {
+    val root = graft.util.Scratch.dir("graft_modulus_sink")
+    val sink = new UpsertSink(root, nBuckets = 4)
+    assert(sink.applyBatch(Seq((10L, 1L, "I", 1.0))
+      .toDF("commit_ts", "pk", "op", "value"), 0L))
+    // same modulus reopens fine
+    assert(new UpsertSink(root, nBuckets = 4).currentState(spark).count() == 1)
+    // a different modulus would route keys to wrong directories silently
+    val e = intercept[IllegalArgumentException] {
+      new UpsertSink(root, nBuckets = 8).applyBatch(Seq((20L, 2L, "I", 2.0))
+        .toDF("commit_ts", "pk", "op", "value"), 1L)
+    }
+    assert(e.getMessage.contains("laid out with 4 buckets"))
+  }
+
+  test("same-commit-ts ops on one key resolve deterministically (D > U > I)") {
+    // TiDB stamps a whole txn with one commit ts: an I and its same-txn D
+    // share (pk, ts). The merge must not leave the winner to partition
+    // timing — D outranks, so the common I→D net effect (nothing) lands.
+    val root = graft.util.Scratch.dir("graft_ties_sink")
+    val sink = new UpsertSink(root, nBuckets = 4)
+    val b = Seq((10L, 1L, "I", 1.0), (10L, 1L, "D", 0.0),
+      (10L, 2L, "I", 2.0), (10L, 2L, "U", 2.5))
+      .toDF("commit_ts", "pk", "op", "value")
+    assert(sink.applyBatch(b, 0L))
+    val state = sink.currentState(spark)
+      .select("pk", "value").as[(Long, Double)].collect().toMap
+    assert(state == Map(2L -> 2.5)) // pk1 netted away; pk2 kept U's image
+  }
+
+  test("compact sizes a PARTITIONED directory from its recursive listing") {
+    // the sink's own bucket=N layout is the documented compact input — a
+    // top-level listing would size it at 0 bytes and repartition(1)
+    val root = graft.util.Scratch.dir("graft_compact_part")
+    val sink = new UpsertSink(root, nBuckets = 4)
+    assert(sink.applyBatch((1L to 400L).map(i => (i, i, "I", i.toDouble))
+      .toDF("commit_ts", "pk", "op", "value"), 0L))
+    val out = graft.util.Scratch.dir("graft_compact_part_out")
+    // a tiny target must yield MORE than one output file, proving the
+    // recursive byte count saw the bucket dirs
+    val n = graft.ops.Layout.compact(spark, s"$root/state", out, targetBytes = 2048L)
+    assert(n > 1, s"expected >1 output files from a partitioned input, got $n")
+    assert(spark.read.parquet(out).count() == 400)
+  }
+
   test("update-while-add/drop-column: each row decodes at its own schema version") {
     // dailytest analog (ref: tests/dailytest/case.go:386-485 runs DML
     // concurrently with ADD/DROP COLUMN): rows carry the schema version
