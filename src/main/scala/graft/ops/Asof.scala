@@ -92,6 +92,13 @@ object Asof {
     * recent right payload forward onto each left row. */
   def keyedAsof(left: DataFrame, right: DataFrame, key: String,
                 leftTs: String, rightTs: String, payload: String): DataFrame = {
+    // collision guards, broadcastAsof's discipline: the internal columns
+    // and the payload OUTPUT would silently clobber same-named left
+    // columns otherwise
+    val reserved = Seq("__ts", "__side", "__p") :+ payload
+    require(!reserved.exists(left.columns.contains),
+      s"left frame carries a reserved/output column name " +
+        s"(${reserved.filter(left.columns.contains).mkString(",")})")
     // the payload rides inside a one-field struct: the STRUCT is non-null
     // for every right row even when the payload value itself is NULL, so
     // last(ignoreNulls) anchors on "latest right ROW", not "latest
@@ -104,7 +111,11 @@ object Asof {
     val l = left.withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(0))
       .withColumn("__p", lit(null).cast(pType))
-    val r = right.select(
+    // a NULL right timestamp matches NOTHING in the ASOF contract (the
+    // DuckDB oracle's `l.ts >= r.ts` never matches NULL) — unfiltered it
+    // would sort first (asc nulls-first) and its payload would win for
+    // every left row with no real preceding right row
+    val r = right.filter(col(rightTs).isNotNull).select(
       col(key), col(rightTs).as("__ts"), lit(1).as("__side"),
       struct(col(payload).as("v")).as("__p"))
     val rPadded = l.columns.foldLeft(r) { (df, c) =>
@@ -149,11 +160,28 @@ object Asof {
     // degenerate broadcast as-of carrying only the matched timestamp:
     // aggregate form avoids the window over wide rows entirely. Grouping
     // includes a unique row tag so duplicate left rows keep cardinality.
+    // The right ts projects under an internal name FIRST, so the two
+    // sides may share the column name (the DML/DDL commit_ts pairing
+    // broadcastAsof's require redirects here) without an ambiguous
+    // reference.
     val tagged = left.withColumn("__rid", monotonically_increasing_id())
-    val groupCols: Seq[Column] = tagged.columns.map(col).toSeq
-    tagged.join(broadcast(right.select(col(rightTs))), col(leftTs) >= col(rightTs), "left")
-      .groupBy(groupCols: _*)
-      .agg(max(col(rightTs)).as(as))
-      .drop("__rid")
+    val joined = tagged.join(broadcast(right.select(col(rightTs).as("__rts"))),
+      col(leftTs) >= col("__rts"), "left")
+    // non-orderable left columns (map) cannot group — fall back to the
+    // per-tag window, broadcastAsof's rule
+    val groupable = tagged.schema.fields.forall(f =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+    if (groupable) {
+      val groupCols: Seq[Column] = tagged.columns.map(col).toSeq
+      joined.groupBy(groupCols: _*)
+        .agg(max(col("__rts")).as(as))
+        .drop("__rid")
+    } else {
+      val w = Window.partitionBy("__rid").orderBy(col("__rts").desc_nulls_last)
+      joined.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .withColumn(as, col("__rts"))
+        .drop("__rid", "__rn", "__rts")
+    }
   }
 }

@@ -52,15 +52,27 @@ object Causality {
   private[graft] val Uk1Offset = 1L << 61
   private[graft] val Uk2Offset = 1L << 62
 
+  /** The namespace invariant, CHECKED: an id outside [0, 2^61) would
+    * alias another namespace's node (a negative uk1 key lands in pk
+    * space, a negative uk2 value just below 2^62 lands in uk1 space) and
+    * silently fuse unrelated histories — exactly the corruption the
+    * offsets exist to prevent. One codegen'd comparison per row. */
+  private def nsChecked(id: Column, what: String): Column =
+    when(id < 0 || id >= Uk1Offset,
+      raise_error(concat(lit(s"$what outside the [0, 2^61) node namespace: "),
+        id.cast("string"))).cast("long"))
+      .otherwise(id)
+
   /** The per-event key set: (commit_ts, pk, array of present unique keys).
     * One shuffle on pk for the old-image lag; everything else is a
     * projection. */
   private def eventKeys(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("pk").orderBy("commit_ts")
     def uk1(value: Column, k: Column): Column =
-      when(value > 300.0, k + Uk1Offset)
+      when(value > 300.0, nsChecked(k, "uk1 key") + Uk1Offset)
     def uk2(eventType: Column, value: Column): Column =
-      when(eventType === "purchase", floor(value).cast("long") + Uk2Offset)
+      when(eventType === "purchase",
+        nsChecked(floor(value).cast("long"), "uk2 key") + Uk2Offset)
     Cdc.changes(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .withColumn("prev_value", lag("value", 1).over(w))
@@ -87,7 +99,8 @@ object Causality {
     // node: the event is the hyperedge, the pk its hub
     val half = Seq("uk1_new", "uk2_new", "uk1_old", "uk2_old")
       .map(c => keys.filter(col(c).isNotNull)
-        .select(col("pk").as("src"), col(c).as("dst")))
+        // pk owns [0, 2^61): a pk past the offset would alias a UK node
+        .select(nsChecked(col("pk"), "pk node").as("src"), col(c).as("dst")))
       .reduce(_ unionByName _)
       .distinct()
     // no checkpoint here: connectedComponents repartitions and materializes
@@ -209,9 +222,10 @@ object Causality {
       val sym = e.select(col("hi").as("u"), col("lo").as("v"))
         .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
       val minsL = sym.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
+      // no hi =!= lo filter needed: v > u ≥ m by construction, so the
+      // emitted edge can never be a self-loop
       val large = sym.join(minsL, "u").where(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
-        .where(col("hi") =!= col("lo"))
         .distinct().localCheckpoint(true)
       // small-star on the lo-pointing edges: u's smaller neighborhood
       // (all lo's, plus u itself) re-attaches to its minimum

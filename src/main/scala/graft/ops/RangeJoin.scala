@@ -28,6 +28,13 @@ object RangeJoin {
     // div 0 is NULL under non-ANSI Spark: every bucket would be NULL and
     // the join silently empty — "no overlaps" instead of "bad parameter"
     require(width > 0, s"bucket width must be positive, got $width")
+    // the output carries BOTH sides' columns: a shared name would make
+    // the range filter ambiguous (AnalysisException) or the output
+    // unselectable — fail with the offending names instead
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"points and intervals share column names ${shared.mkString(",")} — " +
+        "rename one side before the range join")
     // collision-proof internal key: a caller whose frames already carry a
     // "bucket" column (e.g. LSH-bucketed inputs) must not get it clobbered
     val bk = "__rj_bucket"

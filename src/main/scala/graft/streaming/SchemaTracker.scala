@@ -196,8 +196,14 @@ class SchemaTracker(historyDepth: Int = 2, val foldCase: Boolean = false) {
     require(!byName.contains((n(toSchema), n(to))),
       s"rename target $toSchema.$to is already registered")
     byName -= ((n(schema), n(from)))
-    byName += (n(toSchema), n(to)) -> hist.map(i =>
-      i.copy(schema = n(toSchema), table = n(to), version = version))
+    // re-key the history INTACT — each entry keeps its own version, so
+    // atVersion under the new name still resolves pre-rename shapes —
+    // and push the rename itself as a version step like every other DDL
+    // (stamping every retained entry with the rename version would make
+    // the history entries indistinguishable)
+    val rehomed = hist.map(i => i.copy(schema = n(toSchema), table = n(to)))
+    byName += (n(toSchema), n(to)) ->
+      (rehomed :+ rehomed.last.copy(version = version)).takeRight(historyDepth)
   }
 
   /** truncate resets the table identity but not its shape. */
@@ -206,9 +212,19 @@ class SchemaTracker(historyDepth: Int = 2, val foldCase: Boolean = false) {
     current(schema, table).foreach(i => push((schema, table), i.copy(version = version)))
   }
 
+  /** Graveyard bound: the reference only recovers drops inside the GC
+    * window — here the analog is a capped recent-drops set (a FLASHBACK
+    * of a long-evicted drop is invalid upstream too). Without a bound a
+    * table-churning upstream grows driver memory forever. */
+  private val graveyardCap = 1024
+
   def dropTable(schema: String, table: String, version: Long): Unit = {
     currentVersion = version
-    current(schema, table).foreach(i => graveyard += (n(schema), n(table)) -> i)
+    current(schema, table).foreach { i =>
+      graveyard += (n(schema), n(table)) -> i.copy(version = version)
+      if (graveyard.size > graveyardCap)
+        graveyard -= graveyard.minBy(_._2.version)._1
+    }
     byName -= ((n(schema), n(table)))
   }
 
@@ -226,6 +242,11 @@ class SchemaTracker(historyDepth: Int = 2, val foldCase: Boolean = false) {
       version: Long): Unit = {
     val info = graveyard.getOrElse((n(schema), n(table)),
       throw new NoSuchElementException(s"no dropped table $schema.$table to recover"))
+    // same loud guard as renameTable: recovering onto a registered name
+    // would silently append the drop-time shape onto the LIVE table's
+    // history and demote its real current shape
+    require(!byName.contains((n(schema), n(to))),
+      s"recover target $schema.$to is already registered")
     graveyard -= ((n(schema), n(table)))
     currentVersion = version
     push((schema, to), info.copy(table = n(to), version = version))
@@ -301,8 +322,13 @@ class SchemaTracker(historyDepth: Int = 2, val foldCase: Boolean = false) {
       throw new NoSuchElementException(s"$ptSchema.$ptTable"))
     val nt = current(ntSchema, ntTable).getOrElse(
       throw new NoSuchElementException(s"$ntSchema.$ntTable"))
-    push((ptSchema, ptTable), pt.copy(columns = nt.columns, version = version))
-    push((ntSchema, ntTable), nt.copy(columns = pt.columns, version = version))
+    // origin defaults and ENUM/SET dictionaries are metadata OF the
+    // column shape — they swap WITH it, or a sink would map values
+    // through the other table's dictionary
+    push((ptSchema, ptTable), pt.copy(columns = nt.columns,
+      defaults = nt.defaults, dicts = nt.dicts, version = version))
+    push((ntSchema, ntTable), nt.copy(columns = pt.columns,
+      defaults = pt.defaults, dicts = pt.dicts, version = version))
   }
 
   def current(schema: String, table: String): Option[TableInfo] =

@@ -102,6 +102,34 @@ class AsofSpec extends SparkSpec {
     assert(m.filter(col("id") === 100L && col("matched_rts") === 10L).count() == 2)
   }
 
+  test("a NULL right timestamp matches nothing (DuckDB ASOF parity)") {
+    import spark.implicits._
+    // unfiltered, the NULL-ts right row sorts first (asc nulls-first) and
+    // its payload wins for every left row with no real preceding match —
+    // DuckDB's `l.ts >= r.ts` never matches NULL
+    val left = Seq((1L, 10L)).toDF("k", "lts")
+    val right = Seq((1L, Option.empty[Long], 99.0), (1L, Some(5L), 1.5))
+      .toDF("k", "rts", "payload")
+    val out = Asof.keyedAsof(left, right, "k", "lts", "rts", "payload")
+    assert(out.select("payload").as[Double].collect().toSeq == Seq(1.5))
+    val onlyNull = Seq((1L, Option.empty[Long], 99.0))
+      .toDF("k", "rts", "payload")
+    val out2 = Asof.keyedAsof(left, onlyNull, "k", "lts", "rts", "payload")
+    assert(out2.select("payload").collect()(0).isNullAt(0))
+  }
+
+  test("maxLeq accepts the shared-ts-name pairing broadcastAsof redirects here") {
+    import spark.implicits._
+    // both sides carrying `commit_ts` is the documented DML/DDL shape —
+    // the right ts must project under an internal name or the join and
+    // the aggregate both see an ambiguous reference
+    val left = Seq((1L, 10L), (2L, 3L)).toDF("pk", "commit_ts")
+    val right = Seq(Tuple1(5L), Tuple1(9L)).toDF("commit_ts")
+    val out = Asof.maxLeq(left, right, "commit_ts", "commit_ts", "m")
+      .select("pk", "m").as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(1L -> Some(9L), 2L -> None))
+  }
+
   test("schemaVersion assigns max version boundary <= commit_ts") {
     val df = Transforms.schemaVersion(spark, sf)
     val bad = df.filter(col("schema_version") > col("commit_ts")).count()

@@ -111,6 +111,44 @@ class StreamingSpec extends SparkSpec {
     assert(t.current("db", "a").get.columns == Vector("y", "z"))
     assert(t.current("db", "b").get.columns == Vector("x"))
     assert(t.version == 5)
+    // ... WITH their column metadata: a dictionary is metadata of the
+    // shape and must follow it through the swap
+    t.setDictionary("db", "a", "y", Vector("p", "q"), version = 6)
+    t.exchangePartition("db", "a", "db", "b", version = 7)
+    assert(t.dictionary("db", "b", "y").contains(Vector("p", "q")))
+    assert(t.dictionary("db", "a", "y").isEmpty)
+  }
+
+  test("table rename re-homes the versioned history INTACT under the new key") {
+    val t = new SchemaTracker(historyDepth = 10)
+    t.createTable("db", "t", Seq("a"), version = 1)
+    t.addColumn("db", "t", "b", version = 3)
+    t.renameTable("db", "t", "u", version = 6)
+    // pre-rename shapes stay resolvable at their OWN versions — stamping
+    // the whole history with the rename version would make a versioned
+    // decode of a pre-rename DML under the new name miss
+    assert(t.atVersion("db", "u", 2).get.columns == Vector("a"))
+    assert(t.atVersion("db", "u", 4).get.columns == Vector("a", "b"))
+    assert(t.current("db", "u").get.version == 6)
+    // recovering onto an occupied name is the same corruption class as
+    // renaming onto one — loud, never a silent history append
+    t.createTable("db", "g", Seq("x"), version = 7)
+    t.dropTable("db", "g", version = 8)
+    t.createTable("db", "g", Seq("y"), version = 9)
+    intercept[IllegalArgumentException] { t.recoverTable("db", "g", 10) }
+    assert(t.current("db", "g").get.columns == Vector("y"))
+  }
+
+  test("graveyard is bounded: the oldest drop evicts past the cap") {
+    val t = new SchemaTracker(historyDepth = 2)
+    (0 until 1030).foreach { i =>
+      t.createTable("db", s"t$i", Seq("a"), version = i.toLong * 2)
+      t.dropTable("db", s"t$i", version = i.toLong * 2 + 1)
+    }
+    val kept = t.droppedTables("db")
+    assert(kept.size == 1024, s"cap not enforced: ${kept.size}")
+    assert(!kept.contains("t0"), "the oldest drop must evict first")
+    assert(kept.contains("t1029"))
   }
 
   test("schema tracker: random legal DDL sequences agree with a naive model") {
