@@ -69,15 +69,27 @@ object Dedup {
     hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  def minhashSignaturesSql: String = {
+  /** The 16-permutation signature column list and the 8-band select
+    * union — ONE definition for every SQL generator, mirroring how the
+    * Spark side shares [[signaturesFrom]]/[[bandsFrom]]: a band-layout
+    * change desynchronizing one of three hand-copied lists would split
+    * the incremental oracle from the LSH oracle silently. */
+  private def sigColsSql(sep: String = ", "): String = {
     val h = Lex.hex8Sql("sh")
-    val cols = (0 until 16)
-      .map(j => s"min(${Lex.minhashPermSql(j, h)}) AS mh$j").mkString(",\n  ")
+    (0 until 16).map(j => s"min(${Lex.minhashPermSql(j, h)}) AS mh$j")
+      .mkString(sep)
+  }
+
+  private def bandSelectsSql: String =
+    (0 until 8).map(b =>
+      s"SELECT doc_id, $b AS band, mh${2 * b} || ',' || mh${2 * b + 1} AS sig FROM sigs")
+      .mkString("\n  UNION ALL ")
+
+  def minhashSignaturesSql: String =
     s"""WITH s AS ($docShinglesCte)
        |SELECT doc_id,
-       |  $cols
+       |  ${sigColsSql(",\n  ")}
        |FROM s GROUP BY doc_id""".stripMargin
-  }
 
   /** MinHash-LSH near-dup pairs: 8 bands × 2 rows; any band collision makes
     * a candidate; candidates verified with exact Jaccard ≥ 0.5. */
@@ -102,13 +114,14 @@ object Dedup {
       .localCheckpoint(true)
     // Verification cost must be candidate-bound, not corpus-bound: the
     // shingle inverted index is first semi-joined down to documents that
-    // appear in some candidate pair (a tiny, output-proportional set), so
-    // the O(pairs-sharing-a-shingle) intersection join never sees the full
-    // corpus. This is what keeps LSH cheap at 100 TB while ngramJaccard
-    // (exact, no screen) stays quadratic by design.
+    // appear in some candidate pair, so the O(pairs-sharing-a-shingle)
+    // intersection join never sees the full corpus. The candidate-doc set
+    // is OUTPUT-proportional — near-dup mass, unbounded in corpus size —
+    // so it is NOT broadcast-hinted: a shuffle semi-join scales with it,
+    // and AQE still picks broadcast when the set measures small.
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sh = sh0.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val sh = sh0.join(candDocs, Seq("doc_id"), "left_semi")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     cand.join(intersectionCounts(sh), Seq("doc_a", "doc_b"))
       .transform(withJaccard(sizes, threshold = 0.5))
@@ -159,17 +172,11 @@ object Dedup {
        |WHERE round(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 4) >= $threshold""".stripMargin
 
   def minhashLshSql: String = {
-    val h = Lex.hex8Sql("sh")
-    val sigCols = (0 until 16)
-      .map(j => s"min(${Lex.minhashPermSql(j, h)}) AS mh$j").mkString(", ")
-    val bandSelects = (0 until 8).map(b =>
-      s"SELECT doc_id, $b AS band, mh${2 * b} || ',' || mh${2 * b + 1} AS sig FROM sigs")
-      .mkString("\n  UNION ALL ")
     val candCte =
       s"""WITH s2 AS ($docShinglesCte),
-         |sigs AS (SELECT doc_id, $sigCols FROM s2 GROUP BY doc_id),
+         |sigs AS (SELECT doc_id, ${sigColsSql()} FROM s2 GROUP BY doc_id),
          |bands AS (
-         |  $bandSelects)
+         |  $bandSelectsSql)
          |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |FROM bands x JOIN bands y
          |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id""".stripMargin
@@ -203,7 +210,10 @@ object Dedup {
     val sh0 = docShingles(spark, dir).localCheckpoint(true)
     val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf)
-    sh0.join(broadcast(hot.select("sh")), Seq("sh"), "left_anti")
+    // the hot census is the Zipf HEAD of the shingle vocabulary —
+    // it grows with vocabulary, not with the cap, so no broadcast hint:
+    // AQE broadcasts when it measures small, shuffles when it does not
+    sh0.join(hot.select("sh"), Seq("sh"), "left_anti")
       .localCheckpoint(true)
   }
 
@@ -334,8 +344,10 @@ object Dedup {
       .localCheckpoint(true)
     val candNew = cand.select(col("new_id").as("doc_id")).distinct()
     val candBase = cand.select(col("base_id").as("doc_id")).distinct()
-    val shNew = sh0.join(broadcast(candNew), Seq("doc_id"), "left_semi")
-    val shBase = sh0.join(broadcast(candBase), Seq("doc_id"), "left_semi")
+    // candidate-doc sets are output-proportional (see minhashLsh) — no
+    // broadcast hint; AQE decides by measured size
+    val shNew = sh0.join(candNew, Seq("doc_id"), "left_semi")
+    val shBase = sh0.join(candBase, Seq("doc_id"), "left_semi")
     val inter = shNew.as("sa").join(shBase.as("sb"), col("sa.sh") === col("sb.sh"))
       .groupBy(col("sa.doc_id").as("new_id"), col("sb.doc_id").as("base_id"))
       .agg(count(lit(1)).as("n_inter"))
@@ -355,12 +367,6 @@ object Dedup {
   }
 
   def incrementalDedupSql: String = {
-    val h = Lex.hex8Sql("sh")
-    val sigCols = (0 until 16)
-      .map(j => s"min(${Lex.minhashPermSql(j, h)}) AS mh$j").mkString(", ")
-    val bandSelects = (0 until 8).map(b =>
-      s"SELECT doc_id, $b AS band, mh${2 * b} || ',' || mh${2 * b + 1} AS sig FROM sigs")
-      .mkString("\n  UNION ALL ")
     s"""WITH s AS ($docShinglesCte),
        |base_dig AS (
        |  SELECT md5(text) AS h, min(doc_id) AS base_exact
@@ -369,9 +375,9 @@ object Dedup {
        |  SELECT d.doc_id, bd.base_exact
        |  FROM documents d LEFT JOIN base_dig bd ON md5(d.text) = bd.h
        |  WHERE d.doc_id % 5 = 4),
-       |sigs AS (SELECT doc_id, $sigCols FROM s GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, ${sigColsSql()} FROM s GROUP BY doc_id),
        |bands AS (
-       |  $bandSelects),
+       |  $bandSelectsSql),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS base_id
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
@@ -465,9 +471,16 @@ object Dedup {
     // of magnitude above real web documents (a pipeline ingesting larger
     // blobs would pre-truncate or fall back to the unpacked 64-sum form).
     // The DuckDB oracle keeps the direct 64-CASE formulation — only the
-    // output is compared.
+    // output is compared. TOKEN BOUND, enforced: one pathological blob
+    // with ≥ 2^15 distinct tokens (a dumped word list, a genome file)
+    // would push a lane sum into the long sign bit — ANSI throws, the
+    // non-ANSI sum silently corrupts the fingerprint. Sort-then-slice
+    // keeps the SAME deterministic subset in both engines; below the
+    // bound the sort is a no-op for the order-independent sums.
     val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(Lex.toks(col("text")))).as("tok"))
+      .select(col("doc_id"),
+        explode(slice(array_sort(array_distinct(Lex.toks(col("text")))),
+          1, 32767)).as("tok"))
       .select(col("doc_id"), Lex.hex8(col("tok")).as("h1"), Lex.hex8b(col("tok")).as("h2"))
     def packed(h: Column, prefix: String): Seq[Column] =
       (0 until 8).map { k =>
@@ -497,7 +510,8 @@ object Dedup {
       .mkString(" + ")
     s"""WITH t AS (
        |  SELECT doc_id, $h1 AS h1, $h2 AS h2 FROM (
-       |    SELECT doc_id, unnest(list_distinct(${Lex.toksSql("text")})) AS tok
+       |    SELECT doc_id,
+       |      unnest(list_sort(list_distinct(${Lex.toksSql("text")}))[1:32767]) AS tok
        |    FROM documents)),
        |agg AS (SELECT doc_id, $sums FROM t GROUP BY doc_id)
        |SELECT doc_id, ${fold("a")} AS fp_lo, ${fold("b")} AS fp_hi FROM agg""".stripMargin
@@ -509,11 +523,17 @@ object Dedup {
     * candidates come from 4 equi-joins on (band, key) — never a cross join —
     * then the exact popcount filter keeps real neighbors.
     *
-    * Scale bound: buckets holding more than [[Lex.SimhashBandCap]] docs are
-    * dropped before the self-join (they are boilerplate concentrations; a
-    * genuinely near pair in a hot bucket still surfaces through its other
-    * bands). This caps within-bucket join cost at cap²/2 pairs per bucket —
-    * total candidate volume ≤ 4 bands × 2^16 keys × cap²/2 independent of
+    * Scale bound, WITH a recall cost stated honestly: buckets holding
+    * more than [[Lex.SimhashBandCap]] docs are dropped before the
+    * self-join. Pigeonhole guarantees only ONE matching band per
+    * near-pair, so a pair whose single matching band is hot is LOST —
+    * and an identical-fingerprint group larger than the cap (the
+    * strongest duplicate signal, hot in all 4 bands) emits no pairs at
+    * all. That is the deliberate trade: boilerplate mega-clusters are
+    * better handled by [[exact]] (which has no cap) than by
+    * materializing their quadratic pair set here. The cap bounds
+    * within-bucket join cost at cap²/2 pairs per bucket — total
+    * candidate volume ≤ 4 bands × 2^16 keys × cap²/2 independent of
     * corpus size — which is what keeps the plan alive at 100 TB where a
     * single hot template bucket would otherwise go quadratic. */
   def simhashNear(spark: SparkSession, dir: String): DataFrame = {
@@ -601,7 +621,10 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(when(size(col("toks")) >= n,
           transform(sequence(lit(1), size(col("toks")) - (n - 1)), i =>
-            Lex.hex8(concat_ws("_", (0 until n).map(j =>
+            // 64-bit gram identity (hex16): the 32-bit hash collides at
+            // ~10^5 distinct grams and saturates at corpus scale, marking
+            // never-duplicated positions as duplicated in both engines
+            Lex.hex16(concat_ws("_", (0 until n).map(j =>
               element_at(col("toks"), i + j)): _*))))
           .otherwise(array())))
       .select(col("doc_id"), col("pos"), col("col").as("g"))
@@ -626,7 +649,7 @@ object Dedup {
     val toks = Lex.toksSql("text")
     val gram = (0 until n).map(j => s"toks[i+$j]").mkString(" || '_' || ")
     s"""WITH pos AS (
-       |  SELECT doc_id, i AS pos, ${Lex.hex8Sql("gram")} AS g FROM (
+       |  SELECT doc_id, i AS pos, ${Lex.hex16Sql("gram")} AS g FROM (
        |    SELECT doc_id, i, $gram AS gram
        |    FROM (SELECT doc_id, $toks AS toks FROM documents),
        |         unnest(range(1, len(toks) - ${n - 2})) AS t(i))),

@@ -43,6 +43,15 @@ object Similarity {
   def norm(a: Column): Column = sqrt(dot(a, a))
   def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
 
+  /** Cosine division with the ZERO-NORM guard: a zero vector has no
+    * direction, so its cosine is NULL — never NaN, which Spark orders
+    * ABOVE every real value (an unguarded zero vector would rank #1 for
+    * every query and pass every >= threshold) and DuckDB compares as
+    * greater too. NULL ranks last and fails thresholds in BOTH engines;
+    * the SQL twin divides by `nullif(denom, 0)`. */
+  private def safeDiv(num: Column, den: Column): Column =
+    when(den === 0, lit(null)).otherwise(num / den)
+
   /** Brute-force cosine top-5 neighbors for the first 10 vectors. Query side
     * is broadcast; ranking uses (rounded cosine, id) so both engines select
     * identical rows. */
@@ -52,7 +61,8 @@ object Similarity {
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
     val pairs = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4))
+      .withColumn("cos", round(safeDiv(dot(col("qe"), col("embedding")),
+        col("qn") * col("nrm")), 4))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     pairs.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -64,7 +74,7 @@ object Similarity {
        |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM e WHERE vec_id < $nQueries),
        |pairs AS (
        |  SELECT q.query_id, e.vec_id,
-       |    round(${dotSql("q.qe", "e.embedding")} / (q.qn * e.nrm), 4) AS cos
+       |    round(${dotSql("q.qe", "e.embedding")} / nullif(q.qn * e.nrm, 0), 4) AS cos
        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
        |SELECT query_id, rank, vec_id, cos FROM (
        |  SELECT query_id, vec_id, cos,
@@ -129,7 +139,8 @@ object Similarity {
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
           col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos",
-        round(dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")), 4))
+        round(safeDiv(dot(col("a.embedding"), col("b.embedding")),
+          col("a.nrm") * col("b.nrm")), 4))
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
       .distinct()
@@ -197,8 +208,8 @@ object Similarity {
     (0 until iters).foreach { _ =>
       val cn = cents.withColumn("cn", lnorm(col("qce")))
       val assignment = e.join(broadcast(cn))
-        .withColumn("ccos", ldot(col("qe"), col("qce")).cast("double") /
-          (col("qn") * col("cn")))
+        .withColumn("ccos", safeDiv(ldot(col("qe"), col("qce")).cast("double"),
+          col("qn") * col("cn")))
         .select("vec_id", "cent_id", "ccos")
         .groupBy("vec_id")
         // argmax with deterministic tie-break: quantized cosines CAN tie
@@ -235,8 +246,8 @@ object Similarity {
       .select(col("vec_id"), fx(col("embedding")).as("qe"))
       .withColumn("qn", lnorm(col("qe")))
     val assignment = e.join(broadcast(cents))
-      .withColumn("ccos", ldot(col("qe"), col("qce")).cast("double") /
-        (col("qn") * col("cn")))
+      .withColumn("ccos", safeDiv(ldot(col("qe"), col("qce")).cast("double"),
+        col("qn") * col("cn")))
       .select("vec_id", "cent_id", "ccos")
       .groupBy("vec_id")
       .agg(max_by(col("cent_id"),
@@ -248,8 +259,8 @@ object Similarity {
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("qcos").desc, col("cent_id"))
     val probes = q.join(broadcast(cents))
-      .withColumn("qcos", ldot(col("qqe"), col("qce")).cast("double") /
-        (col("qqn") * col("cn")))
+      .withColumn("qcos", safeDiv(ldot(col("qqe"), col("qce")).cast("double"),
+        col("qqn") * col("cn")))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("cent_id"), col("qqe"), col("qqn"))
@@ -257,7 +268,8 @@ object Similarity {
     probes.join(assigned, "cent_id")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos",
-        round(ldot(col("qqe"), col("qe")).cast("double") / (col("qqn") * col("qn")), 4))
+        round(safeDiv(ldot(col("qqe"), col("qe")).cast("double"),
+          col("qqn") * col("qn")), 4))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "cos")
@@ -275,7 +287,7 @@ object Similarity {
          |    SELECT e.vec_id, c.cent_id,
          |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |        CAST(${ldotSql("e.qe", "c.qce")} AS DOUBLE) /
-         |          (e.qn * ${lnormSql("c.qce")}) DESC, c.cent_id) AS rn
+         |          nullif(e.qn * ${lnormSql("c.qce")}, 0) DESC, c.cent_id) AS rn
          |    FROM e CROSS JOIN $prev c)
          |  WHERE rn = 1),
          |m$i AS (
@@ -307,7 +319,7 @@ object Similarity {
        |  SELECT vec_id, cent_id, qe, qn FROM (
        |    SELECT e.vec_id, c.cent_id, e.qe, e.qn,
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |        CAST(${ldotSql("e.qe", "c.qce")} AS DOUBLE) / (e.qn * c.cn)
+       |        CAST(${ldotSql("e.qe", "c.qce")} AS DOUBLE) / nullif(e.qn * c.cn, 0)
        |          DESC, c.cent_id) AS rn
        |    FROM e CROSS JOIN cents c)
        |  WHERE rn = 1),
@@ -317,14 +329,14 @@ object Similarity {
        |  SELECT query_id, cent_id, qqe, qqn FROM (
        |    SELECT q.query_id, c.cent_id, q.qqe, q.qqn,
        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
-       |        CAST(${ldotSql("q.qqe", "c.qce")} AS DOUBLE) / (q.qqn * c.cn)
+       |        CAST(${ldotSql("q.qqe", "c.qce")} AS DOUBLE) / nullif(q.qqn * c.cn, 0)
        |          DESC, c.cent_id) AS rn
        |    FROM q CROSS JOIN cents c)
        |  WHERE rn <= $nProbe),
        |cand AS (
        |  SELECT p.query_id, a.vec_id,
        |    round(CAST(${ldotSql("p.qqe", "a.qe")} AS DOUBLE)
-       |      / (p.qqn * a.qn), 4) AS cos
+       |      / nullif(p.qqn * a.qn, 0), 4) AS cos
        |  FROM probes p JOIN assigned a USING (cent_id)
        |  WHERE a.vec_id <> p.query_id)
        |SELECT query_id, rank, vec_id, cos FROM (
@@ -373,7 +385,8 @@ object Similarity {
       k: Int, nProbe: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir).withColumn("nrm", norm(col("embedding")))
     val assignment = e.join(broadcast(cents))
-      .withColumn("ccos", dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+      .withColumn("ccos", safeDiv(dot(col("embedding"), col("ce")),
+        col("nrm") * col("cn")))
       .select("vec_id", "cent_id", "ccos")
       .groupBy("vec_id")
       // deterministic argmax tie-break, same as trainCentroids: the
@@ -391,7 +404,8 @@ object Similarity {
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("qcos").desc, col("cent_id"))
     val probes = q.join(broadcast(cents))
-      .withColumn("qcos", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("qcos", safeDiv(dot(col("qe"), col("ce")),
+        col("qn") * col("cn")))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("cent_id"), col("qe"), col("qn"))
@@ -399,7 +413,8 @@ object Similarity {
     probes.join(assigned, "cent_id")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos",
-        round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4))
+        round(safeDiv(dot(col("qe"), col("embedding")),
+        col("qn") * col("nrm")), 4))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "cos")
@@ -412,7 +427,7 @@ object Similarity {
        |  SELECT vec_id, cent_id, embedding, nrm FROM (
        |    SELECT e.vec_id, c.cent_id, e.embedding, e.nrm,
        |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${dotSql("e.embedding", "c.ce")} / (e.nrm * c.cn) DESC, c.cent_id) AS rn
+       |        ORDER BY ${dotSql("e.embedding", "c.ce")} / nullif(e.nrm * c.cn, 0) DESC, c.cent_id) AS rn
        |    FROM e CROSS JOIN c)
        |  WHERE rn = 1),
        |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM e
@@ -421,12 +436,12 @@ object Similarity {
        |  SELECT query_id, cent_id, qe, qn FROM (
        |    SELECT q.query_id, c.cent_id, q.qe, q.qn,
        |      row_number() OVER (PARTITION BY q.query_id
-       |        ORDER BY ${dotSql("q.qe", "c.ce")} / (q.qn * c.cn) DESC, c.cent_id) AS rn
+       |        ORDER BY ${dotSql("q.qe", "c.ce")} / nullif(q.qn * c.cn, 0) DESC, c.cent_id) AS rn
        |    FROM q CROSS JOIN c)
        |  WHERE rn <= $nProbe),
        |cand AS (
        |  SELECT p.query_id, a.vec_id,
-       |    round(${dotSql("p.qe", "a.embedding")} / (p.qn * a.nrm), 4) AS cos
+       |    round(${dotSql("p.qe", "a.embedding")} / nullif(p.qn * a.nrm, 0), 4) AS cos
        |  FROM probes p JOIN assigned a USING (cent_id)
        |  WHERE a.vec_id <> p.query_id)
        |SELECT query_id, rank, vec_id, cos FROM (
@@ -517,7 +532,7 @@ object Similarity {
     val tableSelects = (0 until Lex.NearDupTables).map(t =>
       s"SELECT vec_id, embedding, nrm, $t AS tbl,\n    ${keySql(t)} AS bkt FROM e")
       .mkString("\n  UNION ALL\n  ")
-    val cos = s"round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4)"
+    val cos = s"round(${dotSql("a.embedding", "b.embedding")} / nullif(a.nrm * b.nrm, 0), 4)"
     s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
        |keyed AS (
        |  $tableSelects),

@@ -56,6 +56,32 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("a zero embedding never ranks or pairs: its cosine is NULL, not NaN") {
+    // quantize explicitly admits all-zero vectors, and Spark orders NaN
+    // ABOVE every real value — unguarded, the zero vector would be the
+    // rank-1 neighbor of every query and pass every >= threshold
+    import spark.implicits._
+    val dir = graft.util.Scratch.dir("graft_zero_vec")
+    val zero = Array.fill(8)(0.0f)
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), 0L),
+      (1L, Array(0.9f, 0.1f, 0f, 0f, 0f, 0f, 0f, 0f), 0L),
+      (2L, zero, 0L))
+      .toDF("vec_id", "embedding", "label")
+    vecs.write.parquet(s"$dir/embeddings.parquet")
+    val top = Similarity.annTopK(spark, dir, k = 2, nQueries = 1).collect()
+    // rank 1 must be the real neighbor; the zero vector's NULL cosine
+    // ranks last (desc puts nulls last), never first as NaN would
+    assert(top.find(_.getAs[Long]("rank") == 1L)
+      .exists(_.getAs[Long]("vec_id") == 1L))
+    val zeroRow = top.find(_.getAs[Long]("vec_id") == 2L)
+    assert(zeroRow.forall(_.isNullAt(zeroRow.get.fieldIndex("cos"))))
+    // and the thresholded near-dup path never emits a zero-vector pair
+    val pairs = Similarity.lshNearDup(spark, dir, threshold = 0.0).collect()
+    assert(!pairs.exists(r => r.getAs[Long]("vec_a") == 2L ||
+      r.getAs[Long]("vec_b") == 2L))
+  }
+
   test("trained IVF: Lloyd rounds produce k cells and beat-or-match id-prefix recall") {
     def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
       // annTopK queries vec_id < 10; IVF queries 10..14 — brute force over 15
