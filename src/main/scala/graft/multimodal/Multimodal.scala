@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
 import graft.model.Tables
 
 /** Multimodal column plumbing: image/audio/video as opaque binary columns
-  * with typed metadata, processed partition-parallel in fixed-size batches
-  * (the JVM shape of a vectorized/Pandas-style UDF: a batch of rows in, a
-  * batch of rows out, no per-row interpreter round-trips).
+  * with typed metadata, processed partition-parallel through streaming
+  * `mapPartitions` kernels (the JVM shape of a vectorized/Pandas-style
+  * UDF without its batch buffer: one payload and its decode live at a
+  * time per task, no per-row interpreter round-trips).
   *
   * Container metadata (format, dimensions) is parsed from REAL image
   * headers by [[HeaderCodec]] — a zero-dependency magic-bytes sniffer for
@@ -40,17 +41,27 @@ object Multimodal {
     * carries genuine headers for the sniffer to recover — the decode side
     * is exactly what a 100 TB ingest would run on binary columns of
     * unknown provenance (magic bytes, not file extensions). */
-  object HeaderCodec {
-    private def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
-    private def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+  /** Endian byte readers/writers shared by the codecs — ONE copy, so a
+    * sign-extension or offset fix can never land in one codec and miss
+    * the other. */
+  private object Bytes {
+    def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
       (v >> 8).toByte, v.toByte)
-    private def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
-
-    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
-    private def rdBe16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
-    private def rdBe32(b: Array[Byte], i: Int): Int =
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    def rdBe16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+    def rdBe32(b: Array[Byte], i: Int): Int =
       (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
-    private def rdLe16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    def rdLe16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    def rdLe32(b: Array[Byte], i: Int): Int =
+      u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+  }
+
+  object HeaderCodec {
+    import Bytes._
 
     val PngSig: Array[Byte] =
       Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
@@ -98,6 +109,10 @@ object Multimodal {
     private def sniffJpeg(b: Array[Byte]): Option[Sniffed] = {
       var i = 2
       while (i + 3 < b.length && u8(b, i) == 0xff) {
+        // the spec admits any number of 0xff FILL bytes before a marker
+        // (libjpeg emits them): consume the run, or the next 0xff would
+        // read as a "marker" and the length-skip walks a bogus offset
+        while (i + 3 < b.length && u8(b, i + 1) == 0xff) i += 1
         val marker = u8(b, i + 1)
         if (marker >= 0xc0 && marker <= 0xcf &&
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
@@ -150,8 +165,20 @@ object Multimodal {
                       hist4: Array[Long])
 
     def decode(payload: Array[Byte]): Option[Raster] = {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload))
+      // ImageIO.read returns null only when NO reader claims the bytes; a
+      // reader that CLAIMS a real magic header and then hits a corrupt
+      // body THROWS (IIOException on all three formats, JDK-verified) —
+      // the malformed-payload contract is None, never a task crash. The
+      // in-memory stream also skips ImageIO's default temp-FILE cache
+      // (one disk round trip per image inside the scan kernel otherwise).
+      val img = try {
+        // read(ImageInputStream) CLOSES the stream itself — an explicit
+        // close here would double-close, throw in the finally, and turn
+        // every successful decode into a swallowed None
+        javax.imageio.ImageIO.read(
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(payload)))
+      } catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) None
       else {
         val (w, h) = (img.getWidth, img.getHeight)
@@ -217,23 +244,23 @@ object Multimodal {
       }
   }
 
-  /** Batched partition-parallel decode: the mapInPandas analog. `batchSize`
-    * bounds peak memory per task regardless of payload sizes (decoded
-    * rasters release with each batch). Header metadata is sniffed from the
-    * bytes; pixel statistics come from the REAL ImageIO raster decode. */
-  def decodeFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeature] = {
+  /** Partition-parallel decode: the mapInPandas analog. STREAMING per
+    * row — one payload plus its decoded raster live at a time per task
+    * (a grouped() pre-batching would MULTIPLY peak memory by the batch
+    * size while adding no per-batch work). Header metadata is sniffed
+    * from the bytes; pixel statistics come from the REAL ImageIO raster
+    * decode. */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map { m =>
-          val meta = HeaderCodec.sniff(m.payload)
-            .getOrElse(HeaderCodec.Sniffed("unknown", -1, -1))
-          RasterCodec.decode(m.payload) match {
-            case Some(r) => MediaFeature(m.doc_id, meta.format, r.width,
-              r.height, m.payload.length, r.pxSum, r.nSamples, r.hist4)
-            case None => MediaFeature(m.doc_id, meta.format, meta.width,
-              meta.height, m.payload.length, -1L, -1L, new Array[Long](4))
-          }
+      rows.map { m =>
+        val meta = HeaderCodec.sniff(m.payload)
+          .getOrElse(HeaderCodec.Sniffed("unknown", -1, -1))
+        RasterCodec.decode(m.payload) match {
+          case Some(r) => MediaFeature(m.doc_id, meta.format, r.width,
+            r.height, m.payload.length, r.pxSum, r.nSamples, r.hist4)
+          case None => MediaFeature(m.doc_id, meta.format, meta.width,
+            meta.height, m.payload.length, -1L, -1L, new Array[Long](4))
         }
       }
     }
@@ -312,13 +339,7 @@ object Multimodal {
     * on decode (fmt and data chunks located by id, unknown chunks skipped
     * by declared size, word-aligned as RIFF requires). */
   object WavCodec {
-    private def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
-    private def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
-      (v >> 16).toByte, (v >> 24).toByte)
-    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
-    private def rdLe16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
-    private def rdLe32(b: Array[Byte], i: Int): Int =
-      u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+    import Bytes._
     private def tag(b: Array[Byte], i: Int): String =
       new String(b, i, 4, StandardCharsets.US_ASCII)
 
@@ -394,8 +415,11 @@ object Multimodal {
     asAudio(spark, dir).map { a =>
       val w = WavCodec.sniff(a.payload)
         .getOrElse(WavCodec.SniffedWav(-1, -1, -1, -1L))
+      // the fallback row is ALL sentinels: -1000/-1 would read as a
+      // plausible 1000 ms duration on a failed sniff
+      val durMs = if (w.sampleRate <= 0) -1L else w.nFrames * 1000L / w.sampleRate
       (a.doc_id, "wav", w.channels.toLong, w.sampleRate.toLong,
-        w.bits.toLong, w.nFrames, w.nFrames * 1000L / w.sampleRate)
+        w.bits.toLong, w.nFrames, durMs)
     }.toDF("doc_id", "format", "channels", "sample_rate", "bits",
       "n_frames", "duration_ms")
   }

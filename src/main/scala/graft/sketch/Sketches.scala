@@ -1,6 +1,6 @@
 package graft.sketch
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -27,6 +27,42 @@ object Sketches {
   val M = 64 // registers; 6-bit index, relative error ≈ 1.04/√64 ≈ 13%
   val Alpha64 = 0.709 // α_m for m = 64 (Flajolet's constant, shared literal)
 
+  /** The HLL rank column over the 26-bit suffix v = h div M, and the
+    * present-register aggregate -> corrected estimate — ONE definition
+    * each for the sketch AND its merge (a formula drift would split them
+    * silently, detected only as an oracle hash mismatch; the SQL twins
+    * share [[hllRankSql]]/[[hllEstCteSql]] the same way). */
+  private def hllRank: Column = {
+    val v = expr(s"h div $M")
+    when(v === 0, lit(27L))
+      .otherwise(lit(27L) - length(conv(v.cast("string"), 10, 2)))
+  }
+
+  /** small-range correction (Flajolet §4): below 2.5m with empty
+    * registers, linear counting m·ln(m/V) is the accurate regime — the
+    * raw estimator overshoots badly when registers are sparse. V and m
+    * are integers, so ln sees the identical double in both engines. */
+  private def hllEstimated(agg: DataFrame, out: String): DataFrame =
+    agg.withColumn("raw_est",
+        lit(Alpha64) * M * M / (col("present_sum") + (lit(M) - col("n_present"))))
+      .withColumn(out,
+        when(col("raw_est") <= 2.5 * M && col("n_present") < M,
+          round(lit(M.toDouble) * log(lit(M.toDouble) / (lit(M) - col("n_present"))), 2))
+          .otherwise(round(col("raw_est"), 2)))
+
+  private def hllRankSql: String =
+    s"max(CASE WHEN h // $M = 0 THEN 27\n             ELSE 27 - length(bin(h // $M)) END) AS r"
+
+  private def hllEstCteSql(sel: String, out: String): String =
+    s"""SELECT $sel
+       |    CASE WHEN raw_est <= 2.5 * $M AND n_present < $M
+       |         THEN round($M.0 * ln($M.0 / ($M - n_present)), 2)
+       |         ELSE round(raw_est, 2) END AS $out
+       |  FROM (
+       |    SELECT ${sel}n_present,
+       |      $Alpha64 * $M * $M / (present_sum + ($M - n_present)) AS raw_est
+       |    FROM agg)""".stripMargin
+
   /** Per-language distinct-token cardinality: exact count vs the HLL
     * estimate and its signed relative error. */
   def hllTokens(spark: SparkSession, dir: String): DataFrame =
@@ -44,12 +80,9 @@ object Sketches {
     // in both engines: Spark conv(v,10,2) / DuckDB bin(v) string length);
     // v = 0 → rank 27 (all 26 suffix bits zero). A stray +1 here inflates
     // every nonzero rank, halving Σ2^-rank and biasing the raw estimate ~2×.
-    val v = expr(s"h div $M")
     val reg = tok
       .withColumn("register", col("h") % M)
-      .withColumn("rank",
-        when(v === 0, lit(27L))
-          .otherwise(lit(27L) - length(conv(v.cast("string"), 10, 2))))
+      .withColumn("rank", hllRank)
       .groupBy("lang", "register").agg(max("rank").as("r"))
     // Σ 2^-rank over present registers + 1.0 per empty register (rank 0).
     // 2^-r is written CAST(1 AS DOUBLE)/(1<<r): each term is an exactly
@@ -57,20 +90,10 @@ object Sketches {
     // r ≤ 27 needs ≤ 33 mantissa bits — exact in DOUBLE in ANY addition
     // order, in both engines. (A bare `1.0` literal parses as DECIMAL and
     // rounds ranks ≥ 23 at the decimal scale cap — engine-dependent.)
-    val agg = reg.groupBy("lang")
+    val agg = hllEstimated(reg.groupBy("lang")
       .agg(sum(expr("cast(1 as double) / shiftleft(cast(1 as bigint), cast(r as int))"))
         .as("present_sum"),
-        count(lit(1)).as("n_present"))
-      .withColumn("denom", col("present_sum") + (lit(M) - col("n_present")))
-      .withColumn("raw_est", lit(Alpha64) * M * M / col("denom"))
-      // small-range correction (Flajolet §4): below 2.5m with empty
-      // registers, linear counting m·ln(m/V) is the accurate regime — the
-      // raw estimator overshoots badly when registers are sparse. V and m
-      // are integers, so ln sees the identical double in both engines.
-      .withColumn("hll_estimate",
-        when(col("raw_est") <= 2.5 * M && col("n_present") < M,
-          round(lit(M.toDouble) * log(lit(M.toDouble) / (lit(M) - col("n_present"))), 2))
-          .otherwise(round(col("raw_est"), 2)))
+        count(lit(1)).as("n_present")), "hll_estimate")
     val exact = tok.groupBy("lang").agg(countDistinct("tok").as("n_exact"))
     exact.join(agg.select("lang", "hll_estimate"), "lang")
       .withColumn("rel_err",
@@ -91,9 +114,13 @@ object Sketches {
     * touches only the k candidate tokens. Counters are integers — parity
     * with the oracle is exact by construction. */
   def cmTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    // materialized once: the bucketed counts and the exact top-k would
+    // otherwise each re-run the tokenize+md5 scan (the dominant cost —
+    // the kmvDistinct rationale)
     val tok = Tables.documents(spark, dir)
       .select(explode(Lex.toks(col("text"))).as("tok"))
       .select(col("tok"), Lex.hex8(col("tok")).as("h"))
+      .localCheckpoint(true)
     val bucketed = tok.select(col("tok"),
       explode(array((0 until CmRows).map(r =>
         struct(lit(r).as("r"), (Lex.minhashPerm(r, col("h")) % CmWidth).as("bucket"))): _*))
@@ -241,22 +268,14 @@ object Sketches {
        |    FROM documents)),
        |reg AS (
        |  SELECT lang, h % $M AS register,
-       |    max(CASE WHEN h // $M = 0 THEN 27
-       |             ELSE 27 - length(bin(h // $M)) END) AS r
+       |    $hllRankSql
        |  FROM tok GROUP BY 1, 2),
        |agg AS (
        |  SELECT lang, sum(CAST(1 AS DOUBLE) / (1::BIGINT << r)) AS present_sum,
        |    count(*) AS n_present
        |  FROM reg GROUP BY 1),
        |est AS (
-       |  SELECT lang,
-       |    CASE WHEN raw_est <= 2.5 * $M AND n_present < $M
-       |         THEN round($M.0 * ln($M.0 / ($M - n_present)), 2)
-       |         ELSE round(raw_est, 2) END AS hll_estimate
-       |  FROM (
-       |    SELECT lang, n_present,
-       |      $Alpha64 * $M * $M / (present_sum + ($M - n_present)) AS raw_est
-       |    FROM agg)),
+       |  ${hllEstCteSql("lang,", "hll_estimate")}),
        |exact AS (SELECT lang, count(DISTINCT tok) AS n_exact FROM tok GROUP BY 1)
        |SELECT lang, n_exact, hll_estimate,
        |  round((hll_estimate - n_exact) / n_exact, 4) AS rel_err
@@ -276,24 +295,15 @@ object Sketches {
     val tok = Tables.documents(spark, dir)
       .select(col("source"), explode(array_distinct(Lex.toks(col("text")))).as("tok"))
       .select(col("source"), col("tok"), Lex.hex8(col("tok")).as("h"))
-    val v = expr(s"h div $M")
     val shardRegs = tok
       .withColumn("register", col("h") % M)
-      .withColumn("rank",
-        when(v === 0, lit(27L))
-          .otherwise(lit(27L) - length(conv(v.cast("string"), 10, 2))))
+      .withColumn("rank", hllRank)
       .groupBy("source", "register").agg(max("rank").as("r"))
     val nShards = shardRegs.select(countDistinct("source").as("n_shards"))
     val merged = shardRegs.groupBy("register").agg(max("r").as("r"))
-    val est = merged
+    val est = hllEstimated(merged
       .agg(sum(expr("cast(1 as double) / shiftleft(cast(1 as bigint), cast(r as int))"))
-        .as("present_sum"), count(lit(1)).as("n_present"))
-      .withColumn("raw_est", lit(Alpha64) * M * M /
-        (col("present_sum") + (lit(M) - col("n_present"))))
-      .withColumn("hll_merged",
-        when(col("raw_est") <= 2.5 * M && col("n_present") < M,
-          round(lit(M.toDouble) * log(lit(M.toDouble) / (lit(M) - col("n_present"))), 2))
-          .otherwise(round(col("raw_est"), 2)))
+        .as("present_sum"), count(lit(1)).as("n_present")), "hll_merged")
     val exact = tok.agg(countDistinct("tok").as("n_exact"))
     nShards.crossJoin(exact).crossJoin(est.select("hll_merged"))
       .withColumn("rel_err",
@@ -391,8 +401,7 @@ object Sketches {
        |    FROM documents)),
        |shard_regs AS (
        |  SELECT source, h % $M AS register,
-       |    max(CASE WHEN h // $M = 0 THEN 27
-       |             ELSE 27 - length(bin(h // $M)) END) AS r
+       |    $hllRankSql
        |  FROM tok GROUP BY 1, 2),
        |merged AS (
        |  SELECT register, max(r) AS r FROM shard_regs GROUP BY 1),
@@ -400,13 +409,7 @@ object Sketches {
        |  SELECT sum(CAST(1 AS DOUBLE) / (1::BIGINT << r)) AS present_sum, count(*) AS n_present
        |  FROM merged),
        |est AS (
-       |  SELECT CASE WHEN raw_est <= 2.5 * $M AND n_present < $M
-       |         THEN round($M.0 * ln($M.0 / ($M - n_present)), 2)
-       |         ELSE round(raw_est, 2) END AS hll_merged
-       |  FROM (
-       |    SELECT n_present,
-       |      $Alpha64 * $M * $M / (present_sum + ($M - n_present)) AS raw_est
-       |    FROM agg))
+       |  ${hllEstCteSql("", "hll_merged")})
        |SELECT
        |  (SELECT count(DISTINCT source) FROM tok) AS n_shards,
        |  (SELECT count(DISTINCT tok) FROM tok) AS n_exact,

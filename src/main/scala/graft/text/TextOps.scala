@@ -15,8 +15,10 @@ object TextOps {
   // regex constants single-sourced for the Spark plan AND the oracle SQL
   // (the Lex pattern: editing one copy of a duplicated pattern silently
   // breaks cross-engine agreement, detected only as a hash mismatch);
-  // patterns stay in the common Java-regex/RE2 subset
-  private val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  // patterns stay in the common Java-regex/RE2 subset — which EXCLUDES
+  // \s itself: Java's \s contains \x0B (vertical tab), RE2's does not,
+  // so the class is spelled out explicitly
+  private val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]"
   private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val PhoneRe = "\\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\\b"
 

@@ -145,13 +145,23 @@ class FunctionsSpec extends SparkSpec {
       s"header round-trip failed for docs ${mismatched.take(5).map(_.doc_id).toSeq}")
   }
 
-  test("multimodal raster decode is real, deterministic, batched and schema-typed") {
+  test("multimodal raster decode is real, deterministic and schema-typed") {
     val media = Multimodal.asImages(spark, sf)
-    val f1 = Multimodal.decodeFeatures(media, batchSize = 7).collect()
+    val f1 = Multimodal.decodeFeatures(media).collect()
       .map(f => f.doc_id -> ((f.n_bytes, f.px_sum, f.n_samples, f.histogram4.toSeq))).toMap
-    val f2 = Multimodal.decodeFeatures(media, batchSize = 64).collect()
+    val f2 = Multimodal.decodeFeatures(media).collect()
       .map(f => f.doc_id -> ((f.n_bytes, f.px_sum, f.n_samples, f.histogram4.toSeq))).toMap
-    assert(f1 == f2, "batch size must not change results")
+    assert(f1 == f2, "repeated decode must be deterministic")
+    // a claimed-but-corrupt payload (real PNG magic, garbage body) takes
+    // the documented None path — n_samples = -1 — never a task crash
+    // (ImageIO readers THROW on corrupt bodies; only unclaimed bytes
+    // return null)
+    import spark.implicits._
+    val corrupt = Seq(Multimodal.MediaRow(999L,
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        "not a real png body".getBytes("UTF-8"), "image/png", 3, 3)).toDS()
+    val cf = Multimodal.decodeFeatures(corrupt).collect()
+    assert(cf.length == 1 && cf(0).n_samples == -1L)
     // real raster invariants: every sample counted once, sum bounded by
     // 255 per sample, every image decoded (n_samples > 0)
     assert(f1.values.forall { case (_, pxSum, n, hist) =>
