@@ -69,7 +69,11 @@ object Ddl {
         .when(k === 7, concat(lit("CREATE INDEX "), q(idxn), lit(" ON "), qual, lit(" (id)")))
         .when(k === 8, concat(lit("DROP INDEX "), q(idxn), lit(" ON "), qual))
         .otherwise(concat(lit("CREATE VIEW "), qual, lit(" AS SELECT 1")))
-    when(pmod(col("commit_ts"), lit(2)) === 0,
+    // the USE-prefix parity must be INDEPENDENT of the kind selector
+    // (commit_ts % 10) — keying it on commit_ts % 2 aliased them, so odd
+    // kinds (DROP/RENAME/CREATE INDEX/VIEW) never drew a use-db prefix
+    // and that half of the parser's fallback went unswept
+    when(pmod(expr("commit_ts div 10"), lit(2)) === 0,
       concat(lit("USE "), q(concat(lit("db"), pmod(col("commit_ts"), lit(5)).cast("string"))),
         lit("; "), body))
       .otherwise(body)
@@ -99,7 +103,7 @@ object Ddl {
          |  WHEN 8 THEN 'DROP INDEX ' || ${q(idxn)} || ' ON ' || $qual
          |  ELSE 'CREATE VIEW ' || $qual || ' AS SELECT 1' END""".stripMargin
     val useDb = q("'db' || CAST(commit_ts % 5 AS VARCHAR)")
-    s"CASE WHEN commit_ts % 2 = 0 THEN 'USE ' || $useDb || '; ' ELSE '' END || ($body)"
+    s"CASE WHEN (commit_ts // 10) % 2 = 0 THEN 'USE ' || $useDb || '; ' ELSE '' END || ($body)"
   }
 
   // ---- the parser ----

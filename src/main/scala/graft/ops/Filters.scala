@@ -143,10 +143,15 @@ object Filters {
   }
 
   def loopbackFilterSql: String =
+    // NOT EXISTS, not NOT IN: the Spark side is a left_anti join, whose
+    // NULL-key semantics (a NULL pk row survives; a NULL in the subquery
+    // changes nothing) NOT IN inverts — one NULL pk anywhere would
+    // silently split the two engines
     s"""WITH c AS (${Cdc.changesCte})
        |SELECT commit_ts, pk, op, event_type FROM c
-       |WHERE pk NOT IN (
-       |  SELECT pk FROM c WHERE event_type = 'signup' AND value > 200.0)""".stripMargin
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM c m WHERE m.event_type = 'signup' AND m.value > 200.0
+       |    AND m.pk = c.pk)""".stripMargin
 
   /** F4 write half: loopback mark maintenance (ref: drainer/loopbacksync/
     * loopbacksync.go:40-76 CreateMarkTable/InitMarkTableData seed one row

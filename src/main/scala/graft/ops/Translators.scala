@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -126,8 +126,12 @@ object Translators {
     Cdc.changes(spark, dir).select(
       col("commit_ts"),
       when(col("op") === "I",
-        concat(lit("INSERT INTO APP.EVENTS(PK,VALUE) VALUES("),
-          col("pk"), lit(","), valueStr, lit(")")))
+        // KIND rides the INSERT: the dialect's own UPDATE predicates on
+        // RTRIM(KIND), and RTRIM(NULL) = NULL would match ZERO rows on a
+        // real Oracle for every row this INSERT created
+        concat(lit("INSERT INTO APP.EVENTS(PK,VALUE,KIND) VALUES("),
+          col("pk"), lit(","), valueStr, lit(",'"), col("event_type"),
+          lit("')")))
       .when(col("op") === "U",
         concat(lit("UPDATE APP.EVENTS SET VALUE = "), valueStr,
           lit(" WHERE PK = "), col("pk"),
@@ -141,8 +145,9 @@ object Translators {
     s"""WITH c AS (${Cdc.changesCte})
        |SELECT commit_ts,
        |  CASE WHEN op = 'I' THEN
-       |    'INSERT INTO APP.EVENTS(PK,VALUE) VALUES(' || CAST(pk AS VARCHAR) ||
-       |    ',' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) || ')'
+       |    'INSERT INTO APP.EVENTS(PK,VALUE,KIND) VALUES(' || CAST(pk AS VARCHAR) ||
+       |    ',' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) ||
+       |    ',''' || event_type || ''')'
        |  WHEN op = 'U' THEN
        |    'UPDATE APP.EVENTS SET VALUE = ' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) ||
        |    ' WHERE PK = ' || CAST(pk AS VARCHAR) ||
@@ -166,19 +171,28 @@ object Translators {
     * exact ordered statement sequence the applier would execute. */
   def oracleSafeMode(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("pk").orderBy("commit_ts")
+    // the old image is the per-pk lag of BOTH carried columns: pairing
+    // the lagged value with the CURRENT event's kind would predicate the
+    // delete-old on an image no stored row holds — the old row survives,
+    // the following INSERT duplicates the key, and replay diverges
+    // instead of converging (the delete-new and the D-branch predicate
+    // on the row's OWN carried image, the reference's binlog contract)
     val withOld = Cdc.changes(spark, dir)
       .withColumn("before_value", lag("value", 1).over(w))
+      .withColumn("before_kind", lag("event_type", 1).over(w))
     val oldStr = col("before_value").cast("decimal(18,2)").cast("string")
-    def whereTail = concat(
-      lit(" AND RTRIM(KIND) = RTRIM('"), col("event_type"),
-      lit("') AND ROWNUM <= 1"))
+    def kindTail(k: Column) = concat(
+      when(k.isNull, lit(" AND KIND IS NULL"))
+        .otherwise(concat(lit(" AND RTRIM(KIND) = RTRIM('"), k, lit("')"))),
+      lit(" AND ROWNUM <= 1"))
     val delNew = concat(
       lit("DELETE FROM APP.EVENTS WHERE PK = "), col("pk"),
-      lit(" AND VALUE = "), valueStr, whereTail)
+      lit(" AND VALUE = "), valueStr, kindTail(col("event_type")))
     val delOld = concat(
       lit("DELETE FROM APP.EVENTS WHERE PK = "), col("pk"),
       when(col("before_value").isNull, lit(" AND VALUE IS NULL"))
-        .otherwise(concat(lit(" AND VALUE = "), oldStr)), whereTail)
+        .otherwise(concat(lit(" AND VALUE = "), oldStr)),
+      kindTail(col("before_kind")))
     val ins = concat(
       lit("INSERT INTO APP.EVENTS(PK,VALUE,KIND) VALUES("),
       col("pk"), lit(","), valueStr, lit(",'"), col("event_type"), lit("')"))
@@ -193,9 +207,13 @@ object Translators {
     val vNew = "CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)"
     val vOld = "CAST(CAST(before_value AS DECIMAL(18,2)) AS VARCHAR)"
     val tail = "' AND RTRIM(KIND) = RTRIM(''' || event_type || ''') AND ROWNUM <= 1'"
+    val oldTail = "CASE WHEN before_kind IS NULL THEN ' AND KIND IS NULL' " +
+      "ELSE ' AND RTRIM(KIND) = RTRIM(''' || before_kind || ''')' END || " +
+      "' AND ROWNUM <= 1'"
     s"""WITH c AS (${Cdc.changesCte}), i AS (
        |  SELECT commit_ts, pk, op, event_type, value,
-       |    lag(value, 1) OVER (PARTITION BY pk ORDER BY commit_ts) AS before_value
+       |    lag(value, 1) OVER (PARTITION BY pk ORDER BY commit_ts) AS before_value,
+       |    lag(event_type, 1) OVER (PARTITION BY pk ORDER BY commit_ts) AS before_kind
        |  FROM c),
        |s AS (
        |  SELECT commit_ts,
@@ -207,7 +225,7 @@ object Translators {
        |    WHEN op = 'U' THEN [
        |      'DELETE FROM APP.EVENTS WHERE PK = ' || CAST(pk AS VARCHAR) ||
        |        CASE WHEN before_value IS NULL THEN ' AND VALUE IS NULL'
-       |             ELSE ' AND VALUE = ' || $vOld END || $tail,
+       |             ELSE ' AND VALUE = ' || $vOld END || $oldTail,
        |      'DELETE FROM APP.EVENTS WHERE PK = ' || CAST(pk AS VARCHAR) ||
        |        ' AND VALUE = ' || $vNew || $tail,
        |      'INSERT INTO APP.EVENTS(PK,VALUE,KIND) VALUES(' || CAST(pk AS VARCHAR) ||

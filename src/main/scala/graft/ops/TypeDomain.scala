@@ -30,6 +30,44 @@ import graft.text.Lex
   */
 object TypeDomain {
 
+  // ---- shared M9 derivations: the gated m9_* projections AND the
+  // typedEnvelope feeding the real substrates (binlog codec, JDBC
+  // loader) read the SAME definitions — a drift between the copies
+  // would de-synchronize the envelope from its oracle silently ----
+  private val dec38Col: Column =
+    expr("""CAST(CAST(pk AS DECIMAL(20,0)) +
+           |     CAST(commit_ts % 1000 AS DECIMAL(10,0)) * CAST(0.001 AS DECIMAL(4,3))
+           |     AS DECIMAL(38,19))""".stripMargin).cast("string")
+
+  private val dec38SqlF: String =
+    "CAST(CAST(CAST(pk AS DECIMAL(20,0)) + " +
+      "CAST(commit_ts % 1000 AS DECIMAL(10,0)) * CAST(0.001 AS DECIMAL(4,3)) " +
+      "AS DECIMAL(38,19)) AS VARCHAR)"
+
+  private def unsignedStr(x: Column): Column =
+    (x.cast("decimal(20,0)") +
+      when(x < 0, expr("CAST('18446744073709551616' AS DECIMAL(20,0))"))
+        .otherwise(expr("CAST('0' AS DECIMAL(20,0))"))).cast("string")
+
+  private def unsignedStrSqlF(x: String): String =
+    s"CAST(CAST($x AS DECIMAL(20,0)) + " +
+      s"CASE WHEN $x < 0 THEN CAST('18446744073709551616' AS DECIMAL(20,0)) " +
+      s"ELSE CAST('0' AS DECIMAL(20,0)) END AS VARCHAR)"
+
+  // ENUM('click','purchase','signup','view','error'), 1-based
+  private val enumOrdCol: Column =
+    when(col("event_type") === "click", 1L)
+      .when(col("event_type") === "purchase", 2L)
+      .when(col("event_type") === "signup", 3L)
+      .when(col("event_type") === "view", 4L)
+      .when(col("event_type") === "error", 5L)
+      .otherwise(0L)
+
+  private val enumOrdSqlF: String =
+    "CASE event_type WHEN 'click' THEN 1 WHEN 'purchase' THEN 2 " +
+      "WHEN 'signup' THEN 3 WHEN 'view' THEN 4 WHEN 'error' THEN 5 " +
+      "ELSE 0 END"
+
   /** DECIMAL(38,19) arithmetic round-trip: integer + scaled fraction and a
     * scaled product, emitted at full 19-digit scale as strings (mirrors the
     * reference's decimal-as-string wire format; dailytest case inserts
@@ -37,9 +75,7 @@ object TypeDomain {
   def decimal38(spark: SparkSession, dir: String): DataFrame =
     Cdc.changes(spark, dir).select(
       col("commit_ts"),
-      expr("""CAST(CAST(pk AS DECIMAL(20,0)) +
-             |     CAST(commit_ts % 1000 AS DECIMAL(10,0)) * CAST(0.001 AS DECIMAL(4,3))
-             |     AS DECIMAL(38,19))""".stripMargin).cast("string").as("dec38_str"),
+      dec38Col.as("dec38_str"),
       expr("""CAST(CAST(-pk AS DECIMAL(20,0)) -
              |     CAST(commit_ts % 97 AS DECIMAL(10,0)) * CAST(0.01 AS DECIMAL(3,2))
              |     AS DECIMAL(38,19))""".stripMargin).cast("string").as("dec38_neg_str"),
@@ -49,9 +85,7 @@ object TypeDomain {
   def decimal38Sql: String =
     s"""WITH c AS (${Cdc.changesCte})
        |SELECT commit_ts,
-       |  CAST(CAST(CAST(pk AS DECIMAL(20,0)) +
-       |       CAST(commit_ts % 1000 AS DECIMAL(10,0)) * CAST(0.001 AS DECIMAL(4,3))
-       |       AS DECIMAL(38,19)) AS VARCHAR) AS dec38_str,
+       |  $dec38SqlF AS dec38_str,
        |  CAST(CAST(CAST(-pk AS DECIMAL(20,0)) -
        |       CAST(commit_ts % 97 AS DECIMAL(10,0)) * CAST(0.01 AS DECIMAL(3,2))
        |       AS DECIMAL(38,19)) AS VARCHAR) AS dec38_neg_str,
@@ -86,10 +120,7 @@ object TypeDomain {
       .select(
         col("commit_ts"),
         col("x").as("signed_v"),
-        (col("x").cast("decimal(20,0)") +
-          when(col("x") < 0, expr("CAST('18446744073709551616' AS DECIMAL(20,0))"))
-            .otherwise(expr("CAST('0' AS DECIMAL(20,0))")))
-          .cast("string").as("unsigned_str"),
+        unsignedStr(col("x")).as("unsigned_str"),
         format_string("%016x", col("x")).as("bit64_hex"),
         bit_count(col("x")).cast("long").as("bit64_popcount"))
   }
@@ -98,9 +129,7 @@ object TypeDomain {
     val x = bitPatternSql("CAST(commit_ts AS VARCHAR)")
     s"""WITH c AS (${Cdc.changesCte}), b AS (SELECT commit_ts, $x AS x FROM c)
        |SELECT commit_ts, x AS signed_v,
-       |  CAST(CAST(x AS DECIMAL(20,0)) +
-       |       CASE WHEN x < 0 THEN CAST('18446744073709551616' AS DECIMAL(20,0))
-       |            ELSE CAST('0' AS DECIMAL(20,0)) END AS VARCHAR) AS unsigned_str,
+       |  ${unsignedStrSqlF("x")} AS unsigned_str,
        |  printf('%016x', x) AS bit64_hex,
        |  CAST(bit_count(x) AS BIGINT) AS bit64_popcount
        |FROM b""".stripMargin
@@ -117,13 +146,7 @@ object TypeDomain {
       .select(
         col("commit_ts"),
         col("event_type"),
-        // ENUM('click','purchase','signup','view','error'), 1-based
-        when(col("event_type") === "click", 1L)
-          .when(col("event_type") === "purchase", 2L)
-          .when(col("event_type") === "signup", 3L)
-          .when(col("event_type") === "view", 4L)
-          .when(col("event_type") === "error", 5L)
-          .otherwise(0L).as("enum_val"),
+        enumOrdCol.as("enum_val"),
         col("set_bits").as("set_val"),
         // SET('a','b','c') printed in definition order, empty set = ''
         concat_ws(",",
@@ -159,9 +182,7 @@ object TypeDomain {
     val bits = s"${Lex.hex8Sql("CAST(commit_ts AS VARCHAR) || ':set'")} % 8"
     s"""WITH c AS (${Cdc.changesCte}), b AS (SELECT *, $bits AS set_bits FROM c)
        |SELECT commit_ts, event_type,
-       |  CASE event_type WHEN 'click' THEN 1 WHEN 'purchase' THEN 2
-       |       WHEN 'signup' THEN 3 WHEN 'view' THEN 4 WHEN 'error' THEN 5
-       |       ELSE 0 END AS enum_val,
+       |  $enumOrdSqlF AS enum_val,
        |  set_bits AS set_val,
        |  concat_ws(',',
        |    CASE WHEN (set_bits & 1) > 0 THEN 'a' END,
@@ -193,23 +214,10 @@ object TypeDomain {
   def typedEnvelope(changes: DataFrame): DataFrame =
     changes
       .withColumn("x", bitPattern(col("commit_ts").cast("string")))
-      .withColumn("dec38",
-        expr("""CAST(CAST(pk AS DECIMAL(20,0)) +
-               |     CAST(commit_ts % 1000 AS DECIMAL(10,0)) * CAST(0.001 AS DECIMAL(4,3))
-               |     AS DECIMAL(38,19))""".stripMargin).cast("string"))
-      .withColumn("udec",
-        (col("x").cast("decimal(20,0)") +
-          when(col("x") < 0, expr("CAST('18446744073709551616' AS DECIMAL(20,0))"))
-            .otherwise(expr("CAST('0' AS DECIMAL(20,0))")))
-          .cast("string"))
+      .withColumn("dec38", dec38Col)
+      .withColumn("udec", unsignedStr(col("x")))
       .withColumn("bits", col("x"))
-      .withColumn("enum_ord",
-        when(col("event_type") === "click", 1)
-          .when(col("event_type") === "purchase", 2)
-          .when(col("event_type") === "signup", 3)
-          .when(col("event_type") === "view", 4)
-          .when(col("event_type") === "error", 5)
-          .otherwise(0).cast("int"))
+      .withColumn("enum_ord", enumOrdCol.cast("int"))
       .drop("x")
 
   /** DuckDB form of [[typedEnvelope]] over the change CTE: same column
@@ -217,16 +225,10 @@ object TypeDomain {
   def typedEnvelopeCte: String = {
     val x = bitPatternSql("CAST(commit_ts AS VARCHAR)")
     s"""SELECT commit_ts, pk, op, event_type, ts, value, props,
-       |  CAST(CAST(CAST(pk AS DECIMAL(20,0)) +
-       |       CAST(commit_ts % 1000 AS DECIMAL(10,0)) * CAST(0.001 AS DECIMAL(4,3))
-       |       AS DECIMAL(38,19)) AS VARCHAR) AS dec38,
-       |  CAST(CAST(x AS DECIMAL(20,0)) +
-       |       CASE WHEN x < 0 THEN CAST('18446744073709551616' AS DECIMAL(20,0))
-       |            ELSE CAST('0' AS DECIMAL(20,0)) END AS VARCHAR) AS udec,
+       |  $dec38SqlF AS dec38,
+       |  ${unsignedStrSqlF("x")} AS udec,
        |  x AS bits,
-       |  CASE event_type WHEN 'click' THEN 1 WHEN 'purchase' THEN 2
-       |       WHEN 'signup' THEN 3 WHEN 'view' THEN 4 WHEN 'error' THEN 5
-       |       ELSE 0 END AS enum_ord
+       |  $enumOrdSqlF AS enum_ord
        |FROM (SELECT *, $x AS x FROM (${Cdc.changesCte}) c) b""".stripMargin
   }
 
