@@ -164,6 +164,13 @@ object Asof {
     // sides may share the column name (the DML/DDL commit_ts pairing
     // broadcastAsof's require redirects here) without an ambiguous
     // reference.
+    // keyedAsof's reserved-name discipline: an `as` matching an existing
+    // left column would duplicate the name in the groupable branch and
+    // silently clobber the left column in the window branch
+    val reserved = Seq("__rid", "__rts", "__rn") :+ as
+    require(!reserved.exists(left.columns.contains),
+      s"left frame carries a reserved/output column name " +
+        s"(${reserved.filter(left.columns.contains).mkString(",")})")
     val tagged = left.withColumn("__rid", monotonically_increasing_id())
     val joined = tagged.join(broadcast(right.select(col(rightTs).as("__rts"))),
       col(leftTs) >= col("__rts"), "left")

@@ -250,6 +250,13 @@ object Causality {
       .distinct()
   }
 
+  /** [[nsChecked]]'s twin for the oracle SQL: out-of-range input must
+    * fail in BOTH engines (crash-vs-silent-fuse divergence otherwise). */
+  private def nsCheckedSql(e: String, what: String): String =
+    s"CASE WHEN ($e) < 0 OR ($e) >= $Uk1Offset THEN CAST(error(" +
+      s"'$what outside the [0, 2^61) node namespace: ' || ($e)) AS BIGINT) " +
+      s"ELSE ($e) END"
+
   def conflictGroupsSql: String =
     s"""WITH RECURSIVE c AS (${Cdc.changesCte}),
        |lagged AS (
@@ -262,13 +269,16 @@ object Causality {
        |  WINDOW w AS (PARTITION BY pk ORDER BY commit_ts)),
        |keys AS (
        |  SELECT commit_ts, pk,
-       |    CASE WHEN value > 300.0 THEN k + $Uk1Offset END AS uk1_new,
+       |    CASE WHEN value > 300.0
+       |         THEN ${nsCheckedSql("k", "uk1 key")} + $Uk1Offset END AS uk1_new,
        |    CASE WHEN event_type = 'purchase'
-       |         THEN CAST(floor(value) AS BIGINT) + $Uk2Offset END AS uk2_new,
+       |         THEN ${nsCheckedSql("CAST(floor(value) AS BIGINT)", "uk2 key")}
+       |              + $Uk2Offset END AS uk2_new,
        |    CASE WHEN op = 'U' AND prev_value > 300.0
-       |         THEN prev_k + $Uk1Offset END AS uk1_old,
+       |         THEN ${nsCheckedSql("prev_k", "uk1 key")} + $Uk1Offset END AS uk1_old,
        |    CASE WHEN op = 'U' AND prev_type = 'purchase'
-       |         THEN CAST(floor(prev_value) AS BIGINT) + $Uk2Offset END AS uk2_old
+       |         THEN ${nsCheckedSql("CAST(floor(prev_value) AS BIGINT)", "uk2 key")}
+       |              + $Uk2Offset END AS uk2_old
        |  FROM lagged),
        |half AS (
        |  SELECT DISTINCT src, dst FROM (

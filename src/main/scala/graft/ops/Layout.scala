@@ -87,13 +87,19 @@ object Layout {
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     // RECURSIVE: streaming-sink output is routinely partitioned
     // (bucket=N/ dirs) — a top-level listing would size such input at 0
-    // bytes and funnel the whole dataset through repartition(1)
-    val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+    // bytes and funnel the whole dataset through repartition(1).
+    // Recursion is hand-rolled over listStatus, NOT fs.listFiles(_, true):
+    // listFiles materializes LocatedFileStatus (per-file block-location
+    // lookups), which the byte-sizing here never reads and which the
+    // r16→r17 same-host control measured at ~0.3 s per roundtrip even on
+    // a 64-file local directory
     val out = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.getPath.getName.endsWith(".parquet")) out += st
-    }
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) out += st
+      }
+    walk(new org.apache.hadoop.fs.Path(path))
     out.toSeq
   }
 

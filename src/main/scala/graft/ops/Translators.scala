@@ -18,6 +18,13 @@ object Translators {
 
   private val valueStr = col("value").cast("decimal(18,2)").cast("string")
 
+  // a value interpolated into single-quoted SQL literal text must escape
+  // embedded quotes (MySQL/Oracle '' doubling), or a kind value carrying
+  // one emits a malformed — and injectable — statement; both engines
+  // escape identically so the hash gate stays aligned
+  private def q(c: Column): Column = replace(c, lit("'"), lit("''"))
+  private def qSql(e: String): String = s"replace($e, '''', '''''')"
+
   /** M2: secondary-binlog / Kafka message encoding
     * (ref: drainer/translator/kafka.go:38-150 — self-describing message
     * carrying database, table, type and column values). The message is built
@@ -130,12 +137,12 @@ object Translators {
         // RTRIM(KIND), and RTRIM(NULL) = NULL would match ZERO rows on a
         // real Oracle for every row this INSERT created
         concat(lit("INSERT INTO APP.EVENTS(PK,VALUE,KIND) VALUES("),
-          col("pk"), lit(","), valueStr, lit(",'"), col("event_type"),
+          col("pk"), lit(","), valueStr, lit(",'"), q(col("event_type")),
           lit("')")))
       .when(col("op") === "U",
         concat(lit("UPDATE APP.EVENTS SET VALUE = "), valueStr,
           lit(" WHERE PK = "), col("pk"),
-          lit(" AND RTRIM(KIND) = RTRIM('"), col("event_type"),
+          lit(" AND RTRIM(KIND) = RTRIM('"), q(col("event_type")),
           lit("') AND ROWNUM <= 1")))
       .otherwise(
         concat(lit("DELETE FROM APP.EVENTS WHERE PK = "), col("pk"),
@@ -147,11 +154,11 @@ object Translators {
        |  CASE WHEN op = 'I' THEN
        |    'INSERT INTO APP.EVENTS(PK,VALUE,KIND) VALUES(' || CAST(pk AS VARCHAR) ||
        |    ',' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) ||
-       |    ',''' || event_type || ''')'
+       |    ',''' || ${qSql("event_type")} || ''')'
        |  WHEN op = 'U' THEN
        |    'UPDATE APP.EVENTS SET VALUE = ' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) ||
        |    ' WHERE PK = ' || CAST(pk AS VARCHAR) ||
-       |    ' AND RTRIM(KIND) = RTRIM(''' || event_type || ''') AND ROWNUM <= 1'
+       |    ' AND RTRIM(KIND) = RTRIM(''' || ${qSql("event_type")} || ''') AND ROWNUM <= 1'
        |  ELSE
        |    'DELETE FROM APP.EVENTS WHERE PK = ' || CAST(pk AS VARCHAR) ||
        |    ' AND ROWNUM <= 1'
@@ -183,7 +190,7 @@ object Translators {
     val oldStr = col("before_value").cast("decimal(18,2)").cast("string")
     def kindTail(k: Column) = concat(
       when(k.isNull, lit(" AND KIND IS NULL"))
-        .otherwise(concat(lit(" AND RTRIM(KIND) = RTRIM('"), k, lit("')"))),
+        .otherwise(concat(lit(" AND RTRIM(KIND) = RTRIM('"), q(k), lit("')"))),
       lit(" AND ROWNUM <= 1"))
     val delNew = concat(
       lit("DELETE FROM APP.EVENTS WHERE PK = "), col("pk"),
@@ -195,7 +202,7 @@ object Translators {
       kindTail(col("before_kind")))
     val ins = concat(
       lit("INSERT INTO APP.EVENTS(PK,VALUE,KIND) VALUES("),
-      col("pk"), lit(","), valueStr, lit(",'"), col("event_type"), lit("')"))
+      col("pk"), lit(","), valueStr, lit(",'"), q(col("event_type")), lit("')"))
     val stmts = when(col("op") === "I", array(delNew, ins))
       .when(col("op") === "U", array(delOld, delNew, ins))
       .otherwise(array(delNew))
@@ -206,10 +213,11 @@ object Translators {
   def oracleSafeModeSql: String = {
     val vNew = "CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)"
     val vOld = "CAST(CAST(before_value AS DECIMAL(18,2)) AS VARCHAR)"
-    val tail = "' AND RTRIM(KIND) = RTRIM(''' || event_type || ''') AND ROWNUM <= 1'"
+    val tail = "' AND RTRIM(KIND) = RTRIM(''' || " + qSql("event_type") +
+      " || ''') AND ROWNUM <= 1'"
     val oldTail = "CASE WHEN before_kind IS NULL THEN ' AND KIND IS NULL' " +
-      "ELSE ' AND RTRIM(KIND) = RTRIM(''' || before_kind || ''')' END || " +
-      "' AND ROWNUM <= 1'"
+      "ELSE ' AND RTRIM(KIND) = RTRIM(''' || " + qSql("before_kind") +
+      " || ''')' END || ' AND ROWNUM <= 1'"
     s"""WITH c AS (${Cdc.changesCte}), i AS (
        |  SELECT commit_ts, pk, op, event_type, value,
        |    lag(value, 1) OVER (PARTITION BY pk ORDER BY commit_ts) AS before_value,
@@ -221,7 +229,7 @@ object Translators {
        |      'DELETE FROM APP.EVENTS WHERE PK = ' || CAST(pk AS VARCHAR) ||
        |        ' AND VALUE = ' || $vNew || $tail,
        |      'INSERT INTO APP.EVENTS(PK,VALUE,KIND) VALUES(' || CAST(pk AS VARCHAR) ||
-       |        ',' || $vNew || ',''' || event_type || ''')']
+       |        ',' || $vNew || ',''' || ${qSql("event_type")} || ''')']
        |    WHEN op = 'U' THEN [
        |      'DELETE FROM APP.EVENTS WHERE PK = ' || CAST(pk AS VARCHAR) ||
        |        CASE WHEN before_value IS NULL THEN ' AND VALUE IS NULL'
@@ -229,7 +237,7 @@ object Translators {
        |      'DELETE FROM APP.EVENTS WHERE PK = ' || CAST(pk AS VARCHAR) ||
        |        ' AND VALUE = ' || $vNew || $tail,
        |      'INSERT INTO APP.EVENTS(PK,VALUE,KIND) VALUES(' || CAST(pk AS VARCHAR) ||
-       |        ',' || $vNew || ',''' || event_type || ''')']
+       |        ',' || $vNew || ',''' || ${qSql("event_type")} || ''')']
        |    ELSE [
        |      'DELETE FROM APP.EVENTS WHERE PK = ' || CAST(pk AS VARCHAR) ||
        |        ' AND VALUE = ' || $vNew || $tail]

@@ -939,8 +939,12 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
       // the retry, the same way the reference absorbs its post-crash
       // replay window with safe mode (syncer restart → translator safe
       // mode); first attempts keep the fast path.
+      // attemptNumber resets to 0 on a STAGE re-attempt (fetch-failure
+      // resubmission), so a re-executed partition must also read the
+      // stage attempt or it takes the plain-INSERT path against chunks
+      // its earlier incarnation already committed
       val retried = Option(org.apache.spark.TaskContext.get())
-        .exists(_.attemptNumber > 0)
+        .exists(tc => tc.attemptNumber > 0 || tc.stageAttemptNumber > 0)
       val safeHere = safe || retried
       val c = DriverManager.getConnection(u)
       try {

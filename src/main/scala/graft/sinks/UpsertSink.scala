@@ -216,25 +216,41 @@ class UpsertSink(root: String, nBuckets: Int = 16) {
 
   private def mergeSlice(spark: SparkSession, slice: DataFrame): Unit = {
     if (slice.isEmpty) return
-    val incoming = slice.select("pk", "commit_ts", "op", "value")
+    // a frame carrying the T9 intra-txn sequence resolves same-ts chains
+    // by STATEMENT ORDER (ref: drainer/translator/sequence_iterator.go:
+    // 32-70 + pkg/loader/merge.go:79-133) — the highest seq at a ts is
+    // the txn's net effect, so a same-ts delete-then-reinsert lands the
+    // reinsert; without seq the D>U>I tie-break below stands
+    val hasSeq = slice.columns.contains("seq")
+    val cols = Seq("pk", "commit_ts", "op", "value") ++
+      (if (hasSeq) Seq("seq") else Nil)
+    val incoming = slice.select(cols.map(col): _*)
       .withColumn("bucket", bucketOf(col("pk")))
       .localCheckpoint(true) // read twice (bucket set + merge); cut the lineage
     // the touched-bucket set: ≤ nBuckets values, a metadata-sized collect
     val touched = incoming.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
-    val existing = stateForBuckets(spark, touched)
+    val existing0 = stateForBuckets(spark, touched)
       .withColumn("op", lit("I")) // materialized rows behave as inserts
+    // materialized rows sit BELOW every sequenced statement at their ts
+    // (a null seq in the frame ranks just above them, below any real seq)
+    val existing = if (hasSeq)
+      existing0.withColumn("seq", lit(Long.MinValue)) else existing0
     // ties broken DETERMINISTICALLY: TiDB stamps a whole txn with one
     // commit ts, so a batch can carry several same-(pk, ts) ops. D
     // outranks U outranks I — an incoming same-ts op beats the
     // materialized row, and the common same-ts chains (I→U, I→D, U→D)
     // resolve to their net effect. The one ambiguous chain
     // (delete-then-reinsert within a single txn) needs the wire's T9
-    // intra-txn sequence; route such streams through the sequence apply.
+    // intra-txn sequence — carried in the frame's `seq` column when the
+    // source restored it (the hasSeq branch above).
     val opRank = when(col("op") === "D", 2)
       .when(col("op") === "U", 1).otherwise(0)
+    val seqOrder = if (hasSeq)
+      Seq(coalesce(col("seq"), lit(Long.MinValue + 1)).desc) else Nil
     val w = Window.partitionBy("pk")
-      .orderBy(col("commit_ts").desc, opRank.desc, col("value").desc_nulls_last)
+      .orderBy(col("commit_ts").desc +: seqOrder :+ opRank.desc :+
+        col("value").desc_nulls_last: _*)
     val next = existing
       .unionByName(incoming)
       .withColumn("rn", row_number().over(w))

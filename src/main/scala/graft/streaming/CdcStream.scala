@@ -1061,11 +1061,13 @@ object CdcStream {
     * reads the type's zero value, from the decode's own output instead
     * of NULL. The fill gates on the row's own slice LACKING the column,
     * so an EXPLICIT payload null from any version where the column
-    * existed survives (including between a drop and a re-add);
-    * non-constant defaults (CURRENT_TIMESTAMP, expressions) never
-    * substitute, and [[DecodeFill]] documents the NULL-filling
-    * divergences (expression defaults, zero-datetime adds Spark cannot
-    * represent). Default (false) keeps version-correct
+    * existed survives (including between a drop and a re-add); a
+    * CURRENT_TIMESTAMP-family default evaluates at the DDL frame's own
+    * commit-ts (TiDB pins OriginDefaultValue at DDL execution), other
+    * expression defaults never substitute, and [[DecodeFill]] documents
+    * the NULL-filling divergences (non-timestamp expression defaults,
+    * zero-datetime adds Spark cannot represent). Default (false) keeps
+    * version-correct
     * NULLs, with end-state parity reached at the sink's translated
     * `ADD COLUMN … DEFAULT` barrier instead (the M8/K1 composition) —
     * both equivalence points are supported. */
@@ -2084,6 +2086,7 @@ object CdcStream {
           when(col("commit_ts") > mid, concat(
             lit(", \"v\": \"s"), col("pk").cast("string"), lit("\""),
             lit(", \"bt\": "), pmod(col("pk"), lit(256L)).cast("string"),
+            lit(", \"ct\": \"2026-02-01T"), hhmmss, lit("\""),
             lit(", \"d\": \"2026-01-01T"), hhmmss, lit("\""),
             lit(", \"dt\": \""), dateTxt, lit("\""),
             lit(", \"e\": \""), enumVal, lit("\""),
@@ -2106,6 +2109,11 @@ object CdcStream {
           "ALTER TABLE app.t ADD COLUMN v NATIONAL VARCHAR(32) NOT NULL"))
         .unionByName(ddlRow(
           "ALTER TABLE app.t ADD COLUMN bt BIT(8) NOT NULL DEFAULT 0x1F"))
+        // the ONE expression default the fill evaluates: TiDB pins
+        // OriginDefaultValue at DDL execution time = this frame's
+        // commit-ts (mid), so pre-add rows read mid as a timestamp
+        .unionByName(ddlRow(
+          "ALTER TABLE app.t ADD COLUMN ct TIMESTAMP DEFAULT CURRENT_TIMESTAMP"))
         .unionByName(ddlRow("ALTER TABLE app.t ADD COLUMN d DATETIME(3)"))
         .unionByName(ddlRow("ALTER TABLE app.t ADD COLUMN dt DATE"))
         .unionByName(ddlRow(
@@ -2127,8 +2135,9 @@ object CdcStream {
     require(tracker.current("app", "t").isEmpty,
       "the rename must move the tracked history off the old name")
     require(tracker.current("app", "t2").get.columns == Vector("k DOUBLE",
-      "bt BIGINT NOT NULL", "d TIMESTAMP", "dt DATE", "e STRING",
-      "st STRING", "tm STRING NOT NULL", "v STRING NOT NULL", "y INT"),
+      "bt BIGINT NOT NULL", "ct TIMESTAMP", "d TIMESTAMP", "dt DATE",
+      "e STRING", "st STRING", "tm STRING NOT NULL", "v STRING NOT NULL",
+      "y INT"),
       s"unexpected mapped defs: ${tracker.current("app", "t2").get.columns}")
     require(tracker.dictionary("app", "t2", "e")
       .contains(Vector("red", "green", "blue")),
@@ -2140,6 +2149,8 @@ object CdcStream {
       s"enum origin default not tracked: ${tracker.originDefault("app", "t2", "e")}")
     require(tracker.originDefault("app", "t2", "bt").contains("0x1F"),
       s"hex origin default not tracked: ${tracker.originDefault("app", "t2", "bt")}")
+    require(tracker.originDefault("app", "t2", "ct").contains("CURRENT_TIMESTAMP"),
+      s"expression origin default not tracked: ${tracker.originDefault("app", "t2", "ct")}")
     // M9 numeric representations through the TRACKED dictionaries (driver-
     // local constant map literals in the plan): enum text → 1-based
     // ordinal, set text → member bitmask (mysql.go:266-269)
@@ -2148,7 +2159,7 @@ object CdcStream {
     val setDict = tracker.dictionary("app", "t2", "st").get
     spark.read.parquet(s"$outDir/data")
       .select(col("commit_ts"), col("k_str"), col("bt_str"), col("v_str"),
-        col("d_str"), col("dt_str"),
+        col("ct_str"), col("d_str"), col("dt_str"),
         col("e_str"), element_at(typedLit(ordinals), col("e_str")).as("e_ord"),
         col("st_str"),
         graft.ops.TypeDomain.setMask(setDict, col("st_str")).as("st_mask"),
@@ -2164,6 +2175,14 @@ object CdcStream {
        |       THEN CAST(c.pk % 256 AS VARCHAR) ELSE '31' END AS bt_str,
        |  CASE WHEN c.commit_ts > b.mid
        |       THEN 's' || CAST(c.pk AS VARCHAR) ELSE '' END AS v_str,
+       |  CASE WHEN c.commit_ts > b.mid THEN '2026-02-01 '
+       |    || lpad(CAST((c.commit_ts % 86400) // 3600 AS VARCHAR), 2, '0')
+       |    || ':'
+       |    || lpad(CAST(((c.commit_ts % 86400) % 3600) // 60 AS VARCHAR), 2, '0')
+       |    || ':'
+       |    || lpad(CAST((c.commit_ts % 86400) % 60 AS VARCHAR), 2, '0')
+       |  ELSE strftime(epoch_ms(b.mid * 1000), '%Y-%m-%d %H:%M:%S')
+       |  END AS ct_str,
        |  CASE WHEN c.commit_ts > b.mid THEN '2026-01-01 '
        |    || lpad(CAST((c.commit_ts % 86400) // 3600 AS VARCHAR), 2, '0')
        |    || ':'

@@ -12,12 +12,16 @@ import org.apache.spark.sql.functions._
   * fixed-width BINARY(n) n zero bytes — translator.go:221-225 + tidb
   * table.GetZeroValue) — from the decode output instead of the union's
   * structural NULL. One instance lives per micro-batch, fed by the
-  * decode walk; each method documents its transition. Divergences from
-  * the reference, both NULL-filling: an expression default
-  * (CURRENT_TIMESTAMP — TiDB stores its DDL-time evaluation, unknowable
-  * decode-side) and a NOT NULL date/datetime/timestamp add without a
-  * default (MySQL's zero datetime '0000-00-00' has no Spark
-  * representation). A constant the wire type cannot hold fills NULL the
+  * decode walk; each method documents its transition. A
+  * CURRENT_TIMESTAMP-family default evaluates at the DDL frame's OWN
+  * commit-ts — TiDB pins OriginDefaultValue at the DDL's execution
+  * time (tidb ddl/column.go), which IS the frame's commit instant, so
+  * the fill is reference-faithful without the stored value riding the
+  * wire. Divergences from the reference, all NULL-filling: any OTHER
+  * expression default (unknowable decode-side) and a NOT NULL
+  * date/datetime/timestamp add without a default (MySQL's zero
+  * datetime '0000-00-00' has no Spark representation). A constant the
+  * wire type cannot hold fills NULL the
   * same way (try_cast at fold, never an ANSI abort), and an add's fill
   * never crosses an intervening same-name DROP TABLE — each dropped
   * incarnation's rows keep only their own incarnation's defaults. */
@@ -67,6 +71,18 @@ private[graft] object DecodeFill {
       Some(parse(t.substring(2, t.length - 1), 2, 8))
     else None
   }
+
+  /** The CURRENT_TIMESTAMP family (CURRENT_TIMESTAMP[(n)] and its
+    * NOW/LOCALTIME[STAMP] synonyms) — the one expression default the
+    * fill CAN evaluate: TiDB pins its OriginDefaultValue at DDL
+    * execution (ref: drainer/translator/translator.go:169-185 reads the
+    * stored value; tidb ddl/column.go stamps it), and the DDL frame's
+    * commit-ts is that instant in this engine's clock (epoch seconds,
+    * the TSO-physical analog). Rendering happens in the session
+    * timezone downstream — the reference's UTC→local shift
+    * (translator.go:186-204 transTimestampToLocal). */
+  private[graft] def isCurrentTsFamily(d: String): Boolean =
+    d.trim.matches("(?i)(CURRENT_TIMESTAMP|NOW|LOCALTIME|LOCALTIMESTAMP)(\\(\\d*\\))?")
 
   private val IntegralBases = Set("TINYINT", "SMALLINT", "INT", "INTEGER", "BIGINT")
 
@@ -138,10 +154,14 @@ private[graft] object DecodeFill {
 
   /** The typed fill value of one entry, if it fills at all — the
     * reference's getDefaultOrZeroValue order: origin default first
-    * (constants only — the documented expression divergence), then the
+    * (constants, plus the CURRENT_TIMESTAMP family evaluated at the
+    * add's own commit-ts — `e.version` — on a TIMESTAMP-mapped column;
+    * any other expression is the documented divergence), then the
     * NOT NULL zero value, else the version-correct NULL. */
   private[graft] def fillValue(e: Entry): Option[Column] = e.dflt match {
     case Some(d) if isConstantLiteral(d) => Some(fillLiteral(d, e.ty))
+    case Some(d) if isCurrentTsFamily(d) && baseOf(e.ty) == "TIMESTAMP" =>
+      Some(timestamp_seconds(lit(e.version)))
     case Some(_)                         => None
     case None if e.notNull               => zeroLiteral(e)
     case None                            => None

@@ -38,26 +38,37 @@ class DecodeFillPropSpec extends SparkSpec {
     val present: scala.collection.mutable.Set[String])
 
   private def eval(raw: String, notNull: Boolean, native: String,
-      ty: String): Option[String] =
+      ty: String, addVersion: Long): Option[String] =
     (raw, native) match {
       case ("", _) if !notNull      => None
       case ("", "TIME")             => Some("00:00:00") // native-keyed zero
       case ("", _) if ty == "INT"   => Some("0")
+      case ("", _) if ty == "TIMESTAMP" => None // zero-datetime divergence
       case ("", _)                  => Some("")
+      case ("CURRENT_TIMESTAMP", _) if ty == "TIMESTAMP" =>
+        // evaluated at the add's own commit-ts, rendered on the UTC clock
+        Some(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss")
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.ofEpochSecond(addVersion)))
+      case (_, _) if ty == "TIMESTAMP" => None // try_cast '5'/'a'/… is NULL
       case ("5", _)                 => Some("5")
       case ("TRUE", _)              => Some("1") // MySQL evaluates the boolean
       case ("'a'", _) if ty == "STRING" => Some("a")
       case ("'a'", _)               => None // try_cast 'a' to INT is NULL
       case ("0x41", _) if ty == "INT" => Some("65") // hex: numeric reading
       case ("0x41", _)              => Some("A")  // hex on text: the byte
-      case ("CURRENT_TIMESTAMP", _) => None
+      case ("CURRENT_TIMESTAMP", _) => None // family fills TIMESTAMP only
       case other                    => sys.error(s"unmodelled default $other")
     }
 
   /** The (native, mapped) type pool — TIME rides STRING like VARCHAR but
-    * zeros differently, pinning the native keying under the sweep. */
+    * zeros differently, pinning the native keying under the sweep;
+    * TIMESTAMP pins the CURRENT_TIMESTAMP-at-commit-ts fill and its
+    * interactions with modify/rename/incarnation churn. */
   private val TypePool =
-    Vector(("INT", "INT"), ("VARCHAR(8)", "STRING"), ("TIME", "STRING"))
+    Vector(("INT", "INT"), ("VARCHAR(8)", "STRING"), ("TIME", "STRING"),
+      ("TIMESTAMP", "TIMESTAMP"))
 
   private def runScenario(seed: Int): Unit = {
     val rnd = new Random(seed)
@@ -71,6 +82,7 @@ class DecodeFillPropSpec extends SparkSpec {
     // model state
     val views = scala.collection.mutable.Map.empty[K, Map[String, Vector[VEntry]]]
     val slices = scala.collection.mutable.ArrayBuffer.empty[VSlice]
+    val graveyard = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
     val ops = scala.collection.mutable.ArrayBuffer.empty[String]
 
     def view(k: K) = views.getOrElse(k, Map.empty)
@@ -175,9 +187,27 @@ class DecodeFillPropSpec extends SparkSpec {
       val v = nextV()
       ops += s"dropTable $k v=$v"
       st.onTableDrop(k)
+      graveyard += liveCols(k) // recoverable shape for a later FLASHBACK
       liveInc -= k
       liveCols -= k
       ()
+    }
+    def flashback(): Unit = {
+      // FLASHBACK TABLE recovers a dropped table's shape under a free
+      // name — the walk registers it like a CREATE (onTableCreate): a
+      // FRESH INERT identity whose recovered columns are born with the
+      // registration, never fill candidates, and whose later adds must
+      // not leak onto any prior holder of the name (DecodeFill.scala's
+      // onTableCreate note — exactly the claim this op pins)
+      val frees = Keys.filterNot(liveInc.contains)
+      if (graveyard.isEmpty || frees.isEmpty) return
+      val k = frees(rnd.nextInt(frees.size))
+      val cols = graveyard.remove(rnd.nextInt(graveyard.size))
+      val v = nextV()
+      ops += s"flashback $k v=$v cols=$cols"
+      st.onTableCreate(k)
+      liveInc(k) = new MInc
+      liveCols(k) = cols
     }
     def createTable(k: K): Unit = {
       val v = nextV()
@@ -223,7 +253,7 @@ class DecodeFillPropSpec extends SparkSpec {
       if (ks.isEmpty) createTable(Keys(rnd.nextInt(Keys.size)))
       else {
         val k = ks(rnd.nextInt(ks.size))
-        rnd.nextInt(11) match {
+        rnd.nextInt(12) match {
           case 0 | 1 | 2 => addCol(k)
           case 3         => dropCol(k)
           case 4         => renameCol(k)
@@ -232,6 +262,7 @@ class DecodeFillPropSpec extends SparkSpec {
           case 7         => renameTable(k)
           case 8 if !liveInc.contains(Keys(0)) => createTable(Keys(0))
           case 9         => truncate(k)
+          case 10        => flashback()
           case _         => ()
         }
         if (rnd.nextBoolean()) liveInc.keys.toVector.sorted
@@ -246,7 +277,7 @@ class DecodeFillPropSpec extends SparkSpec {
       else view(s.key).getOrElse(n, Vector.empty)
         .filter(e => (e.inc eq s.inc) && e.addVersion > s.version)
         .sortBy(_.addVersion).headOption
-        .flatMap(e => eval(e.raw, e.notNull, e.native, e.ty))
+        .flatMap(e => eval(e.raw, e.notNull, e.native, e.ty, e.addVersion))
 
     // fold each key's slices (all payload cells NULL: a fill is the only
     // way a cell becomes non-null, explicit-null survival included)

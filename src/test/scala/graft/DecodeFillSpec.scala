@@ -72,11 +72,21 @@ class DecodeFillSpec extends SparkSpec {
     assert(zeroOf("INT").isEmpty)
     assert(zeroOf("TIMESTAMP NOT NULL").isEmpty)
     assert(zeroOf("TIMESTAMP NOT NULL", native = "DATETIME(3)").isEmpty)
-    val st = new DecodeFill(true)
-    st.recordSlice(K, 0L, Set("k"))
-    st.onColumnDdl(K, 10L, "add", "c", "TIMESTAMP NOT NULL",
-      Some("CURRENT_TIMESTAMP"), None)
-    assert(Option(st.fold(K, frame(0L -> None)).collect()(0).getString(1)).isEmpty)
+  }
+
+  test("a CURRENT_TIMESTAMP-family default evaluates at the add's commit-ts") {
+    // TiDB pins OriginDefaultValue at DDL execution time; the DDL frame's
+    // commit-ts IS that instant (translator.go:169-204, tidb ddl/column.go)
+    // — fillOf adds at version/commit-ts 10, UTC session clock
+    assert(fillOf("TIMESTAMP", "CURRENT_TIMESTAMP").contains("1970-01-01 00:00:10"))
+    assert(fillOf("TIMESTAMP NOT NULL", "CURRENT_TIMESTAMP(3)")
+      .contains("1970-01-01 00:00:10"))
+    assert(fillOf("TIMESTAMP", "NOW()").contains("1970-01-01 00:00:10"))
+    assert(fillOf("TIMESTAMP", "LOCALTIMESTAMP").contains("1970-01-01 00:00:10"))
+    // any OTHER expression default keeps the documented NULL divergence,
+    // and the family never substitutes on a non-timestamp column
+    assert(fillOf("TIMESTAMP", "(uuid())").isEmpty)
+    assert(fillOf("STRING", "CURRENT_TIMESTAMP").isEmpty)
   }
 
   test("a same-batch MODIFY follows nullability into the zero-value branch") {

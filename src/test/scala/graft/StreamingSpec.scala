@@ -308,6 +308,29 @@ class StreamingSpec extends SparkSpec {
     assert(state == Map(2L -> 2.5)) // pk1 netted away; pk2 kept U's image
   }
 
+  test("a frame carrying the T9 seq lands the same-ts delete-then-reinsert") {
+    // the one chain the D>U>I tie-break cannot see: within one txn a key
+    // is deleted then re-inserted (sequence_iterator.go statement order).
+    // With seq, the LAST statement at the ts is the net effect — the
+    // reinsert survives with its image, and I→D still nets to nothing.
+    val root = graft.util.Scratch.dir("graft_seq_sink")
+    val sink = new UpsertSink(root, nBuckets = 4)
+    assert(sink.applyBatch(Seq((5L, 1L, "I", 0.5, 1L), (5L, 2L, "I", 0.7, 2L))
+      .toDF("commit_ts", "pk", "op", "value", "seq"), 0L))
+    val b = Seq((10L, 1L, "D", 0.0, 1L), (10L, 1L, "I", 9.0, 2L),
+      (10L, 2L, "I", 2.0, 1L), (10L, 2L, "D", 0.0, 2L))
+      .toDF("commit_ts", "pk", "op", "value", "seq")
+    assert(sink.applyBatch(b, 1L))
+    val state = sink.currentState(spark)
+      .select("pk", "value").as[(Long, Double)].collect().toMap
+    assert(state == Map(1L -> 9.0)) // pk1 reinserted; pk2 netted away
+    // an incoming same-ts statement still beats the materialized row
+    assert(sink.applyBatch(Seq((10L, 1L, "U", 9.5, 1L))
+      .toDF("commit_ts", "pk", "op", "value", "seq"), 2L))
+    assert(sink.currentState(spark).select("pk", "value")
+      .as[(Long, Double)].collect().toMap == Map(1L -> 9.5))
+  }
+
   test("compact sizes a PARTITIONED directory from its recursive listing") {
     // the sink's own bucket=N layout is the documented compact input — a
     // top-level listing would size it at 0 bytes and repartition(1)
@@ -2359,8 +2382,14 @@ class StreamingSpec extends SparkSpec {
     // where the column EXISTED → survives; ts 10's explicit null likewise
     assert(c == Map(1L -> "2.5", 3L -> "3.5", 5L -> null, 7L -> "2.5",
       9L -> "9.5", 10L -> null), s"fill mismatch: $c")
-    assert(rows.forall(_.isNullAt(2)),
-      "CURRENT_TIMESTAMP must never fill as text")
+    // the CURRENT_TIMESTAMP family evaluates at the DDL frame's own
+    // commit-ts (ts=2 on the UTC clock) for rows predating the add;
+    // post-add rows keep their explicit/absent NULLs
+    val cts = rows.map(r =>
+      r.getLong(0) -> (if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(cts == Map(1L -> "1970-01-01 00:00:02", 3L -> null, 5L -> null,
+      7L -> null, 9L -> null, 10L -> null),
+      s"CURRENT_TIMESTAMP commit-ts fill mismatch: $cts")
     val b = rows.map(r =>
       r.getLong(0) -> (if (r.isNullAt(3)) null else r.getString(3))).toMap
     // ts 3's explicit null rides a version shared with the same-ts DDL
