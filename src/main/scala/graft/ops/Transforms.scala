@@ -167,8 +167,11 @@ object Transforms {
       .agg(count(lit(1)).as("batch_rows"), max("commit_ts").as("max_ts"))
 
   def hashDispatchSql: String =
+    // ((pk % 16) + 16) % 16, the zorder twin's spelling: the Spark side
+    // is pmod, and a signed key under plain % would silently split the
+    // engines (r17 review-sweep close)
     s"""WITH c AS (${Cdc.changesCte})
-       |SELECT pk % 16 AS worker, event_type,
+       |SELECT ((pk % 16) + 16) % 16 AS worker, event_type,
        |  count(*) AS batch_rows, max(commit_ts) AS max_ts
        |FROM c GROUP BY 1, 2""".stripMargin
 
@@ -272,8 +275,9 @@ object Transforms {
 
   def bulkBatchesSql: String =
     s"""WITH c AS (${Cdc.changesCte}), r AS (
-       |  SELECT pk % 16 AS worker, commit_ts,
-       |    row_number() OVER (PARTITION BY pk % 16 ORDER BY commit_ts) AS rn
+       |  SELECT ((pk % 16) + 16) % 16 AS worker, commit_ts,
+       |    row_number() OVER (PARTITION BY ((pk % 16) + 16) % 16
+       |      ORDER BY commit_ts) AS rn
        |  FROM c)
        |SELECT worker, CAST(floor((rn - 1) / 128) AS BIGINT) AS batch_id,
        |  count(*) AS batch_rows, min(commit_ts) AS first_ts, max(commit_ts) AS last_ts
