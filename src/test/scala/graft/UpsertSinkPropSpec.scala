@@ -78,11 +78,30 @@ class UpsertSinkPropSpec extends SparkSpec {
   private def runScenario(seed: Int): Unit = {
     val rnd = new Random(seed)
     val root = graft.util.Scratch.dir(s"graft_sink_prop_$seed")
-    val sink = new UpsertSink(root, nBuckets = 1 + rnd.nextInt(4))
+    val nBuckets = 1 + rnd.nextInt(4)
+    var sink = new UpsertSink(root, nBuckets)
     var model = Map.empty[Long, (Long, Option[Double])]
     var batchId = -1L
     val history = scala.collection.mutable.ArrayBuffer.empty[String]
     (1 to 3 + rnd.nextInt(2)).foreach { _ =>
+      // a restart (fresh sink over the same root) must resume from the
+      // pinned checkpoint + layout with no state effect
+      if (rnd.nextInt(3) == 0) {
+        history += "restart"
+        sink = new UpsertSink(root, nBuckets)
+      }
+      // a crash between the swap renames leaves a bucket's ONLY copy at
+      // the bucket_old name — healing on the next touch must restore it
+      // transparently (state still equals the model afterwards)
+      if (rnd.nextInt(3) == 0 && graft.util.MetaFs.exists(s"$root/state")) {
+        val buckets = graft.util.MetaFs.listNames(s"$root/state")
+          .filter(_.startsWith("bucket="))
+        if (buckets.nonEmpty) {
+          val b = buckets(rnd.nextInt(buckets.size)).stripPrefix("bucket=")
+          history += s"crash-vacate bucket=$b"
+          graft.util.MetaFs.rename(s"$root/state/bucket=$b", s"$root/bucket_old=$b")
+        }
+      }
       val hasSeq = rnd.nextBoolean()
       val rows = (0 until rnd.nextInt(16)).map { _ =>
         R(pk = 1 + rnd.nextInt(5),
