@@ -458,13 +458,27 @@ object CdcStream {
   }
 
   /** The text VALUE of a single-quoted SQL literal: surrounding quotes
-    * strip, backslash escapes and doubled `''` unescape; non-literal text
-    * passes through (a numeric DEFAULT keeps its spelling). */
+    * strip, backslash escapes (`\'`, `\\`) and doubled `''` unescape in
+    * ONE left-to-right scan — chained global replaces mis-read adjacent
+    * escapes (`\'\'` collapsed to a single quote because the second
+    * replace consumed the `''` the first produced; the r17 tail fuzz
+    * caught it); non-literal text passes through (a numeric DEFAULT
+    * keeps its spelling). */
   private[graft] def unquoteLiteral(s: String): String =
-    if (s.length >= 2 && s.head == '\'' && s.last == '\'')
-      s.substring(1, s.length - 1).replace("\\'", "'").replace("''", "'")
-        .replace("\\\\", "\\")
-    else s
+    if (s.length >= 2 && s.head == '\'' && s.last == '\'') {
+      val t = s.substring(1, s.length - 1)
+      val b = new java.lang.StringBuilder(t.length)
+      var i = 0
+      while (i < t.length) {
+        val c = t.charAt(i)
+        if (i + 1 < t.length &&
+            ((c == '\\' && (t.charAt(i + 1) == '\'' || t.charAt(i + 1) == '\\')) ||
+             (c == '\'' && t.charAt(i + 1) == '\''))) {
+          b.append(t.charAt(i + 1)); i += 2
+        } else { b.append(c); i += 1 }
+      }
+      b.toString
+    } else s
 
   /** ENUM/SET value list, declaration order (= 1-based ordinal order; SET
     * bit positions follow the same order). */

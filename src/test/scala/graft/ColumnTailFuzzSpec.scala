@@ -89,6 +89,53 @@ class ColumnTailFuzzSpec extends AnyFunSuite {
     }
   }
 
+  /** MySQL-escape a literal: each quote doubles or backslash-escapes
+    * (random choice — both are legal and may MIX in one literal), each
+    * backslash doubles. */
+  private def quoteLit(s: String, rnd: Random): String =
+    "'" + s.flatMap {
+      case '\'' => if (rnd.nextBoolean()) "''" else "\\'"
+      case '\\' => "\\\\"
+      case c    => c.toString
+    } + "'"
+
+  test("quoted DEFAULT literals round-trip through tokenizer and unescape") {
+    // the tokenizer must keep a literal with embedded commas/parens/
+    // spaces/escapes ONE token (and not swallow the following clause),
+    // and unquoteLiteral must recover the exact original text
+    val alphabet = "ab,() '\\".toVector
+    (1 to 2000).foreach { seed =>
+      val rnd = new Random(seed)
+      val original = Vector.fill(rnd.nextInt(8))(
+        alphabet(rnd.nextInt(alphabet.size))).mkString
+      val lit = quoteLit(original, rnd)
+      val (clean, dflt, _, _) =
+        normalizeColumnTail(s"VARCHAR(8) DEFAULT $lit NOT NULL")
+      def ctx = s"seed=$seed original=[$original] lit=[$lit]"
+      assert(clean == "STRING NOT NULL", s"$ctx literal swallowed the tail: [$clean]")
+      assert(dflt.contains(lit), s"$ctx captured=[$dflt]")
+      assert(dflt.map(graft.streaming.CdcStream.unquoteLiteral) == Some(original),
+        s"$ctx unescaped=[${dflt.map(graft.streaming.CdcStream.unquoteLiteral)}]")
+    }
+  }
+
+  test("ENUM dictionaries round-trip arbitrary member text") {
+    val alphabet = "ab,() '\\".toVector // commas/parens/quotes/escapes
+    (1 to 1000).foreach { seed =>
+      val rnd = new Random(seed)
+      val members = Vector.fill(1 + rnd.nextInt(3))(
+        // non-empty: dictValues drops empty members like MySQL rejects them
+        "m" + Vector.fill(rnd.nextInt(6))(
+          alphabet(rnd.nextInt(alphabet.size))).mkString)
+      val lits = members.map(m => quoteLit(m, rnd))
+      val (clean, _, dict, _) =
+        normalizeColumnTail(s"ENUM(${lits.mkString(",")}) NOT NULL")
+      def ctx = s"seed=$seed members=$members lits=$lits"
+      assert(clean == "STRING NOT NULL", s"$ctx clean=[$clean]")
+      assert(dict.contains(members), s"$ctx dict=$dict")
+    }
+  }
+
   test("an unknown tail token is retained, never silently dropped") {
     // the loud-fail contract: an unrecognized clause stays in the def,
     // where the statement-time decodability check rejects it
