@@ -502,7 +502,10 @@ object TextOps {
     val evalSh = sh.filter(col("doc_id") % 10 === 0).select("sh").distinct()
     val train = sh.filter(col("doc_id") % 10 =!= 0)
     val perDoc = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val overlap = train.join(broadcast(evalSh), "sh")
+    // no broadcast hint: a REAL eval vocabulary is tiny and AQE broadcasts
+    // it on its measured size; the hint would pin the choice even for a
+    // fixture-style split where the "eval" side is corpus-proportional
+    val overlap = train.join(evalSh, "sh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
     perDoc.join(overlap, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
@@ -607,7 +610,11 @@ object TextOps {
     val u1 = uni.select(col("tok").as("w1"), col("c_tok").as("c_w1"))
     val u2 = uni.select(col("tok").as("w2"), col("c_tok").as("c_w2"))
     bi.filter(col("c_big") >= minCount)
-      .join(broadcast(u1), "w1").join(broadcast(u2), "w2")
+      // no broadcast hint on the unigram dictionary: the VOCABULARY grows
+      // with the corpus (Heaps' law — far past any broadcast budget at
+      // 100 TB), while the min-count-filtered bigram side is the bounded
+      // one; AQE broadcasts whichever side measures small at runtime
+      .join(u1, "w1").join(u2, "w2")
       .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
       .withColumn("pmi", round(log(
         col("c_big").cast("double") * col("n_uni") * col("n_uni") /
