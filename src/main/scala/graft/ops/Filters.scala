@@ -131,14 +131,19 @@ object Filters {
   /** F4: loopback filter (ref: drainer/syncer.go:565-592 — drop transactions
     * that contain the replicator's own mark-table row, identified by channel
     * id, to break bidirectional-replication cycles). Mark rows here: signup
-    * events with value > 200. The drop is a broadcast left-anti join against
-    * the distinct marked-key set — at 100 TB the mark set stays tiny (one row
-    * per replication channel), so no shuffle of the big side. */
+    * events with value > 200. The drop is a left-anti join against the
+    * distinct marked-key set — at 100 TB the mark set stays tiny (one row
+    * per replication channel), so AQE broadcasts it and the big side never
+    * shuffles. */
   def loopbackFilter(spark: SparkSession, dir: String): DataFrame = {
     val c = Cdc.changes(spark, dir)
     val marks = c.filter(col("event_type") === "signup" && col("value") > 200.0)
       .select("pk").distinct()
-    c.join(broadcast(marks), Seq("pk"), "left_anti")
+    // no broadcast hint: the REAL mark set is one row per replication
+    // channel and AQE broadcasts it on its measured size; the fixture's
+    // value-filtered stand-in scales with the corpus, so pinning the
+    // choice would be wrong exactly when it matters
+    c.join(marks, Seq("pk"), "left_anti")
       .select("commit_ts", "pk", "op", "event_type")
   }
 
