@@ -17,7 +17,11 @@ import org.apache.spark.sql.functions._
   * commit-ts — TiDB pins OriginDefaultValue at the DDL's execution
   * time (tidb ddl/column.go), which IS the frame's commit instant, so
   * the fill is reference-faithful without the stored value riding the
-  * wire. Divergences from the reference, all NULL-filling: any OTHER
+  * wire — to WHOLE-SECOND precision: the wire's commit-ts carries
+  * seconds, so a CURRENT_TIMESTAMP(3)/(6) column's reference value
+  * keeps fsp fractional digits the fill truncates (carry them if the
+  * wire's commit-ts ever gains sub-second resolution).
+  * Divergences from the reference, all NULL-filling: any OTHER
   * expression default (unknowable decode-side) and a NOT NULL
   * date/datetime/timestamp add without a default (MySQL's zero
   * datetime '0000-00-00' has no Spark representation). A constant the
@@ -102,7 +106,7 @@ private[graft] object DecodeFill {
   private def fillLiteral(raw: String, ty: String): Column = {
     val t = raw.trim
     val base = baseOf(ty)
-    if (t.startsWith("'")) lit(CdcStream.unquoteLiteral(t))
+    if (t.startsWith("'")) lit(DdlGrammar.unquoteLiteral(t))
     else if (t.equalsIgnoreCase("TRUE") || t.equalsIgnoreCase("FALSE")) {
       if (base == "BOOLEAN") lit(t.toBoolean)
       else lit(if (t.equalsIgnoreCase("TRUE")) "1" else "0")
@@ -252,7 +256,7 @@ private[graft] final class DecodeFill(enabled: Boolean) {
       }
     }
     def shapeOf(tail: String): (String, Boolean) = {
-      val toks = CdcStream.tailTokens(tail)
+      val toks = DdlGrammar.tailTokens(tail)
       (toks.headOption.getOrElse("STRING"),
         toks.map(_.toUpperCase(java.util.Locale.ROOT))
           .containsSlice(Seq("NOT", "NULL")))

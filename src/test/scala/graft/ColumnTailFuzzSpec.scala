@@ -4,7 +4,7 @@ import scala.util.Random
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.CdcStream.normalizeColumnTail
+import graft.streaming.DdlGrammar.normalizeColumnTail
 
 /** Permutation fuzz of the wire DDL column-tail normalizer: MySQL
   * accepts column options in (almost) any order, so a random type
@@ -114,8 +114,8 @@ class ColumnTailFuzzSpec extends AnyFunSuite {
       def ctx = s"seed=$seed original=[$original] lit=[$lit]"
       assert(clean == "STRING NOT NULL", s"$ctx literal swallowed the tail: [$clean]")
       assert(dflt.contains(lit), s"$ctx captured=[$dflt]")
-      assert(dflt.map(graft.streaming.CdcStream.unquoteLiteral) == Some(original),
-        s"$ctx unescaped=[${dflt.map(graft.streaming.CdcStream.unquoteLiteral)}]")
+      assert(dflt.map(graft.streaming.DdlGrammar.unquoteLiteral) == Some(original),
+        s"$ctx unescaped=[${dflt.map(graft.streaming.DdlGrammar.unquoteLiteral)}]")
     }
   }
 

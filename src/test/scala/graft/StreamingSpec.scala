@@ -1781,6 +1781,7 @@ class StreamingSpec extends SparkSpec {
 
   test("wire DDL parser: unit anchors for the grammar's sharp edges") {
     import CdcStream._
+    import graft.streaming.DdlGrammar._
     // quoted literals carry commas and parens the def split must not
     // count; the tail normalizer strips each DEFAULT into the origin-
     // default map (quote-aware: the captured literal keeps its comma)
@@ -1917,6 +1918,7 @@ class StreamingSpec extends SparkSpec {
     // the stream's validateDecodable enforces), the DEFAULT expression
     // must be captured verbatim, and NOT NULL must survive when present
     import CdcStream._
+    import graft.streaming.DdlGrammar._
     import org.apache.spark.sql.types.StructType
     val rnd = new scala.util.Random(13)
     // Spark-native spellings AND the MySQL-native domain real wire DDL
@@ -2000,6 +2002,7 @@ class StreamingSpec extends SparkSpec {
 
   test("ENUM/SET dictionaries: captured from the wire, re-keyed by rename, cleared by retype/drop") {
     import CdcStream._
+    import graft.streaming.DdlGrammar._
     // wire capture: the type maps to STRING, the value list rides as the
     // dictionary, the DEFAULT is still the origin default
     assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN e ENUM('a','b') DEFAULT 'a'") ==
@@ -2286,6 +2289,7 @@ class StreamingSpec extends SparkSpec {
 
   test("wire DDL parser: multi-token native type spellings normalize to the mapped Spark type") {
     import CdcStream._
+    import graft.streaming.DdlGrammar._
     def ty(tail: String) = normalizeColumnTail(tail)._1
     // NATIONAL prefix drops; VARYING folds its head into VARCHAR — every
     // string spelling lands on STRING, option tails unaffected
