@@ -282,10 +282,14 @@ object Causality {
        |  FROM lagged),
        |half AS (
        |  SELECT DISTINCT src, dst FROM (
-       |    SELECT pk AS src, uk1_new AS dst FROM keys WHERE uk1_new IS NOT NULL
-       |    UNION ALL SELECT pk, uk2_new FROM keys WHERE uk2_new IS NOT NULL
-       |    UNION ALL SELECT pk, uk1_old FROM keys WHERE uk1_old IS NOT NULL
-       |    UNION ALL SELECT pk, uk2_old FROM keys WHERE uk2_old IS NOT NULL)),
+       |    SELECT ${nsCheckedSql("pk", "pk node")} AS src, uk1_new AS dst
+       |    FROM keys WHERE uk1_new IS NOT NULL
+       |    UNION ALL SELECT ${nsCheckedSql("pk", "pk node")}, uk2_new
+       |    FROM keys WHERE uk2_new IS NOT NULL
+       |    UNION ALL SELECT ${nsCheckedSql("pk", "pk node")}, uk1_old
+       |    FROM keys WHERE uk1_old IS NOT NULL
+       |    UNION ALL SELECT ${nsCheckedSql("pk", "pk node")}, uk2_old
+       |    FROM keys WHERE uk2_old IS NOT NULL)),
        |edges AS (
        |  SELECT src, dst FROM half
        |  UNION ALL SELECT dst, src FROM half),

@@ -19,9 +19,12 @@ object Translators {
   private val valueStr = col("value").cast("decimal(18,2)").cast("string")
 
   // a value interpolated into single-quoted SQL literal text must escape
-  // embedded quotes (MySQL/Oracle '' doubling), or a kind value carrying
-  // one emits a malformed — and injectable — statement; both engines
-  // escape identically so the hash gate stays aligned
+  // embedded quotes, or a kind value carrying one emits a malformed — and
+  // injectable — statement; both engines escape identically so the hash
+  // gate stays aligned. ''-doubling is complete for the ORACLE dialect
+  // generated here (no backslash escapes); a MySQL-dialect reuse must ALSO
+  // double backslashes — under MySQL's default (NO_BACKSLASH_ESCAPES off)
+  // a value ending in `\` would otherwise escape the closing quote
   private def q(c: Column): Column = replace(c, lit("'"), lit("''"))
   private def qSql(e: String): String = s"replace($e, '''', '''''')"
 
