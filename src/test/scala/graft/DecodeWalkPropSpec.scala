@@ -15,19 +15,47 @@ import graft.streaming.{CdcStream, SchemaTracker}
   * stamping → decode-time fill), and every (row, output column) cell of
   * the decoded parquet is compared to an independent row-level model.
   *
+  * r18 extends the op pool with the table-LIFECYCLE transitions whose
+  * state entanglement the column walk cannot reach: TRUNCATE (the
+  * streamed F6 batch-local slice clear, name-keyed — ref:
+  * drainer/syncer.go:744-762), DROP TABLE + FLASHBACK (the graveyard
+  * recovery, ref: drainer/schema.go:435), CREATE TABLE … LIKE (shape
+  * copy), and unroutable DML aimed at a dropped name. The model gains
+  * per-(table, incarnation) fill entries: a truncate or flashback opens
+  * a NEW incarnation whose adds never fill an older incarnation's rows,
+  * while a dropped incarnation's surviving rows keep reading their own
+  * frozen fill entries.
+  *
   * The model is deliberately naive: per-row column-set snapshots taken
   * at generation time, rename aliasing as snapshot mutation, fill
-  * resolution as "smallest later add of the name" — no slices, no
-  * versions-as-state, no union schemas. Where [[DecodeFillPropSpec]]
-  * drives the fill STATE MACHINE directly and [[SchemaTrackerPropSpec]]
-  * the catalog, this pins their COMPOSITION with the wire grammar and
-  * the micro-batch walk (ref: drainer/schema.go:293-331 replay-to-
-  * version + translator.go:169-227 fill, composed). */
+  * resolution as "smallest later add of the name within the row's own
+  * incarnation" — no slices, no versions-as-state, no union schemas.
+  * Where [[DecodeFillPropSpec]] drives the fill STATE MACHINE directly
+  * and [[SchemaTrackerPropSpec]] the catalog, this pins their
+  * COMPOSITION with the wire grammar and the micro-batch walk (ref:
+  * drainer/schema.go:293-331 replay-to-version + translator.go:169-227
+  * fill, composed). */
 class DecodeWalkPropSpec extends SparkSpec {
   import spark.implicits._
 
   private case class ColDef(name: String, ty: String, notNull: Boolean,
     dflt: Option[String], addTs: Long)
+
+  /** One fill incarnation: entries mutate while the incarnation is
+    * current (a later add fills this incarnation's earlier rows) and
+    * freeze at its truncate/drop/flashback boundary — rows hold a
+    * REFERENCE, so a pre-drop row keeps its own incarnation's fills
+    * after a flashback opens the next one. */
+  private class IncState {
+    var entries = Map.empty[String, Vector[ColDef]]
+  }
+
+  /** Model of one tracked table: live columns beyond the base
+    * `k DOUBLE`, the version its next row stamps, and the CURRENT fill
+    * incarnation. */
+  private class TModel(var live: Vector[ColDef], var version: Long) {
+    var cur = new IncState
+  }
 
   private def fmtTs(sec: Long): String =
     java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
@@ -46,33 +74,37 @@ class DecodeWalkPropSpec extends SparkSpec {
     case (None, _)               => None // TIMESTAMP zero-datetime divergence
   }
 
-  private def runScenario(seed: Int): Unit = {
+  private def runScenario(seed: Int): Seq[String] = {
     val rnd = new Random(seed)
     val wireDir = graft.util.Scratch.dir(s"graft_walkprop_${seed}_wire")
     val outDir = graft.util.Scratch.dir(s"graft_walkprop_${seed}_out")
     val ckpt = graft.util.Scratch.dir(s"graft_walkprop_${seed}_ckpt")
 
+    val TablePool = Vector("t", "u", "v")
     val NamePool = Vector("c1", "c2", "c3", "c4")
-    // live column defs beyond the base `k DOUBLE` (which never mutates)
-    var live = Vector.empty[ColDef]
-    // fill entries keyed by CURRENT name (single table, one incarnation):
-    // rename re-keys, drop clears — the walk's rekey rule
-    var entries = Map.empty[String, Vector[ColDef]]
-    var ddlTimes = Vector.empty[Long]
-    // per emitted row: (ts, version, provided values, written = the
-    // emission-time column set that actually shaped the slice, present =
-    // the same set under rename ALIASING — mutable because a rename
-    // aliases the NEW name onto old snapshots)
-    case class MRow(ts: Long, version: Long, vals: Map[String, String],
-      written: Set[String], present: scala.collection.mutable.Set[String])
+    val tables = scala.collection.mutable.LinkedHashMap(
+      "t" -> new TModel(Vector.empty, 0L))
+    // drop-time models, keyed by dropped name (= the impl's batch-local
+    // graveyard: a flashback consumes the entry, a re-drop refills it)
+    val grave = scala.collection.mutable.Map.empty[String, TModel]
+    // per emitted row: the emitting table, its fill incarnation, stamped
+    // version, provided values, written = the emission-time column set
+    // that shaped the slice, present = the same set under rename
+    // ALIASING (mutable — a rename aliases the NEW name onto the current
+    // incarnation's old snapshots); gone = the walk removed the row from
+    // the output (truncated away, or unroutable at decode time)
+    case class MRow(ts: Long, table: String, incState: IncState,
+      version: Long, vals: Map[String, String], written: Set[String],
+      present: scala.collection.mutable.Set[String], var gone: Boolean = false)
     val rows = scala.collection.mutable.ArrayBuffer.empty[MRow]
     val ops = scala.collection.mutable.ArrayBuffer.empty[String]
     var wire: DataFrame = null
 
-    def wireRow(ts: Long, op: String, props: String, sql: String): DataFrame =
+    def wireRow(ts: Long, op: String, props: String, sql: String,
+        table: String): DataFrame =
       Seq(ts).toDF("commit_ts").select(
         col("commit_ts"), lit(ts).as("pk"), lit(op).as("op"),
-        lit(if (op == "DDL") "ddl" else "t").as("event_type"),
+        lit(if (op == "DDL") "ddl" else table).as("event_type"),
         timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
         lit(null).cast("double").as("value"),
         (if (props == null) lit(null).cast("string") else lit(props)).as("props"),
@@ -81,7 +113,22 @@ class DecodeWalkPropSpec extends SparkSpec {
       wire = if (wire == null) df else wire.unionByName(df)
 
     def dml(ts: Long): Unit = {
-      val chosen = live.filter(_ => rnd.nextBoolean())
+      // a known-but-untracked name now and then: the frame is unroutable
+      // (no live schema at its commit ts) and must DROP from the output
+      val dead = (TablePool.toSet -- tables.keySet) &
+        (grave.keySet ++ rows.map(_.table))
+      if (dead.nonEmpty && rnd.nextInt(10) == 0) {
+        val n = dead.toVector.sorted(Ordering.String)(rnd.nextInt(dead.size))
+        ops += s"dml ts=$ts table=$n UNROUTABLE"
+        rows += MRow(ts, n, new IncState, 0L, Map.empty, Set.empty,
+          scala.collection.mutable.Set.empty, gone = true)
+        emit(wireRow(ts, "U", s"""{"k": $ts.5}""", null, n))
+        return
+      }
+      if (tables.isEmpty) return
+      val name = tables.keys.toVector(rnd.nextInt(tables.size))
+      val tm = tables(name)
+      val chosen = tm.live.filter(_ => rnd.nextBoolean())
       val vals = Map("k" -> s"$ts.5") ++ chosen.map { c =>
         c.ty match {
           case "INT"        => c.name -> s"${ts % 50}"
@@ -90,23 +137,25 @@ class DecodeWalkPropSpec extends SparkSpec {
         }
       }
       val json = "{" + vals.map { case (n, v) =>
-        val quoted = live.find(_.name == n).map(_.ty) match {
+        val quoted = tm.live.find(_.name == n).map(_.ty) match {
           case Some("VARCHAR(8)") => s""""$v""""
           case Some("TIMESTAMP")  => s""""${v.replace(" ", "T")}""""
           case _                  => v // numbers (k rides unquoted too)
         }
         s""""$n": $quoted"""
       }.mkString(", ") + "}"
-      val version = ddlTimes.lastOption.getOrElse(0L)
-      ops += s"dml ts=$ts v=$version vals=$vals"
-      val names = ("k" +: live.map(_.name)).toSet
-      rows += MRow(ts, version, vals, names,
+      ops += s"dml ts=$ts table=$name v=${tm.version} vals=$vals"
+      val names = ("k" +: tm.live.map(_.name)).toSet
+      rows += MRow(ts, name, tm.cur, tm.version, vals, names,
         scala.collection.mutable.Set(names.toSeq: _*))
-      emit(wireRow(ts, "U", json, null))
+      emit(wireRow(ts, "U", json, null, name))
     }
 
-    def ddl(ts: Long): Unit = {
-      val free = NamePool.filterNot(n => live.exists(_.name == n))
+    def colDdl(ts: Long): Unit = {
+      if (tables.isEmpty) return
+      val name = tables.keys.toVector(rnd.nextInt(tables.size))
+      val tm = tables(name)
+      val free = NamePool.filterNot(n => tm.live.exists(_.name == n))
       val kind = rnd.nextInt(3)
       if (kind == 0 && free.nonEmpty) { // ADD
         val n = free(rnd.nextInt(free.size))
@@ -119,41 +168,113 @@ class DecodeWalkPropSpec extends SparkSpec {
           case _ => ("TIMESTAMP", "TIMESTAMP DEFAULT CURRENT_TIMESTAMP",
             Some("CURRENT_TIMESTAMP"), false)
         }
-        ops += s"ddl ts=$ts ADD $n $tail"
+        ops += s"ddl ts=$ts $name ADD $n $tail"
         val c = ColDef(n, ty, nn, dflt, ts)
-        live :+= c
-        entries += n -> (entries.getOrElse(n, Vector.empty) :+ c)
-        ddlTimes :+= ts
-        emit(wireRow(ts, "DDL", null, s"ALTER TABLE app.t ADD COLUMN $n $tail"))
-      } else if (kind == 1 && live.nonEmpty) { // DROP
-        val n = live(rnd.nextInt(live.size)).name
-        ops += s"ddl ts=$ts DROP $n"
-        live = live.filterNot(_.name == n)
-        entries -= n
-        ddlTimes :+= ts
-        emit(wireRow(ts, "DDL", null, s"ALTER TABLE app.t DROP COLUMN $n"))
-      } else if (kind == 2 && live.nonEmpty && free.nonEmpty) { // RENAME
-        val from = live(rnd.nextInt(live.size)).name
-        val to = free(rnd.nextInt(free.size))
-        ops += s"ddl ts=$ts RENAME $from -> $to"
-        live = live.map(c => if (c.name == from) c.copy(name = to) else c)
-        entries.get(from).foreach { vec =>
-          entries = entries - from + (to -> (entries.getOrElse(to, Vector.empty) ++ vec))
-        }
-        // the value-rides-the-old-name rule: earlier snapshots carrying
-        // `from` are present for `to` as well
-        rows.foreach(r => if (r.present.contains(from)) { r.present += to; () })
-        ddlTimes :+= ts
+        tm.live :+= c
+        tm.cur.entries += n -> (tm.cur.entries.getOrElse(n, Vector.empty) :+ c)
+        tm.version = ts
         emit(wireRow(ts, "DDL", null,
-          s"ALTER TABLE app.t RENAME COLUMN $from TO $to"))
+          s"ALTER TABLE app.$name ADD COLUMN $n $tail", name))
+      } else if (kind == 1 && tm.live.nonEmpty) { // DROP
+        val n = tm.live(rnd.nextInt(tm.live.size)).name
+        ops += s"ddl ts=$ts $name DROP $n"
+        tm.live = tm.live.filterNot(_.name == n)
+        tm.cur.entries -= n
+        tm.version = ts
+        emit(wireRow(ts, "DDL", null,
+          s"ALTER TABLE app.$name DROP COLUMN $n", name))
+      } else if (kind == 2 && tm.live.nonEmpty && free.nonEmpty) { // RENAME
+        val from = tm.live(rnd.nextInt(tm.live.size)).name
+        val to = free(rnd.nextInt(free.size))
+        ops += s"ddl ts=$ts $name RENAME $from -> $to"
+        tm.live = tm.live.map(c => if (c.name == from) c.copy(name = to) else c)
+        tm.cur.entries.get(from).foreach { vec =>
+          tm.cur.entries = tm.cur.entries - from +
+            (to -> (tm.cur.entries.getOrElse(to, Vector.empty) ++ vec))
+        }
+        // the value-rides-the-old-name rule, scoped to the CURRENT
+        // incarnation: an older incarnation's rows never alias — their
+        // slices (and fills) froze at their own boundary
+        rows.foreach(r => if ((r.incState eq tm.cur) && r.present.contains(from)) {
+          r.present += to; ()
+        })
+        tm.version = ts
+        emit(wireRow(ts, "DDL", null,
+          s"ALTER TABLE app.$name RENAME COLUMN $from TO $to", name))
+      }
+    }
+
+    def lifecycle(ts: Long): Unit = {
+      val freeNames = TablePool.filterNot(tables.contains)
+      val feasible = Vector(
+        if (tables.nonEmpty) Some("truncate") else None,
+        if (tables.nonEmpty) Some("drop") else None,
+        if (grave.nonEmpty && freeNames.nonEmpty) Some("flashback") else None,
+        if (tables.nonEmpty && freeNames.nonEmpty) Some("create_like") else None
+      ).flatten
+      if (feasible.isEmpty) return
+      feasible(rnd.nextInt(feasible.size)) match {
+        case "truncate" =>
+          val name = tables.keys.toVector(rnd.nextInt(tables.size))
+          val tm = tables(name)
+          ops += s"ddl ts=$ts TRUNCATE $name"
+          // streamed F6, NAME-keyed (the impl's documented same-batch
+          // edge): every earlier in-flight row of the NAME leaves the
+          // output — including an older dropped incarnation's rows
+          rows.foreach(r => if (r.table == name && r.ts <= ts) { r.gone = true })
+          tm.version = ts
+          tm.cur = new IncState
+          emit(wireRow(ts, "DDL", null,
+            s"TRUNCATE${if (rnd.nextBoolean()) " TABLE" else ""} app.$name",
+            name))
+        case "drop" =>
+          val name = tables.keys.toVector(rnd.nextInt(tables.size))
+          ops += s"ddl ts=$ts DROP TABLE $name"
+          // pre-drop rows stay decoded; the model (incarnation + fills)
+          // moves to the graveyard for a later flashback
+          grave(name) = tables.remove(name).get
+          emit(wireRow(ts, "DDL", null, s"DROP TABLE app.$name", name))
+        case "flashback" =>
+          val orig = grave.keys.toVector.sorted(Ordering.String)
+            .apply(rnd.nextInt(grave.size))
+          val freeNow = TablePool.filterNot(tables.contains)
+          // recover under the original name when free (the common case),
+          // or under a new name (FLASHBACK … TO)
+          val target =
+            if (!tables.contains(orig) && rnd.nextInt(5) != 0) orig
+            else freeNow(rnd.nextInt(freeNow.size))
+          if (target != orig && tables.contains(orig)) {
+            // ok: TO-form recovery while the original name is reoccupied
+          }
+          if (tables.contains(target)) return // occupied target is illegal
+          val tm = grave.remove(orig).get
+          ops += s"ddl ts=$ts FLASHBACK $orig -> $target"
+          // drop-time shape, NEW incarnation: adds after the recovery
+          // never fill the dropped incarnation's surviving rows
+          val restored = new TModel(tm.live, ts)
+          tables(target) = restored
+          emit(wireRow(ts, "DDL", null,
+            s"FLASHBACK TABLE app.$orig${if (target == orig) ""
+              else s" TO $target"}", target))
+        case "create_like" =>
+          val src = tables.keys.toVector(rnd.nextInt(tables.size))
+          val freeNow = TablePool.filterNot(tables.contains)
+          val tgt = freeNow(rnd.nextInt(freeNow.size))
+          ops += s"ddl ts=$ts CREATE $tgt LIKE $src"
+          // the SOURCE's current live shape, fresh incarnation (LIKE
+          // copies column defs; no row predates the copy, so no fills)
+          tables(tgt) = new TModel(tables(src).live, ts)
+          emit(wireRow(ts, "DDL", null,
+            s"CREATE TABLE app.$tgt LIKE app.$src", tgt))
       }
     }
 
     dml(1L)
     var ts = 1L
-    (1 to 12).foreach { _ =>
+    (1 to 18).foreach { _ =>
       ts += 1 + rnd.nextInt(3)
-      if (rnd.nextInt(10) < 6) dml(ts) else ddl(ts)
+      val r = rnd.nextInt(20)
+      if (r < 11) dml(ts) else if (r < 17) colDdl(ts) else lifecycle(ts)
     }
     dml(ts + 1)
 
@@ -168,45 +289,62 @@ class DecodeWalkPropSpec extends SparkSpec {
       fillOriginDefaults = true)
     try q.processAllAvailable() finally q.stop()
 
-    // expected cell value for row r, output column n
+    // expected cell value for row r, output column n: a present column
+    // reads its provided value (or explicit absence), anything else fills
+    // from the row's OWN incarnation's later adds only
     def expect(r: MRow, n: String): Option[String] =
       if (r.present.contains(n)) r.vals.get(n)
-      else entries.getOrElse(n, Vector.empty)
+      else r.incState.entries.getOrElse(n, Vector.empty)
         .filter(_.addTs > r.version).sortBy(_.addTs).headOption.flatMap(fillOf)
 
-    val out = spark.read.parquet(s"$outDir/data")
+    val survivors = rows.filterNot(_.gone)
+    // table partitions carry different column sets — merge, or the read
+    // picks one partition's schema
+    val out = spark.read.option("mergeSchema", "true").parquet(s"$outDir/data")
     val strCols = out.columns.filter(_.endsWith("_str")).toVector
-    // every column any row's slice actually CARRIED must have surfaced
-    // (aliased names only surface if some written slice bore them)
-    val expectedCols = rows.flatMap(_.written).toSet
+    // every column any SURVIVING row's slice actually CARRIED must have
+    // surfaced (a truncated-away slice's defs legitimately clear with it)
+    val expectedCols = survivors.flatMap(_.written).toSet
     assert(expectedCols.map(_ + "_str").subsetOf(strCols.toSet),
       s"seed=$seed missing output columns: got $strCols want $expectedCols" +
         s"\nops:\n${ops.mkString("\n")}")
     val got = out.select(col("commit_ts") +: col("schema_version") +:
-        strCols.map(col): _*)
+        col("table") +: strCols.map(col): _*)
       .collect().map { r =>
-        r.getLong(0) -> ((r.getLong(1), strCols.zipWithIndex.map { case (c, i) =>
-          c.stripSuffix("_str") -> Option(r.getString(i + 2))
-        }.toMap))
+        r.getLong(0) -> ((r.getLong(1), r.getString(2),
+          strCols.zipWithIndex.map { case (c, i) =>
+            c.stripSuffix("_str") -> Option(r.getString(i + 3))
+          }.toMap))
       }.toMap
-    assert(got.keySet == rows.map(_.ts).toSet,
-      s"seed=$seed row set mismatch: ${got.keySet} vs ${rows.map(_.ts)}" +
-        s"\nops:\n${ops.mkString("\n")}")
-    rows.foreach { r =>
-      val (gotVer, cells) = got(r.ts)
+    assert(got.keySet == survivors.map(_.ts).toSet,
+      s"seed=$seed row set mismatch: ${got.keySet.toSeq.sorted} vs " +
+        s"${survivors.map(_.ts).toSeq.sorted}\nops:\n${ops.mkString("\n")}")
+    survivors.foreach { r =>
+      val (gotVer, gotTable, cells) = got(r.ts)
+      assert(gotTable == r.table,
+        s"seed=$seed ts=${r.ts}: table $gotTable != ${r.table}" +
+          s"\nops:\n${ops.mkString("\n")}")
       assert(gotVer == r.version,
         s"seed=$seed ts=${r.ts}: version $gotVer != ${r.version}" +
           s"\nops:\n${ops.mkString("\n")}")
       cells.keys.foreach { n =>
         val want = expect(r, n)
         assert(cells(n) == want,
-          s"seed=$seed ts=${r.ts} col=$n: impl=${cells(n)} model=$want " +
-            s"(present=${r.present})\nops:\n${ops.mkString("\n")}")
+          s"seed=$seed ts=${r.ts} table=${r.table} col=$n: impl=${cells(n)} " +
+            s"model=$want (present=${r.present})\nops:\n${ops.mkString("\n")}")
       }
     }
+    ops.toSeq
   }
 
   test("random DDL/DML wires: the decode walk matches the row-level model") {
-    (1 to 8).foreach(runScenario)
+    val allOps = (1 to 8).flatMap(runScenario)
+    // the sweep only proves what it generates: every lifecycle transition
+    // must actually have fired somewhere across the seeds
+    Seq("TRUNCATE", "DROP TABLE", "FLASHBACK", "LIKE", "UNROUTABLE", " ADD ",
+        " DROP c", " RENAME c").foreach { marker =>
+      assert(allOps.exists(_.contains(marker)),
+        s"op pool never generated '$marker' across the sweep — reweight")
+    }
   }
 }
