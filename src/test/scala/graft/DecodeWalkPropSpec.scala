@@ -39,15 +39,21 @@ class DecodeWalkPropSpec extends SparkSpec {
   import spark.implicits._
 
   private case class ColDef(name: String, ty: String, notNull: Boolean,
-    dflt: Option[String], addTs: Long)
+    dflt: Option[String], addTs: Long, addBatch: Int = 0)
 
   /** One fill incarnation: entries mutate while the incarnation is
     * current (a later add fills this incarnation's earlier rows) and
     * freeze at its truncate/drop/flashback boundary — rows hold a
     * REFERENCE, so a pre-drop row keeps its own incarnation's fills
-    * after a flashback opens the next one. */
+    * after a flashback opens the next one. Entries are ALSO scoped per
+    * micro-batch (the impl's DecodeFill lives per batch): an add fills
+    * only its own batch's earlier rows, and a rename's re-key or a
+    * column drop's clear touches only its own batch's entries — an
+    * earlier batch's rows were already folded and written under the
+    * names in force at THAT batch's end. */
   private class IncState {
-    var entries = Map.empty[String, Vector[ColDef]]
+    val entries = scala.collection.mutable.Map
+      .empty[Int, Map[String, Vector[ColDef]]]
   }
 
   /** Model of one tracked table: live columns beyond the base
@@ -74,19 +80,22 @@ class DecodeWalkPropSpec extends SparkSpec {
     case (None, _)               => None // TIMESTAMP zero-datetime divergence
   }
 
-  private def runScenario(seed: Int): Seq[String] = {
+  private def runScenario(seed: Int, multiBatch: Boolean): Seq[String] = {
     val rnd = new Random(seed)
-    val wireDir = graft.util.Scratch.dir(s"graft_walkprop_${seed}_wire")
-    val outDir = graft.util.Scratch.dir(s"graft_walkprop_${seed}_out")
-    val ckpt = graft.util.Scratch.dir(s"graft_walkprop_${seed}_ckpt")
+    val tag = if (multiBatch) "mb" else "sb"
+    val wireDir = graft.util.Scratch.dir(s"graft_walkprop_${tag}_${seed}_wire")
+    val outDir = graft.util.Scratch.dir(s"graft_walkprop_${tag}_${seed}_out")
+    val ckpt = graft.util.Scratch.dir(s"graft_walkprop_${tag}_${seed}_ckpt")
 
     val TablePool = Vector("t", "u", "v")
     val NamePool = Vector("c1", "c2", "c3", "c4")
     val tables = scala.collection.mutable.LinkedHashMap(
       "t" -> new TModel(Vector.empty, 0L))
-    // drop-time models, keyed by dropped name (= the impl's batch-local
-    // graveyard: a flashback consumes the entry, a re-drop refills it)
-    val grave = scala.collection.mutable.Map.empty[String, TModel]
+    // drop-time models (and the drop's batch), keyed by dropped name: a
+    // flashback consumes the entry, a re-drop refills it — same-batch
+    // recovery hits the impl's batch-local graveyard, a LATER-batch one
+    // the tracker's logged dropped shape
+    val grave = scala.collection.mutable.Map.empty[String, (TModel, Int)]
     // per emitted row: the emitting table, its fill incarnation, stamped
     // version, provided values, written = the emission-time column set
     // that shaped the slice, present = the same set under rename
@@ -95,10 +104,20 @@ class DecodeWalkPropSpec extends SparkSpec {
     // the output (truncated away, or unroutable at decode time)
     case class MRow(ts: Long, table: String, incState: IncState,
       version: Long, vals: Map[String, String], written: Set[String],
-      present: scala.collection.mutable.Set[String], var gone: Boolean = false)
+      present: scala.collection.mutable.Set[String], batch: Int,
+      var gone: Boolean = false)
     val rows = scala.collection.mutable.ArrayBuffer.empty[MRow]
     val ops = scala.collection.mutable.ArrayBuffer.empty[String]
     var wire: DataFrame = null
+    // multi-batch mode: frames accumulate into GROUPS, each staged as its
+    // own wire file and drained as its own micro-batch (batch-local fill
+    // and truncate semantics bind to these boundaries)
+    val groups = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var batchIdx = 0
+    def closeGroup(): Unit = if (wire != null) {
+      ops += s"CLOSE group $batchIdx"
+      groups += wire; wire = null; batchIdx += 1
+    }
 
     def wireRow(ts: Long, op: String, props: String, sql: String,
         table: String): DataFrame =
@@ -121,7 +140,7 @@ class DecodeWalkPropSpec extends SparkSpec {
         val n = dead.toVector.sorted(Ordering.String)(rnd.nextInt(dead.size))
         ops += s"dml ts=$ts table=$n UNROUTABLE"
         rows += MRow(ts, n, new IncState, 0L, Map.empty, Set.empty,
-          scala.collection.mutable.Set.empty, gone = true)
+          scala.collection.mutable.Set.empty, batchIdx, gone = true)
         emit(wireRow(ts, "U", s"""{"k": $ts.5}""", null, n))
         return
       }
@@ -147,7 +166,7 @@ class DecodeWalkPropSpec extends SparkSpec {
       ops += s"dml ts=$ts table=$name v=${tm.version} vals=$vals"
       val names = ("k" +: tm.live.map(_.name)).toSet
       rows += MRow(ts, name, tm.cur, tm.version, vals, names,
-        scala.collection.mutable.Set(names.toSeq: _*))
+        scala.collection.mutable.Set(names.toSeq: _*), batchIdx)
       emit(wireRow(ts, "U", json, null, name))
     }
 
@@ -169,9 +188,11 @@ class DecodeWalkPropSpec extends SparkSpec {
             Some("CURRENT_TIMESTAMP"), false)
         }
         ops += s"ddl ts=$ts $name ADD $n $tail"
-        val c = ColDef(n, ty, nn, dflt, ts)
+        val c = ColDef(n, ty, nn, dflt, ts, batchIdx)
         tm.live :+= c
-        tm.cur.entries += n -> (tm.cur.entries.getOrElse(n, Vector.empty) :+ c)
+        val ent = tm.cur.entries.getOrElse(batchIdx, Map.empty)
+        tm.cur.entries(batchIdx) =
+          ent + (n -> (ent.getOrElse(n, Vector.empty) :+ c))
         tm.version = ts
         emit(wireRow(ts, "DDL", null,
           s"ALTER TABLE app.$name ADD COLUMN $n $tail", name))
@@ -179,7 +200,8 @@ class DecodeWalkPropSpec extends SparkSpec {
         val n = tm.live(rnd.nextInt(tm.live.size)).name
         ops += s"ddl ts=$ts $name DROP $n"
         tm.live = tm.live.filterNot(_.name == n)
-        tm.cur.entries -= n
+        tm.cur.entries(batchIdx) =
+          tm.cur.entries.getOrElse(batchIdx, Map.empty) - n
         tm.version = ts
         emit(wireRow(ts, "DDL", null,
           s"ALTER TABLE app.$name DROP COLUMN $n", name))
@@ -188,14 +210,17 @@ class DecodeWalkPropSpec extends SparkSpec {
         val to = free(rnd.nextInt(free.size))
         ops += s"ddl ts=$ts $name RENAME $from -> $to"
         tm.live = tm.live.map(c => if (c.name == from) c.copy(name = to) else c)
-        tm.cur.entries.get(from).foreach { vec =>
-          tm.cur.entries = tm.cur.entries - from +
-            (to -> (tm.cur.entries.getOrElse(to, Vector.empty) ++ vec))
+        val ent = tm.cur.entries.getOrElse(batchIdx, Map.empty)
+        ent.get(from).foreach { vec =>
+          tm.cur.entries(batchIdx) = ent - from +
+            (to -> (ent.getOrElse(to, Vector.empty) ++ vec))
         }
         // the value-rides-the-old-name rule, scoped to the CURRENT
-        // incarnation: an older incarnation's rows never alias — their
-        // slices (and fills) froze at their own boundary
-        rows.foreach(r => if ((r.incState eq tm.cur) && r.present.contains(from)) {
+        // incarnation AND the current micro-batch: an older incarnation's
+        // or an earlier batch's rows never alias — their cells were
+        // already decided (folded and written) at their own boundary
+        rows.foreach(r => if ((r.incState eq tm.cur) && r.batch == batchIdx &&
+          r.present.contains(from)) {
           r.present += to; ()
         })
         tm.version = ts
@@ -219,9 +244,13 @@ class DecodeWalkPropSpec extends SparkSpec {
           val tm = tables(name)
           ops += s"ddl ts=$ts TRUNCATE $name"
           // streamed F6, NAME-keyed (the impl's documented same-batch
-          // edge): every earlier in-flight row of the NAME leaves the
-          // output — including an older dropped incarnation's rows
-          rows.foreach(r => if (r.table == name && r.ts <= ts) { r.gone = true })
+          // edge): every earlier IN-FLIGHT row of the NAME leaves the
+          // output — including an older dropped incarnation's rows — but
+          // only within the truncate's own micro-batch; rows already
+          // written by earlier batches stay (syncer.go:744-762 drops
+          // in-flight mutations, never applied ones)
+          rows.foreach(r => if (r.table == name && r.batch == batchIdx &&
+            r.ts <= ts) { r.gone = true })
           tm.version = ts
           tm.cur = new IncState
           emit(wireRow(ts, "DDL", null,
@@ -232,7 +261,7 @@ class DecodeWalkPropSpec extends SparkSpec {
           ops += s"ddl ts=$ts DROP TABLE $name"
           // pre-drop rows stay decoded; the model (incarnation + fills)
           // moves to the graveyard for a later flashback
-          grave(name) = tables.remove(name).get
+          grave(name) = (tables.remove(name).get, batchIdx)
           emit(wireRow(ts, "DDL", null, s"DROP TABLE app.$name", name))
         case "flashback" =>
           val orig = grave.keys.toVector.sorted(Ordering.String)
@@ -247,8 +276,9 @@ class DecodeWalkPropSpec extends SparkSpec {
             // ok: TO-form recovery while the original name is reoccupied
           }
           if (tables.contains(target)) return // occupied target is illegal
-          val tm = grave.remove(orig).get
-          ops += s"ddl ts=$ts FLASHBACK $orig -> $target"
+          val (tm, dropBatch) = grave.remove(orig).get
+          ops += s"ddl ts=$ts FLASHBACK $orig -> $target " +
+            s"crossBatch=${dropBatch != batchIdx}"
           // drop-time shape, NEW incarnation: adds after the recovery
           // never fill the dropped incarnation's surviving rows
           val restored = new TModel(tm.live, ts)
@@ -275,28 +305,69 @@ class DecodeWalkPropSpec extends SparkSpec {
       ts += 1 + rnd.nextInt(3)
       val r = rnd.nextInt(20)
       if (r < 11) dml(ts) else if (r < 17) colDdl(ts) else lifecycle(ts)
+      // multi-batch mode: occasionally close the in-flight group — the
+      // next frames land in their own wire file / micro-batch (a DROP and
+      // its FLASHBACK split this way exercise the CROSS-batch graveyard:
+      // the tracker's dropped shape, not the batch-local one)
+      if (multiBatch && wire != null && rnd.nextInt(5) == 0) closeGroup()
     }
     dml(ts + 1)
+    closeGroup()
 
-    // ONE wire file → one micro-batch: the decode-time fill is
-    // deliberately batch-local (cross-batch parity is the sink-side mode),
-    // so the sweep must not split the wire across admission triggers
-    PbBinlogFile.write(wire, wireDir, nFiles = 1)
-    val tracker = new SchemaTracker()
+    // single-batch mode keeps ONE wire file → one micro-batch (the
+    // decode-time fill is deliberately batch-local, and this test's model
+    // then never needs batch gating); multi-batch mode stages each group
+    // in order, draining between stages, with ONE mid-walk RESTART — a
+    // fresh tracker recovered from the durable DDL log must continue the
+    // walk identically (truncate/recover_table/create-like records replay)
+    val restartAfter: Option[Int] =
+      if (multiBatch && groups.size > 1) Some(rnd.nextInt(groups.size - 1))
+      else None
+    var tracker = new SchemaTracker()
     tracker.createTable("app", "t", Seq("k DOUBLE"), version = 0)
-    val q = CdcStream.ddlDrivenDecodeTables(PbBinlogFile.readStream(spark, wireDir),
-      tracker, outDir, ckpt, "app", col("event_type"),
-      fillOriginDefaults = true)
-    try q.processAllAvailable() finally q.stop()
+    def startQuery() = CdcStream.ddlDrivenDecodeTables(
+      PbBinlogFile.readStream(spark, wireDir), tracker, outDir, ckpt,
+      "app", col("event_type"), fillOriginDefaults = true)
+    var q = startQuery()
+    try {
+      groups.zipWithIndex.foreach { case (g, i) =>
+        if (restartAfter.contains(i - 1)) {
+          q.stop()
+          ops += s"RESTART before group $i (log-recovered tracker)"
+          tracker = new SchemaTracker()
+          tracker.createTable("app", "t", Seq("k DOUBLE"), version = 0)
+          CdcStream.recoverDecodeTracker(spark, outDir, ckpt, tracker)
+          q = startQuery()
+        }
+        PbBinlogFile.write(g, wireDir, nFiles = 1)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
 
     // expected cell value for row r, output column n: a present column
     // reads its provided value (or explicit absence), anything else fills
     // from the row's OWN incarnation's later adds only
     def expect(r: MRow, n: String): Option[String] =
       if (r.present.contains(n)) r.vals.get(n)
-      else r.incState.entries.getOrElse(n, Vector.empty)
-        .filter(_.addTs > r.version).sortBy(_.addTs).headOption.flatMap(fillOf)
+      else r.incState.entries.getOrElse(r.batch, Map.empty)
+        .getOrElse(n, Vector.empty)
+        .filter(_.addTs > r.version)
+        .sortBy(_.addTs).headOption.flatMap(fillOf)
+    // columns where only the batch scoping blocks a would-be fill: a
+    // same-incarnation LATER add in a DIFFERENT batch whose fill the
+    // single-batch semantics would have applied
+    def cellsGatedByBatch(r: MRow): Seq[String] =
+      r.incState.entries.toSeq.filter(_._1 != r.batch).flatMap(_._2)
+        .collect { case (n, adds)
+          if !r.present.contains(n) && expect(r, n).isEmpty &&
+            adds.exists(c => c.addTs > r.version && fillOf(c).isDefined) => n }
+        .distinct
 
+    if (sys.env.contains("GRAFT_WALK_DEBUG")) {
+      println(s"=== seed=$seed ops ===\n" + ops.mkString("\n"))
+      spark.read.option("mergeSchema", "true").parquet(s"$outDir/data")
+        .orderBy("commit_ts").show(100, false)
+    }
     val survivors = rows.filterNot(_.gone)
     // table partitions carry different column sets — merge, or the read
     // picks one partition's schema
@@ -319,6 +390,15 @@ class DecodeWalkPropSpec extends SparkSpec {
     assert(got.keySet == survivors.map(_.ts).toSet,
       s"seed=$seed row set mismatch: ${got.keySet.toSeq.sorted} vs " +
         s"${survivors.map(_.ts).toSeq.sorted}\nops:\n${ops.mkString("\n")}")
+    // record whether the BATCH gate ever changed an expectation: a row
+    // lacking a column whose same-incarnation later add sits in a DIFFERENT
+    // micro-batch (single-batch semantics would have filled; batch-local
+    // fill must not) — the multi-batch sweep asserts this case occurred
+    survivors.foreach { r =>
+      val gated = cellsGatedByBatch(r)
+      if (gated.nonEmpty)
+        ops += s"BATCHGATED ts=${r.ts} cols=${gated.mkString(",")}"
+    }
     survivors.foreach { r =>
       val (gotVer, gotTable, cells) = got(r.ts)
       assert(gotTable == r.table,
@@ -337,14 +417,28 @@ class DecodeWalkPropSpec extends SparkSpec {
     ops.toSeq
   }
 
+  private val PoolMarkers = Seq("TRUNCATE", "DROP TABLE", "FLASHBACK",
+    "LIKE", "UNROUTABLE", " ADD ", " DROP c", " RENAME c")
+
   test("random DDL/DML wires: the decode walk matches the row-level model") {
-    val allOps = (1 to 8).flatMap(runScenario)
+    val allOps = (1 to 8).flatMap(runScenario(_, multiBatch = false))
     // the sweep only proves what it generates: every lifecycle transition
     // must actually have fired somewhere across the seeds
-    Seq("TRUNCATE", "DROP TABLE", "FLASHBACK", "LIKE", "UNROUTABLE", " ADD ",
-        " DROP c", " RENAME c").foreach { marker =>
+    PoolMarkers.foreach { marker =>
       assert(allOps.exists(_.contains(marker)),
         s"op pool never generated '$marker' across the sweep — reweight")
+    }
+  }
+
+  test("multi-batch walk with a mid-walk restart matches the batch-gated model") {
+    val allOps = (1 to 8).flatMap(runScenario(_, multiBatch = true))
+    // the cross-batch graveyard path (tracker.droppedShape, not the
+    // batch-local one) must actually have been taken: some FLASHBACK has
+    // to sit in a LATER group than its DROP
+    (PoolMarkers ++ Seq("RESTART", "crossBatch=true", "BATCHGATED"))
+      .foreach { marker =>
+      assert(allOps.exists(_.contains(marker)),
+        s"op pool never generated '$marker' across the multi-batch sweep")
     }
   }
 }
