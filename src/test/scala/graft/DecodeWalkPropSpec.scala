@@ -20,21 +20,30 @@ import graft.streaming.{CdcStream, SchemaTracker}
   * streamed F6 batch-local slice clear, name-keyed — ref:
   * drainer/syncer.go:744-762), DROP TABLE + FLASHBACK (the graveyard
   * recovery, ref: drainer/schema.go:435), CREATE TABLE … LIKE (shape
-  * copy), and unroutable DML aimed at a dropped name. The model gains
-  * per-(table, incarnation) fill entries: a truncate or flashback opens
-  * a NEW incarnation whose adds never fill an older incarnation's rows,
-  * while a dropped incarnation's surviving rows keep reading their own
-  * frozen fill entries.
+  * copy), and unroutable DML aimed at a dropped name; three modes run
+  * the walk single-batch, multi-batch (random group splits + one
+  * mid-walk restart off the durable DDL log), and multi-SCHEMA (two
+  * databases on one wire through `ddlDrivenDecodeSchemas`, plus
+  * cross-schema RENAME TABLE re-homing and DROP DATABASE —
+  * drainer/schema.go:43-62). The model keeps per-(table, incarnation)
+  * fill entries scoped per micro-batch: a truncate or flashback opens
+  * a NEW incarnation whose adds never fill an older incarnation's
+  * rows; a dropped incarnation's surviving rows keep their own frozen
+  * entries; and nothing fills, aliases, or re-keys across a batch
+  * boundary (the impl's DecodeFill lives per batch — rows of an
+  * earlier batch are folded and written under the names in force at
+  * THAT batch's end, which a 24-seed shake of a non-batch-aware model
+  * draft demonstrated against the engine).
   *
   * The model is deliberately naive: per-row column-set snapshots taken
   * at generation time, rename aliasing as snapshot mutation, fill
   * resolution as "smallest later add of the name within the row's own
-  * incarnation" — no slices, no versions-as-state, no union schemas.
-  * Where [[DecodeFillPropSpec]] drives the fill STATE MACHINE directly
-  * and [[SchemaTrackerPropSpec]] the catalog, this pins their
-  * COMPOSITION with the wire grammar and the micro-batch walk (ref:
-  * drainer/schema.go:293-331 replay-to-version + translator.go:169-227
-  * fill, composed). */
+  * incarnation and micro-batch" — no slices, no versions-as-state, no
+  * union schemas. Where [[DecodeFillPropSpec]] drives the fill STATE
+  * MACHINE directly and [[SchemaTrackerPropSpec]] the catalog, this
+  * pins their COMPOSITION with the wire grammar and the micro-batch
+  * walk (ref: drainer/schema.go:293-331 replay-to-version +
+  * translator.go:169-227 fill, composed). */
 class DecodeWalkPropSpec extends SparkSpec {
   import spark.implicits._
 
@@ -58,7 +67,9 @@ class DecodeWalkPropSpec extends SparkSpec {
 
   /** Model of one tracked table: live columns beyond the base
     * `k DOUBLE`, the version its next row stamps, and the CURRENT fill
-    * incarnation. */
+    * incarnation. A table RENAME moves the whole model to the new
+    * (schema, table) key — same incarnation, same live shape (the
+    * reference follows the table id wherever it lands). */
   private class TModel(var live: Vector[ColDef], var version: Long) {
     var cur = new IncState
   }
@@ -80,29 +91,37 @@ class DecodeWalkPropSpec extends SparkSpec {
     case (None, _)               => None // TIMESTAMP zero-datetime divergence
   }
 
-  private def runScenario(seed: Int, multiBatch: Boolean): Seq[String] = {
+  // (schema, table)
+  private type TK = (String, String)
+
+  private def runScenario(seed: Int, multiBatch: Boolean,
+      multiSchema: Boolean = false): Seq[String] = {
     val rnd = new Random(seed)
-    val tag = if (multiBatch) "mb" else "sb"
+    val tag = (if (multiSchema) "ms" else if (multiBatch) "mb" else "sb")
     val wireDir = graft.util.Scratch.dir(s"graft_walkprop_${tag}_${seed}_wire")
     val outDir = graft.util.Scratch.dir(s"graft_walkprop_${tag}_${seed}_out")
     val ckpt = graft.util.Scratch.dir(s"graft_walkprop_${tag}_${seed}_ckpt")
 
-    val TablePool = Vector("t", "u", "v")
+    val SchemaPool = if (multiSchema) Vector("sa", "sb") else Vector("app")
+    val KeyPool: Vector[TK] =
+      if (multiSchema) for (s <- SchemaPool; t <- Vector("t", "u")) yield (s, t)
+      else Vector("t", "u", "v").map(("app", _))
+    val baseKey: TK = (SchemaPool.head, "t")
     val NamePool = Vector("c1", "c2", "c3", "c4")
     val tables = scala.collection.mutable.LinkedHashMap(
-      "t" -> new TModel(Vector.empty, 0L))
-    // drop-time models (and the drop's batch), keyed by dropped name: a
+      baseKey -> new TModel(Vector.empty, 0L))
+    // drop-time models (and the drop's batch), keyed by dropped key: a
     // flashback consumes the entry, a re-drop refills it — same-batch
     // recovery hits the impl's batch-local graveyard, a LATER-batch one
     // the tracker's logged dropped shape
-    val grave = scala.collection.mutable.Map.empty[String, (TModel, Int)]
-    // per emitted row: the emitting table, its fill incarnation, stamped
+    val grave = scala.collection.mutable.Map.empty[TK, (TModel, Int)]
+    // per emitted row: the emitting key, its fill incarnation, stamped
     // version, provided values, written = the emission-time column set
     // that shaped the slice, present = the same set under rename
     // ALIASING (mutable — a rename aliases the NEW name onto the current
-    // incarnation's old snapshots); gone = the walk removed the row from
-    // the output (truncated away, or unroutable at decode time)
-    case class MRow(ts: Long, table: String, incState: IncState,
+    // incarnation's same-batch snapshots); gone = the walk removed the
+    // row from the output (truncated away, or unroutable at decode time)
+    case class MRow(ts: Long, key: TK, incState: IncState,
       version: Long, vals: Map[String, String], written: Set[String],
       present: scala.collection.mutable.Set[String], batch: Int,
       var gone: Boolean = false)
@@ -119,11 +138,14 @@ class DecodeWalkPropSpec extends SparkSpec {
       groups += wire; wire = null; batchIdx += 1
     }
 
+    def route(k: TK): String = if (multiSchema) s"${k._1}:${k._2}" else k._2
+    def qual(k: TK): String = s"${k._1}.${k._2}"
+
     def wireRow(ts: Long, op: String, props: String, sql: String,
-        table: String): DataFrame =
+        k: TK): DataFrame =
       Seq(ts).toDF("commit_ts").select(
         col("commit_ts"), lit(ts).as("pk"), lit(op).as("op"),
-        lit(if (op == "DDL") "ddl" else table).as("event_type"),
+        lit(if (op == "DDL") "ddl" else route(k)).as("event_type"),
         timestamp_micros(col("commit_ts") * 1000000L).as("ts"),
         lit(null).cast("double").as("value"),
         (if (props == null) lit(null).cast("string") else lit(props)).as("props"),
@@ -132,21 +154,22 @@ class DecodeWalkPropSpec extends SparkSpec {
       wire = if (wire == null) df else wire.unionByName(df)
 
     def dml(ts: Long): Unit = {
-      // a known-but-untracked name now and then: the frame is unroutable
-      // (no live schema at its commit ts) and must DROP from the output
-      val dead = (TablePool.toSet -- tables.keySet) &
-        (grave.keySet ++ rows.map(_.table))
+      // a known-but-untracked key now and then: the frame is unroutable
+      // (no live schema at its commit ts) and must DROP from the output —
+      // a dropped table, a pre-flashback gap, a name a RENAME vacated
+      val dead = (KeyPool.toSet -- tables.keySet) &
+        (grave.keySet ++ rows.map(_.key))
       if (dead.nonEmpty && rnd.nextInt(10) == 0) {
-        val n = dead.toVector.sorted(Ordering.String)(rnd.nextInt(dead.size))
-        ops += s"dml ts=$ts table=$n UNROUTABLE"
-        rows += MRow(ts, n, new IncState, 0L, Map.empty, Set.empty,
+        val k = dead.toVector.sorted.apply(rnd.nextInt(dead.size))
+        ops += s"dml ts=$ts table=${qual(k)} UNROUTABLE"
+        rows += MRow(ts, k, new IncState, 0L, Map.empty, Set.empty,
           scala.collection.mutable.Set.empty, batchIdx, gone = true)
-        emit(wireRow(ts, "U", s"""{"k": $ts.5}""", null, n))
+        emit(wireRow(ts, "U", s"""{"k": $ts.5}""", null, k))
         return
       }
       if (tables.isEmpty) return
-      val name = tables.keys.toVector(rnd.nextInt(tables.size))
-      val tm = tables(name)
+      val k = tables.keys.toVector(rnd.nextInt(tables.size))
+      val tm = tables(k)
       val chosen = tm.live.filter(_ => rnd.nextBoolean())
       val vals = Map("k" -> s"$ts.5") ++ chosen.map { c =>
         c.ty match {
@@ -163,17 +186,17 @@ class DecodeWalkPropSpec extends SparkSpec {
         }
         s""""$n": $quoted"""
       }.mkString(", ") + "}"
-      ops += s"dml ts=$ts table=$name v=${tm.version} vals=$vals"
+      ops += s"dml ts=$ts table=${qual(k)} v=${tm.version} vals=$vals"
       val names = ("k" +: tm.live.map(_.name)).toSet
-      rows += MRow(ts, name, tm.cur, tm.version, vals, names,
+      rows += MRow(ts, k, tm.cur, tm.version, vals, names,
         scala.collection.mutable.Set(names.toSeq: _*), batchIdx)
-      emit(wireRow(ts, "U", json, null, name))
+      emit(wireRow(ts, "U", json, null, k))
     }
 
     def colDdl(ts: Long): Unit = {
       if (tables.isEmpty) return
-      val name = tables.keys.toVector(rnd.nextInt(tables.size))
-      val tm = tables(name)
+      val k = tables.keys.toVector(rnd.nextInt(tables.size))
+      val tm = tables(k)
       val free = NamePool.filterNot(n => tm.live.exists(_.name == n))
       val kind = rnd.nextInt(3)
       if (kind == 0 && free.nonEmpty) { // ADD
@@ -187,7 +210,7 @@ class DecodeWalkPropSpec extends SparkSpec {
           case _ => ("TIMESTAMP", "TIMESTAMP DEFAULT CURRENT_TIMESTAMP",
             Some("CURRENT_TIMESTAMP"), false)
         }
-        ops += s"ddl ts=$ts $name ADD $n $tail"
+        ops += s"ddl ts=$ts ${qual(k)} ADD $n $tail"
         val c = ColDef(n, ty, nn, dflt, ts, batchIdx)
         tm.live :+= c
         val ent = tm.cur.entries.getOrElse(batchIdx, Map.empty)
@@ -195,20 +218,20 @@ class DecodeWalkPropSpec extends SparkSpec {
           ent + (n -> (ent.getOrElse(n, Vector.empty) :+ c))
         tm.version = ts
         emit(wireRow(ts, "DDL", null,
-          s"ALTER TABLE app.$name ADD COLUMN $n $tail", name))
+          s"ALTER TABLE ${qual(k)} ADD COLUMN $n $tail", k))
       } else if (kind == 1 && tm.live.nonEmpty) { // DROP
         val n = tm.live(rnd.nextInt(tm.live.size)).name
-        ops += s"ddl ts=$ts $name DROP $n"
+        ops += s"ddl ts=$ts ${qual(k)} DROP $n"
         tm.live = tm.live.filterNot(_.name == n)
         tm.cur.entries(batchIdx) =
           tm.cur.entries.getOrElse(batchIdx, Map.empty) - n
         tm.version = ts
         emit(wireRow(ts, "DDL", null,
-          s"ALTER TABLE app.$name DROP COLUMN $n", name))
+          s"ALTER TABLE ${qual(k)} DROP COLUMN $n", k))
       } else if (kind == 2 && tm.live.nonEmpty && free.nonEmpty) { // RENAME
         val from = tm.live(rnd.nextInt(tm.live.size)).name
         val to = free(rnd.nextInt(free.size))
-        ops += s"ddl ts=$ts $name RENAME $from -> $to"
+        ops += s"ddl ts=$ts ${qual(k)} RENAME $from -> $to"
         tm.live = tm.live.map(c => if (c.name == from) c.copy(name = to) else c)
         val ent = tm.cur.entries.getOrElse(batchIdx, Map.empty)
         ent.get(from).foreach { vec =>
@@ -225,83 +248,118 @@ class DecodeWalkPropSpec extends SparkSpec {
         })
         tm.version = ts
         emit(wireRow(ts, "DDL", null,
-          s"ALTER TABLE app.$name RENAME COLUMN $from TO $to", name))
+          s"ALTER TABLE ${qual(k)} RENAME COLUMN $from TO $to", k))
       }
     }
 
     def lifecycle(ts: Long): Unit = {
-      val freeNames = TablePool.filterNot(tables.contains)
+      val freeKeys = KeyPool.filterNot(tables.contains)
       val feasible = Vector(
         if (tables.nonEmpty) Some("truncate") else None,
         if (tables.nonEmpty) Some("drop") else None,
-        if (grave.nonEmpty && freeNames.nonEmpty) Some("flashback") else None,
-        if (tables.nonEmpty && freeNames.nonEmpty) Some("create_like") else None
+        if (grave.nonEmpty && freeKeys.nonEmpty) Some("flashback") else None,
+        if (tables.nonEmpty && freeKeys.nonEmpty) Some("create_like") else None,
+        // table rename and DROP DATABASE only in the multi-schema mode
+        // (the rename's frozen-snapshot fold is isolated by closing the
+        // group right after it — see below)
+        if (multiSchema && tables.nonEmpty && freeKeys.nonEmpty)
+          Some("rename_table") else None,
+        if (multiSchema && tables.nonEmpty) Some("drop_schema") else None
       ).flatten
       if (feasible.isEmpty) return
       feasible(rnd.nextInt(feasible.size)) match {
         case "truncate" =>
-          val name = tables.keys.toVector(rnd.nextInt(tables.size))
-          val tm = tables(name)
-          ops += s"ddl ts=$ts TRUNCATE $name"
+          val k = tables.keys.toVector(rnd.nextInt(tables.size))
+          val tm = tables(k)
+          ops += s"ddl ts=$ts TRUNCATE ${qual(k)}"
           // streamed F6, NAME-keyed (the impl's documented same-batch
-          // edge): every earlier IN-FLIGHT row of the NAME leaves the
+          // edge): every earlier IN-FLIGHT row of the KEY leaves the
           // output — including an older dropped incarnation's rows — but
           // only within the truncate's own micro-batch; rows already
           // written by earlier batches stay (syncer.go:744-762 drops
           // in-flight mutations, never applied ones)
-          rows.foreach(r => if (r.table == name && r.batch == batchIdx &&
+          rows.foreach(r => if (r.key == k && r.batch == batchIdx &&
             r.ts <= ts) { r.gone = true })
           tm.version = ts
           tm.cur = new IncState
           emit(wireRow(ts, "DDL", null,
-            s"TRUNCATE${if (rnd.nextBoolean()) " TABLE" else ""} app.$name",
-            name))
+            s"TRUNCATE${if (rnd.nextBoolean()) " TABLE" else ""} ${qual(k)}",
+            k))
         case "drop" =>
-          val name = tables.keys.toVector(rnd.nextInt(tables.size))
-          ops += s"ddl ts=$ts DROP TABLE $name"
+          val k = tables.keys.toVector(rnd.nextInt(tables.size))
+          ops += s"ddl ts=$ts DROP TABLE ${qual(k)}"
           // pre-drop rows stay decoded; the model (incarnation + fills)
           // moves to the graveyard for a later flashback
-          grave(name) = (tables.remove(name).get, batchIdx)
-          emit(wireRow(ts, "DDL", null, s"DROP TABLE app.$name", name))
+          grave(k) = (tables.remove(k).get, batchIdx)
+          emit(wireRow(ts, "DDL", null, s"DROP TABLE ${qual(k)}", k))
         case "flashback" =>
-          val orig = grave.keys.toVector.sorted(Ordering.String)
-            .apply(rnd.nextInt(grave.size))
-          val freeNow = TablePool.filterNot(tables.contains)
-          // recover under the original name when free (the common case),
-          // or under a new name (FLASHBACK … TO)
+          val orig = grave.keys.toVector.sorted.apply(rnd.nextInt(grave.size))
+          // recover under the original key when free (the common case),
+          // or under a new name in the SAME schema (FLASHBACK … TO takes
+          // a bare identifier)
+          val freeNow = KeyPool.filter(k =>
+            k._1 == orig._1 && !tables.contains(k))
           val target =
             if (!tables.contains(orig) && rnd.nextInt(5) != 0) orig
-            else freeNow(rnd.nextInt(freeNow.size))
-          if (target != orig && tables.contains(orig)) {
-            // ok: TO-form recovery while the original name is reoccupied
-          }
+            else if (freeNow.nonEmpty) freeNow(rnd.nextInt(freeNow.size))
+            else return
           if (tables.contains(target)) return // occupied target is illegal
           val (tm, dropBatch) = grave.remove(orig).get
-          ops += s"ddl ts=$ts FLASHBACK $orig -> $target " +
+          ops += s"ddl ts=$ts FLASHBACK ${qual(orig)} -> ${qual(target)} " +
             s"crossBatch=${dropBatch != batchIdx}"
           // drop-time shape, NEW incarnation: adds after the recovery
           // never fill the dropped incarnation's surviving rows
           val restored = new TModel(tm.live, ts)
           tables(target) = restored
           emit(wireRow(ts, "DDL", null,
-            s"FLASHBACK TABLE app.$orig${if (target == orig) ""
-              else s" TO $target"}", target))
+            s"FLASHBACK TABLE ${qual(orig)}${if (target == orig) ""
+              else s" TO ${target._2}"}", target))
         case "create_like" =>
           val src = tables.keys.toVector(rnd.nextInt(tables.size))
-          val freeNow = TablePool.filterNot(tables.contains)
+          val freeNow = KeyPool.filterNot(tables.contains)
           val tgt = freeNow(rnd.nextInt(freeNow.size))
-          ops += s"ddl ts=$ts CREATE $tgt LIKE $src"
+          ops += s"ddl ts=$ts CREATE ${qual(tgt)} LIKE ${qual(src)}"
           // the SOURCE's current live shape, fresh incarnation (LIKE
           // copies column defs; no row predates the copy, so no fills)
           tables(tgt) = new TModel(tables(src).live, ts)
           emit(wireRow(ts, "DDL", null,
-            s"CREATE TABLE app.$tgt LIKE app.$src", tgt))
+            s"CREATE TABLE ${qual(tgt)} LIKE ${qual(src)}", tgt))
+        case "rename_table" =>
+          val from = tables.keys.toVector(rnd.nextInt(tables.size))
+          val freeNow = KeyPool.filterNot(tables.contains)
+          val to = freeNow(rnd.nextInt(freeNow.size))
+          ops += s"ddl ts=$ts RENAME TABLE ${qual(from)} -> ${qual(to)} " +
+            s"xschema=${from._1 != to._1}"
+          // the table keeps its shape, history, and fill IDENTITY under
+          // the new key — including ACROSS schemas (schema.go renameTable
+          // follows the table id); version bumps at the rename. The group
+          // closes RIGHT AFTER: the old key's already-written rows fold on
+          // a frozen snapshot (DecodeFill.onTableRename), so no same-batch
+          // column mutation may follow the re-home — the model would
+          // otherwise need the impl's own snapshot algebra to stay exact
+          val tm = tables.remove(from).get
+          tm.version = ts
+          tables(to) = tm
+          emit(wireRow(ts, "DDL", null,
+            s"RENAME TABLE ${qual(from)} TO ${qual(to)}", to))
+          closeGroup()
+        case "drop_schema" =>
+          val s0 = SchemaPool(rnd.nextInt(SchemaPool.size))
+          val victims = tables.keys.filter(_._1 == s0).toVector.sorted
+          if (victims.isEmpty) return
+          ops += s"ddl ts=$ts DROP DATABASE $s0 (${victims.size} tables)"
+          // every tracked table of the schema ends its decode at the drop
+          // (one drop_table log record per table); each shape lands in the
+          // graveyard, recoverable by a later per-table FLASHBACK
+          victims.foreach(k => grave(k) = (tables.remove(k).get, batchIdx))
+          emit(wireRow(ts, "DDL", null, s"DROP DATABASE $s0", victims.head))
       }
     }
 
     dml(1L)
     var ts = 1L
-    (1 to 18).foreach { _ =>
+    val steps = if (multiSchema) 24 else 18
+    (1 to steps).foreach { _ =>
       ts += 1 + rnd.nextInt(3)
       val r = rnd.nextInt(20)
       if (r < 11) dml(ts) else if (r < 17) colDdl(ts) else lifecycle(ts)
@@ -319,23 +377,36 @@ class DecodeWalkPropSpec extends SparkSpec {
     // then never needs batch gating); multi-batch mode stages each group
     // in order, draining between stages, with ONE mid-walk RESTART — a
     // fresh tracker recovered from the durable DDL log must continue the
-    // walk identically (truncate/recover_table/create-like records replay)
+    // walk identically (truncate/recover_table/rename_table/create-like
+    // records replay)
     val restartAfter: Option[Int] =
       if (multiBatch && groups.size > 1) Some(rnd.nextInt(groups.size - 1))
       else None
-    var tracker = new SchemaTracker()
-    tracker.createTable("app", "t", Seq("k DOUBLE"), version = 0)
-    def startQuery() = CdcStream.ddlDrivenDecodeTables(
-      PbBinlogFile.readStream(spark, wireDir), tracker, outDir, ckpt,
-      "app", col("event_type"), fillOriginDefaults = true)
+    def freshTracker(): SchemaTracker = {
+      val t = new SchemaTracker()
+      t.createTable(baseKey._1, baseKey._2, Seq("k DOUBLE"), version = 0)
+      t
+    }
+    var tracker = freshTracker()
+    def startQuery() =
+      if (multiSchema)
+        CdcStream.ddlDrivenDecodeSchemas(
+          PbBinlogFile.readStream(spark, wireDir), tracker, outDir, ckpt,
+          SchemaPool,
+          substring_index(col("event_type"), ":", 1),
+          substring_index(col("event_type"), ":", -1),
+          fillOriginDefaults = true)
+      else
+        CdcStream.ddlDrivenDecodeTables(
+          PbBinlogFile.readStream(spark, wireDir), tracker, outDir, ckpt,
+          baseKey._1, col("event_type"), fillOriginDefaults = true)
     var q = startQuery()
     try {
       groups.zipWithIndex.foreach { case (g, i) =>
         if (restartAfter.contains(i - 1)) {
           q.stop()
           ops += s"RESTART before group $i (log-recovered tracker)"
-          tracker = new SchemaTracker()
-          tracker.createTable("app", "t", Seq("k DOUBLE"), version = 0)
+          tracker = freshTracker()
           CdcStream.recoverDecodeTracker(spark, outDir, ckpt, tracker)
           q = startQuery()
         }
@@ -346,7 +417,7 @@ class DecodeWalkPropSpec extends SparkSpec {
 
     // expected cell value for row r, output column n: a present column
     // reads its provided value (or explicit absence), anything else fills
-    // from the row's OWN incarnation's later adds only
+    // from the row's OWN incarnation's and OWN micro-batch's later adds
     def expect(r: MRow, n: String): Option[String] =
       if (r.present.contains(n)) r.vals.get(n)
       else r.incState.entries.getOrElse(r.batch, Map.empty)
@@ -379,12 +450,16 @@ class DecodeWalkPropSpec extends SparkSpec {
     assert(expectedCols.map(_ + "_str").subsetOf(strCols.toSet),
       s"seed=$seed missing output columns: got $strCols want $expectedCols" +
         s"\nops:\n${ops.mkString("\n")}")
+    val schemaCol =
+      if (multiSchema) col("schema").cast("string")
+      else lit(baseKey._1)
     val got = out.select(col("commit_ts") +: col("schema_version") +:
-        col("table") +: strCols.map(col): _*)
+        schemaCol.as("s") +: col("table").cast("string").as("t") +:
+        strCols.map(col): _*)
       .collect().map { r =>
-        r.getLong(0) -> ((r.getLong(1), r.getString(2),
+        r.getLong(0) -> ((r.getLong(1), (r.getString(2), r.getString(3)),
           strCols.zipWithIndex.map { case (c, i) =>
-            c.stripSuffix("_str") -> Option(r.getString(i + 3))
+            c.stripSuffix("_str") -> Option(r.getString(i + 4))
           }.toMap))
       }.toMap
     assert(got.keySet == survivors.map(_.ts).toSet,
@@ -400,9 +475,9 @@ class DecodeWalkPropSpec extends SparkSpec {
         ops += s"BATCHGATED ts=${r.ts} cols=${gated.mkString(",")}"
     }
     survivors.foreach { r =>
-      val (gotVer, gotTable, cells) = got(r.ts)
-      assert(gotTable == r.table,
-        s"seed=$seed ts=${r.ts}: table $gotTable != ${r.table}" +
+      val (gotVer, gotKey, cells) = got(r.ts)
+      assert(gotKey == r.key,
+        s"seed=$seed ts=${r.ts}: key $gotKey != ${r.key}" +
           s"\nops:\n${ops.mkString("\n")}")
       assert(gotVer == r.version,
         s"seed=$seed ts=${r.ts}: version $gotVer != ${r.version}" +
@@ -410,7 +485,7 @@ class DecodeWalkPropSpec extends SparkSpec {
       cells.keys.foreach { n =>
         val want = expect(r, n)
         assert(cells(n) == want,
-          s"seed=$seed ts=${r.ts} table=${r.table} col=$n: impl=${cells(n)} " +
+          s"seed=$seed ts=${r.ts} key=${r.key} col=$n: impl=${cells(n)} " +
             s"model=$want (present=${r.present})\nops:\n${ops.mkString("\n")}")
       }
     }
@@ -439,6 +514,16 @@ class DecodeWalkPropSpec extends SparkSpec {
       .foreach { marker =>
       assert(allOps.exists(_.contains(marker)),
         s"op pool never generated '$marker' across the multi-batch sweep")
+    }
+  }
+
+  test("multi-schema walk: cross-schema renames and DROP DATABASE route exactly") {
+    val allOps = (1 to 8).flatMap(
+      runScenario(_, multiBatch = true, multiSchema = true))
+    (PoolMarkers ++ Seq("RESTART", "RENAME TABLE", "xschema=true",
+        "DROP DATABASE")).foreach { marker =>
+      assert(allOps.exists(_.contains(marker)),
+        s"op pool never generated '$marker' across the multi-schema sweep")
     }
   }
 }
