@@ -48,7 +48,7 @@ class DecodeWalkPropSpec extends SparkSpec {
   import spark.implicits._
 
   private case class ColDef(name: String, ty: String, notNull: Boolean,
-    dflt: Option[String], addTs: Long, addBatch: Int = 0)
+    dflt: Option[String], addTs: Long)
 
   /** One fill incarnation: entries mutate while the incarnation is
     * current (a later add fills this incarnation's earlier rows) and
@@ -211,7 +211,7 @@ class DecodeWalkPropSpec extends SparkSpec {
             Some("CURRENT_TIMESTAMP"), false)
         }
         ops += s"ddl ts=$ts ${qual(k)} ADD $n $tail"
-        val c = ColDef(n, ty, nn, dflt, ts, batchIdx)
+        val c = ColDef(n, ty, nn, dflt, ts)
         tm.live :+= c
         val ent = tm.cur.entries.getOrElse(batchIdx, Map.empty)
         tm.cur.entries(batchIdx) =
