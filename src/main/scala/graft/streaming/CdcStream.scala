@@ -1065,6 +1065,24 @@ object CdcStream {
                 fillState.onTableRename((s, t), (s2, to))
                 applied += ((ts, s, t, "rename_table", "",
                   if (s2 == s) to else s"$s2.$to"))
+              case RenameDdl(s, t, toSchemaOpt, to)
+                  if dynamicTables &&
+                    trackedSchemas(toSchemaOpt.getOrElse(s)) =>
+                // RENAME of an UNTRACKED source INTO a tracked schema: the
+                // target belongs to the replication set from this statement
+                // on (the auto-track contract a wire CREATE TABLE gets),
+                // but its shape is unknowable here — the source never
+                // registered. Fatal, matching the CREATE…LIKE
+                // unknown-source and unparseable-CREATE contracts: a
+                // silent skip would drop every later frame of the
+                // renamed-in table, detaching its replication forever.
+                throw new IllegalArgumentException(
+                  s"cannot apply wire RENAME TABLE $s.$t TO " +
+                    s"${toSchemaOpt.getOrElse(s)}.$to: the source is not " +
+                    "tracked, so the renamed-in table's shape is unknown " +
+                    "and its frames would silently drop — register the " +
+                    "source or drop the statement upstream (F5 ddl-skip " +
+                    "filter)")
               case UnknownDdl(text) =>
                 // scan EVERY qualified name (a multi-table RENAME/DROP
                 // list may bury a tracked table behind untracked ones)

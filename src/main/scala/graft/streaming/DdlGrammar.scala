@@ -44,7 +44,7 @@ private[graft] object DdlGrammar {
   // already-tracked name is a legal upstream no-op WITH it, illegal
   // without — the dispatch skips one and throws on the other.
   private val CreateTableHeadRe =
-    s"(?i)^CREATE TABLE( IF NOT EXISTS)? $Qual \\(".r
+    s"(?i)^CREATE TABLE( IF NOT EXISTS)? $Qual\\s*\\(".r
   private val DropTableRe =
     s"(?i)^DROP TABLE(?: IF EXISTS)? $Qual$$".r
   // TiDB FLASHBACK: recover a dropped table (optionally under a new name)
@@ -114,10 +114,16 @@ private[graft] object DdlGrammar {
     Set("FLASHBACK", "TABLE", "DATABASE", "SCHEMA", "CLUSTER", "TO", "IF",
       "NOT", "EXISTS", "TIMESTAMP", "TSO")
 
-  private[streaming] def qualsAddressed(stmt: String): Seq[(String, String)] =
+  private[streaming] def qualsAddressed(stmt0: String): Seq[(String, String)] = {
+    // a qualified name INSIDE a single-quoted literal is the statement's
+    // DATA (a CTAS predicate's text, a COMMENT), never an operand — blank
+    // literals first, the same rule [[flashbackBareIds]] applies, or a
+    // foreign statement quoting a tracked name would trip the loud-fail
+    val stmt = stmt0.replaceAll("'(?:\\\\.|[^'\\\\])*'", " ")
     if (TableVerbRe.pattern.matcher(stmt).matches)
       QualAnyRe.findAllMatchIn(stmt).map(m => (m.group(1), m.group(2))).toSeq
     else Seq.empty
+  }
 
   /** Bare (unqualified) identifier operands of an unparseable FLASHBACK
     * statement — everything that lexes as an identifier minus the
@@ -129,7 +135,8 @@ private[graft] object DdlGrammar {
     val noLits = stmt.replaceAll("'(?:\\\\.|[^'\\\\])*'", " ")
     val inQuals = qualsAddressed(noLits).flatMap { case (s, t) => Seq(s, t) }.toSet
     BareIdRe.findAllMatchIn(noLits).map(_.group(1)).toSeq
-      .filterNot(id => FlashbackKeywords(id.toUpperCase) || inQuals(id))
+      .filterNot(id => FlashbackKeywords(
+        id.toUpperCase(java.util.Locale.ROOT)) || inQuals(id))
   }
 
   /** One parsed wire statement. `AdminDdl` = recognized shape-neutral,
@@ -281,7 +288,7 @@ private[graft] object DdlGrammar {
     val open = ty.indexOf('(')
     if (open < 0 || !ty.endsWith(")")) Vector.empty
     else splitTopLevel(ty.substring(open + 1, ty.length - 1), _ == ',',
-      angles = false).map(v => unquoteLiteral(v.trim)).filter(_.nonEmpty)
+      angles = false).map(_.trim).filter(_.nonEmpty).map(unquoteLiteral)
   }
 
   /** Map a MySQL/TiDB-native column-type spelling to the Spark type that
@@ -369,7 +376,8 @@ private[graft] object DdlGrammar {
     // must not widen twice
     var widened = false
     var i = 0
-    def up(j: Int): String = if (j < toks.length) toks(j).toUpperCase else ""
+    def up(j: Int): String =
+      if (j < toks.length) toks(j).toUpperCase(java.util.Locale.ROOT) else ""
     def widenOnce(): Unit =
       if (!widened && keep.nonEmpty) {
         keep(keep.length - 1) = widenUnsigned(keep.last); widened = true
@@ -481,6 +489,11 @@ private[graft] object DdlGrammar {
   private val DropListHeadRe = "(?i)^DROP TABLE(?: IF EXISTS)? (.+)$".r
   private val RenamePartRe = s"(?i)^$Qual TO (?:$Id\\.)?$Id$$".r
   private val QualOnlyRe = s"^$Qual$$".r
+  private val AlterListHeadRe = s"(?i)^ALTER TABLE $Qual (.+)$$".r
+  // online-DDL clauses migration tools append (gh-ost/pt-osc emit them;
+  // TiDB parses and ignores them) — decode-neutral, dropped from the list
+  private val AlterSuffixRe =
+    "(?i)^(?:(?:ALGORITHM|LOCK)\\s*=?\\s*[A-Za-z_]+|FORCE)$".r
 
   /** Legal MySQL renames/drops SEVERAL tables in one statement. Each part
     * becomes its own action applied in STATEMENT ORDER (the reference's
@@ -515,9 +528,33 @@ private[graft] object DdlGrammar {
         if (parsed.forall(_.isDefined)) Some(parsed.flatten) else None
       }
     }
+    // legal MySQL also packs SEVERAL actions into one ALTER TABLE (TiDB's
+    // multi-schema change) and/or appends ALGORITHM=/LOCK=/FORCE clauses;
+    // the list splits on top-level commas (a DECIMAL(10,2) arg list or a
+    // DEFAULT 'a,b' literal stays one part), neutral clauses drop, and
+    // each remaining action re-parses as its own single-action statement,
+    // applied in statement order like a multi-table RENAME. A list with
+    // any unrecognized part falls back to ONE UnknownDdl of the whole
+    // statement — the dispatch's tracked-qual scan decides loud-vs-skip;
+    // partial application of a half-understood statement would be worse
+    // than either. Engages only when a top-level comma or suffix clause
+    // is present, so the single-action path is byte-identical.
+    def multiAlter(s0: String, t0: String, rest: String): Option[Seq[WireDdl]] = {
+      val parts = splitColumnDefs(rest)
+      val (neutral, actions) =
+        parts.partition(p => AlterSuffixRe.pattern.matcher(p).matches)
+      if (parts.size < 2 && neutral.isEmpty) None
+      else if (actions.isEmpty) Some(Seq(AdminDdl))
+      else {
+        val parsed = actions.map(a => parseWireDdl(s"ALTER TABLE `$s0`.`$t0` $a"))
+        if (parsed.exists(_.isInstanceOf[UnknownDdl])) None
+        else Some(parsed)
+      }
+    }
     (stmt match {
       case RenameListHeadRe(rest) => multiRename(rest)
       case DropListHeadRe(rest)   => multiDrop(rest)
+      case AlterListHeadRe(s0, t0, rest) => multiAlter(s0, t0, rest)
       case _ => None
     }).getOrElse(Seq(parseWireDdl(stmt)))
   }

@@ -142,4 +142,20 @@ class ColumnTailFuzzSpec extends AnyFunSuite {
     val (clean, _, _, _) = normalizeColumnTail("INT SRID 4326")
     assert(clean.contains("SRID"), s"unknown token vanished: [$clean]")
   }
+
+  test("keyword folding is locale-independent (the tr-TR dotted-I hazard)") {
+    // normalizeColumnTail's keyword matcher must fold through Locale.ROOT:
+    // under a Turkish default locale, "unsigned".toUpperCase is UNSİGNED
+    // (dotted İ) and the widening/stripping arms would silently miss —
+    // the def then reaches Spark's DDL parser with raw MySQL tokens and
+    // kills the stream (r18 review fix)
+    val prev = java.util.Locale.getDefault
+    java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+    try {
+      val (clean, dflt, dict, native) =
+        normalizeColumnTail("int unsigned not null first")
+      assert(clean == "BIGINT NOT NULL" && dflt.isEmpty && dict.isEmpty &&
+        native == "int", s"tr-TR fold broke: [$clean] native=[$native]")
+    } finally java.util.Locale.setDefault(prev)
+  }
 }

@@ -198,6 +198,13 @@ class DecodeWalkPropSpec extends SparkSpec {
       val k = tables.keys.toVector(rnd.nextInt(tables.size))
       val tm = tables(k)
       val free = NamePool.filterNot(n => tm.live.exists(_.name == n))
+      // online-DDL suffix clauses ride real migration-tool traffic
+      // (gh-ost/pt-osc); they are decode-neutral and the model ignores them
+      def suffixed(sql: String): String =
+        if (rnd.nextInt(4) == 0) {
+          ops += "ALGOSUFFIX"
+          sql + ", ALGORITHM=INPLACE, LOCK=NONE"
+        } else sql
       val kind = rnd.nextInt(3)
       if (kind == 0 && free.nonEmpty) { // ADD
         val n = free(rnd.nextInt(free.size))
@@ -218,7 +225,7 @@ class DecodeWalkPropSpec extends SparkSpec {
           ent + (n -> (ent.getOrElse(n, Vector.empty) :+ c))
         tm.version = ts
         emit(wireRow(ts, "DDL", null,
-          s"ALTER TABLE ${qual(k)} ADD COLUMN $n $tail", k))
+          suffixed(s"ALTER TABLE ${qual(k)} ADD COLUMN $n $tail"), k))
       } else if (kind == 1 && tm.live.nonEmpty) { // DROP
         val n = tm.live(rnd.nextInt(tm.live.size)).name
         ops += s"ddl ts=$ts ${qual(k)} DROP $n"
@@ -227,7 +234,7 @@ class DecodeWalkPropSpec extends SparkSpec {
           tm.cur.entries.getOrElse(batchIdx, Map.empty) - n
         tm.version = ts
         emit(wireRow(ts, "DDL", null,
-          s"ALTER TABLE ${qual(k)} DROP COLUMN $n", k))
+          suffixed(s"ALTER TABLE ${qual(k)} DROP COLUMN $n"), k))
       } else if (kind == 2 && tm.live.nonEmpty && free.nonEmpty) { // RENAME
         val from = tm.live(rnd.nextInt(tm.live.size)).name
         val to = free(rnd.nextInt(free.size))
@@ -248,7 +255,7 @@ class DecodeWalkPropSpec extends SparkSpec {
         })
         tm.version = ts
         emit(wireRow(ts, "DDL", null,
-          s"ALTER TABLE ${qual(k)} RENAME COLUMN $from TO $to", k))
+          suffixed(s"ALTER TABLE ${qual(k)} RENAME COLUMN $from TO $to"), k))
       }
     }
 
@@ -493,7 +500,7 @@ class DecodeWalkPropSpec extends SparkSpec {
   }
 
   private val PoolMarkers = Seq("TRUNCATE", "DROP TABLE", "FLASHBACK",
-    "LIKE", "UNROUTABLE", " ADD ", " DROP c", " RENAME c")
+    "LIKE", "UNROUTABLE", " ADD ", " DROP c", " RENAME c", "ALGOSUFFIX")
 
   test("random DDL/DML wires: the decode walk matches the row-level model") {
     val allOps = (1 to 8).flatMap(runScenario(_, multiBatch = false))

@@ -1909,6 +1909,36 @@ class StreamingSpec extends SparkSpec {
       CreateLikeDdl("s", "t2", "s", "t"))
     assert(parseWireDdl("CREATE TABLE IF NOT EXISTS s.t2 LIKE s.t") ==
       CreateLikeDdl("s", "t2", "s", "t", ifNotExists = true))
+    // r18 review fixes: multi-action ALTER (TiDB multi-schema change),
+    // online-DDL suffix clauses, the no-space CREATE head, and the
+    // empty-string ENUM member
+    assert(parseWireDdls("ALTER TABLE s.t ADD COLUMN a INT, ADD COLUMN b BIGINT") ==
+      Seq(ColumnDdl("s", "t", "add", "a", "INT", native = "INT"),
+          ColumnDdl("s", "t", "add", "b", "BIGINT", native = "BIGINT")))
+    assert(parseWireDdls(
+      "ALTER TABLE s.t MODIFY COLUMN c INT, ALGORITHM=INPLACE, LOCK=NONE") ==
+      Seq(ColumnDdl("s", "t", "modify", "c", "INT", native = "INT")))
+    assert(parseWireDdls("ALTER TABLE s.t ADD INDEX i (k, v), ALGORITHM=INPLACE") ==
+      Seq(AdminDdl))
+    assert(parseWireDdls("ALTER TABLE s.t ALGORITHM=INPLACE, LOCK=SHARED") ==
+      Seq(AdminDdl))
+    // a DEFAULT literal's comma is not an action boundary
+    assert(parseWireDdls(
+      "ALTER TABLE s.t ADD COLUMN c VARCHAR(9) DEFAULT 'a,b', LOCK NONE") ==
+      Seq(ColumnDdl("s", "t", "add", "c", "STRING", Some("'a,b'"),
+        native = "VARCHAR(9)")))
+    // a half-understood list falls back to ONE unknown of the whole text —
+    // the dispatch's tracked-qual scan decides loud-vs-skip, and partial
+    // application never happens
+    assert(parseWireDdls("ALTER TABLE s.t ORDER BY c, ADD COLUMN a INT") ==
+      Seq(UnknownDdl("ALTER TABLE s.t ORDER BY c, ADD COLUMN a INT")))
+    // the common no-space spelling of the column-def paren
+    assert(parseWireDdl("CREATE TABLE s.t(a INT)") ==
+      CreateDdl("s", "t", Seq("a INT")))
+    // '' is a legal ENUM member with ordinal 1 — the dictionary keeps it
+    assert(parseWireDdl("ALTER TABLE s.t ADD COLUMN e ENUM('','a') NOT NULL") ==
+      ColumnDdl("s", "t", "add", "e", "STRING NOT NULL",
+        dict = Some(Vector("", "a")), native = "ENUM('','a')"))
   }
 
   test("tail normalizer property sweep: any legal option-tail permutation yields a decodable def") {
@@ -2208,6 +2238,11 @@ class StreamingSpec extends SparkSpec {
     // is fatal in dynamic mode — the new table's frames would silently drop
     loudCase("ctas", "CREATE TABLE app.ctas AS SELECT 1 FROM dual",
       "unparseable wire CREATE TABLE in tracked schema")
+    // RENAME of an untracked source INTO the tracked schema: the renamed-in
+    // table's frames would silently drop — loud, like the CREATE…LIKE
+    // unknown-source contract (r18 review fix)
+    loudCase("renamein", "RENAME TABLE ext.x TO app.y",
+      "renamed-in table's shape is unknown")
 
     // …while the legal no-op and foreign forms still SKIP counted: CREATE
     // IF NOT EXISTS of a tracked name, a foreign-schema CTAS, an
@@ -2232,7 +2267,14 @@ class StreamingSpec extends SparkSpec {
         // tokens inside a quoted literal are DATA, not operands: 't' and
         // 'app' collide with tracked names but must not arm the loud gate
         .unionByName(ddl(66L,
-          "FLASHBACK TABLE completely_foreign TO TIMESTAMP '2024-01-01 t app'")),
+          "FLASHBACK TABLE completely_foreign TO TIMESTAMP '2024-01-01 t app'"))
+        // a tracked QUAL inside a literal is data too: this foreign CTAS
+        // must skip, not trip the unknown-statement qual scan (r18 fix)
+        .unionByName(ddl(68L,
+          "CREATE TABLE foreign_db.z AS SELECT 1 FROM dual WHERE n = 'app.t'"))
+        // a fully-foreign table rename stays a counted skip — the
+        // rename-in loud case fires only when the TARGET schema is tracked
+        .unionByName(ddl(70L, "RENAME TABLE foreign_db.a TO foreign_db.b")),
       wire3, nFiles = 1)
     val tracker5 = new SchemaTracker()
     tracker5.createTable("app", "t", Seq("k DOUBLE"), version = 0)
@@ -2241,8 +2283,8 @@ class StreamingSpec extends SparkSpec {
       PbBinlogFile.readStream(spark, wire3), tracker5, out3, ckpt3,
       "app", col("event_type"), skippedDdl = Some(skipped3))
     try q3.processAllAvailable() finally q3.stop()
-    assert(skipped3.value == 8L,
-      s"expected 8 counted skips, got ${skipped3.value}")
+    assert(skipped3.value == 10L,
+      s"expected 10 counted skips, got ${skipped3.value}")
     assert(tracker5.current("app", "t").get.columns == Vector("k DOUBLE") &&
       tracker5.current("app", "t").get.version == 0L,
       "a skipped statement must neither reshape nor bump the version")
