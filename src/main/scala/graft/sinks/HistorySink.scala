@@ -30,13 +30,19 @@ import graft.util.MetaFs
   * is bounded by live keys, not history length. All metadata and the
   * open-table swap go through the Hadoop `FileSystem` of the root's URI
   * ([[graft.util.MetaFs]]) — `file:`/`hdfs:`/object-store roots all work.
-  * Idempotent replay uses the same batchId checkpoint as [[UpsertSink]]: a
-  * WHOLE-batch replay is skipped. A crash strictly between the
-  * closed-append and the checkpoint write can leave that one batch's closed
-  * rows duplicated on replay — the parquet stand-in has no cross-file
-  * transaction; the production shape commits the append and the checkpoint
-  * in one lakehouse/JDBC transaction (exactly the reference's
-  * checkpoint-in-same-txn rule, drainer/checkpoint/mysql.go). The other
+  * Idempotent replay uses the same batchId checkpoint as [[UpsertSink]],
+  * and the marker RIDES the open-table swap (a `_committed_batch` file
+  * written into the staged open dir before the rename — Spark ignores
+  * `_`-prefixed files): the state advance and the marker commit in one
+  * atomic rename, so a replay can never recompute closes against an
+  * ALREADY-advanced open table (which would append inverted intervals).
+  * The remaining window — a crash strictly between the closed-append and
+  * the swap — duplicates that one batch's closed rows on replay; the
+  * parquet stand-in has no cross-file transaction, and the production
+  * shape commits the append and the checkpoint in one lakehouse/JDBC
+  * transaction (exactly the reference's checkpoint-in-same-txn rule,
+  * drainer/checkpoint/mysql.go). The root-level marker survives for
+  * empty batches and pre-existing state. The other
   * crash window — between the open-table swap's two renames, which leaves
   * the ONLY copy of the open table at `open_old` — is self-healing: every
   * read and apply first rolls a detected half-swap back (open_old present,
@@ -49,16 +55,24 @@ class HistorySink(root: String) {
   private val closedPath = s"$root/closed"
   private val metaPath = s"$root/_committed_batch"
 
-  def lastCommitted: Long =
-    if (!MetaFs.exists(metaPath)) -1L
-    else try MetaFs.readString(metaPath).trim.toLong
-    catch {
-      // unreachable via MetaFs.writeString (torn writes stay in .tmp);
-      // external corruption must name the file, not wedge every restart
-      case e: NumberFormatException => throw new IllegalStateException(
-        s"corrupt checkpoint marker $metaPath — delete it to force an " +
-          "idempotent replay of the last batch", e)
-    }
+  private val openMarker = s"$openPath/_committed_batch"
+
+  def lastCommitted: Long = {
+    def readMarker(p: String): Long =
+      if (!MetaFs.exists(p)) -1L
+      else try MetaFs.readString(p).trim.toLong
+      catch {
+        // unreachable via MetaFs.writeString (torn writes stay in .tmp);
+        // external corruption must name the file, not wedge every restart
+        case e: NumberFormatException => throw new IllegalStateException(
+          s"corrupt checkpoint marker $p — delete it to force an " +
+            "idempotent replay of the last batch", e)
+      }
+    // the in-open marker advanced atomically with the swap; the root
+    // marker covers empty batches — the frontier is the max of the two
+    // (a mid-swap crash reads the restored old open's marker either way)
+    math.max(readMarker(metaPath), readMarker(openMarker))
+  }
 
   /** Roll back (or finish) an open-table swap a crash interrupted: `open`
     * missing with `open_old` present means the crash hit between the two
@@ -107,7 +121,10 @@ class HistorySink(root: String) {
   def applyBatch(batch: DataFrame, batchId: Long): Boolean = {
     if (batchId <= lastCommitted) return false
     val spark = batch.sparkSession
-    val b = batch.select("pk", "commit_ts", "op", "value").localCheckpoint(true)
+    val hasSeq = batch.columns.contains("seq")
+    val b = batch.select(("pk" +: "commit_ts" +: "op" +: "value" +:
+        (if (hasSeq) Seq("seq") else Nil)).map(col): _*)
+      .localCheckpoint(true)
     if (!b.isEmpty) {
       val firstTs = b.groupBy("pk").agg(min("commit_ts").as("first_ts"))
       val open = openRows(spark)
@@ -115,8 +132,16 @@ class HistorySink(root: String) {
       val closedFromOpen = open.join(firstTs, "pk")
         .select(col("pk"), col("valid_from"), col("first_ts").as("valid_to"), col("value"))
       val untouched = open.join(firstTs, Seq("pk"), "left_anti")
-      // batch-local SCD2
-      val w = Window.partitionBy("pk").orderBy("commit_ts")
+      // batch-local SCD2; same-ts rows (one txn's statements) order by
+      // the T9 seq when carried, else deletes LAST (the D>U>I net-effect
+      // rule read ascending) — a bare ts order would chain same-ts
+      // intervals in shuffle order
+      val opRank = when(col("op") === "D", 2)
+        .when(col("op") === "U", 1).otherwise(0)
+      val seqOrder = if (hasSeq)
+        Seq(coalesce(col("seq"), lit(Long.MinValue)).asc) else Nil
+      val w = Window.partitionBy("pk")
+        .orderBy(col("commit_ts").asc +: seqOrder :+ opRank.asc: _*)
       val intra = b.withColumn("valid_to", lead("commit_ts", 1).over(w))
       val closedIntra = intra.filter(col("op") =!= "D" && col("valid_to").isNotNull)
         .select(col("pk"), col("commit_ts").as("valid_from"), col("valid_to"), col("value"))
@@ -127,6 +152,12 @@ class HistorySink(root: String) {
         .write.mode("append").parquet(closedPath)
       val tmp = s"$root/open_tmp"
       untouched.unionByName(newOpen).write.mode("overwrite").parquet(tmp)
+      // the batch marker RIDES the swap: marker and open-table advance
+      // commit atomically in the tmp→open rename (see the class note) —
+      // without this, a crash after the swap but before the root-marker
+      // write replayed the batch against the ALREADY-advanced open table
+      // and appended inverted intervals
+      MetaFs.writeString(s"$tmp/_committed_batch", batchId.toString)
       val old = s"$root/open_old"
       // self-healing vacate-then-promote (Hadoop rename moves INTO an
       // existing dir, so the live table steps aside first): openRows above

@@ -675,10 +675,20 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
     } else slice.withColumn("_synth", lit(0))
 
     val keyExprs = keyCols.map(k => col(frameCols(k.toUpperCase)))
-    // tie-break: at equal commit_ts a REAL row outranks the synthetic
-    // old-key delete, so a same-ts re-insert of the vacated key survives
+    // tie-breaks at equal commit_ts, deterministic like UpsertSink's merge:
+    // the T9 seq when the frame carries it (highest = the txn's net
+    // effect; a synthetic old-key delete inherits its U's seq), then a
+    // REAL row outranks the synthetic old-key delete (a same-ts re-insert
+    // of the vacated key survives), then D>U>I — a bare ts order would
+    // pick a shuffle-dependent winner between two real same-ts rows
+    val hasSeq = preSlice.columns.contains("seq")
+    val seqOrder = if (hasSeq)
+      Seq(coalesce(col("seq"), lit(Long.MinValue)).desc) else Nil
+    val opRank = when(col("op") === "D", 2)
+      .when(col("op") === "U", 1).otherwise(0)
     val w = Window.partitionBy(keyExprs: _*)
-      .orderBy(col("commit_ts").desc, col("_synth").asc)
+      .orderBy((col("commit_ts").desc +: seqOrder) ++
+        Seq(col("_synth").asc, opRank.desc): _*)
     val merged = preSlice
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -886,9 +896,15 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
     val sliceMaxTs = stats.getLong(1)
     val grouped = conflictGroupsFor(slice, table, uks)
 
+    // statement order within a txn: commit_ts, then the T9 seq when the
+    // frame carries it (sequence_iterator.go statement order — this IS the
+    // mode that exists to preserve sequence; the content id alone would
+    // order a same-ts I-then-U chain by hash), then the content id for a
+    // stable order between unrelated same-ts statements
+    val seqCol = if (grouped.columns.contains("seq")) Seq(col("seq")) else Nil
     val ordered = grouped
       .repartition(applyPartitions, col("_grp"))
-      .sortWithinPartitions(col("commit_ts"), col("_rid"))
+      .sortWithinPartitions(col("commit_ts") +: seqCol :+ col("_rid"): _*)
     val frameIdxByUpper = ordered.columns.zipWithIndex
       .map { case (n, i) => n.toUpperCase -> i }.toMap
     val (u, bs, tbl, safe) = (url, batchSize, table, safeMode)

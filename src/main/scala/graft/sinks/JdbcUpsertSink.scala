@@ -135,10 +135,16 @@ class JdbcUpsertSink(url: String, stateTable: String = "GRAFT_STATE",
     * text rides in an optional `ddl_sql` string column on the DDL row
     * (already rewritten to the target dialect — M8's job); DDL rows
     * without it are barrier-only, recorded but not executed. */
-  def applyBatch(batch: DataFrame, batchId: Long, schemaVersion: Long = -1L): Boolean = {
+  def applyBatch(batch0: DataFrame, batchId: Long, schemaVersion: Long = -1L): Boolean = {
     ensureTables()
     val prev = lastCheckpoint
     if (batchId <= prev.batchId) return false // idempotent replay skip
+    // pinned: the DDL collect, each barrier slice's emptiness probe, and
+    // each slice's merge would otherwise re-run the caller's full lineage
+    // 3+2k times — UpsertSink.applyBatch and applyToJdbcTables persist for
+    // exactly this reason; this was the one unpinned apply path
+    val batch = batch0.persist()
+    try {
 
     val hasDdlSql = batch.columns.contains("ddl_sql")
     val ddls = batch.filter(col("op") === "DDL")
@@ -177,6 +183,7 @@ class JdbcUpsertSink(url: String, stateTable: String = "GRAFT_STATE",
     val version = math.max(schemaVersion, prev.schemaVersion)
     saveCheckpoint(Checkpoint(batchId, maxTs, version, consistent = true))
     true
+    } finally { batch.unpersist(); () }
   }
 
   /** Returns the slice's max applied commit_ts (Long.MinValue when empty),
@@ -191,12 +198,25 @@ class JdbcUpsertSink(url: String, stateTable: String = "GRAFT_STATE",
     if (slice.isEmpty) return Long.MinValue
     // merge by PK: one DML per key, newest image wins; classify the merged
     // DML by its final op (ref: pkg/loader/merge.go — the merged type is
-    // what execTableBatch groups on)
-    val w = Window.partitionBy("pk").orderBy(col("commit_ts").desc)
-    val merged = slice.select("pk", "commit_ts", "op", "value")
+    // what execTableBatch groups on). Same-ts ties break DETERMINISTICALLY
+    // like UpsertSink.mergeSlice: TiDB stamps a whole txn with one commit
+    // ts, so the T9 seq (when the frame carries it) picks the txn's net
+    // effect, else D outranks U outranks I — row_number over a bare ts
+    // order would pick a shuffle-dependent winner and break replay
+    // idempotence
+    val hasSeq = slice.columns.contains("seq")
+    val seqOrder = if (hasSeq)
+      Seq(coalesce(col("seq"), lit(Long.MinValue)).desc) else Nil
+    val opRank = when(col("op") === "D", 2)
+      .when(col("op") === "U", 1).otherwise(0)
+    val w = Window.partitionBy("pk")
+      .orderBy(col("commit_ts").desc +: seqOrder :+ opRank.desc: _*)
+    val merged = slice
+      .select(("pk" +: "commit_ts" +: "op" +: "value" +:
+        (if (hasSeq) Seq("seq") else Nil)).map(col): _*)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .drop("rn")
+      .drop("rn", "seq")
       // disjoint key ranges per worker — the loader's causality-free hash
       // dispatch (load.go:529-575); partitions never contend on a key
       .repartition(applyPartitions, col("pk"))

@@ -541,6 +541,96 @@ class StreamingSpec extends SparkSpec {
       (2L, 2L, None, true)))
   }
 
+  test("history sink: the batch marker rides the open swap — a lost root marker cannot replay a swapped batch") {
+    import graft.util.MetaFs
+    val root = graft.util.Scratch.dir("graft_hist_marker")
+    val hs = new graft.sinks.HistorySink(root)
+    val b0 = Seq((1L, 1L, "I", 1.0)).toDF("pk", "commit_ts", "op", "value")
+    val b1 = Seq((1L, 5L, "U", 2.0), (1L, 9L, "U", 3.0))
+      .toDF("pk", "commit_ts", "op", "value")
+    assert(hs.applyBatch(b0, 0L))
+    assert(hs.applyBatch(b1, 1L))
+    // crash after the swap but before the root-marker write: the root
+    // marker regresses to batch 0, but the open table carries batch 1's
+    // marker from the atomic swap — the replay MUST be skipped (pre-fix
+    // it recomputed closes against the already-advanced open table and
+    // appended an INVERTED interval (9, 5), not the mere duplicate the
+    // old doc claimed)
+    MetaFs.writeString(s"$root/_committed_batch", "0")
+    assert(!new graft.sinks.HistorySink(root).applyBatch(b1, 1L))
+    val h = new graft.sinks.HistorySink(root).history(spark)
+      .select("pk", "valid_from", "valid_to", "is_current")
+      .as[(Long, Long, Option[Long], Boolean)].collect().toSet
+    assert(h == Set((1L, 1L, Some(5L), false), (1L, 5L, Some(9L), false),
+      (1L, 9L, None, true)))
+  }
+
+  test("same-commit-ts txn chains resolve by T9 seq across the JDBC and history sinks") {
+    import graft.sinks.{HistorySink, JdbcSchemaLoader, JdbcUpsertSink}
+    // JdbcUpsertSink merge window: the txn's highest seq wins at a tied ts
+    // (TiDB stamps a whole txn with one commit ts — the same chain
+    // UpsertSink.mergeSlice resolves; these paths used a bare ts order,
+    // picking a shuffle-dependent winner)
+    val url = freshDerbyUrl("seqtie")
+    val sink = new JdbcUpsertSink(url)
+    sink.ensureTables()
+    // delete-then-reinsert at one commit ts: the reinsert (higher seq) wins
+    val b0 = Seq((1L, 100L, "D", 0.0, 1L), (1L, 100L, "I", 5.0, 2L))
+      .toDF("pk", "commit_ts", "op", "value", "seq")
+    assert(sink.applyBatch(b0, 0L))
+    assert(sink.currentState(spark).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap == Map(1L -> 5.0))
+    // ...and the mirrored chain ends deleted
+    val b1 = Seq((1L, 200L, "I", 6.0, 1L), (1L, 200L, "D", 0.0, 2L))
+      .toDF("pk", "commit_ts", "op", "value", "seq")
+    assert(sink.applyBatch(b1, 1L))
+    assert(sink.currentState(spark).count() == 0)
+    // without seq the D>U>I net-effect tie-break stands (deterministic,
+    // never shuffle order)
+    val b2 = Seq((2L, 300L, "I", 7.0), (2L, 300L, "D", 0.0))
+      .toDF("pk", "commit_ts", "op", "value")
+    assert(sink.applyBatch(b2, 2L))
+    assert(sink.currentState(spark).count() == 0)
+
+    // the schema loader's SEQUENCE path applies a same-ts I-then-U chain
+    // in statement order (it previously ordered same-ts statements by
+    // content hash), landing the update...
+    val loader = new JdbcSchemaLoader(freshDerbyUrl("seqtie2"))
+    loader.createTable(
+      "CREATE TABLE SEQT (PK BIGINT PRIMARY KEY, COMMIT_TS BIGINT, VAL DOUBLE)")
+    val s0 = Seq((10L, 100L, "I", 1.0, 1L), (10L, 100L, "U", 2.0, 2L))
+      .toDF("pk", "commit_ts", "op", "val", "seq")
+    loader.applyBatch(Map("SEQT" -> s0), 0L, merge = false, safeMode = true)
+    assert(loader.readTable(spark, "SEQT", Some("PK")).collect()
+      .map(r => r.getAs[Long]("PK") -> r.getAs[Double]("VAL")).toMap ==
+      Map(10L -> 2.0))
+    // ...and the MERGED path's window picks the same net effect
+    val loader2 = new JdbcSchemaLoader(freshDerbyUrl("seqtie3"))
+    loader2.createTable(
+      "CREATE TABLE SEQM (PK BIGINT PRIMARY KEY, COMMIT_TS BIGINT, VAL DOUBLE)")
+    val s1 = Seq((20L, 100L, "I", 1.0, 1L), (20L, 100L, "U", 2.0, 2L))
+      .toDF("pk", "commit_ts", "op", "val", "seq")
+    loader2.applyBatch(Map("SEQM" -> s1), 0L, merge = true, safeMode = false)
+    assert(loader2.readTable(spark, "SEQM", Some("PK")).collect()
+      .map(r => r.getAs[Long]("PK") -> r.getAs[Double]("VAL")).toMap ==
+      Map(20L -> 2.0))
+
+    // HistorySink: a same-ts U-then-D txn ends the key deleted with its
+    // chain closed; the mirrored D-then-U order leaves the update current
+    val root = graft.util.Scratch.dir("graft_hist_seqtie")
+    val hs = new HistorySink(root)
+    val hb = Seq((1L, 10L, "I", 1.0, 1L), (1L, 50L, "U", 5.0, 1L),
+        (1L, 50L, "D", 0.0, 2L), (2L, 50L, "D", 0.0, 1L),
+        (2L, 50L, "U", 9.0, 2L))
+      .toDF("pk", "commit_ts", "op", "value", "seq")
+    assert(hs.applyBatch(hb, 0L))
+    val h = hs.history(spark)
+      .select("pk", "valid_from", "valid_to", "is_current")
+      .as[(Long, Long, Option[Long], Boolean)].collect().toSet
+    assert(h == Set((1L, 10L, Some(50L), false), (1L, 50L, Some(50L), false),
+      (2L, 50L, None, true)), s"got $h")
+  }
+
   test("a corrupted checkpoint marker names itself instead of a bare parse error") {
     // MetaFs.writeString keeps torn writes in a .tmp sibling, so a corrupt
     // marker means external damage — the error must say which file and how
