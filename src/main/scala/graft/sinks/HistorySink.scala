@@ -36,13 +36,15 @@ import graft.util.MetaFs
   * `_`-prefixed files): the state advance and the marker commit in one
   * atomic rename, so a replay can never recompute closes against an
   * ALREADY-advanced open table (which would append inverted intervals).
-  * The remaining window — a crash strictly between the closed-append and
-  * the swap — duplicates that one batch's closed rows on replay; the
-  * parquet stand-in has no cross-file transaction, and the production
-  * shape commits the append and the checkpoint in one lakehouse/JDBC
-  * transaction (exactly the reference's checkpoint-in-same-txn rule,
-  * drainer/checkpoint/mysql.go). The root-level marker survives for
-  * empty batches and pre-existing state. The other
+  * The closed "append" itself is IDEMPOTENT: each batch's closed rows land
+  * under a batchId-keyed partition directory (`closed/batch=<id>`) written
+  * with overwrite semantics, so a crash between the closed write and the
+  * swap replays to the SAME directory — recomputed from the unchanged open
+  * table, byte-equal rows, no duplicates — which is the parquet shape of
+  * the reference's checkpoint-in-same-txn rule
+  * (drainer/checkpoint/mysql.go:34-196): replay after ANY crash point
+  * converges to the exact committed state. The root-level marker survives
+  * for empty batches and pre-existing state. The other
   * crash window — between the open-table swap's two renames, which leaves
   * the ONLY copy of the open table at `open_old` — is self-healing: every
   * read and apply first rolls a detected half-swap back (open_old present,
@@ -104,6 +106,8 @@ class HistorySink(root: String) {
 
   private def closedRows(spark: SparkSession): DataFrame =
     if (MetaFs.exists(closedPath))
+      // partition discovery over the batch=<id> leaf dirs; the batch id is
+      // commit bookkeeping, not part of the interval schema
       spark.read.parquet(closedPath).select("pk", "valid_from", "valid_to", "value")
     else emptyFrame(spark, withTo = true)
 
@@ -132,24 +136,29 @@ class HistorySink(root: String) {
       val closedFromOpen = open.join(firstTs, "pk")
         .select(col("pk"), col("valid_from"), col("first_ts").as("valid_to"), col("value"))
       val untouched = open.join(firstTs, Seq("pk"), "left_anti")
-      // batch-local SCD2; same-ts rows (one txn's statements) order by
-      // the T9 seq when carried, else deletes LAST (the D>U>I net-effect
-      // rule read ascending) — a bare ts order would chain same-ts
-      // intervals in shuffle order
-      val opRank = when(col("op") === "D", 2)
-        .when(col("op") === "U", 1).otherwise(0)
-      val seqOrder = if (hasSeq)
-        Seq(coalesce(col("seq"), lit(Long.MinValue)).asc) else Nil
+      // batch-local SCD2; same-ts rows (one txn's statements) chain by the
+      // ONE shared order ([[MergeOrder]]) read ASCENDING: the T9 seq when
+      // carried, else deletes last (D>U>I net effect), then the value — a
+      // bare ts order would chain same-ts intervals in shuffle order
+      val seqOrder = if (hasSeq) Seq(MergeOrder.seqKey.asc) else Nil
       val w = Window.partitionBy("pk")
-        .orderBy(col("commit_ts").asc +: seqOrder :+ opRank.asc: _*)
+        .orderBy(col("commit_ts").asc +: seqOrder :+ MergeOrder.opRank.asc :+
+          col("value").asc_nulls_first: _*)
       val intra = b.withColumn("valid_to", lead("commit_ts", 1).over(w))
       val closedIntra = intra.filter(col("op") =!= "D" && col("valid_to").isNotNull)
         .select(col("pk"), col("commit_ts").as("valid_from"), col("valid_to"), col("value"))
       val newOpen = intra.filter(col("op") =!= "D" && col("valid_to").isNull)
         .select(col("pk"), col("commit_ts").as("valid_from"), col("value"))
-      // closed history only appends; open is rewritten (live keys only)
+      // closed history only grows; open is rewritten (live keys only).
+      // Each batch's closed rows land in their OWN batchId-keyed partition
+      // dir with overwrite semantics: a replay after a crash between this
+      // write and the swap below recomputes the same rows (the open table
+      // is unchanged until the swap commits) and overwrites the same dir —
+      // idempotent, no duplicate intervals, no cross-file transaction
+      // needed. At scale this is still the audit-log append profile: one
+      // new leaf directory per batch, existing leaves never rewritten.
       closedFromOpen.unionByName(closedIntra)
-        .write.mode("append").parquet(closedPath)
+        .write.mode("overwrite").parquet(s"$closedPath/batch=$batchId")
       val tmp = s"$root/open_tmp"
       untouched.unionByName(newOpen).write.mode("overwrite").parquet(tmp)
       // the batch marker RIDES the swap: marker and open-table advance

@@ -637,6 +637,10 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
     * Returns the slice's max applied commit_ts (Long.MinValue when empty)
     * so the caller checkpoints without re-scanning the slice's lineage. */
   private def applyTable(slice: DataFrame, table: String): Long = {
+    // cheap early exit (a limit-1 job): empty slices — e.g. the sub-batch
+    // before a leading DDL barrier — skip the catalog read and the window
+    // + repartition + eager checkpoint machinery below
+    if (slice.isEmpty) return Long.MinValue
     val (cols, keyCols) = tableMeta(table)
     val meta = cols.map(m => m.name -> m).toMap
     val frameCols = slice.columns.map(n => n.toUpperCase -> n).toMap
@@ -675,31 +679,34 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
     } else slice.withColumn("_synth", lit(0))
 
     val keyExprs = keyCols.map(k => col(frameCols(k.toUpperCase)))
-    // tie-breaks at equal commit_ts, deterministic like UpsertSink's merge:
-    // the T9 seq when the frame carries it (highest = the txn's net
-    // effect; a synthetic old-key delete inherits its U's seq), then a
-    // REAL row outranks the synthetic old-key delete (a same-ts re-insert
-    // of the vacated key survives), then D>U>I — a bare ts order would
-    // pick a shuffle-dependent winner between two real same-ts rows
+    // same-ts ties broken by the ONE shared order ([[MergeOrder]]): the T9
+    // seq when the frame carries it (a synthetic old-key delete inherits
+    // its U's seq), then a REAL row outranks the synthetic old-key delete
+    // (a same-ts re-insert of the vacated key survives), then D>U>I, then
+    // the payload columns — so two real rows identical in (key, ts, seq,
+    // op) but differing in payload still pick a deterministic winner
+    // instead of a shuffle-dependent one
     val hasSeq = preSlice.columns.contains("seq")
-    val seqOrder = if (hasSeq)
-      Seq(coalesce(col("seq"), lit(Long.MinValue)).desc) else Nil
-    val opRank = when(col("op") === "D", 2)
-      .when(col("op") === "U", 1).otherwise(0)
+    val seqOrder = if (hasSeq) Seq(MergeOrder.seqKey.desc) else Nil
+    val meta_ = Set("commit_ts", "op", "seq", "_synth", "ddl_sql")
+    val keyFrameCols = keyCols.map(k => frameCols(k.toUpperCase)).toSet
+    val payloadOrder = preSlice.columns.toSeq
+      .filterNot(c => meta_.contains(c) || keyFrameCols.contains(c) ||
+        c.toUpperCase.startsWith("OLD_"))
+      .map(c => col(c).desc_nulls_last)
     val w = Window.partitionBy(keyExprs: _*)
       .orderBy((col("commit_ts").desc +: seqOrder) ++
-        Seq(col("_synth").asc, opRank.desc): _*)
+        Seq(col("_synth").asc, MergeOrder.opRank.desc) ++ payloadOrder: _*)
     val merged = preSlice
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn", "_synth")
       .repartition(applyPartitions, keyExprs: _*)
       .localCheckpoint(true) // applied twice (delete pass, upsert pass)
-    // one pass over the checkpointed data gives emptiness + the applied-ts
-    // watermark; the raw lineage (scan + decode + route) is never re-run
-    val stats = merged.agg(count(lit(1)), max("commit_ts")).collect()(0)
-    if (stats.getLong(0) == 0L) return Long.MinValue
-    val sliceMaxTs = stats.getLong(1)
+    // one pass over the checkpointed data gives the applied-ts watermark;
+    // the raw lineage (scan + decode + route) is never re-run
+    val sliceMaxTs =
+      merged.agg(max("commit_ts")).collect()(0).getLong(0)
 
     val (u, bs, tbl) = (url, batchSize, table)
     val pred = keyPredicate(keyCols, meta)
@@ -900,8 +907,10 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
     // frame carries it (sequence_iterator.go statement order — this IS the
     // mode that exists to preserve sequence; the content id alone would
     // order a same-ts I-then-U chain by hash), then the content id for a
-    // stable order between unrelated same-ts statements
-    val seqCol = if (grouped.columns.contains("seq")) Seq(col("seq")) else Nil
+    // stable order between unrelated same-ts statements (null seqs rank
+    // first via the shared [[MergeOrder]] sentinel)
+    val seqCol = if (grouped.columns.contains("seq"))
+      Seq(MergeOrder.seqKey.asc) else Nil
     val ordered = grouped
       .repartition(applyPartitions, col("_grp"))
       .sortWithinPartitions(col("commit_ts") +: seqCol :+ col("_rid"): _*)

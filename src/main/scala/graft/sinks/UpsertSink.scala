@@ -6,6 +6,44 @@ import org.apache.spark.sql.functions._
 
 import graft.util.MetaFs
 
+/** The ONE same-commit-ts tie-break every sink merge window composes (ref:
+  * drainer/translator/sequence_iterator.go:32-70 statement order within a
+  * txn; pkg/loader/merge.go:79-133 fold order). TiDB stamps a whole txn
+  * with one commit ts, so a batch can carry several same-(key, ts) rows;
+  * a window ordered by the bare ts picks a SHUFFLE-DEPENDENT winner and
+  * breaks replay idempotence — the r17/r18 drift class this helper exists
+  * to end. The full order, highest wins:
+  *
+  *   (commit_ts, seq', opRank, payload)
+  *
+  *  - `seq'`: the T9 intra-txn sequence when the frame carries one. Nulls
+  *    coalesce to [[NullSeq]] (`Long.MinValue + 1`) — above [[MaterializedSeq]]
+  *    (`Long.MinValue`, reserved for already-MATERIALIZED state rows that
+  *    re-enter a merge window), below any real statement sequence;
+  *  - `opRank`: D outranks U outranks I — the net effect of the common
+  *    same-ts chains (I→U, I→D, U→D) without a seq;
+  *  - payload columns (`desc_nulls_last` each): pins the winner between
+  *    rows identical in (key, ts, seq, op) — an upstream anomaly or an
+  *    at-least-once duplicate — to a DETERMINISTIC image.
+  *
+  * History-order (ascending) windows use the same keys with `.asc` /
+  * `asc_nulls_first`, which makes the LAST element of the chain the same
+  * row this order's first element is under `desc`. */
+private[graft] object MergeOrder {
+  import org.apache.spark.sql.Column
+
+  /** Seq sentinel for materialized state rows: below every incoming row. */
+  val MaterializedSeq: Long = Long.MinValue
+  private val NullSeq: Long = Long.MinValue + 1
+
+  /** The frame's seq with nulls ranked just above materialized rows. */
+  def seqKey: Column = coalesce(col("seq"), lit(NullSeq))
+
+  /** D > U > I at a tied (key, commit_ts, seq). */
+  def opRank: Column =
+    when(col("op") === "D", 2).when(col("op") === "U", 1).otherwise(0)
+}
+
 /** Idempotent, checkpointed upsert sink — the `foreachBatch` twin of the
   * reference loader (ref: pkg/loader/load.go:637-703 batch manager;
   * executor.go:407-443 safe-mode INSERT→REPLACE/UPDATE→DELETE+REPLACE;
@@ -233,23 +271,14 @@ class UpsertSink(root: String, nBuckets: Int = 16) {
     val existing0 = stateForBuckets(spark, touched)
       .withColumn("op", lit("I")) // materialized rows behave as inserts
     // materialized rows sit BELOW every sequenced statement at their ts
-    // (a null seq in the frame ranks just above them, below any real seq)
     val existing = if (hasSeq)
-      existing0.withColumn("seq", lit(Long.MinValue)) else existing0
-    // ties broken DETERMINISTICALLY: TiDB stamps a whole txn with one
-    // commit ts, so a batch can carry several same-(pk, ts) ops. D
-    // outranks U outranks I — an incoming same-ts op beats the
-    // materialized row, and the common same-ts chains (I→U, I→D, U→D)
-    // resolve to their net effect. The one ambiguous chain
-    // (delete-then-reinsert within a single txn) needs the wire's T9
-    // intra-txn sequence — carried in the frame's `seq` column when the
-    // source restored it (the hasSeq branch above).
-    val opRank = when(col("op") === "D", 2)
-      .when(col("op") === "U", 1).otherwise(0)
-    val seqOrder = if (hasSeq)
-      Seq(coalesce(col("seq"), lit(Long.MinValue + 1)).desc) else Nil
+      existing0.withColumn("seq", lit(MergeOrder.MaterializedSeq)) else existing0
+    // same-ts ties broken by the ONE shared order ([[MergeOrder]]): the T9
+    // seq when carried (the only resolver of a within-txn
+    // delete-then-reinsert), else D>U>I net effect, then the payload
+    val seqOrder = if (hasSeq) Seq(MergeOrder.seqKey.desc) else Nil
     val w = Window.partitionBy("pk")
-      .orderBy(col("commit_ts").desc +: seqOrder :+ opRank.desc :+
+      .orderBy(col("commit_ts").desc +: seqOrder :+ MergeOrder.opRank.desc :+
         col("value").desc_nulls_last: _*)
     val next = existing
       .unionByName(incoming)

@@ -548,7 +548,17 @@ private[graft] object DdlGrammar {
       else {
         val parsed = actions.map(a => parseWireDdl(s"ALTER TABLE `$s0`.`$t0` $a"))
         if (parsed.exists(_.isInstanceOf[UnknownDdl])) None
-        else Some(parsed)
+        else {
+          // MySQL applies every non-RENAME clause of a multi-action ALTER
+          // to the ORIGINAL table regardless of clause position — emitting
+          // the rename in statement order would re-home the table first
+          // and drop the remaining actions into the dispatch's counted
+          // skip, leaving the tracked shape stale. Apply the rename LAST.
+          // Two renames in one ALTER is not legal MySQL — half-understood,
+          // fall through to one UnknownDdl (loud-vs-skip at dispatch).
+          val (renames, rest) = parsed.partition(_.isInstanceOf[RenameDdl])
+          if (renames.size > 1) None else Some(rest ++ renames)
+        }
       }
     }
     (stmt match {

@@ -1,0 +1,292 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+import graft.sinks.{HistorySink, JdbcSchemaLoader, JdbcUpsertSink, UpsertSink}
+
+/** ONE differential property sweep for EVERY sink apply path (the r18
+  * verdict's ask: the four same-ts tie-break bugs survived r17 precisely
+  * because only the lake sink had a randomized model sweep — the sibling
+  * paths drifted unobserved).
+  *
+  * One generator produces random batch sequences — tied commit timestamps,
+  * D/U/I chains, optional T9 seq, null values, DDL barriers cutting batches
+  * into ordered sub-slices, replayed batch ids, restarts — and one
+  * independently-written per-key model folds them; every path must land on
+  * the model's state after every batch:
+  *
+  *  - [[UpsertSink]] (lake buckets + swap/heal machinery),
+  *  - [[JdbcUpsertSink]] (the loader delegation through a real engine),
+  *  - [[JdbcSchemaLoader]] merged path (catalog-keyed REPLACE fold),
+  *  - [[JdbcSchemaLoader]] sequence path (per-DML causality replay,
+  *    safe mode — requires the T9 seq, the mode's documented contract),
+  *  - [[HistorySink]]'s CURRENT rows (the SCD2 open table).
+  *
+  * The shared spec: a batch applies as ordered (lower, upper] slices
+  * between DDL-ts barriers; within a slice, each key's winner is the
+  * maximum of (commit_ts, seq', opRank D>U>I, value) over incoming rows —
+  * plus, for the lake sink, the materialized row (op I, seq −∞) — where a
+  * null seq coalesces just above −∞; a winning D removes the key, anything
+  * else stores (ts, value). The model keeps plain per-key tuples and a
+  * sort — none of the window/bucket/checkpoint machinery the
+  * implementations use — so any divergence is a finding.
+  *
+  * Two delivery modes, matching the paths' real contracts:
+  *  - FREE order (late events, ts ties across batches): lake sink only —
+  *    it alone merges against materialized state, so a late event loses to
+  *    a newer stored row. Includes the crash-vacate injection (a bucket's
+  *    only copy stranded at `bucket_old=`).
+  *  - ORDERED delivery (each batch's ts strictly above the last — the
+  *    drainer's ordered-merge guarantee every JDBC/history path assumes,
+  *    like the reference loader): ALL paths, compared to the same model
+  *    after every batch.
+  */
+class SinkSweepPropSpec extends SparkSpec {
+
+  private case class R(pk: Long, ts: Long, op: String, value: Option[Double],
+    seq: Option[Long])
+
+  private def opRank(op: String): Int =
+    op match { case "D" => 2; case "U" => 1; case _ => 0 }
+
+  /** Model state: pk -> (ts, value). */
+  private def modelBatch(state: Map[Long, (Long, Option[Double])],
+      rows: Seq[R], ddlTs: Seq[Long], hasSeq: Boolean):
+      Map[Long, (Long, Option[Double])] = {
+    val barriers = ddlTs.distinct.sorted :+ Long.MaxValue
+    var st = state
+    var lower = Long.MinValue
+    barriers.foreach { upper =>
+      val slice = rows.filter(r => r.ts > lower && r.ts <= upper)
+      val byPk = slice.groupBy(_.pk)
+      byPk.foreach { case (pk, incoming) =>
+        val existing = st.get(pk).map { case (ts, v) =>
+          R(pk, ts, "I", v, if (hasSeq) Some(Long.MinValue) else None) }
+        // the impls coalesce a null incoming seq to MinValue + 1: above
+        // the materialized row, below any real statement sequence
+        def seqKey(r: R): Long =
+          if (!hasSeq) 0L else r.seq.getOrElse(Long.MinValue + 1)
+        val winner = (incoming ++ existing).maxBy(r =>
+          (r.ts, seqKey(r), opRank(r.op),
+            // value desc_nulls_last: null sorts below every real value
+            r.value.isDefined, r.value.getOrElse(0.0)))
+        if (winner.op == "D") st -= pk
+        else st += pk -> ((winner.ts, winner.value))
+      }
+      lower = upper
+    }
+    st
+  }
+
+  private def frame(rows: Seq[R], ddlTs: Seq[Long], hasSeq: Boolean) = {
+    val base = StructType(Seq(
+      StructField("commit_ts", LongType), StructField("pk", LongType),
+      StructField("op", StringType), StructField("value", DoubleType)))
+    val schema = if (hasSeq) base.add(StructField("seq", LongType)) else base
+    val data =
+      rows.map(r => if (hasSeq)
+          Row(r.ts, r.pk, r.op, r.value.map(Double.box).orNull,
+            r.seq.map(Long.box).orNull)
+        else Row(r.ts, r.pk, r.op, r.value.map(Double.box).orNull)) ++
+      ddlTs.map(ts => if (hasSeq) Row(ts, 0L, "DDL", null, null)
+                      else Row(ts, 0L, "DDL", null))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2), schema)
+  }
+
+  // ---- path adapters: apply a frame, read the state back as the model's
+  // ---- shape, survive a restart (fresh object over the same substrate)
+
+  private trait Path {
+    def name: String
+    def apply(f: DataFrame, batchId: Long): Boolean
+    def state(): Map[Long, (Long, Option[Double])]
+    def restart(): Unit = ()
+  }
+
+  private def collectState(df: DataFrame): Map[Long, (Long, Option[Double])] =
+    df.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+
+  private class LakePath(root: String, nBuckets: Int) extends Path {
+    private var sink = new UpsertSink(root, nBuckets)
+    def name = "lake"
+    def apply(f: DataFrame, id: Long) = sink.applyBatch(f, id)
+    def state() = collectState(sink.currentState(spark))
+    override def restart(): Unit = sink = new UpsertSink(root, nBuckets)
+  }
+
+  private class JdbcPath(url: String) extends Path {
+    private var sink = new JdbcUpsertSink(url, applyPartitions = 4)
+    def name = "jdbc"
+    def apply(f: DataFrame, id: Long) = sink.applyBatch(f, id)
+    def state() = collectState(sink.currentState(spark))
+    override def restart(): Unit =
+      sink = new JdbcUpsertSink(url, applyPartitions = 4)
+  }
+
+  private class LoaderPath(url: String, merge: Boolean) extends Path {
+    private var loader = new JdbcSchemaLoader(url, applyPartitions = 4)
+    loader.createTable(
+      "CREATE TABLE SWEEP (PK BIGINT PRIMARY KEY, COMMIT_TS BIGINT, VAL DOUBLE)")
+    def name = if (merge) "loader-merged" else "loader-seq"
+    def apply(f: DataFrame, id: Long) =
+      loader.applyBatch(Map("SWEEP" -> f.withColumnRenamed("value", "val")),
+        id, merge = merge, safeMode = !merge)
+    def state() = collectState(
+      loader.readTable(spark, "SWEEP", Some("PK"))
+        .select("PK", "COMMIT_TS", "VAL"))
+    override def restart(): Unit =
+      loader = new JdbcSchemaLoader(url, applyPartitions = 4)
+  }
+
+  private class HistoryPath(root: String) extends Path {
+    import org.apache.spark.sql.functions.col
+    private var sink = new HistorySink(root)
+    def name = "history"
+    // DDL rows are outside the history sink's contract (barriers have no
+    // interval meaning) — the generator's barrier-only rows drop here
+    def apply(f: DataFrame, id: Long) =
+      sink.applyBatch(f.filter(col("op") =!= "DDL"), id)
+    def state() = collectState(sink.history(spark)
+      .filter(col("is_current")).select("pk", "valid_from", "value"))
+    override def restart(): Unit = sink = new HistorySink(root)
+  }
+
+  // ---- FREE delivery order: the lake sink's contract (merge against
+  // ---- materialized state; late events lose), with crash injection
+
+  private def runFreeScenario(seed: Int): Unit = {
+    val rnd = new Random(seed)
+    val root = graft.util.Scratch.dir(s"graft_sink_prop_$seed")
+    val nBuckets = 1 + rnd.nextInt(4)
+    var sink = new UpsertSink(root, nBuckets)
+    var model = Map.empty[Long, (Long, Option[Double])]
+    var batchId = -1L
+    val history = scala.collection.mutable.ArrayBuffer.empty[String]
+    (1 to 3 + rnd.nextInt(2)).foreach { _ =>
+      // a restart (fresh sink over the same root) must resume from the
+      // pinned checkpoint + layout with no state effect
+      if (rnd.nextInt(3) == 0) {
+        history += "restart"
+        sink = new UpsertSink(root, nBuckets)
+      }
+      // a crash between the swap renames leaves a bucket's ONLY copy at
+      // the bucket_old name — healing on the next touch must restore it
+      // transparently (state still equals the model afterwards)
+      if (rnd.nextInt(3) == 0 && graft.util.MetaFs.exists(s"$root/state")) {
+        val buckets = graft.util.MetaFs.listNames(s"$root/state")
+          .filter(_.startsWith("bucket="))
+        if (buckets.nonEmpty) {
+          val b = buckets(rnd.nextInt(buckets.size)).stripPrefix("bucket=")
+          history += s"crash-vacate bucket=$b"
+          graft.util.MetaFs.rename(s"$root/state/bucket=$b", s"$root/bucket_old=$b")
+        }
+      }
+      val hasSeq = rnd.nextBoolean()
+      val rows = (0 until rnd.nextInt(16)).map { _ =>
+        R(pk = 1 + rnd.nextInt(5),
+          ts = 1 + rnd.nextInt(12), // small domain → frequent ts ties
+          op = Seq("I", "U", "D")(rnd.nextInt(3)),
+          value = if (rnd.nextInt(10) == 0) None
+                  else Some((1 + rnd.nextInt(50)).toDouble),
+          seq = if (!hasSeq) None
+                else if (rnd.nextInt(8) == 0) None // stray null seq
+                else Some(rnd.nextInt(6).toLong))
+      }
+      val ddlTs = (0 until rnd.nextInt(3)).map(_ => 1L + rnd.nextInt(12))
+      val replay = batchId >= 0 && rnd.nextInt(4) == 0
+      if (!replay) batchId += 1
+      history += s"batch=$batchId hasSeq=$hasSeq replay=$replay " +
+        s"ddl=$ddlTs rows=$rows"
+      val applied = sink.applyBatch(frame(rows, ddlTs, hasSeq), batchId)
+      assert(applied != replay,
+        s"seed=$seed replay-skip mismatch\n${history.mkString("\n")}")
+      if (!replay) model = modelBatch(model, rows, ddlTs, hasSeq)
+      val got = collectState(sink.currentState(spark))
+      assert(got == model,
+        s"seed=$seed state diverged\nimpl=$got\nmodel=$model\nops:\n" +
+          history.mkString("\n"))
+    }
+  }
+
+  // ---- ORDERED delivery: every apply path against the one model
+
+  private def runOrderedScenario(seed: Int): Unit = {
+    val rnd = new Random(seed)
+    // seq presence is per SCENARIO: the sequence path's contract REQUIRES
+    // the T9 seq (without it, same-ts statements have no defined statement
+    // order to preserve — it replays them in content-hash order, which no
+    // model can and should predict), so no-seq scenarios drive 4 paths
+    val hasSeq = rnd.nextBoolean()
+    val paths: Seq[Path] = Seq(
+      new LakePath(graft.util.Scratch.dir(s"graft_sweep_lake_$seed"),
+        1 + rnd.nextInt(4)),
+      new JdbcPath(graft.util.Scratch.derbyMemUrl(s"graft_sweep_j_$seed")),
+      new LoaderPath(graft.util.Scratch.derbyMemUrl(s"graft_sweep_m_$seed"),
+        merge = true)) ++
+      (if (hasSeq)
+        Seq(new LoaderPath(graft.util.Scratch.derbyMemUrl(s"graft_sweep_s_$seed"),
+          merge = false))
+       else Nil) :+
+      new HistoryPath(graft.util.Scratch.dir(s"graft_sweep_hist_$seed"))
+    var model = Map.empty[Long, (Long, Option[Double])]
+    var batchId = -1L
+    val history = scala.collection.mutable.ArrayBuffer.empty[String]
+    (0 until 3 + rnd.nextInt(2)).foreach { k =>
+      if (rnd.nextInt(3) == 0) { history += "restart"; paths.foreach(_.restart()) }
+      // ordered delivery: batch k's timestamps sit strictly above batch
+      // k-1's (the drainer's ordered merge) — ties stay COMMON within a
+      // batch (one txn's statements share a commit ts)
+      val base = k * 100L
+      val raw = (0 until rnd.nextInt(16)).map { _ =>
+        R(pk = 1 + rnd.nextInt(5),
+          ts = base + 1 + rnd.nextInt(12),
+          op = Seq("I", "U", "D")(rnd.nextInt(3)),
+          value = if (rnd.nextInt(10) == 0) None
+                  else Some((1 + rnd.nextInt(50)).toDouble),
+          seq = None)
+      }
+      // the T9 seq is the statement order WITHIN a (pk, ts) txn chain:
+      // unique per chain (generation order), at most one leading null —
+      // exactly what a wire that restored the sequence carries
+      val rows = if (!hasSeq) raw else
+        raw.groupBy(r => (r.pk, r.ts)).valuesIterator.flatMap { chain =>
+          chain.zipWithIndex.map { case (r, i) =>
+            r.copy(seq = if (i == 0 && rnd.nextInt(8) == 0) None
+                         else Some(i.toLong))
+          }
+        }.toSeq
+      val ddlTs = (0 until rnd.nextInt(3)).map(_ => base + 1 + rnd.nextInt(12))
+      val replay = batchId >= 0 && rnd.nextInt(4) == 0
+      if (!replay) batchId += 1
+      history += s"batch=$batchId hasSeq=$hasSeq replay=$replay " +
+        s"ddl=$ddlTs rows=$rows"
+      val f = frame(rows, ddlTs, hasSeq)
+      paths.foreach { p =>
+        val applied = p.apply(f, batchId)
+        assert(applied != replay,
+          s"seed=$seed path=${p.name} replay-skip mismatch\n" +
+            history.mkString("\n"))
+      }
+      if (!replay) model = modelBatch(model, rows, ddlTs, hasSeq)
+      paths.foreach { p =>
+        val got = p.state()
+        assert(got == model,
+          s"seed=$seed path=${p.name} state diverged\nimpl=$got\n" +
+            s"model=$model\nops:\n${history.mkString("\n")}")
+      }
+    }
+  }
+
+  test("free delivery: lake sink state matches the per-key model under late events and crashes") {
+    (1 to 10).foreach(runFreeScenario)
+  }
+
+  test("ordered delivery: every sink apply path converges to the one per-key model") {
+    (1 to 10).foreach(runOrderedScenario)
+  }
+}

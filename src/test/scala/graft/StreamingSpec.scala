@@ -565,6 +565,47 @@ class StreamingSpec extends SparkSpec {
       (1L, 9L, None, true)))
   }
 
+  test("history sink: a crash between the closed write and the open swap replays exactly") {
+    // sibling of the lost-root-marker spec, closing the LAST crash window:
+    // batch N's closed rows land under closed/batch=N with overwrite
+    // semantics, so a crash after the closed write but before the swap
+    // replays into the SAME directory — recomputed from the unchanged open
+    // table — instead of appending a duplicate of every closed row
+    val rootA = graft.util.Scratch.dir("graft_hist_closeA")
+    val rootB = graft.util.Scratch.dir("graft_hist_closeB")
+    val b0 = Seq((1L, 1L, "I", 1.0), (2L, 2L, "I", 2.0))
+      .toDF("pk", "commit_ts", "op", "value")
+    val b1 = Seq((1L, 5L, "U", 1.5), (2L, 6L, "D", 0.0), (3L, 7L, "I", 3.0))
+      .toDF("pk", "commit_ts", "op", "value")
+    val clean = new graft.sinks.HistorySink(rootA)
+    assert(clean.applyBatch(b0, 0L) && clean.applyBatch(b1, 1L))
+    val crashed = new graft.sinks.HistorySink(rootB)
+    assert(crashed.applyBatch(b0, 0L))
+    // simulate the crash point: batch 1's closed rows fully written (byte
+    // twins of the committed run's), open table and markers still at 0
+    spark.read.parquet(s"$rootA/closed/batch=1")
+      .write.parquet(s"$rootB/closed/batch=1")
+    assert(new graft.sinks.HistorySink(rootB).applyBatch(b1, 1L))
+    val hA = clean.history(spark)
+      .select("pk", "valid_from", "valid_to", "value", "is_current")
+    val hB = new graft.sinks.HistorySink(rootB).history(spark)
+      .select("pk", "valid_from", "valid_to", "value", "is_current")
+    // exceptAll respects multiplicity: a duplicated closed interval fails
+    assert(hA.exceptAll(hB).isEmpty && hB.exceptAll(hA).isEmpty)
+    assert(hB.count() == hA.count())
+  }
+
+  test("JDBC state read is fail-loud: a never-booted database throws, not an empty answer") {
+    import graft.sinks.JdbcUpsertSink
+    // the read path strips ;create=true (JdbcMeta.readUrl): a wrong URL
+    // must throw Derby XJ004 instead of silently booting an empty database
+    // and answering "no state, consistent" — the Reparo standalone-read
+    // trap the r18 sweep named
+    val sink = new JdbcUpsertSink("jdbc:derby:memory:graft_never_booted_r19;create=true")
+    val e = intercept[java.sql.SQLException] { sink.currentState(spark) }
+    assert(e.getSQLState == "XJ004", s"expected XJ004, got ${e.getSQLState}")
+  }
+
   test("same-commit-ts txn chains resolve by T9 seq across the JDBC and history sinks") {
     import graft.sinks.{HistorySink, JdbcSchemaLoader, JdbcUpsertSink}
     // JdbcUpsertSink merge window: the txn's highest seq wins at a tied ts
@@ -2022,6 +2063,19 @@ class StreamingSpec extends SparkSpec {
     // application never happens
     assert(parseWireDdls("ALTER TABLE s.t ORDER BY c, ADD COLUMN a INT") ==
       Seq(UnknownDdl("ALTER TABLE s.t ORDER BY c, ADD COLUMN a INT")))
+    // MySQL applies non-RENAME clauses to the ORIGINAL table regardless of
+    // position — the rename must dispatch LAST or the ADD addresses an
+    // already-re-homed name and counted-skips, leaving the shape stale
+    assert(parseWireDdls("ALTER TABLE s.t RENAME TO u, ADD COLUMN c INT") ==
+      Seq(ColumnDdl("s", "t", "add", "c", "INT", native = "INT"),
+          RenameDdl("s", "t", None, "u")))
+    assert(parseWireDdls("ALTER TABLE s.t ADD COLUMN c INT, RENAME TO s2.u") ==
+      Seq(ColumnDdl("s", "t", "add", "c", "INT", native = "INT"),
+          RenameDdl("s", "t", Some("s2"), "u")))
+    // two renames in one ALTER is not legal MySQL — half-understood, one
+    // UnknownDdl of the whole text (loud-vs-skip at dispatch)
+    assert(parseWireDdls("ALTER TABLE s.t RENAME TO u, RENAME TO v") ==
+      Seq(UnknownDdl("ALTER TABLE s.t RENAME TO u, RENAME TO v")))
     // the common no-space spelling of the column-def paren
     assert(parseWireDdl("CREATE TABLE s.t(a INT)") ==
       CreateDdl("s", "t", Seq("a INT")))
