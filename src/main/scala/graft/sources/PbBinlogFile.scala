@@ -395,9 +395,15 @@ object PbBinlogFile {
       // below (identical bytes under a colliding name → drop the temp)
       // needs a re-executed task to serialize tied-ts rows identically,
       // and a post-shuffle sort on commit_ts alone leaves their order to
-      // fetch timing
+      // fetch timing. EVERY envelope column participates — rows tied on a
+      // prefix but differing in ts_us or a typed M9 field would otherwise
+      // order by fetch timing, and a speculative retry's bytes would
+      // differ, turning the idempotent temp-drop into a spurious
+      // different-content collision error
       .sortWithinPartitions(col("commit_ts"), col("pk"), col("op"),
-        col("event_type"), col("value"), col("props"), col("ddl_sql"))
+        col("event_type"), col("ts_us"), col("value"), col("props"),
+        col("dec38"), col("udec"), col("bits"), col("enum_ord"),
+        col("ddl_sql"))
     ds.foreachPartition { rows: Iterator[PbChange] =>
       val fs = writerFsFor(dir, hconf.value)
       val pid = TaskContext.getPartitionId()
