@@ -154,6 +154,22 @@ class SinkSweepPropSpec extends SparkSpec {
     def state() = collectState(sink.history(spark)
       .filter(col("is_current")).select("pk", "valid_from", "value"))
     override def restart(): Unit = sink = new HistorySink(root)
+
+    /** Crash injection: a torn closed write for the UPCOMING (uncommitted)
+      * batch — a poison row left under `closed/batch=<id>` where the crash
+      * interrupted the append. The idempotent overwrite contract must
+      * clobber it on the (re)apply; [[assertNoPoison]] proves it did. */
+    def injectTornClosed(id: Long): Unit = {
+      val poison = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(999L, -1L, -1L, 0.0)), 1),
+        StructType(Seq(StructField("pk", LongType),
+          StructField("valid_from", LongType), StructField("valid_to", LongType),
+          StructField("value", DoubleType))))
+      poison.write.mode("overwrite").parquet(s"$root/closed/batch=$id")
+    }
+    def assertNoPoison(ctx: => String): Unit =
+      assert(sink.history(spark).filter(col("pk") === 999L).isEmpty,
+        s"torn closed write survived the replay overwrite\n$ctx")
   }
 
   // ---- FREE delivery order: the lake sink's contract (merge against
@@ -222,6 +238,7 @@ class SinkSweepPropSpec extends SparkSpec {
     // order to preserve — it replays them in content-hash order, which no
     // model can and should predict), so no-seq scenarios drive 4 paths
     val hasSeq = rnd.nextBoolean()
+    val historyPath = new HistoryPath(graft.util.Scratch.dir(s"graft_sweep_hist_$seed"))
     val paths: Seq[Path] = Seq(
       new LakePath(graft.util.Scratch.dir(s"graft_sweep_lake_$seed"),
         1 + rnd.nextInt(4)),
@@ -231,8 +248,7 @@ class SinkSweepPropSpec extends SparkSpec {
       (if (hasSeq)
         Seq(new LoaderPath(graft.util.Scratch.derbyMemUrl(s"graft_sweep_s_$seed"),
           merge = false))
-       else Nil) :+
-      new HistoryPath(graft.util.Scratch.dir(s"graft_sweep_hist_$seed"))
+       else Nil) :+ historyPath
     var model = Map.empty[Long, (Long, Option[Double])]
     var batchId = -1L
     val history = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -263,6 +279,14 @@ class SinkSweepPropSpec extends SparkSpec {
       val ddlTs = (0 until rnd.nextInt(3)).map(_ => base + 1 + rnd.nextInt(12))
       val replay = batchId >= 0 && rnd.nextInt(4) == 0
       if (!replay) batchId += 1
+      // a torn closed write can only exist for a batch whose marker never
+      // advanced — i.e. a FRESH id about to (re)apply — and only for a
+      // batch that writes closed rows at all (an empty batch advances the
+      // marker without touching the closed table)
+      if (!replay && rows.nonEmpty && rnd.nextInt(3) == 0) {
+        history += s"torn-closed batch=$batchId"
+        historyPath.injectTornClosed(batchId)
+      }
       history += s"batch=$batchId hasSeq=$hasSeq replay=$replay " +
         s"ddl=$ddlTs rows=$rows"
       val f = frame(rows, ddlTs, hasSeq)
@@ -272,6 +296,7 @@ class SinkSweepPropSpec extends SparkSpec {
           s"seed=$seed path=${p.name} replay-skip mismatch\n" +
             history.mkString("\n"))
       }
+      historyPath.assertNoPoison(s"seed=$seed\n${history.mkString("\n")}")
       if (!replay) model = modelBatch(model, rows, ddlTs, hasSeq)
       paths.foreach { p =>
         val got = p.state()
