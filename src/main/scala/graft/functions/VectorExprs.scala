@@ -35,19 +35,32 @@ case class DotProd(left: Expression, right: Expression) extends BinaryExpression
 
   override def dataType: DataType = DoubleType
 
-  // NULL on length mismatch (not a truncated dot): the declarative twin
-  // `aggregate(zip_with(a,b,_*_), 0.0, _+_)` null-pads the shorter side and
-  // the null poisons the fold — equality with it must hold on ALL inputs.
+  // NULL on length mismatch (not a truncated dot) AND on a null ELEMENT:
+  // the declarative twin `aggregate(zip_with(a,b,_*_), 0.0, _+_)` null-pads
+  // the shorter side and a null element's product poisons the fold —
+  // equality with it must hold on ALL inputs. Reading a null slot through
+  // getFloat would silently contribute 0.0 instead. The element check is
+  // emitted ONLY when the schema admits null elements (containsNull), so
+  // the dense-vector hot path keeps the branch-free loop.
   override def nullable: Boolean = true
+
+  private def mayHaveNullElems: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
+    val checkNulls = mayHaveNullElems
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1
+    }
     dot
   }
 
@@ -56,6 +69,9 @@ case class DotProd(left: Expression, right: Expression) extends BinaryExpression
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
+      val elemGuard = if (mayHaveNullElems)
+        s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+      else ""
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -63,9 +79,10 @@ case class DotProd(left: Expression, right: Expression) extends BinaryExpression
          |} else {
          |  double $dot = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemGuard
          |    $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |  }
-         |  ${ev.value} = $dot;
+         |  if (!${ev.isNull}) ${ev.value} = $dot;
          |}
        """.stripMargin
     })
@@ -106,17 +123,31 @@ case class PlaneKey(child: Expression, planes: Seq[Seq[Double]])
 
   override def dataType: DataType = LongType
 
+  // a null ELEMENT poisons a plane's fold in the declarative form (the
+  // when-chain sees a null dot and leaves the bit unset) — getFloat on the
+  // null slot would instead contribute 0.0 and could SET the bit. The
+  // check is emitted only when the schema admits null elements.
+  private def mayHaveNullElems: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
+    val checkNulls = mayHaveNullElems
     var key = 0L
     var p = 0
     while (p < mat.length) {
       val w = mat(p)
       val n = math.min(x.numElements(), w.length)
       var dot = 0.0
+      var poisoned = false
       var i = 0
-      while (i < n) { dot += x.getFloat(i).toDouble * w(i); i += 1 }
-      if (dot > 0) key |= 1L << p
+      while (i < n && !poisoned) {
+        if (checkNulls && x.isNullAt(i)) poisoned = true
+        else { dot += x.getFloat(i).toDouble * w(i); i += 1 }
+      }
+      if (!poisoned && dot > 0) key |= 1L << p
       p += 1
     }
     key
@@ -131,16 +162,22 @@ case class PlaneKey(child: Expression, planes: Seq[Seq[Double]])
       val dot = ctx.freshName("dot")
       val key = ctx.freshName("key")
       val w = ctx.freshName("w")
+      val poisoned = ctx.freshName("poisoned")
+      val elemGuard = if (mayHaveNullElems)
+        s"""if ($a.isNullAt($i)) { $poisoned = true; break; }"""
+      else ""
       s"""
          |long $key = 0L;
          |for (int $p = 0; $p < $mat.length; $p++) {
          |  double[] $w = $mat[$p];
          |  int $n = java.lang.Math.min($a.numElements(), $w.length);
          |  double $dot = 0.0;
+         |  boolean $poisoned = false;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemGuard
          |    $dot += (double) $a.getFloat($i) * $w[$i];
          |  }
-         |  if ($dot > 0) $key |= 1L << $p;
+         |  if (!$poisoned && $dot > 0) $key |= 1L << $p;
          |}
          |${ev.value} = $key;
        """.stripMargin

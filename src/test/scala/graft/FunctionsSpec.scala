@@ -52,6 +52,32 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(2).getDouble(0) == rows(2).getDouble(1))
   }
 
+  test("null ELEMENTS poison the native expressions like the declarative fold") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // a schema that ADMITS null elements forces the guarded loop; getFloat
+    // on the null slot would otherwise contribute 0.0 silently — DotProd
+    // and CosineSim must yield NULL (the poisoned fold), PlaneKey must
+    // leave every poisoned plane's bit unset (the when-chain's false arm)
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType, containsNull = true)),
+      StructField("b", ArrayType(FloatType, containsNull = true))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(Seq(1.0f, null, 3.0f), Seq(1.0f, 2.0f, 3.0f)),
+      Row(Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f))), 1), schema)
+    val got = df.select(
+      Similarity.dot(col("a"), col("b")).as("dot"),
+      cosine_sim(col("a"), col("b")).as("cos"),
+      hofDot(col("a"), col("b")).as("hof"),
+      graft.functions.VectorExprs.plane_key(col("a"),
+        Seq(Seq(1L, 1L, 1L), Seq(-1L, -1L, -1L))).as("key")).collect()
+    assert(got(0).isNullAt(0) && got(0).isNullAt(1) && got(0).isNullAt(2))
+    assert(got(0).getLong(3) == 0L, "a poisoned plane's bit must stay unset")
+    assert(got(1).getDouble(0) == got(1).getDouble(2))
+    assert(math.abs(got(1).getDouble(1) - 1.0) < 1e-12)
+    assert(got(1).getLong(3) == 1L) // positive plane set, negative unset
+  }
+
   test("native PlaneKey == per-plane when-chain over the fold, all tables") {
     import graft.text.Lex
     val e = graft.model.Tables.embeddings(spark, sf).limit(500)
