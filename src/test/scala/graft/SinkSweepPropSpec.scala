@@ -105,11 +105,28 @@ class SinkSweepPropSpec extends SparkSpec {
     def apply(f: DataFrame, batchId: Long): Boolean
     def state(): Map[Long, (Long, Option[Double])]
     def restart(): Unit = ()
+    /** Crash injection: the checkpoint write after batch `applied` was
+      * LOST — the next delivery of that batch must replay (or, where a
+      * second marker rode the state swap, skip) and converge to the same
+      * state. Default: no durable point to regress. */
+    def regressCheckpoint(applied: Long): Unit = ()
   }
 
   private def collectState(df: DataFrame): Map[Long, (Long, Option[Double])] =
     df.collect().map(r => r.getLong(0) ->
       ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+
+  /** Regress a Derby-held checkpoint row to `applied - 1` — the state a
+    * crash between the apply and the checkpoint save leaves behind. */
+  private def regressDerby(url: String, applied: Long): Unit = {
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c.prepareStatement(
+        "UPDATE GRAFT_CHECKPOINT SET BATCH_ID = ? WHERE CLUSTER_ID = 1")
+      st.setLong(1, applied - 1)
+      st.executeUpdate(); st.close()
+    } finally c.close()
+  }
 
   private class LakePath(root: String, nBuckets: Int) extends Path {
     private var sink = new UpsertSink(root, nBuckets)
@@ -117,6 +134,9 @@ class SinkSweepPropSpec extends SparkSpec {
     def apply(f: DataFrame, id: Long) = sink.applyBatch(f, id)
     def state() = collectState(sink.currentState(spark))
     override def restart(): Unit = sink = new UpsertSink(root, nBuckets)
+    override def regressCheckpoint(applied: Long): Unit =
+      graft.util.MetaFs.writeString(s"$root/_committed_batch",
+        s"${applied - 1} -1 -1 true")
   }
 
   private class JdbcPath(url: String) extends Path {
@@ -126,6 +146,8 @@ class SinkSweepPropSpec extends SparkSpec {
     def state() = collectState(sink.currentState(spark))
     override def restart(): Unit =
       sink = new JdbcUpsertSink(url, applyPartitions = 4)
+    override def regressCheckpoint(applied: Long): Unit =
+      regressDerby(url, applied)
   }
 
   private class LoaderPath(url: String, merge: Boolean) extends Path {
@@ -141,6 +163,8 @@ class SinkSweepPropSpec extends SparkSpec {
         .select("PK", "COMMIT_TS", "VAL"))
     override def restart(): Unit =
       loader = new JdbcSchemaLoader(url, applyPartitions = 4)
+    override def regressCheckpoint(applied: Long): Unit =
+      regressDerby(url, applied)
   }
 
   private class HistoryPath(root: String) extends Path {
@@ -170,6 +194,13 @@ class SinkSweepPropSpec extends SparkSpec {
     def assertNoPoison(ctx: => String): Unit =
       assert(sink.history(spark).filter(col("pk") === 999L).isEmpty,
         s"torn closed write survived the replay overwrite\n$ctx")
+    // the batch marker RIDES the open swap here, so a lost ROOT marker
+    // must make the re-delivery a SKIP (replaying against the advanced
+    // open table would append inverted intervals) — convergence is the
+    // assertion either way
+    override def regressCheckpoint(applied: Long): Unit =
+      graft.util.MetaFs.writeString(s"$root/_committed_batch",
+        (applied - 1).toString)
   }
 
   // ---- FREE delivery order: the lake sink's contract (merge against
@@ -303,6 +334,21 @@ class SinkSweepPropSpec extends SparkSpec {
         assert(got == model,
           s"seed=$seed path=${p.name} state diverged\nimpl=$got\n" +
             s"model=$model\nops:\n${history.mkString("\n")}")
+      }
+      // crash between the apply and the checkpoint save: the durable point
+      // regresses to batchId-1 and the SAME batch is delivered again —
+      // every path must converge (a full replay for the REPLACE/merge
+      // paths, a ride-along-marker skip for the history sink)
+      if (!replay && rnd.nextInt(4) == 0) {
+        history += s"lost-checkpoint redelivery batch=$batchId"
+        paths.foreach(_.regressCheckpoint(batchId))
+        paths.foreach { p => p.apply(f, batchId): Unit }
+        paths.foreach { p =>
+          val got = p.state()
+          assert(got == model,
+            s"seed=$seed path=${p.name} lost-checkpoint replay diverged\n" +
+              s"impl=$got\nmodel=$model\nops:\n${history.mkString("\n")}")
+        }
       }
     }
   }
