@@ -271,6 +271,12 @@ class DecodeWalkPropSpec extends SparkSpec {
         // group right after it — see below)
         if (multiSchema && tables.nonEmpty && freeKeys.nonEmpty)
           Some("rename_table") else None,
+        // r19: the ADVICE composite — one ALTER carrying BOTH a column
+        // action and a RENAME clause (spelled rename-FIRST on the wire,
+        // so the grammar's apply-rename-LAST reordering is what makes the
+        // model's add-then-re-home transition correct)
+        if (multiSchema && tables.nonEmpty && freeKeys.nonEmpty)
+          Some("alter_add_rename") else None,
         if (multiSchema && tables.nonEmpty) Some("drop_schema") else None
       ).flatten
       if (feasible.isEmpty) return
@@ -349,6 +355,34 @@ class DecodeWalkPropSpec extends SparkSpec {
           tables(to) = tm
           emit(wireRow(ts, "DDL", null,
             s"RENAME TABLE ${qual(from)} TO ${qual(to)}", to))
+          closeGroup()
+        case "alter_add_rename" =>
+          val from = tables.keys.toVector(rnd.nextInt(tables.size))
+          val tm = tables(from)
+          val freeCols = NamePool.filterNot(n => tm.live.exists(_.name == n))
+          val freeNow = KeyPool.filterNot(tables.contains)
+          if (freeCols.isEmpty || freeNow.isEmpty) return
+          val n = freeCols(rnd.nextInt(freeCols.size))
+          val to = freeNow(rnd.nextInt(freeNow.size))
+          ops += s"ddl ts=$ts MULTIALTER ${qual(from)} ADD $n + " +
+            s"RENAME -> ${qual(to)} xschema=${from._1 != to._1}"
+          // model: MySQL applies the non-RENAME clause to the ORIGINAL
+          // table whatever the clause order — the ADD first (fill entry
+          // under the current incarnation and batch, like colDdl's ADD)...
+          val c = ColDef(n, "INT", false, Some("5"), ts)
+          tm.live :+= c
+          val ent = tm.cur.entries.getOrElse(batchIdx, Map.empty)
+          tm.cur.entries(batchIdx) =
+            ent + (n -> (ent.getOrElse(n, Vector.empty) :+ c))
+          // ...then the re-home, identity/history/fills intact (the
+          // rename_table transition), group closed for the same
+          // frozen-snapshot reason
+          tables.remove(from)
+          tm.version = ts
+          tables(to) = tm
+          emit(wireRow(ts, "DDL", null,
+            s"ALTER TABLE ${qual(from)} RENAME TO ${qual(to)}, " +
+              s"ADD COLUMN $n INT DEFAULT 5", to))
           closeGroup()
         case "drop_schema" =>
           val s0 = SchemaPool(rnd.nextInt(SchemaPool.size))
@@ -528,7 +562,7 @@ class DecodeWalkPropSpec extends SparkSpec {
     val allOps = (1 to 8).flatMap(
       runScenario(_, multiBatch = true, multiSchema = true))
     (PoolMarkers ++ Seq("RESTART", "RENAME TABLE", "xschema=true",
-        "DROP DATABASE")).foreach { marker =>
+        "DROP DATABASE", "MULTIALTER")).foreach { marker =>
       assert(allOps.exists(_.contains(marker)),
         s"op pool never generated '$marker' across the multi-schema sweep")
     }
