@@ -35,7 +35,11 @@ object Similarity {
     * poisons the sum) returns NULL for ragged vectors, while a bare
     * `list_sum` over `list_zip` would SKIP the pad nulls and return a
     * silently truncated dot — the one input class where the two engines
-    * would otherwise diverge. */
+    * would otherwise diverge. Null ELEMENTS inside an equal-length pair
+    * are outside this twin's parity contract (DuckDB's list_sum skips the
+    * null product where DotProd returns NULL, r19) — the embedding corpus
+    * is dense, and the Spark side alone is the one pinned against the
+    * declarative fold on such inputs (FunctionsSpec). */
   def dotSql(a: String, b: String): String =
     s"CASE WHEN len($a) = len($b) THEN " +
       s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) END"
