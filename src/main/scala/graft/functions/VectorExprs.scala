@@ -41,7 +41,10 @@ case class DotProd(left: Expression, right: Expression) extends BinaryExpression
   // equality with it must hold on ALL inputs. Reading a null slot through
   // getFloat would silently contribute 0.0 instead. The element check is
   // emitted ONLY when the schema admits null elements (containsNull), so
-  // the dense-vector hot path keeps the branch-free loop.
+  // the dense-vector hot path keeps the branch-free loop. A declared
+  // containsNull=false is TRUSTED, not checked — Spark's own convention
+  // (rows violating their declared schema are undefined behavior
+  // everywhere in codegen); such a row would read 0.0 here, not NULL.
   override def nullable: Boolean = true
 
   private def mayHaveNullElems: Boolean = Seq(left, right).exists(_.dataType match {

@@ -43,7 +43,11 @@ import graft.util.MetaFs
   * table, byte-equal rows, no duplicates — which is the parquet shape of
   * the reference's checkpoint-in-same-txn rule
   * (drainer/checkpoint/mysql.go:34-196): replay after ANY crash point
-  * converges to the exact committed state. The root-level marker survives
+  * converges to the exact committed state — and reads BETWEEN the crash
+  * and the replay are clean too, because [[history]] filters the closed
+  * scan to batch dirs at or below the committed marker (an uncommitted,
+  * possibly torn, `closed/batch=<id>` dir is partition-pruned out before
+  * any of its files are opened). The root-level marker survives
   * for empty batches and pre-existing state. The other
   * crash window — between the open-table swap's two renames, which leaves
   * the ONLY copy of the open table at `open_old` — is self-healing: every
@@ -105,11 +109,22 @@ class HistorySink(root: String) {
   }
 
   private def closedRows(spark: SparkSession): DataFrame =
-    if (MetaFs.exists(closedPath))
+    if (MetaFs.exists(closedPath)) {
       // partition discovery over the batch=<id> leaf dirs; the batch id is
-      // commit bookkeeping, not part of the interval schema
-      spark.read.parquet(closedPath).select("pk", "valid_from", "valid_to", "value")
-    else emptyFrame(spark, withTo = true)
+      // commit bookkeeping, not part of the interval schema. Reads see only
+      // COMMITTED batches: between a crashed closed write and its replay,
+      // an uncommitted (possibly torn) batch=<id> dir exists with no marker
+      // advance — the explicit schema (no footer inference) plus the
+      // partition-pruned filter keeps its files entirely out of the scan,
+      // so history() is never dirty or wedged in that window
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("pk", LongType),
+        StructField("valid_from", LongType), StructField("valid_to", LongType),
+        StructField("value", DoubleType), StructField("batch", LongType)))
+      spark.read.schema(schema).parquet(closedPath)
+        .filter(col("batch") <= lastCommitted)
+        .select("pk", "valid_from", "valid_to", "value")
+    } else emptyFrame(spark, withTo = true)
 
   /** The full history so far: closed intervals plus open rows (null
     * valid_to, flagged current) — the same shape as the batch scd2. */

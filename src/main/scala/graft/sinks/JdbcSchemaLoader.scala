@@ -593,37 +593,44 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
     var maxTs = prev.commitTs
     val orderedSlices = slices.toSeq.sortBy(_._1)
     barriers.foreach { case (upper, stmt) =>
-      // tables between two barriers are independent — apply them across
-      // the bounded worker pool (ref: pkg/loader/load.go:508-527, the
-      // reference's 16 parallel table workers); only the barrier itself
-      // is a sequential point. Each apply opens its own connections
-      // (driver-side metadata reads and executor-side batches alike), so
-      // nothing here shares JDBC state across threads.
-      val applied = graft.util.Par.mapPar(orderedSlices) {
-        case (table, df) =>
-          val slice = df.filter(col("op") =!= "DDL" &&
-            col("commit_ts") > lower && col("commit_ts") <= upper)
-          if (merge) applyTable(slice, table)
-          else applyTableSequence(slice, table, safeMode)
-      }
-      maxTs = (maxTs +: applied).max
-      if (upper != Long.MaxValue) {
-        withConn { c =>
-          // skip a barrier this batch already executed: a crash between a
-          // DDL and the batch checkpoint replays the batch, and re-running
-          // the ALTER would throw and wedge every retry (the log row is
-          // written right after the execute; the tiny exec→log window is
-          // the same one the reference's checkpoint-on-DDL rule has)
-          if (!JdbcMeta.ddlLogged(c, batchId, upper, stmt.getOrElse(s"ddl@$upper"))) {
-            stmt.foreach { sql =>
-              val st = c.createStatement()
-              try st.execute(sql) finally st.close()
-            }
-            JdbcMeta.logDdl(c, batchId, upper, stmt.getOrElse(s"ddl@$upper"))
-          }
+      // a REPLAYED batch skips whole sub-batches below an already-logged
+      // barrier, not just the barrier statement: the first attempt applied
+      // those slices BEFORE executing the DDL (slices apply strictly ahead
+      // of their barrier), and re-applying them now would bind the
+      // old-shape rows against the post-DDL catalog — a default-valued ADD
+      // COLUMN's fill would be overwritten with the frame's stale slots
+      // (the schema-change sweep's finding). This is the batch-granular
+      // form of the reference's save-checkpoint-on-DDL rule
+      // (drainer/syncer.go:253-259: DDL execution pins a checkpoint, so
+      // pre-DDL DML never replays); the residual exec→log window remains,
+      // as it does there — DDL is not transactional on most engines.
+      val barrierKey = stmt.getOrElse(s"ddl@$upper")
+      val barrierDone = upper != Long.MaxValue &&
+        withConn(JdbcMeta.ddlLogged(_, batchId, upper, barrierKey))
+      if (!barrierDone) {
+        // tables between two barriers are independent — apply them across
+        // the bounded worker pool (ref: pkg/loader/load.go:508-527, the
+        // reference's 16 parallel table workers); only the barrier itself
+        // is a sequential point. Each apply opens its own connections
+        // (driver-side metadata reads and executor-side batches alike), so
+        // nothing here shares JDBC state across threads.
+        val applied = graft.util.Par.mapPar(orderedSlices) {
+          case (table, df) =>
+            val slice = df.filter(col("op") =!= "DDL" &&
+              col("commit_ts") > lower && col("commit_ts") <= upper)
+            if (merge) applyTable(slice, table)
+            else applyTableSequence(slice, table, safeMode)
         }
-        maxTs = math.max(maxTs, upper)
+        maxTs = (maxTs +: applied).max
+        if (upper != Long.MaxValue) withConn { c =>
+          stmt.foreach { sql =>
+            val st = c.createStatement()
+            try st.execute(sql) finally st.close()
+          }
+          JdbcMeta.logDdl(c, batchId, upper, barrierKey)
+        }
       }
+      if (upper != Long.MaxValue) maxTs = math.max(maxTs, upper)
       lower = upper
     }
     withConn(JdbcMeta.save(_, clusterId,
@@ -690,10 +697,21 @@ class JdbcSchemaLoader(url: String, clusterId: Long = 1L, batchSize: Int = 128,
     val seqOrder = if (hasSeq) Seq(MergeOrder.seqKey.desc) else Nil
     val meta_ = Set("commit_ts", "op", "seq", "_synth", "ddl_sql")
     val keyFrameCols = keyCols.map(k => frameCols(k.toUpperCase)).toSet
-    val payloadOrder = preSlice.columns.toSeq
-      .filterNot(c => meta_.contains(c) || keyFrameCols.contains(c) ||
-        c.toUpperCase.startsWith("OLD_"))
-      .map(c => col(c).desc_nulls_last)
+    // scalar payload columns only: a complex-typed column riding the frame
+    // (a MapType isn't orderable and fails analysis; a wide array/struct
+    // pays real sort cost) is excluded from a tie-break that only matters
+    // on (key, ts, seq, op)-identical anomalies — such rows then tie-break
+    // on their scalar columns alone, still deterministically
+    val payloadOrder = preSlice.schema.toSeq
+      .filterNot(f => meta_.contains(f.name) || keyFrameCols.contains(f.name) ||
+        f.name.toUpperCase.startsWith("OLD_"))
+      .filter(_.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.StructType => false
+        case _ => true
+      })
+      .map(f => col(f.name).desc_nulls_last)
     val w = Window.partitionBy(keyExprs: _*)
       .orderBy((col("commit_ts").desc +: seqOrder) ++
         Seq(col("_synth").asc, MergeOrder.opRank.desc) ++ payloadOrder: _*)

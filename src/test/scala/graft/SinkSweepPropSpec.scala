@@ -353,11 +353,249 @@ class SinkSweepPropSpec extends SparkSpec {
     }
   }
 
+  // ---- ORDERED delivery with mid-batch schema-CHANGE barriers: an ALTER
+  // ---- that ADDs or DROPs a payload column between two DML sub-slices of
+  // ---- one batch (ref: pkg/loader/load.go:845-866 — DDL flushes, runs
+  // ---- alone, later DML sees the new shape), driven through the three
+  // ---- delegated loader paths (JdbcUpsertSink, loader-merged, loader-seq)
+
+  private sealed trait BKind
+  private case object PlainB extends BKind
+  private case class AddExtra(default: Option[Double]) extends BKind
+  private case object DropExtra extends BKind
+
+  private def sqlFor(kind: BKind, table: String): Option[String] = kind match {
+    case PlainB => None
+    case AddExtra(None) => Some(s"ALTER TABLE $table ADD COLUMN EXTRA DOUBLE")
+    case AddExtra(Some(d)) =>
+      Some(s"ALTER TABLE $table ADD COLUMN EXTRA DOUBLE DEFAULT $d")
+    case DropExtra => Some(s"ALTER TABLE $table DROP COLUMN EXTRA")
+  }
+
+  private case class XR(pk: Long, ts: Long, op: String, value: Option[Double],
+    seq: Option[Long], extra: Option[Double])
+
+  /** pk -> (commit_ts, value, extra-while-the-column-exists). */
+  private type ExtState = Map[Long, (Long, Option[Double], Option[Double])]
+
+  /** One batch through the barrier-sliced model: per (key, slice) winner by
+    * the shared merge order extended with the extra payload column; an
+    * AddExtra barrier makes the column live — DEFAULT-FILLING every stored
+    * row, the engine's ADD COLUMN semantics — and a DropExtra kills the
+    * column and its data. `colExists` threads across batches: a winner
+    * stored while the column does not exist yet keeps extra = None no
+    * matter what its frame slot carried (the catalog∩frame column list). */
+  private def extModelBatch(state: ExtState, rows: Seq[XR],
+      barriers: Seq[(Long, BKind)], hasSeq: Boolean,
+      colExists0: Boolean): (ExtState, Boolean) = {
+    var colExists = colExists0
+    var st = state
+    var lower = Long.MinValue
+    (barriers.sortBy(_._1) :+ ((Long.MaxValue, PlainB: BKind))).foreach {
+      case (upper, kind) =>
+        val slice = rows.filter(r => r.ts > lower && r.ts <= upper)
+        slice.groupBy(_.pk).foreach { case (pk, incoming) =>
+          def seqKey(r: XR): Long =
+            if (!hasSeq) 0L else r.seq.getOrElse(Long.MinValue + 1)
+          val w = incoming.maxBy(r => (r.ts, seqKey(r), opRank(r.op),
+            r.value.isDefined, r.value.getOrElse(0.0),
+            r.extra.isDefined, r.extra.getOrElse(0.0)))
+          if (w.op == "D") st -= pk
+          else st += pk -> ((w.ts, w.value, if (colExists) w.extra else None))
+        }
+        kind match {
+          case AddExtra(d) =>
+            colExists = true
+            st = st.map { case (k, (t, v, _)) => k -> ((t, v, d)) }
+          case DropExtra =>
+            colExists = false
+            st = st.map { case (k, (t, v, _)) => k -> ((t, v, None)) }
+          case PlainB => ()
+        }
+        lower = upper
+    }
+    (st, colExists)
+  }
+
+  private def extFrame(rows: Seq[XR], barriers: Seq[(Long, Option[String])],
+      hasSeq: Boolean, hasExtra: Boolean, valName: String): DataFrame = {
+    val fields = Seq(
+      StructField("commit_ts", LongType), StructField("pk", LongType),
+      StructField("op", StringType), StructField(valName, DoubleType)) ++
+      (if (hasSeq) Seq(StructField("seq", LongType)) else Nil) ++
+      (if (hasExtra) Seq(StructField("extra", DoubleType)) else Nil) :+
+      StructField("ddl_sql", StringType)
+    val data = rows.map(r => Row.fromSeq(
+        Seq(r.ts, r.pk, r.op, r.value.map(Double.box).orNull) ++
+        (if (hasSeq) Seq(r.seq.map(Long.box).orNull) else Nil) ++
+        (if (hasExtra) Seq(r.extra.map(Double.box).orNull) else Nil) :+ null)) ++
+      barriers.map { case (ts, sql) => Row.fromSeq(
+        Seq(ts, 0L, "DDL", null) ++
+        (if (hasSeq) Seq(null) else Nil) ++
+        (if (hasExtra) Seq(null) else Nil) :+ sql.orNull) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2), StructType(fields))
+  }
+
+  private trait ExtPath {
+    def name: String; def table: String; def valName: String; def url: String
+    def apply(f: DataFrame, id: Long): Boolean
+    /** Read the table's CURRENT shape back — extra present only while the
+      * column exists in the live catalog. */
+    def state(): ExtState = {
+      val df = new JdbcSchemaLoader(url, applyPartitions = 4)
+        .readTable(spark, table, Some("PK"))
+      val hasExtra = df.columns.contains("EXTRA")
+      df.collect().map { r =>
+        r.getAs[Long]("PK") -> ((r.getAs[Long]("COMMIT_TS"),
+          Option(r.getAs[java.lang.Double]("VAL")).map(_.doubleValue()),
+          if (hasExtra)
+            Option(r.getAs[java.lang.Double]("EXTRA")).map(_.doubleValue())
+          else None))
+      }.toMap
+    }
+  }
+
+  private class ExtJdbc(val url: String) extends ExtPath {
+    val table = "GRAFT_STATE"; val valName = "value"; val name = "jdbc"
+    private val sink = new JdbcUpsertSink(url, applyPartitions = 4)
+    def apply(f: DataFrame, id: Long): Boolean = sink.applyBatch(f, id)
+  }
+
+  private class ExtLoader(val url: String, merge: Boolean) extends ExtPath {
+    val table = "SWEEP"; val valName = "val"
+    val name = if (merge) "loader-merged" else "loader-seq"
+    private val loader = new JdbcSchemaLoader(url, applyPartitions = 4)
+    loader.createTable(
+      "CREATE TABLE SWEEP (PK BIGINT PRIMARY KEY, COMMIT_TS BIGINT, VAL DOUBLE)")
+    def apply(f: DataFrame, id: Long): Boolean =
+      loader.applyBatch(Map("SWEEP" -> f), id, merge = merge, safeMode = !merge)
+  }
+
+  /** Returns coverage flags: (add-with-default scenario, drop fired,
+    * same-batch add+drop fired, seq path driven). */
+  private def runSchemaChangeScenario(seed: Int): (Boolean, Boolean, Boolean, Boolean) = {
+    val rnd = new Random(seed)
+    val hasSeq = rnd.nextBoolean()
+    val paths: Seq[ExtPath] = Seq(
+      new ExtJdbc(graft.util.Scratch.derbyMemUrl(s"graft_ddlswp_j_$seed")),
+      new ExtLoader(graft.util.Scratch.derbyMemUrl(s"graft_ddlswp_m_$seed"),
+        merge = true)) ++
+      (if (hasSeq)
+        Seq(new ExtLoader(graft.util.Scratch.derbyMemUrl(s"graft_ddlswp_s_$seed"),
+          merge = false))
+       else Nil)
+    val nBatches = 4
+    val addBatch = rnd.nextInt(3)
+    // seed-pinned (not drawn) so 10 seeds provably cover both arms
+    val withDefault = seed % 2 == 0
+    val sameBatchDrop = seed % 5 == 0 || rnd.nextInt(4) == 0
+    val dropBatch: Option[Int] =
+      if (sameBatchDrop) Some(addBatch)
+      else if (rnd.nextBoolean() && addBatch < nBatches - 1)
+        Some(addBatch + 1 + rnd.nextInt(nBatches - addBatch - 1))
+      else None
+    var model: ExtState = Map.empty
+    var colExists = false
+    var batchId = -1L
+    val history = scala.collection.mutable.ArrayBuffer.empty[String]
+    (0 until nBatches).foreach { k =>
+      val base = k * 100L
+      val frameHasExtra = k >= addBatch
+      val raw = (0 until 2 + rnd.nextInt(14)).map { _ =>
+        XR(pk = 1 + rnd.nextInt(5), ts = base + 1 + rnd.nextInt(12),
+          op = Seq("I", "U", "D")(rnd.nextInt(3)),
+          value = if (rnd.nextInt(10) == 0) None
+                  else Some((1 + rnd.nextInt(50)).toDouble),
+          seq = None,
+          // pre-ADD-barrier rows CARRY non-null extra slots on purpose:
+          // the catalog∩frame column list must drop them on first apply
+          // AND keep them dropped on a redelivery after the ALTER ran
+          extra = if (!frameHasExtra) None
+                  else if (rnd.nextInt(5) == 0) None
+                  else Some((1 + rnd.nextInt(30)).toDouble))
+      }
+      val rows = if (!hasSeq) raw else
+        raw.groupBy(r => (r.pk, r.ts)).valuesIterator.flatMap { chain =>
+          chain.zipWithIndex.map { case (r, i) =>
+            r.copy(seq = if (i == 0 && rnd.nextInt(8) == 0) None
+                         else Some(i.toLong)) }
+        }.toSeq
+      // distinct barrier timestamps; a same-batch add+drop orders ADD first
+      val tsPool = rnd.shuffle((1 to 12).toList).map(base + _)
+      var nextTs = 0
+      def drawTs(): Long = { val t = tsPool(nextTs); nextTs += 1; t }
+      val plainB = (0 until rnd.nextInt(2)).map(_ => (drawTs(), PlainB: BKind))
+      val addB = if (k == addBatch)
+        Seq((drawTs(), AddExtra(if (withDefault) Some(7.5) else None): BKind))
+      else Nil
+      val dropB = if (dropBatch.contains(k)) Seq((drawTs(), DropExtra: BKind))
+                  else Nil
+      val barriers = (addB ++ dropB) match {
+        case Seq((a, ak), (d, dk)) if a > d => plainB ++ Seq((d, ak), (a, dk))
+        case other => plainB ++ other
+      }
+      // schema-change batches never arrive as stale-id replays: a skipped
+      // ALTER would just degrade the rest of the scenario's coverage
+      val replay = batchId >= 0 && k != addBatch && !dropBatch.contains(k) &&
+        rnd.nextInt(5) == 0
+      if (!replay) batchId += 1
+      history += s"batch=$batchId k=$k hasSeq=$hasSeq replay=$replay " +
+        s"withDefault=$withDefault barriers=$barriers rows=$rows"
+      def frameFor(p: ExtPath) = extFrame(rows,
+        barriers.map { case (ts, kind) => ts -> sqlFor(kind, p.table) },
+        hasSeq, frameHasExtra, p.valName)
+      paths.foreach { p =>
+        assert(p.apply(frameFor(p), batchId) != replay,
+          s"seed=$seed path=${p.name} replay-skip mismatch\n" +
+            history.mkString("\n"))
+      }
+      if (!replay) {
+        val (m2, c2) = extModelBatch(model, rows, barriers, hasSeq, colExists)
+        model = m2; colExists = c2
+      }
+      paths.foreach { p =>
+        val got = p.state()
+        assert(got == model,
+          s"seed=$seed path=${p.name} state diverged\nimpl=$got\n" +
+            s"model=$model\nops:\n${history.mkString("\n")}")
+      }
+      // lost-checkpoint redelivery — FORCED on every schema-change batch,
+      // the case this sweep exists for: a redelivered batch whose ALTER
+      // already executed must not re-apply its pre-barrier DML against the
+      // post-DDL catalog (that would bind the old-shape rows' extra slots
+      // where the first application dropped them — overwriting a
+      // default-valued ADD COLUMN's fill with NULLs or stale values)
+      if (!replay && (k == addBatch || dropBatch.contains(k) ||
+          rnd.nextInt(3) == 0)) {
+        history += s"lost-checkpoint redelivery batch=$batchId"
+        paths.foreach { p =>
+          regressDerby(p.url, batchId)
+          p.apply(frameFor(p), batchId): Unit
+          val got = p.state()
+          assert(got == model,
+            s"seed=$seed path=${p.name} DDL-batch redelivery diverged\n" +
+              s"impl=$got\nmodel=$model\nops:\n${history.mkString("\n")}")
+        }
+      }
+    }
+    (withDefault, dropBatch.isDefined, sameBatchDrop, hasSeq)
+  }
+
   test("free delivery: lake sink state matches the per-key model under late events and crashes") {
     (1 to 10).foreach(runFreeScenario)
   }
 
   test("ordered delivery: every sink apply path converges to the one per-key model") {
     (1 to 10).foreach(runOrderedScenario)
+  }
+
+  test("schema-change barriers: a mid-batch ALTER ADD/DROP COLUMN converges across the delegated loader paths, redelivery included") {
+    val flags = (1 to 10).map(runSchemaChangeScenario)
+    assert(flags.exists(_._1) && flags.exists(!_._1),
+      "both default and no-default ADD arms must fire")
+    assert(flags.exists(_._2), "no DROP COLUMN scenario fired")
+    assert(flags.exists(_._3), "no same-batch ADD+DROP scenario fired")
+    assert(flags.exists(_._4), "the sequence path was never driven")
   }
 }

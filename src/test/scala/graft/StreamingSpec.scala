@@ -595,6 +595,56 @@ class StreamingSpec extends SparkSpec {
     assert(hB.count() == hA.count())
   }
 
+  test("history sink reads see only COMMITTED closed batches — an uncommitted (even torn) dir is invisible, not dirty or wedging") {
+    import graft.util.MetaFs
+    // between a crashed closed write and its replay, closed/batch=N exists
+    // with no marker advance; pre-fix, partition discovery surfaced its
+    // rows (dirty read) and a torn parquet file in it wedged history()
+    // until the replay — the committed-batch filter + explicit schema
+    // keep the dir entirely out of the scan
+    val root = graft.util.Scratch.dir("graft_hist_committed_read")
+    val sink = new graft.sinks.HistorySink(root)
+    val b0 = Seq((1L, 1L, "I", 1.0), (2L, 2L, "I", 2.0))
+      .toDF("pk", "commit_ts", "op", "value")
+    val b1 = Seq((1L, 5L, "U", 1.5)).toDF("pk", "commit_ts", "op", "value")
+    assert(sink.applyBatch(b0, 0L) && sink.applyBatch(b1, 1L))
+    val committed = sink.history(spark).collect().toSet
+    // crash mid-closed-write of batch 2: a wrong-content row AND a torn
+    // file (garbage bytes, no parquet footer) under the uncommitted dir
+    Seq((99L, -1L, Some(-1L), 0.0)).toDF("pk", "valid_from", "valid_to", "value")
+      .write.parquet(s"$root/closed/batch=2")
+    MetaFs.writeString(s"$root/closed/batch=2/part-torn.parquet", "not parquet")
+    val dirty = new graft.sinks.HistorySink(root)
+    assert(dirty.history(spark).collect().toSet == committed,
+      "uncommitted closed batch leaked into a read before its replay")
+    // the replay overwrites the dir and commits; its rows then appear
+    val b2 = Seq((2L, 9L, "D", 0.0)).toDF("pk", "commit_ts", "op", "value")
+    assert(dirty.applyBatch(b2, 2L))
+    val h = new graft.sinks.HistorySink(root).history(spark)
+    assert(h.filter(col("pk") === 99L).isEmpty, "torn write survived the replay")
+    assert(h.filter(col("pk") === 2L && !col("is_current")).count() == 1)
+  }
+
+  test("loader merge window tolerates a non-orderable (map) payload column riding the frame") {
+    import graft.sinks.JdbcSchemaLoader
+    // the payload tie-break orders SCALAR columns only: a MapType column in
+    // the frame (e.g. the envelope's props riding along to a sink that
+    // ignores it) fails window analysis if included — pre-fix this apply
+    // threw; the scalar columns still break (key, ts, op)-identical ties
+    val loader = new JdbcSchemaLoader(
+      graft.util.Scratch.derbyMemUrl("graft_map_payload"), applyPartitions = 2)
+    loader.createTable(
+      "CREATE TABLE MAPP (PK BIGINT PRIMARY KEY, COMMIT_TS BIGINT, VAL DOUBLE)")
+    val f = Seq((1L, 10L, "I", 1.0, Map("a" -> "b")),
+        (1L, 10L, "I", 2.0, Map("c" -> "d")), (2L, 11L, "I", 3.0, Map.empty[String, String]))
+      .toDF("pk", "commit_ts", "op", "val", "props")
+    assert(loader.applyBatch(Map("MAPP" -> f), 0L))
+    val got = loader.readTable(spark, "MAPP", Some("PK"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // the scalar tie-break (VAL desc) still picks the deterministic winner
+    assert(got == Map(1L -> 2.0, 2L -> 3.0))
+  }
+
   test("JDBC state read is fail-loud: a never-booted database throws, not an empty answer") {
     import graft.sinks.JdbcUpsertSink
     // the read path strips ;create=true (JdbcMeta.readUrl): a wrong URL
