@@ -153,7 +153,7 @@ object Arbiter {
     val victim = slice.groupBy("pk").agg(max("commit_ts").as("last_ts"))
       .orderBy(col("last_ts"), col("pk")).limit(1).collect().headOption
       .filter(_.getLong(1) + 1 <= ts0)
-      .map(v => spark.range(1).select(
+      .map(v => spark.range(0, 1, 1, 1).select( // 1 partition, not 32 empties
         lit(v.getLong(1) + 1).as("commit_ts"), lit(v.getLong(0)).as("pk"),
         lit("U").as("op"), lit(-999.0).as("value")))
     CdcStream.toKafkaFrame(

@@ -344,7 +344,8 @@ object Sketches {
     val cum = merged.withColumn("cum",
       sum("n").over(Window.partitionBy(lit(0)).orderBy("bucket")))
     val qs = HistQs.map(q => lit(q))
-    val tgt = spark.range(1).select(explode(array(qs: _*)).as("q"))
+    val tgt = spark.range(0, 1, 1, 1) // 1 partition, not 32 empties
+      .select(explode(array(qs: _*)).as("q"))
       .crossJoin(broadcast(total))
       .select(col("q"), ceil(col("q") * col("total")).as("k"))
     val est = tgt.join(broadcast(cum), col("cum") >= col("k"))

@@ -740,6 +740,26 @@ object CdcStream {
           def decodeSlice(k: (String, String), info: tracker.TableInfo,
               upper: Long): Unit = {
             if (!touched.contains(k)) return
+            // defs record for EVERY cut, including empty ones below: a
+            // column whose only slice was empty (added and dropped between
+            // two DDLs sharing one commit ts) must stay addressable — the
+            // batch-end union widens it back as a typed NULL column
+            val acc = defsOf.getOrElseUpdate(k,
+              scala.collection.mutable.LinkedHashMap.empty[String, String])
+            info.columns.foreach(d => acc += d.split(" ", 2)(0) -> d)
+            // an EMPTY interval — lower == upper, the second and later of
+            // several DDLs sharing one commit ts (TiDB's one-ALTER-many-jobs
+            // shape) — can hold no frames: `(x, x]` admits no commit ts.
+            // Appending its leg anyway would scan the whole batch through
+            // yet another from_json schema and open yet another parquet
+            // writer per partition just to emit zero rows (a 9-ADD wire paid
+            // ~5× the decode's task count this way). The leg's ONLY effect
+            // was widening the union schema with all-NULL columns — the
+            // batch-end widening reproduces exactly that from defsOf.
+            // recordSlice was already gated on a non-empty interval
+            // (intermediate shapes share the final slice's version — see
+            // [[DecodeFill.recordSlice]]); lowerOf is already at upper.
+            if (lowerOf(k) >= upper) return
             val wireSchema = if (info.columns.isEmpty) new StructType()
               else StructType.fromDDL(info.columns.mkString(", "))
             val payload = from_json(col("props"), wireSchema)
@@ -753,14 +773,8 @@ object CdcStream {
                 wireSchema.fieldNames.toSeq.map(f =>
                   payload.getField(f).cast("string").as(s"${f}_str")) :+
                 lit(info.version).as("schema_version"): _*)
-            // presence records only slices that can HOLD rows (see
-            // [[DecodeFill.recordSlice]]'s empty-slice note)
-            if (lowerOf(k) < upper)
-              fillState.recordSlice(k, info.version, wireSchema.fieldNames.toSet)
+            fillState.recordSlice(k, info.version, wireSchema.fieldNames.toSet)
             lowerOf(k) = upper
-            val acc = defsOf.getOrElseUpdate(k,
-              scala.collection.mutable.LinkedHashMap.empty[String, String])
-            info.columns.foreach(d => acc += d.split(" ", 2)(0) -> d)
           }
           // walk the batch's DDLs in commit-ts order (driver-side: DDL is
           // rare and totally ordered). Only a DDL addressing a TRACKED
@@ -1161,6 +1175,14 @@ object CdcStream {
           val unions = slicesOf.toSeq.collect {
             case (k, slices) if slices.nonEmpty =>
               val merged0 = slices.reduce(_.unionByName(_, allowMissingColumns = true))
+              // a def column missing from every appended leg (its only
+              // slice was an empty interval decodeSlice skipped) widens
+              // back as the typed NULL column that leg would have carried —
+              // same union schema, zero extra scan
+              val widened = defsOf(k).keys.foldLeft(merged0) { (df, c) =>
+                if (df.columns.contains(s"${c}_str")) df
+                else df.withColumn(s"${c}_str", lit(null).cast("string"))
+              }
               // decode-time T7 fill (opt-in; see the decodeQuery note and
               // [[DecodeFill.fold]]): gated on the row's slice LACKING the
               // column, so an explicit payload null from any version where
@@ -1168,7 +1190,7 @@ object CdcStream {
               // wire type (ref: translator.go:169-227 evaluates the default
               // through the column type), so `DEFAULT 1.50` on a
               // DECIMAL(10,1) fills the decode's own spelling `1.5`.
-              k -> ((defsOf(k).values.toSeq, fillState.fold(k, merged0)))
+              k -> ((defsOf(k).values.toSeq, fillState.fold(k, widened)))
           }
           // per-table writes are independent jobs — fan them out on the
           // bounded pool (ref: pkg/loader/load.go:508-527's 16 workers): a
@@ -1413,7 +1435,11 @@ object CdcStream {
   /** One staged wire DDL frame — the shared envelope of the t6 oracle
     * wires (a DDL item carries no payload; ref binlog.proto's DDL kind). */
   private[graft] def wireDdlRow(spark: SparkSession, ts: Long, sql: String): DataFrame =
-    spark.range(1).select(
+    // single-partition range: the default 32-partition range(1) makes every
+    // union'd DDL row add 32 empty tasks to EACH staging pass (guide §2.2 —
+    // fewer, larger map tasks); a 10-statement wire paid ~640 empty task
+    // launches, each serializing the full union plan closure
+    spark.range(0, 1, 1, 1).select(
       lit(ts).as("commit_ts"), lit(-1L).as("pk"), lit("DDL").as("op"),
       lit("ddl").as("event_type"),
       timestamp_micros(lit(ts) * 1000000L).as("ts"),
