@@ -48,7 +48,10 @@ object Dedup {
     * split once per array element — O(tokens²) per document. Binding it to
     * an attribute makes each element_at an O(1) read. */
   def docShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    // spread BEFORE the tokenize: the regex split + per-shingle md5 is the
+    // family's CPU-dominant stage and must not inherit a small scan's
+    // 1-split parallelism (Tables.spread — a no-op once splits ≥ cores)
+    Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), Lex.toks(col("text")).as("toks"))
       .select(col("doc_id"), explode(array_distinct(Lex.shingles(col("toks")))).as("sh"))
 
@@ -324,7 +327,7 @@ object Dedup {
     * both sides derive from one snapshot table because the sandbox has a
     * single corpus version. */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
     val isNew = col("doc_id") % 5 === 4
     // exact layer: base digest dictionary (stored, in production)
     val baseDig = docs.filter(!isNew)
@@ -441,7 +444,7 @@ object Dedup {
     * candidates. (16 bits was rejected — it collides far too often; size
     * Hamming-ball buckets from the 2^32 fingerprint space.) */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
+    val tok = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), explode(array_distinct(Lex.toks(col("text")))).as("tok"))
       .withColumn("h", Lex.hex8(col("tok")))
     val bitSums = (0 until Lex.SimhashBits).map(b =>
@@ -477,7 +480,7 @@ object Dedup {
     // non-ANSI sum silently corrupts the fingerprint. Sort-then-slice
     // keeps the SAME deterministic subset in both engines; below the
     // bound the sort is a no-op for the order-independent sums.
-    val tok = Tables.documents(spark, dir)
+    val tok = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"),
         explode(slice(array_sort(array_distinct(Lex.toks(col("text")))),
           1, 32767)).as("tok"))
@@ -616,7 +619,7 @@ object Dedup {
 
   def substringSpans(spark: SparkSession, dir: String): DataFrame = {
     val n = SubstrGram
-    val pos = Tables.documents(spark, dir)
+    val pos = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), Lex.toks(col("text")).as("toks"))
       .select(col("doc_id"),
         posexplode(when(size(col("toks")) >= n,

@@ -1,6 +1,6 @@
 package graft.model
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -18,6 +18,30 @@ object Tables {
     // unchanged (no tz conversion happens on read), matching DuckDB's view.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Parallelism floor for CPU-heavy per-row derivations (tokenize / hash /
+    * shingle-explode / codec kernels) that run BETWEEN a scan and its first
+    * exchange. A small input — one parquet file, one wire segment — gives
+    * the scan fewer splits than the session has cores, and every pre-shuffle
+    * expression then runs on that handful of tasks while the rest of the
+    * cluster idles (guide §2.5: input with too few splits → repartition
+    * immediately after the read). Hash-spread on the given key columns to
+    * `defaultParallelism` ONLY when the plan's actual scan parallelism is
+    * below it: at production scale (splits ≥ cores) this is a no-op and the
+    * plan is byte-identical, so nothing here is tuned to local mode — the
+    * condition, not a constant, carries the scale adaptivity. Keys must be
+    * stable row identities (doc_id, vec_id, (commit_ts, pk)) so the
+    * placement is deterministic under task retries (§2.5's rand-derived-key
+    * caveat). The EXPLICIT partition count matters: a keyed repartition
+    * without one is AQE-coalescible, and AQE sizes partitions by BYTES —
+    * blind to the downstream per-row CPU amplification this exists to
+    * spread (ann_pq_topk's trainer measured exactly that: AQE folded the
+    * 16k-row subvector frame to one partition and the rows × 256-codebook
+    * argmin ran single-core). */
+  def spread(df: DataFrame, keys: Column*): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= n) df else df.repartition(n, keys: _*)
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

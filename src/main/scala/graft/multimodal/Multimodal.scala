@@ -211,8 +211,11 @@ object Multimodal {
     * text length — so the sniffer's output is verifiable row-by-row. */
   def asMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), col("n_chars"))
+    // spread before the typed encode/decode kernels: Dataset.map is opaque
+    // to Catalyst, so the whole codec chain runs at the SCAN's parallelism
+    // (1 task on a single-file input; Tables.spread is a no-op at scale)
+    Tables.spread(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("n_chars")), col("doc_id"))
       .as[(Long, String, Long)]
       .map { case (id, text, nChars) =>
         val w = (nChars % 640 + 1).toInt
@@ -234,8 +237,8 @@ object Multimodal {
     * generate_series recomputation tractable at verify scale). */
   def asImages(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars"))
+    Tables.spread(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars")), col("doc_id"))
       .as[(Long, Long)]
       .map { case (id, nChars) =>
         val w = (nChars % 40 + 1).toInt
@@ -394,8 +397,8 @@ object Multimodal {
     * deterministically from the row — so the sniffer is verifiable. */
   def asAudio(spark: SparkSession, dir: String): Dataset[AudioRow] = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), col("n_chars"))
+    Tables.spread(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("n_chars")), col("doc_id"))
       .as[(Long, String, Long)]
       .map { case (id, text, nChars) =>
         val channels = (id % 2 + 1).toInt

@@ -73,6 +73,11 @@ object Causality {
     def uk2(eventType: Column, value: Column): Column =
       when(eventType === "purchase",
         nsChecked(floor(value).cast("long"), "uk2 key") + Uk2Offset)
+    // NOT spread (r21, measured): a pk-keyed spread reused by the window
+    // looked free, but pinning the label/edge frames at cores-width
+    // multiplied the CC loop's per-round task overhead past the JSON-parse
+    // win (paired TimeQ 1.22×) — the loop's frames are tiny and
+    // AQE-coalesced by design
     Cdc.changes(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .withColumn("prev_value", lag("value", 1).over(w))

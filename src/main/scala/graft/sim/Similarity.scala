@@ -60,7 +60,9 @@ object Similarity {
     * is broadcast; ranking uses (rounded cosine, id) so both engines select
     * identical rows. */
   def annTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    // spread the corpus side before the broadcast-join × dot-product pass
+    // (Tables.spread: no-op once the scan has splits ≥ cores)
+    val e = Tables.spread(Tables.embeddings(spark, dir), col("vec_id"))
       .withColumn("nrm", norm(col("embedding")))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
@@ -129,7 +131,7 @@ object Similarity {
     // (one per table, codegen'd PlaneKey), computed exactly once per vector
     // (one scan), then materialized: the keyed frame feeds the occupancy
     // census and both self-join sides
-    val keyed = Tables.embeddings(spark, dir)
+    val keyed = Tables.spread(Tables.embeddings(spark, dir), col("vec_id"))
       .withColumn("nrm", norm(col("embedding")))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         explode(array(tableKeys: _*)).as("tb"))
@@ -203,7 +205,7 @@ object Similarity {
     * Returns (cent_id, qce: array<long>). */
   def trainCentroids(spark: SparkSession, dir: String, nCells: Int = 8,
       iters: Int = 3): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.spread(Tables.embeddings(spark, dir), col("vec_id"))
       .select(col("vec_id"), fx(col("embedding")).as("qe"))
       .withColumn("qn", lnorm(col("qe")))
     var cents = e.filter(col("vec_id") < nCells)
@@ -246,7 +248,7 @@ object Similarity {
       nCells: Int = 8, nProbe: Int = 2, iters: Int = 2): DataFrame = {
     val cents = trainCentroids(spark, dir, nCells, iters)
       .withColumn("cn", lnorm(col("qce")))
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.spread(Tables.embeddings(spark, dir), col("vec_id"))
       .select(col("vec_id"), fx(col("embedding")).as("qe"))
       .withColumn("qn", lnorm(col("qe")))
     val assignment = e.join(broadcast(cents))
@@ -387,7 +389,8 @@ object Similarity {
     * closest cells per query, exact cosine rank within the probed cells. */
   private def ivfSearch(spark: SparkSession, dir: String, cents: DataFrame,
       k: Int, nProbe: Int): DataFrame = {
-    val e = Tables.embeddings(spark, dir).withColumn("nrm", norm(col("embedding")))
+    val e = Tables.spread(Tables.embeddings(spark, dir), col("vec_id"))
+      .withColumn("nrm", norm(col("embedding")))
     val assignment = e.join(broadcast(cents))
       .withColumn("ccos", safeDiv(dot(col("embedding"), col("ce")),
         col("nrm") * col("cn")))
@@ -658,7 +661,7 @@ object Similarity {
     * whole corpus's codes fit a fraction of the raw-vector footprint and
     * the scan is memory-bandwidth-bound, not compute-bound. */
   def pqTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.spread(Tables.embeddings(spark, dir), col("vec_id"))
       .select(col("vec_id"), fx(col("embedding")).as("qe"))
     // hash-partition the checkpointed subvectors on the training keys: the
     // parquet scan's few input splits would otherwise serialize every
@@ -666,8 +669,15 @@ object Similarity {
     // of BOTH argmin aggregates and the join-back — Catalyst elides those
     // three exchanges entirely when the source already carries the
     // partitioning, so the one shuffle here replaces three later ones
+    // EXPLICIT partition count: a keyed repartition without one is
+    // AQE-coalescible, and AQE folds this byte-small frame to one partition
+    // — blind to the rows × PqCodes argmin evals each training stage runs
+    // per row downstream (measured: the two assignment passes ran
+    // single-core, ~1.6 s of the query). defaultParallelism scales with the
+    // cluster, so nothing is tuned to local mode.
     val sv = pqSubvectors(e)
-      .repartition(col("vec_id"), col("sub")).localCheckpoint(true)
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("vec_id"), col("sub")).localCheckpoint(true)
     val cents = trainPqCodebook(sv)
     val codes = sv.join(broadcast(cents), Seq("sub"))
       .withColumn("d", l2i(col("sv"), col("qc")))

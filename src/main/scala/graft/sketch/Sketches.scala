@@ -66,7 +66,8 @@ object Sketches {
   /** Per-language distinct-token cardinality: exact count vs the HLL
     * estimate and its signed relative error. */
   def hllTokens(spark: SparkSession, dir: String): DataFrame =
-    hllFromTokens(Tables.documents(spark, dir)
+    // spread before the tokenize+md5 stage (Tables.spread: no-op at scale)
+    hllFromTokens(Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .select(col("lang"), explode(array_distinct(Lex.toks(col("text")))).as("tok")))
 
   /** HLL core over any (lang, tok) frame — split out so specs can drive a
@@ -117,7 +118,7 @@ object Sketches {
     // materialized once: the bucketed counts and the exact top-k would
     // otherwise each re-run the tokenize+md5 scan (the dominant cost —
     // the kmvDistinct rationale)
-    val tok = Tables.documents(spark, dir)
+    val tok = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .select(explode(Lex.toks(col("text"))).as("tok"))
       .select(col("tok"), Lex.hex8(col("tok")).as("h"))
       .localCheckpoint(true)
@@ -292,7 +293,7 @@ object Sketches {
     * register; SketchesSpec pins it); the oracle recomputes the same merge
     * in SQL. */
   def hllMerge(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
+    val tok = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .select(col("source"), explode(array_distinct(Lex.toks(col("text")))).as("tok"))
       .select(col("source"), col("tok"), Lex.hex8(col("tok")).as("h"))
     val shardRegs = tok
@@ -449,7 +450,7 @@ object Sketches {
     // the corpus three times. At production scale the exact witness branch
     // disappears (it exists as the oracle diagnostic) and with it this
     // checkpoint; the sketch path alone reads the scan once.
-    val hs = Tables.documents(spark, dir)
+    val hs = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .select(col("lang"), Lex.toks(col("text")).as("toks"))
       .select(col("lang"), explode(array_distinct(Lex.shingles(col("toks")))).as("sh"))
       .select(col("lang"), Lex.hex8(col("sh")).as("h"))

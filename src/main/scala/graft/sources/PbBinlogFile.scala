@@ -582,7 +582,12 @@ object PbBinlogFile {
     val out = graft.util.Scratch.dir("graft_wire_gc")
     // cache the envelope across the staging passes: the max aggregate and
     // the two invocation writes (each with a range-partition sampling
-    // pass) would otherwise rescan the source ~5 times
+    // pass) would otherwise rescan the source ~5 times. NOT spread and
+    // segments kept at 2 per invocation (r21, measured both ways): the
+    // feed's pre-exchange work is a trivial projection — the proto encode
+    // runs after the range exchange — and a cores-wide segment count was
+    // 1.2-2.3× SLOWER (per-segment listing/open/GC-walk overhead dominates
+    // the sub-second decode it would parallelize).
     val changes = graft.ops.Cdc.changes(spark, dir).persist()
     try {
       val maxTs = graft.ops.Cdc.maxCommitTs(changes)
@@ -788,8 +793,10 @@ object PbBinlogFile {
     val out = graft.util.Scratch.dir("graft_wire_typed")
     // pinned across write()'s sampling + write passes (gcScanQuery's
     // rationale — the typed projection re-derives the M9 domain per pass)
-    val typed = graft.ops.TypeDomain.typedEnvelope(
-      graft.ops.Cdc.changes(spark, dir)).persist()
+    // spread so the M9 projection itself runs wide, not at the single-file
+    // scan's parallelism (segment count unchanged — gcScanQuery's note)
+    val typed = graft.model.Tables.spread(graft.ops.TypeDomain.typedEnvelope(
+      graft.ops.Cdc.changes(spark, dir)), col("commit_ts"), col("pk")).persist()
     try write(typed, out, nFiles = 4) finally { typed.unpersist(); () }
     read(spark, out)
       .select(col("commit_ts"), col("pk"), col("value"),

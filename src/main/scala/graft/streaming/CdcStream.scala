@@ -592,7 +592,16 @@ object CdcStream {
       .foreachBatch { (batch0: DataFrame, id: Long) =>
         val spark = batch0.sparkSession
         // the gather plus one filter per (table, slice) re-scan this batch;
-        // pin it once instead of re-running the source scan each time
+        // pin it once instead of re-running the source scan each time.
+        // NOT spread (r21, measured both ways): widening the narrow-wire
+        // batch to cores looked right on paper — each slice leg inherits
+        // the wire's segment count — but the per-leg fixed costs it
+        // multiplies (32 tasks, 32 output files and their read-back
+        // listing, per-leg scheduling) exceeded the decode CPU it spread
+        // on every multi-table wire (t6_multi_decode 1.41×, paired TimeQ);
+        // even the widest single-table wire (t6_mysql_types, a 4.3 s
+        // decode leg) only broke even. At production wire volumes the
+        // batch already carries ≥ cores segments.
         val batch = batch0.persist()
         try {
           // ONE gather job per batch, grouped by (is_ddl, schema, table):
@@ -1467,6 +1476,13 @@ object CdcStream {
     val wireDir = graft.util.Scratch.dir(s"graft_${tag}_wire")
     val outDir = graft.util.Scratch.dir(s"graft_${tag}_out")
     val ckpt = graft.util.Scratch.dir(s"graft_${tag}_ckpt")
+    // NOT spread, segments kept at 2 (r21, measured both ways): the feed's
+    // pre-exchange work is a cheap envelope projection (the proto encode
+    // runs AFTER the range exchange, at the segment count), so a spread
+    // only adds a shuffle + a wider cache; and nFiles = cores multiplied
+    // per-segment listing/open/task overhead across every staged query
+    // (t6_multi_decode 1.65×, drainer_replicated 2.47× in the full-suite
+    // measurement).
     val changes = graft.ops.Cdc.changes(spark, dir).persist()
     try graft.sources.PbBinlogFile.write(
       build(changes, graft.ops.Cdc.maxCommitTs(changes)), wireDir, nFiles = 2)

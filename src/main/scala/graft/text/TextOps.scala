@@ -172,7 +172,9 @@ object TextOps {
     * (lang, shingle) with map-side partial counts, then a top-k window per
     * language. */
   def ngramFreq(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
+    // spread before the tokenize+shingle stage (Tables.spread: no-op once
+    // the scan has splits ≥ cores — guide §2.5 small-input parallelism)
+    val sh = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .select(col("lang"), Lex.toks(col("text")).as("toks"))
       .select(col("lang"), explode(Lex.shingles(col("toks"))).as("sh"))
     val w = org.apache.spark.sql.expressions.Window
@@ -223,7 +225,7 @@ object TextOps {
     * doubles into ln; the rounded score is what ranks and what ships.
     * At scale every stage partitions by doc or term — no global state. */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    val toks = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), explode(Lex.toks(col("text"))).as("tok"))
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -272,7 +274,7 @@ object TextOps {
   def bm25(spark: SparkSession, dir: String,
       query: Seq[String] = Bm25Query, topK: Int = 20): DataFrame = {
     val k1 = 1.2; val b = 0.75
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), Lex.toks(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("len"))
     val toks = docs.select(col("doc_id"), col("len"), explode(col("toks")).as("tok"))
@@ -350,7 +352,7 @@ object TextOps {
     * shuffle shape, no skew (keys are doc-scoped). Documents too short for
     * any shingle keep ratio 0. */
   def repetition(spark: SparkSession, dir: String, flagAt: Double = 0.2): DataFrame = {
-    val sh = Tables.documents(spark, dir)
+    val sh = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), explode(Lex.shingles(Lex.toks(col("text")))).as("sh"))
     val perSh = sh.groupBy("doc_id", "sh").agg(count(lit(1)).as("n"))
     val perDoc = perSh.groupBy("doc_id")
@@ -593,7 +595,7 @@ object TextOps {
     * depends on floating-point order. */
   def pmiBigrams(spark: SparkSession, dir: String, minCount: Int = 20,
       topK: Int = 25): DataFrame = {
-    val toked = Tables.documents(spark, dir)
+    val toked = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), Lex.toks(col("text")).as("toks"))
     val uni = toked.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c_tok"))
@@ -679,7 +681,7 @@ object TextOps {
     // NOT a 10^3 slot sized to the test fixture: a >1000-block document
     // would alias another doc's early blocks and silently mis-elect the
     // first occurrence.
-    val blocks = Tables.documents(spark, dir)
+    val blocks = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), Lex.toks(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), posexplode(expr(
@@ -793,7 +795,7 @@ object TextOps {
     * shuffle, at vocabulary scale) join of tokens→nats followed by one
     * per-doc sum. No windows, no self-joins. */
   def rarityScore(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
+    val tok = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), explode(Lex.toks(col("text"))).as("tok"))
     val totals = tok.agg(count(lit(1)).as("n_total"))
     val dict = tok.groupBy("tok").agg(count(lit(1)).as("df"))
