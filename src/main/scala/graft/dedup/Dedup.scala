@@ -444,7 +444,12 @@ object Dedup {
     * candidates. (16 bits was rejected — it collides far too often; size
     * Hamming-ball buckets from the 2^32 fingerprint space.) */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+    // NOT spread (r22, paired both-orders + driver PERF_r21): unlike the
+    // shingle family there is no downstream self-join to feed — one
+    // tokenize+explode into a map-side-partial aggregate — so the added
+    // exchange and cores-wide hash aggregate cost more than the CPU they
+    // spread (driver: dedup_simhash_near 0.37×, anti-scaling 0.49)
+    val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(array_distinct(Lex.toks(col("text")))).as("tok"))
       .withColumn("h", Lex.hex8(col("tok")))
     val bitSums = (0 until Lex.SimhashBits).map(b =>
@@ -480,7 +485,10 @@ object Dedup {
     // non-ANSI sum silently corrupts the fingerprint. Sort-then-slice
     // keeps the SAME deterministic subset in both engines; below the
     // bound the sort is a no-op for the order-independent sums.
-    val tok = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+    // NOT spread (r22): same rationale as [[simhash]] — the 16 packed sums
+    // aggregate map-side; the r21 spread here was the round's worst driver
+    // regression (dedup_simhash_near 0.37×, faster at 8 cores than 32)
+    val tok = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(slice(array_sort(array_distinct(Lex.toks(col("text")))),
           1, 32767)).as("tok"))

@@ -40,8 +40,20 @@ object Tables {
     * 16k-row subvector frame to one partition and the rows × 256-codebook
     * argmin ran single-core). */
   def spread(df: DataFrame, keys: Column*): DataFrame = {
-    val n = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= n) df else df.repartition(n, keys: _*)
+    val sess = df.sparkSession
+    val n = sess.sparkContext.defaultParallelism
+    // Split-count estimate from the LOGICAL stats (file footprint of the
+    // scan, pruned-column scaled) instead of `df.rdd.getNumPartitions`:
+    // the .rdd probe forced a throwaway non-AQE physical planning + RDD DAG
+    // build of the subtree at every call site, a driver cost paid even when
+    // the answer is "no-op" (r21 ADVICE). Callers pass scan+project frames
+    // only, where sizeInBytes IS the (pruned) parquet footprint; a real
+    // table underestimated 32× by pruning still clears n×maxPartitionBytes
+    // (~4 GB) at production scale, so the at-scale no-op contract holds.
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val maxSplit = BigInt(sess.sessionState.conf.filesMaxPartitionBytes)
+    val estSplits = (bytes + maxSplit - 1) / maxSplit
+    if (estSplits >= n) df else df.repartition(n, keys: _*)
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

@@ -66,8 +66,9 @@ object Sketches {
   /** Per-language distinct-token cardinality: exact count vs the HLL
     * estimate and its signed relative error. */
   def hllTokens(spark: SparkSession, dir: String): DataFrame =
-    // spread before the tokenize+md5 stage (Tables.spread: no-op at scale)
-    hllFromTokens(Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+    // NOT spread (r22, paired 1.15×): register/exact aggregates are
+    // map-side partial; no downstream amplification to feed
+    hllFromTokens(Tables.documents(spark, dir)
       .select(col("lang"), explode(array_distinct(Lex.toks(col("text")))).as("tok")))
 
   /** HLL core over any (lang, tok) frame — split out so specs can drive a
@@ -118,7 +119,10 @@ object Sketches {
     // materialized once: the bucketed counts and the exact top-k would
     // otherwise each re-run the tokenize+md5 scan (the dominant cost —
     // the kmvDistinct rationale)
-    val tok = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+    // NOT spread (r22, paired 1.14×; driver PERF_r21 0.65×): the checkpoint
+    // below pins the spread's cores-wide layout into every downstream pass,
+    // multiplying small-task overhead past the tokenize CPU it spreads
+    val tok = Tables.documents(spark, dir)
       .select(explode(Lex.toks(col("text"))).as("tok"))
       .select(col("tok"), Lex.hex8(col("tok")).as("h"))
       .localCheckpoint(true)

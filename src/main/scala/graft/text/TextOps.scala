@@ -274,7 +274,11 @@ object TextOps {
   def bm25(spark: SparkSession, dir: String,
       query: Seq[String] = Bm25Query, topK: Int = 20): DataFrame = {
     val k1 = 1.2; val b = 0.75
-    val docs = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+    // NOT spread (r22, paired both-orders 1.68×): the post-tokenize work is
+    // a 3-term isin filter + two map-side-partial aggregates — no self-join,
+    // no per-row amplification for the exchange to feed; and `docs` has two
+    // consumers, so the spread's shuffle was paid twice
+    val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), Lex.toks(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("len"))
     val toks = docs.select(col("doc_id"), col("len"), explode(col("toks")).as("tok"))
@@ -352,7 +356,9 @@ object TextOps {
     * shuffle shape, no skew (keys are doc-scoped). Documents too short for
     * any shingle keep ratio 0. */
   def repetition(spark: SparkSession, dir: String, flagAt: Double = 0.2): DataFrame = {
-    val sh = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+    // NOT spread (r22, paired 1.15×): both aggregates are doc-keyed and
+    // map-side partial — nothing downstream amplifies per-row work
+    val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(Lex.shingles(Lex.toks(col("text")))).as("sh"))
     val perSh = sh.groupBy("doc_id", "sh").agg(count(lit(1)).as("n"))
     val perDoc = perSh.groupBy("doc_id")
@@ -595,7 +601,11 @@ object TextOps {
     * depends on floating-point order. */
   def pmiBigrams(spark: SparkSession, dir: String, minCount: Int = 20,
       topK: Int = 25): DataFrame = {
-    val toked = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+    // NOT spread (r22, paired both-orders 2.02× — the round's largest
+    // text-family regression): `toked` fans into TWO grouped explodes (uni,
+    // bi), so the r21 spread re-ran its exchange per consumer while the
+    // aggregates were already map-side partial; anti-scaling 0.39 at 8 cores
+    val toked = Tables.documents(spark, dir)
       .select(col("doc_id"), Lex.toks(col("text")).as("toks"))
     val uni = toked.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c_tok"))
@@ -795,7 +805,10 @@ object TextOps {
     * shuffle, at vocabulary scale) join of tokens→nats followed by one
     * per-doc sum. No windows, no self-joins. */
   def rarityScore(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+    // NOT spread (r22, paired 1.25×): `tok` fans into the totals agg, the
+    // dict agg and the scoring join — three consumers each re-paying the
+    // spread's exchange over a plain tokenize
+    val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(Lex.toks(col("text"))).as("tok"))
     val totals = tok.agg(count(lit(1)).as("n_total"))
     val dict = tok.groupBy("tok").agg(count(lit(1)).as("df"))
