@@ -62,10 +62,14 @@ object Translators {
   def typedDecode(spark: SparkSession, dir: String): DataFrame = {
     val decoded = from_json(col("props"),
       org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
-    Tables.events(spark, dir).select(
-      col("event_id"),
-      decoded.getField("k").as("k"),
-      (decoded.getField("k") * 2).as("k2"))
+    // parse bound once, fields read from the attribute: two inline
+    // `decoded.getField` references are two JsonToStructs evaluations per
+    // row (CodegenFallback — no codegen subexpression elimination; the
+    // CdcStream.decodeSlice measurement), and CollapseProject keeps the
+    // split rather than duplicate a non-cheap expression
+    Tables.events(spark, dir)
+      .select(col("event_id"), decoded.getField("k").as("k"))
+      .select(col("event_id"), col("k"), (col("k") * 2).as("k2"))
   }
 
   def typedDecodeSql: String =
